@@ -1,0 +1,533 @@
+"""Reference-surface queries (SURVEY.md section 2.1/2.2 core rows).
+
+Each query is the Spark-idiomatic expression of an operator the reference
+either implements (flatMap O3, group-by-key shuffle O7, full-group reduce
+O9, distinct O5, partition sort O4 — reference JobContext.cpp:22-175) or
+lets clients express in user code (projection, filter, algebraic
+aggregates — reference MapReduceClient.h:55-64). The char-frequency and
+mod-100-histogram queries reproduce the repo's two golden client programs
+(reference SampleClient.cpp:32-66, test1-1_thread_1_process.cpp:59-77).
+
+Scale notes are attached per query; the common ones:
+- aggregations here are algebraic -> Catalyst emits partial (map-side)
+  HashAggregate before the shuffle, so shuffle volume is O(groups), not
+  O(rows);
+- projections/filters reach the parquet scan (PushedFilters/ReadSchema,
+  asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Reference golden workloads (Q1/Q2/Q3 of SURVEY.md section 2.1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "char_counts",
+    oracle="""
+        SELECT ch, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
+        GROUP BY ch
+    """,
+    tags=("reference", "flatmap", "agg"),
+    bench=True,
+)
+def char_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character frequency count — the reference's SampleClient demo
+    (reference SampleClient.cpp:34-65): map emits (char, n) per document,
+    reduce sums. Spark: explode -> groupBy -> count; the map-side combine
+    the reference client hand-rolls (SampleClient.cpp:35-47) is Catalyst's
+    partial aggregate, automatic and JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "word_counts",
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    """,
+    tags=("reference", "flatmap", "agg"),
+    bench=True,
+)
+def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count — the canonical MapReduce job the reference's API exists
+    to run (reference MapReduceClient.h:55-64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "histogram_mod100",
+    oracle="""
+        SELECT o_orderkey % 100 AS key, COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    """,
+    tags=("reference", "agg"),
+)
+def histogram_mod100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modulo-100 histogram — the reference's golden test client: map
+    emits (k % 100, 1), reduce emits group size (reference
+    test1-1_thread_1_process.cpp:63-76)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select((F.col("o_orderkey") % 100).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "sorted_histogram",
+    oracle="""
+        SELECT o_orderkey % 100 AS key, COUNT(*) AS cnt
+        FROM orders GROUP BY 1 ORDER BY key
+    """,
+    tags=("reference", "agg", "sort"),
+)
+def sorted_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram + client-side final sort (reference
+    test1-1_thread_1_process.cpp:135-143 — the framework's output is an
+    unordered bag; clients sort). Spark: orderBy = range-partitioned
+    total sort, no single-node bottleneck."""
+    return histogram_mod100(spark, sf_dir).orderBy("key")
+
+
+@query(
+    "distinct_keys_mod100",
+    oracle="SELECT DISTINCT o_orderkey % 100 AS key FROM orders",
+    tags=("reference", "distinct"),
+)
+def distinct_keys_mod100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-key set — the reference's comparator-keyed
+    std::set<K2*> built during shuffle (reference JobContext.h:78,
+    JobContext.cpp:347-353). Spark: hash-based distinct with partial
+    dedup before the shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select((F.col("o_orderkey") % 100).alias("key")).distinct()
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / flatMap (client-expressible rows of section 2.2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "projection",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    tags=("projection",),
+)
+def projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection; reaches the scan as ReadSchema (column pruning)
+    so a 100 TB table is read 3-columns-wide."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@query(
+    "filter_predicate",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+    tags=("filter",),
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter -> emit-zero-times map in the reference's model (reference
+    MapReduceClient.h:57-58). Predicates push into the parquet reader
+    (PushedFilters), skipping row groups via min/max stats at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "flatmap_explode_words",
+    oracle="""
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    """,
+    tags=("flatmap",),
+)
+def flatmap_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-to-many transform — the core `map` operator O3 (reference
+    MapReduceFramework.cpp:22-32, emit2 callable 0..n times)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+# --------------------------------------------------------------------------
+# Aggregation family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_algebraic",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)            AS sum_qty,
+               ROUND(AVG(l_extendedprice), 2)       AS avg_price,
+               ROUND(MIN(l_discount), 2)            AS min_disc,
+               ROUND(MAX(l_tax), 2)                 AS max_tax,
+               COUNT(*)                             AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_algebraic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg/min/max/count — the reference does these in client reduce
+    code (reference SampleClient.cpp:52-65); Spark's HashAggregate does
+    partial+final automatically, shuffling O(groups) bytes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.min("l_discount"), 2).alias("min_disc"),
+        F.round(F.max("l_tax"), 2).alias("max_tax"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_full_group",
+    oracle="""
+        SELECT l_returnflag,
+               string_agg(CAST(l_quantity AS BIGINT), ','
+                          ORDER BY CAST(l_quantity AS BIGINT)) AS qty_list
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "full-group"),
+)
+def agg_full_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-group semantics — the defining capability of the reference's
+    reduce: one call sees ALL values of exactly one key (reference
+    MapReduceClient.h:61-64, JobContext.cpp:97-116). Spark: collect_list
+    inside agg. Scale note: group payload must fit one task — this is for
+    bounded groups; unbounded full-group logic belongs in
+    core.run_job's applyInPandas path which streams per-group batches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("l_quantity").cast("long"))), ","
+        ).alias("qty_list")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in the reference; its key-dedup set
+    JobContext.h:78 is the closest). Expands to a two-stage aggregate;
+    for 100 TB dashboards prefer approx_count_distinct (HLL) — exposed
+    as functions.approx_distinct but not oracle-comparable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_partition_local",
+    oracle="SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem",
+    tags=("sort",),
+)
+def sort_partition_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort — the reference's per-thread std::sort before
+    shuffle (reference JobContext.cpp:57-73). No cross-partition exchange;
+    rows are unchanged (oracle compares as a bag)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_shipdate").sortWithinPartitions(
+        "l_shipdate"
+    )
+
+
+@query(
+    "sort_global_ranked",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    """,
+    tags=("sort", "window"),
+)
+def sort_global_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total order, made hash-observable via row_number (the
+    driver compare is order-insensitive, so the rank column carries the
+    ordering). Scale note: a global window without partitionBy serializes
+    on one task — acceptable only because rank output is the point here;
+    the engine's top-k path (below) never does this."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("limit", "topk"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy + limit compiles to TakeOrderedAndProject —
+    each partition keeps k rows, driver merges k*partitions; no total
+    sort, no single-task window. This is the 100 TB-safe top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+        "o_orderkey", "o_totalprice"
+    ).limit(10)
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+        SELECT c_nationkey AS nk FROM customer
+        UNION SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct). The reference's closest form is concatenating
+    InputVecs before startMapReduceJob (SURVEY.md section 2.2)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics
+
+
+# --------------------------------------------------------------------------
+# Scalar function families (client-map territory in the reference,
+# reference SampleClient.cpp:37-39; JVM-codegen'd built-ins here)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name)                          AS uname,
+               substr(p_type, 1, 5)                   AS t5,
+               CAST(length(p_name) AS BIGINT)         AS nlen,
+               concat(p_brand, '#', p_type)           AS brand_type,
+               replace(p_name, ' ', '_')              AS snake
+        FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_type", 1, 5).alias("t5"),
+        F.length("p_name").cast("long").alias("nlen"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT)   AS y,
+               CAST(month(o_orderdate) AS BIGINT)  AS m,
+               CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+                                                   AS days_since
+        FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        # string, not DateType: pandas renders Spark DATE as datetime.date
+        # and DuckDB DATE as datetime64 — identical values, different
+        # stringification => value-hash mismatch at the driver.
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(abs(l_extendedprice - 1000.0), 2) AS dist,
+               CAST(floor(l_quantity) AS BIGINT)       AS qfloor,
+               CAST(ceil(l_discount * 100) AS BIGINT)  AS dpct,
+               ROUND(sqrt(l_extendedprice), 4)         AS root,
+               ROUND(ln(l_extendedprice + 1), 4)       AS logp,
+               l_orderkey % 7                          AS mod7
+        FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("dist"),
+        F.floor("l_quantity").cast("long").alias("qfloor"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("dpct"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("root"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("logp"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(emb) AS BIGINT)      AS dim,
+               ROUND(emb[1], 4)              AS e1,
+               ROUND(list_sum(emb), 4)       AS esum,
+               ROUND(list_max(emb), 4)       AS emax
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings)
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed columns — absent in the reference (opaque C++ payloads
+    at best); first-class here. aggregate/element_at stay JVM-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1), 4).alias("e1"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("esum"),
+        F.round(F.array_max("embedding"), 4).alias("emax"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@query(
+    "conditional_case_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_finished,
+               CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_big,
+               ROUND(AVG(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+                   AS avg_open_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("scalar", "conditional", "agg"),
+)
+def conditional_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN inside aggregates — conditional logic stays in
+    whole-stage codegen, no UDF."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_finished"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_big"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+        ).alias("avg_open_price"),
+    )
