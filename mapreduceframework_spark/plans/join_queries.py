@@ -1,1 +1,379 @@
-"""Placeholder — populated in a later milestone."""
+"""Join queries (SURVEY.md section 2.2 join rows — all absent in the
+reference; its substrate expression is the reduce-side repartition join,
+reference JobContext.cpp:97-116,133-172).
+
+Plan-shape notes (asserted in tests/test_plans.py):
+- dimension joins broadcast (region/nation/supplier/part always; customer
+  under AQE's threshold) — zero shuffle on the fact side;
+- fact-fact joins (orders-lineitem) sort-merge on the join key with AQE
+  skew splitting;
+- the theta join is a broadcast nested-loop — only viable because one
+  side is tiny, which is the only shape a theta join is ever viable at
+  100 TB anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.operators.joins import asof_join, range_join
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+
+
+@query(
+    "join_inner",
+    oracle="""
+        SELECT o_orderkey, c_name, ROUND(o_totalprice, 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@query(
+    "join_left_agg",
+    oracle="""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
+    tags=("join", "agg"),
+)
+def join_left_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+        WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                    FROM customer GROUP BY 1),
+             sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                    FROM supplier GROUP BY 1)
+        SELECT COALESCE(cn.nk, sn.nk) AS nk,
+               COALESCE(n_cust, 0) AS n_cust,
+               COALESCE(n_supp, 0) AS n_supp
+        FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            "nk",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — left semi join; right side reduced to its join key before
+    the shuffle (no payload movement)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — left anti join (customers with no orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size > 40
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the part dimension: the fact side never
+    shuffles — at 100 TB this is the difference between a map-side join
+    and moving the whole table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand"
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+        SELECT s_suppkey, COUNT(*) AS n_richer
+        FROM supplier JOIN customer ON c_acctbal > s_acctbal
+        GROUP BY s_suppkey
+    """,
+    tags=("join", "theta"),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join — broadcast nested loop over the tiny
+    supplier side; for each supplier, count richer customers."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer"))
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+        SELECT r1.r_name AS a, r2.r_name AS b
+        FROM region r1 CROSS JOIN region r2
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("a"))
+    r2 = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("b"))
+    return r1.crossJoin(r2)
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+        SELECT band, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0),
+                     ('high', 25.0, 40.0), ('top', 40.0, 51.0))
+             AS bands(band, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band
+    """,
+    tags=("join", "range"),
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join of the fact table to a band dimension via the
+    range_join operator (broadcast nested-loop; fact side unshuffled)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 40.0),
+         ("top", 40.0, 51.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(li, bands, F.col("l_quantity"), F.col("lo"), F.col("hi"))
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+        SELECT e.event_id, o.o_orderdate AS asof_date
+        FROM events e
+        ASOF JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event for the same
+    user, via the cogrouped merge_asof operator (operators/joins.py).
+    Oracle: DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    out = asof_join(
+        ev,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        out_schema="event_id long, user_id long, ts timestamp, o_orderdate timestamp",
+        right_cols=[],
+    )
+    return out.select("event_id", F.col("o_orderdate").alias("asof_date"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped headline queries (multi-join pipelines; bench set)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "agg"),
+    bench=True,
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — scan-heavy aggregate; the whole plan is
+    one codegen stage + one O(groups) shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping",
+    oracle="""
+        SELECT o_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+    bench=True,
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: filtered dim broadcast into a fact
+    join, aggregate, top-10 via TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_volume",
+    oracle="""
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    tags=("tpch", "join"),
+    bench=True,
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: five-way join; every dimension broadcasts, lineitem and
+    orders sort-merge on the order key — one fact shuffle total."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -1,1 +1,257 @@
-"""Placeholder — populated in a later milestone."""
+"""Window functions and multi-dimensional grouping (SURVEY.md section 2.2
+— absent in the reference; the closest substrate is full-group reduce,
+reference MapReduceClient.h:61-64, which CAN see a whole partition's
+values but has no frame/ordering semantics).
+
+All windows here partition by a real key, so state per task is one
+group's rows — the 100 TB-safe shape. The only unpartitioned window in
+the repo is sort_global_ranked (documented there)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table, register_views
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+    bench=True,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical per-group top-k: one
+    hash shuffle on the group key, rank within partition, filter."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_spend
+        FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer over order time."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+        SELECT user_id, event_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER w)  AS gap_prev_us,
+               epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS gap_next_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "events"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event stream: inter-event gaps in
+    microseconds (NULL at stream edges). Microsecond arithmetic, not
+    unix_timestamp: second-flooring each side first disagrees with the
+    oracle's exact interval by up to 1s."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (ts_us - F.unix_micros(F.lag("ts").over(w))).alias("gap_prev_us"),
+        (F.unix_micros(F.lead("ts").over(w)) - ts_us).alias("gap_next_us"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               ROUND(AVG(l_extendedprice) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+        FROM lineitem
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded frame (4-row moving average) per supplier over ship time —
+    frame state is O(4), safe at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_extendedprice").over(w), 4).alias("ma4"),
+    )
+
+
+@query(
+    "window_rank_dense_percent",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey,
+               RANK()       OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+               ROUND(CUME_DIST() OVER w, 6)    AS cdist,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_dense_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family over one partitioned window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-dimensional grouping
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS revenue,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("groupingsets",),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: (flag,status) -> (flag) -> () hierarchy in one pass —
+    Spark expands to a single Expand+Aggregate, still O(groups) shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@query(
+    "cube_counts",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("groupingsets",),
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@query(
+    "grouping_sets_explicit",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("groupingsets",),
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (registered views)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+               COUNT(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+               COUNT(*) FILTER (o_orderstatus = 'P') AS p_cnt
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("pivot",),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let pivot() discover
+    values at scale — that's an extra distinct scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("f_cnt"),
+        F.coalesce("O", F.lit(0)).alias("o_cnt"),
+        F.coalesce("P", F.lit(0)).alias("p_cnt"),
+    )

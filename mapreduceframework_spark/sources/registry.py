@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Pinned schemas for the driver testdata (TESTDATA.md). Nullable=True
@@ -122,10 +123,36 @@ def table_schema(name: str) -> T.StructType:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table with its pinned schema (no inference)."""
+    """Scan one table with its pinned schema (no inference).
+
+    events.ts is written as a parquet TIMESTAMP(NANOS) column, which
+    Spark's vectorized reader refuses to widen to TimestampType (its
+    timestamps are microsecond). Read it as raw int64 nanos
+    (spark.sql.legacy.parquet.nanosAsLong) and floor-divide to micros —
+    bit-identical to how DuckDB/Arrow truncate ns -> us.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
-    return spark.read.schema(TABLES[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        physical = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        return (
+            spark.read.schema(physical)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .select(*[f.name for f in TABLES[name].fields])
+        )
+    return spark.read.schema(TABLES[name]).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions — the 100 TB story, checked.
+
+Correctness says the operator computes the right rows; these tests pin
+HOW: filters reach the parquet scan, projections prune columns, small
+sides broadcast, aggregates have a map-side partial, global top-k avoids
+a total sort. A regression here is a performance bug even while results
+stay right."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduceframework_spark.plans.registry import all_queries
+
+REG = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    import contextlib
+    import io
+
+    df = REG[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "projection")
+    assert "ReadSchema" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    # untouched wide columns must not be read
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_predicate")
+    assert "PushedFilters" in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_quantity" in pushed and "l_shipdate" in pushed
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q5_dimensions_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q5_local_volume")
+    # every dimension join is broadcast; at most the lineitem-orders join
+    # may sort-merge
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_avoids_total_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_has_partial_stage(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_algebraic")
+    # partial (map-side) + final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_strategy(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_semi")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("name", ["char_counts", "tpch_q1_pricing", "word_counts"])
+def test_agg_single_shuffle(spark, sf_dir, name):
+    """Scan-heavy aggregates must shuffle exactly once (O(groups) bytes);
+    a second Exchange would mean partial aggregation was lost."""
+    import re
+
+    plan = plan_of(spark, sf_dir, name)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 1, plan
