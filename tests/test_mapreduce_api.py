@@ -1,0 +1,138 @@
+"""Generic MapReduce API tests — mirrors the reference's own test suite
+(SURVEY.md section 5): golden workloads, concurrent jobs (test4 shape),
+and the job lifecycle/progress contract."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.core import (
+    CharCountClient,
+    MapReduceClient,
+    ModuloHistogramClient,
+    Stage,
+    run_job,
+    start_map_reduce_job,
+)
+from mapreduceframework_spark.sources import load_table
+
+
+def test_charcount_matches_dataframe_native(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    via_api = {
+        (r["ch"], r["cnt"])
+        for r in run_job(spark, CharCountClient(), docs).collect()
+    }
+    native = {
+        (r["ch"], r["cnt"])
+        for r in docs.select(F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert via_api == native
+
+
+def test_histogram_golden_shape(spark, sf_dir):
+    """Reference golden property (test1): counts sum to input size and
+    keys are exactly the occupied residues."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit(None).cast("long").alias("k"), F.col("o_orderkey").alias("v")
+    )
+    n_input = orders.count()
+    rows = run_job(spark, ModuloHistogramClient(), orders).collect()
+    assert sum(r["cnt"] for r in rows) == n_input
+    assert all(0 <= r["key"] < 100 for r in rows)
+
+
+def test_async_lifecycle_and_progress(spark, sf_dir):
+    """startMapReduceJob returns immediately; getJobState reports valid
+    {stage, percentage} snapshots; waitForJob then close."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    class SlowCharCount(CharCountClient):
+        def map(self, key, value):
+            time.sleep(0.002)  # analog of SampleClient's usleep throttle
+            yield from super().map(key, value)
+
+    job = start_map_reduce_job(spark, SlowCharCount(), docs, multi_thread_level=8)
+    states = []
+    while True:
+        st = job.get_state()
+        states.append(st)
+        assert st.stage in (Stage.UNDEFINED, Stage.MAP, Stage.SHUFFLE, Stage.REDUCE)
+        assert 0.0 <= st.percentage <= 100.0
+        if st.stage == Stage.REDUCE and st.percentage >= 100.0:
+            break
+        time.sleep(0.05)
+    job.wait()
+    assert job.result()  # non-empty OutputVec
+    # stages never regress (monotone in the enum ordering)
+    seq = [s.stage for s in states]
+    assert seq == sorted(seq)
+    job.close()
+
+
+def test_concurrent_jobs(spark, sf_dir):
+    """test4 shape (reference test4-1_thread_4_process.cpp:125-132):
+    4 jobs started before any is waited on; all finish with identical
+    results since inputs are identical."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit(None).cast("long").alias("k"), F.col("o_orderkey").alias("v")
+    )
+    jobs = [
+        start_map_reduce_job(spark, ModuloHistogramClient(), orders)
+        for _ in range(4)
+    ]
+    results = [sorted((r["key"], r["cnt"]) for r in j.result()) for j in jobs]
+    assert all(res == results[0] for res in results)
+    for j in jobs:
+        j.close()
+
+
+def test_emit_many_flatmap_shape(spark, sf_dir):
+    """Explode-shaped client: map emits many records per input."""
+
+    class WordSplit(MapReduceClient):
+        intermediate_schema = "word string, one long"
+        output_schema = "word string, cnt long"
+
+        def map(self, key, value):
+            for w in (value or "").split(" "):
+                yield w, 1
+
+        def reduce(self, key, values):
+            yield key, len(values)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        (r["word"], r["cnt"]) for r in run_job(spark, WordSplit(), docs).collect()
+    }
+    native = {
+        (r["word"], r["cnt"])
+        for r in docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == native
+
+
+def test_job_error_surfaces_as_exception(spark, sf_dir):
+    """The reference exits(1) on failure (MapReduceFramework.cpp:13-17);
+    we surface a Python exception from wait() instead."""
+
+    class Boom(CharCountClient):
+        def reduce(self, key, values):
+            raise RuntimeError("client failure")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    job = start_map_reduce_job(spark, Boom(), docs)
+    try:
+        job.wait()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
