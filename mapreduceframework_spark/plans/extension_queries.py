@@ -1,1 +1,578 @@
-"""Placeholder — populated in a later milestone."""
+"""Training-data-pipeline extension queries (SURVEY.md section 2.2 ⊕ rows).
+
+The reference's seed for this family is its char-frequency client
+(reference SampleClient.cpp:32-66) and its comparator-keyed unique-key
+set (reference JobContext.h:78) — text analysis and exact dedup. The
+rest (near-dup, similarity search, multimodal) is the north-star surface
+a 100 TB corpus pipeline needs.
+
+Oracle-parity strategy: every numeric formula here is deterministic and
+engine-agnostic (see operators/dedup.py and operators/vectors.py — the
+SQL renderers live next to the Spark renderers so they cannot drift).
+Float results are NOT rounded: both engines execute the identical
+IEEE-754 expression tree (sequential folds, same associativity), so the
+raw doubles match bit for bit; rounding would *introduce* divergence via
+tie-breaking rules on exact-decimal ratios.
+
+Scale notes (100 TB):
+- No all-pairs joins. Candidates always come from an equality shuffle
+  (shared shingle, LSH band key, SimHash nibble band, SRP bucket) —
+  O(sum of bucket^2), embarrassingly parallel across executors.
+- All text math is array-expression codegen (transform/filter/
+  aggregate) — zero Python, zero explode except where the candidate
+  inverted index genuinely needs one row per (doc, shingle).
+- Skew: stop-shingle buckets are the known hazard of the inverted-index
+  candidate step; AQE skew handling is on (session.py), and the MinHash
+  path (fixed 4 bands/doc) is the skew-proof variant for corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceframework_spark.operators import dedup as D
+from mapreduceframework_spark.operators import text as X
+from mapreduceframework_spark.operators import vectors as V
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+
+# Shared DuckDB CTE: tokenized non-blank documents (mirrors _docs()).
+DOCS_CTE = (
+    "SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS words "
+    "FROM documents WHERE length(trim(text)) > 0"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-blank documents with a tokenized ``words`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.length(F.trim("text")) > 0).withColumn(
+        "words", D.words_of(F.col("text"))
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the float32 column widened to float64 (exact)."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+EMB_CTE = "SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+        SELECT doc_id,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END)::BIGINT AS ws_tokens,
+               len(regexp_extract_all(
+                   text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+                   AS bpe_tokens
+        FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokens (GPT-2
+    pretokenizer shape). Pure codegen — one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        X.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                    (length(text)
+                     - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                    / length(text) END AS punct_ratio,
+               CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                    len(list_filter(words, w -> list_contains(
+                        ['the','a','of','and','to','in','is','it'], w)))
+                    / len(words) END AS stop_ratio,
+               round((least(length(text) / 200.0, 1.0)
+                      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                           (length(text) - length(regexp_replace(
+                                text, '[^A-Za-z0-9\\s]', '', 'g')))
+                           / length(text) END) * 4, 1.0))
+                      + least((CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                           len(list_filter(words, w -> list_contains(
+                               ['the','a','of','and','to','in','is','it'], w)))
+                           / len(words) END) * 5, 1.0)) / 3.0, 6) AS quality
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS words
+              FROM documents)
+    """,
+    tags=("text", "extension"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation ratio, stopword ratio, composite
+    C4-style cheap filter. Ratios are single int/int divisions — raw
+    doubles match the oracle bit for bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.punct_ratio(t).alias("punct_ratio"),
+        X.stopword_ratio(t).alias("stop_ratio"),
+        X.quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+        WITH d AS (SELECT doc_id,
+                          regexp_split_to_array(trim(lower(text)), '\\s+')
+                              AS words
+                   FROM documents WHERE length(trim(text)) > 0),
+        s AS (SELECT doc_id,
+              len(list_filter(words, w -> list_contains(
+                  ['der','die','und','das','ist'], w)))::BIGINT AS s_de,
+              len(list_filter(words, w -> list_contains(
+                  ['the','a','of','and','to'], w)))::BIGINT AS s_en,
+              len(list_filter(words, w -> list_contains(
+                  ['el','la','de','y','que'], w)))::BIGINT AS s_es,
+              len(list_filter(words, w -> list_contains(
+                  ['le','la','et','les','des'], w)))::BIGINT AS s_fr,
+              len(list_filter(words, w -> list_contains(
+                  ['de5','shi4','le5','zai4','he2'], w)))::BIGINT AS s_zh
+              FROM d)
+        SELECT doc_id,
+               CASE WHEN best.score <= 0 THEN 'und' ELSE best.lang END
+                   AS lang_pred
+        FROM (SELECT doc_id, list_max([
+                  {'score': s_de, 'lang': 'de'},
+                  {'score': s_en, 'lang': 'en'},
+                  {'score': s_es, 'lang': 'es'},
+                  {'score': s_fr, 'lang': 'fr'},
+                  {'score': s_zh, 'lang': 'zh'}]) AS best
+              FROM s)
+    """,
+    tags=("text", "extension"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language marker-token hits, argmax
+    with deterministic tie-break (struct-max: score, then lang code)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", X.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT, list_transform(words,
+                       w -> length(w)*997 + ascii(substr(w, 1, 1)))),
+                   (acc, t) -> (acc*31 + t) % 1000000007) AS fp
+        FROM ({DOCS_CTE})
+    """,
+    tags=("text", "extension"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over tokens, folded JVM-side (F.aggregate — no Python)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", X.rolling_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS digest,
+               MIN(doc_id) AS keeper,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest — the reference's unique-key set
+    (reference JobContext.cpp:347-353) as a hash shuffle on md5(text).
+    Digest-first matters at scale: the shuffle key is 32 bytes, not the
+    document body, so shuffle volume is O(rows), not O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(
+        docs.withColumn("digest", F.md5("text")), ["digest"], "doc_id"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        sh AS (SELECT doc_id,
+                      {D.string_shingles_sql("words")} AS shingles
+               FROM d),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM ex a JOIN ex b
+                 ON a.s = b.s AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               {D.jaccard_sql("x.shingles", "y.shingles")} AS jac
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE {D.jaccard_sql("x.shingles", "y.shingles")} >= 0.5
+    """,
+    tags=("dedup", "extension"),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5. Candidates
+    from a shared-shingle inverted index (explode -> equi-join), so no
+    all-pairs scan; verification is array_intersect on the two shingle
+    sets. At corpus scale, stop-shingles skew this join — the MinHash
+    query below is the constant-fanout variant; AQE skew-join covers
+    the middle ground."""
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", D.string_shingles(F.col("words")).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    jac = D.jaccard(F.col("x.shingles"), F.col("y.shingles"))
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        whc AS (SELECT doc_id,
+                       list_transform(words, w -> {D.word_hash_sql("w")})
+                           AS wh
+                FROM d),
+        shc AS (SELECT doc_id, {D.hashed_shingles_sql("wh")} AS hs FROM whc),
+        shf AS (SELECT doc_id, hs FROM shc WHERE len(hs) > 0),
+        sigc AS (SELECT doc_id,
+                        {D.minhash_signature_sql("hs")} AS sig
+                 FROM shf),
+        bands AS (SELECT doc_id, t.bk.band AS band, t.bk.key AS key
+                  FROM (SELECT doc_id,
+                               unnest({D.lsh_band_keys_sql("sig")}) AS bk
+                        FROM sigc) t),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, {D.jaccard_sql("x.hs", "y.hs")} AS jac
+        FROM cand
+        JOIN shf x ON x.doc_id = doc_a
+        JOIN shf y ON y.doc_id = doc_b
+        WHERE {D.jaccard_sql("x.hs", "y.hs")} >= 0.5
+    """,
+    tags=("dedup", "extension"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup: 8-perm signature over hashed 3-gram
+    shingles, 4 bands x 2 rows, band-bucket equi-join for candidates,
+    exact Jaccard (on the hashed shingle sets) as verification. Fixed 4
+    band rows per doc -> shuffle volume is O(4n) regardless of document
+    length; the S-curve at >=0.5 with b=4,r=2 catches the planted
+    near-dups while pruning ~everything else."""
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", D.hashed_shingles(F.col("words")).alias("hs")
+    )
+    shf = sh.filter(F.size("hs") > 0)
+    sig = shf.select("doc_id", D.minhash_signature(F.col("hs")).alias("sig"))
+    bands = sig.select(
+        "doc_id", F.explode(D.lsh_band_keys(F.col("sig"))).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x, y = shf.alias("x"), shf.alias("y")
+    jac = D.jaccard(F.col("x.hs"), F.col("y.hs"))
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        whc AS (SELECT doc_id,
+                       list_transform(words, w -> {D.word_hash_sql("w")})
+                           AS wh
+                FROM d),
+        wh32c AS (SELECT doc_id, {D.word_hash32_sql("wh")} AS wh32 FROM whc),
+        sims AS (SELECT doc_id, {D.simhash_sql("wh32")} AS sim FROM wh32c),
+        bands AS (SELECT doc_id, sim, t.bk.band AS band, t.bk.key AS key
+                  FROM (SELECT doc_id, sim,
+                               unnest({D.simhash_nibble_bands_sql("sim")})
+                                   AS bk
+                        FROM sims) t),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sim AS sim_a,
+                                 b.doc_id AS doc_b, b.sim AS sim_b
+                 FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               bit_count(xor(sim_a, sim_b))::INT AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit token-multiplicity SimHash, pairs
+    within Hamming distance 3. Candidates via 4-bit nibble bands —
+    pigeonhole guarantees any pair at distance <=3 agrees on >=1 of the
+    4 nibbles, so the band equi-join finds all of them without O(n^2)."""
+    sims = _docs(spark, sf_dir).select(
+        "doc_id", D.simhash(F.col("words")).alias("sim")
+    )
+    bands = sims.select(
+        "doc_id", "sim", F.explode(D.simhash_nibble_bands(F.col("sim"))).alias("bk")
+    ).select("doc_id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        b AS (SELECT vec_id, v, {V.lsh_bucket_sql("v")} AS bucket FROM e)
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               {V.cosine_sql("a.v", "c.v")} AS cos
+        FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE {V.cosine_sql("a.v", "c.v")} >= 0.4
+    """,
+    tags=("dedup", "similarity", "extension"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH (8 fixed hyperplanes) buckets
+    the vectors, cosine >= 0.4 verified within buckets only — the
+    approximate-but-shuffle-bounded variant of all-pairs similarity.
+    Recall is the SRP S-curve; raising N_PLANES trades recall for
+    bucket size."""
+    e = _embeddings(spark, sf_dir)
+    b = e.select("vec_id", "v", V.lsh_bucket(F.col("v")).alias("bucket"))
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            V.cosine(F.col("a.v"), F.col("c.v")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= 0.4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (ANN over array<float>)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_bruteforce",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                          {V.cosine_sql("q.v", "e.v")} AS cos
+                   FROM q JOIN e ON e.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    tags=("similarity", "extension"),
+    bench=True,
+)
+def ann_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors — the
+    brute-force correctness baseline. The query side is tiny so Catalyst
+    broadcasts it: one scan of the corpus, no shuffle of the big side,
+    then a per-query top-k window over O(q*n) scored rows. rank is
+    deterministic: ties break on neighbor_id."""
+    e = _embeddings(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+@query(
+    "ann_cosine_lsh",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        b AS (SELECT vec_id, v, {V.lsh_bucket_sql("v")} AS bucket FROM e),
+        q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id < 10),
+        scored AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                          {V.cosine_sql("q.v", "b.v")} AS cos
+                   FROM q JOIN b
+                   ON b.bucket = q.bucket AND b.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    tags=("similarity", "extension"),
+)
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-LSH: score only same-bucket
+    candidates (~n/2^8 of the corpus per query) — the IVF-style scale
+    path. Same deterministic ranking as the brute-force baseline; the
+    difference between the two result sets IS the recall measurement."""
+    e = _embeddings(spark, sf_dir)
+    b = e.select("vec_id", "v", V.lsh_bucket(F.col("v")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            b,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+        SELECT doc_id,
+               strlen(text)::BIGINT AS byte_len,
+               ascii(substr(text, 1, 1))::BIGINT AS first_byte,
+               (list_sum(list_transform(string_split(text, ''),
+                                        c -> ascii(c))) % 256)::BIGINT
+                   AS checksum,
+               least(n_chars % 64 + 1, 16)::BIGINT AS thumb_w
+        FROM documents
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload + typed metadata ->
+    Arrow-batched pandas 'decoder' (mapInPandas) emitting per-item
+    features. The decode itself is a deterministic byte-level fake (no
+    image libs in this container — operators/multimodal.py marks the
+    real-codec seam with NotImplementedError); the Spark-side schema,
+    batching, and partitioning are the real thing. Oracle equivalence
+    relies on the corpus being ASCII (strlen==octet length, verified in
+    tests), since DuckDB can't run the pandas decoder."""
+    from mapreduceframework_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_features(M.attach_payload(docs))

@@ -1,1 +1,167 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time windowing + Structured Streaming queries (SURVEY.md §2.2
+streaming row — absent in the reference, which is strictly batch:
+its barrier at JobContext.cpp:74 ends map for the whole input before
+any shuffle; progress polling in SampleClient.cpp:85-94 is monitoring,
+not streaming).
+
+Two tiers:
+- ``events_*``: event-time window semantics (tumbling / sliding /
+  session) on the batch DataFrame API — the same window() /
+  session_window() expressions Structured Streaming executes, checked
+  value-exact against gaps-and-islands SQL oracles.
+- ``streaming_*``: the REAL streaming engine — readStream file source,
+  watermark, stateful aggregation / applyInPandasWithState, memory
+  sink, availableNow trigger (see streaming/windows.py). Over a static
+  source the results equal their batch twins, so they get full
+  value-hash oracles too (rare for streaming code).
+
+sum(value) aggregates are rounded to 4 decimals on BOTH sides:
+summation order across partitions is nondeterministic, so raw doubles
+drift by ULPs (unlike the extension queries' sequential folds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+
+TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           round(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "events_tumbling_counts",
+    oracle=TUMBLING_ORACLE,
+    tags=("streaming", "window-time"),
+    bench=True,
+)
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling event-time windows: count + sum per
+    event_type. window() is epoch-aligned, same as DuckDB time_bucket.
+    Partial aggregation happens map-side; shuffle is O(windows x
+    types), not O(events)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "cnt", "sum_value"
+        )
+    )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+        WITH hit AS (
+            SELECT t.win_start, event_type, value
+            FROM (SELECT event_type, value,
+                         unnest([time_bucket(INTERVAL '5 minutes', ts),
+                                 time_bucket(INTERVAL '5 minutes', ts)
+                                     - INTERVAL '5 minutes']) AS win_start
+                  FROM events) t)
+        SELECT win_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               round(AVG(value), 4) AS avg_value
+        FROM hit GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-time"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute slide): every event
+    lands in exactly two windows. Spark's window() expands the rows
+    internally (explode of window instances) — the oracle mirrors that
+    expansion with unnest of the two candidate window starts."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "cnt", "avg_value"
+        )
+    )
+
+
+@query(
+    "events_session_windows",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '6 hours' AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window-time"),
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 6-hour inactivity gap per user —
+    session_window() merges events whose [ts, ts+gap) windows overlap.
+    The oracle is the classic gaps-and-islands formulation (lag +
+    cumulative boundary sum), boundary at ts - prev >= gap to match
+    Spark's overlap rule. Sessionization shuffles once on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "6 hours").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle=TUMBLING_ORACLE,
+    tags=("streaming", "true-streaming"),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming: file-source readStream -> watermark ->
+    windowed aggregation -> memory sink, run to completion with
+    availableNow (streaming/windows.py). Same oracle as the batch twin:
+    over a static source nothing is late, so results are identical."""
+    from mapreduceframework_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_user_counts_stateful",
+    oracle="""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "true-streaming", "stateful"),
+)
+def streaming_user_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running counts in
+    applyInPandasWithState (engine-managed GroupState, update mode).
+    The streaming analogue of the reference's full-group reduce — state
+    lives per key across batches instead of per-key vectors in RAM
+    (reference JobContext.h:80)."""
+    from mapreduceframework_spark.streaming.windows import running_user_counts
+
+    return running_user_counts(spark, sf_dir)

@@ -117,6 +117,29 @@ TABLES: dict[str, T.StructType] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Physical (on-disk) schema of events.parquet: ts is TIMESTAMP(NANOS),
+# readable only as raw int64 under spark.sql.legacy.parquet.nanosAsLong.
+# Shared by the batch loader below and the streaming reader
+# (streaming/windows.py).
+EVENTS_PHYSICAL = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_nanos_to_ts(df: DataFrame) -> DataFrame:
+    """Convert the raw int64-nanos ``ts`` to TimestampType (floor-divide
+    to micros — bit-identical to DuckDB/Arrow ns->us truncation)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        *[f.name for f in TABLES["events"].fields]
+    )
+
 
 def table_schema(name: str) -> T.StructType:
     return TABLES[name]
@@ -136,22 +159,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        physical = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-        return (
-            spark.read.schema(physical)
-            .parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .select(*[f.name for f in TABLES[name].fields])
-        )
+        return events_nanos_to_ts(spark.read.schema(EVENTS_PHYSICAL).parquet(path))
     return spark.read.schema(TABLES[name]).parquet(path)
 
 

@@ -1,0 +1,117 @@
+"""Structured Streaming surface over the events table.
+
+The reference is strictly batch (its barrier at JobContext.cpp:74 ends
+the map phase for the whole input before any shuffle) — streaming is
+north-star surface. The engine exposes the standard Structured
+Streaming shapes: file-source readStream, watermarks, tumbling windows,
+and an ``applyInPandasWithState`` custom stateful operator.
+
+Testing model: the driver's data is one static parquet file, so
+streaming queries run with ``trigger(availableNow=True)`` into an
+in-memory sink — the full pipeline (source -> watermark -> stateful op
+-> sink) executes through the streaming engine, then the sink table is
+returned as a batch DataFrame for the oracle comparison. On a real
+cluster the same plan runs continuously against an arriving directory /
+Kafka source; only the reader and trigger change.
+
+Scale notes: windowed-aggregation state is partitioned by (window, key)
+across executors; the watermark bounds state size — without it a 100 TB
+stream accretes state forever. availableNow + complete-mode here is a
+test harness choice, not the production mode (that's append + watermark
+eviction).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.sources.registry import (
+    EVENTS_PHYSICAL,
+    events_nanos_to_ts,
+)
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """File-source streams read directories; stage the single events
+    parquet into a temp dir via symlink (no data copy)."""
+    d = tempfile.mkdtemp(prefix="mrf_events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of events with the pinned physical schema (file
+    streams never infer) and the same nanos->micros conversion as the
+    batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_PHYSICAL).parquet(_staged_events_dir(sf_dir))
+    return events_nanos_to_ts(raw)
+
+
+def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    uniquely-named memory sink; return the sink contents as a batch DF."""
+    name = "mrf_sink_" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 5-minute tumbling window counts per event_type,
+    through the real streaming engine. With availableNow over a static
+    source nothing is late, so the result equals the batch window
+    aggregation — which is exactly what the oracle checks."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "cnt", "sum_value")
+    )
+    return run_available_now(agg, "complete")
+
+
+STATEFUL_OUTPUT_SCHEMA = "user_id long, n_events long"
+STATEFUL_STATE_SCHEMA = "n long"
+
+
+def running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count held in GroupState across
+    micro-batches (the engine-managed, checkpointable state the
+    reference's JobContext mutexed globals correspond to). Emits the
+    updated count each batch; over availableNow's single batch the
+    final emission per user equals the batch groupBy count."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    events = read_events_stream(spark, sf_dir)
+    counts = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(counts, "update")

@@ -1,0 +1,169 @@
+"""Behavioral tests for the extension operators — ground-truth checks
+that the oracle-parity harness can't express (parity proves Spark ==
+DuckDB; these prove the algorithms do what they claim)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.operators import dedup as D
+from mapreduceframework_spark.operators import multimodal as M
+from mapreduceframework_spark.operators import text as X
+from mapreduceframework_spark.operators import vectors as V
+
+
+def _doc_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "words", D.words_of(F.col("text"))
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy cat again and again today"
+FAR = "completely different words appear in this unrelated document body"
+
+
+def test_exact_dedup_groups_duplicates(spark):
+    df = _doc_df(spark, [(1, BASE), (2, BASE), (3, FAR)])
+    out = D.exact_dedup(df.withColumn("digest", F.md5("text")), ["digest"], "doc_id")
+    rows = {r["keeper"]: r["n_copies"] for r in out.collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_orders_near_before_far(spark):
+    df = _doc_df(spark, [(1, BASE), (2, NEAR), (3, FAR)])
+    sh = df.select("doc_id", D.string_shingles(F.col("words")).alias("s"))
+    a, b, c = [
+        r["s"] for r in sh.orderBy("doc_id").collect()
+    ]
+    jac = lambda x, y: len(set(x) & set(y)) / len(set(x) | set(y))
+    assert jac(a, b) > 0.5  # one word differs -> most shingles shared
+    assert jac(a, c) == 0.0
+
+
+def test_minhash_lsh_recalls_planted_near_dup(spark):
+    """A >0.5-Jaccard pair must collide in >=1 LSH band (b=4, r=2 makes
+    this overwhelmingly likely at jac~0.77) and survive verification."""
+    df = _doc_df(spark, [(1, BASE), (2, NEAR), (3, FAR)])
+    sh = df.select("doc_id", D.hashed_shingles(F.col("words")).alias("hs"))
+    sig = sh.select("doc_id", D.minhash_signature(F.col("hs")).alias("sig"))
+    bands = sig.select(
+        "doc_id", F.explode(D.lsh_band_keys(F.col("sig"))).alias("bk")
+    )
+    pairs = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .collect()
+    )
+    assert (1, 2) in [tuple(r) for r in pairs]
+    assert all(3 not in tuple(r) for r in pairs)
+
+
+def test_simhash_hamming_close_for_near_dup(spark):
+    df = _doc_df(spark, [(1, BASE), (2, NEAR), (3, FAR)])
+    sims = {
+        r["doc_id"]: r["sim"]
+        for r in df.select(
+            "doc_id", D.simhash(F.col("words")).alias("sim")
+        ).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sims[1], sims[2]) < ham(sims[1], sims[3])
+
+
+def test_simhash_nibble_bands_pigeonhole(spark):
+    """Any pair within Hamming<=3 of a 32-bit simhash shares >=1 of the
+    8 nibble bands — the candidate join cannot miss such a pair."""
+    sim_a = 0b1010_1100_0011_0101_1010_1100_0011_0101
+    sim_b = sim_a ^ 0b1000_0000_0001_0000_0000_0000_0000_0001  # distance 3
+    df = spark.createDataFrame([(sim_a,), (sim_b,)], "sim long")
+    bands = df.select(F.explode(D.simhash_nibble_bands(F.col("sim"))).alias("bk"))
+    keys = [tuple(r["bk"]) for r in bands.collect()]
+    # 16 band entries, 2 docs; a shared (band, key) entry appears twice
+    assert len(keys) - len(set(keys)) >= 1
+
+
+def test_lang_id_marker_argmax(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the house of the king and a dog"),
+            (2, "el rey de la casa y que mas"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", X.lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], "doc_id long, text string"
+    )
+    fps = [
+        r["fp"]
+        for r in df.select(X.rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    ]
+    assert fps[0] != fps[1]
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0], [0.0, 1.0])],
+        "a array<double>, b array<double>, c array<double>",
+    )
+    row = df.select(
+        V.cosine(F.col("a"), F.col("b")).alias("same"),
+        V.cosine(F.col("a"), F.col("c")).alias("orth"),
+    ).collect()[0]
+    assert row["same"] == pytest.approx(1.0)
+    assert row["orth"] == pytest.approx(0.0)
+
+
+def test_lsh_bucket_groups_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [0.5] * 8), (3, [-0.5] * 8)],
+        "vec_id long, v array<double>",
+    )
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in df.select("vec_id", V.lsh_bucket(F.col("v")).alias("b")).collect()
+    }
+    assert buckets[1] == buckets[2]
+    assert buckets[1] != buckets[3]  # opposite vectors flip every plane
+
+
+def test_multimodal_codec_seam_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_payload(b"\x00", "jpeg")
+
+
+def test_multimodal_oracle_ascii_assumption(spark, sf_dir):
+    """The multimodal oracle equates byte length with char length —
+    valid only while the corpus is ASCII. Guard that assumption."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_non_ascii = docs.filter(
+        F.length(F.col("text")) != F.octet_length(F.col("text"))
+    ).count()
+    assert n_non_ascii == 0
+
+
+def test_decode_features_values(spark):
+    df = spark.createDataFrame(
+        [(7, "abc", 3)], "doc_id long, text string, n_chars long"
+    )
+    out = M.decode_features(M.attach_payload(df)).collect()[0]
+    assert out["byte_len"] == 3
+    assert out["first_byte"] == ord("a")
+    assert out["checksum"] == (ord("a") + ord("b") + ord("c")) % 256
+    assert out["thumb_w"] == 4  # 3 % 64 + 1
