@@ -34,6 +34,9 @@ def main() -> None:
     from mapreduceframework_spark.session import get_session
 
     spark = get_session(app_name="mapreduceframework_spark-bench")
+    # Absorb one-time JVM/codegen warmup so the first query's number
+    # reflects the query, not session initialization.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
     timings: dict[str, float] = {}

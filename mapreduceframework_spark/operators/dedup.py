@@ -68,15 +68,23 @@ def word_hash_sql(w: str) -> str:
 
 
 def string_shingles(words: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as strings (space-joined)."""
+    """Distinct word n-gram shingles as strings (space-joined).
+
+    Perf-critical shape: built from n shifted slices combined with
+    zip_with, so every lambda body touches ONLY lambda variables.
+    A lambda that references an outer column (e.g. ``transform(seq,
+    i -> slice(words, i, n))``) is re-evaluated per element — and HOFs
+    are CodegenFallback (interpreted), so after CollapseProject inlines
+    ``words = split(...)`` the per-row cost turns quadratic in document
+    length. Measured 25x slower at sf0.1."""
     count = F.size(words) - (n - 1)
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.array_join(F.slice(words, i, n), " "),
-            )
+    out = F.slice(words, 1, count)
+    for k in range(1, n):
+        out = F.zip_with(
+            out, F.slice(words, k + 1, count), lambda p, w: F.concat_ws(" ", p, w)
         )
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(out)
     )
 
 
@@ -90,18 +98,23 @@ def string_shingles_sql(words: str, n: int = 3) -> str:
 
 def hashed_shingles(words: Column, n: int = 3) -> Column:
     """Distinct 3-gram shingle hashes: fold the 16-bit word hashes with
-    base 65536 then mod P. Max pre-mod value < 2^48."""
+    base 65536 then mod P. Max pre-mod value < 2^48.
+
+    Same zip_with-over-slices shape as :func:`string_shingles` (see its
+    perf note): lambda bodies reference only lambda variables, so the
+    word-hash array is evaluated O(n) times per row, never per
+    element."""
     wh = F.transform(words, word_hash)
     count = F.size(words) - (n - 1)
-
-    def shingle(i: Column) -> Column:
-        acc = F.element_at(wh, i)
-        for k in range(1, n):
-            acc = acc * WORD_HASH_MOD + F.element_at(wh, i + k)
-        return acc % P
-
+    out = F.slice(wh, 1, count)
+    for k in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(wh, k + 1, count),
+            lambda acc, h: acc * WORD_HASH_MOD + h,
+        )
     return F.when(count <= 0, F.array().cast("array<bigint>")).otherwise(
-        F.array_distinct(F.transform(F.sequence(F.lit(1), count), shingle))
+        F.array_distinct(F.transform(out, lambda s: s % P))
     )
 
 

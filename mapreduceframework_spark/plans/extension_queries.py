@@ -53,6 +53,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized docs, repartitioned for expression-heavy pipelines.
+
+    Two scale effects in one: (a) the local parquet is a single file ->
+    one task; the round-robin shuffle spreads the heavy shingle/hash
+    expressions across all cores (on a real cluster the scan is already
+    many tasks, but corpus files are routinely fewer than cores there
+    too); (b) the exchange materializes ``words``, so downstream lambda
+    element accesses hit a stored array instead of re-running split()
+    per access (Catalyst inlines projections into HOF lambdas)."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return _docs(spark, sf_dir).select("doc_id", "words").repartition(n)
+
+
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings with the float32 column widened to float64 (exact)."""
     return load_table(spark, sf_dir, "embeddings").select(
@@ -228,47 +242,53 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                       {D.string_shingles_sql("words")} AS shingles
                FROM d),
         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM ex a JOIN ex b
-                 ON a.s = b.s AND a.doc_id < b.doc_id)
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_shared
+                  FROM ex a JOIN ex b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh)
         SELECT doc_a, doc_b,
-               {D.jaccard_sql("x.shingles", "y.shingles")} AS jac
-        FROM cand
-        JOIN sh x ON x.doc_id = doc_a
-        JOIN sh y ON y.doc_id = doc_b
-        WHERE {D.jaccard_sql("x.shingles", "y.shingles")} >= 0.5
+               n_shared / (x.nsh + y.nsh - n_shared) AS jac
+        FROM inter
+        JOIN sizes x ON x.doc_id = doc_a
+        JOIN sizes y ON y.doc_id = doc_b
+        WHERE n_shared / (x.nsh + y.nsh - n_shared) >= 0.5
     """,
     tags=("dedup", "extension"),
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5. Candidates
-    from a shared-shingle inverted index (explode -> equi-join), so no
-    all-pairs scan; verification is array_intersect on the two shingle
-    sets. At corpus scale, stop-shingles skew this join — the MinHash
-    query below is the constant-fanout variant; AQE skew-join covers
-    the middle ground."""
-    sh = _docs(spark, sf_dir).select(
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5, computed
+    entirely from the inverted index: per-doc shingle sets are distinct,
+    so COUNT over the shared-shingle equi-join IS the intersection size,
+    and Jaccard needs only the two set sizes on top — no per-pair array
+    shipping or array_intersect. One explode, one aggregated self-join,
+    two slim size joins; the aggregation is partial map-side. At corpus
+    scale, stop-shingles skew the index join — the MinHash query below
+    is the constant-fanout variant; AQE skew handling covers the middle
+    ground."""
+    sh = _docs_wide(spark, sf_dir).select(
         "doc_id", D.string_shingles(F.col("words")).alias("shingles")
     )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    cand = (
+    inter = (
         ex.alias("a")
         .join(
             ex.alias("b"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(F.count("*").alias("n_shared"))
     )
-    x, y = sh.alias("x"), sh.alias("y")
-    jac = D.jaccard(F.col("x.shingles"), F.col("y.shingles"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("nsh"))
+    jac = F.col("n_shared") / (F.col("x.nsh") + F.col("y.nsh") - F.col("n_shared"))
     return (
-        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        inter.join(sizes.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sizes.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= 0.5)
     )
@@ -311,7 +331,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band rows per doc -> shuffle volume is O(4n) regardless of document
     length; the S-curve at >=0.5 with b=4,r=2 catches the planted
     near-dups while pruning ~everything else."""
-    sh = _docs(spark, sf_dir).select(
+    sh = _docs_wide(spark, sf_dir).select(
         "doc_id", D.hashed_shingles(F.col("words")).alias("hs")
     )
     shf = sh.filter(F.size("hs") > 0)
@@ -373,7 +393,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     within Hamming distance 3. Candidates via 4-bit nibble bands —
     pigeonhole guarantees any pair at distance <=3 agrees on >=1 of the
     4 nibbles, so the band equi-join finds all of them without O(n^2)."""
-    sims = _docs(spark, sf_dir).select(
+    sims = _docs_wide(spark, sf_dir).select(
         "doc_id", D.simhash(F.col("words")).alias("sim")
     )
     bands = sims.select(
