@@ -1,0 +1,131 @@
+"""User-defined function surface (SURVEY.md section 2.2 UDF/UDAF/UDTF
+rows).
+
+The reference's entire programming model IS user code — ``map`` is a
+user-defined flatMap, ``reduce`` a user-defined full-group aggregate
+(reference MapReduceClient.h:55-64); the generic client API in
+core/client.py is the faithful port. The queries here pin the
+*vectorized* UDF surface a Spark user reaches for directly:
+
+- scalar ``pandas_udf``: Arrow-batched columnar transfer, NumPy math —
+  the 10-100x-over-row-Python path (and the only sanctioned way to run
+  Python per value in this engine);
+- GROUPED_AGG ``pandas_udf``: user-defined aggregate over a whole
+  group's column slices;
+- ``mapInPandas`` as UDTF: 1-to-many row generation from Python.
+
+All UDFs are created INSIDE the query functions: a module-level
+``@pandas_udf`` runs its decorator again when cloudpickle re-imports
+the module on an executor, where no SparkSession exists.
+
+Scale notes: all three ship whole Arrow batches across the JVM<->Python
+boundary (maxRecordsPerBatch in session.py bounds executor memory); the
+GROUPED_AGG shuffles once on the group key with no partial aggregation
+(unavoidable for opaque user aggregates — algebraic aggs should use
+built-ins instead, see core_queries)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS disc_price
+        FROM lineitem
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, NumPy elementwise) —
+    the engine's sanctioned per-value Python path. Plan shows
+    ArrowEvalPython, one scan, zero shuffles. Arithmetic only: element-
+    wise double ops are IEEE-identical to the oracle, no rounding."""
+
+    @F.pandas_udf("double")
+    def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+        SELECT l_returnflag,
+               round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+                   AS w_avg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "pandas", "agg"),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate as a GROUPED_AGG pandas UDF: each group's
+    column slices arrive as pandas Series (the reference's 'reduce sees
+    all values of one key', columnar). Summation order differs from the
+    oracle -> rounded to 4 decimals on both sides."""
+
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias(
+            "w_avg_price"
+        )
+    )
+
+
+@query(
+    "udtf_bigram_counts",
+    oracle="""
+        WITH d AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS words
+                   FROM documents WHERE length(trim(text)) > 0),
+        bg AS (SELECT doc_id,
+                      unnest([words[i] || ' ' || words[i+1]
+                              for i in range(1, len(words))]) AS bigram
+               FROM d)
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram
+    """,
+    tags=("udf", "udtf", "pandas"),
+)
+def udtf_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating user function (emit2-any-number-of-times,
+    reference MapReduceClient.h:58) as mapInPandas: Python expands each
+    document into word bigrams, Spark aggregates the counts JVM-side.
+    The Python stage is a pure 1-to-many generator — partial aggregation
+    still happens after it, so shuffle volume is O(distinct bigrams)."""
+
+    def bigram_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc, out_bg = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.strip().split()
+                for i in range(len(words) - 1):
+                    out_doc.append(doc_id)
+                    out_bg.append(words[i] + " " + words[i + 1])
+            yield pd.DataFrame({"doc_id": out_doc, "bigram": out_bg})
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    bigrams = docs.select("doc_id", "text").mapInPandas(
+        bigram_batches, "doc_id long, bigram string"
+    )
+    return bigrams.groupBy("bigram").agg(F.count("*").alias("cnt"))

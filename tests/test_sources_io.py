@@ -1,0 +1,53 @@
+"""Source/sink surface: CSV/JSON/in-memory readers and the file sink
+round-trip losslessly with pinned schemas."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.sources import io as sio
+from mapreduceframework_spark.sources import load_table
+
+SCHEMA = "k long, name string, score double"
+ROWS = [(1, "alpha", 0.5), (2, "beta", -1.25), (3, None, 3.0)]
+
+
+def _expect(df):
+    got = sorted([tuple(r) for r in df.collect()])
+    assert got == sorted(ROWS)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = sio.from_rows(spark, ROWS, SCHEMA)
+    sio.write_table(df, str(tmp_path / "t"), fmt="csv", header="true")
+    _expect(sio.read_csv(spark, str(tmp_path / "t"), SCHEMA))
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = sio.from_rows(spark, ROWS, SCHEMA)
+    sio.write_table(df, str(tmp_path / "t"), fmt="json")
+    _expect(sio.read_json(spark, str(tmp_path / "t"), SCHEMA))
+
+
+def test_parquet_sink_partitioned_prunes(spark, tmp_path, sf_dir):
+    """partition_by produces hive-style dirs and scans of one partition
+    value read only that directory (partition pruning)."""
+    orders = load_table(spark, sf_dir, "orders")
+    sio.write_table(
+        orders, str(tmp_path / "o"), partition_by=["o_orderstatus"]
+    )
+    statuses = [d.name for d in (tmp_path / "o").iterdir() if d.is_dir()]
+    assert all(s.startswith("o_orderstatus=") for s in statuses)
+    one = spark.read.parquet(str(tmp_path / "o")).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus=F" in plan
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("k,name,score\n1,alpha,not_a_number\n")
+    with pytest.raises(Exception, match="(?i)malformed|failfast|cannot"):
+        sio.read_csv(spark, str(p), SCHEMA).collect()
