@@ -596,3 +596,121 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_features(M.attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# Further text / agg coverage
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT round(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 2)
+                   AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2021-01-01'
+          AND l_shipdate <  TIMESTAMP '2023-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24
+    """,
+    tags=("tpch", "agg", "filter"),
+    bench=True,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-side filters + single
+    global aggregate. Every predicate is pushed into the parquet reader
+    (PushedFilters on l_shipdate/l_discount/l_quantity), so at 100 TB
+    row groups outside the date range never leave storage. Result
+    rounded to 2 on both sides (cross-partition summation order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "2021-01-01")
+            & (F.col("l_shipdate") < "2023-01-01")
+            & (F.col("l_discount").between(0.02, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        tok AS (SELECT doc_id, unnest(words) AS term FROM d),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+               FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+        scored AS (SELECT doc_id, tf.term,
+                          tf * ln((1.0 + n_docs) / (1.0 + df)) AS tfidf
+                   FROM tf, n JOIN df ON tf.term = df.term)
+        SELECT doc_id, term, tfidf, rnk FROM (
+            SELECT doc_id, term, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS rnk
+            FROM scored)
+        WHERE rnk <= 3
+    """,
+    tags=("text", "extension", "agg", "join"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic text pipeline as
+    pure DataFrame ops: explode -> tf groupBy -> df groupBy -> smoothed
+    idf join -> per-doc top-k window. The df side is O(vocabulary) and
+    broadcast; ln() of identical doubles is bit-identical across
+    engines, so no rounding is needed."""
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.col("words")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = _docs(spark, sf_dir).count()
+    tfidf = (
+        F.col("tf")
+        * F.log((1.0 + float(n_docs)) / (1.0 + F.col("df")))
+    ).alias("tfidf")
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term", tfidf)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+               TRUE AS sketch_within_15pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting — the 100 TB substitute for exact
+    COUNT(DISTINCT) (HyperLogLog++, mergeable, O(1) memory per group,
+    no second shuffle). The sketch's estimate is approximate, so the
+    oracle-checked columns are the exact count plus a boolean asserting
+    the HLL estimate (rsd=0.05) landed within 15% of it — the sketch
+    runs for real, and a broken sketch flips the boolean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_nd"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_nd"),
+    )
+    within = (
+        F.abs(F.col("approx_nd") - F.col("exact_nd"))
+        <= 0.15 * F.col("exact_nd")
+    ).alias("sketch_within_15pct")
+    return agg.select("l_returnflag", "exact_nd", within)

@@ -80,3 +80,56 @@ def test_agg_single_shuffle(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
     assert n_exchanges == 1, plan
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q6_forecast_revenue")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
+    """The tiny query side must broadcast — the corpus side is never
+    shuffled for scoring."""
+    plan = plan_of(spark, sf_dir, "ann_cosine_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_queries_have_no_cartesian(spark, sf_dir):
+    """Candidate generation is equality-join-shaped everywhere; a
+    CartesianProduct would mean the all-pairs scan snuck back in."""
+    for name in [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pandas_udf_is_arrow_vectorized(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "udf_pandas_scalar")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python forbidden
+
+
+def test_udtf_partial_agg_after_python(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "udtf_bigram_counts")
+    assert "MapInPandas" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final after Python
+
+
+def test_text_queries_read_only_needed_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_token_stats")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_tfidf_df_side_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
