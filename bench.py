@@ -34,9 +34,16 @@ def main() -> None:
     from mapreduceframework_spark.session import get_session
 
     spark = get_session(app_name="mapreduceframework_spark-bench")
-    # Absorb one-time JVM/codegen warmup so the first query's number
-    # reflects the query, not session initialization.
+    # Absorb one-time infra warmup so the first query of each kind
+    # reflects the query, not initialization: JVM/codegen, and the
+    # per-core Python daemon workers every pandas-UDF stage reuses
+    # (spark.python.worker.reuse) — on a long-lived cluster both are
+    # already warm.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.range(n).repartition(n).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
     timings: dict[str, float] = {}

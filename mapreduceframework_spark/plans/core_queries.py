@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
+from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
 # --------------------------------------------------------------------------
 # Reference golden workloads (Q1/Q2/Q3 of SURVEY.md section 2.1)
@@ -46,7 +47,7 @@ def char_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce sums. Spark: explode -> groupBy -> count; the map-side combine
     the reference client hand-rolls (SampleClient.cpp:35-47) is Catalyst's
     partial aggregate, automatic and JVM-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
     return (
         docs.select(F.explode(F.split("text", "")).alias("ch"))
         .groupBy("ch")
@@ -67,7 +68,7 @@ def char_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word count — the canonical MapReduce job the reference's API exists
     to run (reference MapReduceClient.h:55-64)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
     return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")

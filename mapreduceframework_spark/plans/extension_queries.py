@@ -364,6 +364,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
+    bench=True,
     oracle=f"""
         WITH d AS ({DOCS_CTE}),
         whc AS (SELECT doc_id,
@@ -390,12 +391,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 16-bit token-multiplicity SimHash, pairs
-    within Hamming distance 3. Candidates via 4-bit nibble bands —
+    within Hamming distance 3. Candidates via 8-bit bands —
     pigeonhole guarantees any pair at distance <=3 agrees on >=1 of the
-    4 nibbles, so the band equi-join finds all of them without O(n^2)."""
-    sims = _docs_wide(spark, sf_dir).select(
-        "doc_id", D.simhash(F.col("words")).alias("sim")
+    4 bands, so the band equi-join finds all of them without O(n^2)."""
+    # Two materialization barriers, deliberately (HOF lambdas are
+    # interpreted and CollapseProject re-inlines referenced expressions):
+    # (1) the token-hash array is stored before the 32 per-bit filters
+    # read it (else the transform re-runs per filter); (2) `sim` is a
+    # stored long before the nibble-band explode and the self-join (else
+    # the whole simhash recomputes 8x per side; the two join branches
+    # instead share one ReusedExchange). Shuffle payloads: ~8B/token,
+    # then 16B/doc — both trivial at any scale.
+    wh = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.transform(F.col("words"), D.word_hash32).alias("wh32"),
+        )
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     )
+    sims = wh.select(
+        "doc_id", D.simhash_from_wh32(F.col("wh32")).alias("sim")
+    ).repartition("doc_id")
     bands = sims.select(
         "doc_id", "sim", F.explode(D.simhash_nibble_bands(F.col("sim"))).alias("bk")
     ).select("doc_id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -571,6 +588,7 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode_features",
+    bench=True,
     oracle="""
         SELECT doc_id,
                strlen(text)::BIGINT AS byte_len,
@@ -593,8 +611,11 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     relies on the corpus being ASCII (strlen==octet length, verified in
     tests), since DuckDB can't run the pandas decoder."""
     from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Parallelize the Python decode stage: one input split would mean
+    # one Python worker for the whole corpus.
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
     return M.decode_features(M.attach_payload(docs))
 
 
@@ -641,6 +662,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_tfidf_top_terms",
+    bench=True,
     oracle=f"""
         WITH d AS ({DOCS_CTE}),
         tok AS (SELECT doc_id, unnest(words) AS term FROM d),
@@ -714,3 +736,36 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= 0.15 * F.col("exact_nd")
     ).alias("sketch_within_15pct")
     return agg.select("l_returnflag", "exact_nd", within)
+
+
+@query(
+    "agg_salted_two_stage",
+    oracle="""
+        SELECT o_orderpriority,
+               round(SUM(o_totalprice), 4) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "skew", "extension"),
+)
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: salt the group key (deterministic
+    pmod(o_orderkey, 16)), aggregate per (key, salt), then merge salts.
+    With 5 priority values over ~10^8s of rows, an unsalted groupBy
+    funnels each hot key through one reducer; salting fans each key over
+    16 partitions and the second stage merges 16 tiny rows per key.
+    Algebraic aggregates compose exactly (sum of sums, sum of counts),
+    so the oracle is the plain GROUP BY."""
+    orders = load_table(spark, sf_dir, "orders")
+    partial = (
+        orders.withColumn("salt", F.pmod(F.col("o_orderkey"), F.lit(16)))
+        .groupBy("o_orderpriority", "salt")
+        .agg(
+            F.sum("o_totalprice").alias("rev_part"),
+            F.count("*").alias("cnt_part"),
+        )
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.round(F.sum("rev_part"), 4).alias("revenue"),
+        F.sum("cnt_part").cast("long").alias("n_orders"),
+    )

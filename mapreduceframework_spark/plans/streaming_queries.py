@@ -94,6 +94,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_session_windows",
+    bench=True,
     oracle="""
         WITH o AS (
             SELECT user_id, ts,
@@ -136,6 +137,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_tumbling_counts",
     oracle=TUMBLING_ORACLE,
+    bench=True,
     tags=("streaming", "true-streaming"),
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,6 +65,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_pandas_grouped_agg",
+    bench=True,
     oracle="""
         SELECT l_returnflag,
                round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)

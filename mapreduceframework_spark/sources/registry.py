@@ -163,6 +163,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(TABLES[name]).parquet(path)
 
 
+def ensure_min_partitions(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition ONLY when the scan has fewer splits than
+    the session's parallelism — a single local parquet file otherwise
+    runs a whole explode/flatMap pipeline on one task. At cluster scale
+    the scan already has >= cores splits and this is a no-op, so the
+    pathological case (shuffling a 100 TB text column) cannot happen."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view, for the SQL surface."""
     for name in TABLES:

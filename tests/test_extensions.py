@@ -80,13 +80,13 @@ def test_simhash_hamming_close_for_near_dup(spark):
 
 def test_simhash_nibble_bands_pigeonhole(spark):
     """Any pair within Hamming<=3 of a 32-bit simhash shares >=1 of the
-    8 nibble bands — the candidate join cannot miss such a pair."""
+    four 8-bit bands — the candidate join cannot miss such a pair."""
     sim_a = 0b1010_1100_0011_0101_1010_1100_0011_0101
     sim_b = sim_a ^ 0b1000_0000_0001_0000_0000_0000_0000_0001  # distance 3
     df = spark.createDataFrame([(sim_a,), (sim_b,)], "sim long")
     bands = df.select(F.explode(D.simhash_nibble_bands(F.col("sim"))).alias("bk"))
     keys = [tuple(r["bk"]) for r in bands.collect()]
-    # 16 band entries, 2 docs; a shared (band, key) entry appears twice
+    # 8 band entries (4 per doc); a shared (band, key) entry appears twice
     assert len(keys) - len(set(keys)) >= 1
 
 

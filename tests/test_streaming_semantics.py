@@ -1,0 +1,65 @@
+"""True streaming semantics the oracle-parity harness can't see:
+watermark-based late-data drop across micro-batches."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mapreduceframework_spark.streaming.windows import run_available_now
+
+
+def _write(path, rows):
+    ts, key = zip(*rows)
+    table = pa.table(
+        {
+            "ts": pa.array([datetime(2024, 1, 1, *t) for t in ts],
+                           type=pa.timestamp("us")),
+            "k": pa.array(key),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Batch 1 advances the watermark past an old window; batch 2's
+    late row for that window must be discarded, not re-opened —
+    bounded state is what makes streaming viable on an unbounded
+    stream."""
+    from pyspark.sql import functions as F
+
+    import os
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    # batch 0: one event in the 09:00 window + one at 11:00 whose event
+    # time will advance the watermark to 10:50 (>> 09:05 window end).
+    # The watermark takes effect one batch after the events that move it
+    # (it commits at batch boundaries), so batch 1 is a spacer and the
+    # late row arrives in batch 2, where the filter is active.
+    _write(str(d / "0.parquet"), [((9, 1, 0), "a"), ((11, 0, 0), "b")])
+    _write(str(d / "1.parquet"), [((11, 1, 0), "c")])
+    _write(str(d / "2.parquet"), [((9, 2, 0), "late")])
+    # the file source orders batches by modification time — pin it
+    for i in range(3):
+        t = 1_700_000_000 + i * 100
+        os.utime(d / f"{i}.parquet", (t, t))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "cnt")
+    )
+    out = run_available_now(agg, "append")
+    rows = {r["win_start"].strftime("%H:%M"): r["cnt"] for r in out.collect()}
+    # the 09:00 window was finalized with ONLY the batch-1 event; the
+    # late batch-2 row did not resurrect it
+    assert rows.get("09:00") == 1
