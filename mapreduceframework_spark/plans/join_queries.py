@@ -377,3 +377,102 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "tpch_q10_returned_revenue",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue from returned
+    items. The l_returnflag filter is pushed to the lineitem scan; the
+    fact-side join shuffles on orderkey; the top-20 is
+    TakeOrderedAndProject (per-partition heaps), never a total sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "subquery_scalar_above_avg",
+    oracle="""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    """,
+    tags=("subquery", "filter"),
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate, through the engine's SQL surface
+    (register_views + spark.sql — the reference has no query language;
+    this is pure Spark-native capability). Catalyst rewrites it to a
+    single-row broadcast join against the aggregate; the part table is
+    scanned twice but the aggregate side reduces map-side."""
+    from mapreduceframework_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+        """
+    )
+
+
+@query(
+    "subquery_exists_late_ship",
+    oracle="""
+        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("subquery", "join", "semi"),
+)
+def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS, via SQL. Catalyst decorrelates
+    it into a left-semi hash join on l_orderkey — the same plan the
+    DataFrame `join(how='left_semi')` produces, proving both surfaces
+    land on one physical strategy."""
+    from mapreduceframework_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o.o_orderpriority
+        """
+    )
