@@ -769,3 +769,32 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev_part"), 4).alias("revenue"),
         F.sum("cnt_part").cast("long").alias("n_orders"),
     )
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+                   AS total_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))
+                        * CAST(0.07 AS DECIMAL(3, 2))) AS DOUBLE) AS tax
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "decimal"),
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal arithmetic: money sums in DECIMAL(18,2) are
+    associative and overflow-checked, so the result is identical in any
+    summation order — no rounding tolerance needed, unlike double sums
+    (the reference has no numeric types at all; this is the engine's
+    answer for financial aggregation at scale). Cast to DOUBLE only at
+    the very end, once, identically on both sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(price_dec).cast("double").alias("total_price"),
+        F.sum(price_dec * F.lit("0.07").cast("decimal(3,2)"))
+        .cast("double")
+        .alias("tax"),
+    )

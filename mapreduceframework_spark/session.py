@@ -17,10 +17,15 @@ testing but every knob is chosen for cluster-scale behavior:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+# saveAsTable (bucketed tables etc.) writes under the warehouse dir;
+# keep it out of the repo working tree.
+_WAREHOUSE = os.path.join(tempfile.gettempdir(), f"mrf-warehouse-{os.getpid()}")
 
 
 def get_session(
@@ -50,6 +55,7 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.warehouse.dir", _WAREHOUSE)
         # The driver compares against DuckDB; ANSI mode (Spark 4 default)
         # stays ON — engine code uses try_* / explicit casts where needed.
     )

@@ -136,3 +136,40 @@ def test_job_error_surfaces_as_exception(spark, sf_dir):
     except Exception:
         raised = True
     assert raised
+
+
+def test_rdd_path_matches_dataframe_path(spark, sf_dir):
+    """The literal RDD mapping (flatMap -> groupByKey -> flatMap,
+    core/rdd.py) and the DataFrame pipeline produce the same bag for
+    the reference's golden client."""
+    from mapreduceframework_spark.core.rdd import run_job_rdd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    via_rdd = {
+        (r["ch"], r["cnt"]) for r in run_job_rdd(CharCountClient(), docs).collect()
+    }
+    via_df = {
+        (r["ch"], r["cnt"]) for r in run_job(spark, CharCountClient(), docs).collect()
+    }
+    assert via_rdd == via_df and len(via_rdd) > 0
+
+
+def test_rdd_path_opaque_python_keys(spark):
+    """Opaque, non-SQL key types (here: tuple keys) work on the RDD path
+    — the reference's 'any C++ class with operator<' generality that the
+    DataFrame path deliberately narrows to Spark SQL types."""
+    from mapreduceframework_spark.core.rdd import run_job_rdd
+
+    class TupleKey(MapReduceClient):
+        output_schema = "k string, total long"
+
+        def map(self, key, value):
+            yield (value % 2 == 0, value % 3 == 0), 1
+
+        def reduce(self, key, values):
+            yield f"even={key[0]},mod3={key[1]}", sum(values)
+
+    df = spark.createDataFrame([(i, i) for i in range(30)], "k long, v long")
+    out = {r["k"]: r["total"] for r in run_job_rdd(TupleKey(), df).collect()}
+    assert out["even=True,mod3=True"] == 5   # 0,6,12,18,24
+    assert sum(out.values()) == 30

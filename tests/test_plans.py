@@ -134,3 +134,43 @@ def test_text_queries_read_only_needed_columns(spark, sf_dir):
 def test_tfidf_df_side_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_tfidf_top_terms")
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Bucketing both fact tables on the join key pre-partitions the
+    data at write time — the join then needs NO exchange on either side
+    (the 100 TB answer to repeated joins on the same key). Broadcast is
+    disabled for the check so the shuffle-free SortMergeJoin is visible."""
+    from mapreduceframework_spark.sources import load_table
+
+    load_table(spark, sf_dir, "orders").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    load_table(spark, sf_dir, "lineitem").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            import contextlib
+            import io
+
+            from pyspark.sql import functions as F
+
+            j = spark.table("b_orders").join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert plan.count("hashpartitioning(") == 0, plan
+            assert "SelectedBucketsCount" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
