@@ -798,3 +798,55 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("tax"),
     )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               m['status'][1] AS status_from_map,
+               CAST(cardinality(m) AS INT) AS n_keys,
+               array_to_string(map_keys(m), ',') AS keys_joined
+        FROM (SELECT o_orderkey,
+                     map(['status', 'priority'],
+                         [o_orderstatus, o_orderpriority]) AS m
+              FROM orders)
+    """,
+    tags=("scalar", "map"),
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map per row, read back an element, the
+    key set, and the cardinality. Both engines preserve construction
+    order in map_keys. (The reference has no type system at all —
+    SURVEY.md section 1.1; MapType is Spark-native capability.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_from_map"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+    )
+
+
+@query(
+    "flatmap_posexplode",
+    oracle=f"""
+        SELECT doc_id, t.u.pos AS pos, t.u.w AS word
+        FROM (SELECT doc_id,
+                     unnest([{{'pos': i - 1, 'w': words[i]}}
+                             for i in range(1, len(words) + 1)]) AS u
+              FROM ({DOCS_CTE})) t
+    """,
+    tags=("flatmap", "extension"),
+)
+def flatmap_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode — 1-to-many with provenance (the position a
+    token had in its document), the building block for n-gram and
+    alignment pipelines."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.col("words")).alias("pos", "word")
+    )
