@@ -476,3 +476,44 @@ def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_orderpriority
         """
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+        SELECT s.s_name,
+               round(SUM(l.l_extendedprice), 4) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+    """,
+    tags=("join", "skew", "agg"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual skew-join recipe, end to end: the fact side gets a
+    deterministic salt (pmod(l_orderkey, 8)), the dimension side is
+    exploded x8 with every salt value, and the join key becomes
+    (suppkey, salt) — a hot supplier's rows now spread over 8 reducers
+    instead of one. Results are identical to the plain join (the salt
+    is a partitioning artifact, dropped before the aggregate), which is
+    exactly what the oracle checks. On clusters AQE's skew-join split
+    does this adaptively; the manual form works when AQE can't see the
+    skew (e.g. pre-shuffle bucketing or non-AQE engines)."""
+    n_salts = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_orderkey"), F.lit(n_salts))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+    )
+    return (
+        li.join(sup, (F.col("l_suppkey") == F.col("s_suppkey")) & (li["salt"] == sup["salt"]))
+        .groupBy("s_name")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
