@@ -31,6 +31,14 @@ PLANE_STEP = 59
 PLANE_MOD = 97
 PLANE_HALF = 48
 N_PLANES = 8
+# Multi-table LSH (OR-construction): L tables of K planes each. One
+# K-plane bucket alone has P(collide) = (1 - theta/pi)^K — for 500
+# moderately-similar vectors and K=8 that measured out to recall ZERO
+# against brute force. L=4 tables of K=4 planes: per-table collide
+# ~(0.8)^4~0.4 at cos 0.6, any-table ~1-(1-0.4)^4 ~ 0.87, while each
+# table still prunes ~15/16 of the corpus.
+L_TABLES = 4
+PLANES_PER_TABLE = 4
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -92,6 +100,63 @@ def lsh_bucket(v: Column) -> Column:
         )
         out = out + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
+
+
+def _proj_sign_bit(v: Column, plane: int, bit: int) -> Column:
+    proj = F.aggregate(
+        F.zip_with(
+            v,
+            F.transform(
+                F.sequence(F.lit(1), F.size(v)),
+                (lambda pl: (lambda i: plane_sign(i, pl)))(plane),
+            ),
+            lambda x, s: x * s,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+
+
+def lsh_table_keys(v: Column) -> Column:
+    """Multi-table sign-LSH: array of (tbl, bucket) structs, one per
+    hash table; planes are globally indexed table*K + p so tables are
+    independent. Candidates = pairs sharing a bucket in ANY table
+    (OR-construction) — the standard recall/cost dial for SRP-LSH."""
+    out = []
+    for t in range(L_TABLES):
+        bucket = F.lit(0)
+        for p in range(PLANES_PER_TABLE):
+            bucket = bucket + _proj_sign_bit(v, t * PLANES_PER_TABLE + p, p)
+        out.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+        )
+    return F.array(*out)
+
+
+def _proj_sql(v: str, plane: int) -> str:
+    products = (
+        f"[{v}[i] * (CASE WHEN (i*{PLANE_MULT} + {plane * PLANE_STEP})"
+        f" % {PLANE_MOD} < {PLANE_HALF}"
+        f" THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)"
+        f" for i in range(1, len({v}) + 1)]"
+    )
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, {products}), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def lsh_table_keys_sql(v: str) -> str:
+    tables = []
+    for t in range(L_TABLES):
+        bits = " + ".join(
+            f"CASE WHEN {_proj_sql(v, t * PLANES_PER_TABLE + p)} > 0"
+            f" THEN {1 << p} ELSE 0 END"
+            for p in range(PLANES_PER_TABLE)
+        )
+        tables.append(f"{{'tbl': {t}, 'bucket': ({bits})}}")
+    return "[" + ", ".join(tables) + "]"
 
 
 def lsh_bucket_sql(v: str) -> str:

@@ -167,3 +167,65 @@ def test_decode_features_values(spark):
     assert out["first_byte"] == ord("a")
     assert out["checksum"] == (ord("a") + ord("b") + ord("c")) % 256
     assert out["thumb_w"] == 4  # 3 % 64 + 1
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Measure (not just assume) the LSH recall: same-bucket candidates
+    must recover a meaningful fraction of the true top-5 — and every
+    pair LSH returns must also appear in the brute-force ranking with
+    the identical cosine (it's a subset by construction)."""
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in qs["ann_cosine_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in qs["ann_cosine_lsh"].fn(spark, sf_dir).collect()
+    }
+    overlap = set(exact) & set(approx)
+    recall = len(overlap) / len(exact)
+    assert 0.0 < recall <= 1.0
+    for pair in overlap:
+        assert exact[pair] == approx[pair]  # same fold -> identical cosine
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Every array-expression operator must yield empty/zero results on
+    an empty table, not throw (ANSI mode is ON — slice/element_at on
+    bad indices would error if the guards were wrong)."""
+    empty = spark.createDataFrame([], "doc_id long, text string").withColumn(
+        "words", D.words_of(F.col("text"))
+    )
+    assert (
+        empty.select(
+            D.string_shingles(F.col("words")),
+            D.hashed_shingles(F.col("words")),
+            D.simhash(F.col("words")),
+            X.rolling_fingerprint(F.col("text")),
+            X.lang_id(F.col("text")),
+            X.quality_score(F.col("text")),
+        ).count()
+        == 0
+    )
+
+
+def test_shingle_guards_on_short_docs(spark):
+    """Documents shorter than the shingle width produce empty shingle
+    sets (slice with negative length would raise under ANSI otherwise)."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "one two three")],
+        "doc_id long, text string",
+    ).withColumn("words", D.words_of(F.col("text")))
+    rows = {
+        r["doc_id"]: (r["s"], r["h"])
+        for r in df.select(
+            "doc_id",
+            D.string_shingles(F.col("words")).alias("s"),
+            D.hashed_shingles(F.col("words")).alias("h"),
+        ).collect()
+    }
+    assert rows[1] == ([], []) and rows[2] == ([], [])
+    assert rows[3][0] == ["one two three"] and len(rows[3][1]) == 1
