@@ -80,6 +80,7 @@ def all_queries() -> dict[str, QuerySpec]:
         join_queries,
         mapreduce_queries,
         streaming_queries,
+        tpch_queries,
         udf_queries,
         window_queries,
     )

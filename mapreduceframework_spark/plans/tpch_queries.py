@@ -1,0 +1,439 @@
+"""TPC-H-shaped analytical queries, part 2 (Q7/Q8/Q9/Q14/Q16/Q17/Q18/Q19
+and a Q22-style shape, adapted to the driver testdata's columns — this
+star schema has no partsupp table and no commit/receipt dates, so the
+shapes keep each query's *plan-defining* feature and substitute
+available columns).
+
+The reference (ElsaMarziano/MapReduceFramework) has no query language at
+all — every row here is Spark-native capability layered on the
+map/shuffle/reduce substrate the reference implements (reference
+JobContext.cpp:97-116,133-172). What these add over part 1
+(join_queries.py):
+
+- Q7/Q8/Q9: multi-dimension broadcast stars with year() rollups and
+  CASE-ratio aggregates (market-share pattern);
+- Q14: conditional-aggregate ratio over a single join;
+- Q16: count-distinct over a filtered bridge with a NOT IN anti-subquery;
+- Q17: correlated scalar aggregate subquery (per-group threshold),
+  decorrelated by Catalyst into an aggregate + join;
+- Q18: HAVING-subquery semi-join back onto the fact table;
+- Q19: disjunctive multi-branch predicate — the pushdown stress test;
+- Q22-style: scalar subquery + NOT EXISTS anti-join + group rollup.
+
+Cross-engine float discipline (registry.py docstring): ratios divide
+*already-rounded* sums so both engines divide bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table, register_views
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle="""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+          AND n1.n_nationkey <> n2.n_nationkey
+        GROUP BY supp_nation, cust_nation, o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between nation pairs by year.
+    Both nation filters push below the joins; every dimension
+    broadcasts, so the only fact shuffle is lineitem-orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    n1 = n.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
+        .filter(F.col("nk1") != F.col("nk2"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+        WITH vol AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   ROUND(SUM(CASE WHEN n1.n_nationkey = 2
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END), 2) AS nation_vol,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_vol
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY o_year)
+        SELECT o_year, nation_vol, total_vol,
+               nation_vol / total_vol AS mkt_share
+        FROM vol
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2 suppliers' share of revenue from ASIA
+    customers, per year — the CASE-inside-SUM ratio pattern. The share
+    divides two already-rounded sums so the doubles are bit-identical
+    across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("nk1")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
+        .join(F.broadcast(r), F.col("rk2") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nk1") == 2, vol).otherwise(F.lit(0))), 2
+            ).alias("nation_vol"),
+            F.round(F.sum(vol), 2).alias("total_vol"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_vol",
+        "total_vol",
+        (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share"),
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity), 2) AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: pseudo-profit (no partsupp table, so unit cost is
+    modeled as 10% of retail price) on 'red' parts, by supplier nation
+    and order year. The LIKE filter prunes the part dimension before it
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+        WITH s AS (
+            SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END), 2) AS promo,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-02-01')
+        SELECT promo, total, 100.0 * promo / total AS promo_pct FROM s
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from PROMO parts — the
+    canonical conditional-aggregate ratio. Single broadcast join; the
+    shipdate range is pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-02-01")))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0)), 2
+            ).alias("promo"),
+            F.round(F.sum(vol), 2).alias("total"),
+        )
+    )
+    return s.select(
+        "promo",
+        "total",
+        (100.0 * F.col("promo") / F.col("total")).alias("promo_pct"),
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "join", "agg", "anti"),
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part group, with a
+    NOT IN exclusion list (negative-balance suppliers stand in for the
+    complaints predicate; lineitem stands in for partsupp as the
+    part-supplier bridge). The NOT IN becomes a broadcast anti join;
+    count-distinct expands to a two-phase aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice), 2) / 7.0 AS avg_yearly
+        FROM lineitem l
+        WHERE l.l_quantity <
+              (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from below-half-average-quantity line items —
+    a correlated scalar aggregate subquery. Catalyst decorrelates it
+    into (per-part AVG) join (lineitem) on l_partkey; expressed through
+    the SQL surface to exercise exactly that rewrite. Quantities are
+    integer-valued doubles, so the per-part AVG is exact in both
+    engines and the comparison is deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice), 2) / 7.0 AS avg_yearly
+        FROM lineitem l
+        WHERE l.l_quantity <
+              (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS total,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(l_quantity) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 250 — the
+    HAVING-subquery-IN pattern, executed as an aggregate-then-semi-join
+    back onto the same fact table, then re-aggregated with the order
+    and customer payload attached."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        li.join(big, li.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "join", "filter"),
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: three-branch disjunctive predicate across both join
+    sides. Catalyst extracts the common single-side conjuncts
+    (p_brand IN (...), p_size >= 1, l_quantity bounds) below the join,
+    so each branch still prunes the scans before the disjunction is
+    evaluated on joined rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(branch).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+    """,
+    tags=("tpch", "subquery", "anti", "agg"),
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, rolled up by nation — an uncorrelated scalar subquery
+    (single-row broadcast) plus a correlated NOT EXISTS (broadcast anti
+    join), via the SQL surface. The AVG threshold compares against
+    individual stored doubles, far from any ULP boundary."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        """
+    )
