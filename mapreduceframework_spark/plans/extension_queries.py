@@ -294,10 +294,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-        WITH d AS ({DOCS_CTE}),
+# CTE chain ending in `mh_pairs` (doc_a, doc_b, jac >= 0.5) — shared by
+# the pair query and the connected-components cluster query so the edge
+# definition cannot drift between them.
+MINHASH_PAIRS_CTES = f"""
+        d AS ({DOCS_CTE}),
         whc AS (SELECT doc_id,
                        list_transform(words, w -> {D.word_hash_sql("w")})
                            AS wh
@@ -314,23 +315,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM bands a JOIN bands b
                  ON a.band = b.band AND a.key = b.key
-                    AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, {D.jaccard_sql("x.hs", "y.hs")} AS jac
-        FROM cand
-        JOIN shf x ON x.doc_id = doc_a
-        JOIN shf y ON y.doc_id = doc_b
-        WHERE {D.jaccard_sql("x.hs", "y.hs")} >= 0.5
-    """,
-    tags=("dedup", "extension"),
-    bench=True,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dedup: 8-perm signature over hashed 3-gram
-    shingles, 4 bands x 2 rows, band-bucket equi-join for candidates,
-    exact Jaccard (on the hashed shingle sets) as verification. Fixed 4
-    band rows per doc -> shuffle volume is O(4n) regardless of document
-    length; the S-curve at >=0.5 with b=4,r=2 catches the planted
-    near-dups while pruning ~everything else."""
+                    AND a.doc_id < b.doc_id),
+        mh_pairs AS (
+            SELECT doc_a, doc_b, {D.jaccard_sql("x.hs", "y.hs")} AS jac
+            FROM cand
+            JOIN shf x ON x.doc_id = doc_a
+            JOIN shf y ON y.doc_id = doc_b
+            WHERE {D.jaccard_sql("x.hs", "y.hs")} >= 0.5)
+"""
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jac >= 0.5) via MinHash+LSH."""
     sh = _docs_wide(spark, sf_dir).select(
         "doc_id", D.hashed_shingles(F.col("words")).alias("hs")
     )
@@ -359,6 +355,72 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y, F.col("doc_b") == F.col("y.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= 0.5)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {MINHASH_PAIRS_CTES}
+        SELECT doc_a, doc_b, jac FROM mh_pairs
+    """,
+    tags=("dedup", "extension"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup: 8-perm signature over hashed 3-gram
+    shingles, 4 bands x 2 rows, band-bucket equi-join for candidates,
+    exact Jaccard (on the hashed shingle sets) as verification. Fixed 4
+    band rows per doc -> shuffle volume is O(4n) regardless of document
+    length; the S-curve at >=0.5 with b=4,r=2 catches the planted
+    near-dups while pruning ~everything else."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {MINHASH_PAIRS_CTES},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+                  UNION
+                  SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+        nodes AS (SELECT DISTINCT src AS doc FROM edges),
+        reach(doc, lab) AS (
+            SELECT doc, doc FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+        comp AS (SELECT doc AS doc_id, MIN(lab) AS cluster_id
+                 FROM reach GROUP BY doc),
+        sized AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                  FROM comp GROUP BY cluster_id)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               c.doc_id = c.cluster_id AS is_canonical
+        FROM comp c JOIN sized s USING (cluster_id)
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    MinHash near-dup graph (min-label propagation,
+    operators/graph.py), then per-cluster size and a canonical-doc
+    flag (lowest doc_id). ``is_canonical`` is the keep-list a corpus
+    dedup pass applies; the oracle recomputes components via a
+    recursive CTE, so the distributed fixpoint is checked against an
+    independent transitive closure."""
+    from mapreduceframework_spark.operators.graph import connected_components
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    sized = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return comp.join(sized, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 
 

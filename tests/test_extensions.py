@@ -229,3 +229,38 @@ def test_shingle_guards_on_short_docs(spark):
     }
     assert rows[1] == ([], []) and rows[2] == ([], [])
     assert rows[3][0] == ["one two three"] and len(rows[3][1]) == 1
+
+
+def test_connected_components_topologies(spark):
+    """Chain, triangle, and isolated pair must each collapse to their
+    min-id label — the chain exercises multi-round propagation."""
+    from mapreduceframework_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12 (+chord), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "src long, dst long",
+    )
+    labels = {
+        r["id"]: r["label"]
+        for r in connected_components(edges).collect()
+    }
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_diameter_guard(spark):
+    """A component whose diameter exceeds max_iter must raise, never
+    silently return partial clusters."""
+    from mapreduceframework_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iter=2)
