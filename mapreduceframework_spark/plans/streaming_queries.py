@@ -167,3 +167,68 @@ def streaming_user_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     from mapreduceframework_spark.streaming.windows import running_user_counts
 
     return running_user_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_sliding_avgs",
+    oracle="""
+        WITH hit AS (
+            SELECT t.win_start, event_type, value
+            FROM (SELECT event_type, value,
+                         unnest([time_bucket(INTERVAL '5 minutes', ts),
+                                 time_bucket(INTERVAL '5 minutes', ts)
+                                     - INTERVAL '5 minutes']) AS win_start
+                  FROM events) t)
+        SELECT win_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               round(AVG(value), 4) AS avg_value
+        FROM hit GROUP BY 1, 2
+    """,
+    tags=("streaming", "true-streaming", "window-time"),
+)
+def streaming_sliding_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming sliding windows (10 min / 5 min slide) with a
+    watermark — the stateful window expansion runs inside the
+    streaming engine; over a static source the result equals the batch
+    twin (events_sliding_windows), hence the shared oracle shape."""
+    from mapreduceframework_spark.streaming.windows import sliding_avgs
+
+    return sliding_avgs(spark, sf_dir)
+
+
+@query(
+    "streaming_dedup_keys",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "true-streaming", "dedup"),
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication via dropDuplicates state: append-mode
+    emission of the first event per (user_id, event_type). The oracle
+    is the batch DISTINCT — reachable because only key columns are
+    emitted."""
+    from mapreduceframework_spark.streaming.windows import dedup_user_type
+
+    return dedup_user_type(spark, sf_dir)
+
+
+@query(
+    "streaming_click_purchase_join",
+    oracle="""
+        SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        FROM events a JOIN events b
+        ON a.user_id = b.user_id
+           AND a.event_type = 'click' AND b.event_type = 'purchase'
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "true-streaming", "join"),
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks x purchases of the same user
+    within 30 minutes) with watermarks on both sides — state-bounded
+    interval join through the streaming engine, checked value-exact
+    against the batch interval join."""
+    from mapreduceframework_spark.streaming.windows import click_purchase_join
+
+    return click_purchase_join(spark, sf_dir)

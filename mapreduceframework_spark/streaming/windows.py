@@ -115,3 +115,70 @@ def running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_available_now(counts, "update")
+
+
+def sliding_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING windows (10-minute length, 5-minute slide)
+    through the streaming engine — every event belongs to two window
+    instances, expanded before the stateful aggregation exactly as in
+    the batch twin, so the same oracle covers both."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "cnt", "avg_value")
+    )
+    return run_available_now(agg, "complete")
+
+
+def dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first occurrence of each
+    (user_id, event_type) key survives; later arrivals are dropped
+    against engine-managed dedup state. Only the key columns are
+    emitted, so the append-mode output is deterministically the
+    distinct key set. At 100 TB the watermark is what keeps this state
+    finite — keys older than the delay are evicted."""
+    events = read_events_stream(spark, sf_dir)
+    dd = (
+        events.withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(dd, "append")
+
+
+def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases within the following 30 minutes. Both sides carry
+    watermarks and the join predicate carries the time-range
+    constraint — together they bound the buffered state (clicks older
+    than watermark + range are evicted); without them a stream-stream
+    join accretes state forever."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return run_available_now(joined, "append")
