@@ -532,3 +532,41 @@ def conditional_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
         ).alias("avg_open_price"),
     )
+
+
+@query(
+    "agg_statistical",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS price_stddev,
+               ROUND(VAR_SAMP(l_quantity), 4) AS qty_var,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_median,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "statistical"),
+)
+def agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, correlation,
+    covariance, and EXACT interpolated percentiles (median, p90 —
+    DuckDB quantile_cont ≡ Spark percentile). The moments are one-pass
+    partial-aggregatable (map-side combine as usual); exact percentile
+    is the one aggregate here that must materialize the group's values
+    before ranking — the scale path for when exact isn't required is
+    approx_percentile (KLL-sketch-style mergeable summaries), same as
+    agg_approx_count_distinct's HLL story."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("price_median"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("price_p90"),
+    )

@@ -174,3 +174,39 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_tpch_q7_q9_dimensions_broadcast(spark, sf_dir):
+    """The new star queries must broadcast every dimension — the fact
+    side shuffles only for the lineitem-orders merge."""
+    for name in ("tpch_q7_nation_volume", "tpch_q9_product_profit"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= 3, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_q19_branch_predicates_pushed(spark, sf_dir):
+    """Q19's disjunction: Catalyst must extract the single-side
+    conjuncts below the join — the part scan gets a pushed filter
+    rather than filtering post-join only."""
+    plan = plan_of(spark, sf_dir, "tpch_q19_disjunctive")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l or "p_size" in l for l in pushed)
+
+
+def test_tpch_q16_anti_join_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_statistical_agg_is_partial(spark, sf_dir):
+    """Moment aggregates (stddev/corr/covar) keep the two-phase
+    HashAggregate/ObjectHashAggregate shape; exact percentile forces an
+    object aggregate but still partial+final, never a single-node
+    collect."""
+    plan = plan_of(spark, sf_dir, "agg_statistical")
+    assert (
+        plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+    )
+    assert "CollectLimit" not in plan
