@@ -82,3 +82,46 @@ def decode_features(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(batches, DECODED_SCHEMA)
+
+
+# Video-ish frame sampling: payload treated as fixed-size frames, every
+# STRIDE-th frame decoded. Constants are mirrored literally in the query
+# oracle (plans/extension_queries.py) — change both together.
+FRAME_BYTES = 16
+FRAME_STRIDE = 2
+
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx long, frame_bytes long, frame_checksum long"
+)
+
+
+def sample_frames(with_payload: DataFrame) -> DataFrame:
+    """Frame sampling as 1-to-many mapInPandas: each payload is cut
+    into FRAME_BYTES-sized frames and every FRAME_STRIDE-th frame is
+    'decoded' (byte checksum stands in for the pixel work). This is
+    the table-generating shape a real video sampler plugs into — same
+    Arrow batch flow as decode_features, but emitting 0..n rows per
+    input; partitioning is preserved, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list[int]] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+                "frame_checksum": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                data = decode_payload(payload, meta["codec"])
+                n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    fr = data[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["frame_bytes"].append(len(fr))
+                    out["frame_checksum"].append(int(sum(fr)) % 256)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(batches, FRAMES_SCHEMA)

@@ -958,3 +958,130 @@ def flatmap_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", F.posexplode(F.col("words")).alias("pos", "word")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, t.f AS frame_idx,
+                   substring(text, (t.f * 16)::INT + 1, 16) AS frame
+            FROM documents,
+                 unnest(range(0, (strlen(text) + 15) // 16)) AS t(f)
+            WHERE t.f % 2 = 0)
+        SELECT doc_id, frame_idx,
+               strlen(frame)::BIGINT AS frame_bytes,
+               (list_sum(list_transform(string_split(frame, ''),
+                                        c -> ascii(c))) % 256)::BIGINT
+                   AS frame_checksum
+        FROM f
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over multimodal payloads: 16-byte 'frames', every
+    2nd frame decoded — the 1-to-many (UDTF-shaped) variant of the
+    multimodal plumbing, via the same Arrow-batched mapInPandas path
+    (operators/multimodal.py sample_frames). Same ASCII-corpus
+    equivalence as multimodal_decode_features; a real video sampler
+    swaps the checksum for pixel work, the batch shape is identical."""
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    return M.sample_frames(M.attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN
+# --------------------------------------------------------------------------
+
+CENTROIDS_CTE = f"""
+        SELECT label, list(cx ORDER BY pos) AS c
+        FROM (SELECT label, pos, ROUND(AVG(x), 6) AS cx
+              FROM (SELECT label, generate_subscripts(v, 1) AS pos,
+                           unnest(v) AS x
+                    FROM ({EMB_CTE}))
+              GROUP BY label, pos)
+        GROUP BY label
+"""
+
+
+@query(
+    "ann_cosine_ivf",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        cent AS ({CENTROIDS_CTE}),
+        probes AS (
+            SELECT query_id, qv, label FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, cent.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {V.cosine_sql("q.v", "cent.c")} DESC,
+                                    cent.label) AS r
+                FROM e q, cent WHERE q.vec_id < 10)
+            WHERE r <= 3),
+        scored AS (
+            SELECT query_id, e.vec_id AS neighbor_id,
+                   {V.cosine_sql("probes.qv", "e.v")} AS cos
+            FROM probes JOIN e USING (label)
+            WHERE e.vec_id <> query_id)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    tags=("similarity", "extension"),
+)
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    inverted lists; each query probes its 3 nearest centroids and
+    scores exact cosine only inside those lists (~30% of the corpus
+    here). The quantizer is the per-label mean vector — the structure
+    is exactly IVF-Flat (train = k-means; here the label clustering
+    stands in for the training step, which keeps the oracle
+    independent). Centroid components are rounded to 6 before use on
+    BOTH sides so the cross-engine AVG-order drift can't flip a
+    probe ranking."""
+    e = _embeddings(spark, sf_dir)
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s.cx).alias("c"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("centroid_sim"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("centroid_sim", V.cosine(F.col("qv"), F.col("c")))
+        .withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= 3)
+        .select("query_id", "qv", "label")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(e, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -264,3 +264,42 @@ def test_connected_components_diameter_guard(spark):
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(chain, max_iter=2)
+
+
+def test_frame_sample_shapes(spark):
+    """Frame math: 36 bytes -> frames 0,1,2; stride 2 keeps 0 and 2;
+    the tail frame is short. Empty docs emit no frames at all."""
+    from mapreduceframework_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, "a" * 36, 36), (2, "", 0)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): (r["frame_bytes"], r["frame_checksum"])
+        for r in M.sample_frames(M.attach_payload(df)).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 2)}
+    assert rows[(1, 0)] == (16, (97 * 16) % 256)
+    assert rows[(1, 2)] == (4, (97 * 4) % 256)
+
+
+def test_ann_ivf_is_subset_of_bruteforce_space(spark, sf_dir):
+    """Every IVF hit must carry the same cosine the brute-force twin
+    assigns that pair — IVF changes the candidate set, never the
+    scoring."""
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in qs["ann_cosine_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in qs["ann_cosine_ivf"].fn(spark, sf_dir).collect()
+    }
+    overlap = set(exact) & set(ivf)
+    assert len(overlap) / len(exact) > 0.3  # probing 3/10 lists
+    for pair in overlap:
+        assert exact[pair] == ivf[pair]
