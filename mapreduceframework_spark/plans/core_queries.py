@@ -570,3 +570,40 @@ def agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("price_median"),
         F.round(F.percentile("l_extendedprice", 0.9), 4).alias("price_p90"),
     )
+
+
+@query(
+    "unpivot_price_components",
+    oracle="""
+        SELECT component, ROUND(SUM(amount), 2) AS total
+        FROM (
+            SELECT 'extendedprice' AS component, l_extendedprice AS amount
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT 'tax', l_tax FROM lineitem)
+        GROUP BY component
+    """,
+    tags=("reshape", "agg"),
+)
+def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide price columns to long (component, amount)
+    rows — the inverse of pivot_status_by_priority. Spark's unpivot is
+    a zero-shuffle row expansion; the aggregate after it shuffles
+    O(components), not O(rows)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    long = li.unpivot(
+        ids=["okey"],
+        values=["extendedprice", "discount", "tax"],
+        variableColumnName="component",
+        valueColumnName="amount",
+    )
+    return long.groupBy("component").agg(
+        F.round(F.sum("amount"), 2).alias("total")
+    )

@@ -1085,3 +1085,69 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Reproducible sampling / dataset splits
+# --------------------------------------------------------------------------
+
+# Deterministic doc-id bucket in [0, 1000): multiplicative hash, same
+# literal formula on both engines (never engine-native hash/rand — a
+# training pipeline needs splits that survive re-runs and engine swaps).
+# Max intermediate: doc_id * 2654435761 stays < 2^63 for doc_id < 3.4e9.
+_BUCKET = "((doc_id * 2654435761 + 40503) % 1000)"
+
+
+def _bucket_col() -> F.Column:
+    return (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % 1000
+
+
+@query(
+    "sample_deterministic",
+    oracle=f"""
+        SELECT doc_id, {_BUCKET} AS bucket
+        FROM documents WHERE {_BUCKET} < 100
+    """,
+    tags=("sampling", "extension"),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% corpus sample by hash bucket — unlike
+    df.sample() this is stable across runs, partitionings, and engines,
+    which is what makes eval subsets and ablations comparable. The
+    predicate is a pure row-local expression: no shuffle, pushes
+    through any upstream projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _bucket_col().alias("bucket")).filter(
+        F.col("bucket") < 100
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+        SELECT CASE WHEN {_BUCKET} < 800 THEN 'train'
+                    WHEN {_BUCKET} < 900 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY split
+    """,
+    tags=("sampling", "extension"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from the same deterministic
+    bucket — the split a 100 TB corpus job computes inline (a join
+    against a split table would be another shuffle; a hash is free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket_col()
+    return (
+        docs.withColumn(
+            "split",
+            F.when(b < 800, "train").when(b < 900, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

@@ -255,3 +255,78 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("O", F.lit(0)).alias("o_cnt"),
         F.coalesce("P", F.lit(0)).alias("p_cnt"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+        SELECT event_id, user_id,
+               round(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING
+                         AND CURRENT ROW), 4) AS val_5min,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS n_5min
+        FROM events
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-count-based): per-user rolling
+    5-minute sum/count. Unlike ROWS frames, peers at the same order
+    value share one frame, so ties need no tiebreak for determinism.
+    Spark expresses time ranges by ordering on epoch seconds with
+    rangeBetween(-300, 0) — same inclusive bounds as SQL's RANGE
+    INTERVAL."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-300, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("val_5min"),
+        F.count("*").over(w).alias("n_5min"),
+    )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROUND(first_value(o_totalprice) OVER w, 2) AS first_price,
+               ROUND(last_value(o_totalprice) OVER w, 2) AS last_price,
+               ROUND(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic"),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an unbounded frame: each order row
+    carries its customer's first, latest, and second order price.
+    Ordering includes o_orderkey so same-day orders are deterministic;
+    the frame must be explicitly unbounded-following or last_value
+    degenerates to the current row."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias(
+            "second_price"
+        ),
+    )
