@@ -40,12 +40,17 @@ def connected_components(
     rounds (diameter larger than max_iter — switch algorithms rather
     than silently returning partial clusters).
     """
+    # Materialize the undirected edge set ONCE — it is joined every
+    # round, and without truncation each iteration would re-run the
+    # whole upstream pair-generation pipeline (measured 4-5x slower on
+    # the MinHash near-dup graph).
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(
             edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         e.select(F.col("src").alias("id"))

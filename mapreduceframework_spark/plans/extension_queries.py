@@ -268,29 +268,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, stop-shingles skew the index join — the MinHash query below
     is the constant-fanout variant; AQE skew handling covers the middle
     ground."""
+    # Set size rides along with each exploded row, so no separate size
+    # join — and the merge hint makes BOTH self-join sides identical
+    # hash-partition exchanges, which Spark's ReuseExchange collapses
+    # into ONE shingle computation + shuffle (a broadcast side would
+    # break the symmetry and recompute the whole shingle pipeline).
     sh = _docs_wide(spark, sf_dir).select(
         "doc_id", D.string_shingles(F.col("words")).alias("shingles")
     )
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("nsh"),
+        F.explode("shingles").alias("s"),
+    )
     inter = (
         ex.alias("a")
         .join(
-            ex.alias("b"),
+            ex.alias("b").hint("shuffle_merge"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.nsh").alias("nsh_a"),
+            F.col("b.nsh").alias("nsh_b"),
         )
         .agg(F.count("*").alias("n_shared"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("nsh"))
-    jac = F.col("n_shared") / (F.col("x.nsh") + F.col("y.nsh") - F.col("n_shared"))
-    return (
-        inter.join(sizes.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-        .join(sizes.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jac"))
-        .filter(F.col("jac") >= 0.5)
+    jac = F.col("n_shared") / (
+        F.col("nsh_a") + F.col("nsh_b") - F.col("n_shared")
+    )
+    return inter.select("doc_a", "doc_b", jac.alias("jac")).filter(
+        F.col("jac") >= 0.5
     )
 
 
@@ -379,6 +389,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
+    bench=True,
     oracle=f"""
         WITH RECURSIVE {MINHASH_PAIRS_CTES},
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
@@ -1009,6 +1020,7 @@ CENTROIDS_CTE = f"""
 
 @query(
     "ann_cosine_ivf",
+    bench=True,
     oracle=f"""
         WITH e AS ({EMB_CTE}),
         cent AS ({CENTROIDS_CTE}),

@@ -154,6 +154,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q9_product_profit",
+    bench=True,
     oracle="""
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -303,6 +304,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q18_large_orders",
+    bench=True,
     oracle="""
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
                ROUND(o_totalprice, 2) AS total,

@@ -259,6 +259,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_range_frame",
+    bench=True,
     oracle="""
         SELECT event_id, user_id,
                round(SUM(value) OVER (
