@@ -51,3 +51,23 @@ def test_csv_failfast_on_malformed(spark, tmp_path):
     p.write_text("k,name,score\n1,alpha,not_a_number\n")
     with pytest.raises(Exception, match="(?i)malformed|failfast|cannot"):
         sio.read_csv(spark, str(p), SCHEMA).collect()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the other native columnar format — same write_table /
+    pinned-schema read path as parquet."""
+    df = sio.from_rows(spark, ROWS, SCHEMA)
+    sio.write_table(df, str(tmp_path / "t"), fmt="orc")
+    _expect(spark.read.schema(SCHEMA).orc(str(tmp_path / "t")))
+
+
+def test_text_source_reads_lines(spark, tmp_path):
+    """Raw text-line source: one string column named value — the entry
+    format for unstructured corpus ingestion before parsing."""
+    p = tmp_path / "corpus.txt"
+    p.write_text("line one\nline two\n")
+    df = spark.read.text(str(p))
+    assert [r["value"] for r in df.orderBy("value").collect()] == [
+        "line one",
+        "line two",
+    ]
