@@ -607,3 +607,117 @@ def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("component").agg(
         F.round(F.sum("amount"), 2).alias("total")
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT ALL SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each nation key survives
+    min(multiplicity in customer, multiplicity in supplier) times.
+    Distinct from set_intersect the way the SQL standard demands."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return c.intersectAll(s)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT ALL SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference of multiplicities (customer rows
+    minus one per matching supplier row)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return c.exceptAll(s)
+
+
+@query(
+    "cube_grouping_id",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("rollup", "agg"),
+)
+def cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() markers — the standard way to tell a
+    subtotal row's NULL from a data NULL. Each output row carries
+    which dimensions were rolled up."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+        WITH c AS (SELECT event_type,
+                          time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+              FROM c GROUP BY 1),
+        g AS (SELECT event_type,
+                     unnest(generate_series(b0, b1, INTERVAL '5 minutes'))
+                         AS bucket
+              FROM b)
+        SELECT g.event_type, g.bucket, COALESCE(c.cnt, 0) AS cnt
+        FROM g LEFT JOIN c USING (event_type, bucket)
+    """,
+    tags=("timeseries", "window-time", "extension"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling / resampling: every 5-minute bucket in each event
+    type's observed range appears, empty ones as zero — the dense grid
+    downstream forecasting and windowed models need. sequence() +
+    explode generates each type's grid from two scalars (O(types)
+    rows in, O(buckets) out — never a driver loop); the left join back
+    to the sparse counts is a broadcast-able dimension join."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 300).cast("long") * 300
+    )
+    counts = (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("b0", "b1", F.expr("INTERVAL 5 MINUTES"))
+        ).alias("bucket"),
+    )
+    return grid.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+    )
