@@ -721,3 +721,66 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.coalesce("cnt", F.lit(0)).alias("cnt"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+        WITH a AS (SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg
+                   FROM customer),
+        b AS (SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM customer GROUP BY 1)
+        SELECT a.seg, b.n
+        FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+    tags=("join", "null-semantics"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    segment row joins to the NULL group — a plain equi-join would drop
+    it silently. NULLIF manufactures the NULLs deterministically so the
+    oracle sees the same data. Null-safe equality still hash-partitions
+    (NULL is a hashable key value here), so the join stays a shuffle
+    hash join, not a nested loop."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.expr("NULLIF(c_mktsegment, 'BUILDING')")
+    a = c.select(seg.alias("seg")).distinct()
+    b = c.groupBy(seg.alias("seg")).agg(F.count("*").alias("n"))
+    return a.join(b, a["seg"].eqNullSafe(b["seg"])).select(a["seg"], b["n"])
+
+
+@query(
+    "agg_null_semantics",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_all,
+               CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+               ROUND(AVG(v), 4) AS avg_v,
+               ROUND(SUM(v), 2) AS sum_v
+        FROM (SELECT c_mktsegment,
+                     CASE WHEN c_acctbal < 0 THEN NULL
+                          ELSE c_acctbal END AS v
+              FROM customer)
+        GROUP BY c_mktsegment
+    """,
+    tags=("agg", "null-semantics"),
+)
+def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI null-skipping aggregates: COUNT(*) counts rows, COUNT(col)
+    / AVG / SUM skip NULLs (negative balances nulled out here). The
+    denominator difference between n_all and n_nonnull is the point."""
+    c = load_table(spark, sf_dir, "customer")
+    v = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    return (
+        c.select("c_mktsegment", v.alias("v"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.count("v").alias("n_nonnull"),
+            F.round(F.avg("v"), 4).alias("avg_v"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+        )
+    )
