@@ -1163,3 +1163,33 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+@query(
+    "text_scrub_redact",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_redacted,
+               md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))
+                   AS scrubbed_digest
+        FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def text_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing/redaction pass: digit runs (the stand-in for phone/SSN
+    -shaped PII on this synthetic corpus) replaced with a <NUM> token;
+    emits the redaction count and an md5 digest of the scrubbed text —
+    the digest makes the whole transformed string oracle-checkable
+    without shipping it. Pure codegen scan; at 100 TB this runs at
+    read bandwidth."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")
+        ).cast("long").alias("n_redacted"),
+        F.md5(F.regexp_replace("text", "[0-9]+", "<NUM>")).alias(
+            "scrubbed_digest"
+        ),
+    )

@@ -500,3 +500,37 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "lateral_last_ship",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderpriority, l.last_ship, l.n_lines
+        FROM orders o,
+             LATERAL (SELECT MAX(l_shipdate) AS last_ship,
+                             CAST(COUNT(*) AS BIGINT) AS n_lines
+                      FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey) l
+        WHERE o.o_totalprice > 400000
+    """,
+    tags=("subquery", "lateral", "join"),
+)
+def lateral_last_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per qualifying order, an aggregate
+    over just its line items. Catalyst decorrelates the lateral into
+    aggregate-then-join on l_orderkey — the per-row subquery a naive
+    engine would loop becomes one shuffle. (Orders with zero lines
+    would surface as NULL/0 via the lateral's outer semantics; this
+    dataset has none.) Via the SQL surface."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_orderpriority, l.last_ship, l.n_lines
+        FROM orders o,
+             LATERAL (SELECT MAX(l_shipdate) AS last_ship,
+                             COUNT(*) AS n_lines
+                      FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey) l
+        WHERE o.o_totalprice > 400000
+        """
+    )

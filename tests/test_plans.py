@@ -210,3 +210,30 @@ def test_statistical_agg_is_partial(spark, sf_dir):
         plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
     )
     assert "CollectLimit" not in plan
+
+
+# Queries whose SEMANTICS are a cross product (tiny sides by design).
+CARTESIAN_OK = {"join_cross"}
+# Streaming queries execute through the streaming engine; batch explain
+# isn't meaningful for them. Iterative/driver-loop queries materialize
+# checkpoints during plan construction — skip the static explain too.
+NOT_STATIC = {"dedup_clusters"}
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    """Sweep EVERY registered batch query's physical plan: a
+    CartesianProduct outside the explicit cross-join query means some
+    join lost its equi-condition — at 100 TB that's a run-forever bug
+    that still returns correct rows at test scale. (Broadcast
+    nested-loop joins are fine: they're the intended shape for tiny
+    -side theta joins.)"""
+    bad = []
+    for name, spec in REG.items():
+        if name in CARTESIAN_OK or name in NOT_STATIC:
+            continue
+        if "true-streaming" in spec.tags:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"unexpected cartesian products in: {bad}"
