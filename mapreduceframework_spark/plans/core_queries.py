@@ -784,3 +784,28 @@ def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 2).alias("sum_v"),
         )
     )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT o_custkey,
+               string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+                   AS priorities
+        FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "full-group"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-group value collection (the reference's IntermediateVec-per
+    -key semantics, O9) surfaced deterministically: collect_list is
+    unordered, so the engine canonicalizes with array_sort before
+    array_join — the only way collected groups can be value-compared
+    across engines. Group payload must fit a task, the same bound the
+    reference's per-key vectors had (reference JobContext.h:80)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderpriority")), ","
+        ).alias("priorities")
+    )

@@ -331,3 +331,30 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_price"
         ),
     )
+
+
+@query(
+    "window_ntile_cume",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4) OVER w AS quartile,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "ranking"),
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing + cumulative distribution per priority class.
+    The o_orderkey tiebreak makes both deterministic; cume_dist is an
+    exact ratio of two ints, so raw doubles match across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+    )
