@@ -303,3 +303,21 @@ def test_ann_ivf_is_subset_of_bruteforce_space(spark, sf_dir):
     assert len(overlap) / len(exact) > 0.3  # probing 3/10 lists
     for pair in overlap:
         assert exact[pair] == ivf[pair]
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """Sketch quantiles (the scale path when exact percentile's
+    per-group materialization is too big): approx_percentile at
+    accuracy 10000 must land within 1% relative of the exact
+    interpolated percentile on this data."""
+    from mapreduceframework_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+        ).alias("approx"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("exact"),
+    ).first()
+    for a, e in zip(row["approx"], row["exact"]):
+        assert abs(a - e) / e < 0.01, (a, e)

@@ -71,3 +71,17 @@ def test_text_source_reads_lines(spark, tmp_path):
         "line one",
         "line two",
     ]
+
+
+def test_parquet_zstd_roundtrip(spark, tmp_path):
+    """Columnar compression is a first-class scale knob; zstd write
+    must round-trip through the standard reader."""
+    df = sio.from_rows(spark, ROWS, SCHEMA)
+    sio.write_table(
+        df, str(tmp_path / "t"), fmt="parquet", compression="zstd"
+    )
+    files = list((tmp_path / "t").glob("*.zstd.parquet")) or list(
+        (tmp_path / "t").glob("*.parquet")
+    )
+    assert files
+    _expect(spark.read.schema(SCHEMA).parquet(str(tmp_path / "t")))

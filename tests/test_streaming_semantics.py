@@ -63,3 +63,44 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 09:00 window was finalized with ONLY the batch-1 event; the
     # late batch-2 row did not resurrect it
     assert rows.get("09:00") == 1
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch — the production sink escape hatch (idempotent
+    batch-id-addressed writes to arbitrary stores): stream the events
+    aggregation into per-batch parquet dirs; the union of batches must
+    equal the batch-mode aggregate."""
+    from pyspark.sql import functions as F
+
+    from mapreduceframework_spark.sources import load_table
+    from mapreduceframework_spark.streaming.windows import read_events_stream
+
+    out_dir = tmp_path / "sink"
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            str(out_dir / f"batch={batch_id}")
+        )
+
+    counts = read_events_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    q = (
+        counts.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_type"], r["cnt"])
+        for r in spark.read.parquet(str(out_dir / "batch=0")).collect()
+    }
+    want = {
+        (r["event_type"], r["cnt"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
