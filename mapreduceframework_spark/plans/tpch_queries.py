@@ -534,3 +534,77 @@ def lateral_last_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_totalprice > 400000
         """
     )
+
+
+@query(
+    "tpch_q13_custdist",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey,
+                     CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                   ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count — the
+    double-aggregation shape whose correctness hinges on the LEFT join
+    keeping zero-order customers (the filter lives in the JOIN
+    CONDITION, not WHERE, or those customers vanish). The urgent
+    -priority exclusion stands in for the comment NOT LIKE filter.
+    Second aggregate is O(distinct counts) — tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — a
+    derived revenue view consumed twice (once for rows, once for the
+    scalar MAX), the equality on already-rounded sums keeps the
+    cross-engine comparison exact. Catalyst turns the scalar subquery
+    into a single-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_rev == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
