@@ -1193,3 +1193,119 @@ def text_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scrubbed_digest"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline (composition capstone)
+# --------------------------------------------------------------------------
+
+# SQL mirrors of operators/text.py quality_score / whitespace_token_count
+# (same formulas the text_quality_scores / text_token_stats oracles use).
+_PUNCT_SQL = (
+    "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - "
+    "length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) "
+    "/ length(text) END)"
+)
+_STOP_SQL = (
+    "(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 "
+    "THEN 0.0 ELSE len(list_filter(regexp_split_to_array(trim(text), "
+    "'\\s+'), w -> list_contains(['the','a','of','and','to','in','is',"
+    "'it'], w))) / len(regexp_split_to_array(trim(text), '\\s+')) END)"
+)
+QUALITY_SQL = (
+    f"round((least(length(text) / 200.0, 1.0) + (1.0 - "
+    f"least({_PUNCT_SQL} * 4, 1.0)) + least({_STOP_SQL} * 5, 1.0)) "
+    f"/ 3.0, 6)"
+)
+WS_TOKENS_SQL = (
+    "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT"
+)
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=f"""
+        WITH RECURSIVE {MINHASH_PAIRS_CTES},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+                  UNION
+                  SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+        nodes AS (SELECT DISTINCT src AS doc FROM edges),
+        reach(doc, lab) AS (
+            SELECT doc, doc FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+        comp AS (SELECT doc AS doc_id, MIN(lab) AS cluster_id
+                 FROM reach GROUP BY doc),
+        noncanon AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+        qual AS (SELECT * FROM (SELECT doc_id, text,
+                                       {QUALITY_SQL} AS quality
+                                FROM documents)
+                 WHERE quality >= 0.5),
+        keepers AS (SELECT MIN(doc_id) AS doc_id FROM qual
+                    GROUP BY md5(text)),
+        kept AS (SELECT q.doc_id, q.text, q.quality
+                 FROM qual q
+                 WHERE q.doc_id IN (SELECT doc_id FROM keepers)
+                   AND q.doc_id NOT IN (SELECT doc_id FROM noncanon))
+        SELECT CASE WHEN (doc_id * 2654435761 + 40503) % 1000 < 800
+                    THEN 'train'
+                    WHEN (doc_id * 2654435761 + 40503) % 1000 < 900
+                    THEN 'val' ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({WS_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+               ROUND(AVG(quality), 4) AS avg_quality
+        FROM kept GROUP BY split
+    """,
+    tags=("pipeline", "dedup", "sampling", "text", "extension"),
+    bench=True,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: one DataFrame program running the full
+    corpus-curation pass a training pipeline needs — C4-style quality
+    filter (>= 0.5) -> exact dedup (min doc_id per md5) -> near-dup
+    removal (drop non-canonical members of MinHash connected-components
+    clusters) -> deterministic train/val/test split -> per-split doc,
+    token, and quality stats. Every stage is a previously-verified
+    operator; this query proves they COMPOSE in one lazy plan (the
+    cluster step alone materializes, being iterative). The oracle
+    recomputes the entire pipeline in SQL, transitive closure included."""
+    from mapreduceframework_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = docs.select(
+        "doc_id",
+        "text",
+        X.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    keepers = qual.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    noncanon = (
+        connected_components(
+            _minhash_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+        )
+        .filter(F.col("id") != F.col("label"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = (
+        qual.join(
+            keepers, qual.doc_id == keepers.keep_id, "left_semi"
+        )
+        .join(F.broadcast(noncanon), "doc_id", "left_anti")
+    )
+    b = (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % 1000
+    return (
+        kept.withColumn(
+            "split",
+            F.when(b < 800, "train").when(b < 900, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(X.whitespace_token_count(F.col("text")))
+            .cast("long")
+            .alias("n_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
