@@ -104,3 +104,49 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_counts_accumulate_across_batches(spark, tmp_path):
+    """GroupState must PERSIST between micro-batches: the same user's
+    events split across two triggers, and the second batch's emission
+    must report the running total, not restart from zero — this is the
+    property that separates engine-managed state from a per-batch
+    groupBy."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    _write(str(d / "0.parquet"), [((9, 0, 0), "u1"), ((9, 1, 0), "u1")])
+    _write(str(d / "1.parquet"), [((9, 2, 0), "u1"), ((9, 3, 0), "u2")])
+    for i in range(2):
+        t = 1_700_000_000 + i * 100
+        os.utime(d / f"{i}.parquet", (t, t))
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    counts = stream.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType="k string, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(counts, "update")
+    # update-mode memory sink keeps every emission: u1 must appear with
+    # 2 (after batch 0) AND 3 (after batch 1); u2 once with 1.
+    got = {(r["k"], r["n"]) for r in out.collect()}
+    assert (("u1", 2) in got) and (("u1", 3) in got)
+    assert ("u2", 1) in got
