@@ -64,3 +64,54 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+) -> dict[str, str]:
+    """Recommended config for a real cluster at the 100 TB design point
+    — the local `get_session` knobs re-derived for N executors. Returns
+    plain conf dict so deploy tooling can merge it into spark-submit.
+
+    Rationale per knob:
+    - shuffle.partitions ~ 2x total cores: enough tasks for AQE to
+      coalesce DOWN (cheap) rather than needing to split (impossible
+      pre-AQE-skew); at 100 TB a shuffle stage then carries ~25 GB per
+      partition pre-coalesce, within spill tolerance.
+    - advisoryPartitionSizeInBytes 128m: AQE's coalesce target — keeps
+      post-shuffle partitions near the parquet block size so downstream
+      scans and writes stay balanced.
+    - files.maxPartitionBytes 256m: scan-side split size; 100 TB /
+      256 MB = ~400k scan tasks, amortized fine over 4k cores, and big
+      enough that task overhead doesn't dominate columnar decode.
+    - autoBroadcastJoinThreshold 256m: dimensions up to a few GB
+      compressed still broadcast (executors have 16 GB); the fact side
+      of every star join stays shuffle-free.
+    - skewJoin thresholds: split any post-shuffle partition > 512 MB
+      and > 5x median — the adaptive version of the manual salting
+      recipes (join_salted_skew / agg_salted_two_stage).
+    - shuffle.service + dynamicAllocation off by default here: sizing
+      assumes a static fleet; flip both on for shared clusters.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+        "spark.sql.files.maxPartitionBytes": "268435456",
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    }

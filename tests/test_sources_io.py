@@ -85,3 +85,21 @@ def test_parquet_zstd_roundtrip(spark, tmp_path):
     )
     assert files
     _expect(spark.read.schema(SCHEMA).parquet(str(tmp_path / "t")))
+
+
+def test_cluster_conf_scales_with_fleet(spark):
+    """The cluster profile derives shuffle parallelism from fleet size
+    and keeps every scale-critical knob present."""
+    from mapreduceframework_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, cores_per_executor=4)
+    assert conf["spark.sql.shuffle.partitions"] == str(2 * 4000)
+    for key in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ):
+        assert key in conf
+    small = cluster_conf(executors=10, cores_per_executor=8)
+    assert small["spark.sql.shuffle.partitions"] == str(2 * 80)
