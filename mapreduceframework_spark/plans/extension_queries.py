@@ -1309,3 +1309,42 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
+
+
+@query(
+    "scalar_array_setops",
+    oracle="""
+        WITH d AS (SELECT doc_id,
+                          list_distinct(regexp_split_to_array(trim(text),
+                                                              '\\s+')) AS w
+                   FROM documents WHERE length(trim(text)) > 0)
+        SELECT doc_id,
+               len(w)::BIGINT AS n_distinct,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','and','to','in','is','it'], x)))::BIGINT
+                   AS n_stop,
+               len(list_filter(w, x -> NOT list_contains(
+                   ['the','a','of','and','to','in','is','it'], x)))::BIGINT
+                   AS n_content
+        FROM d
+    """,
+    tags=("scalar", "array", "extension"),
+)
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (array_distinct / array_intersect /
+    array_except) against a stopword list — sizes only, since set-op
+    result ORDER is engine-defined and the driver hashes values. All
+    JVM-side expression work."""
+    stops = F.array(
+        *[F.lit(w) for w in
+          ["the", "a", "of", "and", "to", "in", "is", "it"]]
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct("words").alias("w")
+    )
+    return d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_distinct"),
+        F.size(F.array_intersect("w", stops)).cast("long").alias("n_stop"),
+        F.size(F.array_except("w", stops)).cast("long").alias("n_content"),
+    )
