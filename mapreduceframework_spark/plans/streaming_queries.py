@@ -232,3 +232,36 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     from mapreduceframework_spark.streaming.windows import click_purchase_join
 
     return click_purchase_join(spark, sf_dir)
+
+
+@query(
+    "streaming_session_counts",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '6 hours' AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "true-streaming", "window-time"),
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming session windows: the engine's merging session
+    state (data-driven window extents, watermark-driven finalization)
+    run to completion over the static source — checked value-exact
+    against the batch gaps-and-islands oracle, same as the batch twin
+    events_session_windows."""
+    from mapreduceframework_spark.streaming.windows import session_counts
+
+    return session_counts(spark, sf_dir)

@@ -608,3 +608,237 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        eur AS (
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        ce AS (
+            SELECT * FROM cost JOIN eur ON l_suppkey = s_suppkey)
+        SELECT p_partkey, p_name, s_name, s_acctbal,
+               unit_cost AS min_cost
+        FROM ce JOIN part ON l_partkey = p_partkey
+        WHERE p_size < 10
+          AND unit_cost = (SELECT MIN(c2.unit_cost) FROM ce c2
+                           WHERE c2.l_partkey = ce.l_partkey)
+    """,
+    tags=("tpch", "subquery", "join", "agg"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the EUROPE supplier offering
+    the minimum unit cost. The schema has no partsupp, so supply cost is
+    derived from shipped lines as MIN(l_extendedprice / l_quantity) per
+    (part, supplier) — a single division of stored doubles, so both
+    engines compute bit-identical costs and the correlated-MIN equality
+    is exact. The oracle keeps Q2's correlated scalar subquery; the
+    Spark plan decorrelates it by hand into min-per-part + equi-join
+    (one extra shuffle of O(parts) rows instead of a per-row subquery).
+    Supplier/nation/region and part all broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    ce = cost.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+    min_per_part = ce.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        ce.join(
+            min_per_part,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "min_cost")
+    )
+
+
+@query(
+    "tpch_q4_priority_count",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey
+                        AND l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "subquery", "semi", "agg"),
+)
+def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: order-priority histogram of one quarter's orders that
+    had at least one late line. The schema has no commit/receipt dates,
+    so "late" is l_shipdate > o_orderdate + 30 days — which makes the
+    EXISTS correlated on BOTH the key and a non-equi date condition.
+    Spark-side it is a left-semi join with a compound condition: the
+    equi part (l_orderkey = o_orderkey) still hash-partitions the
+    shuffle, and the date inequality rides along as a residual filter,
+    so the semi join stays a single key-partitioned shuffle (the
+    order-date filter prunes the probe side to one quarter first)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+        WITH val AS (
+            SELECT l_partkey,
+                   ROUND(SUM(l_extendedprice), 2) AS part_value
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey = 7
+            GROUP BY l_partkey)
+        SELECT l_partkey, part_value
+        FROM val
+        WHERE part_value > (SELECT ROUND(SUM(part_value), 2) * 0.001
+                            FROM val)
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from NATION_7's
+    suppliers exceeds 0.1% of that nation's total — the
+    aggregate-vs-global-scalar-subquery pattern (no partsupp, so
+    shipped extendedprice stands in for availqty * supplycost). Both
+    the per-part values and the grand total are rounded to cents
+    before the threshold multiply, so cross-engine summation-order
+    drift cannot flip the comparison. The scalar total is a single-row
+    broadcast; the value view is computed once per side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+    )
+    threshold = val.agg(
+        (F.round(F.sum("part_value"), 2) * 0.001).alias("thresh")
+    )
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("thresh"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+        SELECT l_returnflag AS ship_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: line counts by urgency class per ship mode (the
+    schema has no l_shipmode; l_returnflag is the categorical
+    stand-in). The defining feature is the paired CASE-inside-SUM over
+    a fact-fact join with a pushed-down date range — integer conditional
+    counts, so the sums are exact in any order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_excess_shippers",
+    oracle="""
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+              GROUP BY l_suppkey, l_partkey
+              HAVING SUM(l_quantity) > 100)
+    """,
+    tags=("tpch", "subquery", "semi", "agg"),
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_3 suppliers who shipped more than 100
+    units of some 'red' part — the nested-IN-with-grouped-HAVING
+    pattern (availqty > half-of-shipped becomes shipped > threshold
+    without partsupp). The inner pipeline prunes part by the LIKE
+    before broadcasting it into lineitem, aggregates on the composite
+    (supplier, part) key, then collapses to a distinct supplier list
+    consumed as a broadcast semi join — quantities are integer-valued
+    doubles, so the HAVING sum is exact in any order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )

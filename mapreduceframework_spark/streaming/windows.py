@@ -182,3 +182,27 @@ def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
     return run_available_now(joined, "append")
+
+
+def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION windows (6-hour inactivity gap) per user
+    through the streaming engine. Session windows are the one window
+    kind whose extent is data-driven: the stateful operator MERGES
+    overlapping [ts, ts+gap) intervals as events arrive, so a session's
+    bounds can grow across micro-batches; the watermark is what lets
+    the engine finalize (and evict) sessions whose close time has
+    passed. Over a static availableNow source every session finalizes,
+    so the result equals the batch gaps-and-islands sessionization."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "6 hours").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, "complete")
