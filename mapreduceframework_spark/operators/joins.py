@@ -85,3 +85,49 @@ def range_join(
     bucketize ``value`` to the band grid and equi-join on the bucket.
     """
     return fact.join(F.broadcast(bands), (value >= lo) & (value < hi), "inner")
+
+
+def binned_range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Range join against an interval table TOO LARGE TO BROADCAST —
+    the scale path ``range_join``'s docstring promises.
+
+    A non-equi join with no equi conjunct is a (broadcast) nested-loop
+    join in Spark: O(|fact| x |intervals|) comparisons, and if the
+    interval side outgrows the broadcast threshold the fallback is a
+    catastrophic shuffle nested loop. The standard fix is interval
+    binning: quantize the value domain into fixed-width bins, explode
+    each interval ``[lo, hi)`` to every bin it overlaps (``floor(lo/w)
+    .. ceil(hi/w)-1``), tag each fact row with its single bin
+    (``floor(value/w)``), equi-join on the bin key, then re-check the
+    exact predicate as a residual filter.
+
+    The non-equi join becomes a hash-partitioned equi join: both sides
+    shuffle ONCE on the bin key, cost O(|fact| + |intervals| x
+    overlap_fanout + candidate pairs). ``bin_width`` trades interval
+    duplication (small bins) against candidate false positives (big
+    bins); a width near the median interval length keeps both O(1) per
+    row. Bin-key skew (hot value ranges) is ordinary aggregation skew —
+    AQE skew-join handles it, unlike nested-loop joins which AQE cannot
+    split. Empty intervals (``hi <= lo``) match nothing and are dropped
+    up front, which also keeps the bin sequence ascending.
+    """
+    w = float(bin_width)
+    iv = intervals.filter(F.col(lo) < F.col(hi)).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / w).cast("long"),
+                (F.ceil(F.col(hi) / w) - 1).cast("long"),
+            )
+        ),
+    )
+    fb = fact.withColumn("__bin", F.floor(F.col(value) / w).cast("long"))
+    residual = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
+    return fb.join(iv, "__bin").filter(residual).drop("__bin")

@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduceframework_spark.operators.joins import asof_join, range_join
+from mapreduceframework_spark.operators.joins import (
+    asof_join,
+    binned_range_join,
+    range_join,
+)
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 
@@ -516,4 +520,42 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+        SELECT i AS band_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM range(0, 204) t(i)
+        JOIN lineitem
+          ON l_quantity >= i * 0.25 AND l_quantity < i * 0.25 + 0.75
+        GROUP BY i
+    """,
+    tags=("join", "range"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via interval binning (operators/joins.py
+    binned_range_join): 204 OVERLAPPING quantity intervals
+    [i*0.25, i*0.25+0.75) — each fact row matches up to three — joined
+    to lineitem as a bin-key EQUI join plus residual filter instead of
+    a nested loop. The oracle states the plain non-equi semantics; the
+    plan-shape test pins that no NestedLoop join appears. All interval
+    endpoints and the 0.5 bin width are exact binary fractions, so bin
+    assignment and the residual compare are bit-identical across
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    intervals = spark.range(0, 204).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 0.25).alias("lo"),
+        (F.col("id") * 0.25 + 0.75).alias("hi"),
+    )
+    joined = binned_range_join(
+        li, intervals, value="l_quantity", lo="lo", hi="hi", bin_width=0.5
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )

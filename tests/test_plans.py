@@ -237,3 +237,37 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append(name)
     assert not bad, f"unexpected cartesian products in: {bad}"
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # The whole point of interval binning: the non-equi range predicate
+    # must ride as a residual on a bin-key EQUI join, never a nested loop.
+    plan = plan_of(spark, sf_dir, "join_range_binned")
+    assert "NestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_plain_range_join_broadcasts_band_table(spark, sf_dir):
+    # The small-band-table path: nested loop is fine IFF the band side
+    # broadcasts (fact side unshuffled).
+    plan = plan_of(spark, sf_dir, "join_range_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan.split("Join")[0]
+
+
+def test_tpch_q2_broadcasts_dims_no_cartesian(spark, sf_dir):
+    # supplier/nation/region and part all broadcast; the only shuffles
+    # are the two lineitem-derived aggregations.
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q4_priority_count", "tpch_q20_excess_shippers"]
+)
+def test_tpch_semi_join_shapes(spark, sf_dir, name):
+    # Q4's EXISTS and Q20's IN must both land as semi joins (never a
+    # dedup-after-inner-join, which explodes at 100 TB).
+    plan = plan_of(spark, sf_dir, name)
+    assert "LeftSemi" in plan
