@@ -1348,3 +1348,82 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("w", stops)).cast("long").alias("n_stop"),
         F.size(F.array_except("w", stops)).cast("long").alias("n_content"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH x64 AS (
+            SELECT vec_id,
+                   [CAST(e AS DOUBLE) for e in embedding] AS x
+            FROM embeddings),
+        s AS (
+            SELECT vec_id, x,
+                   list_max([abs(v) for v in x]) / 127.0 AS scale
+            FROM x64
+            WHERE list_max([abs(v) for v in x]) > 0),
+        q AS (
+            SELECT vec_id, x, scale,
+                   [CAST(floor(v / scale + 0.5) AS BIGINT) for v in x] AS qv
+            FROM s)
+        SELECT vec_id, scale,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), qv),
+                   (acc, qq) -> (acc * 31 + qq + 128) % 1000000007)
+                   AS q_digest,
+               list_max([abs(qv[i] * scale - x[i])
+                         for i in range(1, len(x) + 1)]) AS max_abs_err
+        FROM q
+    """,
+    tags=("extension", "embedding", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the standard vector-store compression step (scale = max|x|/127,
+    code = floor(x/scale + 0.5), 4x smaller than float32). Emitted as
+    scalars per vector: the scale, a 31x fold digest of the codes
+    (arrays stringify differently across engines, so the digest stands
+    in for the code array), and the exact max reconstruction error.
+
+    Determinism: rounding is floor(v/scale + 0.5) in BOTH engines (no
+    engine round(): tie rules differ); every element value is the same
+    IEEE expression tree, and max/fold are order-fixed. Zero vectors
+    (scale 0) are filtered identically on both sides.
+
+    100 TB: embarrassingly row-local — zero shuffles, one pass, all
+    JVM-side HOFs (scale is bound as a plain column before the lambdas
+    reference it: an outer *expression* inside a HOF lambda re-evaluates
+    per element, README pitfall, but a column reference is a cheap
+    bound read)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    M = F.lit(1000000007).cast("long")
+    return (
+        emb.withColumn("x", F.col("embedding").cast("array<double>"))
+        .withColumn(
+            "absmax", F.array_max(F.transform("x", lambda v: F.abs(v)))
+        )
+        .filter(F.col("absmax") > 0)
+        .withColumn("scale", F.col("absmax") / 127.0)
+        .withColumn(
+            "qv",
+            F.transform(
+                "x", lambda v: F.floor(v / F.col("scale") + 0.5)
+            ),
+        )
+        .select(
+            "vec_id",
+            "scale",
+            F.aggregate(
+                "qv",
+                F.lit(0).cast("long"),
+                lambda acc, qq: (acc * 31 + qq + 128) % M,
+            ).alias("q_digest"),
+            F.array_max(
+                F.zip_with(
+                    "qv",
+                    "x",
+                    lambda qq, v: F.abs(qq * F.col("scale") - v),
+                )
+            ).alias("max_abs_err"),
+        )
+    )
