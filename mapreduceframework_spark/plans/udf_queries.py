@@ -130,3 +130,77 @@ def udtf_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_batches, "doc_id long, bigram string"
     )
     return bigrams.groupBy("bigram").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "udtf_native_token_runs",
+    oracle="""
+        WITH d AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS words
+                   FROM documents WHERE length(trim(text)) > 0),
+        w AS (SELECT doc_id,
+                     unnest([{'i': i, 'w': words[i]}
+                             for i in range(1, len(words) + 1)]) AS s
+              FROM d),
+        x AS (SELECT doc_id, s.i AS i, s.w AS w FROM w),
+        m AS (SELECT doc_id, i, w,
+                     CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY i)
+                               IS DISTINCT FROM w
+                          THEN 1 ELSE 0 END AS new_run
+              FROM x),
+        r AS (SELECT doc_id, i, w,
+                     SUM(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                                        ROWS UNBOUNDED PRECEDING) AS rid
+              FROM m)
+        SELECT doc_id,
+               CAST(MIN(i) AS BIGINT) AS run_start,
+               MIN(w) AS token,
+               CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM r GROUP BY doc_id, rid
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_native_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE Python UDTF API (Spark 3.5+ @udtf, distinct from the
+    mapInPandas-shaped udtf_bigram_counts): a class with eval() that
+    yields 0..n rows per input row — the closest modern analogue of the
+    reference's emit2-any-number-of-times contract
+    (MapReduceClient.h:58), here run-length-encoding each document's
+    token stream (one row per maximal run of a repeated token). Invoked
+    through SQL LATERAL so each document row fans out positionally.
+
+    The oracle replays the RLE as gaps-and-islands SQL. Scale note:
+    native UDTFs are row-at-a-time Python — fine for low-volume
+    expansion; the Arrow-batched mapInPandas twin is the high-volume
+    path. The UDTF class is defined inside this function: executors
+    re-import the module under cloudpickle, and module-level UDF/UDTF
+    decorators break that re-import (README pitfall)."""
+    from pyspark.sql.functions import udtf
+
+    class TokenRuns:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            words = text.strip().split()
+            i = 0
+            while i < len(words):
+                j = i
+                while j < len(words) and words[j] == words[i]:
+                    j += 1
+                yield doc_id, i + 1, words[i], j - i
+                i = j
+
+    runs = udtf(
+        TokenRuns,
+        returnType="doc_id bigint, run_start bigint, token string, run_len bigint",
+    )
+    spark.udtf.register("mrf_token_runs", runs)
+    from mapreduceframework_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.*
+        FROM documents d,
+             LATERAL mrf_token_runs(d.doc_id, d.text) r
+        WHERE length(trim(d.text)) > 0
+        """
+    )
