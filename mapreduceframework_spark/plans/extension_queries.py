@@ -1352,6 +1352,7 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_quantize_int8",
+    bench=True,
     oracle="""
         WITH x64 AS (
             SELECT vec_id,

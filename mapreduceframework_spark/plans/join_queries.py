@@ -525,6 +525,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range_binned",
+    bench=True,
     oracle="""
         SELECT i AS band_id,
                CAST(COUNT(*) AS BIGINT) AS n,

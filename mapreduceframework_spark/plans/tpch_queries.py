@@ -612,6 +612,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q2_min_cost_supplier",
+    bench=True,
     oracle="""
         WITH cost AS (
             SELECT l_partkey, l_suppkey,
