@@ -150,3 +150,76 @@ def test_stateful_counts_accumulate_across_batches(spark, tmp_path):
     got = {(r["k"], r["n"]) for r in out.collect()}
     assert (("u1", 2) in got) and (("u1", 3) in got)
     assert ("u2", 1) in got
+
+
+def test_event_time_timeout_evicts_idle_state(spark, tmp_path):
+    """GroupStateTimeout.EventTimeTimeout: a group idle past its timeout
+    timestamp must get a final hasTimedOut callback once the WATERMARK
+    (not wall clock) passes it — emit-on-expiry, then the state is
+    gone. This is the eviction half of custom stateful operators: with
+    NoTimeout, an idle key's state lives forever and a 100 TB stream
+    accretes unbounded state; event-time timeout ties eviction to the
+    same monotonic clock that drops late data."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    # batch 0: two u1 events around 09:00 -> u1 state, timeout set to
+    # last-seen + 30 min = 09:31. batch 1: u2 at 11:00 advances the max
+    # event time; the watermark (10 min delay -> 10:50) commits at the
+    # batch BOUNDARY, so batch 2 is the spacer in which 10:50 > 09:31
+    # finally holds and u1's timeout fires.
+    _write(str(d / "0.parquet"), [((9, 0, 0), "u1"), ((9, 1, 0), "u1")])
+    _write(str(d / "1.parquet"), [((11, 0, 0), "u2")])
+    _write(str(d / "2.parquet"), [((11, 1, 0), "u2")])
+    for i in range(3):
+        t = 1_700_000_000 + i * 100
+        os.utime(d / f"{i}.parquet", (t, t))
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"k": [key[0]], "n": [n], "expired": [True]}
+            )
+            return
+        n = state.get[0] if state.exists else 0
+        last_ms = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            last_ms = max(
+                last_ms, int(pdf["ts"].max().timestamp() * 1000)
+            )
+        state.update((n,))
+        state.setTimeoutTimestamp(last_ms + 30 * 60 * 1000)
+        yield pd.DataFrame({"k": [key[0]], "n": [n], "expired": [False]})
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("k")
+        .applyInPandasWithState(
+            update,
+            outputStructType="k string, n long, expired boolean",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    out = run_available_now(counts, "update")
+    got = {(r["k"], r["n"], r["expired"]) for r in out.collect()}
+    # u1 counted 2 while live, then expired with its final count intact
+    assert ("u1", 2, False) in got
+    assert ("u1", 2, True) in got
+    # u2 stayed live (its timeout never passed the final watermark)
+    assert ("u2", 1, False) in got and not any(
+        k == "u2" and e for k, _, e in got
+    )
