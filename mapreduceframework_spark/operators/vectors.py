@@ -174,3 +174,92 @@ def lsh_bucket_sql(v: str) -> str:
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
+
+
+def kmeans_lloyd(
+    q,  # DataFrame(vec_id long, qv array<long>)
+    k: int = 8,
+    updates: int = 2,
+):
+    """Deterministic Lloyd's k-means over integer-quantized vectors.
+
+    Returns ``(assignments, centroids)``: the final assignment
+    DataFrame (vec_id, cid, qv) after ``updates`` centroid updates plus
+    one final assignment pass, and the final centroid DataFrame
+    (cid, c array<double>).
+
+    Cross-engine determinism (the whole reason the input is the int8
+    code array, not raw floats): member sums per dimension are exact
+    BIGINT arithmetic in any order, so a centroid is one exact integer
+    sum divided once — bit-identical in any engine; distances are
+    sequential folds of identical IEEE expressions; argmin breaks ties
+    by (distance, cid) under row_number. Floating summation order —
+    the thing that makes textbook float k-means nondeterministic even
+    within one engine — never occurs.
+
+    Scale shape per iteration (n vectors, d dims, k centroids):
+    - assignment: centroids broadcast (k x d doubles — always tiny), a
+      broadcast nested-loop fan-out of k rows per vector, then a
+      row_number window partitioned by vec_id: one shuffle of O(n x k)
+      skinny rows (no payload: vec_id, cid, dist).
+    - update: posexplode to (cid, dim, val) and a partial-aggregated
+      groupBy: shuffle is O(k x d) after map-side combine, NOT O(n x d).
+    - centroids are localCheckpointed each round: keeps the iterative
+      lineage flat (same lesson as operators/graph.py connected
+      components: without it every round re-runs all prior rounds).
+    Empty clusters keep their previous centroid (COALESCE), matching
+    the SQL oracle's LEFT JOIN.
+    """
+    from pyspark.sql.window import Window
+
+    q = q.localCheckpoint(eager=True)
+    w_init = Window.orderBy("vec_id")
+    centroids = (
+        q.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("cid"),
+            F.transform("qv", lambda v: v.cast("double")).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cents):
+        dist = F.aggregate(
+            F.zip_with("qv", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "qv")
+        )
+
+    for _ in range(updates):
+        asg = assign(centroids)
+        per_dim = (
+            asg.select("cid", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                (F.sum("val").cast("double") / F.count("*")).alias("v")
+            )
+        )
+        newc = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("c_new")
+        )
+        centroids = (
+            centroids.join(newc, "cid", "left")
+            .select(
+                "cid", F.coalesce("c_new", "c").alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return assign(centroids), centroids

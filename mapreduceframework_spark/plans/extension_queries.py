@@ -1428,3 +1428,133 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs_err"),
         )
     )
+
+
+@query(
+    "kmeans_quantized_clusters",
+    bench=True,
+    oracle="""
+        WITH x64 AS (
+            SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS x
+            FROM embeddings),
+        s AS (
+            SELECT vec_id, x, list_max([abs(v) for v in x]) / 127.0 AS scale
+            FROM x64 WHERE list_max([abs(v) for v in x]) > 0),
+        q AS (
+            SELECT vec_id,
+                   [CAST(floor(v / scale + 0.5) AS BIGINT) for v in x] AS qv
+            FROM s),
+        c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   [CAST(v AS DOUBLE) for v in qv] AS c
+            FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+        a1 AS (
+            SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c0.cid,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                               [(qv[i] - c[i]) * (qv[i] - c[i])
+                                for i in range(1, len(qv) + 1)]),
+                               (acc, e) -> acc + e), cid) AS rn
+                FROM q CROSS JOIN c0)
+            WHERE rn = 1),
+        c1u AS (
+            SELECT cid, i, CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*) AS v
+            FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+        c1l AS (SELECT cid, list(v ORDER BY i) AS c FROM c1u GROUP BY cid),
+        c1 AS (
+            SELECT c0.cid, COALESCE(c1l.c, c0.c) AS c
+            FROM c0 LEFT JOIN c1l ON c0.cid = c1l.cid),
+        a2 AS (
+            SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c1.cid,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                               [(qv[i] - c[i]) * (qv[i] - c[i])
+                                for i in range(1, len(qv) + 1)]),
+                               (acc, e) -> acc + e), cid) AS rn
+                FROM q CROSS JOIN c1)
+            WHERE rn = 1),
+        c2u AS (
+            SELECT cid, i, CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*) AS v
+            FROM a2, range(1, 65) t(i) GROUP BY cid, i),
+        c2l AS (SELECT cid, list(v ORDER BY i) AS c FROM c2u GROUP BY cid),
+        c2 AS (
+            SELECT c1.cid, COALESCE(c2l.c, c1.c) AS c
+            FROM c1 LEFT JOIN c2l ON c1.cid = c2l.cid),
+        a3 AS (
+            SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c2.cid,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                               [(qv[i] - c[i]) * (qv[i] - c[i])
+                                for i in range(1, len(qv) + 1)]),
+                               (acc, e) -> acc + e), cid) AS rn
+                FROM q CROSS JOIN c2)
+            WHERE rn = 1),
+        digest AS (
+            SELECT cid,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           [CAST(floor(c[i] * 1000 + 0.5) AS BIGINT)
+                            for i in range(1, len(c) + 1)]),
+                       (acc, e) -> (acc * 31 + e) % 1000000007)
+                       AS centroid_digest
+            FROM c2)
+        SELECT a3.cid,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids,
+               MIN(digest.centroid_digest) AS centroid_digest
+        FROM a3 JOIN digest ON a3.cid = digest.cid
+        GROUP BY a3.cid
+    """,
+    tags=("extension", "embedding", "cluster", "iterative"),
+)
+def kmeans_quantized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, two centroid updates + final assignment)
+    over int8-QUANTIZED embeddings — corpus clustering for data mixing
+    / curation, and the engine's second iterative-algorithm family
+    after connected components (operators/vectors.py kmeans_lloyd has
+    the full determinism + scale analysis; quantization is what makes
+    iterative float clustering bit-reproducible across engines:
+    centroid updates become exact integer sums).
+
+    The oracle unrolls all three assignment passes as SQL CTEs —
+    assignment windows, integer per-dimension centroid sums, empty
+    -cluster COALESCE — so the entire iteration trace is value-checked,
+    not just the final sizes. Output per cluster: size, exact member
+    id sum, and a fold digest of the final centroid coordinates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.withColumn("x", F.col("embedding").cast("array<double>"))
+        .withColumn(
+            "absmax", F.array_max(F.transform("x", lambda v: F.abs(v)))
+        )
+        .filter(F.col("absmax") > 0)
+        .withColumn("scale", F.col("absmax") / 127.0)
+        .select(
+            "vec_id",
+            F.transform(
+                "x", lambda v: F.floor(v / F.col("scale") + 0.5)
+            ).alias("qv"),
+        )
+    )
+    asg, cents = V.kmeans_lloyd(q, k=8, updates=2)
+    M = F.lit(1000000007).cast("long")
+    digest = cents.select(
+        "cid",
+        F.aggregate(
+            F.transform("c", lambda v: F.floor(v * 1000 + 0.5)),
+            F.lit(0).cast("long"),
+            lambda acc, e: (acc * 31 + e) % M,
+        ).alias("centroid_digest"),
+    )
+    return (
+        asg.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_ids"),
+        )
+        .join(F.broadcast(digest), "cid")
+        .select("cid", "n_members", "sum_vec_ids", "centroid_digest")
+    )
