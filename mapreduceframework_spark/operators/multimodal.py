@@ -125,3 +125,54 @@ def sample_frames(with_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_payload.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+# Resize: block-mean pooling of the payload byte stream to a fixed
+# OUT_W-bucket thumbnail. Integer arithmetic end to end so the SQL
+# oracle reproduces it exactly; a real image resize (PIL/cv2) plugs into
+# the same batch loop at the decode_payload seam.
+RESIZE_OUT_W = 8
+
+RESIZED_SCHEMA = "doc_id long, out_w long, resize_digest long"
+
+
+def resize_payloads(with_payload: DataFrame) -> DataFrame:
+    """'Resize' each payload to RESIZE_OUT_W block-mean buckets:
+    bucket j spans bytes [floor(j*L/W), floor((j+1)*L/W)) and its value
+    is the floor-mean of those bytes — the 1-D integer skeleton of area
+    resampling. Emits a 31x fold digest of the bucket values (the
+    cross-engine array convention). Payloads shorter than one byte per
+    bucket are dropped, mirroring the oracle's length filter.
+    Partition-preserving mapInPandas, no shuffle; numpy does the block
+    sums vectorized per Arrow batch."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = RESIZE_OUT_W
+        for pdf in it:
+            out: dict[str, list[int]] = {
+                "doc_id": [],
+                "out_w": [],
+                "resize_digest": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                data = decode_payload(payload, meta["codec"])
+                length = len(data)
+                if length < w:
+                    continue
+                b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                edges = (np.arange(w + 1) * length) // w
+                sums = np.add.reduceat(b, edges[:-1])
+                widths = edges[1:] - edges[:-1]
+                vals = sums // widths
+                digest = 0
+                for v in vals:
+                    digest = digest * 31 + int(v)
+                out["doc_id"].append(int(doc_id))
+                out["out_w"].append(w)
+                out["resize_digest"].append(digest)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(batches, RESIZED_SCHEMA)

@@ -1558,3 +1558,46 @@ def kmeans_quantized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(digest), "cid")
         .select("cid", "n_members", "sum_vec_ids", "centroid_digest")
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   [ascii(text[i]) for i in range(1, len(text) + 1)] AS bs
+            FROM documents WHERE length(text) >= 8),
+        r AS (
+            SELECT doc_id,
+                   [CAST(floor(
+                        list_sum(bs[(j * len(bs)) // 8 + 1
+                                    : ((j + 1) * len(bs)) // 8])
+                        / (((j + 1) * len(bs)) // 8 - (j * len(bs)) // 8))
+                        AS BIGINT)
+                    for j in range(0, 8)] AS rv
+            FROM b)
+        SELECT doc_id, CAST(8 AS BIGINT) AS out_w,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), rv),
+                           (a, e) -> a * 31 + e) AS resize_digest
+        FROM r
+    """,
+    tags=("extension", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE plumbing (the brief's decode / feature-extract
+    / resize / frame-sample quartet): block-mean pooling of each binary
+    payload to 8 buckets inside the same Arrow-batched mapInPandas seam
+    a real PIL/cv2 resize would occupy (operators/multimodal.py
+    resize_payloads). All-integer math — byte sums and floor-means —
+    so the DuckDB oracle reproduces the resampled values exactly;
+    payload bytes are the documents' ASCII codes (guarded by
+    tests/test_extensions.py's ASCII invariant)."""
+    from mapreduceframework_spark.operators.multimodal import (
+        attach_payload,
+        resize_payloads,
+    )
+
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    return resize_payloads(attach_payload(docs))
