@@ -1608,6 +1608,7 @@ BM25_TERMS = ("join", "query", "spark", "stream", "table")
 
 @query(
     "text_bm25_topk",
+    bench=True,
     oracle="""
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -1716,4 +1717,48 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(total.alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
+    )
+
+
+_MIX_RATE = """CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 900
+                    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 500
+                    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 200
+                    ELSE 50 END"""
+
+
+@query(
+    "sample_mixture_by_source",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN {_BUCKET} < {_MIX_RATE}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("sampling", "extension"),
+)
+def sample_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: each source tier keeps a different
+    deterministic fraction (90% / 50% / 20% / 5%) — the up/down
+    -weighting step that turns a raw crawl into a training mix. Same
+    engine-stable hash bucket as sample_deterministic, so the kept set
+    is reproducible across runs, partitionings, and engines, and a
+    document's fate is independent of which split/sample query asks.
+    Pure row-local expressions: the whole mixture policy costs one
+    aggregation shuffle for the report (and ZERO extra shuffles when
+    fused into a pipeline as a filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(sid < 5, 900)
+        .when(sid < 10, 500)
+        .when(sid < 15, 200)
+        .otherwise(50)
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(_bucket_col() < rate, 1).otherwise(0)
+        ).alias("n_kept"),
     )
