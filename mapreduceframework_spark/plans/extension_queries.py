@@ -1762,3 +1762,104 @@ def sample_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(_bucket_col() < rate, 1).otherwise(0)
         ).alias("n_kept"),
     )
+
+
+@query(
+    "quality_report_tables",
+    oracle="""
+        SELECT 'lineitem' AS tbl,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity IS NULL OR l_extendedprice
+                                  IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_required,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                  OR l_discount < 0 OR l_discount > 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_out_of_range,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM orders)) AS n_orphans
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL
+                                  OR o_orderdate IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_custkey NOT IN
+                      (SELECT c_custkey FROM customer))
+        FROM orders
+    """,
+    tags=("extension", "quality", "anti"),
+)
+def quality_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation report — the pre-flight every ingestion
+    pipeline runs before training data is trusted: per table, row
+    count, NULLs in required columns, domain-range violations, and
+    referential orphans (fact keys with no parent row). Conditional
+    aggregates fold the null/range checks into ONE pass per table; the
+    orphan checks are broadcast anti joins on the parent key sets —
+    at 100 TB each check is one scan plus one key-only anti join, and
+    the report is O(tables) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    # Orphan counts stay LAZY single-row frames (no driver-side action
+    # inside an operator path — repo guard); each joins back in as a
+    # broadcast scalar.
+    li_orphans = (
+        li.join(
+            o.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    o_orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_orphans"))
+    )
+
+    li_row = li.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | F.col("l_extendedprice").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("n_null_required"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_out_of_range"),
+    ).crossJoin(F.broadcast(li_orphans))
+    o_row = o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull()
+                | F.col("o_orderdate").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("n_null_required"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("n_out_of_range"),
+    ).crossJoin(F.broadcast(o_orphans))
+    return li_row.unionByName(o_row)
