@@ -92,6 +92,12 @@ def cluster_conf(
     - skewJoin thresholds: split any post-shuffle partition > 512 MB
       and > 5x median — the adaptive version of the manual salting
       recipes (join_salted_skew / agg_salted_two_stage).
+    - runtime bloomFilter on (explicit; Spark 4 defaults it on): for a
+      selective fact-fact join where NEITHER side broadcasts, the
+      filtered build side injects a bloom filter that prunes the probe
+      side's SCAN before the shuffle — the runtime analogue of
+      predicate pushdown across a join. creationSideThreshold 100m:
+      worth building from any post-filter side under ~100 MB.
     - shuffle.service + dynamicAllocation off by default here: sizing
       assumes a static fleet; flip both on for shared clusters.
     """
@@ -113,5 +119,9 @@ def cluster_conf(
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     }
