@@ -265,3 +265,77 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduceframework_spark.streaming.windows import session_counts
 
     return session_counts(spark, sf_dir)
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        converters AS (
+            SELECT DISTINCT c.user_id
+            FROM clicks c
+            WHERE EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.event_type = 'purchase'
+                  AND p.user_id = c.user_id
+                  AND p.ts >= c.ts
+                  AND p.ts <= c.ts + INTERVAL 30 MINUTE))
+        SELECT
+            (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM clicks)
+                AS n_clickers,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM converters)
+                AS n_converters,
+            100.0 * (SELECT COUNT(*) FROM converters)
+                  / (SELECT COUNT(DISTINCT user_id) FROM clicks)
+                AS conv_pct
+    """,
+    tags=("events", "funnel", "semi"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: share of clicking users with a purchase
+    within 30 minutes of some click — the product-analytics shape on
+    top of the same watermarkable interval-join pattern as
+    streaming_click_purchase_join. The EXISTS is a left-semi join whose
+    equi part (user_id) carries the shuffle and whose time window rides
+    as a residual; both aggregates are distinct-counts over the key
+    only. conv_pct divides two exact integers once — bit-identical
+    cross-engine, no rounding (int-ratio outputs must never be rounded:
+    ties at the rounding digit resolve differently per engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converters = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left_semi",
+        )
+        .select("c_user")
+        .distinct()
+        .agg(F.count("*").alias("n_converters"))
+    )
+    clickers = clicks.agg(
+        F.countDistinct("c_user").alias("n_clickers")
+    )
+    return (
+        clickers.crossJoin(F.broadcast(converters))
+        .select(
+            "n_clickers",
+            "n_converters",
+            (
+                100.0
+                * F.col("n_converters")
+                / F.col("n_clickers")
+            ).alias("conv_pct"),
+        )
+    )
