@@ -1863,3 +1863,66 @@ def quality_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_out_of_range"),
     ).crossJoin(F.broadcast(o_orphans))
     return li_row.unionByName(o_row)
+
+
+@query(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        sh AS (SELECT doc_id,
+                      {D.string_shingles_sql("words")} AS shingles
+               FROM d),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_shared
+                  FROM ex a JOIN ex b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        cand AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes x ON x.doc_id = doc_a
+            JOIN sizes y ON y.doc_id = doc_b
+            WHERE n_shared / (x.nsh + y.nsh - n_shared) >= 0.5)
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(substr(ta.text, 1, 80),
+                                substr(tb.text, 1, 80)) AS BIGINT)
+                   AS prefix_edit_dist
+        FROM cand
+        JOIN documents ta ON ta.doc_id = doc_a
+        JOIN documents tb ON tb.doc_id = doc_b
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: for each
+    Jaccard>=0.5 candidate pair, the Levenshtein distance of the two
+    80-char prefixes — the character-level second opinion a curation
+    pipeline runs before destructive dedup (token-set measures are
+    blind to within-token edits). Levenshtein is O(len^2) per pair, so
+    it NEVER runs all-pairs: only over the LSH/inverted-index candidate
+    set, and only over bounded prefixes — both bounds are what keep
+    this viable at 100 TB. Unit-cost edit distance is an exact integer
+    with one standard definition, so both engines agree bitwise."""
+    cand = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    ta = docs.select(
+        F.col("doc_id").alias("ida"),
+        F.substring("text", 1, 80).alias("pa"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("idb"),
+        F.substring("text", 1, 80).alias("pb"),
+    )
+    return (
+        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("ida"))
+        .join(F.broadcast(tb), F.col("doc_b") == F.col("idb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb")
+            .cast("long")
+            .alias("prefix_edit_dist"),
+        )
+    )
