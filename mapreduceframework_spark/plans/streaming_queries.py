@@ -339,3 +339,26 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_pct"),
         )
     )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_nationkey
+    """,
+    tags=("streaming", "true-streaming", "join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming stream-STATIC join: events enriched with the
+    static customer dimension per micro-batch (no state, no watermark
+    needed on the static side), aggregated per nation — the third join
+    flavor next to batch joins and the stream-stream interval join.
+    Over a static source the result equals the batch join, hence the
+    full value-hash oracle."""
+    from mapreduceframework_spark.streaming.windows import (
+        static_enrich_counts,
+    )
+
+    return static_enrich_counts(spark, sf_dir)

@@ -206,3 +206,27 @@ def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "complete")
+
+
+def static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the STATIC
+    customer dimension (user_id = c_custkey), then aggregated per
+    nation. Stream-static joins need no watermark and buffer no state
+    for the static side — each micro-batch plans a fresh join against
+    the (broadcastable) table, so dimension updates between batches are
+    picked up automatically. The 100 TB shape: the stream side never
+    shuffles for the join when the dimension broadcasts."""
+    from pyspark.sql import functions as F  # noqa: F401 (module-level F ok)
+
+    from mapreduceframework_spark.sources.registry import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    agg = (
+        events.join(cust, events.user_id == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_available_now(agg, "complete")

@@ -223,3 +223,48 @@ def test_event_time_timeout_evicts_idle_state(spark, tmp_path):
     assert ("u2", 1, False) in got and not any(
         k == "u2" and e for k, _, e in got
     )
+
+
+def test_checkpoint_restart_resumes_without_duplicates(spark, tmp_path):
+    """Exactly-once recovery: a checkpointed query stopped and
+    restarted must process only NEW files, never re-emit committed
+    batches — the property that makes streaming writes idempotent
+    end-to-end (checkpoint = source offsets + sink commit log)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, k string")
+            .parquet(str(src))
+        )
+        q = (
+            stream.select("k")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write(str(src / "0.parquet"), [((9, 0, 0), "a"), ((9, 1, 0), "b")])
+    os.utime(src / "0.parquet", (1_700_000_000, 1_700_000_000))
+    run_once()
+    first = [r["k"] for r in spark.read.parquet(sink).collect()]
+    assert sorted(first) == ["a", "b"]
+
+    _write(str(src / "1.parquet"), [((9, 2, 0), "c")])
+    os.utime(src / "1.parquet", (1_700_000_100, 1_700_000_100))
+    run_once()
+    second = [r["k"] for r in spark.read.parquet(sink).collect()]
+    # 'a'/'b' appear exactly once: the restarted query resumed from the
+    # committed offset instead of reprocessing file 0
+    assert sorted(second) == ["a", "b", "c"]
