@@ -809,3 +809,42 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list("o_orderpriority")), ","
         ).alias("priorities")
     )
+
+
+@query(
+    "agg_argmax_struct",
+    oracle="""
+        SELECT c_custkey,
+               MAX(struct_pack(p := ROUND(o_totalprice, 2),
+                               k := o_orderkey)).p AS best_price,
+               MAX(struct_pack(p := ROUND(o_totalprice, 2),
+                               k := o_orderkey)).k AS best_orderkey
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
+    tags=("agg", "struct"),
+)
+def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per group via struct ordering: each customer's priciest
+    order, with ties broken by the orderkey INSIDE the struct — the
+    deterministic alternative to max_by (whose tie choice is
+    unspecified). Struct comparison is lexicographic in both engines,
+    so MAX(struct(price, key)) picks the same row bitwise. One
+    aggregation shuffle; the struct rides the partial aggregate, so
+    only O(groups) structs cross the wire."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    best = F.max(
+        F.struct(
+            F.round("o_totalprice", 2).alias("p"),
+            F.col("o_orderkey").alias("k"),
+        )
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            best.getField("p").alias("best_price"),
+            best.getField("k").alias("best_orderkey"),
+        )
+    )
