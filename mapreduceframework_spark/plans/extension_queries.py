@@ -1926,3 +1926,56 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prefix_edit_dist"),
         )
     )
+
+
+@query(
+    "feature_quantile_buckets",
+    oracle="""
+        WITH b AS (
+            SELECT quantile_cont(l_quantity, 0.25) AS q1,
+                   quantile_cont(l_quantity, 0.50) AS q2,
+                   quantile_cont(l_quantity, 0.75) AS q3
+            FROM lineitem)
+        SELECT CASE WHEN l_quantity <= q1 THEN 0
+                    WHEN l_quantity <= q2 THEN 1
+                    WHEN l_quantity <= q3 THEN 2
+                    ELSE 3 END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(l_quantity), 2) AS lo,
+               ROUND(MAX(l_quantity), 2) AS hi
+        FROM lineitem CROSS JOIN b
+        GROUP BY bucket
+    """,
+    tags=("extension", "feature", "agg"),
+)
+def feature_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretizer — the feature-engineering step that turns a
+    numeric column into balanced ordinal buckets (the two-pass
+    pattern: exact percentiles once, broadcast, then a row-local CASE).
+    Exact (not approx) percentiles are safe for cross-engine hashing
+    HERE because l_quantity is integer-valued with ~50 distinct values:
+    the (n-1)*p interpolation lands between equal neighbors, so every
+    boundary is an exact integer in both engines. For a continuous
+    column, approx_percentile + rounded boundaries is the 100 TB path
+    (single-pass sketch instead of a full sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q2"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("l_quantity") <= F.col("q1"), 0)
+        .when(F.col("l_quantity") <= F.col("q2"), 1)
+        .when(F.col("l_quantity") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_quantity"), 2).alias("lo"),
+            F.round(F.max("l_quantity"), 2).alias("hi"),
+        )
+    )
