@@ -68,3 +68,44 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 256,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction — the §8 mitigation for scan-side file
+    explosion (streaming sinks and over-parallel writers leave
+    thousands of KB-sized files; at 100 TB the file-listing and
+    per-file open costs then dominate the scan). Rewrites the dataset
+    into ~``target_mb``-sized files: partition count is derived from
+    the actual input byte size, floor 1, so the rewrite is one
+    shuffle-free coalesce when shrinking (or a repartition when the
+    input is a single giant file). Returns the partition count used.
+    """
+    import math
+
+    src = spark.read.format(fmt).load(in_path)
+    # Input size from a driver-side file listing (no data movement).
+    total_bytes = _input_bytes(in_path)
+    n = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    cur = src.rdd.getNumPartitions()
+    out = src.coalesce(n) if n <= cur else src.repartition(n)
+    out.write.format(fmt).mode("overwrite").save(out_path)
+    return n
+
+
+def _input_bytes(path: str) -> int:
+    """Total data-file bytes under ``path`` (local paths; on a real
+    cluster this is one FileSystem.listStatus pass)."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total

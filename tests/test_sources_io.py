@@ -103,3 +103,50 @@ def test_cluster_conf_scales_with_fleet(spark):
         assert key in conf
     small = cluster_conf(executors=10, cores_per_executor=8)
     assert small["spark.sql.shuffle.partitions"] == str(2 * 80)
+
+
+def test_compact_table_merges_small_files(spark, tmp_path, sf_dir):
+    """Compaction: a directory of many tiny files rewrites to the
+    byte-size-derived partition count (here: 1), with identical data."""
+    from mapreduceframework_spark.sources import load_table
+    from mapreduceframework_spark.sources.io import compact_table
+
+    import os
+
+    frag = str(tmp_path / "fragmented")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(40).write.parquet(frag)
+    n_small = sum(
+        1 for f in os.listdir(frag) if f.endswith(".parquet")
+    )
+    assert n_small >= 40
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_table(spark, frag, compacted, target_mb=256)
+    assert n == 1
+    n_big = sum(
+        1 for f in os.listdir(compacted) if f.endswith(".parquet")
+    )
+    assert n_big == 1
+    assert spark.read.parquet(compacted).count() == orders.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: files written before a column existed still
+    read alongside newer files via mergeSchema — old rows surface NULL
+    for the added column (the append-only reality of a long-lived
+    100 TB dataset; pinned schemas in the registry make the merged
+    shape explicit rather than inferred)."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(d + "/batch=0")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(d + "/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        d + "/batch=0", d + "/batch=1"
+    )
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
