@@ -25,10 +25,16 @@ def asof_join(
     right_ts: str,
     out_schema: str,
     right_cols: list[str] | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` within the same key (pd.merge_asof
     "backward" semantics; inner — unmatched left rows are dropped).
+    ``direction="forward"`` flips it to the earliest right row at-or
+    -after (next-event semantics); ``allow_exact_matches=False`` makes
+    either bound strict — together they cover DuckDB's ``ASOF JOIN``
+    on ``>=``, ``>``, ``<=``, ``<``.
 
     Implementation: ``groupby(key).cogroup(...).applyInPandas`` — both
     sides hash-shuffle ONCE on the key, then each key's slices meet in a
@@ -58,7 +64,8 @@ def asof_join(
                 rdf[[right_ts] + rcols],
                 left_on=left_ts,
                 right_on=right_ts,
-                direction="backward",
+                direction=direction,
+                allow_exact_matches=allow_exact_matches,
             )
         return out.dropna(subset=[right_ts])
 

@@ -560,3 +560,54 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "join_asof_forward_gap",
+    oracle="""
+        SELECT a.o_orderkey,
+               CAST(date_diff('day', a.o_orderdate, b.o_orderdate)
+                    AS BIGINT) AS days_to_next
+        FROM orders a
+        ASOF JOIN orders b
+          ON a.o_custkey = b.o_custkey
+             AND a.o_orderdate < b.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join, strict: for each order, days until the SAME
+    customer's next strictly-later order — the repeat-purchase-gap
+    metric, and the direction/strictness half of the as-of family
+    (join_asof covers backward/inclusive). Same cogrouped merge_asof
+    engine: one co-partitioned shuffle per side. Only the next DATE is
+    emitted (not the next order id): two same-day next orders would
+    make the id nondeterministic, the date never is. Oracle: DuckDB
+    native ASOF JOIN on the strict < bound."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    right = o.select(
+        F.col("o_custkey").alias("r_custkey"),
+        F.col("o_orderdate").alias("next_date"),
+    )
+    out = asof_join(
+        left,
+        right,
+        left_key="o_custkey",
+        right_key="r_custkey",
+        left_ts="o_orderdate",
+        right_ts="next_date",
+        out_schema=(
+            "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+            "next_date timestamp"
+        ),
+        right_cols=[],
+        direction="forward",
+        allow_exact_matches=False,
+    )
+    return out.select(
+        "o_orderkey",
+        F.datediff("next_date", "o_orderdate")
+        .cast("long")
+        .alias("days_to_next"),
+    )
