@@ -321,3 +321,32 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     ).first()
     for a, e in zip(row["approx"], row["exact"]):
         assert abs(a - e) / e < 0.01, (a, e)
+
+
+def test_observation_metrics_single_pass(spark, sf_dir):
+    """df.observe(): pipeline counters (rows in / rows kept / revenue)
+    collected DURING the one real action — the production observability
+    hook; a separate .count() per metric would re-run the pipeline
+    (2x scans at 100 TB), and an accumulator double-counts on task
+    retry while observed metrics are exactly-once per query."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from mapreduceframework_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("quality")
+    kept = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(
+                F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+            ).alias("rows_kept"),
+        )
+        .filter(F.col("l_quantity") > 25)
+    )
+    n_kept = kept.count()
+    m = obs.get
+    assert m["rows_in"] == li.count()
+    assert m["rows_kept"] == n_kept
