@@ -1,0 +1,345 @@
+"""Event/time-series analytics queries (SURVEY.md §2.2 ⊕ rows).
+
+The reference's seed for this family is its sorted-histogram client
+(reference test3 sort workload) — keyed aggregation over an ordered
+stream. These queries are the batch-analytics surface a training-data
+pipeline needs around its event logs: sessionization, cohort retention,
+OHLC downsampling, distribution profiling, slowly-changing-dimension
+history, and outlier detection.
+
+Cross-engine determinism strategy (same contract as the rest of the
+registry): timestamps compare as UTC microsecond integers
+(`unix_micros` / `epoch_us`), group statistics that depend on summation
+order are rounded identically on both sides, and every per-row
+expression (bin index, z-score) is the same IEEE-754 tree in Spark and
+DuckDB so bucket membership cannot drift.
+
+Scale notes (100 TB):
+- Sessionization / SCD2 / OHLC open-close are single-shuffle window
+  passes partitioned by a high-cardinality key (user_id, o_custkey,
+  event_type×hour) — the partition count grows with the data, no
+  driver-side state, no skew beyond what AQE already handles.
+- The histogram and z-score queries broadcast one tiny aggregate row
+  (global min/max, per-type mean/std) back across the scan — a
+  two-pass pattern that at cluster scale is a cheap O(groups)
+  broadcast, never a re-shuffle of the fact table.
+- Cohort retention is two shuffles (first-touch per user, then the
+  cohort×offset rollup) — the first is reusable state in a real
+  pipeline (a `users` dimension), noted in the docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+
+SESSION_GAP_MIN = 30
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+
+@query(
+    "events_sessionize_gaps",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(ts) AS ts_us,
+                   LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_us
+            FROM events
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN prev_us IS NULL
+                             OR ts_us - prev_us > {_GAP_US}
+                        THEN 1 ELSE 0 END AS boundary
+            FROM ordered
+        ),
+        numbered AS (
+            SELECT *,
+                   SUM(boundary) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) AS session_end_us,
+               MAX(ts_us) - MIN(ts_us) AS duration_us,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    tags=("events", "window", "sessionize"),
+    bench=True,
+)
+def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization with per-session stats — the
+    batch twin of streaming session windows, but returning session-level
+    facts (duration, purchase count) rather than just counts.
+
+    One shuffle on user_id serves both window passes AND the final
+    group-by (Catalyst reuses the hash partitioning), so at 100 TB this
+    is a single repartition of the event log no matter how many
+    session-level metrics are added. Timestamps flow as microsecond
+    integers end to end — no float time math.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "boundary",
+        F.when(
+            F.lag("ts_us").over(order).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(order) > F.lit(_GAP_US)),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("boundary").over(order).cast("long")
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+            FROM events
+        )
+        SELECT epoch_us(cohort_day) AS cohort_day_us,
+               CAST((epoch_us(active_day) - epoch_us(cohort_day))
+                    / 86400000000 AS BIGINT) AS day_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN firsts f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    tags=("events", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-touch day,
+    distinct active users per (cohort_day, day_offset).
+
+    At scale the `firsts` aggregate is the reusable `users` dimension a
+    real pipeline maintains incrementally; it is tiny relative to the
+    event log, so the enrich join is a broadcast — the only full-data
+    shuffle is the final distinct-count rollup.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.date_trunc("day", "ts")).alias("day_us")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day_us").alias("cohort_day_us"))
+    active = ev.distinct()
+    return (
+        active.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day_us",
+            ((F.col("day_us") - F.col("cohort_day_us")) / F.lit(86400000000))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .groupBy("cohort_day_us", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "timeseries_ohlc",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   epoch_us(date_trunc('hour', ts)) AS bucket_us,
+                   value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id
+                   ) AS rn_asc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn_desc
+            FROM events
+        )
+        SELECT event_type, bucket_us,
+               MAX(CASE WHEN rn_asc = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_desc = 1 THEN value END) AS close,
+               COUNT(*) AS n_ticks
+        FROM ranked
+        GROUP BY event_type, bucket_us
+    """,
+    tags=("timeseries", "window"),
+)
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) downsampling per event type —
+    the hypertable-rollup shape. Open/close are deterministic arg-min/
+    arg-max via lexicographic struct MIN/MAX over (ts_us, event_id,
+    value) — single aggregation pass, no window functions, no second
+    shuffle. All values pass through untouched (no float arithmetic),
+    so cross-engine parity is exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("bucket_us"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    first = F.min(F.struct("ts_us", "event_id", "value"))
+    last = F.max(F.struct("ts_us", "event_id", "value"))
+    return ev.groupBy("event_type", "bucket_us").agg(
+        first.getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        last.getField("value").alias("close"),
+        F.count("*").alias("n_ticks"),
+    )
+
+
+@query(
+    "profile_numeric_histogram",
+    oracle="""
+        WITH bounds AS (
+            SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM orders
+        )
+        SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0))
+                          AS INTEGER), 19) AS bin,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders, bounds
+        GROUP BY 1
+    """,
+    tags=("profiling", "agg"),
+)
+def profile_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order totals — the numeric-column
+    profiling pass of a data-quality report.
+
+    Two-pass shape: a one-row global min/max aggregate is broadcast back
+    over the scan (a literal-sized build side at any scale), then the
+    bin index is a row-local IEEE expression identical in both engines,
+    so bucket membership cannot drift. The per-bin SUM is
+    summation-order dependent -> rounded identically on both sides.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    bin_ix = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
+        F.lit(19),
+    )
+    return (
+        orders.join(F.broadcast(bounds))
+        .select(bin_ix.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "scd2_order_history",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               epoch_us(o_orderdate) AS effective_from_us,
+               LEAD(epoch_us(o_orderdate)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS effective_to_us,
+               CASE WHEN LEAD(o_orderkey) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ) IS NULL THEN TRUE ELSE FALSE END AS is_current
+        FROM orders
+    """,
+    tags=("scd", "window"),
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each customer's order stream becomes
+    validity intervals [effective_from, effective_to) with an
+    `is_current` flag on the open-ended row — the merge/upsert snapshot
+    shape of a dimension-table pipeline.
+
+    One window pass, one shuffle on the dimension key; ties broken by
+    (o_orderdate, o_orderkey) so the interval chain is deterministic.
+    At 100 TB this runs per-partition after a hash shuffle on
+    o_custkey — no global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.unix_micros("o_orderdate").alias("from_us")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("from_us", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("from_us").alias("effective_from_us"),
+        F.lead("from_us").over(w).alias("effective_to_us"),
+        F.lead("o_orderkey").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   ROUND(AVG(value), 6) AS mean_v,
+                   ROUND(STDDEV_SAMP(value), 6) AS std_v
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               ROUND((value - mean_v) / std_v, 4) AS zscore
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE ABS((value - mean_v) / std_v) > 2.5
+    """,
+    tags=("events", "anomaly"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: events more than 2.5
+    sample standard deviations from their type's mean.
+
+    Determinism: the per-type mean/std are rounded to 6 dp on BOTH
+    sides BEFORE the z computation, so threshold membership is decided
+    by an identical expression over identical inputs — summation-order
+    ULP drift in the aggregate cannot flip a row across the 2.5 cut.
+    The stats table is O(types) -> broadcast; the fact scan is
+    filtered row-locally, no second shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 6).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+    )

@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are side-effectful (decorator registration); keep the list
     # explicit so a missing module is an error, not silent shrinkage.
     from mapreduceframework_spark.plans import (  # noqa: F401
+        analytics_queries,
         core_queries,
         extension_queries,
         join_queries,
