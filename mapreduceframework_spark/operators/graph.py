@@ -82,3 +82,58 @@ def connected_components(
         f"connected_components: no fixpoint after {max_iter} rounds "
         "(component diameter exceeds max_iter; use large-star/small-star)"
     )
+
+
+def pagerank_int(
+    edges: DataFrame, iterations: int = 3, scale: int = 10**12
+) -> DataFrame:
+    """Fixed-iteration PageRank over directed ``edges`` (src, dst) in
+    integer micro-units — bit-reproducible across engines and runs.
+
+    Every quantity is a BIGINT multiple of 1/``scale``: the initial rank
+    is ``scale div N``, each out-edge carries ``rank div outdeg``, and the
+    damped update is ``(3*scale) div (20*N) + (17*sum) div 20`` (0.15 and
+    0.85 as exact rationals). Integer division makes the float-free
+    recurrence associativity-proof: group sums of BIGINTs are exact, so
+    the result is identical no matter the partitioning or engine — the
+    same determinism trick as the int8-quantized k-means
+    (operators/vectors.py). Sink mass is dropped, not redistributed
+    (both sides agree; total rank decays, relative order is standard).
+
+    Scale notes (100 TB): each iteration is one shuffle join
+    (edges x ranks on src, edge-partitioned) + one partial-aggregated
+    groupBy(dst) — the classic MapReduce PageRank dataflow with map-side
+    combine for free. ``iterations`` is fixed (no convergence collect);
+    the rank table is O(nodes), re-derived lazily per iteration so the
+    composed plan stays a DAG Catalyst can pipeline. For web-scale
+    graphs, checkpoint ranks every ~5 rounds to truncate lineage.
+    """
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("d"))
+    r = nodes.join(F.broadcast(nn)).selectExpr(
+        "id", f"CAST({scale} AS BIGINT) div n AS rank"
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(r.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .selectExpr("dst AS id", "rank div d AS c")
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(F.broadcast(nn))
+            .join(sums, "id", "left")
+            .selectExpr(
+                "id",
+                f"CAST({3 * scale} AS BIGINT) div (20 * n)"
+                " + coalesce((17 * s) div 20, CAST(0 AS BIGINT)) AS rank",
+            )
+        )
+    return r

@@ -1,0 +1,258 @@
+"""Graph analytics queries (SURVEY.md §2.2 ⊕ rows — north-star family).
+
+The reference has no graph surface; its substrate (shuffle-on-key +
+full-group reduce, reference JobContext.cpp:80-172) is exactly the
+MapReduce dataflow the classic graph algorithms were published on, so
+this family is the canonical "what a reference user would build next".
+Built here Spark-first: every iteration is a join + partial-aggregated
+groupBy that Catalyst pipelines; no driver-side data loops.
+
+The test graph is the TPC-H nation trade graph: a directed edge
+(customer nation -> supplier nation) for every distinct trading pair in
+orders x lineitem. ~25 nodes and dense cycles at every SF — the graph
+SHAPE is fixed while the edge-derivation scan scales with the fact
+tables, so the expensive part of the query is exactly the part that
+grows to 100 TB.
+
+Cross-engine determinism: PageRank runs in integer micro-units
+(operators/graph.py::pagerank_int) — BIGINT sums are associativity-proof
+so Spark's partitioned aggregation and DuckDB's serial CTE produce
+bit-identical ranks; no float tolerance anywhere in this family.
+
+Scale notes (100 TB):
+- Edge derivation is the dominant cost: a star join over the fact table
+  then DISTINCT on the pair — one shuffle, map-side partial dedup.
+- PageRank iterations shuffle O(edges) each; ranks are O(nodes). On a
+  web-scale graph, partition edges by src once (reused every round) and
+  checkpoint ranks every ~5 rounds to truncate lineage.
+- Triangle counting joins the oriented edge list to itself twice —
+  O(sum of deg^2) intermediate. The standard scale trick (orient edges
+  low-degree -> high-degree, Suri & Vassilvitskii WWW'11) keeps the
+  wedge set near-linear on power-law graphs; noted at the call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.operators.graph import pagerank_int
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+
+# Directed trading edges: customer nation name -> supplier nation name,
+# one row per distinct pair (self-loops kept — a nation trading with
+# itself is a real cycle and both engines agree on it).
+TRADE_EDGES_CTE = """
+    trade_e AS (
+        SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+"""
+
+PR_SCALE = 10**12
+PR_ITERS = 3
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("src"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("dst"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unroll PR_ITERS integer-PageRank rounds as DuckDB CTEs.
+
+    The recurrence is the same exact-integer one as pagerank_int:
+    r0 = scale // n; s_{t+1}(v) = sum over in-edges of r_t(u) // d(u);
+    r_{t+1} = 3*scale // (20*n) + 17*s // 20. All-BIGINT, all-positive,
+    so DuckDB floor-division == Spark `div` truncation and the group
+    sums are exact — the hash must match bit-for-bit.
+    """
+    ctes = [
+        TRADE_EDGES_CTE,
+        "nodes AS (SELECT src AS id FROM trade_e"
+        " UNION SELECT dst FROM trade_e)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d"
+        " FROM trade_e GROUP BY src)",
+        f"r0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) // n AS rank"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"s{t} AS (SELECT e.dst AS id, SUM(r.rank // o.d) AS s"
+            f" FROM trade_e e JOIN r{t - 1} r ON r.id = e.src"
+            " JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{t} AS (SELECT nd.id,"
+            f" CAST(CAST({3 * PR_SCALE} AS BIGINT) // (20 * n)"
+            f" + COALESCE((17 * s{t}.s) // 20, 0) AS BIGINT) AS rank"
+            f" FROM nodes nd CROSS JOIN nn"
+            f" LEFT JOIN s{t} ON s{t}.id = nd.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank FROM r{PR_ITERS}"
+    )
+
+
+@query(
+    "graph_pagerank_trade",
+    oracle=_pagerank_oracle_sql(),
+    tags=("graph", "extension"),
+    bench=True,
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph, 3 fixed iterations in
+    BIGINT micro-units (damping 17/20, teleport 3/20 — exact rationals,
+    operators/graph.py::pagerank_int). The oracle unrolls the identical
+    integer recurrence as CTEs, so the distributed join-per-round
+    fixpoint is checked bit-for-bit against a serial evaluation."""
+    return pagerank_int(
+        _trade_edges(spark, sf_dir), iterations=PR_ITERS, scale=PR_SCALE
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH {TRADE_EDGES_CTE},
+        und AS (SELECT src, dst FROM trade_e WHERE src < dst
+                UNION
+                SELECT dst AS src, src AS dst FROM trade_e
+                WHERE dst < src),
+        tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+                FROM und e1
+                JOIN und e2 ON e2.src = e1.dst AND e2.dst > e1.dst
+                JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        SELECT (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM und)
+                   AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+               triangles
+        FROM tri
+    """,
+    tags=("graph", "extension"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the undirected trade graph via the
+    oriented-wedge join: edges canonicalized to src < dst, wedges
+    e1(a,b) x e2(b,c) with b < c, closed by e3(a,c). Each triangle is
+    counted exactly once. At power-law scale, orient by degree instead
+    of by id (Suri & Vassilvitskii WWW'11) so hub wedge lists stay
+    near-linear; the join skeleton is unchanged."""
+    e = _trade_edges(spark, sf_dir)
+    und = (
+        e.filter(F.col("src") < F.col("dst"))
+        .union(
+            e.filter(F.col("dst") < F.col("src")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.src") == F.col("e1.dst"))
+            & (F.col("e2.dst") > F.col("e1.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count("*").alias("triangles"))
+    )
+    summary = und.agg(
+        F.countDistinct("src").alias("n_nodes"),
+        F.count("*").alias("n_edges"),
+    )
+    return F.broadcast(summary).crossJoin(tri).select(
+        "n_nodes", "n_edges", "triangles"
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+        WITH {TRADE_EDGES_CTE},
+        outs AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_deg
+                 FROM trade_e GROUP BY src),
+        ins AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS in_deg
+                FROM trade_e GROUP BY dst),
+        recip AS (SELECT a.src AS id,
+                         CAST(COUNT(*) AS BIGINT) AS reciprocal_deg
+                  FROM trade_e a JOIN trade_e b
+                  ON b.src = a.dst AND b.dst = a.src AND a.src <> a.dst
+                  GROUP BY a.src)
+        SELECT COALESCE(o.id, i.id) AS id,
+               COALESCE(o.out_deg, 0) AS out_deg,
+               COALESCE(i.in_deg, 0) AS in_deg,
+               COALESCE(r.reciprocal_deg, 0) AS reciprocal_deg
+        FROM outs o
+        FULL OUTER JOIN ins i ON i.id = o.id
+        LEFT JOIN recip r ON r.id = COALESCE(o.id, i.id)
+    """,
+    tags=("graph", "extension"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree profile of the directed trade graph: out-degree,
+    in-degree, and reciprocal degree (partners that trade back,
+    self-loops excluded) — the standard first look at any graph, and
+    the input to degree-based edge orientation for the triangle pass.
+    One groupBy per direction plus a self-join on the reversed pair;
+    all partial-aggregated, no driver-side state."""
+    e = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    outs = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    ins = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_deg")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    recip = (
+        a.join(
+            b,
+            (F.col("b.src") == F.col("a.dst"))
+            & (F.col("b.dst") == F.col("a.src"))
+            & (F.col("a.src") != F.col("a.dst")),
+        )
+        .groupBy(F.col("a.src").alias("id"))
+        .agg(F.count("*").alias("reciprocal_deg"))
+    )
+    return (
+        outs.join(ins, "id", "full_outer")
+        .join(recip, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("reciprocal_deg", F.lit(0)).alias("reciprocal_deg"),
+        )
+    )

@@ -78,6 +78,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics_queries,
         core_queries,
         extension_queries,
+        graph_queries,
         join_queries,
         mapreduce_queries,
         streaming_queries,

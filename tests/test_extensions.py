@@ -350,3 +350,54 @@ def test_observation_metrics_single_pass(spark, sf_dir):
     m = obs.get
     assert m["rows_in"] == li.count()
     assert m["rows_kept"] == n_kept
+
+
+def test_pagerank_int_matches_hand_computation(spark):
+    """One exact-integer iteration on a 3-node cycle-with-chord must
+    reproduce the hand-derived BIGINT recurrence; a second run must be
+    bit-identical (associativity-proof integer sums)."""
+    from mapreduceframework_spark.operators.graph import pagerank_int
+
+    # 1->2, 1->3, 2->3, 3->1 : out-degrees d(1)=2, d(2)=1, d(3)=1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    scale = 10**6
+    # r0 = scale//3 = 333333 each. Contributions: node1 gets r0(3)//1;
+    # node2 gets r0(1)//2; node3 gets r0(1)//2 + r0(2)//1.
+    r0 = scale // 3
+    base = 3 * scale // (20 * 3)
+    expect = {
+        1: base + 17 * (r0 // 1) // 20,
+        2: base + 17 * (r0 // 2) // 20,
+        3: base + 17 * (r0 // 2 + r0 // 1) // 20,
+    }
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank_int(edges, iterations=1, scale=scale).collect()
+    }
+    assert got == expect
+    rerun = {
+        r["id"]: r["rank"]
+        for r in pagerank_int(edges, iterations=1, scale=scale).collect()
+    }
+    assert rerun == got
+
+
+def test_pagerank_int_sink_node_drops_mass(spark):
+    """A sink (no out-edges) still receives rank but leaks its own —
+    total mass after one round is strictly below scale, and every node
+    keeps at least the teleport floor."""
+    from mapreduceframework_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    scale = 10**6
+    ranks = {
+        r["id"]: r["rank"]
+        for r in pagerank_int(edges, iterations=1, scale=scale).collect()
+    }
+    floor = 3 * scale // (20 * 3)
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[1] == floor and ranks[3] == floor
+    assert ranks[2] > floor
+    assert sum(ranks.values()) < scale
