@@ -107,8 +107,14 @@ def pagerank_int(
     the rank table is O(nodes), re-derived lazily per iteration so the
     composed plan stays a DAG Catalyst can pipeline. For web-scale
     graphs, checkpoint ranks every ~5 rounds to truncate lineage.
+
+    The edge set is materialized ONCE (localCheckpoint) — it is read
+    2 + 2*iterations times (nodes, outdeg, every round's contrib), and
+    without truncation each reference re-runs the caller's whole edge
+    -derivation pipeline (measured 2.5x slower on the trade graph,
+    whose edges come from a 5-way star join over the fact table).
     """
-    e = edges.select("src", "dst")
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

@@ -81,6 +81,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph_queries,
         join_queries,
         mapreduce_queries,
+        sketch_queries,
         streaming_queries,
         tpch_queries,
         udf_queries,

@@ -1,0 +1,265 @@
+"""Probabilistic sketch queries (SURVEY.md §2.2 ⊕ — sketch family).
+
+The reference's unique-key set (reference JobContext.h:78) holds exact
+per-key state; these queries are its constant-memory replacements for
+100 TB streams: count-min for heavy-hitter counts, Bloom for membership,
+KMV for cardinality. Spark only ships HLL, so the other three are built
+from plain DataFrame ops (operators/sketches.py).
+
+Everything here is deliberately *deterministic*: the sketches use fixed
+explicit hash formulas rendered identically in Spark and DuckDB, so
+collisions, overcounts, and false positives — the defining behaviors of
+approximate structures — are themselves value-hash-checked across
+engines, not waved through with tolerances.
+
+Scale notes (100 TB):
+- sketch state is O(d*w) / O(m) / O(k per group) — independent of input
+  size; building each is one partial-aggregated shuffle (map-side
+  combine collapses partitions to sketch-size before the exchange).
+- probes broadcast the sketch (a few KB) against the probe stream —
+  never a shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceframework_spark.operators import dedup as D
+from mapreduceframework_spark.operators import sketches as S
+from mapreduceframework_spark.plans.extension_queries import DOCS_CTE, _docs
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+
+KMV_K = 16
+HEAVY_MIN = 100  # true-count threshold for the CMS probe set
+
+
+def _cells_union_sql(src: str, a_b: tuple, mod: int, val: str) -> str:
+    """UNION ALL rendering of per-row hash cells (mirrors posexplode
+    order: row_id = index into the coefficient tuples)."""
+    parts = [
+        f"SELECT {i} AS row_id, ({a} * wh + {b}) % {D.P} % {mod} AS col_id,"
+        f" {val} FROM {src}"
+        for i, (a, b) in enumerate(zip(*a_b))
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "sketch_countmin_heavy",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        w AS (SELECT unnest(words) AS word FROM d),
+        wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS true_cnt
+               FROM w GROUP BY word),
+        wch AS (SELECT word, true_cnt, {D.word_hash_sql("word")} AS wh
+                FROM wc),
+        cells AS ({_cells_union_sql("wch", (S.CMS_A, S.CMS_B),
+                                    S.CMS_WIDTH, "true_cnt")}),
+        sketch AS (SELECT row_id, col_id,
+                          CAST(SUM(true_cnt) AS BIGINT) AS cell
+                   FROM cells GROUP BY row_id, col_id),
+        heavy AS (SELECT * FROM wch WHERE true_cnt >= {HEAVY_MIN}),
+        hcells AS ({_cells_union_sql("heavy", (S.CMS_A, S.CMS_B),
+                                     S.CMS_WIDTH, "word, true_cnt")})
+        SELECT h.word, h.true_cnt, MIN(s.cell) AS est_cnt,
+               MIN(s.cell) - h.true_cnt AS overcount
+        FROM hcells h JOIN sketch s USING (row_id, col_id)
+        GROUP BY h.word, h.true_cnt
+    """,
+    tags=("sketch", "extension"),
+)
+def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 256) over document word
+    frequencies, then a heavy-hitter probe: for every word with true
+    count >= HEAVY_MIN, the CMS estimate (min over rows of the hashed
+    cell) and its overcount. CMS guarantees est >= true; the overcount
+    column makes collision inflation visible and cross-engine-checked.
+    The sketch build is one shuffle to d*w=1024 cells with map-side
+    combine — at 100 TB the exchange moves <= 1024 rows per partition
+    no matter the corpus size."""
+    w = _docs(spark, sf_dir).select(F.explode("words").alias("word"))
+    wc = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("true_cnt"))
+        .withColumn("wh", D.word_hash(F.col("word")))
+    )
+    cells = wc.select(
+        F.posexplode(S.cms_cols(F.col("wh"))).alias("row_id", "col_id"),
+        "true_cnt",
+    )
+    sketch = cells.groupBy("row_id", "col_id").agg(
+        F.sum("true_cnt").alias("cell")
+    )
+    heavy = wc.filter(F.col("true_cnt") >= HEAVY_MIN)
+    hcells = heavy.select(
+        "word",
+        "true_cnt",
+        F.posexplode(S.cms_cols(F.col("wh"))).alias("row_id", "col_id"),
+    )
+    return (
+        hcells.join(F.broadcast(sketch), ["row_id", "col_id"])
+        .groupBy("word", "true_cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+        .select(
+            "word",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+    )
+
+
+@query(
+    "sketch_bloom_probe",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        build AS (SELECT DISTINCT unnest(words) AS word FROM d),
+        bh AS (SELECT word, {D.word_hash_sql("word")} AS wh FROM build),
+        bbits AS (SELECT DISTINCT col_id AS bit FROM
+                  ({_cells_union_sql("bh", (S.BLOOM_A, S.BLOOM_B),
+                                     S.BLOOM_BITS, "1 AS one")})),
+        probe AS (SELECT DISTINCT unnest(
+                      regexp_split_to_array(trim(p_name), '\\s+')) AS word
+                  FROM part),
+        ph AS (SELECT word, {D.word_hash_sql("word")} AS wh FROM probe),
+        pcells AS ({_cells_union_sql("ph", (S.BLOOM_A, S.BLOOM_B),
+                                     S.BLOOM_BITS, "word")}),
+        hits AS (SELECT p.word,
+                        CAST(BOOL_AND(b.bit IS NOT NULL) AS BOOLEAN)
+                            AS in_bloom
+                 FROM pcells p LEFT JOIN bbits b ON b.bit = p.col_id
+                 GROUP BY p.word)
+        SELECT h.word, h.in_bloom,
+               (bh2.word IS NOT NULL) AS is_member,
+               (h.in_bloom AND bh2.word IS NULL) AS false_positive
+        FROM hits h LEFT JOIN build bh2 ON bh2.word = h.word
+    """,
+    tags=("sketch", "extension"),
+)
+def sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (m=4096 bits, k=3) built over the document
+    vocabulary, probed with part-name tokens — a disjoint vocabulary,
+    so false positives are possible and (with fixed hashes) exactly
+    reproducible. Output per probe token: bloom verdict, true
+    membership, and the false-positive flag. The bit set is <= m rows
+    broadcast to the probe side; at 100 TB the probe is a map-only pass
+    (this is the manual form of the runtime bloom-join pruning enabled
+    in cluster_conf)."""
+    build = (
+        _docs(spark, sf_dir)
+        .select(F.explode("words").alias("word"))
+        .distinct()
+    )
+    bbits = (
+        build.select(
+            F.explode(S.bloom_bits(D.word_hash(F.col("word")))).alias("bit")
+        )
+        .distinct()
+    )
+    probe = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.explode(D.words_of(F.col("p_name"))).alias("word")
+        )
+        .distinct()
+    )
+    pcells = probe.select(
+        "word",
+        F.explode(S.bloom_bits(D.word_hash(F.col("word")))).alias("col_id"),
+    )
+    hits = (
+        pcells.join(
+            F.broadcast(bbits), pcells.col_id == bbits.bit, "left"
+        )
+        .groupBy("word")
+        .agg(F.min(F.col("bit").isNotNull()).alias("in_bloom"))
+    )
+    member = build.withColumnRenamed("word", "mword")
+    return (
+        hits.join(
+            F.broadcast(member), hits.word == member.mword, "left"
+        )
+        .select(
+            "word",
+            "in_bloom",
+            F.col("mword").isNotNull().alias("is_member"),
+            (F.col("in_bloom") & F.col("mword").isNull()).alias(
+                "false_positive"
+            ),
+        )
+    )
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+        WITH d AS (SELECT source,
+                          regexp_split_to_array(trim(text), '\\s+') AS words
+                   FROM documents WHERE length(trim(text)) > 0),
+        sw AS (SELECT DISTINCT source, unnest(words) AS word FROM d),
+        sh AS (SELECT DISTINCT source,
+                      {S.kmv_hash_sql(D.word_hash_sql("word"))} AS h
+               FROM sw),
+        ranked AS (SELECT source, h,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY h) AS rn
+                   FROM sh),
+        nh AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hashes
+               FROM sh GROUP BY source),
+        kth AS (SELECT source, h AS h_k FROM ranked WHERE rn = {KMV_K}),
+        exact AS (SELECT source, CAST(COUNT(DISTINCT word) AS BIGINT)
+                             AS exact_words
+                  FROM sw GROUP BY source)
+        SELECT e.source, e.exact_words,
+               CAST(COALESCE(CAST({(KMV_K - 1) * D.P} AS BIGINT) // k.h_k,
+                             n.n_hashes) AS BIGINT) AS est_distinct
+        FROM exact e
+        JOIN nh n ON n.source = e.source
+        LEFT JOIN kth k ON k.source = e.source
+    """,
+    tags=("sketch", "extension"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k minimum values, k=16) distinct-count estimate per document
+    source vs the exact count. est = (k-1)*P // h_k where h_k is the
+    k-th smallest distinct hash; groups with fewer than k hashes fall
+    back to their exact hash count (both engines agree). Integer
+    division keeps the estimate bit-exact. KMV state is O(k) per group
+    and merges by keeping the k smallest of a union — the property that
+    lets 1000 executors sketch partitions independently."""
+    sw = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode("words").alias("word"))
+        .distinct()
+    )
+    sh = sw.select(
+        "source", S.kmv_hash(D.word_hash(F.col("word"))).alias("h")
+    ).distinct()
+    ranked = sh.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    )
+    nh = sh.groupBy("source").agg(F.count("*").alias("n_hashes"))
+    kth = ranked.filter(F.col("rn") == KMV_K).select(
+        "source", F.col("h").alias("h_k")
+    )
+    exact = sw.groupBy("source").agg(
+        F.countDistinct("word").alias("exact_words")
+    )
+    return (
+        exact.join(nh, "source")
+        .join(kth, "source", "left")
+        .select(
+            "source",
+            "exact_words",
+            F.coalesce(
+                # BIGINT `div`, never float `/` + cast: double rounding
+                # near an integer boundary would drift off the oracle's
+                # exact floor division.
+                F.expr(f"CAST({(KMV_K - 1) * D.P} AS BIGINT) div h_k"),
+                F.col("n_hashes"),
+            ).alias("est_distinct"),
+        )
+    )
