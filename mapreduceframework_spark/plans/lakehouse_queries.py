@@ -1,0 +1,154 @@
+"""Lakehouse/table-maintenance queries: CDC merge, Z-order layout.
+
+The reference rebuilds its whole output per job (in-memory OutputVec,
+reference JobContext.cpp:374-380); a 100 TB store instead maintains
+snapshots incrementally (MERGE) and lays files out for data skipping
+(Z-order). Both are engine-level DataFrame programs here — no table
+format required — and both are deterministic integer/string programs, so
+the oracles check them value-exact.
+
+Scale notes (100 TB):
+- cdc_merge_orders: one full-outer shuffle join snapshot x changes; real
+  change batches are broadcast-small, making the merge map-only. Bucket
+  both sides by key for a zero-shuffle merge every batch.
+- layout_zorder_clustering: the z-value is a row-local integer
+  expression (whole-stage codegen); the physical layout step it feeds
+  (`repartitionByRange(z)` + sortWithinPartitions before write) gives
+  parquet row-group min/max stats that are selective on BOTH dimensions
+  — the summary emitted here is exactly the per-bucket rectangle bound
+  a reader's skipping logic would consult.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.operators.cdc import merge_changes
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+
+ORDER_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+INSERT_KEY_OFFSET = 10_000_000
+
+
+@query(
+    "cdc_merge_orders",
+    oracle=f"""
+        WITH ch AS (
+            SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority, 'U' AS op
+            FROM orders
+            WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority, 'D' AS op
+            FROM orders WHERE o_orderkey % 13 = 0
+            UNION ALL
+            SELECT o_orderkey + {INSERT_KEY_OFFSET}, o_custkey,
+                   'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority, 'I' AS op
+            FROM orders WHERE o_orderkey % 10 = 0
+        )
+        SELECT
+            {", ".join(
+                f"CASE WHEN c.op IN ('I','U') THEN c.{col} ELSE b.{col} END"
+                f" AS {col}" for col in ORDER_COLS
+            )}
+        FROM orders b
+        FULL OUTER JOIN ch c ON c.o_orderkey = b.o_orderkey
+        WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    tags=("lakehouse", "cdc", "extension"),
+    bench=True,
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on plain parquet: apply a deterministic change batch
+    (updates for keys %7, deletes for keys %13, inserts with offset
+    keys for keys %10) to the orders snapshot via
+    operators/cdc.py::merge_changes — one full-outer join, 'I'/'U'
+    rows win column-wise, 'D' rows drop. The oracle repeats the merge
+    as its literal SQL expansion, so every surviving/updated/inserted
+    row is value-checked."""
+    base = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    k = F.col("o_orderkey")
+    upd = (
+        base.filter((k % 13 != 0) & (k % 7 == 0))
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = base.filter(k % 13 == 0).withColumn("op", F.lit("D"))
+    ins = (
+        base.filter(k % 10 == 0)
+        .withColumn("o_orderkey", k + INSERT_KEY_OFFSET)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return merge_changes(base, changes, key="o_orderkey")
+
+
+Z_BITS = 8  # bits per dimension -> 16-bit z-value
+Z_BUCKETS = 32
+
+
+def _z_expr(x: str, y: str) -> str:
+    """Bit-interleave expression (shared Spark/DuckDB syntax):
+    bit i of x -> z bit 2i, bit i of y -> z bit 2i+1."""
+    # Every term is fully parenthesized: << binds LOOSER than + (C
+    # precedence, both engines), so `a << 0 + b << 1` would nest.
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_clustering",
+    oracle=f"""
+        WITH z AS (
+            SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+                   {_z_expr("(l_partkey % 256)", "(l_suppkey % 256)")} AS zv
+            FROM lineitem
+        )
+        SELECT CAST(zv // {65536 // Z_BUCKETS} AS BIGINT) AS zbucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(px) AS min_part, MAX(px) AS max_part,
+               MIN(sx) AS min_supp, MAX(sx) AS max_supp
+        FROM z GROUP BY 1
+    """,
+    tags=("lakehouse", "layout", "extension"),
+)
+def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) low
+    bytes, summarized as the min/max rectangle each of the 32 z-ranges
+    covers — small on BOTH dimensions, which is what makes row-group
+    stats selective for either predicate after a
+    `repartitionByRange(zv)` + sortWithinPartitions write. The z-value
+    is pure bit arithmetic (one codegen'd projection); the identical
+    expression string renders in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey % 256 AS px",
+        "l_suppkey % 256 AS sx",
+        f"{_z_expr('(l_partkey % 256)', '(l_suppkey % 256)')} AS zv",
+    )
+    return li.selectExpr(
+        f"CAST(zv div {65536 // Z_BUCKETS} AS BIGINT) AS zbucket",
+        "px",
+        "sx",
+    ).groupBy("zbucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("px").alias("min_part"),
+        F.max("px").alias("max_part"),
+        F.min("sx").alias("min_supp"),
+        F.max("sx").alias("max_supp"),
+    )

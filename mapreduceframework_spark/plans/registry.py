@@ -80,6 +80,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extension_queries,
         graph_queries,
         join_queries,
+        lakehouse_queries,
         mapreduce_queries,
         sketch_queries,
         streaming_queries,

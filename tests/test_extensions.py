@@ -401,3 +401,40 @@ def test_pagerank_int_sink_node_drops_mass(spark):
     assert ranks[1] == floor and ranks[3] == floor
     assert ranks[2] > floor
     assert sum(ranks.values()) < scale
+
+
+def test_merge_changes_semantics(spark):
+    """MERGE matrix on a 4-key base: untouched passthrough, U replaces,
+    D drops, I adds, and an 'I' on an existing key degenerates to
+    upsert instead of duplicating the key."""
+    from mapreduceframework_spark.operators.cdc import merge_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (5, "e", "I"), (4, "D2", "I")],
+        "k long, v string, op string",
+    )
+    got = {
+        r["k"]: r["v"] for r in merge_changes(base, changes, "k").collect()
+    }
+    assert got == {1: "a", 2: "B", 4: "D2", 5: "e"}
+
+
+def test_zorder_interleave_known_values(spark):
+    """Bit interleave must place x bits at even and y bits at odd
+    positions: z(x=1,y=0)=1, z(0,1)=2, z(3,3)=15, z(255,0)=0x5555."""
+    from mapreduceframework_spark.plans.lakehouse_queries import _z_expr
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (255, 0)], "x long, y long"
+    )
+    vals = [
+        r["z"]
+        for r in df.selectExpr(f"{_z_expr('x', 'y')} AS z")
+        .orderBy("x", "y")
+        .collect()
+    ]
+    # rows ordered by (x,y): (0,1), (1,0), (3,3), (255,0)
+    assert vals == [2, 1, 15, 0x5555]
