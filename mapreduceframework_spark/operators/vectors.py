@@ -185,8 +185,14 @@ def kmeans_lloyd(
 
     Returns ``(assignments, centroids)``: the final assignment
     DataFrame (vec_id, cid, qv) after ``updates`` centroid updates plus
-    one final assignment pass, and the final centroid DataFrame
-    (cid, c array<double>).
+    one final assignment pass, and the final centroids as a plain
+    Python ``list[list[float]]`` indexed by cid (model state lives on
+    the driver, exactly like MLlib's KMeansModel.clusterCenters —
+    callers derive digests/literals from it without another join;
+    joining assignment output back to a centroid DataFrame also trips
+    Catalyst constraint inference into pushing the HOF argmin
+    expression across the join, an INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    at execution time on Spark 4.1).
 
     Cross-engine determinism (the whole reason the input is the int8
     code array, not raw floats): member sums per dimension are exact
@@ -198,68 +204,93 @@ def kmeans_lloyd(
     within one engine — never occurs.
 
     Scale shape per iteration (n vectors, d dims, k centroids):
-    - assignment: centroids broadcast (k x d doubles — always tiny), a
-      broadcast nested-loop fan-out of k rows per vector, then a
-      row_number window partitioned by vec_id: one shuffle of O(n x k)
-      skinny rows (no payload: vec_id, cid, dist).
+    - centroids are MODEL STATE, not data: k x d doubles (k=8, d=64 ->
+      512 values). They live on the driver between rounds and enter
+      each pass as a literal array<struct<cid, c>> column — the same
+      driver-resident-model design as Spark MLlib's KMeans. Collecting
+      O(k x d) per round is not a driver-side data loop; the corpus
+      itself never moves.
+    - assignment: each vector computes all k distances row-locally
+      with nested HOFs over the centroid literal and takes
+      ``array_min(struct(dist, cid))`` — lexicographic struct min =
+      min distance, ties to the lowest cid, exactly the
+      row_number(ORDER BY dist, cid) = 1 semantics the SQL oracle
+      spells out. ZERO shuffle and zero join per assignment pass.
+      (Round 2 used crossJoin(broadcast) + row_number, which shuffled
+      O(n x k) skinny rows per iteration; at 100 TB x k=8 that is 8x
+      the corpus in data motion per pass, and it benched 5x slower.)
     - update: posexplode to (cid, dim, val) and a partial-aggregated
-      groupBy: shuffle is O(k x d) after map-side combine, NOT O(n x d).
-    - centroids are localCheckpointed each round: keeps the iterative
-      lineage flat (same lesson as operators/graph.py connected
-      components: without it every round re-runs all prior rounds).
-    Empty clusters keep their previous centroid (COALESCE), matching
-    the SQL oracle's LEFT JOIN.
+      groupBy: shuffle is O(k x d) after map-side combine, NOT
+      O(n x d); the k x d means then come back to the driver. One
+      Spark job per round — no localCheckpoint barriers (round 2
+      checkpointed a k-row DataFrame every round; each eager
+      checkpoint is a full job barrier and they dominated the wall
+      clock at small SF).
+    - the corpus ``q`` is cache()d (lazy, MEMORY_AND_DISK) so repeated
+      passes re-read a materialized quantized corpus instead of
+      re-running scan+quantize per round. Lazy on purpose: an eager
+      localCheckpoint is a synchronous extra job; cache populates
+      during the first pass that already does useful work. Lineage
+      never grows here (every pass starts from ``q``), so checkpoint
+      -style truncation isn't needed.
+    Empty clusters keep their previous centroid (dict .get default),
+    matching the SQL oracle's LEFT JOIN + COALESCE.
     """
-    from pyspark.sql.window import Window
+    q = q.cache()
 
-    q = q.localCheckpoint(eager=True)
-    w_init = Window.orderBy("vec_id")
-    centroids = (
-        q.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w_init) - 1).cast("long").alias("cid"),
-            F.transform("qv", lambda v: v.cast("double")).alias("c"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # Initial centroids: the first k vectors by vec_id, widened to
+    # double. Exact round trip: BIGINT codes -> Python int -> float.
+    first_k = q.orderBy("vec_id").limit(k).collect()
+    first_k.sort(key=lambda r: r["vec_id"])
+    cents: list[list[float]] = [
+        [float(v) for v in r["qv"]] for r in first_k
+    ]
 
-    def assign(cents):
-        dist = F.aggregate(
-            F.zip_with("qv", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, e: acc + e,
+    def cent_literal(cs: list[list[float]]) -> Column:
+        return F.array(*[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(v) for v in c]).alias("c"),
+            )
+            for cid, c in enumerate(cs)
+        ])
+
+    def assign(cs: list[list[float]]):
+        def dist_to(ct):
+            return F.aggregate(
+                F.zip_with("qv", ct["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+
+        best = F.array_min(
+            F.transform(
+                cent_literal(cs),
+                lambda ct: F.struct(
+                    dist_to(ct).alias("dist"), ct["cid"].alias("cid")
+                ),
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            q.crossJoin(F.broadcast(cents))
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "qv")
-        )
+        return q.select("vec_id", best["cid"].alias("cid"), "qv")
 
     for _ in range(updates):
-        asg = assign(centroids)
-        per_dim = (
-            asg.select("cid", F.posexplode("qv").alias("pos", "val"))
+        # Per-dimension integer sums -> exact double mean, O(k x d)
+        # rows back to the driver (the model update, as in MLlib).
+        rows = (
+            assign(cents)
+            .select("cid", F.posexplode("qv").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(
-                (F.sum("val").cast("double") / F.count("*")).alias("v")
-            )
+            .agg((F.sum("val").cast("double") / F.count("*")).alias("v"))
+            .collect()
         )
-        newc = per_dim.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                lambda s: s["v"],
-            ).alias("c_new")
-        )
-        centroids = (
-            centroids.join(newc, "cid", "left")
-            .select(
-                "cid", F.coalesce("c_new", "c").alias("c")
-            )
-            .localCheckpoint(eager=True)
-        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["v"]
+        cents = [
+            [dims[p] for p in sorted(dims)]
+            if (dims := by_cid.get(cid)) is not None
+            else old
+            for cid, old in enumerate(cents)
+        ]
 
-    return assign(centroids), centroids
+    return assign(cents), cents

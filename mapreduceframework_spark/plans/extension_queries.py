@@ -1540,14 +1540,30 @@ def kmeans_quantized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     asg, cents = V.kmeans_lloyd(q, k=8, updates=2)
-    M = F.lit(1000000007).cast("long")
-    digest = cents.select(
-        "cid",
-        F.aggregate(
-            F.transform("c", lambda v: F.floor(v * 1000 + 0.5)),
-            F.lit(0).cast("long"),
-            lambda acc, e: (acc * 31 + e) % M,
-        ).alias("centroid_digest"),
+    # Centroids are driver-side model state (list[list[float]]), so the
+    # coordinate digest is plain Python — same IEEE floor(v*1000+0.5)
+    # per element and exact integer fold as the oracle's list_reduce —
+    # attached as a literal map. No join: joining the HOF-argmin cid
+    # back to a centroid relation trips Catalyst constraint inference
+    # (see kmeans_lloyd docstring).
+    import math
+
+    M = 1000000007
+    digests = {}
+    for cid, c in enumerate(cents):
+        acc = 0
+        for v in c:
+            acc = acc * 31 + int(math.floor(v * 1000 + 0.5))
+            # truncated modulo (sign of dividend), matching Spark's and
+            # DuckDB's `%` — Python's `%` floors instead.
+            acc = abs(acc) % M if acc >= 0 else -(abs(acc) % M)
+        digests[cid] = acc
+    digest_map = F.create_map(
+        *[
+            x
+            for cid, d in digests.items()
+            for x in (F.lit(cid).cast("long"), F.lit(d).cast("long"))
+        ]
     )
     return (
         asg.groupBy("cid")
@@ -1555,8 +1571,12 @@ def kmeans_quantized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_members"),
             F.sum("vec_id").alias("sum_vec_ids"),
         )
-        .join(F.broadcast(digest), "cid")
-        .select("cid", "n_members", "sum_vec_ids", "centroid_digest")
+        .select(
+            "cid",
+            "n_members",
+            "sum_vec_ids",
+            digest_map[F.col("cid")].alias("centroid_digest"),
+        )
     )
 
 

@@ -70,8 +70,108 @@ def query(
     return deco
 
 
+# The driver's per-round correctness run checks the FIRST 50 entries of
+# all_queries() in iteration order. This list pins the round-3 window to
+# one representative per family that had no driver correctness row in
+# CORRECTNESS_r02.json (generic MapReduce client API, every join shape,
+# TPC-H, window functions, streaming, UDF/UDTF, sketches, graph,
+# lakehouse, ANN, k-means, multimodal). Families already green in r02
+# rotate to the back (their record is CORRECTNESS_r02.json); the 49
+# still-unverified queries that do not fit this round's window come
+# right after slot 50, so they are next in line for round 4's rotation.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # generic MapReduce client API (reference MapReduceClient.h:55-65)
+    "mr_char_counts",
+    "mr_histogram_mod100",
+    "mr_filter_evens",
+    # join family
+    "join_inner",
+    "join_left_agg",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast",
+    "join_theta",
+    "join_cross",
+    "join_asof",
+    "join_asof_forward_gap",
+    "join_range_binned",
+    "join_salted_skew",
+    # TPC-H representatives (rest rotate in round 4)
+    "tpch_q1_pricing",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_rich_customers",
+    # window functions / grouping analytics
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_range_frame",
+    "rollup_revenue",
+    "pivot_status_by_priority",
+    # streaming (Structured Streaming semantics)
+    "streaming_tumbling_counts",
+    "streaming_session_counts",
+    "streaming_user_counts_stateful",
+    # UDF / UDAF / UDTF surface
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udtf_bigram_counts",
+    "udtf_native_token_runs",
+    # sketches
+    "sketch_countmin_heavy",
+    "sketch_kmv_distinct",
+    # graph
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    # lakehouse
+    "cdc_merge_orders",
+    "layout_zorder_clustering",
+    # vectors / ANN / k-means
+    "ann_cosine_lsh",
+    "ann_cosine_ivf",
+    "embedding_quantize_int8",
+    "kmeans_quantized_clusters",
+    # multimodal plumbing
+    "multimodal_decode_features",
+    # text extensions
+    "text_bm25_topk",
+    "dedup_edit_distance_verify",
+)
+
+# Queries with a green row in CORRECTNESS_r02.json — rotated to the back
+# of the iteration order so every driver-window slot verifies something
+# new this round.
+_R02_GREEN: frozenset[str] = frozenset({
+    "events_sessionize_gaps", "events_retention_cohorts", "timeseries_ohlc",
+    "profile_numeric_histogram", "scd2_order_history", "events_anomaly_zscore",
+    "char_counts", "word_counts", "histogram_mod100", "sorted_histogram",
+    "distinct_keys_mod100", "projection", "filter_predicate",
+    "flatmap_explode_words", "agg_algebraic", "agg_full_group",
+    "agg_count_distinct", "sort_partition_local", "sort_global_ranked",
+    "topk_orders", "set_union", "set_intersect", "set_except",
+    "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
+    "scalar_array_funcs", "scalar_json_funcs", "conditional_case_agg",
+    "agg_statistical", "unpivot_price_components", "set_intersect_all",
+    "set_except_all", "cube_grouping_id", "timeseries_gap_fill",
+    "join_null_safe", "agg_null_semantics", "agg_collect_sorted",
+    "agg_argmax_struct", "text_token_stats", "text_quality_scores",
+    "text_lang_id", "text_fingerprints", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_simhash", "dedup_embedding_cosine", "ann_cosine_bruteforce",
+})
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    """Import every query module and return the full registry."""
+    """Import every query module and return the full registry, ordered
+    so the driver's 50-entry correctness window lands on
+    :data:`DRIVER_WINDOW` first, then the remaining not-yet-verified
+    queries, then the queries already green in round 2."""
     # Imports are side-effectful (decorator registration); keep the list
     # explicit so a missing module is an error, not silent shrinkage.
     from mapreduceframework_spark.plans import (  # noqa: F401
@@ -89,4 +189,9 @@ def all_queries() -> dict[str, QuerySpec]:
         window_queries,
     )
 
-    return REGISTRY
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
+    rest = [n for n in REGISTRY if n not in DRIVER_WINDOW]
+    rest.sort(key=lambda n: n in _R02_GREEN)  # stable: unverified first
+    return {n: REGISTRY[n] for n in [*DRIVER_WINDOW, *rest]}
