@@ -150,7 +150,8 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM und e1
                 JOIN und e2 ON e2.src = e1.dst AND e2.dst > e1.dst
                 JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst)
-        SELECT (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM und)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT src FROM und UNION SELECT dst FROM und))
                    AS n_nodes,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
                triangles
@@ -162,9 +163,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count of the undirected trade graph via the
     oriented-wedge join: edges canonicalized to src < dst, wedges
     e1(a,b) x e2(b,c) with b < c, closed by e3(a,c). Each triangle is
-    counted exactly once. At power-law scale, orient by degree instead
-    of by id (Suri & Vassilvitskii WWW'11) so hub wedge lists stay
-    near-linear; the join skeleton is unchanged."""
+    counted exactly once. n_nodes counts distinct endpoints over BOTH
+    columns of the canonicalized edge list — counting src alone misses
+    any node that only ever appears as the greater endpoint. At
+    power-law scale, orient by degree instead of by id (Suri &
+    Vassilvitskii WWW'11) so hub wedge lists stay near-linear; the join
+    skeleton is unchanged."""
     e = _trade_edges(spark, sf_dir)
     und = (
         e.filter(F.col("src") < F.col("dst"))
@@ -189,12 +193,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("triangles"))
     )
-    summary = und.agg(
-        F.countDistinct("src").alias("n_nodes"),
-        F.count("*").alias("n_edges"),
+    n_nodes = (
+        und.select("src")
+        .union(und.select("dst"))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
     )
-    return F.broadcast(summary).crossJoin(tri).select(
-        "n_nodes", "n_edges", "triangles"
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    return (
+        F.broadcast(n_nodes)
+        .crossJoin(F.broadcast(n_edges))
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", "triangles")
     )
 
 

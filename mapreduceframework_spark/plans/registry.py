@@ -71,82 +71,81 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. This list pins the round-3 window to
-# one representative per family that had no driver correctness row in
-# CORRECTNESS_r02.json (generic MapReduce client API, every join shape,
-# TPC-H, window functions, streaming, UDF/UDTF, sketches, graph,
-# lakehouse, ANN, k-means, multimodal). Families already green in r02
-# rotate to the back (their record is CORRECTNESS_r02.json); the 49
-# still-unverified queries that do not fit this round's window come
-# right after slot 50, so they are next in line for round 4's rotation.
+# all_queries() in iteration order. Round-4 window: the 49 queries that
+# had no driver row in CORRECTNESS_r02.json or CORRECTNESS_r03.json,
+# plus one previously-green sentinel (``graph_triangle_count``) whose
+# answer changed this round (the n_nodes undercount fix) and therefore
+# needs a fresh driver row. After this round every registered query has
+# at least one green driver row (cumulative r02+r03+r04 = 149/149).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # generic MapReduce client API (reference MapReduceClient.h:55-65)
-    "mr_char_counts",
-    "mr_histogram_mod100",
-    "mr_filter_evens",
-    # join family
-    "join_inner",
-    "join_left_agg",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
-    "join_theta",
-    "join_cross",
-    "join_asof",
-    "join_asof_forward_gap",
-    "join_range_binned",
-    "join_salted_skew",
-    # TPC-H representatives (rest rotate in round 4)
-    "tpch_q1_pricing",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_rich_customers",
+    # TPC-H shapes not yet driver-verified
+    "tpch_q4_priority_count",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_revenue",
+    "tpch_q11_important_parts",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_shippers",
+    # subqueries / LATERAL
+    "subquery_scalar_above_avg",
+    "subquery_exists_late_ship",
+    "lateral_last_ship",
     # window functions / grouping analytics
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_range_frame",
-    "rollup_revenue",
-    "pivot_status_by_priority",
-    # streaming (Structured Streaming semantics)
-    "streaming_tumbling_counts",
-    "streaming_session_counts",
-    "streaming_user_counts_stateful",
-    # UDF / UDAF / UDTF surface
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udtf_bigram_counts",
-    "udtf_native_token_runs",
-    # sketches
-    "sketch_countmin_heavy",
-    "sketch_kmv_distinct",
-    # graph
-    "graph_pagerank_trade",
-    "graph_triangle_count",
-    # lakehouse
-    "cdc_merge_orders",
-    "layout_zorder_clustering",
-    # vectors / ANN / k-means
-    "ann_cosine_lsh",
-    "ann_cosine_ivf",
-    "embedding_quantize_int8",
-    "kmeans_quantized_clusters",
+    "window_moving_avg",
+    "window_rank_dense_percent",
+    "window_value_functions",
+    "window_ntile_cume",
+    "cube_counts",
+    "grouping_sets_explicit",
+    # streaming (Structured Streaming semantics) + event-time batch twins
+    "streaming_sliding_avgs",
+    "streaming_dedup_keys",
+    "streaming_click_purchase_join",
+    "streaming_static_enrich",
+    "events_tumbling_counts",
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_funnel_conversion",
+    # aggregation long tail
+    "agg_approx_count_distinct",
+    "agg_salted_two_stage",
+    "agg_decimal_exact",
+    # scalar-function long tail
+    "scalar_map_funcs",
+    "scalar_array_setops",
+    "flatmap_posexplode",
+    # joins long tail
+    "join_range_bands",
+    # sampling / split / mixture
+    "sample_deterministic",
+    "split_train_val_test",
+    "sample_mixture_by_source",
+    # text / curation extensions
+    "text_tfidf_top_terms",
+    "text_scrub_redact",
+    "pipeline_curate_corpus",
+    "quality_report_tables",
+    "feature_quantile_buckets",
+    # sketches / graph
+    "sketch_bloom_probe",
+    "graph_degree_stats",
     # multimodal plumbing
-    "multimodal_decode_features",
-    # text extensions
-    "text_bm25_topk",
-    "dedup_edit_distance_verify",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # sentinel: previously green (r03), answer CHANGED this round by the
+    # n_nodes undercount fix — re-verify under the corrected oracle.
+    "graph_triangle_count",
 )
 
-# Queries with a green row in CORRECTNESS_r02.json — rotated to the back
-# of the iteration order so every driver-window slot verifies something
-# new this round.
+# Queries with a green driver row in CORRECTNESS_r02.json or
+# CORRECTNESS_r03.json — rotated behind the round-4 window so every slot
+# verifies something new (or, for the sentinel, newly changed).
 _R02_GREEN: frozenset[str] = frozenset({
     "events_sessionize_gaps", "events_retention_cohorts", "timeseries_ohlc",
     "profile_numeric_histogram", "scd2_order_history", "events_anomaly_zscore",
@@ -164,6 +163,26 @@ _R02_GREEN: frozenset[str] = frozenset({
     "text_lang_id", "text_fingerprints", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_simhash", "dedup_embedding_cosine", "ann_cosine_bruteforce",
+    # r03 greens
+    "mr_char_counts", "mr_histogram_mod100", "mr_filter_evens",
+    "join_inner", "join_left_agg", "join_full_outer", "join_semi",
+    "join_anti", "join_broadcast", "join_theta", "join_cross",
+    "join_asof", "join_asof_forward_gap", "join_range_binned",
+    "join_salted_skew", "tpch_q1_pricing", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping", "tpch_q5_local_volume", "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit", "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier", "tpch_q22_idle_rich_customers",
+    "window_topk_per_group", "window_running_sum", "window_lag_lead",
+    "window_range_frame", "rollup_revenue", "pivot_status_by_priority",
+    "streaming_tumbling_counts", "streaming_session_counts",
+    "streaming_user_counts_stateful", "udf_pandas_scalar",
+    "udf_pandas_grouped_agg", "udtf_bigram_counts",
+    "udtf_native_token_runs", "sketch_countmin_heavy",
+    "sketch_kmv_distinct", "graph_pagerank_trade", "cdc_merge_orders",
+    "layout_zorder_clustering", "ann_cosine_lsh", "ann_cosine_ivf",
+    "embedding_quantize_int8", "kmeans_quantized_clusters",
+    "multimodal_decode_features", "text_bm25_topk",
+    "dedup_edit_distance_verify",
 })
 
 

@@ -254,6 +254,17 @@ def test_connected_components_topologies(spark):
     }
 
 
+def test_triangle_count_counts_all_nodes(spark, sf_dir):
+    """n_nodes must count BOTH endpoints of the canonicalized edge list.
+    The sf0.001 trade graph has 25 nations; counting distinct src alone
+    over src<dst edges returned 24 (the greatest nation name never
+    appears as src) — the regression this test pins."""
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    row = all_queries()["graph_triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert row["n_nodes"] == 25
+
+
 def test_connected_components_diameter_guard(spark):
     """A component whose diameter exceeds max_iter must raise, never
     silently return partial clusters."""
