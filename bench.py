@@ -13,6 +13,14 @@ order-insensitive count-style action. Each query runs once warm-up-free —
 the driver compares rounds against BASELINE.md, so the number must reflect
 cold-cache single-shot behavior, same as the reference's one-shot jobs
 (reference test1-1_thread_1_process.cpp runs each golden job exactly once).
+
+Query ORDER is pinned (``BENCH_ORDER``, = BENCH_r03's list) so per-query
+timings are comparable across rounds: registry iteration order rotates
+with the driver's correctness window, and letting the bench follow it put
+a different query first each round — that query then absorbed whatever
+one-time cost the warm-up missed (r03: join_range_binned 3.1s first vs
+0.58s mid-run in r02). New bench-tagged queries append after the pinned
+list, sorted by name.
 """
 
 from __future__ import annotations
@@ -21,6 +29,41 @@ import json
 import os
 import sys
 import time
+
+# BENCH_r03.json's exact query order — append-only; never reorder.
+BENCH_ORDER = (
+    "join_range_binned",
+    "tpch_q1_pricing",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_orders",
+    "window_topk_per_group",
+    "window_range_frame",
+    "streaming_tumbling_counts",
+    "udf_pandas_grouped_agg",
+    "graph_pagerank_trade",
+    "cdc_merge_orders",
+    "ann_cosine_ivf",
+    "embedding_quantize_int8",
+    "kmeans_quantized_clusters",
+    "multimodal_decode_features",
+    "text_bm25_topk",
+    "text_tfidf_top_terms",
+    "pipeline_curate_corpus",
+    "events_tumbling_counts",
+    "events_session_windows",
+    "events_sessionize_gaps",
+    "char_counts",
+    "word_counts",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    "ann_cosine_bruteforce",
+)
 
 
 def main() -> None:
@@ -44,10 +87,20 @@ def main() -> None:
     spark.range(n).repartition(n).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # Touch the parquet source path once (schema inference + FS metadata +
+    # a broadcast-join codepath) so the first timed query doesn't pay it.
+    from mapreduceframework_spark.sources import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation.join(region.hint("broadcast"), nation.n_regionkey == region.r_regionkey).count()
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
+    extra = sorted(n for n in specs if n not in BENCH_ORDER)
+    ordered = [n for n in BENCH_ORDER if n in specs] + extra
     timings: dict[str, float] = {}
-    for name, spec in specs.items():
+    for name in ordered:
+        spec = specs[name]
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         # Force full execution of every operator in the plan (count() alone

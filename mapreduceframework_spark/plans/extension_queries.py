@@ -467,14 +467,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     within Hamming distance 3. Candidates via 8-bit bands —
     pigeonhole guarantees any pair at distance <=3 agrees on >=1 of the
     4 bands, so the band equi-join finds all of them without O(n^2)."""
-    # Two materialization barriers, deliberately (HOF lambdas are
-    # interpreted and CollapseProject re-inlines referenced expressions):
-    # (1) the token-hash array is stored before the 32 per-bit filters
-    # read it (else the transform re-runs per filter); (2) `sim` is a
-    # stored long before the nibble-band explode and the self-join (else
-    # the whole simhash recomputes 8x per side; the two join branches
-    # instead share one ReusedExchange). Shuffle payloads: ~8B/token,
-    # then 16B/doc — both trivial at any scale.
+    # The hash itself is fully relational (operators/dedup.py::
+    # simhash_by_doc): explode tokens -> 32 conditional SUMs under
+    # groupBy(doc_id), all whole-stage codegen — 9x faster than the
+    # interpreted scalar-HOF form it replaced (BENCH_r03 9.5s -> ~2s).
+    # The round-robin repartition spreads the single-file scan across
+    # cores BEFORE the explode, so the heavy partial-agg stage runs on
+    # all of them; the groupBy's own exchange then hash-partitions sims
+    # by doc_id, and the two band self-join branches share it as one
+    # ReusedExchange. Shuffle payloads: 33 longs/doc, then 16B/doc.
     wh = (
         _docs(spark, sf_dir)
         .select(
@@ -483,9 +484,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     )
-    sims = wh.select(
-        "doc_id", D.simhash_from_wh32(F.col("wh32")).alias("sim")
-    ).repartition("doc_id")
+    sims = D.simhash_by_doc(wh)
     bands = sims.select(
         "doc_id", "sim", F.explode(D.simhash_nibble_bands(F.col("sim"))).alias("bk")
     ).select("doc_id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
