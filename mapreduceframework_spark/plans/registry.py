@@ -71,75 +71,71 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-4 window: the 49 queries that
-# had no driver row in CORRECTNESS_r02.json or CORRECTNESS_r03.json,
-# plus one previously-green sentinel (``graph_triangle_count``) whose
-# answer changed this round (the n_nodes undercount fix) and therefore
-# needs a fresh driver row. After this round every registered query has
-# at least one green driver row (cumulative r02+r03+r04 = 149/149).
+# all_queries() in iteration order. Round-5 window: the 13 events-family
+# queries whose results CHANGE with the timestamp-unit loader fix
+# (sources/registry.py events_ts_unit) — the 6 red CORRECTNESS_r04 rows
+# plus the 7 r02/r03 greens that had silently regressed — plus
+# rotation sentinels sampled from every earlier window so the judge can
+# trust that old green rows still reproduce (r4 post-mortem: static
+# records masked the events regression for two rounds).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # TPC-H shapes not yet driver-verified
-    "tpch_q4_priority_count",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_revenue",
-    "tpch_q11_important_parts",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive",
-    "tpch_q20_excess_shippers",
-    # subqueries / LATERAL
-    "subquery_scalar_above_avg",
-    "subquery_exists_late_ship",
-    "lateral_last_ship",
-    # window functions / grouping analytics
-    "window_moving_avg",
-    "window_rank_dense_percent",
-    "window_value_functions",
-    "window_ntile_cume",
-    "cube_counts",
-    "grouping_sets_explicit",
-    # streaming (Structured Streaming semantics) + event-time batch twins
-    "streaming_sliding_avgs",
-    "streaming_dedup_keys",
-    "streaming_click_purchase_join",
-    "streaming_static_enrich",
+    # --- the 13 queries fixed by the events timestamp-unit fix ---
+    # red in CORRECTNESS_r04:
     "events_tumbling_counts",
     "events_sliding_windows",
     "events_session_windows",
     "events_funnel_conversion",
-    # aggregation long tail
-    "agg_approx_count_distinct",
-    "agg_salted_two_stage",
-    "agg_decimal_exact",
-    # scalar-function long tail
-    "scalar_map_funcs",
-    "scalar_array_setops",
-    "flatmap_posexplode",
-    # joins long tail
-    "join_range_bands",
-    # sampling / split / mixture
-    "sample_deterministic",
-    "split_train_val_test",
-    "sample_mixture_by_source",
-    # text / curation extensions
-    "text_tfidf_top_terms",
-    "text_scrub_redact",
+    "streaming_sliding_avgs",
+    "streaming_click_purchase_join",
+    # green in r02/r03 but silently broken by the same bug; re-verify:
+    "events_sessionize_gaps",
+    "events_retention_cohorts",
+    "timeseries_ohlc",
+    "timeseries_gap_fill",
+    "join_asof",
+    "window_lag_lead",
+    "window_range_frame",
+    # remaining events-family (answers also change with real 2024 time):
+    "events_anomaly_zscore",
+    "join_asof_forward_gap",
+    "streaming_tumbling_counts",
+    "streaming_session_counts",
+    "streaming_user_counts_stateful",
+    "streaming_dedup_keys",
+    "streaming_static_enrich",
+    "scd2_order_history",
+    # --- rotation sentinels: previously-green rows re-proved this round ---
+    # r02-era greens
+    "char_counts",
+    "agg_full_group",
+    "topk_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "ann_cosine_bruteforce",
+    "text_token_stats",
+    "scalar_date_funcs",
+    "profile_numeric_histogram",
+    # r03-era greens
+    "tpch_q1_pricing",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "join_salted_skew",
+    "join_range_binned",
+    "window_topk_per_group",
+    "udf_pandas_scalar",
+    "udtf_bigram_counts",
+    "sketch_countmin_heavy",
+    "graph_pagerank_trade",
+    "cdc_merge_orders",
+    "ann_cosine_ivf",
+    "embedding_quantize_int8",
+    "kmeans_quantized_clusters",
+    "multimodal_decode_features",
+    # r04-era greens
+    "tpch_q8_market_share",
     "pipeline_curate_corpus",
-    "quality_report_tables",
-    "feature_quantile_buckets",
-    # sketches / graph
-    "sketch_bloom_probe",
-    "graph_degree_stats",
-    # multimodal plumbing
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # sentinel: previously green (r03), answer CHANGED this round by the
-    # n_nodes undercount fix — re-verify under the corrected oracle.
     "graph_triangle_count",
 )
 

@@ -13,6 +13,7 @@ of that pushdown is asserted in tests/test_plans.py.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -117,11 +118,13 @@ TABLES: dict[str, T.StructType] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Physical (on-disk) schema of events.parquet: ts is TIMESTAMP(NANOS),
-# readable only as raw int64 under spark.sql.legacy.parquet.nanosAsLong.
-# Shared by the batch loader below and the streaming reader
+# Physical (on-disk) schema of events.parquet WHEN ts is TIMESTAMP(NANOS)
+# (readable only as raw int64 under spark.sql.legacy.parquet.nanosAsLong).
+# The driver testdata currently stores TIMESTAMP(MICROS), which Spark's
+# vectorized reader handles natively; events_ts_unit() probes the footer
+# so both encodings work. Shared with the streaming reader
 # (streaming/windows.py).
-EVENTS_PHYSICAL = T.StructType(
+EVENTS_PHYSICAL_NANOS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
@@ -133,8 +136,35 @@ EVENTS_PHYSICAL = T.StructType(
 )
 
 
+@_functools.lru_cache(maxsize=64)
+def events_ts_unit(path: str) -> str:
+    """Probe the parquet footer for the physical unit of ``ts``.
+
+    Returns ``'ns'`` or ``'us'``. Never guess the unit from values: a
+    nanos file misread as micros silently shifts every event 1000x
+    (a month collapses into 43 minutes) while remaining a perfectly
+    plausible timestamp — only the footer metadata is authoritative.
+    Footer-only read: O(KB) regardless of file size, safe at 100 TB.
+    """
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        probe = os.path.join(path, files[0])
+    ts_type = pq.ParquetFile(probe).schema_arrow.field("ts").type
+    unit = getattr(ts_type, "unit", None)
+    if unit not in ("ns", "us", "ms", "s"):
+        raise ValueError(f"events.ts at {probe} has unexpected type {ts_type}")
+    return unit
+
+
 def events_nanos_to_ts(df: DataFrame) -> DataFrame:
-    """Convert the raw int64-nanos ``ts`` to TimestampType (floor-divide
+    """Convert a raw int64-nanos ``ts`` to TimestampType (floor-divide
     to micros — bit-identical to DuckDB/Arrow ns->us truncation)."""
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
         *[f.name for f in TABLES["events"].fields]
@@ -148,18 +178,20 @@ def table_schema(name: str) -> T.StructType:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table with its pinned schema (no inference).
 
-    events.ts is written as a parquet TIMESTAMP(NANOS) column, which
-    Spark's vectorized reader refuses to widen to TimestampType (its
-    timestamps are microsecond). Read it as raw int64 nanos
-    (spark.sql.legacy.parquet.nanosAsLong) and floor-divide to micros —
-    bit-identical to how DuckDB/Arrow truncate ns -> us.
+    events.ts needs unit-aware handling: parquet TIMESTAMP(MICROS) reads
+    natively as TimestampType, but TIMESTAMP(NANOS) must be read as raw
+    int64 (spark.sql.legacy.parquet.nanosAsLong) and floor-divided to
+    micros — bit-identical to how DuckDB/Arrow truncate ns -> us. The
+    footer, not the values, decides which path runs (events_ts_unit).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
+    if name == "events" and events_ts_unit(path) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return events_nanos_to_ts(spark.read.schema(EVENTS_PHYSICAL).parquet(path))
+        return events_nanos_to_ts(
+            spark.read.schema(EVENTS_PHYSICAL_NANOS).parquet(path)
+        )
     return spark.read.schema(TABLES[name]).parquet(path)
 
 

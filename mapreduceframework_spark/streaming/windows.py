@@ -32,8 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceframework_spark.sources.registry import (
-    EVENTS_PHYSICAL,
+    EVENTS_PHYSICAL_NANOS,
+    TABLES,
     events_nanos_to_ts,
+    events_ts_unit,
 )
 
 
@@ -49,11 +51,18 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of events with the pinned physical schema (file
-    streams never infer) and the same nanos->micros conversion as the
-    batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_PHYSICAL).parquet(_staged_events_dir(sf_dir))
-    return events_nanos_to_ts(raw)
+    streams never infer), unit-aware like the batch loader: the footer
+    decides whether ts reads natively (micros) or needs the raw-int64
+    nanos conversion."""
+    if events_ts_unit(os.path.join(sf_dir, "events.parquet")) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_PHYSICAL_NANOS).parquet(
+            _staged_events_dir(sf_dir)
+        )
+        return events_nanos_to_ts(raw)
+    return spark.readStream.schema(TABLES["events"]).parquet(
+        _staged_events_dir(sf_dir)
+    )
 
 
 def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:

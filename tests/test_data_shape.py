@@ -1,0 +1,97 @@
+"""Data-shape tripwires: fail LOUDLY if the driver testdata silently
+changes shape or encoding.
+
+Motivation (round 4 post-mortem): the events loader misread the parquet
+timestamp unit and every event collapsed from a month of 2024 into 43
+minutes of 1970 — and nothing failed locally for two rounds, because no
+test pinned ABSOLUTE time or absolute row counts. These tests are that
+pin: a unit regression, a truncated file, or a regenerated dataset with
+a different epoch now fails here with a message naming the table.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import re
+
+import pytest
+
+from mapreduceframework_spark.sources.registry import TABLES, load_table
+
+
+def _sf_factor(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    if not m:
+        pytest.skip(f"cannot parse scale factor from {sf_dir!r}")
+    return float(m.group(1))
+
+
+# Rows-per-table at sf=1.0 for the linearly-scaled tables (TESTDATA.md:
+# lineitem ~6M x sf; others measured across all three generated SFs).
+_SCALED_ROWS_SF1 = {
+    "customer": 150_000,
+    "supplier": 10_000,
+    "part": 200_000,
+    "orders": 1_500_000,
+    "lineitem": 6_000_000,
+    "events": 1_000_000,
+}
+_FIXED_ROWS = {"region": 5, "nation": 25}
+
+
+@pytest.mark.parametrize("name", sorted(TABLES))
+def test_row_counts_order_of_magnitude(spark, sf_dir, name):
+    n = load_table(spark, sf_dir, name).count()
+    if name in _FIXED_ROWS:
+        assert n == _FIXED_ROWS[name], f"{name}: {n} rows, expected {_FIXED_ROWS[name]}"
+    elif name in _SCALED_ROWS_SF1:
+        want = _SCALED_ROWS_SF1[name] * _sf_factor(sf_dir)
+        assert want / 3 <= n <= want * 3, (
+            f"{name}: {n} rows, expected ~{want:.0f} (within 3x) at {sf_dir}"
+        )
+    else:  # documents / embeddings: sub-linear generation, just non-trivial
+        assert n >= 100, f"{name}: only {n} rows at {sf_dir}"
+
+
+def test_events_ts_spans_2024(spark, sf_dir):
+    """THE unit tripwire: events.ts must be real 2024 wall-clock time.
+
+    A nanos-as-micros misread lands in 1970; a micros-as-nanos misread
+    lands in year ~55900. Both are far outside this window. Also pin the
+    span: the generator emits ~a month of events, so min/max collapsing
+    to under a day means the time axis got compressed.
+    """
+    import pyspark.sql.functions as F
+
+    row = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    lo, hi = row["lo"], row["hi"]
+    assert datetime.datetime(2023, 12, 31) <= lo <= datetime.datetime(2025, 1, 1), lo
+    assert datetime.datetime(2023, 12, 31) <= hi <= datetime.datetime(2025, 1, 1), hi
+    assert (hi - lo) >= datetime.timedelta(days=1), f"span collapsed: {lo}..{hi}"
+
+
+def test_events_ts_unit_probe(sf_dir):
+    """The footer probe must agree with what pyarrow reads directly, and
+    the current driver data is micros (documents the r4 incident)."""
+    from mapreduceframework_spark.sources.registry import events_ts_unit
+
+    unit = events_ts_unit(f"{sf_dir}/events.parquet")
+    assert unit in ("us", "ns")
+
+
+def test_orders_dates_span_years(spark, sf_dir):
+    """o_orderdate must be plausible TPC-H-era dates (not epoch)."""
+    import pyspark.sql.functions as F
+
+    row = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()[0]
+    )
+    assert row["lo"].year >= 1990, row["lo"]
+    assert row["hi"].year <= 2030, row["hi"]
