@@ -258,11 +258,12 @@ def simhash_by_doc(
     hash stage) — see :func:`simhash_from_wh32` for the rejected
     interpreted alternatives.
 
-    Rows whose array is empty produce no exploded tokens and drop out
-    (callers pre-filter blank docs; the scalar form gives sim=0 for
-    those).
+    Row-count preserving: ``explode_outer`` keeps empty/null arrays as
+    one NULL-token row; the NULL-ignoring conditional SUMs then yield
+    sim=0 for them — the same answer the scalar ``simhash_from_wh32``
+    gives, so the two forms stay interchangeable for any caller.
     """
-    tok = df.select(id_col, F.explode(wh32_col).alias("x"))
+    tok = df.select(id_col, F.explode_outer(wh32_col).alias("x"))
     counted = tok.groupBy(id_col).agg(
         F.count("*").alias("n"),
         *[

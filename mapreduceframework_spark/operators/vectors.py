@@ -293,4 +293,10 @@ def kmeans_lloyd(
             for cid, old in enumerate(cents)
         ]
 
+    # The cache exists to serve the iteration passes above; release it
+    # before returning so the blocks don't linger for the session's
+    # lifetime (other queries sharing the SparkSession would pay the
+    # memory pressure). The returned assignment recomputes scan+quantize
+    # exactly once — cheap relative to a leaked MEMORY_AND_DISK corpus.
+    q.unpersist(blocking=False)
     return assign(cents), cents

@@ -220,6 +220,21 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def equi_width_bin(value, lo=None, hi=None, nbins: int = 20):
+    """Equi-width bin index in [0, nbins) for ``value`` given per-row
+    ``lo``/``hi`` bound columns. GREATEST-guarded width: a constant
+    column (hi == lo) would otherwise make the width 0 and every bin
+    NULL via division by zero; with the guard the degenerate case puts
+    all rows in bin 0. Both engines evaluate the identical expression,
+    so parity holds either way."""
+    lo = F.col("lo") if lo is None else lo
+    hi = F.col("hi") if hi is None else hi
+    width = F.greatest((hi - lo) / F.lit(float(nbins)), F.lit(1e-12))
+    return F.least(
+        F.floor((value - lo) / width).cast("int"), F.lit(nbins - 1)
+    )
+
+
 @query(
     "profile_numeric_histogram",
     oracle="""
@@ -227,7 +242,8 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
             FROM orders
         )
-        SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0))
+        SELECT LEAST(CAST(FLOOR((o_totalprice - lo)
+                          / GREATEST((hi - lo) / 20.0, 1e-12))
                           AS INTEGER), 19) AS bin,
                COUNT(*) AS n_orders,
                ROUND(SUM(o_totalprice), 2) AS total_price
@@ -250,14 +266,12 @@ def profile_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
-    bin_ix = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
-        F.lit(19),
-    )
     return (
         orders.join(F.broadcast(bounds))
-        .select(bin_ix.alias("bin"), "o_totalprice")
+        .select(
+            equi_width_bin(F.col("o_totalprice")).alias("bin"),
+            "o_totalprice",
+        )
         .groupBy("bin")
         .agg(
             F.count("*").alias("n_orders"),

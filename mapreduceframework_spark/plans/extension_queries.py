@@ -62,9 +62,18 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     many tasks, but corpus files are routinely fewer than cores there
     too); (b) the exchange materializes ``words``, so downstream lambda
     element accesses hit a stored array instead of re-running split()
-    per access (Catalyst inlines projections into HOF lambdas)."""
+    per access (Catalyst inlines projections into HOF lambdas).
+
+    The repartition is GATED on observed scan parallelism: when the
+    scan already has >= shuffle.partitions splits (always true at
+    cluster scale — a 100 TB corpus is ~400k splits), shuffling the
+    whole corpus just to round-robin it would be pure waste, so the
+    zero-shuffle projection is returned as-is."""
+    base = _docs(spark, sf_dir).select("doc_id", "words")
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return _docs(spark, sf_dir).select("doc_id", "words").repartition(n)
+    if base.rdd.getNumPartitions() >= n:
+        return base
+    return base.repartition(n)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

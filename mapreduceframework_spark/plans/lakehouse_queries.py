@@ -37,9 +37,6 @@ ORDER_COLS = (
     "o_orderpriority",
 )
 
-INSERT_KEY_OFFSET = 10_000_000
-
-
 @query(
     "cdc_merge_orders",
     oracle=f"""
@@ -53,9 +50,9 @@ INSERT_KEY_OFFSET = 10_000_000
                    o_orderdate, o_orderpriority, 'D' AS op
             FROM orders WHERE o_orderkey % 13 = 0
             UNION ALL
-            SELECT o_orderkey + {INSERT_KEY_OFFSET}, o_custkey,
-                   'N' AS o_orderstatus, o_totalprice, o_orderdate,
-                   o_orderpriority, 'I' AS op
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+                   o_custkey, 'N' AS o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority, 'I' AS op
             FROM orders WHERE o_orderkey % 10 = 0
         )
         SELECT
@@ -77,9 +74,17 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/cdc.py::merge_changes — one full-outer join, 'I'/'U'
     rows win column-wise, 'D' rows drop. The oracle repeats the merge
     as its literal SQL expansion, so every surviving/updated/inserted
-    row is value-checked."""
+    row is value-checked.
+
+    Insert keys are offset by MAX(o_orderkey) + 1 — guaranteed
+    collision-free at ANY scale factor (a fixed constant collides once
+    the snapshot outgrows it; and keys start at 0, hence the +1). The
+    max is an O(1) scalar aggregate pulled to the driver —
+    sequence-allocation model state, like a table format's next-rowid,
+    not a data collect."""
     base = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
     k = F.col("o_orderkey")
+    offset = base.agg(F.max("o_orderkey")).collect()[0][0] + 1
     upd = (
         base.filter((k % 13 != 0) & (k % 7 == 0))
         .withColumn("o_orderstatus", F.lit("X"))
@@ -88,7 +93,7 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     dele = base.filter(k % 13 == 0).withColumn("op", F.lit("D"))
     ins = (
         base.filter(k % 10 == 0)
-        .withColumn("o_orderkey", k + INSERT_KEY_OFFSET)
+        .withColumn("o_orderkey", k + F.lit(offset))
         .withColumn("o_orderstatus", F.lit("N"))
         .withColumn("op", F.lit("I"))
     )

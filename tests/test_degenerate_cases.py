@@ -1,0 +1,70 @@
+"""Degenerate-input unit tests for guards flagged by plan review:
+
+- equi-width histogram with a constant column (hi == lo) must not
+  divide by zero — all rows land in bin 0;
+- the CDC merge's insert-key offset must be derived from the snapshot's
+  own key space, so inserted keys can never collide at any scale;
+- simhash_by_doc must be row-count preserving, giving sim=0 for
+  empty-token documents exactly like the scalar form.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mapreduceframework_spark.plans.analytics_queries import equi_width_bin
+
+
+def test_histogram_constant_column_all_bin_zero(spark):
+    df = spark.createDataFrame(
+        [(42.0,)] * 5, "v double"
+    ).withColumn("lo", F.lit(42.0)).withColumn("hi", F.lit(42.0))
+    bins = [
+        r["bin"]
+        for r in df.select(equi_width_bin(F.col("v")).alias("bin")).collect()
+    ]
+    assert bins == [0] * 5
+
+
+def test_histogram_normal_range_spans_bins(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "v double"
+    ).withColumn("lo", F.lit(0.0)).withColumn("hi", F.lit(99.0))
+    bins = {
+        r["bin"]
+        for r in df.select(equi_width_bin(F.col("v")).alias("bin")).collect()
+    }
+    assert min(bins) == 0 and max(bins) == 19
+
+
+def test_cdc_insert_keys_never_collide(spark, sf_dir):
+    from mapreduceframework_spark.plans.lakehouse_queries import (
+        cdc_merge_orders,
+    )
+    from mapreduceframework_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "orders")
+    base_max = base.agg(F.max("o_orderkey")).collect()[0][0]
+    base_n = base.count()
+    merged = cdc_merge_orders(spark, sf_dir)
+    # Inserted rows carry status 'N' and a key strictly above the
+    # snapshot's max — offset = MAX(o_orderkey) guarantees it.
+    inserted = merged.filter(F.col("o_orderstatus") == "N")
+    n_ins = inserted.count()
+    assert n_ins > 0
+    assert inserted.filter(F.col("o_orderkey") <= base_max).count() == 0
+    # Merge arithmetic: base - deletes + inserts.
+    n_del = base.filter(F.col("o_orderkey") % 13 == 0).count()
+    assert merged.count() == base_n - n_del + n_ins
+
+
+def test_simhash_by_doc_keeps_empty_docs(spark):
+    from mapreduceframework_spark.operators.dedup import simhash_by_doc
+
+    df = spark.createDataFrame(
+        [(1, [7, 11, 13]), (2, []), (3, None)],
+        "doc_id long, wh32 array<long>",
+    )
+    out = {r["doc_id"]: r["sim"] for r in simhash_by_doc(df).collect()}
+    assert set(out) == {1, 2, 3}, "empty/null docs must not drop out"
+    assert out[2] == 0 and out[3] == 0

@@ -271,3 +271,31 @@ def test_tpch_semi_join_shapes(spark, sf_dir, name):
     # dedup-after-inner-join, which explodes at 100 TB).
     plan = plan_of(spark, sf_dir, name)
     assert "LeftSemi" in plan
+
+
+def test_docs_wide_skips_shuffle_when_scan_parallel_enough(spark, sf_dir):
+    # _docs_wide round-robins a single-file local scan across cores, but
+    # at cluster scale the scan already has >= shuffle.partitions splits
+    # and the same repartition would shuffle the whole corpus for
+    # nothing. The gate must drop the Exchange when parallelism is
+    # already sufficient — simulated here by lowering the target to 1.
+    from mapreduceframework_spark.plans.extension_queries import _docs_wide
+
+    import contextlib
+    import io
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _docs_wide(spark, sf_dir).explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+        # And with an unreachable target the round-robin must be back.
+        spark.conf.set("spark.sql.shuffle.partitions", "4096")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _docs_wide(spark, sf_dir).explain("formatted")
+        assert "Exchange" in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
