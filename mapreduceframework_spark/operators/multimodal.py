@@ -6,10 +6,12 @@ a typed struct next to it, and all per-item decoding runs as
 Arrow-batched pandas over ``mapInPandas`` — whole batches of payloads
 cross the JVM->Python boundary as Arrow buffers, never row by row.
 
-The actual image/audio codecs are NOT in this container, so the decode
-step is a deterministic fake (byte-level features) behind the same
-batch-shaped plumbing a real decoder would use; ``decode_payload``
-raises ``NotImplementedError`` for real codecs so the seam is explicit.
+Decoding is REAL for PNG (stdlib zlib inflate + all five scanline
+filters) and netpbm PPM/PGM — pure-Python codecs in
+``operators/imagecodec.py``, no imaging library needed. The byte-level
+'fake/v1' codec remains for payloads that are not images; codecs that
+genuinely need external libraries (JPEG, audio, video containers) raise
+``NotImplementedError`` so that seam stays explicit.
 
 Scale notes: mapInPandas preserves partitioning (no shuffle); batch size
 is bounded by spark.sql.execution.arrow.maxRecordsPerBatch (session.py),
@@ -44,17 +46,112 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
+    """REAL image decode: returns (width, height, channels, pixels).
+
+    PNG goes through the full chunk-walk + zlib-inflate + un-filter
+    path; PPM/PGM through the netpbm header tokenizer + raster slice
+    (operators/imagecodec.py — pure Python, no imaging library).
+    """
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    if codec == "image/png":
+        return IC.decode_png(payload)
+    if codec in ("image/ppm", "image/pgm"):
+        return IC.decode_pnm(payload)
+    raise NotImplementedError(f"image codec {codec!r} not supported")
+
+
 def decode_payload(payload: bytes, codec: str) -> bytes:
-    """Seam for real decoders. Image/audio libraries are not available
-    in this environment — anything but the deterministic fake is
-    explicitly unimplemented."""
+    """Decode seam. Real codecs implemented here: PNG (zlib inflate +
+    all five scanline filters) and netpbm PPM/PGM return raw interleaved
+    pixel bytes; 'fake/v1' passes bytes through. Codecs needing
+    external libraries (JPEG, audio, video containers) stay explicitly
+    unimplemented."""
     if codec == "fake/v1":
         return payload
+    if codec in ("image/png", "image/ppm", "image/pgm"):
+        return decode_image(payload, codec)[3]
     raise NotImplementedError(
-        f"codec {codec!r}: real decode requires an image/audio library "
-        "not present in this container; only the deterministic fake "
-        "'fake/v1' is supported"
+        f"codec {codec!r}: requires an external decoder library not "
+        "present in this container; supported here: fake/v1, image/png, "
+        "image/ppm, image/pgm"
     )
+
+
+# Deterministic synthetic-image parameters — mirrored literally in the
+# multimodal_image_decode oracle SQL; change both together.
+IMG_W_MOD, IMG_W_BASE = 13, 4  # width  = doc_id % 13 + 4
+IMG_H_MOD, IMG_H_BASE = 7, 3  # height = doc_id % 7 + 3
+IMG_PIX_A, IMG_PIX_B = 7, 13  # pixel[i] = (doc_id*7 + i*13) % 256
+
+SYNTH_SCHEMA = "doc_id long, payload binary, meta struct<codec:string>"
+
+
+def synth_images(docs: DataFrame) -> DataFrame:
+    """Encode a real image file per document — PNG for even doc_ids
+    (cycling all five scanline filters), binary PPM for odd — with
+    dimensions and pixels that are pure integer functions of doc_id, so
+    an oracle can predict the decoded output analytically. The encoder
+    is test-harness data synthesis; the DECODE side is the product."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % IMG_W_MOD + IMG_W_BASE
+                h = d % IMG_H_MOD + IMG_H_BASE
+                pix = bytes(
+                    (d * IMG_PIX_A + i * IMG_PIX_B) % 256
+                    for i in range(w * h * 3)
+                )
+                if d % 2 == 0:
+                    payload, codec = IC.encode_png(w, h, pix, 3), "image/png"
+                else:
+                    payload, codec = IC.encode_ppm(w, h, pix), "image/ppm"
+                rows["doc_id"].append(d)
+                rows["payload"].append(payload)
+                rows["meta"].append({"codec": codec})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, SYNTH_SCHEMA)
+
+
+IMAGE_DECODE_SCHEMA = (
+    "doc_id long, fmt string, width long, height long, n_bytes long, "
+    "pix_digest long"
+)
+
+
+def decode_images(with_images: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode over (doc_id, payload, meta):
+    each payload is parsed by the actual PNG/PPM decoder and the
+    decoded dimensions + a pixel-byte fold digest come back as typed
+    columns. Partition-preserving mapInPandas — the exact seam a
+    C-extension codec (PIL/libvips) swaps into at production scale."""
+    from mapreduceframework_spark.operators.imagecodec import pixel_digest
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:  # one output frame per Arrow batch: memory stays flat
+            out: dict[str, list] = {
+                "doc_id": [], "fmt": [], "width": [], "height": [],
+                "n_bytes": [], "pix_digest": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h, ch, pix = decode_image(bytes(payload), meta["codec"])
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(meta["codec"].split("/")[1])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(pix))
+                out["pix_digest"].append(pixel_digest(pix))
+            yield pd.DataFrame(out)
+
+    return with_images.mapInPandas(batches, IMAGE_DECODE_SCHEMA)
 
 
 def decode_features(with_payload: DataFrame) -> DataFrame:

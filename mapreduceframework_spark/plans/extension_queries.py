@@ -731,12 +731,12 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: binary payload + typed metadata ->
     Arrow-batched pandas 'decoder' (mapInPandas) emitting per-item
-    features. The decode itself is a deterministic byte-level fake (no
-    image libs in this container — operators/multimodal.py marks the
-    real-codec seam with NotImplementedError); the Spark-side schema,
-    batching, and partitioning are the real thing. Oracle equivalence
-    relies on the corpus being ASCII (strlen==octet length, verified in
-    tests), since DuckDB can't run the pandas decoder."""
+    features. This query keeps the byte-level fake codec to check the
+    PLUMBING against an analytic oracle; the REAL decoders (PNG/PPM,
+    operators/imagecodec.py) are value-checked end to end by
+    multimodal_image_decode. Oracle equivalence relies on the corpus
+    being ASCII (strlen==octet length, verified in tests), since DuckDB
+    can't run the pandas decoder."""
     from mapreduceframework_spark.operators import multimodal as M
     from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
@@ -744,6 +744,49 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Python worker for the whole corpus.
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
     return M.decode_features(M.attach_payload(docs))
+
+
+@query(
+    "multimodal_image_decode",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   doc_id % 13 + 4 AS width,
+                   doc_id % 7 + 3 AS height
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'ppm' END AS fmt,
+               CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height,
+               CAST(width * height * 3 AS BIGINT) AS n_bytes,
+               CAST(list_reduce(
+                   list_prepend(0, [ (doc_id * 7 + i * 13) % 256
+                                     for i in range(0, width * height * 3) ]),
+                   (acc, v) -> (acc * 31 + v) % 1000000007
+               ) AS BIGINT) AS pix_digest
+        FROM p
+    """,
+    tags=("multimodal", "extension", "codec"),
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-checked end to end: every document gets
+    an actual encoded image file (PNG for even doc_ids — the encoder
+    cycles all five PNG scanline filters, so Sub/Up/Average/Paeth
+    un-filtering must all be correct — binary PPM for odd), and the
+    engine decodes the binary payloads back through the pure-Python
+    codecs (operators/imagecodec.py: chunk walk, CRC check, zlib
+    inflate, un-filter / netpbm tokenizer) in an Arrow-batched
+    mapInPandas stage. Pixels are integer functions of doc_id, so the
+    oracle predicts the decoded (width, height, byte count, pixel fold
+    digest) analytically — any parser bug anywhere in the round trip
+    breaks the value hash. Partition-preserving: synth and decode run
+    in the same task, no shuffle."""
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    return M.decode_images(M.synth_images(docs))
 
 
 # --------------------------------------------------------------------------

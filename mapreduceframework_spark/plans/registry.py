@@ -105,10 +105,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_static_enrich",
     "scd2_order_history",
     # --- rotation sentinels: previously-green rows re-proved this round ---
+    # NEW this round: real PNG/PPM codec round-trip (needs its first row)
+    "multimodal_image_decode",
     # r02-era greens
     "char_counts",
     "agg_full_group",
-    "topk_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
