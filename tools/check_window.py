@@ -2,12 +2,19 @@
 compare the driver uses, at the driver's SF (default sf0.01). Usage:
 
     python tools/check_window.py [sf_dir] [name ...]
+    python tools/check_window.py --sentinels N [seed] [sf_dir]
 
-Prints one line per query; exits nonzero if any fail.
+``--sentinels N`` re-verifies N queries sampled (seeded, reproducible)
+from OUTSIDE the current driver window — the rotated-out greens whose
+recorded driver rows would otherwise go stale silently. The round-4
+events-loader regression hid for two rounds exactly because rotated-out
+rows were never re-run; sampling a handful each round bounds that
+exposure. Prints one line per query; exits nonzero if any fail.
 """
 
 from __future__ import annotations
 
+import random
 import sys
 import time
 import traceback
@@ -23,8 +30,19 @@ from tests.conftest import assert_parity
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(DRIVER_WINDOW)
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--sentinels":
+        n = int(argv[1])
+        seed = int(argv[2]) if len(argv) > 2 else 0
+        sf_dir = argv[3] if len(argv) > 3 else "/root/testdata/sf0.01"
+        rotated_out = sorted(set(all_queries()) - set(DRIVER_WINDOW))
+        names = random.Random(seed).sample(
+            rotated_out, min(n, len(rotated_out))
+        )
+        print(f"sentinels (seed={seed}): {names}", flush=True)
+    else:
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+        names = list(argv[1:]) or list(DRIVER_WINDOW)
     queries = all_queries()
     spark = get_session(app_name="check-window", cpus=16)
     con = duckdb.connect()
