@@ -8,6 +8,9 @@ Real decoders, no external imaging library required:
   walk (IHDR/IDAT/IEND with CRC check), concatenated-IDAT inflate, and
   scanline UN-filtering for all five filter types (None/Sub/Up/
   Average/Paeth) on 8-bit gray/RGB/RGBA.
+- **WAV (RIFF PCM)**: chunk-walking RIFF parser for 16-bit PCM audio —
+  the audio modality's real decoder (fmt/data located positionally
+  -independently, LIST/INFO chunks tolerated, word alignment handled).
 
 These plug into ``operators/multimodal.py::decode_payload``; the
 mapInPandas plumbing there is format-agnostic. Encoders live here too so
@@ -235,6 +238,79 @@ def encode_png(
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio modality's real decoder
+# --------------------------------------------------------------------------
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a RIFF/WAVE file with 16-bit PCM samples.
+
+    Real RIFF chunk walk: validates the RIFF/WAVE header, locates the
+    ``fmt `` and ``data`` chunks wherever they appear (files in the
+    wild carry LIST/INFO chunks in between), checks PCM/16-bit, and
+    returns ``(sample_rate, channels, n_frames, samples)`` with
+    ``samples`` as the raw little-endian int16 frame data.
+    """
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    sample_rate = channels = bits = -1
+    data: bytes | None = None
+    while i + 8 <= len(buf):
+        ctype = buf[i : i + 4]
+        (length,) = struct.unpack("<I", buf[i + 4 : i + 8])
+        body = buf[i + 8 : i + 8 + length]
+        if ctype == b"fmt ":
+            fmt_tag, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_tag != 1:
+                raise NotImplementedError(f"non-PCM format tag {fmt_tag}")
+            if bits != 16:
+                raise NotImplementedError(f"{bits}-bit PCM not supported")
+        elif ctype == b"data":
+            data = body
+        i += 8 + length + (length & 1)  # chunks are word-aligned
+    if sample_rate < 0 or data is None:
+        raise ValueError("missing fmt or data chunk")
+    frame_bytes = 2 * channels
+    if len(data) % frame_bytes:
+        raise ValueError("data chunk not a whole number of frames")
+    return sample_rate, channels, len(data) // frame_bytes, data
+
+
+def encode_wav(
+    sample_rate: int, channels: int, samples: bytes
+) -> bytes:
+    """Encode 16-bit PCM frames as RIFF/WAVE, with a LIST chunk between
+    fmt and data so decoders must actually walk chunks rather than
+    assume fixed offsets."""
+    if len(samples) % (2 * channels):
+        raise ValueError("sample buffer not a whole number of frames")
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    info = b"INFOISFT\x0e\x00\x00\x00synthetic/v1\x00\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def sample_digest_u16(samples: bytes) -> int:
+    """31x fold over the little-endian uint16 reinterpretation of the
+    PCM stream — unsigned so the oracle's analytic formula needs no
+    sign gymnastics; same modulo convention as :func:`pixel_digest`."""
+    acc = 0
+    for k in range(0, len(samples), 2):
+        v = samples[k] | (samples[k + 1] << 8)
+        acc = (acc * 31 + v) % DIGEST_MOD
+    return acc
 
 
 # --------------------------------------------------------------------------

@@ -119,6 +119,80 @@ def synth_images(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, SYNTH_SCHEMA)
 
 
+# Deterministic synthetic-audio parameters — mirrored in the
+# multimodal_audio_decode oracle SQL; change both together.
+AUD_N_MOD, AUD_N_BASE = 50, 10  # frames   = doc_id % 50 + 10
+AUD_CH_MOD = 2  # channels = doc_id % 2 + 1
+AUD_RATES = (8000, 16000, 22050, 44100)  # rate = RATES[doc_id % 4]
+AUD_S_A, AUD_S_B = 31, 17  # sample[i] = (doc_id*31 + i*17) % 65536
+
+
+def synth_audio(docs: DataFrame) -> DataFrame:
+    """Encode a real RIFF/WAVE file per document (16-bit PCM, mono or
+    stereo, varying sample rates, with a LIST chunk so the decoder must
+    genuinely walk chunks). Samples are integer functions of doc_id so
+    the decode oracle is analytic."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = d % AUD_N_MOD + AUD_N_BASE
+                ch = d % AUD_CH_MOD + 1
+                rate = AUD_RATES[d % 4]
+                n_u16 = frames * ch
+                samples = b"".join(
+                    ((d * AUD_S_A + i * AUD_S_B) % 65536).to_bytes(2, "little")
+                    for i in range(n_u16)
+                )
+                rows["doc_id"].append(d)
+                rows["payload"].append(IC.encode_wav(rate, ch, samples))
+                rows["meta"].append({"codec": "audio/wav"})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, SYNTH_SCHEMA)
+
+
+AUDIO_DECODE_SCHEMA = (
+    "doc_id long, sample_rate long, channels long, n_frames long, "
+    "sample_digest long"
+)
+
+
+def decode_audio(with_audio: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode: each payload goes through the
+    RIFF chunk walker and comes back as (sample_rate, channels,
+    n_frames, fold digest of the PCM stream). Partition-preserving
+    mapInPandas — same seam a libsndfile/ffmpeg binding swaps into."""
+    from mapreduceframework_spark.operators.imagecodec import (
+        decode_wav,
+        sample_digest_u16,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "channels": [],
+                "n_frames": [], "sample_digest": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["codec"] != "audio/wav":
+                    raise NotImplementedError(meta["codec"])
+                rate, ch, frames, samples = decode_wav(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_frames"].append(frames)
+                out["sample_digest"].append(sample_digest_u16(samples))
+            yield pd.DataFrame(out)
+
+    return with_audio.mapInPandas(batches, AUDIO_DECODE_SCHEMA)
+
+
 IMAGE_DECODE_SCHEMA = (
     "doc_id long, fmt string, width long, height long, n_bytes long, "
     "pix_digest long"

@@ -789,6 +789,121 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_images(M.synth_images(docs))
 
 
+@query(
+    "multimodal_audio_decode",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   doc_id % 50 + 10 AS n_frames,
+                   doc_id % 2 + 1 AS channels
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
+                   AS sample_rate,
+               CAST(channels AS BIGINT) AS channels,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(list_reduce(
+                   list_prepend(0, [ (doc_id * 31 + i * 17) % 65536
+                                     for i in range(0, n_frames * channels) ]),
+                   (acc, v) -> (acc * 31 + v) % 1000000007
+               ) AS BIGINT) AS sample_digest
+        FROM p
+    """,
+    tags=("multimodal", "extension", "codec", "audio"),
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-checked end to end: every document gets
+    an actual RIFF/WAVE file (16-bit PCM, mono/stereo, four sample
+    rates, a LIST chunk between fmt and data so fixed-offset parsing
+    would fail) and the engine decodes it back through the pure-Python
+    RIFF chunk walker (operators/imagecodec.py decode_wav) in an
+    Arrow-batched mapInPandas stage. PCM samples are integer functions
+    of doc_id, so the oracle predicts (sample_rate, channels, n_frames,
+    PCM fold digest) analytically. Same partition-preserving seam as
+    the image decode — no shuffle."""
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    return M.decode_audio(M.synth_audio(docs))
+
+
+PACK_BUDGET = 256  # tokens per packed chunk
+PACK_SHARDS = 8
+
+
+@query(
+    "pack_token_chunks",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END) AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT shard, doc_id, toks,
+                   SUM(toks) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c WHERE toks > 0
+        GROUP BY shard, (cum - 1) // {PACK_BUDGET}
+    """,
+    tags=("extension", "packing", "training-data"),
+)
+def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk) for LLM pretraining: shard
+    the corpus deterministically, order each shard by doc_id, and cut
+    the running token stream into fixed {PACK_BUDGET}-token chunks —
+    chunk_id = (cumulative_tokens - 1) div budget, the standard
+    concat-then-split packing that wastes no padding. Emits per-chunk
+    stats (doc count, token total, doc-id span) — the manifest a
+    packed-dataset writer consumes.
+
+    Scale shape: packing is inherently sequential IN ORDER, so the
+    scalable form makes the order per-shard: the window partitions by
+    shard (one shuffle, {PACK_SHARDS} streams locally; thousands on a
+    cluster), never a single global sort. Token counting is a JVM-side
+    expression; no Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        X.whitespace_token_count(F.col("text")).alias("toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("toks").over(w))
+    return (
+        c.filter(F.col("toks") > 0)
+        .groupBy(
+            F.col("shard").cast("long").alias("shard"),
+            ((F.col("cum") - 1) / PACK_BUDGET)
+            .cast("long")
+            .alias("chunk_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Further text / agg coverage
 # --------------------------------------------------------------------------

@@ -105,11 +105,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_static_enrich",
     "scd2_order_history",
     # --- rotation sentinels: previously-green rows re-proved this round ---
-    # NEW this round: real PNG/PPM codec round-trip (needs its first row)
+    # NEW this round: real codec round-trips + sequence packing
+    # (need their first driver rows)
     "multimodal_image_decode",
+    "multimodal_audio_decode",
+    "pack_token_chunks",
     # r02-era greens
     "char_counts",
-    "agg_full_group",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -119,7 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_date_funcs",
     "profile_numeric_histogram",
     # r03-era greens
-    "tpch_q1_pricing",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_supplier",
     "join_salted_skew",

@@ -101,3 +101,46 @@ def test_pixel_digest_matches_duckdb_fold():
         "]), (acc, v) -> (acc * 31 + v) % 1000000007) AS d"
     ).fetchone()[0]
     assert IC.pixel_digest(pix) == want
+
+
+def test_wav_round_trip():
+    samples = b"".join(
+        ((5 * 31 + i * 17) % 65536).to_bytes(2, "little") for i in range(40)
+    )
+    buf = IC.encode_wav(22050, 2, samples)
+    assert IC.decode_wav(buf) == (22050, 2, 20, samples)
+
+
+def test_wav_decoder_walks_past_list_chunk():
+    buf = IC.encode_wav(8000, 1, b"\x01\x02\x03\x04")
+    assert b"LIST" in buf  # encoder inserts one; decoder must skip it
+    rate, ch, frames, samples = IC.decode_wav(buf)
+    assert (rate, ch, frames) == (8000, 1, 2)
+
+
+def test_wav_rejects_non_riff():
+    with pytest.raises(ValueError, match="RIFF"):
+        IC.decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_wav_rejects_non_pcm():
+    buf = bytearray(IC.encode_wav(8000, 1, b"\x00\x00"))
+    # fmt tag lives right after "fmt "+len; flip PCM(1) -> IEEE float(3)
+    i = buf.index(b"fmt ") + 8
+    buf[i] = 3
+    with pytest.raises(NotImplementedError, match="format tag"):
+        IC.decode_wav(bytes(buf))
+
+
+def test_sample_digest_matches_duckdb_fold():
+    import duckdb
+
+    samples = b"".join(
+        ((9 * 31 + i * 17) % 65536).to_bytes(2, "little") for i in range(60)
+    )
+    want = duckdb.sql(
+        "SELECT list_reduce(list_prepend(0, ["
+        "(9 * 31 + i * 17) % 65536 for i in range(0, 60)"
+        "]), (acc, v) -> (acc * 31 + v) % 1000000007) AS d"
+    ).fetchone()[0]
+    assert IC.sample_digest_u16(samples) == want
