@@ -110,9 +110,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_image_decode",
     "multimodal_audio_decode",
     "pack_token_chunks",
+    "udf_cogrouped_reconcile",
     # r02-era greens
     "char_counts",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",

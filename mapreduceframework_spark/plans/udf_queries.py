@@ -204,3 +204,63 @@ def udtf_native_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE length(trim(d.text)) > 0
         """
     )
+
+
+@query(
+    "udf_cogrouped_reconcile",
+    oracle="""
+        SELECT o.o_orderkey,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+               epoch_us(MAX(l.l_shipdate)) AS last_ship_us,
+               CAST(COALESCE(SUM(CASE WHEN l.l_discount > 0 THEN 1
+                                      ELSE 0 END), 0) AS BIGINT)
+                   AS n_discounted
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    """,
+    tags=("udf", "pandas", "cogroup"),
+)
+def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas API (the fourth pandas-UDF family, beside
+    scalar / grouped-agg / mapInPandas): ``df1.groupBy(k).cogroup(
+    df2.groupBy(k)).applyInPandas`` hands BOTH sides' group slices to
+    one Python function — the vectorized analogue of the reference's
+    reduce seeing every value of a key, generalized to two inputs.
+    Here: per-order reconciliation of the orders header against its
+    lineitems (line count, latest ship time, discounted-line count).
+    Integer-only outputs, so no float summation-order games.
+
+    Scale: ONE co-partitioned shuffle on the key for both inputs (the
+    same exchange a join would pay), then each group is a bounded
+    pandas frame — 100 TB safe as long as a single key's group fits an
+    executor (true for order lineitems, max ~7 rows)."""
+
+    def reconcile(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        key = orders_pdf["o_orderkey"].iloc[0]
+        if len(lines_pdf):
+            last_us = int(pd.Timestamp(lines_pdf["l_shipdate"].max()).value // 1_000)
+            n_disc = int((lines_pdf["l_discount"] > 0).sum())
+        else:
+            last_us, n_disc = None, 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key)],
+                "n_lines": [len(lines_pdf)],
+                "last_ship_us": [last_us],
+                "n_discounted": [n_disc],
+            }
+        )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_discount"
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, n_lines long, last_ship_us long, "
+            "n_discounted long",
+        )
+    )
