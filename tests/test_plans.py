@@ -299,3 +299,37 @@ def test_docs_wide_skips_shuffle_when_scan_parallel_enough(spark, sf_dir):
         assert "Exchange" in buf.getvalue()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_cogroup_single_copartitioned_shuffle(spark, sf_dir):
+    # The cogrouped-map query must co-partition both inputs with ONE
+    # exchange per side feeding FlatMapCoGroupsInPandas — and prune
+    # each scan to the referenced columns.
+    plan = plan_of(spark, sf_dir, "udf_cogrouped_reconcile")
+    assert "FlatMapCoGroupsInPandas" in plan
+    # count tree entries only ("Exchange (N)"); the formatted detail
+    # section repeats each node name once more
+    assert plan.count("Exchange (") == 2
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("o_totalprice" not in l and "text" not in l for l in read_schemas)
+
+
+def test_codec_queries_have_no_shuffle(spark, sf_dir):
+    # Synth + decode chain in one task: partition-preserving mapInPandas
+    # stages, no exchange anywhere (ensure_min_partitions may add one
+    # round-robin on a single-file local scan — accept only that).
+    for name in ("multimodal_image_decode", "multimodal_audio_decode"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "MapInPandas" in plan, name
+        n_exchange = plan.count("Exchange (")
+        n_roundrobin = 1 if "REPARTITION_BY_NUM" in plan else 0
+        assert n_exchange == n_roundrobin, (name, n_exchange, n_roundrobin)
+
+
+def test_pack_token_chunks_single_shuffle(spark, sf_dir):
+    # Packing: exactly one hash exchange (on shard) — the aggregation
+    # must reuse the shard partitioning (shard prefixes the grouping
+    # key), and no global Sort exists outside the per-shard window.
+    plan = plan_of(spark, sf_dir, "pack_token_chunks")
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(shard" in plan
