@@ -67,8 +67,10 @@ def word_hash_sql(w: str) -> str:
     )
 
 
-def string_shingles(words: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as strings (space-joined).
+def string_shingles_all(words: Column, n: int = 3) -> Column:
+    """ALL word n-gram shingles as strings (space-joined), duplicates
+    kept in positional order — the input to repetition metrics where
+    the duplicate count IS the signal.
 
     Perf-critical shape: built from n shifted slices combined with
     zip_with, so every lambda body touches ONLY lambda variables.
@@ -83,9 +85,13 @@ def string_shingles(words: Column, n: int = 3) -> Column:
         out = F.zip_with(
             out, F.slice(words, k + 1, count), lambda p, w: F.concat_ws(" ", p, w)
         )
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(out)
-    )
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(out)
+
+
+def string_shingles(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (see :func:`string_shingles_all`
+    for the shape rationale)."""
+    return F.array_distinct(string_shingles_all(words, n))
 
 
 def string_shingles_sql(words: str, n: int = 3) -> str:

@@ -1361,6 +1361,111 @@ def text_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_repetition_ratio",
+    oracle="""
+        WITH d AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS words
+                   FROM documents WHERE length(trim(text)) > 0),
+        s AS (SELECT doc_id,
+                     CASE WHEN len(words) < 3 THEN []::VARCHAR[]
+                          ELSE [array_to_string(words[i:i+2], ' ')
+                                for i in range(1, len(words) - 1)]
+                     END AS sh
+              FROM d)
+        SELECT doc_id,
+               CAST(len(sh) AS BIGINT) AS n_shingles,
+               CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+               ROUND(CASE WHEN len(sh) = 0 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(sh))
+                               / CAST(len(sh) AS DOUBLE) END, 6)
+                   AS rep_ratio
+        FROM s
+    """,
+    tags=("text", "quality", "extension"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of word 3-grams that are
+    duplicates (1 - distinct/total) — the Gopher/C4-style quality
+    signal that catches boilerplate and looping text, computed per
+    document as a pure row-local array expression (zip_with-over-slices
+    shingles, no shuffle, no Python). Documents shorter than 3 tokens
+    score 0.0. At 100 TB this runs at scan bandwidth; the division is
+    the identical IEEE expression in both engines, rounded to 6."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", D.string_shingles_all(F.col("words"), 3).alias("sh")
+    )
+    total = F.size("sh")
+    dis = F.size(F.array_distinct("sh"))
+    return sh.select(
+        "doc_id",
+        total.cast("long").alias("n_shingles"),
+        dis.cast("long").alias("n_distinct"),
+        F.round(
+            F.when(total == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - dis / total.cast("double")
+            ),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+        WITH d AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS words
+                   FROM documents WHERE length(trim(text)) > 0),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(words) < 5 THEN []::VARCHAR[]
+                           ELSE list_distinct(
+                               [array_to_string(words[i:i+4], ' ')
+                                for i in range(1, len(words) - 3)])
+                      END AS sh
+               FROM d),
+        ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+               WHERE doc_id % 10 = 0),
+        tx AS (SELECT doc_id, unnest(sh) AS s FROM sh
+               WHERE doc_id % 10 <> 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM tx JOIN ev USING (s)
+        GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "decontamination", "extension"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    exact word 5-gram with the held-out set (docs with doc_id % 10 = 0
+    stand in for the benchmark), reporting how many distinct 5-grams
+    each contaminated document shares — the standard n-gram-overlap
+    decontamination pass run before pretraining.
+
+    Scale shape: an inverted-index EQUI join on the shingle string —
+    never a doc x doc comparison. The eval side is deduplicated to
+    distinct shingles and broadcast (real benchmark suites are MBs
+    against a 100 TB corpus); the train side explodes to (doc, shingle)
+    rows with map-side partial aggregation after the join, so shuffle
+    volume is O(contaminated matches), not O(corpus)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", D.string_shingles(F.col("words"), 5).alias("sh")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    tx = sh.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    return (
+        tx.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation pipeline (composition capstone)
 # --------------------------------------------------------------------------

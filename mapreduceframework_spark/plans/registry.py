@@ -111,6 +111,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_audio_decode",
     "pack_token_chunks",
     "udf_cogrouped_reconcile",
+    "text_repetition_ratio",
+    "decontaminate_ngram_overlap",
     # r02-era greens
     "char_counts",
     "dedup_minhash_lsh",
@@ -118,14 +120,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_clusters",
     "ann_cosine_bruteforce",
     "text_token_stats",
-    "scalar_date_funcs",
     "profile_numeric_histogram",
     # r03-era greens
     "tpch_q9_product_profit",
     "tpch_q21_waiting_supplier",
     "join_salted_skew",
     "join_range_binned",
-    "window_topk_per_group",
     "udf_pandas_scalar",
     "udtf_bigram_counts",
     "sketch_countmin_heavy",
