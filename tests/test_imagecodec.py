@@ -144,3 +144,60 @@ def test_sample_digest_matches_duckdb_fold():
         "]), (acc, v) -> (acc * 31 + v) % 1000000007) AS d"
     ).fetchone()[0]
     assert IC.sample_digest_u16(samples) == want
+
+
+# ---- property-based round trips (hypothesis) ----
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    channels=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+def test_png_round_trip_property(w, h, channels, data):
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    assert IC.decode_png(IC.encode_png(w, h, pix, channels)) == (
+        w, h, channels, pix,
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 32), h=st.integers(1, 32), data=st.data())
+def test_ppm_round_trip_property(w, h, data):
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    assert IC.decode_pnm(IC.encode_ppm(w, h, pix)) == (w, h, 3, pix)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    channels=st.integers(1, 2),
+    frames=st.integers(0, 64),
+    data=st.data(),
+)
+def test_wav_round_trip_property(rate, channels, frames, data):
+    n = frames * channels * 2
+    samples = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    assert IC.decode_wav(IC.encode_wav(rate, channels, samples)) == (
+        rate, channels, frames, samples,
+    )
