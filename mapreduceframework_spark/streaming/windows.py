@@ -6,6 +6,14 @@ north-star surface. The engine exposes the standard Structured
 Streaming shapes: file-source readStream, watermarks, tumbling windows,
 and an ``applyInPandasWithState`` custom stateful operator.
 
+API coverage note: arbitrary stateful processing is exposed through
+``applyInPandasWithState`` (running_user_counts below). Spark 4's newer
+``transformWithStateInPandas`` is NOT used: its state-server protocol
+imports ``google.protobuf``, which this container lacks (verified — the
+TWS driver worker crashes with ImportError before user code runs); the
+older API covers the same per-key mutable-state semantics without that
+dependency.
+
 Testing model: the driver's data is one static parquet file, so
 streaming queries run with ``trigger(availableNow=True)`` into an
 in-memory sink — the full pipeline (source -> watermark -> stateful op
