@@ -206,7 +206,7 @@ def kmeans_lloyd(
     Scale shape per iteration (n vectors, d dims, k centroids):
     - centroids are MODEL STATE, not data: k x d doubles (k=8, d=64 ->
       512 values). They live on the driver between rounds and enter
-      each pass as a literal array<struct<cid, c>> column — the same
+      each pass as ONE literal array<array<double>> column — the same
       driver-resident-model design as Spark MLlib's KMeans. Collecting
       O(k x d) per round is not a driver-side data loop; the corpus
       itself never moves.
@@ -246,28 +246,31 @@ def kmeans_lloyd(
         [float(v) for v in r["qv"]] for r in first_k
     ]
 
-    def cent_literal(cs: list[list[float]]) -> Column:
-        return F.array(*[
-            F.struct(
-                F.lit(cid).cast("long").alias("cid"),
-                F.array(*[F.lit(v) for v in c]).alias("c"),
-            )
-            for cid, c in enumerate(cs)
-        ])
-
     def assign(cs: list[list[float]]):
+        # ONE nested-array literal for all centroids (F.lit on a Python
+        # list of lists), not k x d individual F.lit nodes: the result
+        # is bit-identical (verified by value hash) but the expression
+        # tree is O(1) in model size instead of O(k x d) — at k=256,
+        # d=1024 the per-literal form is ~262k Catalyst nodes and
+        # analysis/codegen dominates every pass. cid is recovered from
+        # the centroid's index (sequence + element_at); referencing the
+        # outer `arr` inside the lambda is safe because re-evaluating a
+        # Literal per element costs nothing.
+        arr = F.lit(cs)
+
         def dist_to(ct):
             return F.aggregate(
-                F.zip_with("qv", ct["c"], lambda a, b: (a - b) * (a - b)),
+                F.zip_with("qv", ct, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, e: acc + e,
             )
 
         best = F.array_min(
             F.transform(
-                cent_literal(cs),
-                lambda ct: F.struct(
-                    dist_to(ct).alias("dist"), ct["cid"].alias("cid")
+                F.sequence(F.lit(0), F.lit(len(cs) - 1)),
+                lambda i: F.struct(
+                    dist_to(F.element_at(arr, i + 1)).alias("dist"),
+                    i.cast("long").alias("cid"),
                 ),
             )
         )
