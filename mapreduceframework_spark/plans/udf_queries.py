@@ -225,39 +225,63 @@ def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar / grouped-agg / mapInPandas): ``df1.groupBy(k).cogroup(
     df2.groupBy(k)).applyInPandas`` hands BOTH sides' group slices to
     one Python function — the vectorized analogue of the reference's
-    reduce seeing every value of a key, generalized to two inputs.
+    reduce seeing all values of a key, generalized to two inputs.
     Here: per-order reconciliation of the orders header against its
     lineitems (line count, latest ship time, discounted-line count).
     Integer-only outputs, so no float summation-order games.
 
-    Scale: ONE co-partitioned shuffle on the key for both inputs (the
-    same exchange a join would pay), then each group is a bounded
-    pandas frame — 100 TB safe as long as a single key's group fits an
-    executor (true for order lineitems, max ~7 rows)."""
+    Scale rule learned by measurement: cogroup on a COARSE BUCKET, not
+    the natural key. Cogrouping on o_orderkey itself invokes Python
+    once per key — 65 s at sf0.1 (150k calls of ~5 rows) vs ~1 s with
+    1024 buckets, because per-call overhead dwarfs per-row work; at
+    billions of keys the per-key form is catastrophic. Bucketing keeps
+    the single co-partitioned shuffle and amortizes Python dispatch
+    over ~key_count/1024 keys per call, with the per-key logic done
+    vectorized (pandas groupby) inside the bucket. A bucket must fit
+    in executor memory — scale n_buckets with the data, exactly like
+    choosing shuffle partitions."""
+    n_buckets = 1024
 
-    def reconcile(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
-        key = orders_pdf["o_orderkey"].iloc[0]
+    def reconcile(
+        orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
         if len(lines_pdf):
-            last_us = int(pd.Timestamp(lines_pdf["l_shipdate"].max()).value // 1_000)
-            n_disc = int((lines_pdf["l_discount"] > 0).sum())
+            g = lines_pdf.assign(
+                disc=(lines_pdf["l_discount"] > 0).astype("int64")
+            ).groupby("l_orderkey")
+            stats = pd.DataFrame(
+                {
+                    "n_lines": g.size(),
+                    "last_ship_us": g["l_shipdate"].max().astype(
+                        "datetime64[us]"
+                    ).astype("int64"),
+                    "n_discounted": g["disc"].sum(),
+                }
+            )
         else:
-            last_us, n_disc = None, 0
-        return pd.DataFrame(
-            {
-                "o_orderkey": [int(key)],
-                "n_lines": [len(lines_pdf)],
-                "last_ship_us": [last_us],
-                "n_discounted": [n_disc],
-            }
+            stats = pd.DataFrame(
+                columns=["n_lines", "last_ship_us", "n_discounted"]
+            )
+        out = orders_pdf[["o_orderkey"]].join(
+            stats, on="o_orderkey", how="left"
         )
+        out["n_lines"] = out["n_lines"].fillna(0).astype("int64")
+        out["n_discounted"] = out["n_discounted"].fillna(0).astype("int64")
+        # last_ship_us stays NaN -> NULL for orders with no lineitems
+        return out
 
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % n_buckets).alias("bucket")
+    )
     lines = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate", "l_discount"
+        "l_orderkey",
+        "l_shipdate",
+        "l_discount",
+        (F.col("l_orderkey") % n_buckets).alias("bucket"),
     )
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(lines.groupBy("l_orderkey"))
+        orders.groupBy("bucket")
+        .cogroup(lines.groupBy("bucket"))
         .applyInPandas(
             reconcile,
             "o_orderkey long, n_lines long, last_ship_us long, "
