@@ -94,7 +94,18 @@ def string_shingles(words: Column, n: int = 3) -> Column:
     return F.array_distinct(string_shingles_all(words, n))
 
 
+def string_shingles_all_sql(words: str, n: int = 3) -> str:
+    """DuckDB rendering of :func:`string_shingles_all` (duplicates
+    kept) — kept adjacent so the two formulas cannot drift apart."""
+    return (
+        f"CASE WHEN len({words}) < {n} THEN []::VARCHAR[] ELSE "
+        f"[array_to_string({words}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({words}) - {n - 2})] END"
+    )
+
+
 def string_shingles_sql(words: str, n: int = 3) -> str:
+    """DuckDB rendering of :func:`string_shingles` (distinct)."""
     return (
         f"CASE WHEN len({words}) < {n} THEN []::VARCHAR[] ELSE "
         f"list_distinct([array_to_string({words}[i:i+{n - 1}], ' ') "

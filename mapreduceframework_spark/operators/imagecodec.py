@@ -275,6 +275,8 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
         i += 8 + length + (length & 1)  # chunks are word-aligned
     if sample_rate < 0 or data is None:
         raise ValueError("missing fmt or data chunk")
+    if channels < 1:
+        raise ValueError(f"malformed fmt chunk: channels={channels}")
     frame_bytes = 2 * channels
     if len(data) % frame_bytes:
         raise ValueError("data chunk not a whole number of frames")

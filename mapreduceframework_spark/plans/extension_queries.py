@@ -54,26 +54,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenized docs, repartitioned for expression-heavy pipelines.
+    """Tokenized docs, repartitioned (when needed) for expression-heavy
+    pipelines.
 
-    Two scale effects in one: (a) the local parquet is a single file ->
-    one task; the round-robin shuffle spreads the heavy shingle/hash
-    expressions across all cores (on a real cluster the scan is already
-    many tasks, but corpus files are routinely fewer than cores there
-    too); (b) the exchange materializes ``words``, so downstream lambda
-    element accesses hit a stored array instead of re-running split()
-    per access (Catalyst inlines projections into HOF lambdas).
+    The repartition is GATED on observed scan parallelism (delegated to
+    sources.ensure_min_partitions — one implementation of the gate):
+    a single local parquet file scans as one task, so the round-robin
+    exchange spreads the heavy shingle/hash expressions across all
+    cores, and as a side effect materializes ``words`` so downstream
+    HOF lambdas read a stored array. When the scan already has >=
+    shuffle.partitions splits (always true at cluster scale — a 100 TB
+    corpus is ~400k splits) the exchange is skipped: shuffling the
+    whole corpus to round-robin it would be pure waste. Known
+    trade-off on that path: without the exchange Catalyst inlines
+    split() into downstream HOF lambdas, so tokenization re-runs per
+    shingle-slice access; that per-row constant is paid in parallel
+    across the already-wide scan, which beats a corpus-wide shuffle at
+    scale (a shuffle writes+reads every byte once; the inlined split
+    only re-scans each row's own text)."""
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
-    The repartition is GATED on observed scan parallelism: when the
-    scan already has >= shuffle.partitions splits (always true at
-    cluster scale — a 100 TB corpus is ~400k splits), shuffling the
-    whole corpus just to round-robin it would be pure waste, so the
-    zero-shuffle projection is returned as-is."""
-    base = _docs(spark, sf_dir).select("doc_id", "words")
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if base.rdd.getNumPartitions() >= n:
-        return base
-    return base.repartition(n)
+    return ensure_min_partitions(
+        _docs(spark, sf_dir).select("doc_id", "words"), spark
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1363,15 +1366,10 @@ def text_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_repetition_ratio",
-    oracle="""
-        WITH d AS (SELECT doc_id,
-                          regexp_split_to_array(trim(text), '\\s+') AS words
-                   FROM documents WHERE length(trim(text)) > 0),
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
         s AS (SELECT doc_id,
-                     CASE WHEN len(words) < 3 THEN []::VARCHAR[]
-                          ELSE [array_to_string(words[i:i+2], ' ')
-                                for i in range(1, len(words) - 1)]
-                     END AS sh
+                     {D.string_shingles_all_sql("words", 3)} AS sh
               FROM d)
         SELECT doc_id,
                CAST(len(sh) AS BIGINT) AS n_shingles,
@@ -1413,16 +1411,10 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "decontaminate_ngram_overlap",
-    oracle="""
-        WITH d AS (SELECT doc_id,
-                          regexp_split_to_array(trim(text), '\\s+') AS words
-                   FROM documents WHERE length(trim(text)) > 0),
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
         sh AS (SELECT doc_id,
-                      CASE WHEN len(words) < 5 THEN []::VARCHAR[]
-                           ELSE list_distinct(
-                               [array_to_string(words[i:i+4], ' ')
-                                for i in range(1, len(words) - 3)])
-                      END AS sh
+                      {D.string_shingles_sql("words", 5)} AS sh
                FROM d),
         ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
                WHERE doc_id % 10 = 0),

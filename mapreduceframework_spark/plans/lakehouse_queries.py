@@ -84,7 +84,10 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a data collect."""
     base = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
     k = F.col("o_orderkey")
-    offset = base.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    # MAX is None on an empty snapshot — any offset works then (there is
+    # nothing to collide with); 0 keeps the arithmetic total.
+    max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
+    offset = (max_key if max_key is not None else 0) + 1
     upd = (
         base.filter((k % 13 != 0) & (k % 7 == 0))
         .withColumn("o_orderstatus", F.lit("X"))

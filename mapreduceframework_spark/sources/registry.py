@@ -136,7 +136,6 @@ EVENTS_PHYSICAL_NANOS = T.StructType(
 )
 
 
-@_functools.lru_cache(maxsize=64)
 def events_ts_unit(path: str) -> str:
     """Probe the parquet footer for the physical unit of ``ts``.
 
@@ -145,9 +144,11 @@ def events_ts_unit(path: str) -> str:
     (a month collapses into 43 minutes) while remaining a perfectly
     plausible timestamp — only the footer metadata is authoritative.
     Footer-only read: O(KB) regardless of file size, safe at 100 TB.
+    Cached per (file, mtime): a file regenerated in place with a
+    different encoding invalidates its cache entry, so a long-lived
+    session can't serve a stale unit — the exact failure mode this
+    probe exists to prevent.
     """
-    import pyarrow.parquet as pq
-
     probe = path
     if os.path.isdir(path):
         files = sorted(
@@ -156,6 +157,13 @@ def events_ts_unit(path: str) -> str:
         if not files:
             raise FileNotFoundError(f"no parquet files under {path}")
         probe = os.path.join(path, files[0])
+    return _events_ts_unit_cached(probe, os.path.getmtime(probe))
+
+
+@_functools.lru_cache(maxsize=64)
+def _events_ts_unit_cached(probe: str, mtime: float) -> str:
+    import pyarrow.parquet as pq
+
     ts_type = pq.ParquetFile(probe).schema_arrow.field("ts").type
     unit = getattr(ts_type, "unit", None)
     if unit not in ("ns", "us", "ms", "s"):

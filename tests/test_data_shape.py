@@ -76,12 +76,37 @@ def test_events_ts_spans_2024(spark, sf_dir):
 
 
 def test_events_ts_unit_probe(sf_dir):
-    """The footer probe must agree with what pyarrow reads directly, and
-    the current driver data is micros (documents the r4 incident)."""
+    """The footer probe must agree with what pyarrow reads directly —
+    asserted as EQUALITY, not mere membership, so a probe bug (or a
+    stale cache entry) cannot hide behind the other encoding."""
+    import pyarrow.parquet as pq
+
     from mapreduceframework_spark.sources.registry import events_ts_unit
 
-    unit = events_ts_unit(f"{sf_dir}/events.parquet")
-    assert unit in ("us", "ns")
+    path = f"{sf_dir}/events.parquet"
+    direct = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+    assert events_ts_unit(path) == direct
+    assert direct in ("us", "ns")
+
+
+def test_events_ts_unit_cache_invalidates_on_rewrite(tmp_path):
+    """Regenerating a file in place (same path, new encoding) must not
+    serve the old cached unit — the r4 failure mode."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceframework_spark.sources.registry import events_ts_unit
+
+    p = str(tmp_path / "events.parquet")
+    t_us = pa.table({"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))})
+    pq.write_table(t_us, p)
+    assert events_ts_unit(p) == "us"
+    t_ns = pa.table({"ts": pa.array([1], pa.timestamp("ns"))})
+    pq.write_table(t_ns, p)
+    os.utime(p, (4_000_000_000, 4_000_000_000))  # force a distinct mtime
+    assert events_ts_unit(p) == "ns"
 
 
 def test_orders_dates_span_years(spark, sf_dir):

@@ -201,3 +201,11 @@ def test_wav_round_trip_property(rate, channels, frames, data):
     assert IC.decode_wav(IC.encode_wav(rate, channels, samples)) == (
         rate, channels, frames, samples,
     )
+
+
+def test_wav_rejects_zero_channels():
+    buf = bytearray(IC.encode_wav(8000, 1, b"\x00\x00"))
+    i = buf.index(b"fmt ") + 8
+    buf[i + 2] = 0  # channels field -> 0
+    with pytest.raises(ValueError, match="channels"):
+        IC.decode_wav(bytes(buf))
