@@ -62,3 +62,44 @@ def merge_changes(
             for col in data_cols
         ]
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Derive a change batch from two snapshots — the INVERSE of
+    :func:`merge_changes`: ``merge_changes(old, snapshot_diff(old, new),
+    key)`` reproduces ``new``. This is how CDC is bootstrapped when the
+    upstream system offers no change log (periodic full dumps): diff
+    consecutive snapshots into I/U/D rows.
+
+    Emits ``new``'s columns plus ``op``: 'I' for keys only in ``new``,
+    'D' for keys only in ``old`` (new-side columns NULL except the
+    key), 'U' for keys in both whose non-key columns differ anywhere
+    (struct inequality — one comparison, null-safe). Unchanged rows are
+    NOT emitted; at 100 TB the diff output is change-sized, not
+    snapshot-sized.
+
+    Scale: one full-outer shuffle join on the key — same cost shape as
+    the merge itself; bucket both snapshots by key to make repeated
+    diffs co-located and shuffle-free.
+    """
+    cols = list(new.columns)
+    non_key = [c for c in cols if c != key]
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    old_row = F.struct(*[F.col(f"o.{c}") for c in non_key])
+    new_row = F.struct(*[F.col(f"n.{c}") for c in non_key])
+    op = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit(INSERT))
+        .when(F.col(f"n.{key}").isNull(), F.lit(DELETE))
+        .when(~old_row.eqNullSafe(new_row), F.lit(UPDATE))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+            *[F.col(f"n.{c}").alias(c) for c in non_key],
+            "op",
+        )
+    )

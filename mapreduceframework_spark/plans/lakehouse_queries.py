@@ -83,6 +83,13 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence-allocation model state, like a table format's next-rowid,
     not a data collect."""
     base = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    return merge_changes(base, _change_batch(base), key="o_orderkey")
+
+
+def _change_batch(base: DataFrame) -> DataFrame:
+    """The deterministic change batch shared by cdc_merge_orders and
+    cdc_snapshot_diff: updates for keys %7, deletes for %13, inserts
+    with MAX(o_orderkey)+1-offset keys for %10."""
     k = F.col("o_orderkey")
     # MAX is None on an empty snapshot — any offset works then (there is
     # nothing to collide with); 0 keeps the arithmetic total.
@@ -100,8 +107,43 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderstatus", F.lit("N"))
         .withColumn("op", F.lit("I"))
     )
-    changes = upd.unionByName(dele).unionByName(ins)
-    return merge_changes(base, changes, key="o_orderkey")
+    return upd.unionByName(dele).unionByName(ins)
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+        WITH mx AS (SELECT MAX(o_orderkey) + 1 AS off FROM orders)
+        SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+               'D' AS op
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, 'X' AS o_orderstatus, 'U' AS op
+        FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + off, 'N' AS o_orderstatus, 'I' AS op
+        FROM orders, mx WHERE o_orderkey % 10 = 0
+    """,
+    tags=("lakehouse", "cdc", "extension"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DERIVATION — the inverse of the merge: diff two full
+    snapshots into I/U/D change rows (operators/cdc.py snapshot_diff,
+    one full-outer join, struct-inequality update detection). This is
+    how CDC bootstraps when upstream only ships periodic dumps. Here
+    the 'new' snapshot is merge_changes(base, batch) over the SAME
+    deterministic batch as cdc_merge_orders, so the derived diff must
+    recover that batch exactly — update rows with the new status,
+    delete rows with NULL payload, insert rows above the old key
+    space. The oracle spells the expected batch directly from the
+    %-patterns; round-trip identity is what the value hash checks."""
+    from mapreduceframework_spark.operators.cdc import snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    new = merge_changes(base, _change_batch(base), key="o_orderkey")
+    return snapshot_diff(base, new, key="o_orderkey").select(
+        "o_orderkey", "o_orderstatus", "op"
+    )
 
 
 Z_BITS = 8  # bits per dimension -> 16-bit z-value

@@ -113,6 +113,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udf_cogrouped_reconcile",
     "text_repetition_ratio",
     "decontaminate_ngram_overlap",
+    "cdc_snapshot_diff",
     # r02-era greens
     "char_counts",
     "dedup_minhash_lsh",
@@ -136,7 +137,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kmeans_quantized_clusters",
     "multimodal_decode_features",
     # r04-era greens
-    "tpch_q8_market_share",
     "pipeline_curate_corpus",
     "graph_triangle_count",
 )

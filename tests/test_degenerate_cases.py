@@ -68,3 +68,29 @@ def test_simhash_by_doc_keeps_empty_docs(spark):
     out = {r["doc_id"]: r["sim"] for r in simhash_by_doc(df).collect()}
     assert set(out) == {1, 2, 3}, "empty/null docs must not drop out"
     assert out[2] == 0 and out[3] == 0
+
+
+def test_snapshot_diff_merge_round_trip(spark):
+    """merge_changes(old, snapshot_diff(old, new)) must reproduce new —
+    the identity that makes the diff a valid CDC bootstrap."""
+    from mapreduceframework_spark.operators.cdc import (
+        merge_changes,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 updated, 3 deleted, 4 null->value update, 5 new
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    diff = snapshot_diff(old, new, key="k")
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {2: "U", 3: "D", 4: "U", 5: "I"}  # 1 not emitted
+    rebuilt = merge_changes(old, diff, key="k")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
