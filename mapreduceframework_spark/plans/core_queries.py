@@ -848,3 +848,34 @@ def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             best.getField("k").alias("best_orderkey"),
         )
     )
+
+
+@query(
+    "scalar_hash_funcs",
+    oracle="""
+        SELECT c_custkey,
+               md5(c_name) AS name_md5,
+               sha256(c_name) AS name_sha256,
+               md5(c_name || ':' || CAST(c_custkey AS VARCHAR))
+                   AS keyed_pseudonym
+        FROM customer
+    """,
+    tags=("scalar", "hash", "pii"),
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash scalar family: md5 and sha2-256 digests plus
+    a keyed pseudonymization (hash of value || ':' || key) — the
+    deterministic PII-tokenization pattern a curation pipeline uses
+    where redaction (text_scrub_redact) is too destructive: the same
+    input maps to the same opaque token across tables, enabling joins
+    on pseudonymized identity. All JVM-side codegen expressions; both
+    engines emit lowercase hex, compared value-exact."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.md5(
+            F.concat_ws(":", "c_name", F.col("c_custkey").cast("string"))
+        ).alias("keyed_pseudonym"),
+    )

@@ -114,6 +114,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_repetition_ratio",
     "decontaminate_ngram_overlap",
     "cdc_snapshot_diff",
+    "scalar_hash_funcs",
     # r02-era greens
     "char_counts",
     "dedup_minhash_lsh",
@@ -135,7 +136,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_cosine_ivf",
     "embedding_quantize_int8",
     "kmeans_quantized_clusters",
-    "multimodal_decode_features",
     # r04-era greens
     "pipeline_curate_corpus",
     "graph_triangle_count",
