@@ -879,3 +879,30 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(":", "c_name", F.col("c_custkey").cast("string"))
         ).alias("keyed_pseudonym"),
     )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+        SELECT o_orderpriority,
+               bit_and(o_orderkey) AS key_and,
+               bit_or(o_orderkey) AS key_or,
+               bit_xor(o_orderkey) AS key_xor,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) — used for
+    permission-mask folding and set-membership digests. All three are
+    algebraic (map-side partial combine), integer-exact in any
+    evaluation order, so the oracle match is bit-for-bit by
+    construction."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.count("*").alias("n"),
+    )

@@ -115,6 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "decontaminate_ngram_overlap",
     "cdc_snapshot_diff",
     "scalar_hash_funcs",
+    "agg_bitwise",
     # r02-era greens
     "char_counts",
     "dedup_minhash_lsh",
@@ -129,7 +130,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_salted_skew",
     "join_range_binned",
     "udf_pandas_scalar",
-    "udtf_bigram_counts",
     "sketch_countmin_heavy",
     "graph_pagerank_trade",
     "cdc_merge_orders",
