@@ -2262,3 +2262,52 @@ def feature_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_quantity"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "sample_stratified_exact",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM ranked WHERE rn <= 40
+        GROUP BY source
+    """,
+    tags=("extension", "sampling", "training-data"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-size sampling: exactly min(40, |stratum|) docs
+    per source, chosen by a deterministic hash order (md5 of doc_id,
+    ties by doc_id) — the balanced-mix primitive where fractional
+    sampling (sample_mixture_by_source) can't guarantee per-stratum
+    counts. Engine-stable: no RNG, same selection on every engine and
+    every run.
+
+    Scale shape: one hash shuffle on the stratum key + per-partition
+    rank — rank is bounded-memory because only rn <= k survives (Spark
+    lowers the filter into the window's sort where possible). The
+    summary (count, char total, id sum) value-checks the exact member
+    set, not just sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )

@@ -116,6 +116,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cdc_snapshot_diff",
     "scalar_hash_funcs",
     "agg_bitwise",
+    "sample_stratified_exact",
     # r02-era greens
     "char_counts",
     "dedup_minhash_lsh",
@@ -126,7 +127,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "profile_numeric_histogram",
     # r03-era greens
     "tpch_q9_product_profit",
-    "tpch_q21_waiting_supplier",
     "join_salted_skew",
     "join_range_binned",
     "udf_pandas_scalar",
