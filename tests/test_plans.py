@@ -333,3 +333,39 @@ def test_pack_token_chunks_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pack_token_chunks")
     assert plan.count("Exchange (") == 1
     assert "hashpartitioning(shard" in plan
+
+
+# Shuffle budget per expensive query, measured at the time each plan was
+# tuned. A failure here means a code change silently ADDED an exchange —
+# the kind of regression that is invisible at sf0.001 correctness but
+# dominates at 100 TB. (PageRank's count reflects its unrolled iterative
+# lineage: ~4 per power-iteration round, bounded by the round count.)
+SHUFFLE_BUDGET = {
+    "pipeline_curate_corpus": 4,
+    "kmeans_quantized_clusters": 1,
+    "graph_pagerank_trade": 21,
+    "dedup_clusters": 2,
+    "dedup_simhash": 5,
+    "dedup_minhash_lsh": 8,
+    "dedup_ngram_jaccard": 5,
+    "ann_cosine_ivf": 6,
+    "tpch_q9_product_profit": 5,
+    "tpch_q18_large_orders": 5,
+    "cdc_merge_orders": 2,
+    "cdc_snapshot_diff": 4,
+    "text_bm25_topk": 10,
+    "join_range_binned": 2,
+    "decontaminate_ngram_overlap": 3,
+    "pack_token_chunks": 1,
+    "text_tfidf_top_terms": 5,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget_not_exceeded(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    n = plan.count("Exchange (")
+    assert n <= SHUFFLE_BUDGET[name], (
+        f"{name}: {n} exchanges vs budget {SHUFFLE_BUDGET[name]} — "
+        "a shuffle was added; re-tune or consciously raise the budget"
+    )
