@@ -2311,3 +2311,59 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
         )
     )
+
+
+@query(
+    "mining_pair_cooccurrence",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY n_orders DESC, part_a, part_b) AS rn
+            FROM pairs
+        )
+        SELECT part_a, part_b, n_orders FROM ranked WHERE rn <= 20
+    """,
+    tags=("extension", "mining", "cooccurrence"),
+)
+def mining_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs appearing in
+    the same order — the counting core of association mining (the
+    support computation of FP-growth/Apriori's first two levels).
+
+    Scale shape: a SELF-EQUI-JOIN on the basket key, so pair blowup is
+    bounded by basket size squared (TPC-H orders have <= 7 lines -> at
+    most 21 pairs per order), never cross-basket; the pair aggregation
+    is partial-combined map-side and top-20 is a deterministic
+    rank-with-tiebreak. At 100 TB the join co-locates by bucketing
+    lineitem on l_orderkey — zero shuffle for the pair generation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("part_a", "part_b", "n_orders")
+    )

@@ -117,8 +117,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_hash_funcs",
     "agg_bitwise",
     "sample_stratified_exact",
+    "mining_pair_cooccurrence",
     # r02-era greens
-    "char_counts",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
