@@ -2367,3 +2367,49 @@ def mining_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("part_a", "part_b", "n_orders")
     )
+
+
+@query(
+    "scalar_map_hof_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               COALESCE(array_to_string(list_sort(list_transform(
+                   list_filter([
+                       {'k': 'key',  'v': o_orderkey},
+                       {'k': 'cust', 'v': o_custkey},
+                       {'k': 'mod',  'v': o_orderkey % 7}
+                   ], e -> e.v % 2 = 1),
+                   e -> e.k || '=' || CAST(e.v * 3 AS VARCHAR))), ','), '')
+                   AS odd_tripled
+        FROM orders
+    """,
+    tags=("scalar", "map", "hof"),
+)
+def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — the lambda surface over MapType
+    that scalar_map_funcs (element_at / keys / size) doesn't touch:
+    ``map_filter`` keeps entries with odd values, ``transform_values``
+    triples them, ``map_entries`` + sort canonicalizes to a string for
+    the value hash. The oracle computes the same pipeline over an
+    entry-struct list (DuckDB has list lambdas but not map lambdas) —
+    same filter, transform, sort, join, entry for entry."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("key"), F.col("o_orderkey"),
+        F.lit("cust"), F.col("o_custkey"),
+        F.lit("mod"), F.col("o_orderkey") % 7,
+    )
+    kept = F.map_filter(m, lambda k, v: v % 2 == 1)
+    tripled = F.transform_values(kept, lambda k, v: v * 3)
+    canon = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries(tripled),
+                lambda e: F.concat_ws(
+                    "=", e["key"], e["value"].cast("string")
+                ),
+            )
+        ),
+        ",",
+    )
+    return orders.select("o_orderkey", canon.alias("odd_tripled"))

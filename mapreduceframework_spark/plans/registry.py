@@ -118,8 +118,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_bitwise",
     "sample_stratified_exact",
     "mining_pair_cooccurrence",
+    "scalar_map_hof_funcs",
     # r02-era greens
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
     "ann_cosine_bruteforce",
