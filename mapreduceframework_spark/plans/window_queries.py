@@ -204,6 +204,10 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("groupingsets",),
 )
 def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in
+    one aggregation pass — Spark expands the cube map-side, so the
+    shuffle carries each input row once per grouping set, partial
+    -combined as usual."""
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
 
