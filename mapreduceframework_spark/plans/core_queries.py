@@ -348,6 +348,7 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): distinct rows present in both inputs; one shuffle on the full row."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.intersect(s)
@@ -362,6 +363,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): distinct rows of the left absent from the right."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.subtract(s)  # EXCEPT DISTINCT semantics
@@ -387,6 +389,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "string"),
 )
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family (case, trim, substring, pad, concat, replace) as codegen expressions over customer names."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -413,6 +416,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "date"),
 )
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family (trunc, extract, add/diff, format) over order dates, UTC-pinned for oracle parity."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -444,6 +448,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "math"),
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family (abs/ceil/floor/round/pow/sqrt/log and modulo) with rounding aligned to the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -496,6 +501,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "json"),
 )
 def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar family: parse the events props column, extract typed fields, and re-serialize."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",

@@ -35,6 +35,7 @@ from mapreduceframework_spark.sources import load_table
     tags=("join",),
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inner equi-join orders-to-customer; the baseline shuffle join every other join variant is compared against."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
@@ -77,6 +78,7 @@ def join_left_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join preserving unmatched rows of both sides with NULL padding."""
     c = (
         load_table(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nk"))
@@ -182,6 +184,7 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "cross"),
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bounded CROSS JOIN (region x nation) — the only sanctioned cartesian, both sides dimension-sized."""
     r1 = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("a"))
     r2 = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("b"))
     return r1.crossJoin(r2)
