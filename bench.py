@@ -6,18 +6,29 @@ Runs every registry query tagged ``bench=True`` (the headline set) against
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {"q": sec, ...}, "sf": 0.1, "methodology": {...}}
 
-Timing is end-to-end per query: plan construction + execution to an
-order-insensitive count-style action. Each query runs exactly once (same
-as the reference's one-shot jobs — reference
-test1-1_thread_1_process.cpp runs each golden job exactly once), but the
-harness first runs an explicit warm-up block (JVM/codegen, Python daemon
-workers, parquet FS metadata, a broadcast codepath) so per-query timings
-exclude one-time infra initialization that a long-lived cluster would
-already have paid. Data itself is NOT pre-read into cache; each query
-still scans its sources. (Warm-up added in round 4 — r02/r03 numbers
-include those one-time costs in their first queries.)
+Measurement contract (methodology v2, round 6): after a one-time warm-up
+block (JVM/codegen, Python daemon workers, parquet FS metadata, a
+broadcast codepath), the full query set runs THREE complete passes in
+pinned order and each query reports the MEDIAN of its three end-to-end
+timings (plan construction + execution to an order-insensitive
+hash-reduction action). ``value`` is the sum of per-query medians.
+Passes are interleaved at the set level — query A's three samples are
+minutes apart — so a transient host spike lands in at most one sample
+and the median discards it. This replaced the single-shot timing of
+r02-r05 because the host shows up to 1.4x total / >2x per-query
+run-to-run variance on identical code (BASELINE.md "Methodology notes"),
+which a one-shot bench cannot adjudicate against the 2x perf gate.
+Data is NOT pre-read into cache by the warm-up; each query still scans
+its sources (the OS page cache does warm across passes, as it would on
+any long-lived cluster).
+
+The emitted JSON carries a ``methodology`` object (version / timing /
+repeats / warmup) so cross-round tooling can detect protocol changes
+programmatically instead of diffing docstrings: r02-r03 = v0 (cold
+single-shot, rotating order), r04-r05 = v1 (warm-up + pinned order,
+single-shot), r06+ = v2 (warm-up + pinned order + median-of-3).
 
 Query ORDER is pinned (``BENCH_ORDER``, = BENCH_r03's list) so per-query
 timings are comparable across rounds: registry iteration order rotates
@@ -32,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -70,6 +82,8 @@ BENCH_ORDER = (
     "ann_cosine_bruteforce",
 )
 
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,24 +117,37 @@ def main() -> None:
     specs = {n: s for n, s in all_queries().items() if s.bench}
     extra = sorted(n for n in specs if n not in BENCH_ORDER)
     ordered = [n for n in BENCH_ORDER if n in specs] + extra
-    timings: dict[str, float] = {}
-    for name in ordered:
-        spec = specs[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # Force full execution of every operator in the plan (count() alone
-        # would let Catalyst prune aggregations); summing a hash of all
-        # columns cannot be optimized away and is order-insensitive.
-        df.selectExpr("sum(hash(*)) AS h").collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    samples: dict[str, list[float]] = {name: [] for name in ordered}
+    for rep in range(REPEATS):
+        for name in ordered:
+            spec = specs[name]
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # Force full execution of every operator in the plan (count()
+            # alone would let Catalyst prune aggregations); summing a hash
+            # of all columns cannot be optimized away and is
+            # order-insensitive.
+            df.selectExpr("sum(hash(*)) AS h").collect()
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            print(f"# pass {rep + 1}/{REPEATS} {name}: {dt:.3f}s", file=sys.stderr)
+
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "methodology": {
+            "version": 2,
+            "timing": "median",
+            "repeats": REPEATS,
+            "warmup": True,
+            "order": "pinned-r03",
+        },
+        "samples": {name: [round(t, 3) for t in ts] for name, ts in samples.items()},
     }
     print(json.dumps(out))
 

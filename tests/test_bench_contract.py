@@ -16,6 +16,9 @@ def test_bench_emits_single_json_line():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    # One pass is enough to prove the contract; the driver's real run
+    # uses the default median-of-3.
+    env["SPARK_GRAFT_BENCH_REPEATS"] = "1"
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
@@ -36,3 +39,7 @@ def test_bench_emits_single_json_line():
     assert out["sf"] == 0.001
     assert isinstance(out["queries"], dict) and len(out["queries"]) >= 31
     assert abs(sum(out["queries"].values()) - out["value"]) < 0.1
+    meth = out["methodology"]
+    assert meth["version"] == 2 and meth["timing"] == "median"
+    assert meth["repeats"] == 1 and meth["warmup"] is True
+    assert all(len(v) == 1 for v in out["samples"].values())
