@@ -1176,15 +1176,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-style ANN
 # --------------------------------------------------------------------------
 
-CENTROIDS_CTE = f"""
+def _centroids_sql(src: str) -> str:
+    """Per-label mean-vector CTE body over ``src`` (a CTE name or a
+    parenthesized subquery), components rounded to 6 on both engines so
+    cross-engine AVG-order drift can't flip a probe ranking. Shared by
+    ann_cosine_ivf (whole corpus) and ann_topk_join (corpus side)."""
+    return f"""
         SELECT label, list(cx ORDER BY pos) AS c
         FROM (SELECT label, pos, ROUND(AVG(x), 6) AS cx
               FROM (SELECT label, generate_subscripts(v, 1) AS pos,
                            unnest(v) AS x
-                    FROM ({EMB_CTE}))
+                    FROM {src})
               GROUP BY label, pos)
         GROUP BY label
 """
+
+
+CENTROIDS_CTE = _centroids_sql(f"({EMB_CTE})")
+
+
+def _label_centroids(e: DataFrame) -> DataFrame:
+    """Spark side of :func:`_centroids_sql`: per-label mean vector with
+    components rounded to 6. One partial-aggregated groupBy over
+    (label, pos) — shuffle volume O(labels x dims), never O(corpus)."""
+    return (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s.cx).alias("c"))
+    )
 
 
 @query(
@@ -1227,14 +1249,7 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH sides so the cross-engine AVG-order drift can't flip a
     probe ranking."""
     e = _embeddings(spark, sf_dir)
-    cent = (
-        e.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s.cx).alias("c"))
-    )
+    cent = _label_centroids(e)
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1264,6 +1279,88 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+@query(
+    "ann_topk_join",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        corpus AS (SELECT * FROM e WHERE vec_id >= 20),
+        cent AS ({_centroids_sql("corpus")}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        probes AS (
+            SELECT query_id, qv, label FROM (
+                SELECT q.query_id, q.qv, cent.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {V.cosine_sql("q.qv", "cent.c")} DESC,
+                                    cent.label) AS r
+                FROM q, cent)
+            WHERE r <= 2),
+        scored AS (
+            SELECT query_id, corpus.vec_id AS neighbor_id,
+                   {V.cosine_sql("probes.qv", "corpus.v")} AS cos
+            FROM probes JOIN corpus USING (label))
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 3
+    """,
+    tags=("similarity", "extension", "retrieval"),
+)
+def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus top-k similarity JOIN — the everyday retrieval
+    shape: for each of M query vectors (one table), the top-3 cosine
+    neighbors out of a DISTINCT corpus table, through the IVF candidate
+    path. Differs from ann_cosine_ivf in exactly the way retrieval
+    differs from self-search: queries and corpus are separate relations
+    (here disjoint vec_id slices of the embeddings table standing in
+    for two tables), the coarse quantizer is trained on the CORPUS side
+    only, and no self-match exclusion is needed.
+
+    Scale shape: centroids are O(labels x dims) -> broadcast; each
+    query probes its 2 nearest lists; candidate generation is a
+    broadcast hash join of (query, probed-label) against the corpus
+    partitioned BY LABEL — never a cartesian, and the corpus side
+    shuffles zero bytes when pre-partitioned by list id (the standard
+    IVF sharding at 100 TB: each executor owns whole inverted lists,
+    queries stream to the lists they probe). Top-k is a per-query
+    rank with deterministic (cos DESC, neighbor_id) tiebreak."""
+    e = _embeddings(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") >= 20)
+    cent = _label_centroids(corpus)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("centroid_sim"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("centroid_sim", V.cosine(F.col("qv"), F.col("c")))
+        .withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "qv", "label")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "label")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
 
@@ -2265,6 +2362,56 @@ def feature_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_quantile_sketch",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 2) AS exact_q1,
+               ROUND(quantile_cont(l_quantity, 0.50), 2) AS exact_q2,
+               ROUND(quantile_cont(l_quantity, 0.75), 2) AS exact_q3,
+               TRUE AS sketch_within_tol
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "feature", "extension"),
+)
+def feature_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-quantile SCALE path, exercised for real: per-group
+    quartiles via ``approx_percentile`` (Greenwald-Khanna sketch —
+    single pass, mergeable partials, O(1/eps) memory per group; the
+    100 TB substitute for the full-sort exact percentile that
+    feature_quantile_buckets broadcasts). Same oracle pattern as
+    agg_approx_count_distinct: the hash-checked columns are the EXACT
+    quantiles (safe cross-engine: l_quantity is integer-valued, both
+    engines use R-7 interpolation, and frac in {0,.25,.5,.75} makes the
+    interpolated value exact) plus a boolean asserting the sketch
+    landed within tolerance — the sketch runs for real, and a broken
+    sketch flips the boolean. Tolerance 2.0: GK returns a corpus VALUE
+    at rank error <= 1/accuracy, so with ~50 distinct integer values
+    the estimate sits within a couple of units of the interpolated
+    exact quantile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("e1"),
+        F.expr("percentile(l_quantity, 0.50)").alias("e2"),
+        F.expr("percentile(l_quantity, 0.75)").alias("e3"),
+        F.expr(
+            "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("a"),
+    )
+    within = (
+        (F.abs(F.element_at("a", 1) - F.col("e1")) <= 2.0)
+        & (F.abs(F.element_at("a", 2) - F.col("e2")) <= 2.0)
+        & (F.abs(F.element_at("a", 3) - F.col("e3")) <= 2.0)
+    ).alias("sketch_within_tol")
+    return agg.select(
+        "l_returnflag",
+        F.round("e1", 2).alias("exact_q1"),
+        F.round("e2", 2).alias("exact_q2"),
+        F.round("e3", 2).alias("exact_q3"),
+        within,
+    )
+
+
+@query(
     "sample_stratified_exact",
     oracle="""
         WITH ranked AS (
@@ -2341,8 +2488,12 @@ def mining_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a SELF-EQUI-JOIN on the basket key, so pair blowup is
     bounded by basket size squared (TPC-H orders have <= 7 lines -> at
     most 21 pairs per order), never cross-basket; the pair aggregation
-    is partial-combined map-side and top-20 is a deterministic
-    rank-with-tiebreak. At 100 TB the join co-locates by bucketing
+    is partial-combined map-side and top-20 is orderBy+limit — a
+    parallel TakeOrderedAndProject (per-partition top-20 heaps, merged
+    on the driver), NOT an unpartitioned rank window, which would
+    funnel the entire aggregated pair set through one task. The
+    (n_orders DESC, part_a, part_b) sort key makes the cut
+    deterministic. At 100 TB the join co-locates by bucketing
     lineitem on l_orderkey — zero shuffle for the pair generation."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -2361,10 +2512,9 @@ def mining_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_orders"))
     )
-    w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        pairs.orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
         .select("part_a", "part_b", "n_orders")
     )
 

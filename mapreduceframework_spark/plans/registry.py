@@ -71,74 +71,68 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-5 window: the 13 events-family
-# queries whose results CHANGE with the timestamp-unit loader fix
-# (sources/registry.py events_ts_unit) — the 6 red CORRECTNESS_r04 rows
-# plus the 7 r02/r03 greens that had silently regressed — plus
-# rotation sentinels sampled from every earlier window so the judge can
-# trust that old green rows still reproduce (r4 post-mortem: static
-# records masked the events regression for two rounds).
+# all_queries() in iteration order. Round-6 window: re-verify the
+# STALEST greens — all 39 queries whose latest driver row is still
+# round 2 (computed from CORRECTNESS_r02..r05; everything else was
+# re-proved r04/r05) — plus first rows for the two queries new this
+# round, plus sentinels adjacent to this round's code changes (the
+# mining top-k rewrite, the imagecodec error-path hardening, the
+# events_ts_unit multi-file probe) and three round-3-stale rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- the 13 queries fixed by the events timestamp-unit fix ---
-    # red in CORRECTNESS_r04:
-    "events_tumbling_counts",
-    "events_sliding_windows",
-    "events_session_windows",
-    "events_funnel_conversion",
-    "streaming_sliding_avgs",
-    "streaming_click_purchase_join",
-    # green in r02/r03 but silently broken by the same bug; re-verify:
-    "events_sessionize_gaps",
-    "events_retention_cohorts",
-    "timeseries_ohlc",
-    "timeseries_gap_fill",
-    "join_asof",
-    "window_lag_lead",
-    "window_range_frame",
-    # remaining events-family (answers also change with real 2024 time):
-    "events_anomaly_zscore",
-    "join_asof_forward_gap",
-    "streaming_tumbling_counts",
-    "streaming_session_counts",
-    "streaming_user_counts_stateful",
-    "streaming_dedup_keys",
-    "streaming_static_enrich",
-    "scd2_order_history",
-    # --- rotation sentinels: previously-green rows re-proved this round ---
-    # NEW this round: real codec round-trips + sequence packing
-    # (need their first driver rows)
-    "multimodal_image_decode",
-    "multimodal_audio_decode",
-    "pack_token_chunks",
-    "udf_cogrouped_reconcile",
-    "text_repetition_ratio",
-    "decontaminate_ngram_overlap",
-    "cdc_snapshot_diff",
-    "scalar_hash_funcs",
-    "agg_bitwise",
-    "sample_stratified_exact",
-    "mining_pair_cooccurrence",
-    "scalar_map_hof_funcs",
-    # r02-era greens
-    "dedup_simhash",
-    "dedup_clusters",
-    "ann_cosine_bruteforce",
-    "text_token_stats",
-    "profile_numeric_histogram",
-    # r03-era greens
-    "tpch_q9_product_profit",
-    "join_salted_skew",
-    "join_range_binned",
-    "udf_pandas_scalar",
-    "sketch_countmin_heavy",
-    "graph_pagerank_trade",
-    "cdc_merge_orders",
-    "ann_cosine_ivf",
-    "embedding_quantize_int8",
-    "kmeans_quantized_clusters",
-    # r04-era greens
-    "pipeline_curate_corpus",
-    "graph_triangle_count",
+    # --- the 39 rows whose latest green is CORRECTNESS_r02 ---
+    "char_counts",
+    "word_counts",
+    "histogram_mod100",
+    "sorted_histogram",
+    "distinct_keys_mod100",
+    "projection",
+    "filter_predicate",
+    "flatmap_explode_words",
+    "agg_algebraic",
+    "agg_full_group",
+    "agg_count_distinct",
+    "agg_statistical",
+    "agg_null_semantics",
+    "agg_collect_sorted",
+    "agg_argmax_struct",
+    "conditional_case_agg",
+    "sort_partition_local",
+    "sort_global_ranked",
+    "topk_orders",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "set_except_all",
+    "cube_grouping_id",
+    "unpivot_price_components",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "join_null_safe",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    # --- NEW this round (first driver rows) ---
+    "ann_topk_join",
+    "feature_quantile_sketch",
+    # --- sentinels adjacent to this round's code changes ---
+    "mining_pair_cooccurrence",  # top-k rewritten to orderBy+limit
+    "dedup_simhash",  # simhash_by_doc empty-token fix adjacency
+    "multimodal_image_decode",  # imagecodec error-path hardening
+    "multimodal_audio_decode",  # imagecodec error-path hardening
+    "events_tumbling_counts",  # events_ts_unit now probes all files
+    "join_asof",  # events loader adjacency
+    # --- round-3-stale sentinels ---
+    "mr_char_counts",
+    "join_inner",
+    "tpch_q1_pricing",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or
