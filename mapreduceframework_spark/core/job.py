@@ -60,6 +60,45 @@ class JobState:
     percentage: float
 
 
+def _classify_stages(stages: list[Any]) -> JobState:
+    """Map a statusTracker stage snapshot onto the reference's phase
+    machine (JobContext.cpp:28-171). Pure function of the snapshot —
+    unit-testable without racing a live scheduler (the snapshot
+    combinations below are transient in a real run, so only a
+    deterministic test can pin each branch).
+
+    ``stages`` need ``.stageId``, ``.numTasks``, ``.numCompletedTasks``
+    and ``.numActiveTasks`` (duck-typed; tests pass namedtuples).
+
+    Phase rules, in order:
+    - map stage incomplete -> MAP at its completion pct.
+    - map done, result stage idle at 0 completed (or not yet submitted
+      as its own entry) -> SHUFFLE: shuffle files written, reduce not
+      started — the reference's SHUFFLE phase (JobContext.cpp:80-124).
+      ``numActiveTasks == 0`` is what distinguishes "between stages"
+      from "first reduce task launched but none finished yet": the
+      latter has an active task and must read as REDUCE 0%, never a
+      regression back to SHUFFLE (get_state's monotone clamp would mask
+      the bug downstream, so this function must get it right itself).
+    - otherwise REDUCE at the result stage's completion pct.
+    """
+    # Ascending stage id == topological order for this 2-stage plan:
+    # stage 0 = map side of the shuffle (MAP), last = result (REDUCE).
+    stages = sorted(stages, key=lambda s: s.stageId)
+    map_stage, result_stage = stages[0], stages[-1]
+
+    def pct(si: Any) -> float:
+        return 100.0 * si.numCompletedTasks / si.numTasks if si.numTasks else 0.0
+
+    if pct(map_stage) < 100.0:
+        return JobState(Stage.MAP, pct(map_stage))
+    if len(stages) == 1 or (
+        result_stage.numActiveTasks == 0 and pct(result_stage) == 0.0
+    ):
+        return JobState(Stage.SHUFFLE, 100.0)
+    return JobState(Stage.REDUCE, pct(result_stage))
+
+
 def _map_stage_df(client: MapReduceClient, df: DataFrame) -> DataFrame:
     key_col, value_col = df.columns[0], df.columns[1]
     inter_fields = [f.strip().split()[0] for f in client.intermediate_schema.split(",")]
@@ -156,21 +195,7 @@ class Job:
                     stages.append(si)
         if not stages:
             return JobState(Stage.UNDEFINED, 0.0)
-        # Ascending stage id == topological order for this 2-stage plan:
-        # stage 0 = map side of the shuffle (MAP), last = result (REDUCE).
-        stages.sort(key=lambda s: s.stageId)
-        map_stage, result_stage = stages[0], stages[-1]
-
-        def pct(si: Any) -> float:
-            return 100.0 * si.numCompletedTasks / si.numTasks if si.numTasks else 0.0
-
-        if pct(map_stage) < 100.0:
-            return JobState(Stage.MAP, pct(map_stage))
-        if len(stages) == 1 or result_stage.numActiveTasks == 0 and pct(result_stage) == 0.0:
-            # between stages: shuffle files written, reduce not started —
-            # the reference's SHUFFLE phase (JobContext.cpp:80-124).
-            return JobState(Stage.SHUFFLE, 100.0)
-        return JobState(Stage.REDUCE, pct(result_stage))
+        return _classify_stages(stages)
 
     # -- reference: waitForJob (MapReduceFramework.cpp:52-59) -------------
     def wait(self, timeout: float | None = None) -> None:

@@ -124,13 +124,23 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
     w = h = bit_depth = color_type = -1
     idat = bytearray()
     while i < len(buf):
+        # Bounds-check before slicing: a buffer truncated mid-chunk must
+        # surface as ValueError (corrupt payload), never a raw
+        # struct.error (code bug) — mapInPandas callers distinguish the
+        # two.
+        if i + 8 > len(buf):
+            raise ValueError("truncated PNG: chunk header cut short")
         (length,) = struct.unpack(">I", buf[i : i + 4])
         ctype = buf[i + 4 : i + 8]
+        if i + 12 + length > len(buf):
+            raise ValueError(f"truncated PNG: {ctype!r} chunk body cut short")
         data = buf[i + 8 : i + 8 + length]
         (crc,) = struct.unpack(">I", buf[i + 8 + length : i + 12 + length])
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"malformed IHDR: length {length}")
             w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -148,7 +158,10 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
     if w < 0:
         raise ValueError("missing IHDR")
     channels = _COLOR_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("inflated size mismatch")
@@ -262,8 +275,12 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
     while i + 8 <= len(buf):
         ctype = buf[i : i + 4]
         (length,) = struct.unpack("<I", buf[i + 4 : i + 8])
+        if i + 8 + length > len(buf):
+            raise ValueError(f"truncated WAV: {ctype!r} chunk body cut short")
         body = buf[i + 8 : i + 8 + length]
         if ctype == b"fmt ":
+            if length < 16:
+                raise ValueError(f"malformed fmt chunk: length {length}")
             fmt_tag, channels, sample_rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
             if fmt_tag != 1:

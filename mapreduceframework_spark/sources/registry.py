@@ -143,21 +143,38 @@ def events_ts_unit(path: str) -> str:
     nanos file misread as micros silently shifts every event 1000x
     (a month collapses into 43 minutes) while remaining a perfectly
     plausible timestamp — only the footer metadata is authoritative.
-    Footer-only read: O(KB) regardless of file size, safe at 100 TB.
-    Cached per (file, mtime): a file regenerated in place with a
+    Footer-only read: O(KB) per file regardless of file size, safe at
+    100 TB. Cached per (file, mtime): a file regenerated in place with a
     different encoding invalidates its cache entry, so a long-lived
     session can't serve a stale unit — the exact failure mode this
     probe exists to prevent.
+
+    Directories probe EVERY part-file and require them to agree: one
+    dataset, one encoding is the loader's invariant (load_table picks a
+    single read path for the whole scan), and a writer that mixed units
+    across part-files would otherwise have all-but-one file silently
+    shifted 1000x. O(files) driver-side footer reads — the same order of
+    metadata work Spark's own scan planning does, and each footer is
+    cached across calls.
     """
-    probe = path
     if os.path.isdir(path):
         files = sorted(
             f for f in os.listdir(path) if f.endswith(".parquet")
         )
         if not files:
             raise FileNotFoundError(f"no parquet files under {path}")
-        probe = os.path.join(path, files[0])
-    return _events_ts_unit_cached(probe, os.path.getmtime(probe))
+        units = {
+            f: _events_ts_unit_cached(p, os.path.getmtime(p))
+            for f in files
+            for p in [os.path.join(path, f)]
+        }
+        if len(set(units.values())) > 1:
+            raise ValueError(
+                f"mixed ts encodings under {path}: {units} — "
+                "a single dataset must use one timestamp unit"
+            )
+        return next(iter(units.values()))
+    return _events_ts_unit_cached(path, os.path.getmtime(path))
 
 
 @_functools.lru_cache(maxsize=64)

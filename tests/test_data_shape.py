@@ -109,6 +109,28 @@ def test_events_ts_unit_cache_invalidates_on_rewrite(tmp_path):
     assert events_ts_unit(p) == "ns"
 
 
+def test_events_ts_unit_directory_probes_all_files(tmp_path):
+    """A directory dataset must probe EVERY part-file: agreement returns
+    the shared unit; a mixed-encoding dataset raises instead of silently
+    misreading all-but-the-first file 1000x (the probe's raison d'etre)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceframework_spark.sources.registry import events_ts_unit
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    t_us = pa.table({"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))})
+    pq.write_table(t_us, str(d / "part-000.parquet"))
+    pq.write_table(t_us, str(d / "part-001.parquet"))
+    assert events_ts_unit(str(d)) == "us"
+
+    t_ns = pa.table({"ts": pa.array([1], pa.timestamp("ns"))})
+    pq.write_table(t_ns, str(d / "part-002.parquet"))
+    with pytest.raises(ValueError, match="mixed ts encodings"):
+        events_ts_unit(str(d))
+
+
 def test_orders_dates_span_years(spark, sf_dir):
     """o_orderdate must be plausible TPC-H-era dates (not epoch)."""
     import pyspark.sql.functions as F

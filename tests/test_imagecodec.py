@@ -209,3 +209,62 @@ def test_wav_rejects_zero_channels():
     buf[i + 2] = 0  # channels field -> 0
     with pytest.raises(ValueError, match="channels"):
         IC.decode_wav(bytes(buf))
+
+
+# --------------------------------------------------------------------------
+# Malformed-corpus error paths: every corrupt payload must surface as
+# ValueError (distinguishable data problem), never a raw struct.error /
+# zlib.error leaking from the parser internals — mapInPandas callers
+# route the two differently (skip-and-log vs crash).
+# --------------------------------------------------------------------------
+
+
+def test_png_truncated_mid_chunk_header_is_valueerror():
+    buf = IC.encode_png(4, 4, _pix(48), 3)
+    with pytest.raises(ValueError, match="chunk header cut short"):
+        IC.decode_png(buf[:10])  # signature + 2 bytes of IHDR length
+
+
+def test_png_truncated_chunk_body_is_valueerror():
+    buf = IC.encode_png(4, 4, _pix(48), 3)
+    with pytest.raises(ValueError, match="cut short"):
+        IC.decode_png(buf[:-5])  # IEND CRC cut off
+
+
+def test_png_corrupt_idat_stream_is_valueerror():
+    # Valid chunk framing and CRCs, but the IDAT payload is not a zlib
+    # stream — the inflate failure must be wrapped, not raw zlib.error.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    buf = (
+        IC._PNG_SIG
+        + IC._chunk(b"IHDR", ihdr)
+        + IC._chunk(b"IDAT", b"garbage-not-zlib")
+        + IC._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        IC.decode_png(buf)
+
+
+def test_png_bad_ihdr_length_is_valueerror():
+    buf = (
+        IC._PNG_SIG
+        + IC._chunk(b"IHDR", b"\x00\x00\x00\x01")  # 4 bytes, not 13
+        + IC._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="malformed IHDR"):
+        IC.decode_png(buf)
+
+
+def test_wav_truncated_data_chunk_is_valueerror():
+    samples = bytes(range(80))
+    buf = IC.encode_wav(8000, 1, samples)
+    with pytest.raises(ValueError, match="cut short"):
+        IC.decode_wav(buf[:-7])
+
+
+def test_wav_short_fmt_chunk_is_valueerror():
+    fmt = struct.pack("<HH", 1, 1)  # 4 bytes — no sample rate/bits
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    buf = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="malformed fmt"):
+        IC.decode_wav(buf)

@@ -173,3 +173,48 @@ def test_rdd_path_opaque_python_keys(spark):
     out = {r["k"]: r["total"] for r in run_job_rdd(TupleKey(), df).collect()}
     assert out["even=True,mod3=True"] == 5   # 0,6,12,18,24
     assert sum(out.values()) == 30
+
+
+def test_stage_classification_pins_shuffle_race():
+    """Deterministically pin every branch of the statusTracker-snapshot
+    -> phase mapping (core/job.py _classify_stages) — especially the
+    between-stages snapshot, which is transient in a live run and so
+    can only be tested as a pure function. The one that motivated this
+    test: a reduce stage whose FIRST task has launched but completed
+    nothing must read REDUCE 0%%, not slip back to SHUFFLE on the
+    ``pct == 0`` arm."""
+    from collections import namedtuple
+
+    from mapreduceframework_spark.core.job import (
+        JobState,
+        Stage,
+        _classify_stages,
+    )
+
+    SI = namedtuple(
+        "SI", "stageId numTasks numCompletedTasks numActiveTasks"
+    )
+
+    # Map running: 3 of 8 tasks done.
+    assert _classify_stages([SI(0, 8, 3, 2)]) == JobState(Stage.MAP, 37.5)
+    # Map done, reduce stage not yet submitted -> SHUFFLE.
+    assert _classify_stages([SI(0, 8, 8, 0)]) == JobState(Stage.SHUFFLE, 100.0)
+    # Map done, reduce submitted but idle (0 active, 0 complete) ->
+    # the between-stages snapshot: SHUFFLE.
+    assert _classify_stages(
+        [SI(0, 8, 8, 0), SI(1, 4, 0, 0)]
+    ) == JobState(Stage.SHUFFLE, 100.0)
+    # First reduce task LAUNCHED (active=1, completed=0): REDUCE 0%,
+    # never SHUFFLE — the race the round-5 verdict flagged.
+    assert _classify_stages(
+        [SI(0, 8, 8, 0), SI(1, 4, 0, 1)]
+    ) == JobState(Stage.REDUCE, 0.0)
+    # Reduce underway.
+    assert _classify_stages(
+        [SI(0, 8, 8, 0), SI(1, 4, 3, 1)]
+    ) == JobState(Stage.REDUCE, 75.0)
+    # Snapshot order must not matter (statusTracker returns no
+    # particular order; classification sorts by stageId).
+    assert _classify_stages(
+        [SI(1, 4, 4, 0), SI(0, 8, 8, 0)]
+    ) == JobState(Stage.REDUCE, 100.0)

@@ -98,6 +98,30 @@ def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_topk_join_candidates_are_bucket_keyed(spark, sf_dir):
+    """Cross-corpus retrieval: the query-to-corpus candidate join must
+    be an equi hash join on the probed list id (label) with the tiny
+    probe side broadcast — never a cartesian against the corpus. The
+    only nested-loop allowed is the query x centroid probe, whose right
+    side is the broadcast O(labels x dims) model."""
+    plan = plan_of(spark, sf_dir, "ann_topk_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # candidates keyed on label
+    # corpus side must not be re-shuffled for the candidate join: the
+    # only hashpartitioning exchanges belong to the centroid aggregation
+    # and the final per-query rank window.
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_mining_pair_topk_avoids_total_sort(spark, sf_dir):
+    """Top-20 must plan as a parallel TakeOrderedAndProject (per
+    -partition heaps), not an unpartitioned rank window funneling every
+    aggregated pair through one task."""
+    plan = plan_of(spark, sf_dir, "mining_pair_cooccurrence")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_dedup_queries_have_no_cartesian(spark, sf_dir):
     """Candidate generation is equality-join-shaped everywhere; a
     CartesianProduct would mean the all-pairs scan snuck back in."""
