@@ -235,8 +235,23 @@ def kmeans_lloyd(
       -style truncation isn't needed.
     Empty clusters keep their previous centroid (dict .get default),
     matching the SQL oracle's LEFT JOIN + COALESCE.
+    - the corpus is spread to the session's parallelism BEFORE caching
+      (ensure_min_partitions — gated, a no-op at cluster scale where
+      the scan is already wide): a single local parquet file scans as
+      ONE split, and without the exchange every assignment pass, the
+      posexplode update and the cache itself run serially on one task
+      while 31 cores idle. Round-6 profiling: the whole query was
+      1-partition end to end — repartitioning was worth ~2x wall
+      clock, where swapping the interpreted HOF distances for unrolled
+      codegen arithmetic was a measured LOSS (fresh k*d-term codegen +
+      Janino compile per pass costs more than interpreting 8 distances
+      over 64 dims per row; that trade flips only when rows-per-task
+      is orders of magnitude larger, and at that scale the scan is
+      already parallel).
     """
-    q = q.cache()
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    q = ensure_min_partitions(q, q.sparkSession).cache()
 
     # Initial centroids: the first k vectors by vec_id, widened to
     # double. Exact round trip: BIGINT codes -> Python int -> float.

@@ -366,7 +366,11 @@ def test_pack_token_chunks_single_shuffle(spark, sf_dir):
 # lineage: ~4 per power-iteration round, bounded by the round count.)
 SHUFFLE_BUDGET = {
     "pipeline_curate_corpus": 4,
-    "kmeans_quantized_clusters": 1,
+    # 2 since round 6: +1 gated round-robin exchange spreading the
+    # single-split local scan before the cached iteration corpus (a
+    # measured ~2x wall-clock win; no-op at cluster scale where the
+    # scan is already wide — see kmeans_lloyd's docstring).
+    "kmeans_quantized_clusters": 2,
     "graph_pagerank_trade": 21,
     "dedup_clusters": 2,
     "dedup_simhash": 5,
