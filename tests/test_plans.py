@@ -397,3 +397,36 @@ def test_shuffle_budget_not_exceeded(spark, sf_dir, name):
         f"{name}: {n} exchanges vs budget {SHUFFLE_BUDGET[name]} — "
         "a shuffle was added; re-tune or consciously raise the budget"
     )
+
+
+# Queries whose SEMANTICS are a global rank over the full result — the
+# one legitimate use of an unpartitioned window (and the result set is
+# output-sized, not corpus-sized, by the time the window runs).
+GLOBAL_WINDOW_OK = {"sort_global_ranked"}
+
+
+def test_no_unpartitioned_window_anywhere(spark, sf_dir):
+    """Sweep EVERY registered batch query's optimized plan for an
+    unpartitioned window function: Window.orderBy without partitionBy
+    funnels the entire input through ONE task — correct at test scale,
+    a stall at 100 TB (the round-6 mining_pair_cooccurrence fix; global
+    top-k belongs in orderBy+limit = TakeOrderedAndProject instead).
+    Detection: in windowspecdefinition(partCols..., orderCols..., frame),
+    order columns carry ASC/DESC — if the FIRST argument is an order
+    column, the partition list is empty."""
+    import re
+
+    bad = []
+    for name, spec in REG.items():
+        if name in GLOBAL_WINDOW_OK or name in NOT_STATIC:
+            continue
+        if "true-streaming" in spec.tags:
+            continue
+        df = REG[name].fn(spark, sf_dir)
+        plan = str(df._jdf.queryExecution().optimizedPlan())
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+            first_arg = m.group(1).split(",")[0]
+            if " ASC" in first_arg or " DESC" in first_arg:
+                bad.append(name)
+                break
+    assert not bad, f"unpartitioned (one-task) windows in: {bad}"
