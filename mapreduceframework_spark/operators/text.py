@@ -105,6 +105,42 @@ def lang_id(text: Column) -> Column:
     return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
 
 
+# Hashed-feature linear classifier (the fastText-style bag-of-words
+# quality scorer shape: hashing trick -> bucket weights -> mean score).
+# Weights are DYADIC rationals (k/16, exactly representable in binary
+# floating point) so a sum of them is EXACT in any association order —
+# the Spark sequential fold and the oracle's list_sum cannot diverge.
+CLASSIFIER_BUCKETS = 32
+CLASSIFIER_WEIGHTS: tuple[float, ...] = tuple(
+    ((j * 37) % 19 - 9) / 16.0 for j in range(CLASSIFIER_BUCKETS)
+)
+
+
+def token_bucket(w: Column, buckets: int = CLASSIFIER_BUCKETS) -> Column:
+    """Hashing-trick feature bucket: first 8 hex chars of md5(token) as
+    an integer, mod ``buckets``. md5 is bit-identical across engines
+    (unlike engine-native ``hash()``), so the bucket assignment is
+    portable; see :func:`token_bucket_sql` for the oracle rendering."""
+    return (
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def token_bucket_sql(w: str, buckets: int = CLASSIFIER_BUCKETS) -> str:
+    """DuckDB rendering of :func:`token_bucket` (kept adjacent so the
+    two formulas cannot drift apart)."""
+    return f"(('0x' || substring(md5({w}), 1, 8))::BIGINT % {buckets})"
+
+
+def classifier_weights_sql() -> str:
+    """The weight table as a DuckDB DOUBLE[] literal. ``repr`` of a
+    dyadic float is exact decimal, so the literal round-trips bit-for-
+    bit; the explicit cast stops DuckDB typing it DECIMAL[] (whose
+    arithmetic would diverge from Spark doubles)."""
+    vals = ", ".join(repr(x) for x in CLASSIFIER_WEIGHTS)
+    return f"[{vals}]::DOUBLE[]"
+
+
 def rolling_fingerprint(text: Column, modulus: int = 1_000_000_007) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     whitespace tokens, h = (h*31 + len(w)*997 + ascii(w[0])) mod M.

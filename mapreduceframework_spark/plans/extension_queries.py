@@ -2563,3 +2563,224 @@ def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return orders.select("o_orderkey", canon.alias("odd_tripled"))
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions: substring-level dedup, learned quality scoring,
+# frequency-balanced sampling
+# --------------------------------------------------------------------------
+
+# Non-overlapping chunk width (in tokens) for substring-level dedup.
+SUBSTRING_CHUNK = 8
+
+
+@query(
+    "dedup_substring_chunks",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        c0 AS (SELECT doc_id,
+                      [array_to_string(
+                           words[(i-1)*{SUBSTRING_CHUNK}+1:i*{SUBSTRING_CHUNK}],
+                           ' ')
+                       for i in range(
+                           1,
+                           CAST(ceil(len(words)/{SUBSTRING_CHUNK}.0) AS BIGINT)
+                               + 1)]
+                      AS chunks
+               FROM d),
+        e AS (SELECT doc_id,
+                     unnest(range(1, len(chunks)+1)) AS pos,
+                     unnest(chunks) AS chunk
+              FROM c0),
+        r AS (SELECT doc_id, pos, chunk,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+              FROM e),
+        k AS (SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_kept,
+                     md5(string_agg(chunk, ' ' ORDER BY pos)) AS kept_digest
+              FROM r WHERE rn = 1 GROUP BY doc_id)
+        SELECT c0.doc_id,
+               CAST(len(chunks) AS BIGINT) AS n_chunks,
+               COALESCE(n_kept, 0) AS n_kept,
+               COALESCE(kept_digest, md5('')) AS kept_digest
+        FROM c0 LEFT JOIN k USING (doc_id)
+    """,
+    tags=("dedup", "extension", "training-data"),
+)
+def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (the chunked approximation of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): split every document into non-overlapping 8-token chunks,
+    keep only the corpus-wide FIRST occurrence of each chunk (ordered
+    by doc_id then position), and rebuild each document from its
+    surviving chunks. Doc-level dedup (dedup_exact) can't catch the
+    boilerplate paragraph repeated inside otherwise-distinct documents;
+    this operator removes it at the substring granularity. Emits per
+    doc: chunk count, surviving-chunk count, and an md5 digest of the
+    rebuilt text (value-checks the reconstruction without shipping it).
+
+    Scale shape: one explode (fan-out len/8, bounded), one hash shuffle
+    on the chunk string for the partitioned first-occurrence window,
+    one shuffle back on doc_id for reassembly, and a co-keyed doc_id
+    join — no all-pairs anywhere, identical at 100 TB. A true
+    suffix-array dedup (arbitrary-boundary substrings) trades this
+    plan's 2 shuffles for a global sort; the chunk approximation is
+    the standard distributed compromise."""
+    docs = _docs_wide(spark, sf_dir)
+    n_chunks = F.ceil(F.size("words") / F.lit(float(SUBSTRING_CHUNK)))
+    # Lambda reads the stored `words` array (materialized by
+    # _docs_wide), so each slice is O(chunk) on a decoded array, not a
+    # re-tokenization (see string_shingles_all's shape rationale).
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks.cast("int")),
+        lambda i: F.array_join(
+            F.slice(
+                F.col("words"),
+                (i - F.lit(1)) * SUBSTRING_CHUNK + 1,
+                SUBSTRING_CHUNK,
+            ),
+            " ",
+        ),
+    )
+    c = docs.select("doc_id", chunks.alias("chunks"))
+    e = c.select(
+        "doc_id", F.posexplode("chunks").alias("pos", "chunk")
+    )
+    first_wins = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = (
+        e.withColumn("rn", F.row_number().over(first_wins))
+        .filter(F.col("rn") == 1)
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("kept_digest"),
+    )
+    base = c.select("doc_id", F.size("chunks").cast("long").alias("n_chunks"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
+    )
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        s AS (SELECT doc_id,
+                     CAST(len(words) AS BIGINT) AS n_tokens,
+                     list_sum(list_transform(
+                         words,
+                         t -> ({X.classifier_weights_sql()})
+                                  [{X.token_bucket_sql('t')} + 1]
+                     )) AS total
+              FROM d)
+        SELECT doc_id, n_tokens,
+               total / n_tokens AS score,
+               total >= 0.0 AS keep
+        FROM s
+    """,
+    tags=("text", "extension", "training-data"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter, fastText-linear shape: hashing-trick
+    features (md5-bucketed tokens, 32 buckets) scored against a
+    broadcast weight table; a document keeps if its summed weight is
+    non-negative. This is the model-inference-at-scale pattern a
+    curation pipeline runs after heuristic filters (text_quality_
+    scores): the weight table is the trained artifact, the scan is the
+    inference. Weights here are a fixed deterministic stand-in (no
+    training libs in-sandbox); the mechanism — portable feature
+    hashing, literal-array weight broadcast, fold-to-score — is the
+    operator.
+
+    Scale shape: pure single-scan codegen, zero shuffles, zero Python;
+    a real 10^6-bucket weight table would ship as a broadcast join or
+    Arrow-batched Pandas UDF instead of a literal, same plan depth.
+    Float-exact across engines because weights are dyadic (k/16): sums
+    are exact in any order, and the final mean is one shared rounding."""
+    docs = _docs_wide(spark, sf_dir)
+    weights = F.array(*[F.lit(x) for x in X.CLASSIFIER_WEIGHTS])
+    total = F.aggregate(
+        F.transform(
+            F.col("words"),
+            lambda t: F.element_at(
+                weights, (X.token_bucket(t) + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_tokens = F.size("words").cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (total / n_tokens).alias("score"),
+        (total >= 0.0).alias("keep"),
+    )
+
+
+# Per-source target size for frequency-proportional downsampling.
+SOURCE_CAP = 120
+
+
+@query(
+    "sample_frequency_downsample",
+    oracle=f"""
+        WITH c AS (SELECT source, COUNT(*) AS cnt
+                   FROM documents GROUP BY source),
+        k AS (SELECT d.doc_id, d.source, c.cnt
+              FROM documents d JOIN c USING (source)
+              WHERE ((('0x' || substring(
+                          md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 10000) / CAST(10000 AS DOUBLE))
+                    < least(CAST(1 AS DOUBLE),
+                            CAST({SOURCE_CAP} AS DOUBLE) / c.cnt))
+        SELECT source,
+               CAST(MAX(cnt) AS BIGINT) AS n_before,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+        FROM k GROUP BY source
+    """,
+    tags=("sampling", "extension", "training-data"),
+)
+def sample_frequency_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-proportional source balancing (the CommonCrawl domain
+    -rebalancing shape): count docs per source, then keep each doc with
+    probability min(1, CAP/count) — over-represented sources are
+    downsampled toward CAP expected docs, rare sources pass untouched.
+    Selection is a deterministic md5 unit-hash of doc_id, not an RNG:
+    same keep-set on every engine, every run, every retry (the property
+    that makes a 100 TB pipeline re-runnable). Emits per-source
+    before/after counts plus the kept-id sum (pins exact membership).
+
+    Scale shape vs sample_stratified_exact (the window-rank variant):
+    the per-source counts aggregate is O(#sources) rows, broadcast back
+    onto the corpus, and the filter is row-local — fully parallel with
+    no per-source partition funnel, which is what you want when one
+    domain is 10% of the crawl."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    unit = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10000
+    ) / F.lit(10000).cast("double")
+    keep_prob = F.least(F.lit(1.0), F.lit(SOURCE_CAP) / F.col("cnt"))
+    kept = d.join(F.broadcast(counts), "source").filter(unit < keep_prob)
+    return kept.groupBy("source").agg(
+        F.max("cnt").alias("n_before"),
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )

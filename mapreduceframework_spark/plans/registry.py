@@ -77,7 +77,10 @@ def query(
 # re-proved r04/r05) — plus first rows for the two queries new this
 # round, plus sentinels adjacent to this round's code changes (the
 # mining top-k rewrite, the imagecodec error-path hardening, the
-# events_ts_unit multi-file probe) and three round-3-stale rows.
+# events_ts_unit multi-file probe). The last three slots carry first
+# rows for the queries added late in round 6 (substring dedup, hashed
+# quality classifier, frequency downsample) — first-evidence beats a
+# third re-proof of r03 rows that pytest already pins.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- the 39 rows whose latest green is CORRECTNESS_r02 ---
     "char_counts",
@@ -129,10 +132,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_audio_decode",  # imagecodec error-path hardening
     "events_tumbling_counts",  # events_ts_unit now probes all files
     "join_asof",  # events loader adjacency
-    # --- round-3-stale sentinels ---
-    "mr_char_counts",
-    "join_inner",
-    "tpch_q1_pricing",
+    # --- NEW late in round 6 (first driver rows) ---
+    "dedup_substring_chunks",
+    "text_quality_classifier",
+    "sample_frequency_downsample",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -449,3 +449,109 @@ def test_zorder_interleave_known_values(spark):
     ]
     # rows ordered by (x,y): (0,1), (1,0), (3,3), (255,0)
     assert vals == [2, 1, 15, 0x5555]
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions: substring dedup, hashed classifier, freq downsample
+# --------------------------------------------------------------------------
+
+
+def _write_documents(spark, tmp_path, rows):
+    """Materialize a hand-built documents table at load_table's path."""
+    df = spark.createDataFrame(
+        [
+            (i, text, "en", src, len(text))
+            for i, text, src in rows
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_substring_chunk_dedup_first_occurrence_wins(spark, tmp_path):
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    A = " ".join(f"a{i}" for i in range(8))
+    B = " ".join(f"b{i}" for i in range(8))
+    C = " ".join(f"c{i}" for i in range(8))
+    D8 = " ".join(f"d{i}" for i in range(8))
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, f"{A} {B}", "s"),     # both chunks first occurrences
+            (2, f"{A} {C}", "s"),     # A is a dupe of doc 1's chunk
+            (3, f"{D8} {D8}", "s"),   # intra-doc repeat: second copy dies
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["dedup_substring_chunks"].fn(spark, sf).collect()
+    }
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 1)
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (2, 1)
+    import hashlib
+
+    assert out[2]["kept_digest"] == hashlib.md5(C.encode()).hexdigest()
+    assert out[3]["kept_digest"] == hashlib.md5(D8.encode()).hexdigest()
+
+
+def test_substring_chunk_dedup_partial_tail_chunk(spark, tmp_path):
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    sf = _write_documents(spark, tmp_path, [(1, "one two three", "s")])
+    (row,) = all_queries()["dedup_substring_chunks"].fn(spark, sf).collect()
+    import hashlib
+
+    assert (row["n_chunks"], row["n_kept"]) == (1, 1)
+    assert row["kept_digest"] == hashlib.md5(b"one two three").hexdigest()
+
+
+def test_quality_classifier_matches_hand_computation(spark, tmp_path):
+    from mapreduceframework_spark.plans.registry import all_queries
+    import hashlib
+
+    text = "alpha beta gamma alpha"
+    sf = _write_documents(spark, tmp_path, [(7, text, "s")])
+    (row,) = all_queries()["text_quality_classifier"].fn(spark, sf).collect()
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 32
+
+    expected_total = sum(
+        X.CLASSIFIER_WEIGHTS[bucket(t)] for t in text.split()
+    )
+    assert row["n_tokens"] == 4
+    # dyadic weights: the sum is float-exact, so == (not approx) is right
+    assert row["score"] == expected_total / 4
+    assert row["keep"] == (expected_total >= 0.0)
+
+
+def test_frequency_downsample_caps_heavy_keeps_light(spark, tmp_path):
+    from mapreduceframework_spark.plans.registry import all_queries
+    import hashlib
+
+    rows = [(i, f"doc number {i}", "big") for i in range(400)]
+    rows += [(1000 + i, f"rare doc {i}", "small") for i in range(5)]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {
+        r["source"]: r
+        for r in all_queries()["sample_frequency_downsample"]
+        .fn(spark, sf)
+        .collect()
+    }
+    # light source under the cap: every doc survives
+    assert (out["small"]["n_before"], out["small"]["n_kept"]) == (5, 5)
+
+    # heavy source: exact deterministic keep-set, recomputed by hand
+    def unit(doc_id: int) -> float:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return (int(h[:8], 16) % 10000) / 10000.0
+
+    expected = [i for i in range(400) if unit(i) < min(1.0, 120.0 / 400)]
+    assert out["big"]["n_kept"] == len(expected)
+    assert out["big"]["kept_id_sum"] == sum(expected)

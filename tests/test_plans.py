@@ -430,3 +430,39 @@ def test_no_unpartitioned_window_anywhere(spark, sf_dir):
                 bad.append(name)
                 break
     assert not bad, f"unpartitioned (one-task) windows in: {bad}"
+
+
+def test_substring_chunk_dedup_shape(spark, sf_dir):
+    """First-occurrence-wins must ride a chunk-PARTITIONED window (no
+    global funnel) and the doc_id reassembly join must stay equi —
+    at 100 TB the chunk window is the only corpus-wide shuffle pair."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_chunks")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Window" in plan
+    # the window's shuffle is keyed on the chunk string, not a single
+    # partition
+    assert "hashpartitioning(chunk" in plan
+    assert "SinglePartition" not in plan
+    # Spark 3.5+ rank-limit pushdown: rn=1 must pre-filter map-side
+    # (WindowGroupLimit Partial) so the shuffle carries one row per
+    # (chunk, partition), not every duplicate
+    assert "WindowGroupLimit" in plan
+
+
+def test_quality_classifier_is_scan_only(spark, sf_dir):
+    """Inference over a broadcast weight table is a pure scan: no join,
+    no aggregate exchange — the only allowed exchange is _docs_wide's
+    gated round-robin spread (absent at cluster scale)."""
+    plan = plan_of(spark, sf_dir, "text_quality_classifier")
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_frequency_downsample_broadcasts_counts(spark, sf_dir):
+    """The O(#sources) count table must broadcast back onto the corpus;
+    a sort-merge join here would shuffle the full corpus by source —
+    exactly the skewed-domain funnel this operator exists to avoid."""
+    plan = plan_of(spark, sf_dir, "sample_frequency_downsample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
