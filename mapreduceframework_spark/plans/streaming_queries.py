@@ -362,3 +362,55 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return static_enrich_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_click_purchase_left_join",
+    oracle="""
+        SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        FROM events a
+        LEFT JOIN events b
+          ON a.user_id = b.user_id AND b.event_type = 'purchase'
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        WHERE a.event_type = 'click'
+          AND a.ts <= LEAST(
+                  (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                  (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+              ) - INTERVAL 61 MINUTE
+    """,
+    tags=("streaming", "true-streaming", "join"),
+)
+def streaming_click_purchase_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its
+    purchases within 30 minutes or nulls if none arrived — null rows
+    are emitted on watermark-driven state EVICTION, the semantic the
+    inner join never exercises. The result is trimmed to the
+    deterministic region: the GLOBAL watermark is min over both sides'
+    watermarks, and each side's watermark tracks the max event time of
+    ITS OWN filtered stream — so null emission is only guaranteed for
+    clicks older than min(max click ts, max purchase ts) - (watermark
+    30 min + join range 30 min), minus 1 min slack for the watermark's
+    millisecond truncation. The oracle applies the identical trim to
+    the batch left join. See streaming/windows.py
+    click_purchase_left_join for why the untrimmed tail is unstable."""
+    from mapreduceframework_spark.streaming.windows import (
+        click_purchase_left_join,
+    )
+
+    res = click_purchase_left_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = (
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("mx")
+        )
+        .select(F.col("mx") - F.expr("INTERVAL 61 MINUTES"))
+        .collect()[0][0]
+    )
+    return res.filter(F.col("click_ts") <= F.lit(max_ts)).select(
+        "user_id", "click_id", "purchase_id"
+    )

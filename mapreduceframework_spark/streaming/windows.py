@@ -247,3 +247,52 @@ def static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return run_available_now(agg, "complete")
+
+
+def click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the inner
+    join (click_purchase_join) can't express: a click with NO purchase
+    within 30 minutes must still appear, with nulls. In a streaming
+    engine that row can only be emitted when the WATERMARK proves no
+    matching purchase can still arrive — i.e. on state EVICTION, not on
+    arrival. Matched rows stream out immediately; null rows trail the
+    watermark.
+
+    Determinism note: clicks near the end of the input may terminate
+    the query still sitting in state (their null verdict never emitted)
+    — how many depends on micro-batch boundaries, not semantics. The
+    caller therefore restricts the result to the deterministic region
+    (clicks old enough that eviction provably happened); the untrimmed
+    stream is NOT run-to-run stable and must not be oracle-compared."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id", "click_ts"
+    )
+    return run_available_now(joined, "append")

@@ -268,3 +268,24 @@ def test_checkpoint_restart_resumes_without_duplicates(spark, tmp_path):
     # 'a'/'b' appear exactly once: the restarted query resumed from the
     # committed offset instead of reprocessing file 0
     assert sorted(second) == ["a", "b", "c"]
+
+
+def test_left_outer_join_emits_null_rows_on_eviction(spark, sf_dir):
+    """The left-outer stream-stream join's whole point: clicks with no
+    purchase within 30 min must surface with a NULL purchase_id once
+    the watermark evicts their state. Parity proves equality with the
+    batch left join; this pins that the null-emission path actually
+    fired (a result with only matched rows would pass an inner-join
+    oracle too)."""
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    out = (
+        all_queries()["streaming_click_purchase_left_join"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    n_null = out.filter("purchase_id IS NULL").count()
+    n_matched = out.filter("purchase_id IS NOT NULL").count()
+    out.unpersist()
+    assert n_null > 0, "no evicted-unmatched clicks emitted"
+    assert n_matched > 0, "no matched pairs emitted"
