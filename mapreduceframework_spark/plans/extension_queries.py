@@ -2784,3 +2784,57 @@ def sample_frequency_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("doc_id").alias("kept_id_sum"),
     )
+
+
+@query(
+    "feature_winsorize",
+    oracle="""
+        WITH b AS (SELECT l_returnflag,
+                          round(CAST(quantile_cont(l_extendedprice, 0.05)
+                                     AS DOUBLE), 4) AS lo,
+                          round(CAST(quantile_cont(l_extendedprice, 0.95)
+                                     AS DOUBLE), 4) AS hi
+                   FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               b.lo, b.hi,
+               round(CAST(AVG(l_extendedprice) AS DOUBLE), 2) AS mean_raw,
+               round(CAST(AVG(least(greatest(l_extendedprice, b.lo), b.hi))
+                          AS DOUBLE), 2) AS mean_winsor
+        FROM lineitem l JOIN b USING (l_returnflag)
+        GROUP BY l.l_returnflag, b.lo, b.hi
+    """,
+    tags=("feature", "extension", "agg"),
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization: clamp each value into its group's
+    [p05, p95] band and report raw vs winsorized means — the outlier
+    -robust normalization step a feature pipeline runs before scaling.
+    Bounds are rounded to 4 decimals on BOTH engines before clamping,
+    so the clamp thresholds are bit-identical even if the two exact
+    -percentile implementations differ in final-ULP interpolation.
+
+    Scale shape: two passes — an O(groups) bounds table (broadcast
+    back, never a shuffle of the fact side for the join) and one
+    partial-aggregated mean pass. Exact percentile buffers a group's
+    values (fine for bounded group count x bounded numeric domain);
+    the sketch path for continuous 100 TB columns is approx_percentile,
+    exercised by feature_quantile_sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("mean_raw"),
+            F.round(F.avg(clamped), 2).alias("mean_winsor"),
+        )
+        .select("l_returnflag", "n", "lo", "hi", "mean_raw", "mean_winsor")
+    )

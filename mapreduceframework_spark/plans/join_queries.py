@@ -614,3 +614,80 @@ def join_asof_forward_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_to_next"),
     )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE),
+                     2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-04-01'
+        GROUP BY 1
+    """,
+    tags=("join", "sketch", "runtime-filter"),
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (the manual form of Spark's runtime
+    bloom-filter join pruning): build a Bloom filter (m=4096, k=3,
+    operators/sketches.py) over the SELECTIVE side's join keys — urgent
+    Q1-1995 orders — and apply it as a row-local filter on the fact
+    side BEFORE the join. No false negatives, so the final equi-join
+    restores exactness, and the oracle is simply the plain join: the
+    Bloom pass is semantically transparent, which is the whole point.
+
+    Scale shape: the bit set is model-sized (<= m bits, like the
+    k-means centroid collect) folded into ONE literal boolean array, so
+    the probe is 3 multiplies + 3 element_at per fact row inside the
+    scan stage — fact rows that miss the filter never reach the join's
+    exchange. At 100 TB this is the difference between shuffling the
+    full fact table and shuffling the ~0.7% that can match. (Spark's
+    own runtime filter does this automatically when statistics allow;
+    writing it as a plan makes the pattern available to any source and
+    any SF, and testable.)"""
+    from mapreduceframework_spark.operators import sketches as S
+
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    ).select("o_orderkey", "o_orderdate")
+    # Model-sized driver read: <= 4096 distinct bit positions.
+    bit_rows = (
+        build.select(
+            F.explode(S.bloom_bits(F.col("o_orderkey"))).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = [False] * S.BLOOM_BITS
+    for r in bit_rows:
+        bitmap[r["bit"]] = True
+    bm = F.lit(bitmap)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey")
+    probe_ok = None
+    for a, b in zip(S.BLOOM_A, S.BLOOM_B):
+        bit = (F.lit(a) * key + F.lit(b)) % S.P % S.BLOOM_BITS
+        hit = F.element_at(bm, (bit + 1).cast("int"))
+        probe_ok = hit if probe_ok is None else (probe_ok & hit)
+    pruned = li.filter(probe_ok).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = pruned.join(
+        F.broadcast(build), pruned.l_orderkey == build.o_orderkey
+    )
+    return joined.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count("*").alias("n_lineitems"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -555,3 +555,40 @@ def test_frequency_downsample_caps_heavy_keeps_light(spark, tmp_path):
     expected = [i for i in range(400) if unit(i) < min(1.0, 120.0 / 400)]
     assert out["big"]["n_kept"] == len(expected)
     assert out["big"]["kept_id_sum"] == sum(expected)
+
+
+def test_bloom_pruning_is_selective_and_transparent(spark, sf_dir):
+    """The Bloom pre-filter must actually prune (way fewer fact rows
+    than the full table reach the join) — parity already proves it
+    never changes the answer."""
+    from mapreduceframework_spark.operators import sketches as S
+    from mapreduceframework_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    bits = {
+        r["bit"]
+        for r in build.select(
+            F.explode(S.bloom_bits(F.col("o_orderkey"))).alias("bit")
+        )
+        .distinct()
+        .collect()
+    }
+    bitmap = [i in bits for i in range(S.BLOOM_BITS)]
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey")
+    ok = None
+    for a, b in zip(S.BLOOM_A, S.BLOOM_B):
+        hit = F.element_at(
+            F.lit(bitmap), (((F.lit(a) * key + F.lit(b)) % S.P % S.BLOOM_BITS) + 1).cast("int")
+        )
+        ok = hit if ok is None else (ok & hit)
+    total = li.count()
+    pruned = li.filter(ok).count()
+    matched = li.join(build, li.l_orderkey == build.o_orderkey).count()
+    assert pruned >= matched          # no false negatives
+    assert pruned < 0.2 * total       # the filter actually prunes

@@ -466,3 +466,24 @@ def test_frequency_downsample_broadcasts_counts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_frequency_downsample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_pruned_join_filters_before_broadcast_join(spark, sf_dir):
+    """The Bloom probe must be a row-local Filter on the fact scan
+    (bit arithmetic + element_at against the literal bitmap) feeding a
+    BroadcastHashJoin — fact rows failing the filter never reach the
+    join. A SortMergeJoin here would mean the full fact table shuffled,
+    defeating the semi-join reduction."""
+    plan = plan_of(spark, sf_dir, "join_bloom_pruned")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "element_at" in plan  # the bitmap probe rides in a Filter
+
+
+def test_winsorize_bounds_broadcast_back(spark, sf_dir):
+    """The O(groups) bounds table joins back by broadcast; the fact
+    side must not shuffle for the join (its only exchange is the final
+    group-by aggregation)."""
+    plan = plan_of(spark, sf_dir, "feature_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
