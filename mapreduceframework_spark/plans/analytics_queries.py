@@ -357,3 +357,50 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
     )
+
+
+@query(
+    "timeseries_ewma",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   list(value ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n_events,
+               list_reduce(vals, (acc, x) -> (acc + x) / 2) AS ewma
+        FROM s
+    """,
+    tags=("timeseries", "extension", "feature"),
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 1/2):
+    s_1 = v_1, s_t = (v_t + s_(t-1)) / 2 over the time-ordered event
+    stream — the smoothed-signal feature a pipeline derives from raw
+    event values. An order-dependent float RECURSION is normally
+    hopeless to oracle across engines; alpha = 1/2 makes every step a
+    dyadic halving plus one addition of identical operands, so the
+    sequential folds agree bit for bit and the result ships unrounded.
+
+    Scale shape: one hash shuffle on user_id; per-key state is that
+    key's ordered value list (bounded by events-per-entity, same
+    contract as session windows). For unbounded per-key histories the
+    same recursion runs incrementally in applyInPandasWithState
+    (streaming_user_counts_stateful is the harness)."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    per_user = ev.groupBy("user_id").agg(vals.alias("vals"))
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at("vals", 1),
+        lambda acc, x: (acc + x) / 2,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        ewma.alias("ewma"),
+    )

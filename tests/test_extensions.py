@@ -592,3 +592,45 @@ def test_bloom_pruning_is_selective_and_transparent(spark, sf_dir):
     matched = li.join(build, li.l_orderkey == build.o_orderkey).count()
     assert pruned >= matched          # no false negatives
     assert pruned < 0.2 * total       # the filter actually prunes
+
+
+def test_ewma_hand_computed_and_single_event_edge(spark, tmp_path):
+    from datetime import datetime
+
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    rows = [
+        # user 1: values 4, 8, 2 in time order -> s = 4, 6, 4
+        (1, datetime(2024, 1, 1, 0, 0), 1, "e", 4.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 5), 1, "e", 8.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 9), 1, "e", 2.0, "{}"),
+        # user 2: one event -> ewma is the value itself (empty fold)
+        (4, datetime(2024, 1, 1, 1, 0), 2, "e", 7.5, "{}"),
+        # user 3: tie on ts broken by event_id: 1.0 then 3.0 -> 2.0
+        (5, datetime(2024, 1, 1, 2, 0), 3, "e", 1.0, "{}"),
+        (6, datetime(2024, 1, 1, 2, 0), 3, "e", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    # the events loader footer-probes the ts unit; write INT64 micros
+    # (INT96, Spark's legacy default, is not a corpus encoding)
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "events.parquet")
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    out = {
+        r["user_id"]: r
+        for r in all_queries()["timeseries_ewma"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1]["ewma"] == 4.0 and out[1]["n_events"] == 3
+    assert out[2]["ewma"] == 7.5 and out[2]["n_events"] == 1
+    assert out[3]["ewma"] == 2.0 and out[3]["n_events"] == 2
