@@ -2607,6 +2607,7 @@ SUBSTRING_CHUNK = 8
         FROM c0 LEFT JOIN k USING (doc_id)
     """,
     tags=("dedup", "extension", "training-data"),
+    bench=True,
 )
 def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (the chunked approximation of Lee et

@@ -630,6 +630,7 @@ def join_asof_forward_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     """,
     tags=("join", "sketch", "runtime-filter"),
+    bench=True,
 )
 def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join reduction (the manual form of Spark's runtime
