@@ -404,3 +404,190 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("long").alias("n_events"),
         ewma.alias("ewma"),
     )
+
+
+# Shared sparse-signal oracle prefix for the fill/interpolate pair:
+# the 5-minute per-type average of `value` in exact BIGINT 1e-4 units,
+# a dense bucket grid per type, and the left join marking gaps as NULL.
+# The per-bucket average is NOT ROUND(AVG(value), 4): a double AVG is
+# summation-order dependent, and at sf0.1 one bucket's average landed
+# within an ULP of a .00005 boundary, so the two engines rounded to
+# DIFFERENT 4-decimal values. Instead each row's double is snapped to
+# integer 1e-4 units row-locally (identical per row on both engines),
+# the SUM is an associativity-proof BIGINT, and the average is ONE
+# double division of identical integers, rounded half-away on both
+# sides — bit-exact regardless of partitioning.
+_SPARSE_GRID_SQL = """
+        sparse AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 300000000) * 300 AS b_s,
+                   CAST(ROUND(SUM(CAST(ROUND(value * 10000) AS BIGINT))
+                              / COUNT(*)) AS BIGINT) AS v4
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT event_type, MIN(b_s) AS b0, MAX(b_s) AS b1
+                   FROM sparse GROUP BY 1),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(b0, b1, 300)) AS b_s
+                 FROM bounds),
+        j AS (SELECT g.event_type, g.b_s, s.v4
+              FROM grid g LEFT JOIN sparse s USING (event_type, b_s))
+"""
+
+
+def _sparse_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SPARSE_GRID_SQL: sparse per-(type, 5-min bucket)
+    exact-integer averages (1e-4 units, column ``v4``) left-joined onto
+    the dense per-type grid. Buckets flow as epoch-second BIGINTs
+    (integer DIV, no float time math)."""
+    ev = load_table(spark, sf_dir, "events")
+    b_s = F.expr("unix_micros(ts) DIV 300000000") * 300
+    v_e4 = F.round(F.col("value") * 10000).cast("long")
+    sparse = (
+        ev.select("event_type", b_s.alias("b_s"), v_e4.alias("v_e4"))
+        .groupBy("event_type", "b_s")
+        .agg(
+            F.round(F.sum("v_e4") / F.count("*"))
+            .cast("long")
+            .alias("v4")
+        )
+    )
+    bounds = sparse.groupBy("event_type").agg(
+        F.min("b_s").alias("b0"), F.max("b_s").alias("b1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("b0", "b1", F.lit(300))).alias("b_s"),
+    )
+    return grid.join(sparse, ["event_type", "b_s"], "left")
+
+
+@query(
+    "timeseries_forward_fill",
+    oracle=f"""
+        WITH {_SPARSE_GRID_SQL}
+        SELECT event_type,
+               b_s AS bucket_s,
+               last_value(v4 IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY b_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / 10000.0 AS filled,
+               v4 IS NOT NULL AS observed
+        FROM j
+    """,
+    tags=("timeseries", "window", "extension"),
+)
+def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF forward fill (last observation carried forward): every gap
+    bucket inherits the most recent observed 5-minute average — the
+    standard imputation for step-wise signals (prices, gauges,
+    configuration values) before feature extraction. ``last(...,
+    ignorenulls=True)`` over a running frame is the single-pass
+    relational form; the grid starts at each type's first observation,
+    so `filled` is never NULL.
+
+    Scale shape: one shuffle on event_type for the window (at 100 TB
+    the partition key would be (entity, day) so no single type funnels
+    — same contract as the other window queries); the grid generation
+    is O(types) in, O(buckets) out, and the sparse join is
+    broadcast-able. The fill itself is a WindowExec over sorted runs —
+    no iteration, no driver state."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _sparse_grid(spark, sf_dir).select(
+        "event_type",
+        F.col("b_s").alias("bucket_s"),
+        (F.last("v4", ignorenulls=True).over(w) / 10000.0).alias(
+            "filled"
+        ),
+        F.col("v4").isNotNull().alias("observed"),
+    )
+
+
+@query(
+    "timeseries_interpolate",
+    oracle=f"""
+        WITH {_SPARSE_GRID_SQL},
+        w AS (
+            SELECT event_type, b_s, v4,
+                   last_value(v4 IGNORE NULLS) OVER pw AS prev4,
+                   first_value(v4 IGNORE NULLS) OVER nw AS next4,
+                   last_value(CASE WHEN v4 IS NOT NULL THEN b_s END
+                              IGNORE NULLS) OVER pw AS prev_b,
+                   first_value(CASE WHEN v4 IS NOT NULL THEN b_s END
+                               IGNORE NULLS) OVER nw AS next_b
+            FROM j
+            WINDOW pw AS (PARTITION BY event_type ORDER BY b_s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   nw AS (PARTITION BY event_type ORDER BY b_s
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type,
+               b_s AS bucket_s,
+               CASE WHEN v4 IS NOT NULL THEN v4
+                    WHEN next4 IS NULL THEN prev4
+                    ELSE prev4 + CAST(ROUND(
+                        ((next4 - prev4) * (b_s - prev_b)) /
+                        (next_b - prev_b)) AS BIGINT)
+               END / 10000.0 AS interp,
+               v4 IS NOT NULL AS observed
+        FROM w
+    """,
+    tags=("timeseries", "window", "extension"),
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps: each missing bucket gets
+    prev + (next - prev) * elapsed-fraction between its two nearest
+    observed neighbors (trailing gaps fall back to LOCF) — the
+    imputation for continuously-varying signals where a step function
+    (forward fill) would bias downstream features.
+
+    Cross-engine float contract: the endpoints are the shared exact
+    BIGINT 1e-4-unit averages (see _SPARSE_GRID_SQL — a double-AVG
+    endpoint was ULP-fragile, observed at both sf0.01 and sf0.1), the
+    numerator is an exact BIGINT product (< 2^53), and the single
+    double division + half-away rounding is the same computation in
+    both engines. The final /10000.0 of identical integers is
+    bit-identical.
+
+    Scale shape: identical to forward_fill — two window frames over
+    the same (event_type, bucket) sort on one shuffle; the
+    interpolation arithmetic is row-local codegen."""
+    df = _sparse_grid(spark, sf_dir)
+    pw = (
+        Window.partitionBy("event_type")
+        .orderBy("b_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nw = (
+        Window.partitionBy("event_type")
+        .orderBy("b_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ob_b = F.when(F.col("v4").isNotNull(), F.col("b_s"))
+    prev4 = F.last("v4", ignorenulls=True).over(pw)
+    next4 = F.first("v4", ignorenulls=True).over(nw)
+    prev_b = F.last(ob_b, ignorenulls=True).over(pw)
+    next_b = F.first(ob_b, ignorenulls=True).over(nw)
+    interp4 = (
+        F.when(F.col("v4").isNotNull(), F.col("v4"))
+        .when(next4.isNull(), prev4)
+        .otherwise(
+            prev4
+            + F.round(
+                ((next4 - prev4) * (F.col("b_s") - prev_b))
+                / (next_b - prev_b)
+            ).cast("long")
+        )
+    )
+    return df.select(
+        "event_type",
+        F.col("b_s").alias("bucket_s"),
+        (interp4 / 10000.0).alias("interp"),
+        F.col("v4").isNotNull().alias("observed"),
+    )

@@ -266,3 +266,107 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("reciprocal_deg", F.lit(0)).alias("reciprocal_deg"),
         )
     )
+
+
+def pointer_doubling_rounds(max_key: int, fanout: int = 8) -> int:
+    """Rounds of pointer doubling needed so every node's pointer
+    reaches its root: ceil(log2(max chain depth)), with the depth
+    bound computed by EXACT integer division — ``floor(log(k, 8))``
+    via float log misclassifies exact powers of the fanout
+    (log(4096, 8) -> 3.9999...)."""
+    depth_bound, k = 0, int(max_key)
+    while k >= fanout:
+        k //= fanout
+        depth_bound += 1
+    rounds = 0
+    while (1 << rounds) < depth_bound:
+        rounds += 1
+    return rounds
+
+
+@query(
+    "hierarchy_rollup_recursive",
+    oracle="""
+        WITH RECURSIVE up AS (
+            SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth,
+                   p_retailprice AS price
+            FROM part
+            UNION ALL
+            SELECT node, cur // 8, depth + 1, price
+            FROM up WHERE cur >= 8
+        )
+        SELECT cur AS root,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(MAX(depth) AS BIGINT) AS max_depth,
+               ROUND(SUM(price), 2) AS total_retail
+        FROM up WHERE cur < 8
+        GROUP BY cur
+    """,
+    tags=("graph", "recursive", "hierarchy", "iterative"),
+)
+def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal + rollup — the WITH RECURSIVE /
+    BOM-explosion shape (org charts, category trees, bill-of-materials)
+    that no single relational operator covers. The part table is given
+    a deterministic forest: parent(k) = k DIV 8, roots are keys < 8
+    (~5 levels at sf0.1); each part must find its ROOT ancestor and
+    depth, then the rollup reports per-root subtree size, height, and
+    retail value.
+
+    The oracle walks the chain one level per recursion step — O(depth)
+    self-joins. The engine instead uses POINTER DOUBLING (path
+    halving): each round joins the (node -> known-ancestor, hops) map
+    to itself so every pointer jumps 2^r levels, reaching all roots in
+    ceil(log2(depth)) rounds — 3 joins instead of ~17 for a
+    100k-deep chain, the textbook trick for deep hierarchies on
+    MapReduce-style engines. Each round is one hash join + projection
+    (localCheckpoint truncates lineage, same discipline as
+    operators/graph.py); roots self-loop with 0 hops so finished
+    pointers are fixpoints. The round count comes from the max key —
+    one model-sized scalar collect, not data — via an exact integer
+    loop (float log8 would misclassify exact powers of 8).
+
+    Scale shape: per round, one equi-join keyed on the current
+    ancestor (shuffle O(nodes)) — no driver-side data, no O(depth)
+    sequential dependency; the final rollup is a partial-combined
+    groupBy on O(roots) keys."""
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_retailprice").alias("price"),
+    )
+    # max depth: exact integer log8 of the max key (one scalar collect)
+    max_key = part.agg(F.max("node")).first()[0]
+    rounds = pointer_doubling_rounds(max_key)
+    f = part.select(
+        "node",
+        F.when(F.col("node") >= 8, F.expr("node DIV 8"))
+        .otherwise(F.col("node"))
+        .alias("anc"),
+        F.when(F.col("node") >= 8, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        g = f.select(
+            F.col("node").alias("g_node"),
+            F.col("anc").alias("g_anc"),
+            F.col("d").alias("g_d"),
+        )
+        f = (
+            f.join(g, f["anc"] == g["g_node"])
+            .select(
+                "node",
+                F.col("g_anc").alias("anc"),
+                (F.col("d") + F.col("g_d")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        f.join(part, "node")
+        .groupBy(F.col("anc").alias("root"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.max("d").cast("long").alias("max_depth"),
+            F.round(F.sum("price"), 2).alias("total_retail"),
+        )
+    )

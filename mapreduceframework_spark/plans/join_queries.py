@@ -696,3 +696,89 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+_NOT_IN_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM (SELECT o_orderpriority,
+                 NULLIF(o_custkey % 100, 0) AS bucket
+          FROM orders)
+    WHERE bucket NOT IN (SELECT c_custkey % 100 FROM customer
+                         WHERE c_acctbal < 0 AND c_custkey % 100 <> 0)
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "join_not_in_null_aware",
+    oracle=_NOT_IN_SQL,
+    tags=("join", "anti", "null-semantics", "subquery"),
+)
+def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN — the null-aware anti join, which is NOT the same
+    operator as NOT EXISTS / left-anti: under three-valued logic a
+    NULL probe key can never satisfy ``NOT IN`` (NULL <> x is
+    UNKNOWN), so the NULLIF-manufactured NULL buckets vanish from the
+    result, where a naive left-anti join would keep them; and one NULL
+    in the subquery would empty the entire result (pinned by a plan
+    test, not left to comments). Expressed through the SQL surface so
+    Catalyst plans its single-column null-aware anti join
+    (RewritePredicateSubquery -> BroadcastHashJoin with
+    isNullAwareAntiJoin) instead of the BroadcastNestedLoopJoin the
+    general NOT IN form needs.
+
+    Scale shape: the exclusion list is an aggregate-sized broadcast
+    (distinct customer buckets, <= 100 values); the probe side streams
+    map-side with zero shuffle before the final small group-by."""
+    from mapreduceframework_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)
+
+
+@query(
+    "division_priority_complete",
+    oracle="""
+        WITH per AS (SELECT o_custkey,
+                            CAST(COUNT(*) AS BIGINT) AS n_orders
+                     FROM orders GROUP BY o_custkey),
+             pr AS (SELECT DISTINCT o_orderpriority AS p FROM orders)
+        SELECT per.o_custkey AS custkey, per.n_orders
+        FROM per
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pr
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = per.o_custkey
+                  AND o.o_orderpriority = pr.p))
+    """,
+    tags=("join", "subquery", "division", "agg"),
+)
+def division_priority_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers whose orders span EVERY order
+    priority that exists in the data — "suppliers who stock all
+    parts" / "users who completed all steps", Codd's ÷ operator. The
+    oracle states it as the classical double-NOT-EXISTS; the engine
+    uses the scalable algebraic rewrite: per-customer COUNT(DISTINCT
+    priority) equi-joined to the global distinct count (a one-row
+    broadcast). Same relation, two paradigms — which is the point of
+    the cross-check.
+
+    Scale shape: one hash aggregate over orders (partial-combined
+    map-side), a 1-row broadcast for the divisor cardinality, and no
+    correlated per-row probing anywhere — the double NOT EXISTS form
+    the oracle uses would be quadratic if executed naively; the
+    division-by-counting rewrite is how it survives 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    tot = o.select(
+        F.countDistinct("o_orderpriority").alias("tot")
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("nprio"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        per.join(F.broadcast(tot), per["nprio"] == tot["tot"])
+        .select(F.col("o_custkey").alias("custkey"), "n_orders")
+    )

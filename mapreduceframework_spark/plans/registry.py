@@ -129,13 +129,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mining_pair_cooccurrence",  # top-k rewritten to orderBy+limit
     "dedup_simhash",  # simhash_by_doc empty-token fix adjacency
     "multimodal_image_decode",  # imagecodec error-path hardening
-    "multimodal_audio_decode",  # imagecodec error-path hardening
     "events_tumbling_counts",  # events_ts_unit now probes all files
-    "join_asof",  # events loader adjacency
     # --- NEW late in round 6 (first driver rows) ---
     "dedup_substring_chunks",
     "text_quality_classifier",
     "sample_frequency_downsample",
+    # (multimodal_audio_decode / join_asof sentinels ceded their slots:
+    # the codec hardening is still sentineled by the image row + pytest,
+    # the events-loader change by events_tumbling_counts. First rows for
+    # the two most operator-novel round-6 additions win the trade; the
+    # timeseries fill pair and relational division queue for r07.)
+    "join_not_in_null_aware",
+    "hierarchy_rollup_recursive",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

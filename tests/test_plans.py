@@ -487,3 +487,88 @@ def test_winsorize_bounds_broadcast_back(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "feature_winsorize")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN must plan as the single-column null-aware anti join
+    (BroadcastHashJoin LeftAnti with isNullAwareAntiJoin=true), not
+    the O(probe x list) BroadcastNestedLoopJoin the general form
+    needs. The flag is the last positional field in the plan string."""
+    df = REG["join_not_in_null_aware"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_not_in_three_valued_logic_edges(spark, sf_dir):
+    """The two NOT IN edges the oracle data cannot hit at once: a NULL
+    probe key never qualifies, and ONE NULL in the exclusion list
+    empties the whole result. Left-anti join semantics would get both
+    wrong — that is why NAAJ is a distinct operator."""
+    from mapreduceframework_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    # NULL probe rows vanish: total rows - non-null-bucket rows
+    kept = spark.sql(
+        """SELECT COUNT(*) AS n FROM
+           (SELECT NULLIF(o_custkey % 100, 0) AS b FROM orders)
+           WHERE b NOT IN (SELECT x FROM VALUES (-1) AS t(x))"""
+    ).first()["n"]
+    nonnull = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_custkey % 100 <> 0"
+    ).first()["n"]
+    assert kept == nonnull
+    # one NULL in the list -> UNKNOWN for every probe -> empty result
+    empty = spark.sql(
+        """SELECT COUNT(*) AS n FROM orders
+           WHERE o_custkey NOT IN
+                 (SELECT x FROM VALUES (CAST(NULL AS BIGINT)) AS t(x))"""
+    ).first()["n"]
+    assert empty == 0
+
+
+def test_division_is_broadcast_count_join(spark, sf_dir):
+    """Relational division must run as the division-by-counting
+    rewrite: one aggregate over orders plus a 1-row broadcast — never
+    the correlated double-NOT-EXISTS the oracle states (which would
+    nest a per-customer probe)."""
+    plan = plan_of(spark, sf_dir, "division_priority_complete")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pointer_doubling_round_count():
+    """Exact integer depth bound: float log8 would give 3.9999... for
+    4096 and under-provision the jump rounds, silently leaving deep
+    nodes attached to a non-root ancestor."""
+    from mapreduceframework_spark.plans.graph_queries import (
+        pointer_doubling_rounds,
+    )
+
+    assert pointer_doubling_rounds(7) == 0  # all roots
+    assert pointer_doubling_rounds(63) == 0  # depth 1: init hop covers
+    assert pointer_doubling_rounds(64) == 1  # depth 2
+    assert pointer_doubling_rounds(4095) == 2  # depth 3
+    assert pointer_doubling_rounds(4096) == 2  # depth 4 (exact power)
+    assert pointer_doubling_rounds(32768) == 3  # depth 5
+    assert pointer_doubling_rounds(8**9) == 4  # depth 9 -> 2^4 jumps
+
+
+def test_hierarchy_reaches_true_roots(spark, sf_dir):
+    """Every reported root must be a real root (key < 8) — an
+    under-provisioned jump count would leave interior ancestors in the
+    root column (the failure the exact round computation prevents)."""
+    df = REG["hierarchy_rollup_recursive"].fn(spark, sf_dir)
+    roots = [r["root"] for r in df.collect()]
+    assert roots and all(0 <= r < 8 for r in roots)
+
+
+def test_forward_fill_windows_are_partitioned(spark, sf_dir):
+    """Both fill queries sort within event_type partitions only — an
+    unpartitioned window here would funnel the whole grid through one
+    task (also enforced by the registry-wide sweep, pinned locally for
+    the family)."""
+    for name in ("timeseries_forward_fill", "timeseries_interpolate"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan or "Window" in plan, name
+        assert "SinglePartition" not in plan, name
