@@ -591,3 +591,191 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (interp4 / 10000.0).alias("interp"),
         F.col("v4").isNotNull().alias("observed"),
     )
+
+
+@query(
+    "window_rolling_distinct_users",
+    oracle="""
+        WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                    FROM events),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT CAST(d.day AS VARCHAR) AS day,
+               CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS users_7d
+        FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """,
+    tags=("window", "distinct", "timeseries", "extension"),
+)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (the DAU/WAU family):
+    COUNT(DISTINCT) over a sliding window — the aggregate window
+    functions can't express (distinct isn't decomposable into a
+    running frame), and the naive form is a per-day range self-join.
+
+    The scalable rewrite: dedup to (user, day) pairs once, FAN OUT
+    each pair to the <= 7 window-end days it can contribute to
+    (explode of a 7-element sequence, row-local), then one
+    distinct-aggregate keyed by window day. Shuffle volume is
+    7 x |user-day pairs| — linear, partial-aggregated, no range join;
+    the window-day fan-out constant is the window length, independent
+    of data size. The join back to observed days is a broadcast of
+    O(days) rows.
+
+    Day keys ship as strings (a DateType round-trips differently
+    through Spark/DuckDB pandas — driver-contract gotcha)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    fanned = (
+        du.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select(F.date_add("day", F.col("i")).alias("wday"), "user_id")
+    )
+    counts = fanned.groupBy("wday").agg(
+        F.countDistinct("user_id").alias("users_7d")
+    )
+    return (
+        counts.join(
+            F.broadcast(days), counts["wday"] == days["day"]
+        )
+        .select(
+            F.date_format("wday", "yyyy-MM-dd").alias("day"),
+            "users_7d",
+        )
+    )
+
+
+@query(
+    "regression_by_event_type",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type,
+                   epoch_us(ts) // 1000000
+                       - MIN(epoch_us(ts) // 1000000)
+                             OVER (PARTITION BY event_type) AS x,
+                   CAST(ROUND(value * 10000) AS BIGINT) AS y
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x * y AS HUGEINT)) AS sxy,
+                   SUM(CAST(x * x AS HUGEINT)) AS sxx
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) * 86400, 6)
+                   AS slope_per_day_e4
+        FROM m
+    """,
+    tags=("agg", "statistical", "extension"),
+)
+def regression_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise least-squares trend (regr_slope): is each event
+    type's value drifting over the month, in 1e-4 value units per day —
+    the drift-detection aggregate of monitoring pipelines.
+
+    Cross-engine float contract: the builtin regr_slope is a float
+    covariance accumulation (summation-order dependent), so the
+    moments are computed EXACTLY instead — x is elapsed whole seconds
+    from the group's first event, y the 1e-4-unit snap of value, and
+    all five moments are integer sums (per-row products bounded by
+    2^53; the sums ride in decimal(38,0)/HUGEINT, overflow-proof at
+    any scale). The closed form n*Sxy - Sx*Sy over n*Sxx - Sx^2 is
+    one double division of identical exact integers.
+
+    Scale shape: one window pass for the per-group epoch (same
+    shuffle as the aggregate), then a partial-combined groupBy to
+    O(types) rows. regr_slope/regr_intercept stay available for the
+    approximate fast path; this query is the exact contract."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    sec = F.expr("unix_micros(ts) DIV 1000000")
+    pts = ev.select(
+        "event_type",
+        (sec - F.min(sec).over(w)).alias("x"),
+        F.round(F.col("value") * 10000).cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    m = pts.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den * 86400, 6).alias("slope_per_day_e4"),
+    )
+
+
+@query(
+    "skyline_pareto_frontier",
+    oracle="""
+        SELECT p.p_partkey, p.p_size, p.p_retailprice
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size))
+    """,
+    tags=("extension", "skyline", "join"),
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / skyline (Borzsony, Kossmann & Stocker,
+    ICDE'01): parts not dominated on (price low, size high) — the
+    multi-criteria shortlist query ("no part is both cheaper and at
+    least as large"). The oracle is the quadratic NOT-EXISTS
+    dominance definition.
+
+    The engine exploits the low-cardinality dominance dimension: with
+    <= |distinct sizes| frontier classes, reduce part to a per-size
+    MIN(price) table (partial-aggregated, O(sizes) rows), derive each
+    size's STRICTLY-LARGER-size best price by a tiny broadcast
+    self-join (O(sizes^2) on ~50 rows — never against the fact
+    table), then one broadcast join back: a part survives iff it hits
+    its size's min price and beats every larger size's best. Two
+    scans + broadcasts, no window, no self-join of part with part —
+    the same shape at 100 TB with any bounded dominance dimension
+    (binned if continuous). Ties on both axes are mutually
+    non-dominating and all kept, matching the NOT EXISTS."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    per_size = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    a, b = per_size.alias("a"), per_size.alias("b")
+    stricter = (
+        a.join(F.broadcast(b), F.col("b.p_size") > F.col("a.p_size"), "left")
+        .groupBy(F.col("a.p_size").alias("s"), F.col("a.min_price").alias("mp"))
+        .agg(F.min("b.min_price").alias("best_larger"))
+    )
+    return (
+        part.join(
+            F.broadcast(stricter), part["p_size"] == F.col("s")
+        )
+        .filter(
+            (F.col("p_retailprice") == F.col("mp"))
+            & (
+                F.col("best_larger").isNull()
+                | (F.col("p_retailprice") < F.col("best_larger"))
+            )
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )

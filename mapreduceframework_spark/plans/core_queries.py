@@ -912,3 +912,56 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("o_orderkey").alias("key_xor"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_percent_of_total",
+    oracle="""
+        WITH cents AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+        ),
+        per AS (SELECT o_orderpriority,
+                       CAST(SUM(c) AS BIGINT) AS cents,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM cents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_cents FROM cents)
+        SELECT o_orderpriority,
+               n_orders,
+               cents / 100.0 AS revenue,
+               ROUND(cents / CAST(total_cents AS DOUBLE), 6)
+                   AS share_of_total
+        FROM per, tot
+    """,
+    tags=("agg", "two-level"),
+)
+def agg_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total / ratio-to-report: each order priority's share
+    of total revenue — the two-level aggregate behind every
+    contribution chart. The grand total is a ONE-ROW broadcast joined
+    back onto the per-group aggregates (never a second scan through an
+    unpartitioned window, which is how BI tools usually write it and
+    what the registry's window sweep forbids).
+
+    Exactness: prices carry 2 decimals, so both levels sum BIGINT
+    cents (associativity-proof — a double SUM differs across engines
+    in the last ULP, enough to flip a ROUND(..., 6) share); the only
+    float op is one division of identical integers."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    per = cents.groupBy("o_orderpriority").agg(
+        F.sum("c").alias("cents"), F.count("*").alias("n_orders")
+    )
+    tot = cents.agg(F.sum("c").alias("total_cents"))
+    return per.join(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("cents") / 100.0).alias("revenue"),
+        F.round(
+            F.col("cents") / F.col("total_cents").cast("double"), 6
+        ).alias("share_of_total"),
+    )

@@ -572,3 +572,42 @@ def test_forward_fill_windows_are_partitioned(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "WindowGroupLimit" in plan or "Window" in plan, name
         assert "SinglePartition" not in plan, name
+
+
+def test_rolling_distinct_is_fanout_not_range_join(spark, sf_dir):
+    """The 7-day distinct count must run as the explode fan-out +
+    distinct aggregate — a per-day range self-join (the naive SQL
+    form, which the oracle uses) would be O(days x pairs) nested-loop
+    work on the fact side."""
+    plan = plan_of(spark, sf_dir, "window_rolling_distinct_users")
+    assert "Generate" in plan  # the 0..6 explode
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # days join back is broadcast
+
+
+def test_regression_moments_are_partial_aggregated(spark, sf_dir):
+    """The exact-moment sums must partial-aggregate map-side (five
+    integer sums collapse to O(types) rows before the shuffle)."""
+    plan = plan_of(spark, sf_dir, "regression_by_event_type")
+    assert plan.count("HashAggregate") >= 2
+    assert "SinglePartition" not in plan
+
+
+def test_skyline_never_self_joins_fact_table(spark, sf_dir):
+    """The skyline must reduce part to the O(sizes) frontier table
+    before any non-equi comparison: the only nested-loop join allowed
+    is the broadcast 50x50 size self-join; the part scan itself joins
+    back by broadcast hash on p_size."""
+    plan = plan_of(spark, sf_dir, "skyline_pareto_frontier")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # part -> frontier classes
+
+
+def test_percent_of_total_broadcasts_grand_total(spark, sf_dir):
+    """The grand total is a 1-row broadcast back onto the per-group
+    aggregates — not a second full scan through an unpartitioned
+    window."""
+    plan = plan_of(spark, sf_dir, "agg_percent_of_total")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
