@@ -605,6 +605,7 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.day
     """,
     tags=("window", "distinct", "timeseries", "extension"),
+    bench=True,
 )
 def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users per day (the DAU/WAU family):

@@ -2839,3 +2839,103 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "n", "lo", "hi", "mean_raw", "mean_winsor")
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS ws
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 2
+        ),
+        uni AS (
+            SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS cu
+            FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+        ),
+        bm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+               FROM big GROUP BY 1, 2),
+        scored AS (
+            SELECT b.doc_id,
+                   CAST(ROUND(1000000.0 * bm.cb / uni.cu) AS BIGINT) AS p6
+            FROM big b JOIN bm USING (w1, w2) JOIN uni USING (w1)
+        ),
+        per AS (SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       CAST(ROUND(SUM(p6) * 1.0 / COUNT(*)) AS BIGINT)
+                           AS lm_score_e6
+                FROM scored GROUP BY doc_id)
+        SELECT d.doc_id, per.n_bigrams, per.lm_score_e6
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("text", "quality", "lm", "extension"),
+    bench=True,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model quality score — the
+    perplexity-filter shape of CCNet/CC-Net-style pipelines (Wenzek et
+    al. 2020): train token statistics ON the corpus itself, score every
+    document by how typical its token transitions are, filter the
+    tail. Per token-pair the MLE transition probability
+    cb(w1,w2)/cu(w1) is snapped to exact 1e-6-unit BIGINTs and the
+    per-doc score is the exact integer mean — a log-space perplexity
+    would sum doubles whose cross-engine ln() differs in the last ULP
+    (Math.log vs libm), the same boundary-flip failure mode the
+    interpolation query hit; the linear-probability mean ranks
+    documents identically for filtering purposes. Docs with < 2 tokens
+    keep their row with NULL score (row-count preserving, the
+    simhash_by_doc lesson).
+
+    Scale shape: model training is two partial-aggregated groupBys
+    (bigram, unigram); scoring joins each doc's bigram occurrences to
+    the model on the bigram key — Zipf-hot bigrams are exactly the AQE
+    skew-join case, and at 100 TB the practical variant prunes the
+    model to top-K transitions + a smoothing floor so it BROADCASTS
+    (noted, not faked). No per-row Python anywhere; everything is
+    split/slice/zip + joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ws")
+    )
+    n = F.size("ws")
+    big = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, n - 1).alias("w1"),
+                    F.slice("ws", 2, n - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cu"))
+    )
+    bm = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored = (
+        big.join(bm, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            "doc_id",
+            F.round(F.lit(1000000.0) * F.col("cb") / F.col("cu"))
+            .cast("long")
+            .alias("p6"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("p6") / F.count("*")).cast("long").alias("lm_score_e6"),
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id", "n_bigrams", "lm_score_e6"
+    )

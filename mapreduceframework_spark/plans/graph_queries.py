@@ -303,6 +303,7 @@ def pointer_doubling_rounds(max_key: int, fanout: int = 8) -> int:
         GROUP BY cur
     """,
     tags=("graph", "recursive", "hierarchy", "iterative"),
+    bench=True,
 )
 def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive hierarchy traversal + rollup — the WITH RECURSIVE /

@@ -611,3 +611,14 @@ def test_percent_of_total_broadcasts_grand_total(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_percent_of_total")
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_bigram_lm_model_joins_are_keyed(spark, sf_dir):
+    """LM scoring joins doc bigram occurrences to the model on the
+    bigram/unigram keys — equality joins only (Zipf skew is AQE's
+    problem, a nested loop would be quadratic), and the model
+    aggregates must partial-combine map-side."""
+    plan = plan_of(spark, sf_dir, "text_bigram_lm_score")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # bigram + unigram models

@@ -89,6 +89,26 @@ SHOWCASE = [
      "onto the corpus (BroadcastHashJoin) and the keep-decision is a "
      "row-local hash — fully parallel, unlike a per-source window rank "
      "that funnels each domain through one partition."),
+    ("window_rolling_distinct_users",
+     "Sliding COUNT(DISTINCT) is not frame-decomposable, so the plan "
+     "is the explode fan-out (Generate, constant = window length) into "
+     "a partial-aggregated distinct count — linear shuffle volume, no "
+     "per-day range self-join against the fact table."),
+    ("hierarchy_rollup_recursive",
+     "Recursive hierarchy traversal by pointer doubling: "
+     "ceil(log2(depth)) hash self-joins instead of one join per level "
+     "— 3 rounds cover depth 8, 5 rounds depth 32; every round is an "
+     "equi-join + projection with lineage truncated."),
+    ("skyline_pareto_frontier",
+     "Skyline via frontier-class reduction: part collapses to O(sizes) "
+     "rows before any dominance comparison; the only non-equi join is "
+     "the broadcast 50x50 class table, and the fact table re-enters "
+     "through a BroadcastHashJoin — never a quadratic self-join."),
+    ("text_bigram_lm_score",
+     "Corpus-trained bigram LM scoring: model training is two "
+     "partial-aggregated groupBys; scoring is equality joins on the "
+     "bigram key (AQE handles Zipf skew). No Python, no nested loop; "
+     "at 100 TB the pruned top-K model broadcasts."),
 ]
 
 
