@@ -467,9 +467,9 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                CAST(len(emb) AS BIGINT)      AS dim,
-               ROUND(emb[1], 4)              AS e1,
-               ROUND(list_sum(emb), 4)       AS esum,
-               ROUND(list_max(emb), 4)       AS emax
+               ROUND(emb[1], 4) + 0.0        AS e1,
+               ROUND(list_sum(emb), 4) + 0.0 AS esum,
+               ROUND(list_max(emb), 4) + 0.0 AS emax
         FROM (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
               FROM embeddings)
@@ -478,16 +478,25 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-typed columns — absent in the reference (opaque C++ payloads
-    at best); first-class here. aggregate/element_at stay JVM-side."""
+    at best); first-class here. aggregate/element_at stay JVM-side.
+
+    Every rounded float gets `+ 0.0`: a tiny negative rounds to
+    NEGATIVE zero, the engines don't agree on its sign bit, and "-0.0"
+    vs "0.0" diverges under the driver's stringify-sort-hash compare
+    even though the values are numerically equal (surfaced by the
+    sf0.1 sweep). IEEE -0.0 + 0.0 = +0.0 normalizes on both sides."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at("embedding", 1), 4).alias("e1"),
-        F.round(
-            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x), 4
+        (F.round(F.element_at("embedding", 1), 4) + 0.0).alias("e1"),
+        (
+            F.round(
+                F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x), 4
+            )
+            + 0.0
         ).alias("esum"),
-        F.round(F.array_max("embedding"), 4).alias("emax"),
+        (F.round(F.array_max("embedding"), 4) + 0.0).alias("emax"),
     )
 
 

@@ -284,6 +284,49 @@ def pointer_doubling_rounds(max_key: int, fanout: int = 8) -> int:
     return rounds
 
 
+def resolve_forest_roots(nodes: DataFrame, rounds: int) -> DataFrame:
+    """Pointer doubling over the implicit forest parent(k) = k DIV 8:
+    given a `node` column, return (node, anc, d) with anc the ROOT
+    (key < 8) and d the exact depth, provided 2^rounds covers the
+    deepest chain (pointer_doubling_rounds). Roots self-loop with
+    d = 0, so finished pointers are fixpoints and extra rounds are
+    harmless no-ops. Each round: one LEFT equi-join + projection,
+    localCheckpoint truncating lineage.
+
+    The join is LEFT, not inner: on a SPARSE node set a pointer can
+    reference an ancestor that has no row, and an inner join would
+    silently DROP that node (row-count divergence — the same footgun
+    class as the simhash empty-token fix). A missing ancestor instead
+    terminates the walk: the pointer stays where it is. The rollup
+    query's key space (p_partkey) is dense, so every chain there ends
+    at a real < 8 root."""
+    f = nodes.select(
+        "node",
+        F.when(F.col("node") >= 8, F.expr("node DIV 8"))
+        .otherwise(F.col("node"))
+        .alias("anc"),
+        F.when(F.col("node") >= 8, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        g = f.select(
+            F.col("node").alias("g_node"),
+            F.col("anc").alias("g_anc"),
+            F.col("d").alias("g_d"),
+        )
+        f = (
+            f.join(g, f["anc"] == g["g_node"], "left")
+            .select(
+                "node",
+                F.coalesce("g_anc", "anc").alias("anc"),
+                (F.col("d") + F.coalesce("g_d", F.lit(0))).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return f
+
+
 @query(
     "hierarchy_rollup_recursive",
     oracle="""
@@ -337,31 +380,8 @@ def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # max depth: exact integer log8 of the max key (one scalar collect)
     max_key = part.agg(F.max("node")).first()[0]
-    rounds = pointer_doubling_rounds(max_key)
-    f = part.select(
-        "node",
-        F.when(F.col("node") >= 8, F.expr("node DIV 8"))
-        .otherwise(F.col("node"))
-        .alias("anc"),
-        F.when(F.col("node") >= 8, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("d"),
-    ).localCheckpoint(eager=True)
-    for _ in range(rounds):
-        g = f.select(
-            F.col("node").alias("g_node"),
-            F.col("anc").alias("g_anc"),
-            F.col("d").alias("g_d"),
-        )
-        f = (
-            f.join(g, f["anc"] == g["g_node"])
-            .select(
-                "node",
-                F.col("g_anc").alias("anc"),
-                (F.col("d") + F.col("g_d")).alias("d"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    f = resolve_forest_roots(part.select("node"),
+                             pointer_doubling_rounds(max_key))
     return (
         f.join(part, "node")
         .groupBy(F.col("anc").alias("root"))

@@ -15,9 +15,13 @@ Two tiers:
   source the results equal their batch twins, so they get full
   value-hash oracles too (rare for streaming code).
 
-sum(value) aggregates are rounded to 4 decimals on BOTH sides:
-summation order across partitions is nondeterministic, so raw doubles
-drift by ULPs (unlike the extension queries' sequential folds).
+value aggregates are computed over exact BIGINT 1e-4 units (each row's
+double snapped row-locally, then an associativity-proof integer SUM):
+summation order across partitions is nondeterministic, and ROUND(SUM)
+/ ROUND(AVG) of raw doubles proved ULP-fragile at sf0.1 — one window's
+average landed within an ULP of a .00005 boundary and the two engines
+rounded to different 4-decimal values (same failure class, and same
+fix, as the timeseries fill family's _SPARSE_GRID_SQL).
 """
 
 from __future__ import annotations
@@ -32,8 +36,25 @@ TUMBLING_ORACLE = """
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           round(SUM(value), 4) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS sum_value
     FROM events GROUP BY 1, 2
+"""
+
+SLIDING_ORACLE = """
+    WITH hit AS (
+        SELECT t.win_start, event_type,
+               CAST(ROUND(value * 10000) AS BIGINT) AS v_e4
+        FROM (SELECT event_type, value,
+                     unnest([time_bucket(INTERVAL '5 minutes', ts),
+                             time_bucket(INTERVAL '5 minutes', ts)
+                                 - INTERVAL '5 minutes']) AS win_start
+              FROM events) t)
+    SELECT win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROUND(SUM(v_e4) * 1.0 / COUNT(*)) AS BIGINT) / 10000.0
+               AS avg_value
+    FROM hit GROUP BY 1, 2
 """
 
 
@@ -48,10 +69,15 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type. window() is epoch-aligned, same as DuckDB time_bucket.
     Partial aggregation happens map-side; shuffle is O(windows x
     types), not O(events)."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "v_e4", F.round(F.col("value") * 10000).cast("long")
+    )
     return (
         events.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.sum("v_e4") / 10000.0).alias("sum_value"),
+        )
         .select(
             F.col("win.start").alias("win_start"), "event_type", "cnt", "sum_value"
         )
@@ -60,34 +86,30 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_sliding_windows",
-    oracle="""
-        WITH hit AS (
-            SELECT t.win_start, event_type, value
-            FROM (SELECT event_type, value,
-                         unnest([time_bucket(INTERVAL '5 minutes', ts),
-                                 time_bucket(INTERVAL '5 minutes', ts)
-                                     - INTERVAL '5 minutes']) AS win_start
-                  FROM events) t)
-        SELECT win_start, event_type,
-               CAST(COUNT(*) AS BIGINT) AS cnt,
-               round(AVG(value), 4) AS avg_value
-        FROM hit GROUP BY 1, 2
-    """,
+    oracle=SLIDING_ORACLE,
     tags=("streaming", "window-time"),
 )
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10-minute length, 5-minute slide): every event
     lands in exactly two windows. Spark's window() expands the rows
     internally (explode of window instances) — the oracle mirrors that
-    expansion with unnest of the two candidate window starts."""
-    events = load_table(spark, sf_dir, "events")
+    expansion with unnest of the two candidate window starts. The
+    average is the exact integer mean of 1e-4-unit values (see module
+    docstring for why ROUND(AVG(double)) is not oracle-safe)."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "v_e4", F.round(F.col("value") * 10000).cast("long")
+    )
     return (
         events.groupBy(
             F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
         )
-        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count("*").alias("cnt"), F.sum("v_e4").alias("s_e4"))
         .select(
-            F.col("win.start").alias("win_start"), "event_type", "cnt", "avg_value"
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            (F.round(F.col("s_e4") / F.col("cnt")).cast("long") / 10000.0)
+            .alias("avg_value"),
         )
     )
 
@@ -171,19 +193,7 @@ def streaming_user_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "streaming_sliding_avgs",
-    oracle="""
-        WITH hit AS (
-            SELECT t.win_start, event_type, value
-            FROM (SELECT event_type, value,
-                         unnest([time_bucket(INTERVAL '5 minutes', ts),
-                                 time_bucket(INTERVAL '5 minutes', ts)
-                                     - INTERVAL '5 minutes']) AS win_start
-                  FROM events) t)
-        SELECT win_start, event_type,
-               CAST(COUNT(*) AS BIGINT) AS cnt,
-               round(AVG(value), 4) AS avg_value
-        FROM hit GROUP BY 1, 2
-    """,
+    oracle=SLIDING_ORACLE,
     tags=("streaming", "true-streaming", "window-time"),
 )
 def streaming_sliding_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,29 +108,52 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_moving_avg",
     oracle="""
+        WITH c AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                          CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                              AS cents
+                   FROM lineitem)
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               ROUND(AVG(l_extendedprice) OVER (
-                   PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
-        FROM lineitem
+               ROUND(SUM(cents) OVER w * 1.0
+                     / (COUNT(*) OVER w * 100), 4) AS ma4
+        FROM c
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, cents
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "frame"),
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded frame (4-row moving average) per supplier over ship time —
-    frame state is O(4), safe at any scale."""
-    li = load_table(spark, sf_dir, "lineitem")
+    frame state is O(4), safe at any scale.
+
+    Two determinism hazards fixed after the sf0.1 sweep flaked here:
+    (1) ROUND(AVG(double) OVER frame) — the average now runs over
+    exact BIGINT cents (prices carry 2 decimals) with one double
+    division, immune to summation order; (2) the frame ORDER itself —
+    (l_shipdate, l_orderkey, l_linenumber) is NOT unique in this data
+    (118k duplicate (orderkey, linenumber) pairs at sf0.1), so a
+    ROWS frame over it is underdetermined and DuckDB's parallel
+    window execution legitimately permuted tied rows run to run.
+    `cents` as the final sort key makes the order total up to fully
+    identical rows, which are interchangeable in any frame. The
+    general lesson is pinned in tests: a ROWS frame needs a total
+    order; a non-unique ORDER BY is a latent nondeterminism bug in
+    ANY engine."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "cents")
         .rowsBetween(-3, 0)
     )
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.avg("l_extendedprice").over(w), 4).alias("ma4"),
+        F.round(
+            F.sum("cents").over(w) / (F.count("*").over(w) * 100), 4
+        ).alias("ma4"),
     )
 
 
@@ -265,16 +288,20 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     bench=True,
     oracle="""
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                          CAST(ROUND(value * 10000) AS BIGINT) AS v_e4
+                   FROM events)
         SELECT event_id, user_id,
-               round(SUM(value) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING
-                         AND CURRENT ROW), 4) AS val_5min,
+               CAST(SUM(v_e4) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 300000000 PRECEDING
+                         AND CURRENT ROW) AS BIGINT) / 10000.0
+                   AS val_5min,
                CAST(COUNT(*) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 300000000 PRECEDING
                          AND CURRENT ROW) AS BIGINT) AS n_5min
-        FROM events
+        FROM e
     """,
     tags=("window", "range-frame"),
 )
@@ -282,19 +309,26 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based, not row-count-based): per-user rolling
     5-minute sum/count. Unlike ROWS frames, peers at the same order
     value share one frame, so ties need no tiebreak for determinism.
-    Spark expresses time ranges by ordering on epoch seconds with
-    rangeBetween(-300, 0) — same inclusive bounds as SQL's RANGE
-    INTERVAL."""
+
+    Both engines frame over INTEGER MICROSECONDS
+    (rangeBetween(-300e6, 0) on unix_micros): the earlier form ordered
+    Spark by ts cast to epoch SECONDS against the oracle's
+    INTERVAL-precision RANGE, and at sf0.1 a sub-second-apart pair
+    straddled the truncated boundary — one engine's frame held 2 rows,
+    the other's 1. The rolling sum is an exact BIGINT over 1e-4-unit
+    values (frame membership differences and float rounding are the
+    two ways a windowed sum can silently diverge; this kills both)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-300, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300_000_000, 0)
     )
-    return ev.select(
+    v_e4 = F.round(F.col("value") * 10000).cast("long")
+    return ev.withColumn("v_e4", v_e4).select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 4).alias("val_5min"),
+        (F.sum("v_e4").over(w) / 10000.0).alias("val_5min"),
         F.count("*").over(w).alias("n_5min"),
     )
 

@@ -93,11 +93,16 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the real streaming engine. With availableNow over a static
     source nothing is late, so the result equals the batch window
     aggregation — which is exactly what the oracle checks."""
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream(spark, sf_dir).withColumn(
+        "v_e4", F.round(F.col("value") * 10000).cast("long")
+    )
     agg = (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.sum("v_e4") / 10000.0).alias("sum_value"),
+        )
         .select(F.col("win.start").alias("win_start"), "event_type", "cnt", "sum_value")
     )
     return run_available_now(agg, "complete")
@@ -139,12 +144,20 @@ def sliding_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the streaming engine — every event belongs to two window
     instances, expanded before the stateful aggregation exactly as in
     the batch twin, so the same oracle covers both."""
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream(spark, sf_dir).withColumn(
+        "v_e4", F.round(F.col("value") * 10000).cast("long")
+    )
     agg = (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("win.start").alias("win_start"), "event_type", "cnt", "avg_value")
+        .agg(F.count("*").alias("cnt"), F.sum("v_e4").alias("s_e4"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            (F.round(F.col("s_e4") / F.col("cnt")).cast("long") / 10000.0)
+            .alias("avg_value"),
+        )
     )
     return run_available_now(agg, "complete")
 

@@ -142,3 +142,45 @@ def test_orders_dates_span_years(spark, sf_dir):
     )
     assert row["lo"].year >= 1990, row["lo"]
     assert row["hi"].year <= 2030, row["hi"]
+
+
+def test_lineitem_orderkey_linenumber_not_unique(spark, sf_dir):
+    """(l_orderkey, l_linenumber) has DUPLICATES in this synthetic data
+    (unlike real TPC-H, where it is the primary key) — the data
+    property that made window_moving_avg's original ROWS frame
+    underdetermined: a frame ordered by a non-unique key permutes tied
+    rows at the engine's whim (DuckDB's parallel window execution
+    flipped run to run at sf0.1). Window queries over lineitem must
+    therefore carry a tiebreak column; if this tripwire ever fails
+    (data became unique), those tiebreaks are dead weight, not bugs."""
+    import pyspark.sql.functions as F
+
+    dups = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dups > 0
+
+
+def test_moving_avg_oracle_is_run_deterministic(oracle_con):
+    """The window_moving_avg DuckDB oracle must hash identically across
+    runs — this exact query produced three different results in three
+    runs before the total-order + integer-cents fix, which a
+    single-shot parity check can never catch."""
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    sql = all_queries()["window_moving_avg"].oracle
+    a = oracle_con.execute(sql).fetchdf()
+    key = ["l_suppkey", "l_orderkey", "l_linenumber", "ma4"]
+    a = a.sort_values(key).reset_index(drop=True)
+    for _ in range(2):
+        b = (
+            oracle_con.execute(sql)
+            .fetchdf()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)

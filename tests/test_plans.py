@@ -622,3 +622,43 @@ def test_bigram_lm_model_joins_are_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 4  # bigram + unigram models
+
+
+def test_pointer_doubling_resolves_deep_chain(spark):
+    """Depth beyond any test SF: a chain 8^6 -> 8^5 -> ... -> 1 (depth
+    6) plus assorted interior nodes, resolved with exactly
+    pointer_doubling_rounds(8**6) = 3 rounds. Every node must land on
+    root 1 with its EXACT depth — an off-by-one in the round count or
+    the hop accumulator shows up here, not at sf0.1 (depth 4)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceframework_spark.plans.graph_queries import (
+        pointer_doubling_rounds,
+        resolve_forest_roots,
+    )
+
+    keys = [8**i for i in range(7)] + [8**6 + 3, 8**4 + 7, 63]
+    nodes = spark.createDataFrame(
+        [(k,) for k in keys], "node bigint"
+    )
+    rounds = pointer_doubling_rounds(8**6)
+    assert rounds == 3  # depth 6 -> 2^3 jumps
+    got = {
+        r["node"]: (r["anc"], r["d"])
+        for r in resolve_forest_roots(nodes, rounds).collect()
+    }
+
+    def true_depth(k):
+        d = 0
+        while k >= 8:
+            k //= 8
+            d += 1
+        return d
+
+    def true_root(k):
+        while k >= 8:
+            k //= 8
+        return k
+
+    for k in keys:
+        assert got[k] == (true_root(k), true_depth(k)), k
