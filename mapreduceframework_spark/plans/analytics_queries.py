@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceframework_spark.plans.exact import snap_units
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 
@@ -442,9 +443,12 @@ def _sparse_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer DIV, no float time math)."""
     ev = load_table(spark, sf_dir, "events")
     b_s = F.expr("unix_micros(ts) DIV 300000000") * 300
-    v_e4 = F.round(F.col("value") * 10000).cast("long")
     sparse = (
-        ev.select("event_type", b_s.alias("b_s"), v_e4.alias("v_e4"))
+        ev.select(
+            "event_type",
+            b_s.alias("b_s"),
+            snap_units("value", 10_000).alias("v_e4"),
+        )
         .groupBy("event_type", "b_s")
         .agg(
             F.round(F.sum("v_e4") / F.count("*"))
@@ -625,9 +629,15 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     Day keys ship as strings (a DateType round-trips differently
     through Spark/DuckDB pandas — driver-contract gotcha)."""
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(
-        F.to_date("ts").alias("day"), "user_id"
-    ).distinct()
+    # Materialize the deduped (user, day) pairs ONCE: both the fan-out
+    # and the observed-days dimension derive from `du`, and Spark does
+    # not share work between DataFrame reuses — without this the fact
+    # table is scanned and distinct-shuffled twice.
+    du = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     days = du.select("day").distinct()
     fanned = (
         du.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(6))))
@@ -669,9 +679,10 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         SELECT event_type,
                CAST(n AS BIGINT) AS n,
-               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE) * 86400, 6)
-                   AS slope_per_day_e4
+               CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)
+                          * 86400 * 1000000) AS BIGINT)
+                   AS slope_per_day_e10
         FROM m
     """,
     tags=("agg", "statistical", "extension"),
@@ -688,7 +699,12 @@ def regression_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     all five moments are integer sums (per-row products bounded by
     2^53; the sums ride in decimal(38,0)/HUGEINT, overflow-proof at
     any scale). The closed form n*Sxy - Sx*Sy over n*Sxx - Sx^2 is
-    one double division of identical exact integers.
+    one double division of identical exact integers, and the slope
+    ships as an INTEGER in 1e-6 units of (1e-4-value-units per day):
+    ROUND(double, k>0) differs between the engines on 7th-decimal
+    boundary doubles (Spark rounds the shortest decimal repr, DuckDB
+    computes round(x*10^k)/10^k — see plans/exact.py), while
+    ROUND-to-integer is stable.
 
     Scale shape: one window pass for the per-group epoch (same
     shuffle as the aggregate), then a partial-combined groupBy to
@@ -700,7 +716,7 @@ def regression_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.select(
         "event_type",
         (sec - F.min(sec).over(w)).alias("x"),
-        F.round(F.col("value") * 10000).cast("long").alias("y"),
+        snap_units("value", 10_000).alias("y"),
     )
     d38 = "decimal(38,0)"
     m = pts.groupBy("event_type").agg(
@@ -719,7 +735,9 @@ def regression_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(num / den * 86400, 6).alias("slope_per_day_e4"),
+        F.round(num / den * 86400 * 1000000)
+        .cast("long")
+        .alias("slope_per_day_e10"),
     )
 
 

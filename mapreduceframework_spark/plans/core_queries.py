@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceframework_spark.plans.exact import snap_units
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 from mapreduceframework_spark.sources.registry import ensure_min_partitions
@@ -939,8 +940,8 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                n_orders,
                cents / 100.0 AS revenue,
-               ROUND(cents / CAST(total_cents AS DOUBLE), 6)
-                   AS share_of_total
+               CAST(ROUND(cents * 1000000.0 / total_cents) AS BIGINT)
+                   / 1000000.0 AS share_of_total
         FROM per, tot
     """,
     tags=("agg", "two-level"),
@@ -955,12 +956,14 @@ def agg_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: prices carry 2 decimals, so both levels sum BIGINT
     cents (associativity-proof — a double SUM differs across engines
-    in the last ULP, enough to flip a ROUND(..., 6) share); the only
-    float op is one division of identical integers."""
+    in the last ULP, enough to flip a ROUND(..., 6) share), and the
+    share is rounded TO AN INTEGER in 1e-6 units then divided back:
+    ROUND(double, 6) itself disagrees between the engines on boundary
+    doubles (plans/exact.py), ROUND-to-integer does not."""
     o = load_table(spark, sf_dir, "orders")
     cents = o.select(
         "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        snap_units("o_totalprice", 100).alias("c"),
     )
     per = cents.groupBy("o_orderpriority").agg(
         F.sum("c").alias("cents"), F.count("*").alias("n_orders")
@@ -970,7 +973,9 @@ def agg_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_orders",
         (F.col("cents") / 100.0).alias("revenue"),
-        F.round(
-            F.col("cents") / F.col("total_cents").cast("double"), 6
+        (
+            F.round(F.col("cents") * 1000000.0 / F.col("total_cents"))
+            .cast("long")
+            / 1000000.0
         ).alias("share_of_total"),
     )

@@ -341,7 +341,8 @@ def resolve_forest_roots(nodes: DataFrame, rounds: int) -> DataFrame:
         SELECT cur AS root,
                CAST(COUNT(*) AS BIGINT) AS n_parts,
                CAST(MAX(depth) AS BIGINT) AS max_depth,
-               ROUND(SUM(price), 2) AS total_retail
+               CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS total_retail
         FROM up WHERE cur < 8
         GROUP BY cur
     """,
@@ -374,9 +375,11 @@ def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ancestor (shuffle O(nodes)) — no driver-side data, no O(depth)
     sequential dependency; the final rollup is a partial-combined
     groupBy on O(roots) keys."""
+    from mapreduceframework_spark.plans.exact import snap_units
+
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"),
-        F.col("p_retailprice").alias("price"),
+        snap_units("p_retailprice", 100).alias("cents"),
     )
     # max depth: exact integer log8 of the max key (one scalar collect)
     max_key = part.agg(F.max("node")).first()[0]
@@ -388,6 +391,6 @@ def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_parts"),
             F.max("d").cast("long").alias("max_depth"),
-            F.round(F.sum("price"), 2).alias("total_retail"),
+            (F.sum("cents") / 100.0).alias("total_retail"),
         )
     )

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduceframework_spark.plans.exact import snap_units
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 
@@ -70,7 +71,7 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partial aggregation happens map-side; shuffle is O(windows x
     types), not O(events)."""
     events = load_table(spark, sf_dir, "events").withColumn(
-        "v_e4", F.round(F.col("value") * 10000).cast("long")
+        "v_e4", snap_units("value", 10_000)
     )
     return (
         events.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
@@ -97,7 +98,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     average is the exact integer mean of 1e-4-unit values (see module
     docstring for why ROUND(AVG(double)) is not oracle-safe)."""
     events = load_table(spark, sf_dir, "events").withColumn(
-        "v_e4", F.round(F.col("value") * 10000).cast("long")
+        "v_e4", snap_units("value", 10_000)
     )
     return (
         events.groupBy(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceframework_spark.plans.exact import snap_units
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table, register_views
 
@@ -140,7 +141,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; a non-unique ORDER BY is a latent nondeterminism bug in
     ANY engine."""
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+        "cents", snap_units("l_extendedprice", 100)
     )
     w = (
         Window.partitionBy("l_suppkey")
@@ -324,8 +325,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-300_000_000, 0)
     )
-    v_e4 = F.round(F.col("value") * 10000).cast("long")
-    return ev.withColumn("v_e4", v_e4).select(
+    return ev.withColumn("v_e4", snap_units("value", 10_000)).select(
         "event_id",
         "user_id",
         (F.sum("v_e4").over(w) / 10000.0).alias("val_5min"),

@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduceframework_spark.plans.exact import snap_units
+
 from mapreduceframework_spark.sources.registry import (
     EVENTS_PHYSICAL_NANOS,
     TABLES,
@@ -94,7 +96,7 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     source nothing is late, so the result equals the batch window
     aggregation — which is exactly what the oracle checks."""
     events = read_events_stream(spark, sf_dir).withColumn(
-        "v_e4", F.round(F.col("value") * 10000).cast("long")
+        "v_e4", snap_units("value", 10_000)
     )
     agg = (
         events.withWatermark("ts", "10 minutes")
@@ -145,7 +147,7 @@ def sliding_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     instances, expanded before the stateful aggregation exactly as in
     the batch twin, so the same oracle covers both."""
     events = read_events_stream(spark, sf_dir).withColumn(
-        "v_e4", F.round(F.col("value") * 10000).cast("long")
+        "v_e4", snap_units("value", 10_000)
     )
     agg = (
         events.withWatermark("ts", "10 minutes")
