@@ -798,3 +798,121 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_size", "p_retailprice")
     )
+
+
+# Interval-overlap join building blocks: user sessions (30-min gap) and
+# per-type activity bursts (10-min gap), both as [start_us, end_us]
+# intervals via the same gaps-and-islands recipe as
+# events_sessionize_gaps. The SQL is parameterized per side so the
+# oracle derives the identical interval sets.
+def _islands_sql(part_col: str, gap_us: int, label: str) -> str:
+    return f"""
+        {label}_o AS (
+            SELECT {part_col}, event_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > {gap_us}
+                        THEN 1 ELSE 0 END AS b
+            FROM events
+            WINDOW w AS (PARTITION BY {part_col} ORDER BY ts, event_id)),
+        {label} AS (
+            SELECT {part_col},
+                   CAST(seq AS BIGINT) AS seq,
+                   MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+            FROM (SELECT *, SUM(b) OVER (PARTITION BY {part_col}
+                                         ORDER BY ts_us, event_id) AS seq
+                  FROM {label}_o)
+            GROUP BY {part_col}, seq)
+    """
+
+
+def _islands(
+    df: DataFrame, part_col: str, gap_us: int
+) -> DataFrame:
+    order = Window.partitionBy(part_col).orderBy("ts_us", "event_id")
+    b = F.when(
+        F.lag("ts_us").over(order).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(order) > F.lit(gap_us)),
+        1,
+    ).otherwise(0)
+    return (
+        df.withColumn("b", b)
+        .withColumn("seq", F.sum("b").over(order).cast("long"))
+        .groupBy(part_col, "seq")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+        WITH {_islands_sql("user_id", 30 * 60 * 1_000_000, "sess")},
+        {_islands_sql("event_type", 10 * 60 * 1_000_000, "burst")}
+        SELECT s.user_id, s.seq AS session_seq,
+               b.event_type, b.seq AS burst_seq,
+               LEAST(s.e_us, b.e_us) - GREATEST(s.s_us, b.s_us)
+                   AS overlap_us
+        FROM sess s JOIN burst b
+          ON s.s_us <= b.e_us AND b.s_us <= s.e_us
+    """,
+    tags=("join", "interval", "timeseries", "extension"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (interval x interval, not the
+    point-in-interval shape join_range_binned covers): which user
+    sessions overlap which per-type activity bursts, with the exact
+    overlap duration — the temporal-join primitive of genomics range
+    engines and SQL:2011 temporal databases. Both interval sets come
+    from the same gaps-and-islands recipe at different grains, and
+    overlap_us is pure BIGINT arithmetic (no float anywhere).
+
+    The oracle states the quadratic theta join. The engine bins both
+    sides to 1-HOUR buckets, explodes each interval to the buckets it
+    touches (sequence over integer hour indices — an interval of
+    length L costs ceil(L/1h)+1 rows), equi-joins on the bucket, and
+    dedups (a,b) pairs before the exact predicate check: candidate
+    volume is O(overlapping-per-bucket), never |sessions| x |bursts|.
+    The bucket width trades fan-out against candidate precision — at
+    100 TB pick it near the median interval length; AQE handles the
+    residual skew of busy hours."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    sess = _islands(ev, "user_id", 30 * 60 * 1_000_000)
+    burst = _islands(ev, "event_type", 10 * 60 * 1_000_000)
+    hour = 3_600_000_000
+
+    def binned(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("s_us") / hour).cast("long"),
+                    (F.col("e_us") / hour).cast("long"),
+                )
+            ),
+        )
+
+    s = binned(sess).select(
+        F.col("user_id"), F.col("seq").alias("session_seq"),
+        F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e"), "bucket",
+    )
+    b = binned(burst).select(
+        F.col("event_type"), F.col("seq").alias("burst_seq"),
+        F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e"), "bucket",
+    )
+    pairs = (
+        s.join(b, "bucket")
+        .filter(
+            (F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e"))
+        )
+        .select(
+            "user_id", "session_seq", "event_type", "burst_seq",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -662,3 +662,14 @@ def test_pointer_doubling_resolves_deep_chain(spark):
 
     for k in keys:
         assert got[k] == (true_root(k), true_depth(k)), k
+
+
+def test_interval_overlap_is_bucket_equi_join(spark, sf_dir):
+    """The interval x interval join must go through the 1-hour bucket
+    equi join — a BroadcastNestedLoopJoin or CartesianProduct would be
+    the quadratic theta join the oracle states, which the rewrite
+    exists to avoid."""
+    plan = plan_of(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the bucket explode on both sides

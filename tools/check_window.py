@@ -32,7 +32,7 @@ from tests.conftest import assert_parity
 def main() -> int:
     argv = sys.argv[1:]
     if argv and argv[0] == "--sentinels":
-        n = int(argv[1])
+        n = int(argv[1]) if len(argv) > 1 else 8
         seed = int(argv[2]) if len(argv) > 2 else 0
         sf_dir = argv[3] if len(argv) > 3 else "/root/testdata/sf0.01"
         rotated_out = sorted(set(all_queries()) - set(DRIVER_WINDOW))
