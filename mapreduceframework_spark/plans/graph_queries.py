@@ -394,3 +394,106 @@ def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents") / 100.0).alias("total_retail"),
         )
     )
+
+
+BFS_ROUNDS = 4
+
+
+def _bfs_oracle_sql() -> str:
+    """Unroll BFS_ROUNDS bounded-BFS rounds as DuckDB CTEs.
+
+    The recurrence matches the engine loop exactly: d0 = 0 at the
+    seed (lexicographically smallest node name — deterministic), NULL
+    elsewhere; d_{t+1}(v) = LEAST(d_t(v), 1 + min over in-edges (u,v)
+    of d_t(u)). Fixed rounds rather than run-to-convergence so parity
+    is exact whether or not the frontier has stabilized; all-BIGINT."""
+    ctes = [
+        TRADE_EDGES_CTE,
+        "nodes AS (SELECT src AS id FROM trade_e"
+        " UNION SELECT dst FROM trade_e)",
+        "seed AS (SELECT MIN(id) AS sid FROM nodes)",
+        "d0 AS (SELECT id, CASE WHEN id = sid THEN CAST(0 AS BIGINT)"
+        " END AS d FROM nodes CROSS JOIN seed)",
+    ]
+    for t in range(1, BFS_ROUNDS + 1):
+        ctes.append(
+            f"f{t} AS (SELECT e.dst AS id, MIN(p.d) + 1 AS nd"
+            f" FROM trade_e e JOIN d{t - 1} p"
+            " ON p.id = e.src AND p.d IS NOT NULL"
+            " GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"d{t} AS (SELECT n.id,"
+            f" LEAST(COALESCE(p.d, f{t}.nd), COALESCE(f{t}.nd, p.d)) AS d"
+            f" FROM nodes n"
+            f" LEFT JOIN d{t - 1} p ON p.id = n.id"
+            f" LEFT JOIN f{t} ON f{t}.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, d AS dist FROM d{BFS_ROUNDS}"
+    )
+
+
+@query(
+    "graph_bfs_distances",
+    oracle=_bfs_oracle_sql(),
+    tags=("graph", "iterative", "extension"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search: hop distance from a deterministic
+    seed (lexicographically smallest nation) to every node of the
+    directed trade graph, frontier expanded a FIXED number of rounds —
+    the single-source-shortest-path layer of graph engines, in its
+    MapReduce formulation (one min-aggregate join per round). Nodes
+    beyond BFS_ROUNDS hops stay NULL; fixing the round count (instead
+    of running to convergence) keeps the oracle an exact unroll of the
+    identical integer recurrence, converged or not.
+
+    Scale shape: each round is one equi-join of the current distance
+    table against the edge list plus a min-aggregate — all partial
+    -combined, all integer, localCheckpoint truncating lineage (the
+    same iterative-join discipline as pagerank_int and
+    resolve_forest_roots). At web scale the frontier join is keyed on
+    edge src (partition edges by src once, reuse every round), and
+    the round count is the graph's effective diameter."""
+    e = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed = nodes.agg(F.min("id").alias("sid"))
+    d = (
+        nodes.join(F.broadcast(seed))
+        .select(
+            "id",
+            F.when(F.col("id") == F.col("sid"), F.lit(0).cast("long")).alias(
+                "d"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BFS_ROUNDS):
+        frontier = (
+            e.join(
+                d.filter(F.col("d").isNotNull()).select(
+                    F.col("id").alias("src"), "d"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.min("d") + 1).alias("nd"))
+        )
+        d = (
+            d.join(frontier, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("d", "nd"), F.coalesce("nd", "d")
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return d.select("id", F.col("d").alias("dist"))
