@@ -95,26 +95,25 @@ def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
-    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    flagged = ev.withColumn(
-        "boundary",
-        F.when(
-            F.lag("ts_us").over(order).isNull()
-            | (F.col("ts_us") - F.lag("ts_us").over(order) > F.lit(_GAP_US)),
-            1,
-        ).otherwise(0),
+    sess = _islands(
+        ev,
+        "user_id",
+        _GAP_US,
+        extra=(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+        ),
     )
-    numbered = flagged.withColumn(
-        "session_seq", F.sum("boundary").over(order).cast("long")
-    )
-    return numbered.groupBy("user_id", "session_seq").agg(
-        F.count("*").alias("n_events"),
-        F.min("ts_us").alias("session_start_us"),
-        F.max("ts_us").alias("session_end_us"),
-        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("n_purchases"),
+    return sess.select(
+        "user_id",
+        F.col("seq").alias("session_seq"),
+        "n_events",
+        F.col("s_us").alias("session_start_us"),
+        F.col("e_us").alias("session_end_us"),
+        (F.col("e_us") - F.col("s_us")).alias("duration_us"),
+        "n_purchases",
     )
 
 
@@ -827,8 +826,14 @@ def _islands_sql(part_col: str, gap_us: int, label: str) -> str:
 
 
 def _islands(
-    df: DataFrame, part_col: str, gap_us: int
+    df: DataFrame, part_col: str, gap_us: int, extra: tuple = ()
 ) -> DataFrame:
+    """Gaps-and-islands: group df's (ts_us, event_id) stream per
+    part_col into islands separated by gaps strictly greater than
+    gap_us; returns (part_col, seq, s_us, e_us, *extra aggregates).
+    THE one definition of the recipe — events_sessionize_gaps and the
+    interval-overlap sides all derive from it, mirrored in SQL by
+    _islands_sql."""
     order = Window.partitionBy(part_col).orderBy("ts_us", "event_id")
     b = F.when(
         F.lag("ts_us").over(order).isNull()
@@ -839,7 +844,11 @@ def _islands(
         df.withColumn("b", b)
         .withColumn("seq", F.sum("b").over(order).cast("long"))
         .groupBy(part_col, "seq")
-        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+        .agg(
+            F.min("ts_us").alias("s_us"),
+            F.max("ts_us").alias("e_us"),
+            *extra,
+        )
     )
 
 
@@ -869,9 +878,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states the quadratic theta join. The engine bins both
     sides to 1-HOUR buckets, explodes each interval to the buckets it
     touches (sequence over integer hour indices — an interval of
-    length L costs ceil(L/1h)+1 rows), equi-joins on the bucket, and
-    dedups (a,b) pairs before the exact predicate check: candidate
-    volume is O(overlapping-per-bucket), never |sessions| x |bursts|.
+    length L costs ceil(L/1h)+1 rows), equi-joins on the bucket,
+    applies the exact predicate to each candidate, then dedups (a,b)
+    pairs that met in several buckets: candidate volume is
+    O(overlapping-per-bucket), never |sessions| x |bursts|.
     The bucket width trades fan-out against candidate precision — at
     100 TB pick it near the median interval length; AQE handles the
     residual skew of busy hours."""
@@ -884,12 +894,16 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour = 3_600_000_000
 
     def binned(df: DataFrame) -> DataFrame:
+        # Integer floor division for the bucket index — a double
+        # quotient cast to long is monotone but rounds-to-nearest, so
+        # past hour-index 2^22 an endpoint one microsecond under a
+        # boundary jumps buckets (review-caught; the ULP class again).
         return df.withColumn(
             "bucket",
             F.explode(
                 F.sequence(
-                    (F.col("s_us") / hour).cast("long"),
-                    (F.col("e_us") / hour).cast("long"),
+                    F.expr(f"s_us DIV {hour}"),
+                    F.expr(f"e_us DIV {hour}"),
                 )
             ),
         )

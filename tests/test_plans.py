@@ -672,4 +672,6 @@ def test_interval_overlap_is_bucket_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_interval_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Generate" in plan  # the bucket explode on both sides
+    # the bucket explode must exist on BOTH sides — one Generate means
+    # a side was 'simplified' back toward a per-bucket nested loop
+    assert plan.count("Generate") >= 2

@@ -2,7 +2,10 @@
 compare the driver uses, at the driver's SF (default sf0.01). Usage:
 
     python tools/check_window.py [sf_dir] [name ...]
-    python tools/check_window.py --sentinels N [seed] [sf_dir]
+    python tools/check_window.py --sentinels [N] [seed] [sf_dir]
+
+(--sentinels arguments are position-bound: N defaults to 8 and seed
+to 0, but to pass sf_dir you must spell out both preceding numbers.)
 
 ``--sentinels N`` re-verifies N queries sampled (seeded, reproducible)
 from OUTSIDE the current driver window — the rotated-out greens whose
@@ -32,6 +35,11 @@ from tests.conftest import assert_parity
 def main() -> int:
     argv = sys.argv[1:]
     if argv and argv[0] == "--sentinels":
+        if len(argv) > 1 and not argv[1].lstrip("-").isdigit():
+            raise SystemExit(
+                f"--sentinels takes [N] [seed] [sf_dir] in order; "
+                f"got non-numeric count {argv[1]!r}"
+            )
         n = int(argv[1]) if len(argv) > 1 else 8
         seed = int(argv[2]) if len(argv) > 2 else 0
         sf_dir = argv[3] if len(argv) > 3 else "/root/testdata/sf0.01"

@@ -109,6 +109,11 @@ SHOWCASE = [
      "partial-aggregated groupBys; scoring is equality joins on the "
      "bigram key (AQE handles Zipf skew). No Python, no nested loop; "
      "at 100 TB the pruned top-K model broadcasts."),
+    ("join_interval_overlap",
+     "Interval x interval temporal join: both interval sets explode "
+     "to 1-hour buckets (Generate) and meet in an equi hash join, "
+     "then the exact overlap predicate filters candidates — never "
+     "the quadratic theta join the oracle states."),
 ]
 
 
