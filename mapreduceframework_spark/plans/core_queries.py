@@ -979,3 +979,37 @@ def agg_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("share_of_total"),
     )
+
+
+@query(
+    "union_by_name_evolved",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM (
+            SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+            UNION ALL BY NAME
+            SELECT doc_id, lang, source, n_chars
+            FROM documents WHERE doc_id % 2 = 1
+        )
+    """,
+    tags=("setop", "schema-evolution"),
+)
+def union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: merge a pre-migration corpus snapshot
+    (no source/n_chars columns) with a post-migration one —
+    ``unionByName(allowMissingColumns=True)`` aligns by NAME and fills
+    the absent columns with NULL, where positional UNION would silently
+    misalign or refuse. The everyday shape of appending new-schema
+    parquet to an evolving lakehouse table; DuckDB's UNION ALL BY NAME
+    is the oracle twin.
+
+    Scale shape: a union is a no-shuffle plan concatenation — both
+    scans stay partition-parallel and the NULL fill is a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return old.unionByName(new, allowMissingColumns=True).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
