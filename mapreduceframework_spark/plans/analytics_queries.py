@@ -930,3 +930,73 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@query(
+    "sketch_hll_rolling_users",
+    oracle="""
+        WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                    FROM events),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT CAST(d.day AS VARCHAR) AS day,
+               CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS exact_7d,
+               TRUE AS sketch_within_10pct
+        FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """,
+    tags=("sketch", "window", "distinct", "extension"),
+)
+def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users via MERGEABLE HLL sketches
+    (Apache DataSketches, hll_sketch_agg / hll_union_agg) — the scale
+    path for window_rolling_distinct_users: build ONE per-day sketch
+    (O(days) rows of O(KB) state, computed in a single pass over the
+    log) and answer every 7-day window by UNIONING seven sketches,
+    instead of fanning out and re-shuffling every (user, day) pair per
+    window. Mergeability is the property that makes sketches matter
+    at 100 TB: day sketches are computed once, reused by every
+    overlapping window, across reruns, and across longer horizons
+    (30-day DAU/MAU from the same state).
+
+    The estimate is approximate, so (same contract as
+    agg_approx_count_distinct) the oracle-checked columns are the
+    exact count plus a boolean asserting the lgK=12 estimate landed
+    within 10% — the sketch pipeline runs for real and a broken
+    union/estimate flips the boolean."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    daily = du.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count("*").alias("n_users_day"),
+    )
+    fanned = (
+        daily.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select(F.date_add("day", F.col("i")).alias("wday"), "sk")
+    )
+    approx = fanned.groupBy("wday").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_7d")
+    )
+    exact = (
+        du.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select(F.date_add("day", F.col("i")).alias("wday"), "user_id")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("exact_7d"))
+    )
+    days = du.select("day").distinct()
+    out = (
+        exact.join(approx, "wday")
+        .join(F.broadcast(days), exact["wday"] == days["day"])
+        .select(
+            F.date_format("wday", "yyyy-MM-dd").alias("day"),
+            "exact_7d",
+            (
+                F.abs(F.col("approx_7d") - F.col("exact_7d"))
+                <= 0.10 * F.col("exact_7d")
+            ).alias("sketch_within_10pct"),
+        )
+    )
+    return out
