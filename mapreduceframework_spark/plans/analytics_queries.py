@@ -1000,3 +1000,98 @@ def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "stats_chi_square_independence",
+    oracle="""
+        WITH cells AS (
+            SELECT l_returnflag AS f, l_linestatus AS s,
+                   CAST(COUNT(*) AS BIGINT) AS obs
+            FROM lineitem GROUP BY 1, 2
+        ),
+        rt AS (SELECT f, CAST(SUM(obs) AS BIGINT) AS row_tot
+               FROM cells GROUP BY f),
+        ct AS (SELECT s, CAST(SUM(obs) AS BIGINT) AS col_tot
+               FROM cells GROUP BY s),
+        tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+        terms AS (
+            SELECT c.f, c.s,
+                   CAST(c.obs * t.n - rt.row_tot * ct.col_tot
+                        AS DOUBLE) AS d,
+                   CAST(rt.row_tot * ct.col_tot * t.n AS DOUBLE) AS den
+            FROM cells c
+            JOIN rt USING (f) JOIN ct USING (s) CROSS JOIN tot t
+        ),
+        folded AS (
+            SELECT list(d * d / den ORDER BY f, s) AS ts,
+                   (SELECT COUNT(*) FROM rt) AS nf,
+                   (SELECT COUNT(*) FROM ct) AS ns
+            FROM terms
+        )
+        SELECT CAST(ROUND(list_reduce(ts, (a, x) -> a + x) * 1000000)
+                    AS BIGINT) AS chi2_e6,
+               CAST((nf - 1) * (ns - 1) AS BIGINT) AS dof
+        FROM folded
+    """,
+    tags=("statistics", "agg", "extension"),
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between return flag and
+    line status — the categorical-association statistic of feature
+    selection and drift detection, computed to cross-engine bit
+    equality with no float tolerance:
+
+    - every contingency count, marginal, and the per-cell difference
+      obs*N - row*col fit EXACTLY in BIGINT (and convert exactly to
+      double, all < 2^53), so each cell's term d^2/den is the
+      identical IEEE double on both engines;
+    - the cell terms are folded in a FIXED (flag, status) order via a
+      sequential array fold (the EWMA trick) — a GROUP BY SUM of
+      doubles would be partition-order dependent;
+    - the statistic ships as ROUND-to-integer 1e-6 units
+      (plans/exact.py: ROUND(double, k>0) is not cross-engine stable,
+      ROUND-to-integer is).
+
+    Scale shape: one partial-aggregated groupBy over the fact table to
+    O(cells) rows; marginals and the fold are O(categories^2) —
+    driver-free, broadcast-sized, the same at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s")
+    ).agg(F.count("*").alias("obs"))
+    rt = cells.groupBy("f").agg(F.sum("obs").alias("row_tot"))
+    ct = cells.groupBy("s").agg(F.sum("obs").alias("col_tot"))
+    tot = cells.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("f").alias("nf"),
+        F.countDistinct("s").alias("ns"),
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "f")
+        .join(F.broadcast(ct), "s")
+        .join(F.broadcast(tot))
+        .select(
+            "f", "s", "nf", "ns",
+            (F.col("obs") * F.col("n") - F.col("row_tot") * F.col("col_tot"))
+            .cast("double")
+            .alias("d"),
+            (F.col("row_tot") * F.col("col_tot") * F.col("n"))
+            .cast("double")
+            .alias("den"),
+        )
+    )
+    folded = terms.groupBy("nf", "ns").agg(
+        F.array_sort(
+            F.collect_list(F.struct("f", "s", (F.col("d") * F.col("d") / F.col("den")).alias("t")))
+        ).alias("ts")
+    )
+    chi2 = F.aggregate(
+        F.col("ts"), F.lit(0.0), lambda acc, x: acc + x["t"]
+    )
+    return folded.select(
+        F.round(chi2 * 1000000).cast("long").alias("chi2_e6"),
+        ((F.col("nf") - 1) * (F.col("ns") - 1))
+        .cast("long")
+        .alias("dof"),
+    )
