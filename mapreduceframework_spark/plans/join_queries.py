@@ -782,3 +782,83 @@ def division_priority_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.join(F.broadcast(tot), per["nprio"] == tot["tot"])
         .select(F.col("o_custkey").alias("custkey"), "n_orders")
     )
+
+
+_SP_P = 1_000_003  # coordinate space: integer points on a P x P plane
+_SP_R = 20_000  # radius; cell size = R so 3x3 neighborhoods cover it
+_SP_R2 = _SP_R * _SP_R
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+        WITH cp AS (SELECT c_custkey,
+                           (c_custkey * 2654435761) % {_SP_P} AS px,
+                           (c_custkey * 2246822519) % {_SP_P} AS py
+                    FROM customer),
+             sp AS (SELECT s_suppkey,
+                           (s_suppkey * 3266489917) % {_SP_P} AS px,
+                           (s_suppkey * 668265263) % {_SP_P} AS py
+                    FROM supplier)
+        SELECT c_custkey, s_suppkey,
+               (cp.px - sp.px) * (cp.px - sp.px)
+             + (cp.py - sp.py) * (cp.py - sp.py) AS dist2
+        FROM cp, sp
+        WHERE (cp.px - sp.px) * (cp.px - sp.px)
+            + (cp.py - sp.py) * (cp.py - sp.py) <= {_SP_R2}
+    """,
+    tags=("join", "spatial", "extension"),
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join on a grid index — the geospatial
+    within-distance join (store x customer catchment, sensor x asset)
+    in its scalable form. Points are deterministic integer coordinates
+    derived from the keys (multiplicative hashing onto a P x P plane),
+    so the geometry is pure BIGINT: squared Euclidean distance,
+    exact comparisons, zero trig and zero float anywhere.
+
+    The oracle is the quadratic distance theta join. The engine
+    overlays a grid with CELL SIZE = RADIUS: each supplier point
+    explodes to its 3x3 cell neighborhood (constant fan-out on the
+    SMALLER side), customers map to their single cell, and candidates
+    meet in a plain equi hash join on the cell id before the exact
+    dist2 <= R^2 check — candidate volume is O(points per
+    neighborhood), never |customers| x |suppliers|. The same plan is
+    a geohash/S2-cell join at planetary scale; AQE splits hot cells
+    (cities) the way it splits any skewed key."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % _SP_P).alias("px"),
+        ((F.col("c_custkey") * 2246822519) % _SP_P).alias("py"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 3266489917) % _SP_P).alias("px"),
+        ((F.col("s_suppkey") * 668265263) % _SP_P).alias("py"),
+    )
+    cgrid = c.withColumn(
+        "cell",
+        F.expr(f"px DIV {_SP_R}") * 100_000 + F.expr(f"py DIV {_SP_R}"),
+    )
+    sgrid = (
+        s.withColumn("dx", F.explode(F.expr("array(-1, 0, 1)")))
+        .withColumn("dy", F.explode(F.expr("array(-1, 0, 1)")))
+        .select(
+            "s_suppkey",
+            F.col("px").alias("sx"),
+            F.col("py").alias("sy"),
+            (
+                (F.expr(f"px DIV {_SP_R}") + F.col("dx")) * 100_000
+                + (F.expr(f"py DIV {_SP_R}") + F.col("dy"))
+            ).alias("cell"),
+        )
+    )
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    return (
+        cgrid.join(sgrid, "cell")
+        .filter(d2 <= F.lit(_SP_R2))
+        .select("c_custkey", "s_suppkey", d2.alias("dist2"))
+        .distinct()
+    )

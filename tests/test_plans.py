@@ -675,3 +675,13 @@ def test_interval_overlap_is_bucket_equi_join(spark, sf_dir):
     # the bucket explode must exist on BOTH sides — one Generate means
     # a side was 'simplified' back toward a per-bucket nested loop
     assert plan.count("Generate") >= 2
+
+
+def test_spatial_grid_join_is_cell_equi_join(spark, sf_dir):
+    """The radius join must meet in an equi hash join on the grid cell
+    (with the 3x3 explode on the supplier side) — a nested loop or
+    cartesian would be the quadratic distance join the oracle states."""
+    plan = plan_of(spark, sf_dir, "join_spatial_grid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the neighborhood explode
