@@ -1095,3 +1095,57 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("dof"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS to_t,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS from_t
+            FROM events
+        ),
+        pairs AS (
+            SELECT from_t, to_t, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE from_t IS NOT NULL
+            GROUP BY from_t, to_t
+        ),
+        rows_t AS (SELECT from_t, CAST(SUM(n) AS BIGINT) AS row_n
+                   FROM pairs GROUP BY from_t)
+        SELECT p.from_t, p.to_t, p.n,
+               CAST(ROUND(p.n * 1000000.0 / r.row_n) AS BIGINT) AS p_e6
+        FROM pairs p JOIN rows_t r USING (from_t)
+    """,
+    tags=("events", "sequence", "statistics", "extension"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (from, to) event-type pair, the transition
+    count and MLE probability — the behavioral-model summary behind
+    next-action prediction, anomaly scoring, and funnel diagnostics.
+    Probabilities ship as ROUND-to-integer 1e-6 units from exact
+    BIGINT counts (plans/exact.py contract).
+
+    Scale shape: one shuffle on user_id for the lag window (the same
+    partitioning every sessionization query reuses), then a
+    partial-aggregated groupBy down to O(types^2) rows; the row-total
+    join is an O(types) broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_t"),
+        F.lag("event_type").over(w).alias("from_t"),
+    ).filter(F.col("from_t").isNotNull())
+    pairs = seq.groupBy("from_t", "to_t").agg(F.count("*").alias("n"))
+    rows_t = pairs.groupBy("from_t").agg(F.sum("n").alias("row_n"))
+    return (
+        pairs.join(F.broadcast(rows_t), "from_t")
+        .select(
+            "from_t", "to_t", "n",
+            F.round(F.col("n") * 1000000.0 / F.col("row_n"))
+            .cast("long")
+            .alias("p_e6"),
+        )
+    )
