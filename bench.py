@@ -8,27 +8,31 @@ Runs every registry query tagged ``bench=True`` (the headline set) against
     {"metric": "headline_total", "value": N, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": 0.1, "methodology": {...}}
 
-Measurement contract (methodology v2, round 6): after a one-time warm-up
+Measurement contract (methodology v3, round 7): after a one-time warm-up
 block (JVM/codegen, Python daemon workers, parquet FS metadata, a
 broadcast codepath), the full query set runs THREE complete passes in
-pinned order and each query reports the MEDIAN of its three end-to-end
+pinned order and each query reports the MEDIAN of its end-to-end
 timings (plan construction + execution to an order-insensitive
 hash-reduction action). ``value`` is the sum of per-query medians.
-Passes are interleaved at the set level — query A's three samples are
+Passes are interleaved at the set level — query A's samples are
 minutes apart — so a transient host spike lands in at most one sample
-and the median discards it. This replaced the single-shot timing of
-r02-r05 because the host shows up to 1.4x total / >2x per-query
-run-to-run variance on identical code (BASELINE.md "Methodology notes"),
-which a one-shot bench cannot adjudicate against the 2x perf gate.
-Data is NOT pre-read into cache by the warm-up; each query still scans
-its sources (the OS page cache does warm across passes, as it would on
-any long-lived cluster).
+and the median discards it. v3 additions (r06 VERDICT items 3-4): the
+volatile dedup/ANN family (``VOLATILE``) gets two extra passes
+(median-of-5; their r06 samples swung 2-4x while TPC-H swung <2x), a
+``clearCache()`` + JVM/Python GC barrier runs between passes so pass
+N's heap/cache residue cannot pollute pass N+1, and the stdout line is
+kept compact (samples -> BENCH_SUMMARY.json sidecar + stderr) with
+headline fields FIRST so the driver's bounded tail capture always
+contains a parseable object. Data is NOT pre-read into cache by the
+warm-up; each query still scans its sources (the OS page cache does
+warm across passes, as it would on any long-lived cluster).
 
 The emitted JSON carries a ``methodology`` object (version / timing /
 repeats / warmup) so cross-round tooling can detect protocol changes
 programmatically instead of diffing docstrings: r02-r03 = v0 (cold
 single-shot, rotating order), r04-r05 = v1 (warm-up + pinned order,
-single-shot), r06+ = v2 (warm-up + pinned order + median-of-3).
+single-shot), r06 = v2 (warm-up + pinned order + median-of-3), r07+ =
+v3 (v2 + volatile median-of-5 + inter-pass GC barrier + sidecar).
 
 Query ORDER is pinned (``BENCH_ORDER``, = BENCH_r03's list) so per-query
 timings are comparable across rounds: registry iteration order rotates
@@ -84,6 +88,20 @@ BENCH_ORDER = (
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
+# The dedup/ANN family shows 2-4x swing across passes (r06 samples:
+# dedup_simhash [2.56, 7.30, 4.73], ann_cosine_bruteforce
+# [0.73, 2.46, 3.79]) while TPC-H rows swing <2x — host/GC residue
+# lands disproportionately on the shuffle-heavy candidate-pair queries.
+# These get EXTRA_REPEATS additional samples (median-of-5) so one or
+# two contaminated passes cannot move the recorded median.
+VOLATILE = frozenset({
+    "dedup_simhash",
+    "dedup_clusters",
+    "ann_cosine_bruteforce",
+    "dedup_substring_chunks",
+})
+EXTRA_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPEATS", "2"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,37 +136,76 @@ def main() -> None:
     extra = sorted(n for n in specs if n not in BENCH_ORDER)
     ordered = [n for n in BENCH_ORDER if n in specs] + extra
 
+    def run_one(name: str, tag: str) -> None:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # Force full execution of every operator in the plan (count()
+        # alone would let Catalyst prune aggregations); summing a hash
+        # of all columns cannot be optimized away and is
+        # order-insensitive.
+        df.selectExpr("sum(hash(*)) AS h").collect()
+        dt = time.perf_counter() - t0
+        samples[name].append(dt)
+        print(f"# {tag} {name}: {dt:.3f}s", file=sys.stderr)
+
+    def pass_barrier() -> None:
+        # r06 showed pass-N residue polluting pass N+1 (adjacent
+        # volatile rows spiking together): drop cached data, force a
+        # JVM+Python GC so the next pass starts from a quiet heap.
+        import gc
+
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        gc.collect()
+
     samples: dict[str, list[float]] = {name: [] for name in ordered}
     for rep in range(REPEATS):
         for name in ordered:
-            spec = specs[name]
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # Force full execution of every operator in the plan (count()
-            # alone would let Catalyst prune aggregations); summing a hash
-            # of all columns cannot be optimized away and is
-            # order-insensitive.
-            df.selectExpr("sum(hash(*)) AS h").collect()
-            dt = time.perf_counter() - t0
-            samples[name].append(dt)
-            print(f"# pass {rep + 1}/{REPEATS} {name}: {dt:.3f}s", file=sys.stderr)
+            run_one(name, f"pass {rep + 1}/{REPEATS}")
+        pass_barrier()
+    # Volatile family: two extra passes -> median-of-5 per query, so a
+    # single contaminated pass cannot set the recorded median.
+    vol = [n for n in ordered if n in VOLATILE]
+    for rep in range(EXTRA_REPEATS):
+        for name in vol:
+            run_one(name, f"extra {rep + 1}/{EXTRA_REPEATS}")
+        pass_barrier()
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    # Field order matters: the driver captures a bounded TAIL of stdout,
+    # so the headline fields lead and the bulky per-query dict trails;
+    # the one stdout line (~1.2 kB for 36 queries) fits the capture
+    # whole. Raw samples go to the sidecar + stderr, not stdout
+    # (r06's tail truncated the headline object because samples were
+    # inlined).
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "methodology": {
-            "version": 2,
+            "version": 3,
             "timing": "median",
             "repeats": REPEATS,
+            "extra_repeats_volatile": EXTRA_REPEATS,
+            "volatile": sorted(VOLATILE),
             "warmup": True,
             "order": "pinned-r03",
+            "pass_barrier": "clearCache+gc",
         },
-        "samples": {name: [round(t, 3) for t in ts] for name, ts in samples.items()},
+        "queries": timings,
     }
+    sidecar = dict(out)
+    sidecar["samples"] = {
+        name: [round(t, 3) for t in ts] for name, ts in samples.items()
+    }
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"
+    )
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f, indent=1)
+    print(f"# samples: {json.dumps(sidecar['samples'])}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -678,10 +678,11 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         SELECT event_type,
                CAST(n AS BIGINT) AS n,
-               CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                          / CAST(n * sxx - sx * sx AS DOUBLE)
-                          * 86400 * 1000000) AS BIGINT)
-                   AS slope_per_day_e10
+               CASE WHEN n * sxx - sx * sx != 0 THEN
+                   CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)
+                              * 86400 * 1000000) AS BIGINT)
+               END AS slope_per_day_e10
         FROM m
     """,
     tags=("agg", "statistical", "extension"),
@@ -731,12 +732,17 @@ def regression_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
         "double"
     )
+    # Degenerate group (all events in one epoch second): den = 0.
+    # DuckDB float division yields NULL while ANSI Spark makes NaN and
+    # the long cast of round(NaN) raises — guard BOTH sides to an
+    # explicit NULL slope so the engines agree (ADVICE r6).
     return m.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(num / den * 86400 * 1000000)
-        .cast("long")
-        .alias("slope_per_day_e10"),
+        F.when(
+            den != 0,
+            F.round(num / den * 86400 * 1000000).cast("long"),
+        ).alias("slope_per_day_e10"),
     )
 
 

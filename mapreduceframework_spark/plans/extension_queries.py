@@ -2846,7 +2846,7 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
         WITH toks AS (
             SELECT doc_id,
-                   string_split_regex(trim(text), '\s+') AS ws
+                   string_split_regex(trim(text), '[ \t\n\r\f]+') AS ws
             FROM documents
         ),
         big AS (
@@ -2899,8 +2899,11 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (noted, not faked). No per-row Python anywhere; everything is
     split/slice/zip + joins."""
     docs = load_table(spark, sf_dir, "documents")
+    # Explicit class, not \s+: Java's \s includes U+000B but RE2's does
+    # not, so the engines would disagree on vertical-tab boundaries
+    # (ADVICE r6). The explicit set is engine-independent.
     toks = docs.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("ws")
+        "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f]+").alias("ws")
     )
     n = F.size("ws")
     big = (

@@ -284,10 +284,13 @@ def pointer_doubling_rounds(max_key: int, fanout: int = 8) -> int:
     return rounds
 
 
-def resolve_forest_roots(nodes: DataFrame, rounds: int) -> DataFrame:
-    """Pointer doubling over the implicit forest parent(k) = k DIV 8:
-    given a `node` column, return (node, anc, d) with anc the ROOT
-    (key < 8) and d the exact depth, provided 2^rounds covers the
+def resolve_forest_roots(
+    nodes: DataFrame, rounds: int, fanout: int = 8
+) -> DataFrame:
+    """Pointer doubling over the implicit forest parent(k) = k DIV
+    ``fanout``: given a `node` column, return (node, anc, d) with anc
+    the ROOT (key < fanout) and d the exact depth, provided 2^rounds
+    covers the
     deepest chain (pointer_doubling_rounds). Roots self-loop with
     d = 0, so finished pointers are fixpoints and extra rounds are
     harmless no-ops. Each round: one LEFT equi-join + projection,
@@ -302,10 +305,10 @@ def resolve_forest_roots(nodes: DataFrame, rounds: int) -> DataFrame:
     at a real < 8 root."""
     f = nodes.select(
         "node",
-        F.when(F.col("node") >= 8, F.expr("node DIV 8"))
+        F.when(F.col("node") >= fanout, F.expr(f"node DIV {int(fanout)}"))
         .otherwise(F.col("node"))
         .alias("anc"),
-        F.when(F.col("node") >= 8, F.lit(1))
+        F.when(F.col("node") >= fanout, F.lit(1))
         .otherwise(F.lit(0))
         .alias("d"),
     ).localCheckpoint(eager=True)

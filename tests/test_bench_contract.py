@@ -17,8 +17,9 @@ def test_bench_emits_single_json_line():
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
     # One pass is enough to prove the contract; the driver's real run
-    # uses the default median-of-3.
+    # uses the default median-of-3 (+2 volatile extras).
     env["SPARK_GRAFT_BENCH_REPEATS"] = "1"
+    env["SPARK_GRAFT_BENCH_EXTRA_REPEATS"] = "0"
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
@@ -40,6 +41,15 @@ def test_bench_emits_single_json_line():
     assert isinstance(out["queries"], dict) and len(out["queries"]) >= 31
     assert abs(sum(out["queries"].values()) - out["value"]) < 0.1
     meth = out["methodology"]
-    assert meth["version"] == 2 and meth["timing"] == "median"
+    assert meth["version"] == 3 and meth["timing"] == "median"
     assert meth["repeats"] == 1 and meth["warmup"] is True
-    assert all(len(v) == 1 for v in out["samples"].values())
+    # Tail-truncation-proofing (r06 VERDICT item 3): samples live in the
+    # sidecar, not stdout, and the single stdout line must fit whole
+    # inside the driver's bounded tail capture.
+    assert "samples" not in out
+    assert len(json_lines[0]) < 1900, len(json_lines[0])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_SUMMARY.json")) as f:
+        sidecar = json.load(f)
+    assert sidecar["value"] == out["value"]
+    assert all(len(v) == 1 for v in sidecar["samples"].values())

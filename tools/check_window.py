@@ -35,12 +35,14 @@ from tests.conftest import assert_parity
 def main() -> int:
     argv = sys.argv[1:]
     if argv and argv[0] == "--sentinels":
-        if len(argv) > 1 and not argv[1].lstrip("-").isdigit():
+        if len(argv) > 1 and not argv[1].isdigit():
             raise SystemExit(
-                f"--sentinels takes [N] [seed] [sf_dir] in order; "
-                f"got non-numeric count {argv[1]!r}"
+                f"--sentinels takes [N >= 1] [seed] [sf_dir] in order; "
+                f"got non-positive or non-numeric count {argv[1]!r}"
             )
         n = int(argv[1]) if len(argv) > 1 else 8
+        if n < 1:
+            raise SystemExit(f"--sentinels count must be >= 1, got {n}")
         seed = int(argv[2]) if len(argv) > 2 else 0
         sf_dir = argv[3] if len(argv) > 3 else "/root/testdata/sf0.01"
         rotated_out = sorted(set(all_queries()) - set(DRIVER_WINDOW))
