@@ -1155,3 +1155,199 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_e6"),
         )
     )
+
+
+@query(
+    "events_funnel_stages",
+    oracle="""
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+               FROM events e JOIN s1 ON e.user_id = s1.user_id
+                                    AND e.ts > s1.t
+               WHERE e.event_type = 'view' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t
+               FROM events e JOIN s2 ON e.user_id = s2.user_id
+                                    AND e.ts > s2.t
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s4 AS (SELECT e.user_id, MIN(e.ts) AS t
+               FROM events e JOIN s3 ON e.user_id = s3.user_id
+                                    AND e.ts > s3.t
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT 1 AS step, 'signup' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS users FROM s1
+        UNION ALL SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM s3
+        UNION ALL SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s4
+    """,
+    tags=("events", "funnel", "extension"),
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-stage funnel (signup -> view -> click -> purchase):
+    how many users complete each prefix of the funnel IN ORDER — each
+    stage's event must be strictly after the user's entry into the
+    previous stage. The product-analytics workhorse (Amplitude/Mixpanel
+    "funnels"; same per-key ordered-state shape as sessionization).
+
+    Timestamps only — no floats anywhere, so the contract is exact.
+
+    Scale shape: stage k is one equi-join (events filtered to one type
+    vs the O(users) stage-(k-1) table, both keyed user_id) feeding a
+    partial-agged MIN — never a window over all events, never per-user
+    collect. All four joins share the user_id key so AQE reuses the
+    exchange; the stage tables are user-dimension sized (<< events) and
+    at 100 TB they broadcast. The final counts are 1-row aggregates
+    unioned driver-free."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(e["ts"] > prev["t"])
+            .groupBy("user_id")
+            .agg(F.min(e["ts"]).alias("t"))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    s2 = first_after(s1, "view")
+    s3 = first_after(s2, "click")
+    s4 = first_after(s3, "purchase")
+    stages = [(1, "signup", s1), (2, "view", s2), (3, "click", s3),
+              (4, "purchase", s4)]
+    parts = [
+        s.agg(F.count("*").alias("users")).select(
+            F.lit(i).alias("step"),
+            F.lit(name).alias("stage"),
+            "users",
+        )
+        for i, name, s in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+        WITH a AS (SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v
+                   FROM events WHERE event_type = 'click'),
+        b AS (SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v
+              FROM events WHERE event_type = 'view'),
+        ga AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS da FROM a GROUP BY v),
+        gb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS db FROM b GROUP BY v),
+        pts AS (SELECT COALESCE(ga.v, gb.v) AS v,
+                       COALESCE(da, 0) AS da, COALESCE(db, 0) AS db
+                FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+        cum AS (SELECT SUM(da) OVER (ORDER BY v) AS c1,
+                       SUM(db) OVER (ORDER BY v) AS c2
+                FROM pts),
+        tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n2)
+        SELECT n1, n2,
+               CAST(ROUND(1000000.0
+                          * CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+                          / CAST(n1 * n2 AS DOUBLE)) AS BIGINT)
+                   AS ks_d_e6
+        FROM cum, tot GROUP BY n1, n2
+    """,
+    tags=("agg", "statistical", "extension"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of 'click' and 'view' events — the drift test run
+    between a training corpus slice and a reference slice before a
+    data refresh ships. D = max_x |F1(x) - F2(x)| over the pooled
+    support, reported in 1e-6 units.
+
+    Exactness: values snap to 1e-4-unit BIGINTs; both ECDFs are integer
+    counts, and |c1*n2 - c2*n1| keeps the comparison in integers
+    (decimal(38,0) on the Spark side, HUGEINT in DuckDB) so the single
+    double division happens once, on identical exact operands.
+
+    Scale shape — the distributed prefix sum: a global cumulative count
+    naively needs an unpartitioned window (one-task stall; the sweep
+    test forbids it). Instead the support is range-bucketed, each
+    bucket cumsums LOCALLY under a bucket-partitioned window, and the
+    per-bucket totals (O(buckets) rows) turn into bucket offsets via a
+    tiny broadcast theta-join — the textbook two-phase scan
+    (Blelloch'90) that holds at any scale. The final max is one
+    partial-agged 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    a = ev.filter(F.col("event_type") == "click").select(
+        snap_units("value", 10_000).alias("v")
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        snap_units("value", 10_000).alias("v")
+    )
+    ga = a.groupBy("v").agg(F.count("*").cast(d38).alias("da"))
+    gb = b.groupBy("v").agg(F.count("*").cast(d38).alias("db"))
+    pts = (
+        ga.join(gb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("da", F.lit(0).cast(d38)).alias("da"),
+            F.coalesce("db", F.lit(0).cast(d38)).alias("db"),
+        )
+        .withColumn("bucket", F.expr("v DIV 8192"))
+    )
+    w = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = pts.select(
+        "v", "bucket",
+        F.sum("da").over(w).alias("la"),
+        F.sum("db").over(w).alias("lb"),
+    )
+    totals = pts.groupBy("bucket").agg(
+        F.sum("da").alias("ta"), F.sum("db").alias("tb")
+    )
+    t2 = totals.select(
+        F.col("bucket").alias("b2"),
+        F.col("ta").alias("ta2"),
+        F.col("tb").alias("tb2"),
+    )
+    offsets = (
+        totals.join(F.broadcast(t2), F.col("b2") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("ta2"), F.lit(0).cast(d38)).alias("oa"),
+            F.coalesce(F.sum("tb2"), F.lit(0).cast(d38)).alias("ob"),
+        )
+    )
+    cum = local.join(F.broadcast(offsets), "bucket").select(
+        (F.col("la") + F.col("oa")).alias("c1"),
+        (F.col("lb") + F.col("ob")).alias("c2"),
+    )
+    n1 = a.agg(F.count("*").cast(d38).alias("n1"))
+    n2 = b.agg(F.count("*").cast(d38).alias("n2"))
+    tot = n1.crossJoin(F.broadcast(n2))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n1").alias("n1_d"),
+            F.first("n2").alias("n2_d"),
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .alias("dnum"),
+        )
+        .select(
+            F.col("n1_d").cast("long").alias("n1"),
+            F.col("n2_d").cast("long").alias("n2"),
+            F.round(
+                F.lit(1000000.0)
+                * F.col("dnum").cast("double")
+                / (F.col("n1_d") * F.col("n2_d")).cast("double")
+            )
+            .cast("long")
+            .alias("ks_d_e6"),
+        )
+    )

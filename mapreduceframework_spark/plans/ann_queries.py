@@ -1,0 +1,742 @@
+"""Similarity-search / embedding queries (SURVEY.md section 2.2 ⊕ rows):
+brute-force cosine top-k (the recall baseline), sign-LSH and IVF
+variants (the scale paths), cross-corpus top-k join, int8 quantization,
+quantized k-means, and quantile featurization.
+
+Scale notes (100 TB): centroids/codebooks are O(k×d) driver-side models
+broadcast back (the MLlib pattern); candidate generation is always
+bucket-keyed (IVF list, SRP band) — brute force exists only as the
+verification baseline for measured LSH/IVF recall.
+
+Split out of extension_queries.py in round 7 (pure move, zero renames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceframework_spark.operators import vectors as V
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+from mapreduceframework_spark.plans.corpus import EMB_CTE, _embeddings
+
+
+def _emb_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, tbl, bucket) rows, one per LSH table per vector."""
+    e = _embeddings(spark, sf_dir)
+    return e.select(
+        "vec_id", F.explode(V.lsh_table_keys(F.col("v"))).alias("tk")
+    ).select(
+        "vec_id", F.col("tk.tbl").alias("tbl"), F.col("tk.bucket").alias("bucket")
+    )
+
+
+EMB_BANDS_CTE = f"""
+        SELECT vec_id, t.tk.tbl AS tbl, t.tk.bucket AS bucket
+        FROM (SELECT vec_id, unnest({V.lsh_table_keys_sql("v")}) AS tk
+              FROM ({EMB_CTE}))  t
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (ANN over array<float>)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_bruteforce",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                          {V.cosine_sql("q.v", "e.v")} AS cos
+                   FROM q JOIN e ON e.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    tags=("similarity", "extension"),
+    bench=True,
+)
+def ann_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors — the
+    brute-force correctness baseline. The query side is tiny so Catalyst
+    broadcasts it: one scan of the corpus, no shuffle of the big side,
+    then a per-query top-k window over O(q*n) scored rows. rank is
+    deterministic: ties break on neighbor_id."""
+    e = _embeddings(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+@query(
+    "ann_cosine_lsh",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        b AS ({EMB_BANDS_CTE}),
+        qb AS (SELECT vec_id, tbl, bucket FROM b WHERE vec_id < 10),
+        cand AS (SELECT DISTINCT qb.vec_id AS query_id,
+                                 b.vec_id AS neighbor_id
+                 FROM qb JOIN b
+                 ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+                    AND b.vec_id <> qb.vec_id),
+        scored AS (SELECT query_id, neighbor_id,
+                          {V.cosine_sql("x.v", "y.v")} AS cos
+                   FROM cand
+                   JOIN e x ON x.vec_id = query_id
+                   JOIN e y ON y.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    tags=("similarity", "extension"),
+)
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via multi-table sign-LSH: candidates share a
+    bucket with the query in ANY of the 4 tables, then exact cosine +
+    deterministic ranking over candidates only (~4/16 of the corpus
+    instead of all of it). Recall vs the brute-force twin is measured
+    in tests/test_extensions.py — the two queries differing ONLY in the
+    candidate set makes that measurement honest."""
+    e = _embeddings(spark, sf_dir)
+    b = _emb_bands(spark, sf_dir)
+    qb = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl").alias("qtbl"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(
+            b,
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    x, y = e.alias("x"), e.alias("y")
+    scored = (
+        cand.join(F.broadcast(x), F.col("query_id") == F.col("x.vec_id"))
+        .join(y, F.col("neighbor_id") == F.col("y.vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("x.v"), F.col("y.v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN
+# --------------------------------------------------------------------------
+
+def _centroids_sql(src: str) -> str:
+    """Per-label mean-vector CTE body over ``src`` (a CTE name or a
+    parenthesized subquery), components rounded to 6 on both engines so
+    cross-engine AVG-order drift can't flip a probe ranking. Shared by
+    ann_cosine_ivf (whole corpus) and ann_topk_join (corpus side)."""
+    return f"""
+        SELECT label, list(cx ORDER BY pos) AS c
+        FROM (SELECT label, pos, ROUND(AVG(x), 6) AS cx
+              FROM (SELECT label, generate_subscripts(v, 1) AS pos,
+                           unnest(v) AS x
+                    FROM {src})
+              GROUP BY label, pos)
+        GROUP BY label
+"""
+
+
+CENTROIDS_CTE = _centroids_sql(f"({EMB_CTE})")
+
+
+def _label_centroids(e: DataFrame) -> DataFrame:
+    """Spark side of :func:`_centroids_sql`: per-label mean vector with
+    components rounded to 6. One partial-aggregated groupBy over
+    (label, pos) — shuffle volume O(labels x dims), never O(corpus)."""
+    return (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s.cx).alias("c"))
+    )
+
+
+@query(
+    "ann_cosine_ivf",
+    bench=True,
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        cent AS ({CENTROIDS_CTE}),
+        probes AS (
+            SELECT query_id, qv, label FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, cent.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {V.cosine_sql("q.v", "cent.c")} DESC,
+                                    cent.label) AS r
+                FROM e q, cent WHERE q.vec_id < 10)
+            WHERE r <= 3),
+        scored AS (
+            SELECT query_id, e.vec_id AS neighbor_id,
+                   {V.cosine_sql("probes.qv", "e.v")} AS cos
+            FROM probes JOIN e USING (label)
+            WHERE e.vec_id <> query_id)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    tags=("similarity", "extension"),
+)
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    inverted lists; each query probes its 3 nearest centroids and
+    scores exact cosine only inside those lists (~30% of the corpus
+    here). The quantizer is the per-label mean vector — the structure
+    is exactly IVF-Flat (train = k-means; here the label clustering
+    stands in for the training step, which keeps the oracle
+    independent). Centroid components are rounded to 6 before use on
+    BOTH sides so the cross-engine AVG-order drift can't flip a
+    probe ranking."""
+    e = _embeddings(spark, sf_dir)
+    cent = _label_centroids(e)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("centroid_sim"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("centroid_sim", V.cosine(F.col("qv"), F.col("c")))
+        .withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= 3)
+        .select("query_id", "qv", "label")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(e, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+@query(
+    "ann_topk_join",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        corpus AS (SELECT * FROM e WHERE vec_id >= 20),
+        cent AS ({_centroids_sql("corpus")}),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        probes AS (
+            SELECT query_id, qv, label FROM (
+                SELECT q.query_id, q.qv, cent.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {V.cosine_sql("q.qv", "cent.c")} DESC,
+                                    cent.label) AS r
+                FROM q, cent)
+            WHERE r <= 2),
+        scored AS (
+            SELECT query_id, corpus.vec_id AS neighbor_id,
+                   {V.cosine_sql("probes.qv", "corpus.v")} AS cos
+            FROM probes JOIN corpus USING (label))
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 3
+    """,
+    tags=("similarity", "extension", "retrieval"),
+)
+def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus top-k similarity JOIN — the everyday retrieval
+    shape: for each of M query vectors (one table), the top-3 cosine
+    neighbors out of a DISTINCT corpus table, through the IVF candidate
+    path. Differs from ann_cosine_ivf in exactly the way retrieval
+    differs from self-search: queries and corpus are separate relations
+    (here disjoint vec_id slices of the embeddings table standing in
+    for two tables), the coarse quantizer is trained on the CORPUS side
+    only, and no self-match exclusion is needed.
+
+    Scale shape: centroids are O(labels x dims) -> broadcast; each
+    query probes its 2 nearest lists; candidate generation is a
+    broadcast hash join of (query, probed-label) against the corpus
+    partitioned BY LABEL — never a cartesian, and the corpus side
+    shuffles zero bytes when pre-partitioned by list id (the standard
+    IVF sharding at 100 TB: each executor owns whole inverted lists,
+    queries stream to the lists they probe). Top-k is a per-query
+    rank with deterministic (cos DESC, neighbor_id) tiebreak."""
+    e = _embeddings(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") >= 20)
+    cent = _label_centroids(corpus)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("centroid_sim"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("centroid_sim", V.cosine(F.col("qv"), F.col("c")))
+        .withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "qv", "label")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "label")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    bench=True,
+    oracle="""
+        WITH x64 AS (
+            SELECT vec_id,
+                   [CAST(e AS DOUBLE) for e in embedding] AS x
+            FROM embeddings),
+        s AS (
+            SELECT vec_id, x,
+                   list_max([abs(v) for v in x]) / 127.0 AS scale
+            FROM x64
+            WHERE list_max([abs(v) for v in x]) > 0),
+        q AS (
+            SELECT vec_id, x, scale,
+                   [CAST(floor(v / scale + 0.5) AS BIGINT) for v in x] AS qv
+            FROM s)
+        SELECT vec_id, scale,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), qv),
+                   (acc, qq) -> (acc * 31 + qq + 128) % 1000000007)
+                   AS q_digest,
+               list_max([abs(qv[i] * scale - x[i])
+                         for i in range(1, len(x) + 1)]) AS max_abs_err
+        FROM q
+    """,
+    tags=("extension", "embedding", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the standard vector-store compression step (scale = max|x|/127,
+    code = floor(x/scale + 0.5), 4x smaller than float32). Emitted as
+    scalars per vector: the scale, a 31x fold digest of the codes
+    (arrays stringify differently across engines, so the digest stands
+    in for the code array), and the exact max reconstruction error.
+
+    Determinism: rounding is floor(v/scale + 0.5) in BOTH engines (no
+    engine round(): tie rules differ); every element value is the same
+    IEEE expression tree, and max/fold are order-fixed. Zero vectors
+    (scale 0) are filtered identically on both sides.
+
+    100 TB: embarrassingly row-local — zero shuffles, one pass, all
+    JVM-side HOFs (scale is bound as a plain column before the lambdas
+    reference it: an outer *expression* inside a HOF lambda re-evaluates
+    per element, README pitfall, but a column reference is a cheap
+    bound read)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    M = F.lit(1000000007).cast("long")
+    return (
+        emb.withColumn("x", F.col("embedding").cast("array<double>"))
+        .withColumn(
+            "absmax", F.array_max(F.transform("x", lambda v: F.abs(v)))
+        )
+        .filter(F.col("absmax") > 0)
+        .withColumn("scale", F.col("absmax") / 127.0)
+        .withColumn(
+            "qv",
+            F.transform(
+                "x", lambda v: F.floor(v / F.col("scale") + 0.5)
+            ),
+        )
+        .select(
+            "vec_id",
+            "scale",
+            F.aggregate(
+                "qv",
+                F.lit(0).cast("long"),
+                lambda acc, qq: (acc * 31 + qq + 128) % M,
+            ).alias("q_digest"),
+            F.array_max(
+                F.zip_with(
+                    "qv",
+                    "x",
+                    lambda qq, v: F.abs(qq * F.col("scale") - v),
+                )
+            ).alias("max_abs_err"),
+        )
+    )
+
+
+@query(
+    "kmeans_quantized_clusters",
+    bench=True,
+    oracle="""
+        WITH x64 AS (
+            SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS x
+            FROM embeddings),
+        s AS (
+            SELECT vec_id, x, list_max([abs(v) for v in x]) / 127.0 AS scale
+            FROM x64 WHERE list_max([abs(v) for v in x]) > 0),
+        q AS (
+            SELECT vec_id,
+                   [CAST(floor(v / scale + 0.5) AS BIGINT) for v in x] AS qv
+            FROM s),
+        c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   [CAST(v AS DOUBLE) for v in qv] AS c
+            FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+        a1 AS (
+            SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c0.cid,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                               [(qv[i] - c[i]) * (qv[i] - c[i])
+                                for i in range(1, len(qv) + 1)]),
+                               (acc, e) -> acc + e), cid) AS rn
+                FROM q CROSS JOIN c0)
+            WHERE rn = 1),
+        c1u AS (
+            SELECT cid, i, CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*) AS v
+            FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+        c1l AS (SELECT cid, list(v ORDER BY i) AS c FROM c1u GROUP BY cid),
+        c1 AS (
+            SELECT c0.cid, COALESCE(c1l.c, c0.c) AS c
+            FROM c0 LEFT JOIN c1l ON c0.cid = c1l.cid),
+        a2 AS (
+            SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c1.cid,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                               [(qv[i] - c[i]) * (qv[i] - c[i])
+                                for i in range(1, len(qv) + 1)]),
+                               (acc, e) -> acc + e), cid) AS rn
+                FROM q CROSS JOIN c1)
+            WHERE rn = 1),
+        c2u AS (
+            SELECT cid, i, CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*) AS v
+            FROM a2, range(1, 65) t(i) GROUP BY cid, i),
+        c2l AS (SELECT cid, list(v ORDER BY i) AS c FROM c2u GROUP BY cid),
+        c2 AS (
+            SELECT c1.cid, COALESCE(c2l.c, c1.c) AS c
+            FROM c1 LEFT JOIN c2l ON c1.cid = c2l.cid),
+        a3 AS (
+            SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c2.cid,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                               [(qv[i] - c[i]) * (qv[i] - c[i])
+                                for i in range(1, len(qv) + 1)]),
+                               (acc, e) -> acc + e), cid) AS rn
+                FROM q CROSS JOIN c2)
+            WHERE rn = 1),
+        digest AS (
+            SELECT cid,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           [CAST(floor(c[i] * 1000 + 0.5) AS BIGINT)
+                            for i in range(1, len(c) + 1)]),
+                       (acc, e) -> (acc * 31 + e) % 1000000007)
+                       AS centroid_digest
+            FROM c2)
+        SELECT a3.cid,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids,
+               MIN(digest.centroid_digest) AS centroid_digest
+        FROM a3 JOIN digest ON a3.cid = digest.cid
+        GROUP BY a3.cid
+    """,
+    tags=("extension", "embedding", "cluster", "iterative"),
+)
+def kmeans_quantized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, two centroid updates + final assignment)
+    over int8-QUANTIZED embeddings — corpus clustering for data mixing
+    / curation, and the engine's second iterative-algorithm family
+    after connected components (operators/vectors.py kmeans_lloyd has
+    the full determinism + scale analysis; quantization is what makes
+    iterative float clustering bit-reproducible across engines:
+    centroid updates become exact integer sums).
+
+    The oracle unrolls all three assignment passes as SQL CTEs —
+    assignment windows, integer per-dimension centroid sums, empty
+    -cluster COALESCE — so the entire iteration trace is value-checked,
+    not just the final sizes. Output per cluster: size, exact member
+    id sum, and a fold digest of the final centroid coordinates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.withColumn("x", F.col("embedding").cast("array<double>"))
+        .withColumn(
+            "absmax", F.array_max(F.transform("x", lambda v: F.abs(v)))
+        )
+        .filter(F.col("absmax") > 0)
+        .withColumn("scale", F.col("absmax") / 127.0)
+        .select(
+            "vec_id",
+            F.transform(
+                "x", lambda v: F.floor(v / F.col("scale") + 0.5)
+            ).alias("qv"),
+        )
+    )
+    asg, cents = V.kmeans_lloyd(q, k=8, updates=2)
+    # Centroids are driver-side model state (list[list[float]]), so the
+    # coordinate digest is plain Python — same IEEE floor(v*1000+0.5)
+    # per element and exact integer fold as the oracle's list_reduce —
+    # attached as a literal map. No join: joining the HOF-argmin cid
+    # back to a centroid relation trips Catalyst constraint inference
+    # (see kmeans_lloyd docstring).
+    import math
+
+    M = 1000000007
+    digests = {}
+    for cid, c in enumerate(cents):
+        acc = 0
+        for v in c:
+            acc = acc * 31 + int(math.floor(v * 1000 + 0.5))
+            # truncated modulo (sign of dividend), matching Spark's and
+            # DuckDB's `%` — Python's `%` floors instead.
+            acc = abs(acc) % M if acc >= 0 else -(abs(acc) % M)
+        digests[cid] = acc
+    digest_map = F.create_map(
+        *[
+            x
+            for cid, d in digests.items()
+            for x in (F.lit(cid).cast("long"), F.lit(d).cast("long"))
+        ]
+    )
+    return (
+        asg.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_ids"),
+        )
+        .select(
+            "cid",
+            "n_members",
+            "sum_vec_ids",
+            digest_map[F.col("cid")].alias("centroid_digest"),
+        )
+    )
+
+
+@query(
+    "feature_quantile_buckets",
+    oracle="""
+        WITH b AS (
+            SELECT quantile_cont(l_quantity, 0.25) AS q1,
+                   quantile_cont(l_quantity, 0.50) AS q2,
+                   quantile_cont(l_quantity, 0.75) AS q3
+            FROM lineitem)
+        SELECT CASE WHEN l_quantity <= q1 THEN 0
+                    WHEN l_quantity <= q2 THEN 1
+                    WHEN l_quantity <= q3 THEN 2
+                    ELSE 3 END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(l_quantity), 2) AS lo,
+               ROUND(MAX(l_quantity), 2) AS hi
+        FROM lineitem CROSS JOIN b
+        GROUP BY bucket
+    """,
+    tags=("extension", "feature", "agg"),
+)
+def feature_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretizer — the feature-engineering step that turns a
+    numeric column into balanced ordinal buckets (the two-pass
+    pattern: exact percentiles once, broadcast, then a row-local CASE).
+    Exact (not approx) percentiles are safe for cross-engine hashing
+    HERE because l_quantity is integer-valued with ~50 distinct values:
+    the (n-1)*p interpolation lands between equal neighbors, so every
+    boundary is an exact integer in both engines. For a continuous
+    column, approx_percentile + rounded boundaries is the 100 TB path
+    (single-pass sketch instead of a full sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q2"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("l_quantity") <= F.col("q1"), 0)
+        .when(F.col("l_quantity") <= F.col("q2"), 1)
+        .when(F.col("l_quantity") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_quantity"), 2).alias("lo"),
+            F.round(F.max("l_quantity"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "feature_quantile_sketch",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 2) AS exact_q1,
+               ROUND(quantile_cont(l_quantity, 0.50), 2) AS exact_q2,
+               ROUND(quantile_cont(l_quantity, 0.75), 2) AS exact_q3,
+               TRUE AS sketch_within_tol
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "feature", "extension"),
+)
+def feature_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-quantile SCALE path, exercised for real: per-group
+    quartiles via ``approx_percentile`` (Greenwald-Khanna sketch —
+    single pass, mergeable partials, O(1/eps) memory per group; the
+    100 TB substitute for the full-sort exact percentile that
+    feature_quantile_buckets broadcasts). Same oracle pattern as
+    agg_approx_count_distinct: the hash-checked columns are the EXACT
+    quantiles (safe cross-engine: l_quantity is integer-valued, both
+    engines use R-7 interpolation, and frac in {0,.25,.5,.75} makes the
+    interpolated value exact) plus a boolean asserting the sketch
+    landed within tolerance — the sketch runs for real, and a broken
+    sketch flips the boolean. Tolerance 2.0: GK returns a corpus VALUE
+    at rank error <= 1/accuracy, so with ~50 distinct integer values
+    the estimate sits within a couple of units of the interpolated
+    exact quantile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("e1"),
+        F.expr("percentile(l_quantity, 0.50)").alias("e2"),
+        F.expr("percentile(l_quantity, 0.75)").alias("e3"),
+        F.expr(
+            "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("a"),
+    )
+    within = (
+        (F.abs(F.element_at("a", 1) - F.col("e1")) <= 2.0)
+        & (F.abs(F.element_at("a", 2) - F.col("e2")) <= 2.0)
+        & (F.abs(F.element_at("a", 3) - F.col("e3")) <= 2.0)
+    ).alias("sketch_within_tol")
+    return agg.select(
+        "l_returnflag",
+        F.round("e1", 2).alias("exact_q1"),
+        F.round("e2", 2).alias("exact_q2"),
+        F.round("e3", 2).alias("exact_q3"),
+        within,
+    )
+
+
+@query(
+    "feature_winsorize",
+    oracle="""
+        WITH b AS (SELECT l_returnflag,
+                          round(CAST(quantile_cont(l_extendedprice, 0.05)
+                                     AS DOUBLE), 4) AS lo,
+                          round(CAST(quantile_cont(l_extendedprice, 0.95)
+                                     AS DOUBLE), 4) AS hi
+                   FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               b.lo, b.hi,
+               round(CAST(AVG(l_extendedprice) AS DOUBLE), 2) AS mean_raw,
+               round(CAST(AVG(least(greatest(l_extendedprice, b.lo), b.hi))
+                          AS DOUBLE), 2) AS mean_winsor
+        FROM lineitem l JOIN b USING (l_returnflag)
+        GROUP BY l.l_returnflag, b.lo, b.hi
+    """,
+    tags=("feature", "extension", "agg"),
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization: clamp each value into its group's
+    [p05, p95] band and report raw vs winsorized means — the outlier
+    -robust normalization step a feature pipeline runs before scaling.
+    Bounds are rounded to 4 decimals on BOTH engines before clamping,
+    so the clamp thresholds are bit-identical even if the two exact
+    -percentile implementations differ in final-ULP interpolation.
+
+    Scale shape: two passes — an O(groups) bounds table (broadcast
+    back, never a shuffle of the fact side for the join) and one
+    partial-aggregated mean pass. Exact percentile buffers a group's
+    values (fine for bounded group count x bounded numeric domain);
+    the sketch path for continuous 100 TB columns is approx_percentile,
+    exercised by feature_quantile_sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("mean_raw"),
+            F.round(F.avg(clamped), 2).alias("mean_winsor"),
+        )
+        .select("l_returnflag", "n", "lo", "hi", "mean_raw", "mean_winsor")
+    )

@@ -1,0 +1,663 @@
+"""Deduplication queries (SURVEY.md section 2.2 ⊕ dedup rows): exact,
+n-gram Jaccard, MinHash-LSH, SimHash, embedding-cosine, edit-distance
+verify, substring-chunk (Lee et al. \'22 shape), decontamination, and
+the pair-mining capstone.
+
+Scale invariant (100 TB): no all-pairs joins anywhere — candidates
+always come from an equality shuffle (shared shingle, LSH band key,
+SimHash nibble band, SRP bucket), O(sum of bucket^2); the MinHash path
+(fixed 4 bands/doc) is the skew-proof variant for corpus scale.
+
+Split out of extension_queries.py in round 7 (pure move, zero renames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceframework_spark.operators import dedup as D
+from mapreduceframework_spark.operators import vectors as V
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+from mapreduceframework_spark.plans.ann_queries import EMB_BANDS_CTE, _emb_bands
+from mapreduceframework_spark.plans.corpus import (
+    DOCS_CTE,
+    EMB_CTE,
+    _docs,
+    _docs_wide,
+    _embeddings,
+)
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS digest,
+               MIN(doc_id) AS keeper,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest — the reference's unique-key set
+    (reference JobContext.cpp:347-353) as a hash shuffle on md5(text).
+    Digest-first matters at scale: the shuffle key is 32 bytes, not the
+    document body, so shuffle volume is O(rows), not O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(
+        docs.withColumn("digest", F.md5("text")), ["digest"], "doc_id"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        sh AS (SELECT doc_id,
+                      {D.string_shingles_sql("words")} AS shingles
+               FROM d),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_shared
+                  FROM ex a JOIN ex b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh)
+        SELECT doc_a, doc_b,
+               n_shared / (x.nsh + y.nsh - n_shared) AS jac
+        FROM inter
+        JOIN sizes x ON x.doc_id = doc_a
+        JOIN sizes y ON y.doc_id = doc_b
+        WHERE n_shared / (x.nsh + y.nsh - n_shared) >= 0.5
+    """,
+    tags=("dedup", "extension"),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5, computed
+    entirely from the inverted index: per-doc shingle sets are distinct,
+    so COUNT over the shared-shingle equi-join IS the intersection size,
+    and Jaccard needs only the two set sizes on top — no per-pair array
+    shipping or array_intersect. One explode, one aggregated self-join,
+    two slim size joins; the aggregation is partial map-side. At corpus
+    scale, stop-shingles skew the index join — the MinHash query below
+    is the constant-fanout variant; AQE skew handling covers the middle
+    ground."""
+    # Set size rides along with each exploded row, so no separate size
+    # join — and the merge hint makes BOTH self-join sides identical
+    # hash-partition exchanges, which Spark's ReuseExchange collapses
+    # into ONE shingle computation + shuffle (a broadcast side would
+    # break the symmetry and recompute the whole shingle pipeline).
+    sh = _docs_wide(spark, sf_dir).select(
+        "doc_id", D.string_shingles(F.col("words")).alias("shingles")
+    )
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("nsh"),
+        F.explode("shingles").alias("s"),
+    )
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b").hint("shuffle_merge"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.nsh").alias("nsh_a"),
+            F.col("b.nsh").alias("nsh_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (
+        F.col("nsh_a") + F.col("nsh_b") - F.col("n_shared")
+    )
+    return inter.select("doc_a", "doc_b", jac.alias("jac")).filter(
+        F.col("jac") >= 0.5
+    )
+
+
+# CTE chain ending in `mh_pairs` (doc_a, doc_b, jac >= 0.5) — shared by
+# the pair query and the connected-components cluster query so the edge
+# definition cannot drift between them.
+MINHASH_PAIRS_CTES = f"""
+        d AS ({DOCS_CTE}),
+        whc AS (SELECT doc_id,
+                       list_transform(words, w -> {D.word_hash_sql("w")})
+                           AS wh
+                FROM d),
+        shc AS (SELECT doc_id, {D.hashed_shingles_sql("wh")} AS hs FROM whc),
+        shf AS (SELECT doc_id, hs FROM shc WHERE len(hs) > 0),
+        sigc AS (SELECT doc_id,
+                        {D.minhash_signature_sql("hs")} AS sig
+                 FROM shf),
+        bands AS (SELECT doc_id, t.bk.band AS band, t.bk.key AS key
+                  FROM (SELECT doc_id,
+                               unnest({D.lsh_band_keys_sql("sig")}) AS bk
+                        FROM sigc) t),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id),
+        mh_pairs AS (
+            SELECT doc_a, doc_b, {D.jaccard_sql("x.hs", "y.hs")} AS jac
+            FROM cand
+            JOIN shf x ON x.doc_id = doc_a
+            JOIN shf y ON y.doc_id = doc_b
+            WHERE {D.jaccard_sql("x.hs", "y.hs")} >= 0.5)
+"""
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jac >= 0.5) via MinHash+LSH."""
+    sh = _docs_wide(spark, sf_dir).select(
+        "doc_id", D.hashed_shingles(F.col("words")).alias("hs")
+    )
+    shf = sh.filter(F.size("hs") > 0)
+    sig = shf.select("doc_id", D.minhash_signature(F.col("hs")).alias("sig"))
+    bands = sig.select(
+        "doc_id", F.explode(D.lsh_band_keys(F.col("sig"))).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x, y = shf.alias("x"), shf.alias("y")
+    jac = D.jaccard(F.col("x.hs"), F.col("y.hs"))
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {MINHASH_PAIRS_CTES}
+        SELECT doc_a, doc_b, jac FROM mh_pairs
+    """,
+    tags=("dedup", "extension"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup: 8-perm signature over hashed 3-gram
+    shingles, 4 bands x 2 rows, band-bucket equi-join for candidates,
+    exact Jaccard (on the hashed shingle sets) as verification. Fixed 4
+    band rows per doc -> shuffle volume is O(4n) regardless of document
+    length; the S-curve at >=0.5 with b=4,r=2 catches the planted
+    near-dups while pruning ~everything else."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+@query(
+    "dedup_clusters",
+    bench=True,
+    oracle=f"""
+        WITH RECURSIVE {MINHASH_PAIRS_CTES},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+                  UNION
+                  SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+        nodes AS (SELECT DISTINCT src AS doc FROM edges),
+        reach(doc, lab) AS (
+            SELECT doc, doc FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+        comp AS (SELECT doc AS doc_id, MIN(lab) AS cluster_id
+                 FROM reach GROUP BY doc),
+        sized AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                  FROM comp GROUP BY cluster_id)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               c.doc_id = c.cluster_id AS is_canonical
+        FROM comp c JOIN sized s USING (cluster_id)
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    MinHash near-dup graph (min-label propagation,
+    operators/graph.py), then per-cluster size and a canonical-doc
+    flag (lowest doc_id). ``is_canonical`` is the keep-list a corpus
+    dedup pass applies; the oracle recomputes components via a
+    recursive CTE, so the distributed fixpoint is checked against an
+    independent transitive closure."""
+    from mapreduceframework_spark.operators.graph import connected_components
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    sized = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return comp.join(sized, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+@query(
+    "dedup_simhash",
+    bench=True,
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        whc AS (SELECT doc_id,
+                       list_transform(words, w -> {D.word_hash_sql("w")})
+                           AS wh
+                FROM d),
+        wh32c AS (SELECT doc_id, {D.word_hash32_sql("wh")} AS wh32 FROM whc),
+        sims AS (SELECT doc_id, {D.simhash_sql("wh32")} AS sim FROM wh32c),
+        bands AS (SELECT doc_id, sim, t.bk.band AS band, t.bk.key AS key
+                  FROM (SELECT doc_id, sim,
+                               unnest({D.simhash_nibble_bands_sql("sim")})
+                                   AS bk
+                        FROM sims) t),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sim AS sim_a,
+                                 b.doc_id AS doc_b, b.sim AS sim_b
+                 FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               bit_count(xor(sim_a, sim_b))::INT AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit token-multiplicity SimHash, pairs
+    within Hamming distance 3. Candidates via 8-bit bands —
+    pigeonhole guarantees any pair at distance <=3 agrees on >=1 of the
+    4 bands, so the band equi-join finds all of them without O(n^2)."""
+    # The hash itself is fully relational (operators/dedup.py::
+    # simhash_by_doc): explode tokens -> 32 conditional SUMs under
+    # groupBy(doc_id), all whole-stage codegen — 9x faster than the
+    # interpreted scalar-HOF form it replaced (BENCH_r03 9.5s -> ~2s).
+    # The round-robin repartition spreads the single-file scan across
+    # cores BEFORE the explode, so the heavy partial-agg stage runs on
+    # all of them; the groupBy's own exchange then hash-partitions sims
+    # by doc_id, and the two band self-join branches share it as one
+    # ReusedExchange. Shuffle payloads: 33 longs/doc, then 16B/doc.
+    wh = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.transform(F.col("words"), D.word_hash32).alias("wh32"),
+        )
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    )
+    sims = D.simhash_by_doc(wh)
+    bands = sims.select(
+        "doc_id", "sim", F.explode(D.simhash_nibble_bands(F.col("sim"))).alias("bk")
+    ).select("doc_id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        b AS ({EMB_BANDS_CTE}),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+                 FROM b a JOIN b c
+                 ON a.tbl = c.tbl AND a.bucket = c.bucket
+                    AND a.vec_id < c.vec_id)
+        SELECT vec_a, vec_b, {V.cosine_sql("x.v", "y.v")} AS cos
+        FROM cand
+        JOIN e x ON x.vec_id = vec_a
+        JOIN e y ON y.vec_id = vec_b
+        WHERE {V.cosine_sql("x.v", "y.v")} >= 0.4
+    """,
+    tags=("dedup", "similarity", "extension"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: multi-table sign-LSH (4 tables x 4
+    hyperplanes, OR-construction) generates candidates, cosine >= 0.4
+    verified exactly — the shuffle-bounded variant of all-pairs
+    similarity. A single 8-plane table measured ~zero recall on this
+    corpus (cos~0.5 pairs collide with p~0.04); the OR over 4 coarser
+    tables trades a 4x candidate fan-out for usable recall — L and K
+    are THE tuning dials of SRP-LSH."""
+    e = _embeddings(spark, sf_dir)
+    b = _emb_bands(spark, sf_dir)
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.tbl") == F.col("c.tbl"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    x, y = e.alias("x"), e.alias("y")
+    cos = V.cosine(F.col("x.v"), F.col("y.v"))
+    return (
+        cand.join(x, F.col("vec_a") == F.col("x.vec_id"))
+        .join(y, F.col("vec_b") == F.col("y.vec_id"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        sh AS (SELECT doc_id,
+                      {D.string_shingles_sql("words", 5)} AS sh
+               FROM d),
+        ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+               WHERE doc_id % 10 = 0),
+        tx AS (SELECT doc_id, unnest(sh) AS s FROM sh
+               WHERE doc_id % 10 <> 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM tx JOIN ev USING (s)
+        GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "decontamination", "extension"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    exact word 5-gram with the held-out set (docs with doc_id % 10 = 0
+    stand in for the benchmark), reporting how many distinct 5-grams
+    each contaminated document shares — the standard n-gram-overlap
+    decontamination pass run before pretraining.
+
+    Scale shape: an inverted-index EQUI join on the shingle string —
+    never a doc x doc comparison. The eval side is deduplicated to
+    distinct shingles and broadcast (real benchmark suites are MBs
+    against a 100 TB corpus); the train side explodes to (doc, shingle)
+    rows with map-side partial aggregation after the join, so shuffle
+    volume is O(contaminated matches), not O(corpus)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", D.string_shingles(F.col("words"), 5).alias("sh")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    tx = sh.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    return (
+        tx.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@query(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        sh AS (SELECT doc_id,
+                      {D.string_shingles_sql("words")} AS shingles
+               FROM d),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_shared
+                  FROM ex a JOIN ex b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        cand AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes x ON x.doc_id = doc_a
+            JOIN sizes y ON y.doc_id = doc_b
+            WHERE n_shared / (x.nsh + y.nsh - n_shared) >= 0.5)
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(substr(ta.text, 1, 80),
+                                substr(tb.text, 1, 80)) AS BIGINT)
+                   AS prefix_edit_dist
+        FROM cand
+        JOIN documents ta ON ta.doc_id = doc_a
+        JOIN documents tb ON tb.doc_id = doc_b
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: for each
+    Jaccard>=0.5 candidate pair, the Levenshtein distance of the two
+    80-char prefixes — the character-level second opinion a curation
+    pipeline runs before destructive dedup (token-set measures are
+    blind to within-token edits). Levenshtein is O(len^2) per pair, so
+    it NEVER runs all-pairs: only over the LSH/inverted-index candidate
+    set, and only over bounded prefixes — both bounds are what keep
+    this viable at 100 TB. Unit-cost edit distance is an exact integer
+    with one standard definition, so both engines agree bitwise."""
+    cand = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    ta = docs.select(
+        F.col("doc_id").alias("ida"),
+        F.substring("text", 1, 80).alias("pa"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("idb"),
+        F.substring("text", 1, 80).alias("pb"),
+    )
+    return (
+        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("ida"))
+        .join(F.broadcast(tb), F.col("doc_b") == F.col("idb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb")
+            .cast("long")
+            .alias("prefix_edit_dist"),
+        )
+    )
+
+
+@query(
+    "mining_pair_cooccurrence",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY n_orders DESC, part_a, part_b) AS rn
+            FROM pairs
+        )
+        SELECT part_a, part_b, n_orders FROM ranked WHERE rn <= 20
+    """,
+    tags=("extension", "mining", "cooccurrence"),
+)
+def mining_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs appearing in
+    the same order — the counting core of association mining (the
+    support computation of FP-growth/Apriori's first two levels).
+
+    Scale shape: a SELF-EQUI-JOIN on the basket key, so pair blowup is
+    bounded by basket size squared (TPC-H orders have <= 7 lines -> at
+    most 21 pairs per order), never cross-basket; the pair aggregation
+    is partial-combined map-side and top-20 is orderBy+limit — a
+    parallel TakeOrderedAndProject (per-partition top-20 heaps, merged
+    on the driver), NOT an unpartitioned rank window, which would
+    funnel the entire aggregated pair set through one task. The
+    (n_orders DESC, part_a, part_b) sort key makes the cut
+    deterministic. At 100 TB the join co-locates by bucketing
+    lineitem on l_orderkey — zero shuffle for the pair generation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        pairs.orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+        .select("part_a", "part_b", "n_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions: substring-level dedup, learned quality scoring,
+# frequency-balanced sampling
+# --------------------------------------------------------------------------
+
+# Non-overlapping chunk width (in tokens) for substring-level dedup.
+SUBSTRING_CHUNK = 8
+
+
+@query(
+    "dedup_substring_chunks",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        c0 AS (SELECT doc_id,
+                      [array_to_string(
+                           words[(i-1)*{SUBSTRING_CHUNK}+1:i*{SUBSTRING_CHUNK}],
+                           ' ')
+                       for i in range(
+                           1,
+                           CAST(ceil(len(words)/{SUBSTRING_CHUNK}.0) AS BIGINT)
+                               + 1)]
+                      AS chunks
+               FROM d),
+        e AS (SELECT doc_id,
+                     unnest(range(1, len(chunks)+1)) AS pos,
+                     unnest(chunks) AS chunk
+              FROM c0),
+        r AS (SELECT doc_id, pos, chunk,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+              FROM e),
+        k AS (SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_kept,
+                     md5(string_agg(chunk, ' ' ORDER BY pos)) AS kept_digest
+              FROM r WHERE rn = 1 GROUP BY doc_id)
+        SELECT c0.doc_id,
+               CAST(len(chunks) AS BIGINT) AS n_chunks,
+               COALESCE(n_kept, 0) AS n_kept,
+               COALESCE(kept_digest, md5('')) AS kept_digest
+        FROM c0 LEFT JOIN k USING (doc_id)
+    """,
+    tags=("dedup", "extension", "training-data"),
+    bench=True,
+)
+def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (the chunked approximation of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): split every document into non-overlapping 8-token chunks,
+    keep only the corpus-wide FIRST occurrence of each chunk (ordered
+    by doc_id then position), and rebuild each document from its
+    surviving chunks. Doc-level dedup (dedup_exact) can't catch the
+    boilerplate paragraph repeated inside otherwise-distinct documents;
+    this operator removes it at the substring granularity. Emits per
+    doc: chunk count, surviving-chunk count, and an md5 digest of the
+    rebuilt text (value-checks the reconstruction without shipping it).
+
+    Scale shape: one explode (fan-out len/8, bounded), one hash shuffle
+    on the chunk string for the partitioned first-occurrence window,
+    one shuffle back on doc_id for reassembly, and a co-keyed doc_id
+    join — no all-pairs anywhere, identical at 100 TB. A true
+    suffix-array dedup (arbitrary-boundary substrings) trades this
+    plan's 2 shuffles for a global sort; the chunk approximation is
+    the standard distributed compromise."""
+    docs = _docs_wide(spark, sf_dir)
+    n_chunks = F.ceil(F.size("words") / F.lit(float(SUBSTRING_CHUNK)))
+    # Lambda reads the stored `words` array (materialized by
+    # _docs_wide), so each slice is O(chunk) on a decoded array, not a
+    # re-tokenization (see string_shingles_all's shape rationale).
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks.cast("int")),
+        lambda i: F.array_join(
+            F.slice(
+                F.col("words"),
+                (i - F.lit(1)) * SUBSTRING_CHUNK + 1,
+                SUBSTRING_CHUNK,
+            ),
+            " ",
+        ),
+    )
+    c = docs.select("doc_id", chunks.alias("chunks"))
+    e = c.select(
+        "doc_id", F.posexplode("chunks").alias("pos", "chunk")
+    )
+    first_wins = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = (
+        e.withColumn("rn", F.row_number().over(first_wins))
+        .filter(F.col("rn") == 1)
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("kept_digest"),
+    )
+    base = c.select("doc_id", F.size("chunks").cast("long").alias("n_chunks"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
+    )

@@ -1,910 +1,21 @@
-"""Training-data-pipeline extension queries (SURVEY.md section 2.2 ⊕ rows).
+"""Misc extension queries that round out core coverage (SURVEY.md
+section 2.2): map/HOF scalar families, salted/decimal/approx aggregates,
+posexplode, and the forecast-revenue variant of TPC-H Q6.
 
-The reference's seed for this family is its char-frequency client
-(reference SampleClient.cpp:32-66) and its comparator-keyed unique-key
-set (reference JobContext.h:78) — text analysis and exact dedup. The
-rest (near-dup, similarity search, multimodal) is the north-star surface
-a 100 TB corpus pipeline needs.
-
-Oracle-parity strategy: every numeric formula here is deterministic and
-engine-agnostic (see operators/dedup.py and operators/vectors.py — the
-SQL renderers live next to the Spark renderers so they cannot drift).
-Float results are NOT rounded: both engines execute the identical
-IEEE-754 expression tree (sequential folds, same associativity), so the
-raw doubles match bit for bit; rounding would *introduce* divergence via
-tie-breaking rules on exact-decimal ratios.
-
-Scale notes (100 TB):
-- No all-pairs joins. Candidates always come from an equality shuffle
-  (shared shingle, LSH band key, SimHash nibble band, SRP bucket) —
-  O(sum of bucket^2), embarrassingly parallel across executors.
-- All text math is array-expression codegen (transform/filter/
-  aggregate) — zero Python, zero explode except where the candidate
-  inverted index genuinely needs one row per (doc, shingle).
-- Skew: stop-shingle buckets are the known hazard of the inverted-index
-  candidate step; AQE skew handling is on (session.py), and the MinHash
-  path (fixed 4 bands/doc) is the skew-proof variant for corpus scale.
+The LLM-pipeline families that used to live here moved to their own
+modules in round 7 (pure move, zero renames): plans/text_queries.py,
+plans/dedup_queries.py, plans/ann_queries.py, plans/multimodal_queries.py,
+plans/sampling_queries.py, with shared corpus helpers in plans/corpus.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from mapreduceframework_spark.operators import dedup as D
-from mapreduceframework_spark.operators import text as X
-from mapreduceframework_spark.operators import vectors as V
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
-
-# Shared DuckDB CTE: tokenized non-blank documents (mirrors _docs()).
-DOCS_CTE = (
-    "SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS words "
-    "FROM documents WHERE length(trim(text)) > 0"
-)
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-blank documents with a tokenized ``words`` column."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(F.length(F.trim("text")) > 0).withColumn(
-        "words", D.words_of(F.col("text"))
-    )
-
-
-def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenized docs, repartitioned (when needed) for expression-heavy
-    pipelines.
-
-    The repartition is GATED on observed scan parallelism (delegated to
-    sources.ensure_min_partitions — one implementation of the gate):
-    a single local parquet file scans as one task, so the round-robin
-    exchange spreads the heavy shingle/hash expressions across all
-    cores, and as a side effect materializes ``words`` so downstream
-    HOF lambdas read a stored array. When the scan already has >=
-    shuffle.partitions splits (always true at cluster scale — a 100 TB
-    corpus is ~400k splits) the exchange is skipped: shuffling the
-    whole corpus to round-robin it would be pure waste. Known
-    trade-off on that path: without the exchange Catalyst inlines
-    split() into downstream HOF lambdas, so tokenization re-runs per
-    shingle-slice access; that per-row constant is paid in parallel
-    across the already-wide scan, which beats a corpus-wide shuffle at
-    scale (a shuffle writes+reads every byte once; the inlined split
-    only re-scans each row's own text)."""
-    from mapreduceframework_spark.sources.registry import ensure_min_partitions
-
-    return ensure_min_partitions(
-        _docs(spark, sf_dir).select("doc_id", "words"), spark
-    )
-
-
-def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings with the float32 column widened to float64 (exact)."""
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
-    )
-
-
-EMB_CTE = "SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings"
-
-
-# --------------------------------------------------------------------------
-# Text analysis
-# --------------------------------------------------------------------------
-
-
-@query(
-    "text_token_stats",
-    oracle="""
-        SELECT doc_id,
-               (CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                END)::BIGINT AS ws_tokens,
-               len(regexp_extract_all(
-                   text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
-                   AS bpe_tokens
-        FROM documents
-    """,
-    tags=("text", "extension"),
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish pre-tokens (GPT-2
-    pretokenizer shape). Pure codegen — one scan, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.whitespace_token_count(F.col("text")).alias("ws_tokens"),
-        X.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
-    )
-
-
-@query(
-    "text_quality_scores",
-    oracle="""
-        SELECT doc_id,
-               CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                    (length(text)
-                     - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
-                    / length(text) END AS punct_ratio,
-               CASE WHEN len(words) = 0 THEN 0.0 ELSE
-                    len(list_filter(words, w -> list_contains(
-                        ['the','a','of','and','to','in','is','it'], w)))
-                    / len(words) END AS stop_ratio,
-               round((least(length(text) / 200.0, 1.0)
-                      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                           (length(text) - length(regexp_replace(
-                                text, '[^A-Za-z0-9\\s]', '', 'g')))
-                           / length(text) END) * 4, 1.0))
-                      + least((CASE WHEN len(words) = 0 THEN 0.0 ELSE
-                           len(list_filter(words, w -> list_contains(
-                               ['the','a','of','and','to','in','is','it'], w)))
-                           / len(words) END) * 5, 1.0)) / 3.0, 6) AS quality
-        FROM (SELECT doc_id, text,
-                     regexp_split_to_array(trim(text), '\\s+') AS words
-              FROM documents)
-    """,
-    tags=("text", "extension"),
-)
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: punctuation ratio, stopword ratio, composite
-    C4-style cheap filter. Ratios are single int/int divisions — raw
-    doubles match the oracle bit for bit."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        X.punct_ratio(t).alias("punct_ratio"),
-        X.stopword_ratio(t).alias("stop_ratio"),
-        X.quality_score(t).alias("quality"),
-    )
-
-
-@query(
-    "text_lang_id",
-    oracle="""
-        WITH d AS (SELECT doc_id,
-                          regexp_split_to_array(trim(lower(text)), '\\s+')
-                              AS words
-                   FROM documents WHERE length(trim(text)) > 0),
-        s AS (SELECT doc_id,
-              len(list_filter(words, w -> list_contains(
-                  ['der','die','und','das','ist'], w)))::BIGINT AS s_de,
-              len(list_filter(words, w -> list_contains(
-                  ['the','a','of','and','to'], w)))::BIGINT AS s_en,
-              len(list_filter(words, w -> list_contains(
-                  ['el','la','de','y','que'], w)))::BIGINT AS s_es,
-              len(list_filter(words, w -> list_contains(
-                  ['le','la','et','les','des'], w)))::BIGINT AS s_fr,
-              len(list_filter(words, w -> list_contains(
-                  ['de5','shi4','le5','zai4','he2'], w)))::BIGINT AS s_zh
-              FROM d)
-        SELECT doc_id,
-               CASE WHEN best.score <= 0 THEN 'und' ELSE best.lang END
-                   AS lang_pred
-        FROM (SELECT doc_id, list_max([
-                  {'score': s_de, 'lang': 'de'},
-                  {'score': s_en, 'lang': 'en'},
-                  {'score': s_es, 'lang': 'es'},
-                  {'score': s_fr, 'lang': 'fr'},
-                  {'score': s_zh, 'lang': 'zh'}]) AS best
-              FROM s)
-    """,
-    tags=("text", "extension"),
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: per-language marker-token hits, argmax
-    with deterministic tie-break (struct-max: score, then lang code)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id", X.lang_id(F.col("text")).alias("lang_pred")
-    )
-
-
-@query(
-    "text_fingerprints",
-    oracle=f"""
-        SELECT doc_id,
-               list_reduce(
-                   list_prepend(0::BIGINT, list_transform(words,
-                       w -> length(w)*997 + ascii(substr(w, 1, 1)))),
-                   (acc, t) -> (acc*31 + t) % 1000000007) AS fp
-        FROM ({DOCS_CTE})
-    """,
-    tags=("text", "extension"),
-)
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive document fingerprint: polynomial rolling hash
-    over tokens, folded JVM-side (F.aggregate — no Python)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id", X.rolling_fingerprint(F.col("text")).alias("fp")
-    )
-
-
-# --------------------------------------------------------------------------
-# Deduplication
-# --------------------------------------------------------------------------
-
-
-@query(
-    "dedup_exact",
-    oracle="""
-        SELECT md5(text) AS digest,
-               MIN(doc_id) AS keeper,
-               CAST(COUNT(*) AS BIGINT) AS n_copies
-        FROM documents GROUP BY md5(text)
-    """,
-    tags=("dedup", "extension"),
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content digest — the reference's unique-key set
-    (reference JobContext.cpp:347-353) as a hash shuffle on md5(text).
-    Digest-first matters at scale: the shuffle key is 32 bytes, not the
-    document body, so shuffle volume is O(rows), not O(corpus)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return D.exact_dedup(
-        docs.withColumn("digest", F.md5("text")), ["digest"], "doc_id"
-    )
-
-
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-        WITH d AS ({DOCS_CTE}),
-        sh AS (SELECT doc_id,
-                      {D.string_shingles_sql("words")} AS shingles
-               FROM d),
-        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                         CAST(COUNT(*) AS BIGINT) AS n_shared
-                  FROM ex a JOIN ex b
-                  ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-        sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh)
-        SELECT doc_a, doc_b,
-               n_shared / (x.nsh + y.nsh - n_shared) AS jac
-        FROM inter
-        JOIN sizes x ON x.doc_id = doc_a
-        JOIN sizes y ON y.doc_id = doc_b
-        WHERE n_shared / (x.nsh + y.nsh - n_shared) >= 0.5
-    """,
-    tags=("dedup", "extension"),
-    bench=True,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5, computed
-    entirely from the inverted index: per-doc shingle sets are distinct,
-    so COUNT over the shared-shingle equi-join IS the intersection size,
-    and Jaccard needs only the two set sizes on top — no per-pair array
-    shipping or array_intersect. One explode, one aggregated self-join,
-    two slim size joins; the aggregation is partial map-side. At corpus
-    scale, stop-shingles skew the index join — the MinHash query below
-    is the constant-fanout variant; AQE skew handling covers the middle
-    ground."""
-    # Set size rides along with each exploded row, so no separate size
-    # join — and the merge hint makes BOTH self-join sides identical
-    # hash-partition exchanges, which Spark's ReuseExchange collapses
-    # into ONE shingle computation + shuffle (a broadcast side would
-    # break the symmetry and recompute the whole shingle pipeline).
-    sh = _docs_wide(spark, sf_dir).select(
-        "doc_id", D.string_shingles(F.col("words")).alias("shingles")
-    )
-    ex = sh.select(
-        "doc_id",
-        F.size("shingles").alias("nsh"),
-        F.explode("shingles").alias("s"),
-    )
-    inter = (
-        ex.alias("a")
-        .join(
-            ex.alias("b").hint("shuffle_merge"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.nsh").alias("nsh_a"),
-            F.col("b.nsh").alias("nsh_b"),
-        )
-        .agg(F.count("*").alias("n_shared"))
-    )
-    jac = F.col("n_shared") / (
-        F.col("nsh_a") + F.col("nsh_b") - F.col("n_shared")
-    )
-    return inter.select("doc_a", "doc_b", jac.alias("jac")).filter(
-        F.col("jac") >= 0.5
-    )
-
-
-# CTE chain ending in `mh_pairs` (doc_a, doc_b, jac >= 0.5) — shared by
-# the pair query and the connected-components cluster query so the edge
-# definition cannot drift between them.
-MINHASH_PAIRS_CTES = f"""
-        d AS ({DOCS_CTE}),
-        whc AS (SELECT doc_id,
-                       list_transform(words, w -> {D.word_hash_sql("w")})
-                           AS wh
-                FROM d),
-        shc AS (SELECT doc_id, {D.hashed_shingles_sql("wh")} AS hs FROM whc),
-        shf AS (SELECT doc_id, hs FROM shc WHERE len(hs) > 0),
-        sigc AS (SELECT doc_id,
-                        {D.minhash_signature_sql("hs")} AS sig
-                 FROM shf),
-        bands AS (SELECT doc_id, t.bk.band AS band, t.bk.key AS key
-                  FROM (SELECT doc_id,
-                               unnest({D.lsh_band_keys_sql("sig")}) AS bk
-                        FROM sigc) t),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.key = b.key
-                    AND a.doc_id < b.doc_id),
-        mh_pairs AS (
-            SELECT doc_a, doc_b, {D.jaccard_sql("x.hs", "y.hs")} AS jac
-            FROM cand
-            JOIN shf x ON x.doc_id = doc_a
-            JOIN shf y ON y.doc_id = doc_b
-            WHERE {D.jaccard_sql("x.hs", "y.hs")} >= 0.5)
-"""
-
-
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (doc_a, doc_b, jac >= 0.5) via MinHash+LSH."""
-    sh = _docs_wide(spark, sf_dir).select(
-        "doc_id", D.hashed_shingles(F.col("words")).alias("hs")
-    )
-    shf = sh.filter(F.size("hs") > 0)
-    sig = shf.select("doc_id", D.minhash_signature(F.col("hs")).alias("sig"))
-    bands = sig.select(
-        "doc_id", F.explode(D.lsh_band_keys(F.col("sig"))).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    x, y = shf.alias("x"), shf.alias("y")
-    jac = D.jaccard(F.col("x.hs"), F.col("y.hs"))
-    return (
-        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(y, F.col("doc_b") == F.col("y.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jac"))
-        .filter(F.col("jac") >= 0.5)
-    )
-
-
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-        WITH {MINHASH_PAIRS_CTES}
-        SELECT doc_a, doc_b, jac FROM mh_pairs
-    """,
-    tags=("dedup", "extension"),
-    bench=True,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dedup: 8-perm signature over hashed 3-gram
-    shingles, 4 bands x 2 rows, band-bucket equi-join for candidates,
-    exact Jaccard (on the hashed shingle sets) as verification. Fixed 4
-    band rows per doc -> shuffle volume is O(4n) regardless of document
-    length; the S-curve at >=0.5 with b=4,r=2 catches the planted
-    near-dups while pruning ~everything else."""
-    return _minhash_pairs(spark, sf_dir)
-
-
-@query(
-    "dedup_clusters",
-    bench=True,
-    oracle=f"""
-        WITH RECURSIVE {MINHASH_PAIRS_CTES},
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
-                  UNION
-                  SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
-        nodes AS (SELECT DISTINCT src AS doc FROM edges),
-        reach(doc, lab) AS (
-            SELECT doc, doc FROM nodes
-            UNION
-            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
-        comp AS (SELECT doc AS doc_id, MIN(lab) AS cluster_id
-                 FROM reach GROUP BY doc),
-        sized AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-                  FROM comp GROUP BY cluster_id)
-        SELECT c.doc_id, c.cluster_id, s.cluster_size,
-               c.doc_id = c.cluster_id AS is_canonical
-        FROM comp c JOIN sized s USING (cluster_id)
-    """,
-    tags=("dedup", "graph", "extension"),
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS, not just pairs: connected components over the
-    MinHash near-dup graph (min-label propagation,
-    operators/graph.py), then per-cluster size and a canonical-doc
-    flag (lowest doc_id). ``is_canonical`` is the keep-list a corpus
-    dedup pass applies; the oracle recomputes components via a
-    recursive CTE, so the distributed fixpoint is checked against an
-    independent transitive closure."""
-    from mapreduceframework_spark.operators.graph import connected_components
-
-    pairs = _minhash_pairs(spark, sf_dir)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
-    sized = comp.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return comp.join(sized, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-    )
-
-
-@query(
-    "dedup_simhash",
-    bench=True,
-    oracle=f"""
-        WITH d AS ({DOCS_CTE}),
-        whc AS (SELECT doc_id,
-                       list_transform(words, w -> {D.word_hash_sql("w")})
-                           AS wh
-                FROM d),
-        wh32c AS (SELECT doc_id, {D.word_hash32_sql("wh")} AS wh32 FROM whc),
-        sims AS (SELECT doc_id, {D.simhash_sql("wh32")} AS sim FROM wh32c),
-        bands AS (SELECT doc_id, sim, t.bk.band AS band, t.bk.key AS key
-                  FROM (SELECT doc_id, sim,
-                               unnest({D.simhash_nibble_bands_sql("sim")})
-                                   AS bk
-                        FROM sims) t),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sim AS sim_a,
-                                 b.doc_id AS doc_b, b.sim AS sim_b
-                 FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.key = b.key
-                    AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b,
-               bit_count(xor(sim_a, sim_b))::INT AS hamming
-        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
-    """,
-    tags=("dedup", "extension"),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit token-multiplicity SimHash, pairs
-    within Hamming distance 3. Candidates via 8-bit bands —
-    pigeonhole guarantees any pair at distance <=3 agrees on >=1 of the
-    4 bands, so the band equi-join finds all of them without O(n^2)."""
-    # The hash itself is fully relational (operators/dedup.py::
-    # simhash_by_doc): explode tokens -> 32 conditional SUMs under
-    # groupBy(doc_id), all whole-stage codegen — 9x faster than the
-    # interpreted scalar-HOF form it replaced (BENCH_r03 9.5s -> ~2s).
-    # The round-robin repartition spreads the single-file scan across
-    # cores BEFORE the explode, so the heavy partial-agg stage runs on
-    # all of them; the groupBy's own exchange then hash-partitions sims
-    # by doc_id, and the two band self-join branches share it as one
-    # ReusedExchange. Shuffle payloads: 33 longs/doc, then 16B/doc.
-    wh = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.transform(F.col("words"), D.word_hash32).alias("wh32"),
-        )
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
-    )
-    sims = D.simhash_by_doc(wh)
-    bands = sims.select(
-        "doc_id", "sim", F.explode(D.simhash_nibble_bands(F.col("sim"))).alias("bk")
-    ).select("doc_id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.sim").alias("sim_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= 3)
-
-
-def _emb_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, tbl, bucket) rows, one per LSH table per vector."""
-    e = _embeddings(spark, sf_dir)
-    return e.select(
-        "vec_id", F.explode(V.lsh_table_keys(F.col("v"))).alias("tk")
-    ).select(
-        "vec_id", F.col("tk.tbl").alias("tbl"), F.col("tk.bucket").alias("bucket")
-    )
-
-
-EMB_BANDS_CTE = f"""
-        SELECT vec_id, t.tk.tbl AS tbl, t.tk.bucket AS bucket
-        FROM (SELECT vec_id, unnest({V.lsh_table_keys_sql("v")}) AS tk
-              FROM ({EMB_CTE}))  t
-"""
-
-
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-        WITH e AS ({EMB_CTE}),
-        b AS ({EMB_BANDS_CTE}),
-        cand AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-                 FROM b a JOIN b c
-                 ON a.tbl = c.tbl AND a.bucket = c.bucket
-                    AND a.vec_id < c.vec_id)
-        SELECT vec_a, vec_b, {V.cosine_sql("x.v", "y.v")} AS cos
-        FROM cand
-        JOIN e x ON x.vec_id = vec_a
-        JOIN e y ON y.vec_id = vec_b
-        WHERE {V.cosine_sql("x.v", "y.v")} >= 0.4
-    """,
-    tags=("dedup", "similarity", "extension"),
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: multi-table sign-LSH (4 tables x 4
-    hyperplanes, OR-construction) generates candidates, cosine >= 0.4
-    verified exactly — the shuffle-bounded variant of all-pairs
-    similarity. A single 8-plane table measured ~zero recall on this
-    corpus (cos~0.5 pairs collide with p~0.04); the OR over 4 coarser
-    tables trades a 4x candidate fan-out for usable recall — L and K
-    are THE tuning dials of SRP-LSH."""
-    e = _embeddings(spark, sf_dir)
-    b = _emb_bands(spark, sf_dir)
-    cand = (
-        b.alias("a")
-        .join(
-            b.alias("c"),
-            (F.col("a.tbl") == F.col("c.tbl"))
-            & (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col("a.vec_id") < F.col("c.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
-    x, y = e.alias("x"), e.alias("y")
-    cos = V.cosine(F.col("x.v"), F.col("y.v"))
-    return (
-        cand.join(x, F.col("vec_a") == F.col("x.vec_id"))
-        .join(y, F.col("vec_b") == F.col("y.vec_id"))
-        .select("vec_a", "vec_b", cos.alias("cos"))
-        .filter(F.col("cos") >= 0.4)
-    )
-
-
-# --------------------------------------------------------------------------
-# Similarity search (ANN over array<float>)
-# --------------------------------------------------------------------------
-
-
-@query(
-    "ann_cosine_bruteforce",
-    oracle=f"""
-        WITH e AS ({EMB_CTE}),
-        q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
-        scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                          {V.cosine_sql("q.v", "e.v")} AS cos
-                   FROM q JOIN e ON e.vec_id <> q.vec_id)
-        SELECT query_id, neighbor_id, cos, rank FROM (
-            SELECT query_id, neighbor_id, cos,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored)
-        WHERE rank <= 5
-    """,
-    tags=("similarity", "extension"),
-    bench=True,
-)
-def ann_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for 10 query vectors — the
-    brute-force correctness baseline. The query side is tiny so Catalyst
-    broadcasts it: one scan of the corpus, no shuffle of the big side,
-    then a per-query top-k window over O(q*n) scored rows. rank is
-    deterministic: ties break on neighbor_id."""
-    e = _embeddings(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    scored = (
-        F.broadcast(q)
-        .join(e, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
-
-
-@query(
-    "ann_cosine_lsh",
-    oracle=f"""
-        WITH e AS ({EMB_CTE}),
-        b AS ({EMB_BANDS_CTE}),
-        qb AS (SELECT vec_id, tbl, bucket FROM b WHERE vec_id < 10),
-        cand AS (SELECT DISTINCT qb.vec_id AS query_id,
-                                 b.vec_id AS neighbor_id
-                 FROM qb JOIN b
-                 ON b.tbl = qb.tbl AND b.bucket = qb.bucket
-                    AND b.vec_id <> qb.vec_id),
-        scored AS (SELECT query_id, neighbor_id,
-                          {V.cosine_sql("x.v", "y.v")} AS cos
-                   FROM cand
-                   JOIN e x ON x.vec_id = query_id
-                   JOIN e y ON y.vec_id = neighbor_id)
-        SELECT query_id, neighbor_id, cos, rank FROM (
-            SELECT query_id, neighbor_id, cos,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored)
-        WHERE rank <= 5
-    """,
-    tags=("similarity", "extension"),
-)
-def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via multi-table sign-LSH: candidates share a
-    bucket with the query in ANY of the 4 tables, then exact cosine +
-    deterministic ranking over candidates only (~4/16 of the corpus
-    instead of all of it). Recall vs the brute-force twin is measured
-    in tests/test_extensions.py — the two queries differing ONLY in the
-    candidate set makes that measurement honest."""
-    e = _embeddings(spark, sf_dir)
-    b = _emb_bands(spark, sf_dir)
-    qb = b.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("tbl").alias("qtbl"),
-        F.col("bucket").alias("qbucket"),
-    )
-    cand = (
-        F.broadcast(qb)
-        .join(
-            b,
-            (F.col("tbl") == F.col("qtbl"))
-            & (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-    )
-    x, y = e.alias("x"), e.alias("y")
-    scored = (
-        cand.join(F.broadcast(x), F.col("query_id") == F.col("x.vec_id"))
-        .join(y, F.col("neighbor_id") == F.col("y.vec_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            V.cosine(F.col("x.v"), F.col("y.v")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
-
-
-# --------------------------------------------------------------------------
-# Multimodal columns
-# --------------------------------------------------------------------------
-
-
-@query(
-    "multimodal_decode_features",
-    bench=True,
-    oracle="""
-        SELECT doc_id,
-               strlen(text)::BIGINT AS byte_len,
-               ascii(substr(text, 1, 1))::BIGINT AS first_byte,
-               (list_sum(list_transform(string_split(text, ''),
-                                        c -> ascii(c))) % 256)::BIGINT
-                   AS checksum,
-               least(n_chars % 64 + 1, 16)::BIGINT AS thumb_w
-        FROM documents
-    """,
-    tags=("multimodal", "extension"),
-)
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: binary payload + typed metadata ->
-    Arrow-batched pandas 'decoder' (mapInPandas) emitting per-item
-    features. This query keeps the byte-level fake codec to check the
-    PLUMBING against an analytic oracle; the REAL decoders (PNG/PPM,
-    operators/imagecodec.py) are value-checked end to end by
-    multimodal_image_decode. Oracle equivalence relies on the corpus
-    being ASCII (strlen==octet length, verified in tests), since DuckDB
-    can't run the pandas decoder."""
-    from mapreduceframework_spark.operators import multimodal as M
-    from mapreduceframework_spark.sources.registry import ensure_min_partitions
-
-    # Parallelize the Python decode stage: one input split would mean
-    # one Python worker for the whole corpus.
-    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
-    return M.decode_features(M.attach_payload(docs))
-
-
-@query(
-    "multimodal_image_decode",
-    oracle="""
-        WITH p AS (
-            SELECT doc_id,
-                   doc_id % 13 + 4 AS width,
-                   doc_id % 7 + 3 AS height
-            FROM documents
-        )
-        SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'ppm' END AS fmt,
-               CAST(width AS BIGINT) AS width,
-               CAST(height AS BIGINT) AS height,
-               CAST(width * height * 3 AS BIGINT) AS n_bytes,
-               CAST(list_reduce(
-                   list_prepend(0, [ (doc_id * 7 + i * 13) % 256
-                                     for i in range(0, width * height * 3) ]),
-                   (acc, v) -> (acc * 31 + v) % 1000000007
-               ) AS BIGINT) AS pix_digest
-        FROM p
-    """,
-    tags=("multimodal", "extension", "codec"),
-)
-def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode, value-checked end to end: every document gets
-    an actual encoded image file (PNG for even doc_ids — the encoder
-    cycles all five PNG scanline filters, so Sub/Up/Average/Paeth
-    un-filtering must all be correct — binary PPM for odd), and the
-    engine decodes the binary payloads back through the pure-Python
-    codecs (operators/imagecodec.py: chunk walk, CRC check, zlib
-    inflate, un-filter / netpbm tokenizer) in an Arrow-batched
-    mapInPandas stage. Pixels are integer functions of doc_id, so the
-    oracle predicts the decoded (width, height, byte count, pixel fold
-    digest) analytically — any parser bug anywhere in the round trip
-    breaks the value hash. Partition-preserving: synth and decode run
-    in the same task, no shuffle."""
-    from mapreduceframework_spark.operators import multimodal as M
-    from mapreduceframework_spark.sources.registry import ensure_min_partitions
-
-    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
-    return M.decode_images(M.synth_images(docs))
-
-
-@query(
-    "multimodal_audio_decode",
-    oracle="""
-        WITH p AS (
-            SELECT doc_id,
-                   doc_id % 50 + 10 AS n_frames,
-                   doc_id % 2 + 1 AS channels
-            FROM documents
-        )
-        SELECT doc_id,
-               CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                    WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
-                   AS sample_rate,
-               CAST(channels AS BIGINT) AS channels,
-               CAST(n_frames AS BIGINT) AS n_frames,
-               CAST(list_reduce(
-                   list_prepend(0, [ (doc_id * 31 + i * 17) % 65536
-                                     for i in range(0, n_frames * channels) ]),
-                   (acc, v) -> (acc * 31 + v) % 1000000007
-               ) AS BIGINT) AS sample_digest
-        FROM p
-    """,
-    tags=("multimodal", "extension", "codec", "audio"),
-)
-def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode, value-checked end to end: every document gets
-    an actual RIFF/WAVE file (16-bit PCM, mono/stereo, four sample
-    rates, a LIST chunk between fmt and data so fixed-offset parsing
-    would fail) and the engine decodes it back through the pure-Python
-    RIFF chunk walker (operators/imagecodec.py decode_wav) in an
-    Arrow-batched mapInPandas stage. PCM samples are integer functions
-    of doc_id, so the oracle predicts (sample_rate, channels, n_frames,
-    PCM fold digest) analytically. Same partition-preserving seam as
-    the image decode — no shuffle."""
-    from mapreduceframework_spark.operators import multimodal as M
-    from mapreduceframework_spark.sources.registry import ensure_min_partitions
-
-    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
-    return M.decode_audio(M.synth_audio(docs))
-
-
-PACK_BUDGET = 256  # tokens per packed chunk
-PACK_SHARDS = 8
-
-
-@query(
-    "pack_token_chunks",
-    oracle=f"""
-        WITH t AS (
-            SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
-                   (CASE WHEN length(trim(text)) = 0 THEN 0
-                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                    END) AS toks
-            FROM documents
-        ),
-        c AS (
-            SELECT shard, doc_id, toks,
-                   SUM(toks) OVER (
-                       PARTITION BY shard ORDER BY doc_id
-                       ROWS UNBOUNDED PRECEDING) AS cum
-            FROM t
-        )
-        SELECT CAST(shard AS BIGINT) AS shard,
-               CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS chunk_id,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(toks) AS BIGINT) AS total_tokens,
-               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM c WHERE toks > 0
-        GROUP BY shard, (cum - 1) // {PACK_BUDGET}
-    """,
-    tags=("extension", "packing", "training-data"),
-)
-def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing (concat-and-chunk) for LLM pretraining: shard
-    the corpus deterministically, order each shard by doc_id, and cut
-    the running token stream into fixed {PACK_BUDGET}-token chunks —
-    chunk_id = (cumulative_tokens - 1) div budget, the standard
-    concat-then-split packing that wastes no padding. Emits per-chunk
-    stats (doc count, token total, doc-id span) — the manifest a
-    packed-dataset writer consumes.
-
-    Scale shape: packing is inherently sequential IN ORDER, so the
-    scalable form makes the order per-shard: the window partitions by
-    shard (one shuffle, {PACK_SHARDS} streams locally; thousands on a
-    cluster), never a single global sort. Token counting is a JVM-side
-    expression; no Python anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-        X.whitespace_token_count(F.col("text")).alias("toks"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = t.withColumn("cum", F.sum("toks").over(w))
-    return (
-        c.filter(F.col("toks") > 0)
-        .groupBy(
-            F.col("shard").cast("long").alias("shard"),
-            ((F.col("cum") - 1) / PACK_BUDGET)
-            .cast("long")
-            .alias("chunk_id"),
-        )
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("toks").cast("long").alias("total_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-    )
+from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs
 
 
 # --------------------------------------------------------------------------
@@ -945,55 +56,6 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-    )
-
-
-@query(
-    "text_tfidf_top_terms",
-    bench=True,
-    oracle=f"""
-        WITH d AS ({DOCS_CTE}),
-        tok AS (SELECT doc_id, unnest(words) AS term FROM d),
-        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-               FROM tok GROUP BY 1, 2),
-        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-               FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
-        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
-        scored AS (SELECT doc_id, tf.term,
-                          tf * ln((1.0 + n_docs) / (1.0 + df)) AS tfidf
-                   FROM tf, n JOIN df ON tf.term = df.term)
-        SELECT doc_id, term, tfidf, rnk FROM (
-            SELECT doc_id, term, tfidf,
-                   ROW_NUMBER() OVER (PARTITION BY doc_id
-                       ORDER BY tfidf DESC, term) AS rnk
-            FROM scored)
-        WHERE rnk <= 3
-    """,
-    tags=("text", "extension", "agg", "join"),
-)
-def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-3 terms per document — the classic text pipeline as
-    pure DataFrame ops: explode -> tf groupBy -> df groupBy -> smoothed
-    idf join -> per-doc top-k window. The df side is O(vocabulary) and
-    broadcast; ln() of identical doubles is bit-identical across
-    engines, so no rounding is needed."""
-    tok = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.col("words")).alias("term")
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = _docs(spark, sf_dir).count()
-    tfidf = (
-        F.col("tf")
-        * F.log((1.0 + float(n_docs)) / (1.0 + F.col("df")))
-    ).alias("tfidf")
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
-    return (
-        tf.join(F.broadcast(df), "term")
-        .select("doc_id", "term", tfidf)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("doc_id", "term", "tfidf", "rnk")
     )
 
 
@@ -1141,537 +203,6 @@ def flatmap_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_frame_sample",
-    oracle="""
-        WITH f AS (
-            SELECT doc_id, t.f AS frame_idx,
-                   substring(text, (t.f * 16)::INT + 1, 16) AS frame
-            FROM documents,
-                 unnest(range(0, (strlen(text) + 15) // 16)) AS t(f)
-            WHERE t.f % 2 = 0)
-        SELECT doc_id, frame_idx,
-               strlen(frame)::BIGINT AS frame_bytes,
-               (list_sum(list_transform(string_split(frame, ''),
-                                        c -> ascii(c))) % 256)::BIGINT
-                   AS frame_checksum
-        FROM f
-    """,
-    tags=("multimodal", "extension"),
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over multimodal payloads: 16-byte 'frames', every
-    2nd frame decoded — the 1-to-many (UDTF-shaped) variant of the
-    multimodal plumbing, via the same Arrow-batched mapInPandas path
-    (operators/multimodal.py sample_frames). Same ASCII-corpus
-    equivalence as multimodal_decode_features; a real video sampler
-    swaps the checksum for pixel work, the batch shape is identical."""
-    from mapreduceframework_spark.operators import multimodal as M
-    from mapreduceframework_spark.sources.registry import ensure_min_partitions
-
-    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
-    return M.sample_frames(M.attach_payload(docs))
-
-
-# --------------------------------------------------------------------------
-# IVF-style ANN
-# --------------------------------------------------------------------------
-
-def _centroids_sql(src: str) -> str:
-    """Per-label mean-vector CTE body over ``src`` (a CTE name or a
-    parenthesized subquery), components rounded to 6 on both engines so
-    cross-engine AVG-order drift can't flip a probe ranking. Shared by
-    ann_cosine_ivf (whole corpus) and ann_topk_join (corpus side)."""
-    return f"""
-        SELECT label, list(cx ORDER BY pos) AS c
-        FROM (SELECT label, pos, ROUND(AVG(x), 6) AS cx
-              FROM (SELECT label, generate_subscripts(v, 1) AS pos,
-                           unnest(v) AS x
-                    FROM {src})
-              GROUP BY label, pos)
-        GROUP BY label
-"""
-
-
-CENTROIDS_CTE = _centroids_sql(f"({EMB_CTE})")
-
-
-def _label_centroids(e: DataFrame) -> DataFrame:
-    """Spark side of :func:`_centroids_sql`: per-label mean vector with
-    components rounded to 6. One partial-aggregated groupBy over
-    (label, pos) — shuffle volume O(labels x dims), never O(corpus)."""
-    return (
-        e.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s.cx).alias("c"))
-    )
-
-
-@query(
-    "ann_cosine_ivf",
-    bench=True,
-    oracle=f"""
-        WITH e AS ({EMB_CTE}),
-        cent AS ({CENTROIDS_CTE}),
-        probes AS (
-            SELECT query_id, qv, label FROM (
-                SELECT q.vec_id AS query_id, q.v AS qv, cent.label,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY {V.cosine_sql("q.v", "cent.c")} DESC,
-                                    cent.label) AS r
-                FROM e q, cent WHERE q.vec_id < 10)
-            WHERE r <= 3),
-        scored AS (
-            SELECT query_id, e.vec_id AS neighbor_id,
-                   {V.cosine_sql("probes.qv", "e.v")} AS cos
-            FROM probes JOIN e USING (label)
-            WHERE e.vec_id <> query_id)
-        SELECT query_id, neighbor_id, cos, rank FROM (
-            SELECT query_id, neighbor_id, cos,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored)
-        WHERE rank <= 5
-    """,
-    tags=("similarity", "extension"),
-)
-def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a coarse quantizer partitions the corpus into
-    inverted lists; each query probes its 3 nearest centroids and
-    scores exact cosine only inside those lists (~30% of the corpus
-    here). The quantizer is the per-label mean vector — the structure
-    is exactly IVF-Flat (train = k-means; here the label clustering
-    stands in for the training step, which keeps the oracle
-    independent). Centroid components are rounded to 6 before use on
-    BOTH sides so the cross-engine AVG-order drift can't flip a
-    probe ranking."""
-    e = _embeddings(spark, sf_dir)
-    cent = _label_centroids(e)
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("centroid_sim"), F.asc("label")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("centroid_sim", V.cosine(F.col("qv"), F.col("c")))
-        .withColumn("r", F.row_number().over(w_probe))
-        .filter(F.col("r") <= 3)
-        .select("query_id", "qv", "label")
-    )
-    scored = (
-        F.broadcast(probes)
-        .join(e, "label")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
-
-
-@query(
-    "ann_topk_join",
-    oracle=f"""
-        WITH e AS ({EMB_CTE}),
-        corpus AS (SELECT * FROM e WHERE vec_id >= 20),
-        cent AS ({_centroids_sql("corpus")}),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
-        probes AS (
-            SELECT query_id, qv, label FROM (
-                SELECT q.query_id, q.qv, cent.label,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY q.query_id
-                           ORDER BY {V.cosine_sql("q.qv", "cent.c")} DESC,
-                                    cent.label) AS r
-                FROM q, cent)
-            WHERE r <= 2),
-        scored AS (
-            SELECT query_id, corpus.vec_id AS neighbor_id,
-                   {V.cosine_sql("probes.qv", "corpus.v")} AS cos
-            FROM probes JOIN corpus USING (label))
-        SELECT query_id, neighbor_id, cos, rank FROM (
-            SELECT query_id, neighbor_id, cos,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored)
-        WHERE rank <= 3
-    """,
-    tags=("similarity", "extension", "retrieval"),
-)
-def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-corpus top-k similarity JOIN — the everyday retrieval
-    shape: for each of M query vectors (one table), the top-3 cosine
-    neighbors out of a DISTINCT corpus table, through the IVF candidate
-    path. Differs from ann_cosine_ivf in exactly the way retrieval
-    differs from self-search: queries and corpus are separate relations
-    (here disjoint vec_id slices of the embeddings table standing in
-    for two tables), the coarse quantizer is trained on the CORPUS side
-    only, and no self-match exclusion is needed.
-
-    Scale shape: centroids are O(labels x dims) -> broadcast; each
-    query probes its 2 nearest lists; candidate generation is a
-    broadcast hash join of (query, probed-label) against the corpus
-    partitioned BY LABEL — never a cartesian, and the corpus side
-    shuffles zero bytes when pre-partitioned by list id (the standard
-    IVF sharding at 100 TB: each executor owns whole inverted lists,
-    queries stream to the lists they probe). Top-k is a per-query
-    rank with deterministic (cos DESC, neighbor_id) tiebreak."""
-    e = _embeddings(spark, sf_dir)
-    corpus = e.filter(F.col("vec_id") >= 20)
-    cent = _label_centroids(corpus)
-    q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("centroid_sim"), F.asc("label")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("centroid_sim", V.cosine(F.col("qv"), F.col("c")))
-        .withColumn("r", F.row_number().over(w_probe))
-        .filter(F.col("r") <= 2)
-        .select("query_id", "qv", "label")
-    )
-    scored = (
-        F.broadcast(probes)
-        .join(corpus, "label")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
-
-
-# --------------------------------------------------------------------------
-# Reproducible sampling / dataset splits
-# --------------------------------------------------------------------------
-
-# Deterministic doc-id bucket in [0, 1000): multiplicative hash, same
-# literal formula on both engines (never engine-native hash/rand — a
-# training pipeline needs splits that survive re-runs and engine swaps).
-# Max intermediate: doc_id * 2654435761 stays < 2^63 for doc_id < 3.4e9.
-_BUCKET = "((doc_id * 2654435761 + 40503) % 1000)"
-
-
-def _bucket_col() -> F.Column:
-    return (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % 1000
-
-
-@query(
-    "sample_deterministic",
-    oracle=f"""
-        SELECT doc_id, {_BUCKET} AS bucket
-        FROM documents WHERE {_BUCKET} < 100
-    """,
-    tags=("sampling", "extension"),
-)
-def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible ~10% corpus sample by hash bucket — unlike
-    df.sample() this is stable across runs, partitionings, and engines,
-    which is what makes eval subsets and ablations comparable. The
-    predicate is a pure row-local expression: no shuffle, pushes
-    through any upstream projection."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", _bucket_col().alias("bucket")).filter(
-        F.col("bucket") < 100
-    )
-
-
-@query(
-    "split_train_val_test",
-    oracle=f"""
-        SELECT CASE WHEN {_BUCKET} < 800 THEN 'train'
-                    WHEN {_BUCKET} < 900 THEN 'val'
-                    ELSE 'test' END AS split,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n_chars) AS BIGINT) AS n_chars
-        FROM documents GROUP BY split
-    """,
-    tags=("sampling", "extension"),
-)
-def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """80/10/10 train/val/test assignment from the same deterministic
-    bucket — the split a 100 TB corpus job computes inline (a join
-    against a split table would be another shuffle; a hash is free)."""
-    docs = load_table(spark, sf_dir, "documents")
-    b = _bucket_col()
-    return (
-        docs.withColumn(
-            "split",
-            F.when(b < 800, "train").when(b < 900, "val").otherwise("test"),
-        )
-        .groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("n_chars"),
-        )
-    )
-
-
-@query(
-    "text_scrub_redact",
-    oracle="""
-        SELECT doc_id,
-               len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_redacted,
-               md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))
-                   AS scrubbed_digest
-        FROM documents
-    """,
-    tags=("text", "extension"),
-)
-def text_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scrubbing/redaction pass: digit runs (the stand-in for phone/SSN
-    -shaped PII on this synthetic corpus) replaced with a <NUM> token;
-    emits the redaction count and an md5 digest of the scrubbed text —
-    the digest makes the whole transformed string oracle-checkable
-    without shipping it. Pure codegen scan; at 100 TB this runs at
-    read bandwidth."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(
-            F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")
-        ).cast("long").alias("n_redacted"),
-        F.md5(F.regexp_replace("text", "[0-9]+", "<NUM>")).alias(
-            "scrubbed_digest"
-        ),
-    )
-
-
-@query(
-    "text_repetition_ratio",
-    oracle=f"""
-        WITH d AS ({DOCS_CTE}),
-        s AS (SELECT doc_id,
-                     {D.string_shingles_all_sql("words", 3)} AS sh
-              FROM d)
-        SELECT doc_id,
-               CAST(len(sh) AS BIGINT) AS n_shingles,
-               CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
-               ROUND(CASE WHEN len(sh) = 0 THEN 0.0
-                          ELSE 1.0 - len(list_distinct(sh))
-                               / CAST(len(sh) AS DOUBLE) END, 6)
-                   AS rep_ratio
-        FROM s
-    """,
-    tags=("text", "quality", "extension"),
-)
-def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-document repetition: fraction of word 3-grams that are
-    duplicates (1 - distinct/total) — the Gopher/C4-style quality
-    signal that catches boilerplate and looping text, computed per
-    document as a pure row-local array expression (zip_with-over-slices
-    shingles, no shuffle, no Python). Documents shorter than 3 tokens
-    score 0.0. At 100 TB this runs at scan bandwidth; the division is
-    the identical IEEE expression in both engines, rounded to 6."""
-    docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", D.string_shingles_all(F.col("words"), 3).alias("sh")
-    )
-    total = F.size("sh")
-    dis = F.size(F.array_distinct("sh"))
-    return sh.select(
-        "doc_id",
-        total.cast("long").alias("n_shingles"),
-        dis.cast("long").alias("n_distinct"),
-        F.round(
-            F.when(total == 0, F.lit(0.0)).otherwise(
-                F.lit(1.0) - dis / total.cast("double")
-            ),
-            6,
-        ).alias("rep_ratio"),
-    )
-
-
-@query(
-    "decontaminate_ngram_overlap",
-    oracle=f"""
-        WITH d AS ({DOCS_CTE}),
-        sh AS (SELECT doc_id,
-                      {D.string_shingles_sql("words", 5)} AS sh
-               FROM d),
-        ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
-               WHERE doc_id % 10 = 0),
-        tx AS (SELECT doc_id, unnest(sh) AS s FROM sh
-               WHERE doc_id % 10 <> 0)
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-        FROM tx JOIN ev USING (s)
-        GROUP BY doc_id
-    """,
-    tags=("text", "dedup", "decontamination", "extension"),
-)
-def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag training documents sharing any
-    exact word 5-gram with the held-out set (docs with doc_id % 10 = 0
-    stand in for the benchmark), reporting how many distinct 5-grams
-    each contaminated document shares — the standard n-gram-overlap
-    decontamination pass run before pretraining.
-
-    Scale shape: an inverted-index EQUI join on the shingle string —
-    never a doc x doc comparison. The eval side is deduplicated to
-    distinct shingles and broadcast (real benchmark suites are MBs
-    against a 100 TB corpus); the train side explodes to (doc, shingle)
-    rows with map-side partial aggregation after the join, so shuffle
-    volume is O(contaminated matches), not O(corpus)."""
-    docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", D.string_shingles(F.col("words"), 5).alias("sh")
-    )
-    ev = (
-        sh.filter(F.col("doc_id") % 10 == 0)
-        .select(F.explode("sh").alias("s"))
-        .distinct()
-    )
-    tx = sh.filter(F.col("doc_id") % 10 != 0).select(
-        "doc_id", F.explode("sh").alias("s")
-    )
-    return (
-        tx.join(F.broadcast(ev), "s")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
-
-
-# --------------------------------------------------------------------------
-# End-to-end curation pipeline (composition capstone)
-# --------------------------------------------------------------------------
-
-# SQL mirrors of operators/text.py quality_score / whitespace_token_count
-# (same formulas the text_quality_scores / text_token_stats oracles use).
-_PUNCT_SQL = (
-    "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - "
-    "length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) "
-    "/ length(text) END)"
-)
-_STOP_SQL = (
-    "(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 "
-    "THEN 0.0 ELSE len(list_filter(regexp_split_to_array(trim(text), "
-    "'\\s+'), w -> list_contains(['the','a','of','and','to','in','is',"
-    "'it'], w))) / len(regexp_split_to_array(trim(text), '\\s+')) END)"
-)
-QUALITY_SQL = (
-    f"round((least(length(text) / 200.0, 1.0) + (1.0 - "
-    f"least({_PUNCT_SQL} * 4, 1.0)) + least({_STOP_SQL} * 5, 1.0)) "
-    f"/ 3.0, 6)"
-)
-WS_TOKENS_SQL = (
-    "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
-    "len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT"
-)
-
-
-@query(
-    "pipeline_curate_corpus",
-    oracle=f"""
-        WITH RECURSIVE {MINHASH_PAIRS_CTES},
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
-                  UNION
-                  SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
-        nodes AS (SELECT DISTINCT src AS doc FROM edges),
-        reach(doc, lab) AS (
-            SELECT doc, doc FROM nodes
-            UNION
-            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
-        comp AS (SELECT doc AS doc_id, MIN(lab) AS cluster_id
-                 FROM reach GROUP BY doc),
-        noncanon AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
-        qual AS (SELECT * FROM (SELECT doc_id, text,
-                                       {QUALITY_SQL} AS quality
-                                FROM documents)
-                 WHERE quality >= 0.5),
-        keepers AS (SELECT MIN(doc_id) AS doc_id FROM qual
-                    GROUP BY md5(text)),
-        kept AS (SELECT q.doc_id, q.text, q.quality
-                 FROM qual q
-                 WHERE q.doc_id IN (SELECT doc_id FROM keepers)
-                   AND q.doc_id NOT IN (SELECT doc_id FROM noncanon))
-        SELECT CASE WHEN (doc_id * 2654435761 + 40503) % 1000 < 800
-                    THEN 'train'
-                    WHEN (doc_id * 2654435761 + 40503) % 1000 < 900
-                    THEN 'val' ELSE 'test' END AS split,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM({WS_TOKENS_SQL}) AS BIGINT) AS n_tokens,
-               ROUND(AVG(quality), 4) AS avg_quality
-        FROM kept GROUP BY split
-    """,
-    tags=("pipeline", "dedup", "sampling", "text", "extension"),
-    bench=True,
-)
-def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capstone composition: one DataFrame program running the full
-    corpus-curation pass a training pipeline needs — C4-style quality
-    filter (>= 0.5) -> exact dedup (min doc_id per md5) -> near-dup
-    removal (drop non-canonical members of MinHash connected-components
-    clusters) -> deterministic train/val/test split -> per-split doc,
-    token, and quality stats. Every stage is a previously-verified
-    operator; this query proves they COMPOSE in one lazy plan (the
-    cluster step alone materializes, being iterative). The oracle
-    recomputes the entire pipeline in SQL, transitive closure included."""
-    from mapreduceframework_spark.operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    qual = docs.select(
-        "doc_id",
-        "text",
-        X.quality_score(F.col("text")).alias("quality"),
-    ).filter(F.col("quality") >= 0.5)
-    keepers = qual.groupBy(F.md5("text")).agg(
-        F.min("doc_id").alias("keep_id")
-    )
-    noncanon = (
-        connected_components(
-            _minhash_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
-        )
-        .filter(F.col("id") != F.col("label"))
-        .select(F.col("id").alias("doc_id"))
-    )
-    kept = (
-        qual.join(
-            keepers, qual.doc_id == keepers.keep_id, "left_semi"
-        )
-        .join(F.broadcast(noncanon), "doc_id", "left_anti")
-    )
-    b = (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % 1000
-    return (
-        kept.withColumn(
-            "split",
-            F.when(b < 800, "train").when(b < 900, "val").otherwise("test"),
-        )
-        .groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(X.whitespace_token_count(F.col("text")))
-            .cast("long")
-            .alias("n_tokens"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
-        )
-    )
-
-
-@query(
     "scalar_array_setops",
     oracle="""
         WITH d AS (SELECT doc_id,
@@ -1707,815 +238,6 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").cast("long").alias("n_distinct"),
         F.size(F.array_intersect("w", stops)).cast("long").alias("n_stop"),
         F.size(F.array_except("w", stops)).cast("long").alias("n_content"),
-    )
-
-
-@query(
-    "embedding_quantize_int8",
-    bench=True,
-    oracle="""
-        WITH x64 AS (
-            SELECT vec_id,
-                   [CAST(e AS DOUBLE) for e in embedding] AS x
-            FROM embeddings),
-        s AS (
-            SELECT vec_id, x,
-                   list_max([abs(v) for v in x]) / 127.0 AS scale
-            FROM x64
-            WHERE list_max([abs(v) for v in x]) > 0),
-        q AS (
-            SELECT vec_id, x, scale,
-                   [CAST(floor(v / scale + 0.5) AS BIGINT) for v in x] AS qv
-            FROM s)
-        SELECT vec_id, scale,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT), qv),
-                   (acc, qq) -> (acc * 31 + qq + 128) % 1000000007)
-                   AS q_digest,
-               list_max([abs(qv[i] * scale - x[i])
-                         for i in range(1, len(x) + 1)]) AS max_abs_err
-        FROM q
-    """,
-    tags=("extension", "embedding", "quantize"),
-)
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-vector int8 quantization of the embedding column —
-    the standard vector-store compression step (scale = max|x|/127,
-    code = floor(x/scale + 0.5), 4x smaller than float32). Emitted as
-    scalars per vector: the scale, a 31x fold digest of the codes
-    (arrays stringify differently across engines, so the digest stands
-    in for the code array), and the exact max reconstruction error.
-
-    Determinism: rounding is floor(v/scale + 0.5) in BOTH engines (no
-    engine round(): tie rules differ); every element value is the same
-    IEEE expression tree, and max/fold are order-fixed. Zero vectors
-    (scale 0) are filtered identically on both sides.
-
-    100 TB: embarrassingly row-local — zero shuffles, one pass, all
-    JVM-side HOFs (scale is bound as a plain column before the lambdas
-    reference it: an outer *expression* inside a HOF lambda re-evaluates
-    per element, README pitfall, but a column reference is a cheap
-    bound read)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    M = F.lit(1000000007).cast("long")
-    return (
-        emb.withColumn("x", F.col("embedding").cast("array<double>"))
-        .withColumn(
-            "absmax", F.array_max(F.transform("x", lambda v: F.abs(v)))
-        )
-        .filter(F.col("absmax") > 0)
-        .withColumn("scale", F.col("absmax") / 127.0)
-        .withColumn(
-            "qv",
-            F.transform(
-                "x", lambda v: F.floor(v / F.col("scale") + 0.5)
-            ),
-        )
-        .select(
-            "vec_id",
-            "scale",
-            F.aggregate(
-                "qv",
-                F.lit(0).cast("long"),
-                lambda acc, qq: (acc * 31 + qq + 128) % M,
-            ).alias("q_digest"),
-            F.array_max(
-                F.zip_with(
-                    "qv",
-                    "x",
-                    lambda qq, v: F.abs(qq * F.col("scale") - v),
-                )
-            ).alias("max_abs_err"),
-        )
-    )
-
-
-@query(
-    "kmeans_quantized_clusters",
-    bench=True,
-    oracle="""
-        WITH x64 AS (
-            SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS x
-            FROM embeddings),
-        s AS (
-            SELECT vec_id, x, list_max([abs(v) for v in x]) / 127.0 AS scale
-            FROM x64 WHERE list_max([abs(v) for v in x]) > 0),
-        q AS (
-            SELECT vec_id,
-                   [CAST(floor(v / scale + 0.5) AS BIGINT) for v in x] AS qv
-            FROM s),
-        c0 AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-                   [CAST(v AS DOUBLE) for v in qv] AS c
-            FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
-        a1 AS (
-            SELECT vec_id, qv, cid FROM (
-                SELECT q.vec_id, q.qv, c0.cid,
-                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                           list_reduce(list_prepend(0.0::DOUBLE,
-                               [(qv[i] - c[i]) * (qv[i] - c[i])
-                                for i in range(1, len(qv) + 1)]),
-                               (acc, e) -> acc + e), cid) AS rn
-                FROM q CROSS JOIN c0)
-            WHERE rn = 1),
-        c1u AS (
-            SELECT cid, i, CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*) AS v
-            FROM a1, range(1, 65) t(i) GROUP BY cid, i),
-        c1l AS (SELECT cid, list(v ORDER BY i) AS c FROM c1u GROUP BY cid),
-        c1 AS (
-            SELECT c0.cid, COALESCE(c1l.c, c0.c) AS c
-            FROM c0 LEFT JOIN c1l ON c0.cid = c1l.cid),
-        a2 AS (
-            SELECT vec_id, qv, cid FROM (
-                SELECT q.vec_id, q.qv, c1.cid,
-                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                           list_reduce(list_prepend(0.0::DOUBLE,
-                               [(qv[i] - c[i]) * (qv[i] - c[i])
-                                for i in range(1, len(qv) + 1)]),
-                               (acc, e) -> acc + e), cid) AS rn
-                FROM q CROSS JOIN c1)
-            WHERE rn = 1),
-        c2u AS (
-            SELECT cid, i, CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*) AS v
-            FROM a2, range(1, 65) t(i) GROUP BY cid, i),
-        c2l AS (SELECT cid, list(v ORDER BY i) AS c FROM c2u GROUP BY cid),
-        c2 AS (
-            SELECT c1.cid, COALESCE(c2l.c, c1.c) AS c
-            FROM c1 LEFT JOIN c2l ON c1.cid = c2l.cid),
-        a3 AS (
-            SELECT vec_id, cid FROM (
-                SELECT q.vec_id, c2.cid,
-                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                           list_reduce(list_prepend(0.0::DOUBLE,
-                               [(qv[i] - c[i]) * (qv[i] - c[i])
-                                for i in range(1, len(qv) + 1)]),
-                               (acc, e) -> acc + e), cid) AS rn
-                FROM q CROSS JOIN c2)
-            WHERE rn = 1),
-        digest AS (
-            SELECT cid,
-                   list_reduce(
-                       list_prepend(CAST(0 AS BIGINT),
-                           [CAST(floor(c[i] * 1000 + 0.5) AS BIGINT)
-                            for i in range(1, len(c) + 1)]),
-                       (acc, e) -> (acc * 31 + e) % 1000000007)
-                       AS centroid_digest
-            FROM c2)
-        SELECT a3.cid,
-               CAST(COUNT(*) AS BIGINT) AS n_members,
-               CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids,
-               MIN(digest.centroid_digest) AS centroid_digest
-        FROM a3 JOIN digest ON a3.cid = digest.cid
-        GROUP BY a3.cid
-    """,
-    tags=("extension", "embedding", "cluster", "iterative"),
-)
-def kmeans_quantized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means (k=8, two centroid updates + final assignment)
-    over int8-QUANTIZED embeddings — corpus clustering for data mixing
-    / curation, and the engine's second iterative-algorithm family
-    after connected components (operators/vectors.py kmeans_lloyd has
-    the full determinism + scale analysis; quantization is what makes
-    iterative float clustering bit-reproducible across engines:
-    centroid updates become exact integer sums).
-
-    The oracle unrolls all three assignment passes as SQL CTEs —
-    assignment windows, integer per-dimension centroid sums, empty
-    -cluster COALESCE — so the entire iteration trace is value-checked,
-    not just the final sizes. Output per cluster: size, exact member
-    id sum, and a fold digest of the final centroid coordinates."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.withColumn("x", F.col("embedding").cast("array<double>"))
-        .withColumn(
-            "absmax", F.array_max(F.transform("x", lambda v: F.abs(v)))
-        )
-        .filter(F.col("absmax") > 0)
-        .withColumn("scale", F.col("absmax") / 127.0)
-        .select(
-            "vec_id",
-            F.transform(
-                "x", lambda v: F.floor(v / F.col("scale") + 0.5)
-            ).alias("qv"),
-        )
-    )
-    asg, cents = V.kmeans_lloyd(q, k=8, updates=2)
-    # Centroids are driver-side model state (list[list[float]]), so the
-    # coordinate digest is plain Python — same IEEE floor(v*1000+0.5)
-    # per element and exact integer fold as the oracle's list_reduce —
-    # attached as a literal map. No join: joining the HOF-argmin cid
-    # back to a centroid relation trips Catalyst constraint inference
-    # (see kmeans_lloyd docstring).
-    import math
-
-    M = 1000000007
-    digests = {}
-    for cid, c in enumerate(cents):
-        acc = 0
-        for v in c:
-            acc = acc * 31 + int(math.floor(v * 1000 + 0.5))
-            # truncated modulo (sign of dividend), matching Spark's and
-            # DuckDB's `%` — Python's `%` floors instead.
-            acc = abs(acc) % M if acc >= 0 else -(abs(acc) % M)
-        digests[cid] = acc
-    digest_map = F.create_map(
-        *[
-            x
-            for cid, d in digests.items()
-            for x in (F.lit(cid).cast("long"), F.lit(d).cast("long"))
-        ]
-    )
-    return (
-        asg.groupBy("cid")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sum("vec_id").alias("sum_vec_ids"),
-        )
-        .select(
-            "cid",
-            "n_members",
-            "sum_vec_ids",
-            digest_map[F.col("cid")].alias("centroid_digest"),
-        )
-    )
-
-
-@query(
-    "multimodal_resize",
-    oracle="""
-        WITH b AS (
-            SELECT doc_id,
-                   [ascii(text[i]) for i in range(1, len(text) + 1)] AS bs
-            FROM documents WHERE length(text) >= 8),
-        r AS (
-            SELECT doc_id,
-                   [CAST(floor(
-                        list_sum(bs[(j * len(bs)) // 8 + 1
-                                    : ((j + 1) * len(bs)) // 8])
-                        / (((j + 1) * len(bs)) // 8 - (j * len(bs)) // 8))
-                        AS BIGINT)
-                    for j in range(0, 8)] AS rv
-            FROM b)
-        SELECT doc_id, CAST(8 AS BIGINT) AS out_w,
-               list_reduce(list_prepend(CAST(0 AS BIGINT), rv),
-                           (a, e) -> a * 31 + e) AS resize_digest
-        FROM r
-    """,
-    tags=("extension", "multimodal"),
-)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal RESIZE plumbing (the brief's decode / feature-extract
-    / resize / frame-sample quartet): block-mean pooling of each binary
-    payload to 8 buckets inside the same Arrow-batched mapInPandas seam
-    a real PIL/cv2 resize would occupy (operators/multimodal.py
-    resize_payloads). All-integer math — byte sums and floor-means —
-    so the DuckDB oracle reproduces the resampled values exactly;
-    payload bytes are the documents' ASCII codes (guarded by
-    tests/test_extensions.py's ASCII invariant)."""
-    from mapreduceframework_spark.operators.multimodal import (
-        attach_payload,
-        resize_payloads,
-    )
-
-    from mapreduceframework_spark.sources.registry import ensure_min_partitions
-
-    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
-    return resize_payloads(attach_payload(docs))
-
-
-BM25_TERMS = ("join", "query", "spark", "stream", "table")
-
-
-@query(
-    "text_bm25_topk",
-    bench=True,
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents WHERE length(text) > 0),
-        dl AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen
-            FROM toks GROUP BY doc_id),
-        stats AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
-            FROM dl),
-        tf AS (
-            SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
-            FROM toks
-            WHERE w IN ('join', 'query', 'spark', 'stream', 'table')
-            GROUP BY doc_id, w),
-        df AS (
-            SELECT w, CAST(COUNT(*) AS BIGINT) AS df
-            FROM tf GROUP BY w),
-        scored AS (
-            SELECT tf.doc_id, tf.w,
-                   ((n_docs - df + 0.5) / (df + 0.5))
-                   * (tf * 2.2)
-                   / (tf + 1.2 * (0.25 + 0.75 * (dlen / avgdl)))
-                       AS s
-            FROM tf
-            JOIN df ON tf.w = df.w
-            JOIN dl ON tf.doc_id = dl.doc_id
-            CROSS JOIN stats),
-        pivoted AS (
-            SELECT doc_id,
-                   COALESCE(MAX(CASE WHEN w = 'join' THEN s END), 0.0)
-                 + COALESCE(MAX(CASE WHEN w = 'query' THEN s END), 0.0)
-                 + COALESCE(MAX(CASE WHEN w = 'spark' THEN s END), 0.0)
-                 + COALESCE(MAX(CASE WHEN w = 'stream' THEN s END), 0.0)
-                 + COALESCE(MAX(CASE WHEN w = 'table' THEN s END), 0.0)
-                       AS score
-            FROM scored GROUP BY doc_id)
-        SELECT doc_id, score FROM pivoted
-        ORDER BY score DESC, doc_id LIMIT 20
-    """,
-    tags=("extension", "text", "topk"),
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25-style retrieval scoring (k1=1.2, b=0.75) of the corpus
-    against a fixed 5-term query, top-20 by score — the relevance
-    -scoring member of the text-analysis family. One deliberate
-    deviation from textbook BM25, documented for the judge: idf is the
-    RATIONAL core (N - df + 0.5)/(df + 0.5) without the log — log()
-    routes through each engine's libm (Java Math.log vs C log can
-    differ in the last ulp), while the rational form keeps every score
-    an identical IEEE expression tree, so ranking and values match
-    bit-for-bit with no rounding games. Monotonicity (what the ranking
-    depends on) is unchanged.
-
-    Per-term contributions are summed in a FIXED pivot order —
-    float addition is not associative, so a groupBy sum over the terms
-    would be engine-order-dependent; five CASE columns added
-    left-to-right are not. Top-20 via orderBy+limit lowers to
-    TakeOrderedAndProject (per-partition heaps, no total sort); ties
-    break on doc_id. Shuffles: tokenize->tf is one aggregation, dl one
-    more, df is O(terms), stats a scalar — everything after the two
-    corpus aggregations is broadcast-sized."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
-    )
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        toks.filter(F.col("w").isin(*BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("w").agg(F.count("*").alias("df"))
-    s = (
-        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * (F.col("tf") * 2.2)
-        / (
-            F.col("tf")
-            + 1.2 * (0.25 + 0.75 * (F.col("dlen") / F.col("avgdl")))
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(df), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "w", s.alias("s"))
-    )
-    term_col = [
-        F.coalesce(
-            F.max(F.when(F.col("w") == t, F.col("s"))), F.lit(0.0)
-        )
-        for t in BM25_TERMS
-    ]
-    total = term_col[0]
-    for c in term_col[1:]:
-        total = total + c
-    return (
-        scored.groupBy("doc_id")
-        .agg(total.alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
-    )
-
-
-_MIX_RATE = """CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 900
-                    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 500
-                    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 200
-                    ELSE 50 END"""
-
-
-@query(
-    "sample_mixture_by_source",
-    oracle=f"""
-        SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_total,
-               CAST(SUM(CASE WHEN {_BUCKET} < {_MIX_RATE}
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        FROM documents
-        GROUP BY source
-    """,
-    tags=("sampling", "extension"),
-)
-def sample_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mixture sampling: each source tier keeps a different
-    deterministic fraction (90% / 50% / 20% / 5%) — the up/down
-    -weighting step that turns a raw crawl into a training mix. Same
-    engine-stable hash bucket as sample_deterministic, so the kept set
-    is reproducible across runs, partitionings, and engines, and a
-    document's fate is independent of which split/sample query asks.
-    Pure row-local expressions: the whole mixture policy costs one
-    aggregation shuffle for the report (and ZERO extra shuffles when
-    fused into a pipeline as a filter)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sid = F.substring("source", 4, 10).cast("int")
-    rate = (
-        F.when(sid < 5, 900)
-        .when(sid < 10, 500)
-        .when(sid < 15, 200)
-        .otherwise(50)
-    )
-    return docs.groupBy("source").agg(
-        F.count("*").alias("n_total"),
-        F.sum(
-            F.when(_bucket_col() < rate, 1).otherwise(0)
-        ).alias("n_kept"),
-    )
-
-
-@query(
-    "quality_report_tables",
-    oracle="""
-        SELECT 'lineitem' AS tbl,
-               CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CASE WHEN l_quantity IS NULL OR l_extendedprice
-                                  IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_null_required,
-               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                                  OR l_discount < 0 OR l_discount > 1
-                             THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_out_of_range,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-                WHERE l_orderkey NOT IN
-                      (SELECT o_orderkey FROM orders)) AS n_orphans
-        FROM lineitem
-        UNION ALL
-        SELECT 'orders',
-               CAST(COUNT(*) AS BIGINT),
-               CAST(SUM(CASE WHEN o_totalprice IS NULL
-                                  OR o_orderdate IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT),
-               CAST(SUM(CASE WHEN o_totalprice <= 0
-                             THEN 1 ELSE 0 END) AS BIGINT),
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-                WHERE o_custkey NOT IN
-                      (SELECT c_custkey FROM customer))
-        FROM orders
-    """,
-    tags=("extension", "quality", "anti"),
-)
-def quality_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality validation report — the pre-flight every ingestion
-    pipeline runs before training data is trusted: per table, row
-    count, NULLs in required columns, domain-range violations, and
-    referential orphans (fact keys with no parent row). Conditional
-    aggregates fold the null/range checks into ONE pass per table; the
-    orphan checks are broadcast anti joins on the parent key sets —
-    at 100 TB each check is one scan plus one key-only anti join, and
-    the report is O(tables) rows."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-
-    # Orphan counts stay LAZY single-row frames (no driver-side action
-    # inside an operator path — repo guard); each joins back in as a
-    # broadcast scalar.
-    li_orphans = (
-        li.join(
-            o.select("o_orderkey"),
-            li.l_orderkey == F.col("o_orderkey"),
-            "left_anti",
-        )
-        .agg(F.count("*").alias("n_orphans"))
-    )
-    o_orphans = (
-        o.join(
-            F.broadcast(c.select("c_custkey")),
-            o.o_custkey == F.col("c_custkey"),
-            "left_anti",
-        )
-        .agg(F.count("*").alias("n_orphans"))
-    )
-
-    li_row = li.agg(
-        F.lit("lineitem").alias("tbl"),
-        F.count("*").alias("n_rows"),
-        F.sum(
-            F.when(
-                F.col("l_quantity").isNull()
-                | F.col("l_extendedprice").isNull(),
-                1,
-            ).otherwise(0)
-        ).alias("n_null_required"),
-        F.sum(
-            F.when(
-                (F.col("l_quantity") < 1)
-                | (F.col("l_quantity") > 50)
-                | (F.col("l_discount") < 0)
-                | (F.col("l_discount") > 1),
-                1,
-            ).otherwise(0)
-        ).alias("n_out_of_range"),
-    ).crossJoin(F.broadcast(li_orphans))
-    o_row = o.agg(
-        F.lit("orders").alias("tbl"),
-        F.count("*").alias("n_rows"),
-        F.sum(
-            F.when(
-                F.col("o_totalprice").isNull()
-                | F.col("o_orderdate").isNull(),
-                1,
-            ).otherwise(0)
-        ).alias("n_null_required"),
-        F.sum(
-            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
-        ).alias("n_out_of_range"),
-    ).crossJoin(F.broadcast(o_orphans))
-    return li_row.unionByName(o_row)
-
-
-@query(
-    "dedup_edit_distance_verify",
-    oracle=f"""
-        WITH d AS ({DOCS_CTE}),
-        sh AS (SELECT doc_id,
-                      {D.string_shingles_sql("words")} AS shingles
-               FROM d),
-        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                         CAST(COUNT(*) AS BIGINT) AS n_shared
-                  FROM ex a JOIN ex b
-                  ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-        sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
-        cand AS (
-            SELECT doc_a, doc_b
-            FROM inter
-            JOIN sizes x ON x.doc_id = doc_a
-            JOIN sizes y ON y.doc_id = doc_b
-            WHERE n_shared / (x.nsh + y.nsh - n_shared) >= 0.5)
-        SELECT doc_a, doc_b,
-               CAST(levenshtein(substr(ta.text, 1, 80),
-                                substr(tb.text, 1, 80)) AS BIGINT)
-                   AS prefix_edit_dist
-        FROM cand
-        JOIN documents ta ON ta.doc_id = doc_a
-        JOIN documents tb ON tb.doc_id = doc_b
-    """,
-    tags=("dedup", "extension"),
-)
-def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance verification of near-dup candidates: for each
-    Jaccard>=0.5 candidate pair, the Levenshtein distance of the two
-    80-char prefixes — the character-level second opinion a curation
-    pipeline runs before destructive dedup (token-set measures are
-    blind to within-token edits). Levenshtein is O(len^2) per pair, so
-    it NEVER runs all-pairs: only over the LSH/inverted-index candidate
-    set, and only over bounded prefixes — both bounds are what keep
-    this viable at 100 TB. Unit-cost edit distance is an exact integer
-    with one standard definition, so both engines agree bitwise."""
-    cand = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    docs = load_table(spark, sf_dir, "documents")
-    ta = docs.select(
-        F.col("doc_id").alias("ida"),
-        F.substring("text", 1, 80).alias("pa"),
-    )
-    tb = docs.select(
-        F.col("doc_id").alias("idb"),
-        F.substring("text", 1, 80).alias("pb"),
-    )
-    return (
-        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("ida"))
-        .join(F.broadcast(tb), F.col("doc_b") == F.col("idb"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("pa", "pb")
-            .cast("long")
-            .alias("prefix_edit_dist"),
-        )
-    )
-
-
-@query(
-    "feature_quantile_buckets",
-    oracle="""
-        WITH b AS (
-            SELECT quantile_cont(l_quantity, 0.25) AS q1,
-                   quantile_cont(l_quantity, 0.50) AS q2,
-                   quantile_cont(l_quantity, 0.75) AS q3
-            FROM lineitem)
-        SELECT CASE WHEN l_quantity <= q1 THEN 0
-                    WHEN l_quantity <= q2 THEN 1
-                    WHEN l_quantity <= q3 THEN 2
-                    ELSE 3 END AS bucket,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(MIN(l_quantity), 2) AS lo,
-               ROUND(MAX(l_quantity), 2) AS hi
-        FROM lineitem CROSS JOIN b
-        GROUP BY bucket
-    """,
-    tags=("extension", "feature", "agg"),
-)
-def feature_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile discretizer — the feature-engineering step that turns a
-    numeric column into balanced ordinal buckets (the two-pass
-    pattern: exact percentiles once, broadcast, then a row-local CASE).
-    Exact (not approx) percentiles are safe for cross-engine hashing
-    HERE because l_quantity is integer-valued with ~50 distinct values:
-    the (n-1)*p interpolation lands between equal neighbors, so every
-    boundary is an exact integer in both engines. For a continuous
-    column, approx_percentile + rounded boundaries is the 100 TB path
-    (single-pass sketch instead of a full sort)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    b = li.agg(
-        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
-        F.expr("percentile(l_quantity, 0.50)").alias("q2"),
-        F.expr("percentile(l_quantity, 0.75)").alias("q3"),
-    )
-    bucket = (
-        F.when(F.col("l_quantity") <= F.col("q1"), 0)
-        .when(F.col("l_quantity") <= F.col("q2"), 1)
-        .when(F.col("l_quantity") <= F.col("q3"), 2)
-        .otherwise(3)
-    )
-    return (
-        li.crossJoin(F.broadcast(b))
-        .groupBy(bucket.alias("bucket"))
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.min("l_quantity"), 2).alias("lo"),
-            F.round(F.max("l_quantity"), 2).alias("hi"),
-        )
-    )
-
-
-@query(
-    "feature_quantile_sketch",
-    oracle="""
-        SELECT l_returnflag,
-               ROUND(quantile_cont(l_quantity, 0.25), 2) AS exact_q1,
-               ROUND(quantile_cont(l_quantity, 0.50), 2) AS exact_q2,
-               ROUND(quantile_cont(l_quantity, 0.75), 2) AS exact_q3,
-               TRUE AS sketch_within_tol
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    tags=("agg", "approx", "feature", "extension"),
-)
-def feature_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The approx-quantile SCALE path, exercised for real: per-group
-    quartiles via ``approx_percentile`` (Greenwald-Khanna sketch —
-    single pass, mergeable partials, O(1/eps) memory per group; the
-    100 TB substitute for the full-sort exact percentile that
-    feature_quantile_buckets broadcasts). Same oracle pattern as
-    agg_approx_count_distinct: the hash-checked columns are the EXACT
-    quantiles (safe cross-engine: l_quantity is integer-valued, both
-    engines use R-7 interpolation, and frac in {0,.25,.5,.75} makes the
-    interpolated value exact) plus a boolean asserting the sketch
-    landed within tolerance — the sketch runs for real, and a broken
-    sketch flips the boolean. Tolerance 2.0: GK returns a corpus VALUE
-    at rank error <= 1/accuracy, so with ~50 distinct integer values
-    the estimate sits within a couple of units of the interpolated
-    exact quantile."""
-    li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.25)").alias("e1"),
-        F.expr("percentile(l_quantity, 0.50)").alias("e2"),
-        F.expr("percentile(l_quantity, 0.75)").alias("e3"),
-        F.expr(
-            "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
-        ).alias("a"),
-    )
-    within = (
-        (F.abs(F.element_at("a", 1) - F.col("e1")) <= 2.0)
-        & (F.abs(F.element_at("a", 2) - F.col("e2")) <= 2.0)
-        & (F.abs(F.element_at("a", 3) - F.col("e3")) <= 2.0)
-    ).alias("sketch_within_tol")
-    return agg.select(
-        "l_returnflag",
-        F.round("e1", 2).alias("exact_q1"),
-        F.round("e2", 2).alias("exact_q2"),
-        F.round("e3", 2).alias("exact_q3"),
-        within,
-    )
-
-
-@query(
-    "sample_stratified_exact",
-    oracle="""
-        WITH ranked AS (
-            SELECT doc_id, source, lang, n_chars,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY source
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                   ) AS rn
-            FROM documents
-        )
-        SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_sampled,
-               CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
-               CAST(SUM(doc_id) AS BIGINT) AS id_sum
-        FROM ranked WHERE rn <= 40
-        GROUP BY source
-    """,
-    tags=("extension", "sampling", "training-data"),
-)
-def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified EXACT-size sampling: exactly min(40, |stratum|) docs
-    per source, chosen by a deterministic hash order (md5 of doc_id,
-    ties by doc_id) — the balanced-mix primitive where fractional
-    sampling (sample_mixture_by_source) can't guarantee per-stratum
-    counts. Engine-stable: no RNG, same selection on every engine and
-    every run.
-
-    Scale shape: one hash shuffle on the stratum key + per-partition
-    rank — rank is bounded-memory because only rn <= k survives (Spark
-    lowers the filter into the window's sort where possible). The
-    summary (count, char total, id sum) value-checks the exact member
-    set, not just sizes."""
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 40)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_sampled"),
-            F.sum("n_chars").alias("chars_sampled"),
-            F.sum("doc_id").alias("id_sum"),
-        )
-    )
-
-
-@query(
-    "mining_pair_cooccurrence",
-    oracle="""
-        WITH pairs AS (
-            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-                   CAST(COUNT(*) AS BIGINT) AS n_orders
-            FROM lineitem a
-            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-                           AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2
-        ),
-        ranked AS (
-            SELECT *, ROW_NUMBER() OVER (
-                ORDER BY n_orders DESC, part_a, part_b) AS rn
-            FROM pairs
-        )
-        SELECT part_a, part_b, n_orders FROM ranked WHERE rn <= 20
-    """,
-    tags=("extension", "mining", "cooccurrence"),
-)
-def mining_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket co-occurrence: the top-20 part pairs appearing in
-    the same order — the counting core of association mining (the
-    support computation of FP-growth/Apriori's first two levels).
-
-    Scale shape: a SELF-EQUI-JOIN on the basket key, so pair blowup is
-    bounded by basket size squared (TPC-H orders have <= 7 lines -> at
-    most 21 pairs per order), never cross-basket; the pair aggregation
-    is partial-combined map-side and top-20 is orderBy+limit — a
-    parallel TakeOrderedAndProject (per-partition top-20 heaps, merged
-    on the driver), NOT an unpartitioned rank window, which would
-    funnel the entire aggregated pair set through one task. The
-    (n_orders DESC, part_a, part_b) sort key makes the cut
-    deterministic. At 100 TB the join co-locates by bucketing
-    lineitem on l_orderkey — zero shuffle for the pair generation."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_orders"))
-    )
-    return (
-        pairs.orderBy(F.desc("n_orders"), "part_a", "part_b")
-        .limit(20)
-        .select("part_a", "part_b", "n_orders")
     )
 
 
@@ -2563,382 +285,3 @@ def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return orders.select("o_orderkey", canon.alias("odd_tripled"))
-
-
-# --------------------------------------------------------------------------
-# Round-6 additions: substring-level dedup, learned quality scoring,
-# frequency-balanced sampling
-# --------------------------------------------------------------------------
-
-# Non-overlapping chunk width (in tokens) for substring-level dedup.
-SUBSTRING_CHUNK = 8
-
-
-@query(
-    "dedup_substring_chunks",
-    oracle=f"""
-        WITH d AS ({DOCS_CTE}),
-        c0 AS (SELECT doc_id,
-                      [array_to_string(
-                           words[(i-1)*{SUBSTRING_CHUNK}+1:i*{SUBSTRING_CHUNK}],
-                           ' ')
-                       for i in range(
-                           1,
-                           CAST(ceil(len(words)/{SUBSTRING_CHUNK}.0) AS BIGINT)
-                               + 1)]
-                      AS chunks
-               FROM d),
-        e AS (SELECT doc_id,
-                     unnest(range(1, len(chunks)+1)) AS pos,
-                     unnest(chunks) AS chunk
-              FROM c0),
-        r AS (SELECT doc_id, pos, chunk,
-                     ROW_NUMBER() OVER (
-                         PARTITION BY chunk ORDER BY doc_id, pos) AS rn
-              FROM e),
-        k AS (SELECT doc_id,
-                     CAST(COUNT(*) AS BIGINT) AS n_kept,
-                     md5(string_agg(chunk, ' ' ORDER BY pos)) AS kept_digest
-              FROM r WHERE rn = 1 GROUP BY doc_id)
-        SELECT c0.doc_id,
-               CAST(len(chunks) AS BIGINT) AS n_chunks,
-               COALESCE(n_kept, 0) AS n_kept,
-               COALESCE(kept_digest, md5('')) AS kept_digest
-        FROM c0 LEFT JOIN k USING (doc_id)
-    """,
-    tags=("dedup", "extension", "training-data"),
-    bench=True,
-)
-def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level exact dedup (the chunked approximation of Lee et
-    al. 2022, "Deduplicating Training Data Makes Language Models
-    Better"): split every document into non-overlapping 8-token chunks,
-    keep only the corpus-wide FIRST occurrence of each chunk (ordered
-    by doc_id then position), and rebuild each document from its
-    surviving chunks. Doc-level dedup (dedup_exact) can't catch the
-    boilerplate paragraph repeated inside otherwise-distinct documents;
-    this operator removes it at the substring granularity. Emits per
-    doc: chunk count, surviving-chunk count, and an md5 digest of the
-    rebuilt text (value-checks the reconstruction without shipping it).
-
-    Scale shape: one explode (fan-out len/8, bounded), one hash shuffle
-    on the chunk string for the partitioned first-occurrence window,
-    one shuffle back on doc_id for reassembly, and a co-keyed doc_id
-    join — no all-pairs anywhere, identical at 100 TB. A true
-    suffix-array dedup (arbitrary-boundary substrings) trades this
-    plan's 2 shuffles for a global sort; the chunk approximation is
-    the standard distributed compromise."""
-    docs = _docs_wide(spark, sf_dir)
-    n_chunks = F.ceil(F.size("words") / F.lit(float(SUBSTRING_CHUNK)))
-    # Lambda reads the stored `words` array (materialized by
-    # _docs_wide), so each slice is O(chunk) on a decoded array, not a
-    # re-tokenization (see string_shingles_all's shape rationale).
-    chunks = F.transform(
-        F.sequence(F.lit(1), n_chunks.cast("int")),
-        lambda i: F.array_join(
-            F.slice(
-                F.col("words"),
-                (i - F.lit(1)) * SUBSTRING_CHUNK + 1,
-                SUBSTRING_CHUNK,
-            ),
-            " ",
-        ),
-    )
-    c = docs.select("doc_id", chunks.alias("chunks"))
-    e = c.select(
-        "doc_id", F.posexplode("chunks").alias("pos", "chunk")
-    )
-    first_wins = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    kept = (
-        e.withColumn("rn", F.row_number().over(first_wins))
-        .filter(F.col("rn") == 1)
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            )
-        ).alias("kept_digest"),
-    )
-    base = c.select("doc_id", F.size("chunks").cast("long").alias("n_chunks"))
-    return base.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-        F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
-    )
-
-
-@query(
-    "text_quality_classifier",
-    oracle=f"""
-        WITH d AS ({DOCS_CTE}),
-        s AS (SELECT doc_id,
-                     CAST(len(words) AS BIGINT) AS n_tokens,
-                     list_sum(list_transform(
-                         words,
-                         t -> ({X.classifier_weights_sql()})
-                                  [{X.token_bucket_sql('t')} + 1]
-                     )) AS total
-              FROM d)
-        SELECT doc_id, n_tokens,
-               total / n_tokens AS score,
-               total >= 0.0 AS keep
-        FROM s
-    """,
-    tags=("text", "extension", "training-data"),
-)
-def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned quality filter, fastText-linear shape: hashing-trick
-    features (md5-bucketed tokens, 32 buckets) scored against a
-    broadcast weight table; a document keeps if its summed weight is
-    non-negative. This is the model-inference-at-scale pattern a
-    curation pipeline runs after heuristic filters (text_quality_
-    scores): the weight table is the trained artifact, the scan is the
-    inference. Weights here are a fixed deterministic stand-in (no
-    training libs in-sandbox); the mechanism — portable feature
-    hashing, literal-array weight broadcast, fold-to-score — is the
-    operator.
-
-    Scale shape: pure single-scan codegen, zero shuffles, zero Python;
-    a real 10^6-bucket weight table would ship as a broadcast join or
-    Arrow-batched Pandas UDF instead of a literal, same plan depth.
-    Float-exact across engines because weights are dyadic (k/16): sums
-    are exact in any order, and the final mean is one shared rounding."""
-    docs = _docs_wide(spark, sf_dir)
-    weights = F.array(*[F.lit(x) for x in X.CLASSIFIER_WEIGHTS])
-    total = F.aggregate(
-        F.transform(
-            F.col("words"),
-            lambda t: F.element_at(
-                weights, (X.token_bucket(t) + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    n_tokens = F.size("words").cast("long")
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        (total / n_tokens).alias("score"),
-        (total >= 0.0).alias("keep"),
-    )
-
-
-# Per-source target size for frequency-proportional downsampling.
-SOURCE_CAP = 120
-
-
-@query(
-    "sample_frequency_downsample",
-    oracle=f"""
-        WITH c AS (SELECT source, COUNT(*) AS cnt
-                   FROM documents GROUP BY source),
-        k AS (SELECT d.doc_id, d.source, c.cnt
-              FROM documents d JOIN c USING (source)
-              WHERE ((('0x' || substring(
-                          md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-                      % 10000) / CAST(10000 AS DOUBLE))
-                    < least(CAST(1 AS DOUBLE),
-                            CAST({SOURCE_CAP} AS DOUBLE) / c.cnt))
-        SELECT source,
-               CAST(MAX(cnt) AS BIGINT) AS n_before,
-               CAST(COUNT(*) AS BIGINT) AS n_kept,
-               CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
-        FROM k GROUP BY source
-    """,
-    tags=("sampling", "extension", "training-data"),
-)
-def sample_frequency_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-proportional source balancing (the CommonCrawl domain
-    -rebalancing shape): count docs per source, then keep each doc with
-    probability min(1, CAP/count) — over-represented sources are
-    downsampled toward CAP expected docs, rare sources pass untouched.
-    Selection is a deterministic md5 unit-hash of doc_id, not an RNG:
-    same keep-set on every engine, every run, every retry (the property
-    that makes a 100 TB pipeline re-runnable). Emits per-source
-    before/after counts plus the kept-id sum (pins exact membership).
-
-    Scale shape vs sample_stratified_exact (the window-rank variant):
-    the per-source counts aggregate is O(#sources) rows, broadcast back
-    onto the corpus, and the filter is row-local — fully parallel with
-    no per-source partition funnel, which is what you want when one
-    domain is 10% of the crawl."""
-    d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
-    unit = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 10000
-    ) / F.lit(10000).cast("double")
-    keep_prob = F.least(F.lit(1.0), F.lit(SOURCE_CAP) / F.col("cnt"))
-    kept = d.join(F.broadcast(counts), "source").filter(unit < keep_prob)
-    return kept.groupBy("source").agg(
-        F.max("cnt").alias("n_before"),
-        F.count("*").alias("n_kept"),
-        F.sum("doc_id").alias("kept_id_sum"),
-    )
-
-
-@query(
-    "feature_winsorize",
-    oracle="""
-        WITH b AS (SELECT l_returnflag,
-                          round(CAST(quantile_cont(l_extendedprice, 0.05)
-                                     AS DOUBLE), 4) AS lo,
-                          round(CAST(quantile_cont(l_extendedprice, 0.95)
-                                     AS DOUBLE), 4) AS hi
-                   FROM lineitem GROUP BY l_returnflag)
-        SELECT l.l_returnflag,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               b.lo, b.hi,
-               round(CAST(AVG(l_extendedprice) AS DOUBLE), 2) AS mean_raw,
-               round(CAST(AVG(least(greatest(l_extendedprice, b.lo), b.hi))
-                          AS DOUBLE), 2) AS mean_winsor
-        FROM lineitem l JOIN b USING (l_returnflag)
-        GROUP BY l.l_returnflag, b.lo, b.hi
-    """,
-    tags=("feature", "extension", "agg"),
-)
-def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-wise winsorization: clamp each value into its group's
-    [p05, p95] band and report raw vs winsorized means — the outlier
-    -robust normalization step a feature pipeline runs before scaling.
-    Bounds are rounded to 4 decimals on BOTH engines before clamping,
-    so the clamp thresholds are bit-identical even if the two exact
-    -percentile implementations differ in final-ULP interpolation.
-
-    Scale shape: two passes — an O(groups) bounds table (broadcast
-    back, never a shuffle of the fact side for the join) and one
-    partial-aggregated mean pass. Exact percentile buffers a group's
-    values (fine for bounded group count x bounded numeric domain);
-    the sketch path for continuous 100 TB columns is approx_percentile,
-    exercised by feature_quantile_sketch."""
-    li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
-    )
-    clamped = F.least(
-        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
-    )
-    return (
-        li.join(F.broadcast(bounds), "l_returnflag")
-        .groupBy("l_returnflag", "lo", "hi")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("l_extendedprice"), 2).alias("mean_raw"),
-            F.round(F.avg(clamped), 2).alias("mean_winsor"),
-        )
-        .select("l_returnflag", "n", "lo", "hi", "mean_raw", "mean_winsor")
-    )
-
-
-@query(
-    "text_bigram_lm_score",
-    oracle=r"""
-        WITH toks AS (
-            SELECT doc_id,
-                   string_split_regex(trim(text), '[ \t\n\r\f]+') AS ws
-            FROM documents
-        ),
-        big AS (
-            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-            FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
-            WHERE len(ws) >= 2
-        ),
-        uni AS (
-            SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS cu
-            FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
-        ),
-        bm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
-               FROM big GROUP BY 1, 2),
-        scored AS (
-            SELECT b.doc_id,
-                   CAST(ROUND(1000000.0 * bm.cb / uni.cu) AS BIGINT) AS p6
-            FROM big b JOIN bm USING (w1, w2) JOIN uni USING (w1)
-        ),
-        per AS (SELECT doc_id,
-                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                       CAST(ROUND(SUM(p6) * 1.0 / COUNT(*)) AS BIGINT)
-                           AS lm_score_e6
-                FROM scored GROUP BY doc_id)
-        SELECT d.doc_id, per.n_bigrams, per.lm_score_e6
-        FROM documents d LEFT JOIN per USING (doc_id)
-    """,
-    tags=("text", "quality", "lm", "extension"),
-    bench=True,
-)
-def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-trained bigram language-model quality score — the
-    perplexity-filter shape of CCNet/CC-Net-style pipelines (Wenzek et
-    al. 2020): train token statistics ON the corpus itself, score every
-    document by how typical its token transitions are, filter the
-    tail. Per token-pair the MLE transition probability
-    cb(w1,w2)/cu(w1) is snapped to exact 1e-6-unit BIGINTs and the
-    per-doc score is the exact integer mean — a log-space perplexity
-    would sum doubles whose cross-engine ln() differs in the last ULP
-    (Math.log vs libm), the same boundary-flip failure mode the
-    interpolation query hit; the linear-probability mean ranks
-    documents identically for filtering purposes. Docs with < 2 tokens
-    keep their row with NULL score (row-count preserving, the
-    simhash_by_doc lesson).
-
-    Scale shape: model training is two partial-aggregated groupBys
-    (bigram, unigram); scoring joins each doc's bigram occurrences to
-    the model on the bigram key — Zipf-hot bigrams are exactly the AQE
-    skew-join case, and at 100 TB the practical variant prunes the
-    model to top-K transitions + a smoothing floor so it BROADCASTS
-    (noted, not faked). No per-row Python anywhere; everything is
-    split/slice/zip + joins."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Explicit class, not \s+: Java's \s includes U+000B but RE2's does
-    # not, so the engines would disagree on vertical-tab boundaries
-    # (ADVICE r6). The explicit set is engine-independent.
-    toks = docs.select(
-        "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f]+").alias("ws")
-    )
-    n = F.size("ws")
-    big = (
-        toks.filter(n >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("ws", 1, n - 1).alias("w1"),
-                    F.slice("ws", 2, n - 1).alias("w2"),
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    )
-    uni = (
-        toks.select(F.explode("ws").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("cu"))
-    )
-    bm = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    scored = (
-        big.join(bm, ["w1", "w2"])
-        .join(uni, "w1")
-        .select(
-            "doc_id",
-            F.round(F.lit(1000000.0) * F.col("cb") / F.col("cu"))
-            .cast("long")
-            .alias("p6"),
-        )
-    )
-    per = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.sum("p6") / F.count("*")).cast("long").alias("lm_score_e6"),
-    )
-    return docs.select("doc_id").join(per, "doc_id", "left").select(
-        "doc_id", "n_bigrams", "lm_score_e6"
-    )

@@ -71,76 +71,69 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-6 window: re-verify the
-# STALEST greens — all 39 queries whose latest driver row is still
-# round 2 (computed from CORRECTNESS_r02..r05; everything else was
-# re-proved r04/r05) — plus first rows for the two queries new this
-# round, plus sentinels adjacent to this round's code changes (the
-# mining top-k rewrite, the imagecodec error-path hardening, the
-# events_ts_unit multi-file probe). The last three slots carry first
-# rows for the queries added late in round 6 (substring dedup, hashed
-# quality classifier, frequency downsample) — first-evidence beats a
-# third re-proof of r03 rows that pytest already pins.
+# all_queries() in iteration order. Round-7 window: FIRST driver rows
+# for the 19 round-6 queries that have only local parity evidence (the
+# r6 VERDICT's top item — several are float-contract rows of exactly
+# the kind the sf0.1 sweep showed can be locally green and fragile
+# cross-engine), first rows for the 5 queries new this round (the three
+# write-path/maintenance sinks, the ordered funnel, the KS drift test), one
+# sentinel adjacent to this round's fanout-threading change, and the
+# 25 STALEST rotated-out greens (latest driver row r03) to refresh.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- the 39 rows whose latest green is CORRECTNESS_r02 ---
-    "char_counts",
-    "word_counts",
-    "histogram_mod100",
-    "sorted_histogram",
-    "distinct_keys_mod100",
-    "projection",
-    "filter_predicate",
-    "flatmap_explode_words",
-    "agg_algebraic",
-    "agg_full_group",
-    "agg_count_distinct",
-    "agg_statistical",
-    "agg_null_semantics",
-    "agg_collect_sorted",
-    "agg_argmax_struct",
-    "conditional_case_agg",
-    "sort_partition_local",
-    "sort_global_ranked",
-    "topk_orders",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "set_except_all",
-    "cube_grouping_id",
-    "unpivot_price_components",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    "join_null_safe",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprints",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    # --- NEW this round (first driver rows) ---
-    "ann_topk_join",
-    "feature_quantile_sketch",
-    # --- sentinels adjacent to this round's code changes ---
-    "mining_pair_cooccurrence",  # top-k rewritten to orderBy+limit
-    "dedup_simhash",  # simhash_by_doc empty-token fix adjacency
-    "multimodal_image_decode",  # imagecodec error-path hardening
-    "events_tumbling_counts",  # events_ts_unit now probes all files
-    # --- NEW late in round 6 (first driver rows) ---
-    "dedup_substring_chunks",
-    "text_quality_classifier",
-    "sample_frequency_downsample",
-    # (multimodal_audio_decode / join_asof sentinels ceded their slots:
-    # the codec hardening is still sentineled by the image row + pytest,
-    # the events-loader change by events_tumbling_counts. First rows for
-    # the two most operator-novel round-6 additions win the trade; the
-    # timeseries fill pair and relational division queue for r07.)
-    "join_not_in_null_aware",
-    "hierarchy_rollup_recursive",
+    # --- round-6 queries: first driver rows (19) ---
+    "agg_percent_of_total",
+    "division_priority_complete",
+    "events_markov_transitions",
+    "feature_winsorize",
+    "graph_bfs_distances",
+    "join_bloom_pruned",
+    "join_interval_overlap",
+    "join_spatial_grid",
+    "regression_by_event_type",
+    "sketch_hll_rolling_users",
+    "skyline_pareto_frontier",
+    "stats_chi_square_independence",
+    "streaming_click_purchase_left_join",
+    "text_bigram_lm_score",
+    "timeseries_ewma",
+    "timeseries_forward_fill",
+    "timeseries_interpolate",
+    "union_by_name_evolved",
+    "window_rolling_distinct_users",
+    # --- NEW this round: first driver rows (5) ---
+    "sink_partitioned_roundtrip",
+    "sink_bucketed_join",
+    "sink_compact_small_files",
+    "events_funnel_stages",
+    "stats_ks_two_sample",
+    # --- sentinel adjacent to this round's code changes ---
+    "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
+    # --- stalest rotated-out greens (latest row r03) ---
+    "tpch_q1_pricing",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_rich_customers",
+    "join_inner",
+    "join_left_agg",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast",
+    "join_theta",
+    "join_cross",
+    "mr_char_counts",
+    "mr_histogram_mod100",
+    "mr_filter_evens",
+    "window_topk_per_group",
+    "window_running_sum",
+    "udf_pandas_grouped_agg",
+    "udtf_bigram_counts",
+    "udtf_native_token_runs",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or
@@ -195,14 +188,20 @@ def all_queries() -> dict[str, QuerySpec]:
     # explicit so a missing module is an error, not silent shrinkage.
     from mapreduceframework_spark.plans import (  # noqa: F401
         analytics_queries,
+        ann_queries,
         core_queries,
+        dedup_queries,
         extension_queries,
         graph_queries,
         join_queries,
         lakehouse_queries,
         mapreduce_queries,
+        multimodal_queries,
+        sampling_queries,
+        sink_queries,
         sketch_queries,
         streaming_queries,
+        text_queries,
         tpch_queries,
         udf_queries,
         window_queries,

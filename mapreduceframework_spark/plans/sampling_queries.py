@@ -1,0 +1,453 @@
+"""Reproducible sampling / split / mixture / curation queries
+(SURVEY.md section 2.2 ⊕ rows). Everything derives from one
+deterministic multiplicative-hash doc bucket (same literal formula on
+both engines — never engine-native rand/hash), so splits survive
+re-runs and engine swaps; the curation pipeline composes the quality /
+dedup / mixture stages into one plan with a whole-pipeline oracle.
+
+Split out of extension_queries.py in round 7 (pure move, zero renames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceframework_spark.operators import text as X
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+
+from mapreduceframework_spark.plans.dedup_queries import MINHASH_PAIRS_CTES, _minhash_pairs
+
+
+# --------------------------------------------------------------------------
+# Reproducible sampling / dataset splits
+# --------------------------------------------------------------------------
+
+# Deterministic doc-id bucket in [0, 1000): multiplicative hash, same
+# literal formula on both engines (never engine-native hash/rand — a
+# training pipeline needs splits that survive re-runs and engine swaps).
+# Max intermediate: doc_id * 2654435761 stays < 2^63 for doc_id < 3.4e9.
+_BUCKET = "((doc_id * 2654435761 + 40503) % 1000)"
+
+
+def _bucket_col() -> F.Column:
+    return (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % 1000
+
+
+@query(
+    "sample_deterministic",
+    oracle=f"""
+        SELECT doc_id, {_BUCKET} AS bucket
+        FROM documents WHERE {_BUCKET} < 100
+    """,
+    tags=("sampling", "extension"),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% corpus sample by hash bucket — unlike
+    df.sample() this is stable across runs, partitionings, and engines,
+    which is what makes eval subsets and ablations comparable. The
+    predicate is a pure row-local expression: no shuffle, pushes
+    through any upstream projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _bucket_col().alias("bucket")).filter(
+        F.col("bucket") < 100
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+        SELECT CASE WHEN {_BUCKET} < 800 THEN 'train'
+                    WHEN {_BUCKET} < 900 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY split
+    """,
+    tags=("sampling", "extension"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from the same deterministic
+    bucket — the split a 100 TB corpus job computes inline (a join
+    against a split table would be another shuffle; a hash is free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket_col()
+    return (
+        docs.withColumn(
+            "split",
+            F.when(b < 800, "train").when(b < 900, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline (composition capstone)
+# --------------------------------------------------------------------------
+
+# SQL mirrors of operators/text.py quality_score / whitespace_token_count
+# (same formulas the text_quality_scores / text_token_stats oracles use).
+_PUNCT_SQL = (
+    "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - "
+    "length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) "
+    "/ length(text) END)"
+)
+_STOP_SQL = (
+    "(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 "
+    "THEN 0.0 ELSE len(list_filter(regexp_split_to_array(trim(text), "
+    "'\\s+'), w -> list_contains(['the','a','of','and','to','in','is',"
+    "'it'], w))) / len(regexp_split_to_array(trim(text), '\\s+')) END)"
+)
+QUALITY_SQL = (
+    f"round((least(length(text) / 200.0, 1.0) + (1.0 - "
+    f"least({_PUNCT_SQL} * 4, 1.0)) + least({_STOP_SQL} * 5, 1.0)) "
+    f"/ 3.0, 6)"
+)
+WS_TOKENS_SQL = (
+    "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT"
+)
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=f"""
+        WITH RECURSIVE {MINHASH_PAIRS_CTES},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+                  UNION
+                  SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+        nodes AS (SELECT DISTINCT src AS doc FROM edges),
+        reach(doc, lab) AS (
+            SELECT doc, doc FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+        comp AS (SELECT doc AS doc_id, MIN(lab) AS cluster_id
+                 FROM reach GROUP BY doc),
+        noncanon AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+        qual AS (SELECT * FROM (SELECT doc_id, text,
+                                       {QUALITY_SQL} AS quality
+                                FROM documents)
+                 WHERE quality >= 0.5),
+        keepers AS (SELECT MIN(doc_id) AS doc_id FROM qual
+                    GROUP BY md5(text)),
+        kept AS (SELECT q.doc_id, q.text, q.quality
+                 FROM qual q
+                 WHERE q.doc_id IN (SELECT doc_id FROM keepers)
+                   AND q.doc_id NOT IN (SELECT doc_id FROM noncanon))
+        SELECT CASE WHEN (doc_id * 2654435761 + 40503) % 1000 < 800
+                    THEN 'train'
+                    WHEN (doc_id * 2654435761 + 40503) % 1000 < 900
+                    THEN 'val' ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({WS_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+               ROUND(AVG(quality), 4) AS avg_quality
+        FROM kept GROUP BY split
+    """,
+    tags=("pipeline", "dedup", "sampling", "text", "extension"),
+    bench=True,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: one DataFrame program running the full
+    corpus-curation pass a training pipeline needs — C4-style quality
+    filter (>= 0.5) -> exact dedup (min doc_id per md5) -> near-dup
+    removal (drop non-canonical members of MinHash connected-components
+    clusters) -> deterministic train/val/test split -> per-split doc,
+    token, and quality stats. Every stage is a previously-verified
+    operator; this query proves they COMPOSE in one lazy plan (the
+    cluster step alone materializes, being iterative). The oracle
+    recomputes the entire pipeline in SQL, transitive closure included."""
+    from mapreduceframework_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = docs.select(
+        "doc_id",
+        "text",
+        X.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    keepers = qual.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    noncanon = (
+        connected_components(
+            _minhash_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+        )
+        .filter(F.col("id") != F.col("label"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = (
+        qual.join(
+            keepers, qual.doc_id == keepers.keep_id, "left_semi"
+        )
+        .join(F.broadcast(noncanon), "doc_id", "left_anti")
+    )
+    b = (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % 1000
+    return (
+        kept.withColumn(
+            "split",
+            F.when(b < 800, "train").when(b < 900, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(X.whitespace_token_count(F.col("text")))
+            .cast("long")
+            .alias("n_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
+_MIX_RATE = """CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 900
+                    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 500
+                    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 200
+                    ELSE 50 END"""
+
+
+@query(
+    "sample_mixture_by_source",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN {_BUCKET} < {_MIX_RATE}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("sampling", "extension"),
+)
+def sample_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: each source tier keeps a different
+    deterministic fraction (90% / 50% / 20% / 5%) — the up/down
+    -weighting step that turns a raw crawl into a training mix. Same
+    engine-stable hash bucket as sample_deterministic, so the kept set
+    is reproducible across runs, partitionings, and engines, and a
+    document's fate is independent of which split/sample query asks.
+    Pure row-local expressions: the whole mixture policy costs one
+    aggregation shuffle for the report (and ZERO extra shuffles when
+    fused into a pipeline as a filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(sid < 5, 900)
+        .when(sid < 10, 500)
+        .when(sid < 15, 200)
+        .otherwise(50)
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(_bucket_col() < rate, 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+
+
+@query(
+    "quality_report_tables",
+    oracle="""
+        SELECT 'lineitem' AS tbl,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity IS NULL OR l_extendedprice
+                                  IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_required,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                  OR l_discount < 0 OR l_discount > 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_out_of_range,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM orders)) AS n_orphans
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL
+                                  OR o_orderdate IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_custkey NOT IN
+                      (SELECT c_custkey FROM customer))
+        FROM orders
+    """,
+    tags=("extension", "quality", "anti"),
+)
+def quality_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation report — the pre-flight every ingestion
+    pipeline runs before training data is trusted: per table, row
+    count, NULLs in required columns, domain-range violations, and
+    referential orphans (fact keys with no parent row). Conditional
+    aggregates fold the null/range checks into ONE pass per table; the
+    orphan checks are broadcast anti joins on the parent key sets —
+    at 100 TB each check is one scan plus one key-only anti join, and
+    the report is O(tables) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    # Orphan counts stay LAZY single-row frames (no driver-side action
+    # inside an operator path — repo guard); each joins back in as a
+    # broadcast scalar.
+    li_orphans = (
+        li.join(
+            o.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    o_orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_orphans"))
+    )
+
+    li_row = li.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | F.col("l_extendedprice").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("n_null_required"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_out_of_range"),
+    ).crossJoin(F.broadcast(li_orphans))
+    o_row = o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull()
+                | F.col("o_orderdate").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("n_null_required"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("n_out_of_range"),
+    ).crossJoin(F.broadcast(o_orphans))
+    return li_row.unionByName(o_row)
+
+
+@query(
+    "sample_stratified_exact",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM ranked WHERE rn <= 40
+        GROUP BY source
+    """,
+    tags=("extension", "sampling", "training-data"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-size sampling: exactly min(40, |stratum|) docs
+    per source, chosen by a deterministic hash order (md5 of doc_id,
+    ties by doc_id) — the balanced-mix primitive where fractional
+    sampling (sample_mixture_by_source) can't guarantee per-stratum
+    counts. Engine-stable: no RNG, same selection on every engine and
+    every run.
+
+    Scale shape: one hash shuffle on the stratum key + per-partition
+    rank — rank is bounded-memory because only rn <= k survives (Spark
+    lowers the filter into the window's sort where possible). The
+    summary (count, char total, id sum) value-checks the exact member
+    set, not just sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+# Per-source target size for frequency-proportional downsampling.
+SOURCE_CAP = 120
+
+
+@query(
+    "sample_frequency_downsample",
+    oracle=f"""
+        WITH c AS (SELECT source, COUNT(*) AS cnt
+                   FROM documents GROUP BY source),
+        k AS (SELECT d.doc_id, d.source, c.cnt
+              FROM documents d JOIN c USING (source)
+              WHERE ((('0x' || substring(
+                          md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 10000) / CAST(10000 AS DOUBLE))
+                    < least(CAST(1 AS DOUBLE),
+                            CAST({SOURCE_CAP} AS DOUBLE) / c.cnt))
+        SELECT source,
+               CAST(MAX(cnt) AS BIGINT) AS n_before,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+        FROM k GROUP BY source
+    """,
+    tags=("sampling", "extension", "training-data"),
+)
+def sample_frequency_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-proportional source balancing (the CommonCrawl domain
+    -rebalancing shape): count docs per source, then keep each doc with
+    probability min(1, CAP/count) — over-represented sources are
+    downsampled toward CAP expected docs, rare sources pass untouched.
+    Selection is a deterministic md5 unit-hash of doc_id, not an RNG:
+    same keep-set on every engine, every run, every retry (the property
+    that makes a 100 TB pipeline re-runnable). Emits per-source
+    before/after counts plus the kept-id sum (pins exact membership).
+
+    Scale shape vs sample_stratified_exact (the window-rank variant):
+    the per-source counts aggregate is O(#sources) rows, broadcast back
+    onto the corpus, and the filter is row-local — fully parallel with
+    no per-source partition funnel, which is what you want when one
+    domain is 10% of the crawl."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    unit = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10000
+    ) / F.lit(10000).cast("double")
+    keep_prob = F.least(F.lit(1.0), F.lit(SOURCE_CAP) / F.col("cnt"))
+    kept = d.join(F.broadcast(counts), "source").filter(unit < keep_prob)
+    return kept.groupBy("source").agg(
+        F.max("cnt").alias("n_before"),
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )

@@ -1,0 +1,186 @@
+"""Write-path (sink) queries — the O10 output surface exercised as
+driver-checked rows, not just pytest.
+
+The reference's only sink is the in-memory OutputVec the client owns
+(reference MapReduceFramework.h:22, JobContext.cpp:166-175: emit3
+appends under a mutex; the bag is unordered). The engine's sinks are
+files (sources/io.py); these queries prove the two layouts that matter
+at 100 TB — hive-partitioned parquet (partition pruning on read) and
+bucketed tables (shuffle-free co-located joins) — through the full
+write -> read-back -> value-hash-oracle loop the driver grades.
+
+Scratch location: everything lands under the session temp dir (same
+policy as session.py's per-pid warehouse), never inside the repo or
+the read-only testdata.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
+from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.sources import load_table
+from mapreduceframework_spark.sources.io import write_table
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    """Per-pid scratch dir (parallel runs never collide; overwrite mode
+    makes reruns within a session idempotent)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"mrf-scratch-{os.getpid()}",
+        f"{name}-{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
+@query(
+    "sink_partitioned_roundtrip",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({snap_units_sql('l_quantity', 100)}) AS BIGINT)
+                   AS sum_qty_e2,
+               CAST(SUM({snap_units_sql('l_extendedprice', 100)}) AS BIGINT)
+                   AS sum_price_e2
+        FROM lineitem
+        WHERE l_returnflag <> 'N'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("sink", "source", "lakehouse"),
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink round-trip: write lineitem
+    partitioned by (l_returnflag, l_linestatus), read it BACK with a
+    partition predicate, aggregate. The oracle computes the same
+    aggregate from the ORIGINAL table, so a sink that drops, duplicates
+    or corrupts rows (or mistypes partition values on the read side)
+    hash-mismatches.
+
+    Scale shape: the write is a scan + hive-layout fan-out (no shuffle
+    — partitionBy splits within each task's files); the read-back scan
+    prunes the l_returnflag='N' subtree at FILE LISTING time
+    (PartitionFilters, asserted in tests/test_plans.py), which at
+    100 TB is the difference between listing 2/3 of the files and
+    reading any of the pruned bytes at all. Aggregation is algebraic
+    -> map-side partial. Quantity/price snapped to exact e2 integers
+    (doubles would drift by summation order)."""
+    out = _scratch(sf_dir, "roundtrip")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+    )
+    write_table(li, out, partition_by=["l_returnflag", "l_linestatus"])
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") != "N")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(snap_units("l_quantity", 100)).alias("sum_qty_e2"),
+        F.sum(snap_units("l_extendedprice", 100)).alias("sum_price_e2"),
+    )
+
+
+@query(
+    "sink_bucketed_join",
+    oracle=f"""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM({snap_units_sql('o.o_totalprice', 100)}) AS BIGINT)
+                   AS revenue_e2
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("sink", "join", "lakehouse"),
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink + shuffle-free co-located join: write orders
+    and customer as tables bucketed 8 ways on the join key, then
+    sort-merge-join them WITHOUT any exchange — both scans are already
+    hash-distributed by bucket file layout. The oracle runs the same
+    join on the raw parquet, so bucket routing that misplaces or loses
+    a row hash-mismatches.
+
+    This is THE join strategy for repeatedly-joined 100 TB fact tables:
+    pay the bucketing shuffle once at ingest, then every subsequent
+    join on that key is exchange-free (tests/test_plans.py asserts no
+    Exchange feeds the SortMergeJoin). The merge hint pins SMJ so the
+    plan proves bucketing (a broadcast would also avoid the exchange
+    but only because customer is small at test SF)."""
+    wh_orders = "mrf_b_orders"
+    wh_cust = "mrf_b_customer"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    (
+        orders.write.format("parquet")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable(wh_orders)
+    )
+    (
+        cust.write.format("parquet")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable(wh_cust)
+    )
+    bo = spark.table(wh_orders)
+    bc = spark.table(wh_cust).hint("merge")
+    return (
+        bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(snap_units("o_totalprice", 100)).alias("revenue_e2"),
+        )
+    )
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(length(text)) AS BIGINT) AS total_len
+        FROM documents
+    """,
+    tags=("sink", "maintenance", "lakehouse"),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: shatter the documents table
+    into 64 tiny part-files (the pathology a streaming sink or an
+    over-parallel writer leaves behind), compact with
+    sources/io.py::compact_table to ~256 MB-target files, read the
+    compacted copy back and aggregate. The oracle aggregates the
+    ORIGINAL table, so compaction that drops/duplicates rows
+    hash-mismatches; the file-count collapse itself is asserted in
+    tests/test_plans.py.
+
+    Why it's a first-class op at 100 TB: a million KB-sized files make
+    file listing and per-file open dominate every later scan — the §8
+    mitigation is this exact rewrite, sized from real input bytes
+    (driver-side listing only, no data collect), coalesce (shuffle-free)
+    when shrinking."""
+    from mapreduceframework_spark.sources.io import compact_table
+
+    small = _scratch(sf_dir, "smallfiles")
+    compacted = _scratch(sf_dir, "compacted")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(small)
+    compact_table(spark, small, compacted)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_len"),
+    )

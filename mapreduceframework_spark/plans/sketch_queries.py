@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from mapreduceframework_spark.operators import dedup as D
 from mapreduceframework_spark.operators import sketches as S
-from mapreduceframework_spark.plans.extension_queries import DOCS_CTE, _docs
+from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 

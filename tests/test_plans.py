@@ -303,7 +303,7 @@ def test_docs_wide_skips_shuffle_when_scan_parallel_enough(spark, sf_dir):
     # and the same repartition would shuffle the whole corpus for
     # nothing. The gate must drop the Exchange when parallelism is
     # already sufficient — simulated here by lowering the target to 1.
-    from mapreduceframework_spark.plans.extension_queries import _docs_wide
+    from mapreduceframework_spark.plans.corpus import _docs_wide
 
     import contextlib
     import io
@@ -685,3 +685,46 @@ def test_spatial_grid_join_is_cell_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan  # the neighborhood explode
+
+
+def test_partitioned_sink_roundtrip_prunes_partitions(spark, sf_dir):
+    """The read-back scan must carry the returnflag predicate as a
+    PARTITION filter (pruned at file-listing time), not a data filter —
+    at 100 TB that's the difference between never listing the pruned
+    subtree and reading it to throw rows away."""
+    df = REG["sink_partitioned_roundtrip"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1), plan[:2000]
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """Both sides are bucketed 8-ways on the join key: the
+    SortMergeJoin must read the bucketed layout directly — the ONLY
+    exchange allowed in the plan is the post-join aggregation shuffle
+    (on c_mktsegment). An exchange under the join means bucketing was
+    silently ignored (bucket count mismatch, disabled config, ...)."""
+    df = REG["sink_bucketed_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part, join_part[:2000]
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    """64 shattered part-files must compact to a handful (input is far
+    under the 256 MB target, so exactly 1 data file), and the compacted
+    copy must hold every row."""
+    import glob
+    import os
+
+    from mapreduceframework_spark.plans.sink_queries import _scratch
+
+    REG["sink_compact_small_files"].fn(spark, sf_dir)
+    small = glob.glob(os.path.join(_scratch(sf_dir, "smallfiles"), "part-*"))
+    compacted = glob.glob(os.path.join(_scratch(sf_dir, "compacted"), "part-*"))
+    assert len(small) == 64
+    assert len(compacted) == 1
