@@ -1351,3 +1351,68 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_d_e6"),
         )
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+            UNION ALL
+            SELECT event_type, epoch_us(ts) + 1800000000, -1 FROM events
+        ),
+        r AS (
+            SELECT event_type,
+                   SUM(delta) OVER (
+                       PARTITION BY event_type ORDER BY t, delta
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS c
+            FROM pts
+        )
+        SELECT event_type,
+               CAST(MAX(c) AS BIGINT) AS peak_concurrency,
+               CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+        FROM r GROUP BY event_type
+    """,
+    tags=("events", "window", "interval", "extension"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: each event opens a 30-minute
+    half-open activity interval [ts, ts+30min); the answer is the
+    maximum number of simultaneously open intervals — the classic
+    sweep-line (+1 at open, -1 at close, running sum, max) that prices
+    capacity: peak concurrent sessions, max in-flight requests, hottest
+    shard width.
+
+    Determinism at ties: events ordered by (t, delta) so closes land
+    before opens at the same instant (half-open semantics — an interval
+    ending exactly when another starts never overlaps it). Within a run
+    of equal (t, delta) rows the prefix sum is monotone, so the per-type
+    MAX is invariant to intra-run order — no further tiebreak needed,
+    and both engines agree exactly (pure BIGINT arithmetic).
+
+    Scale shape: the sweep is one window pass PARTITIONED by event_type
+    (never a global single-task sweep); the 2x fan-out union is
+    row-local. For a key whose timeline outgrows one task, the KS
+    query's bucketed two-phase prefix-sum (stats_ks_two_sample) is the
+    drop-in rewrite — noted, not needed at O(events/type) here."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t")
+    )
+    opens = ev.select("event_type", "t", F.lit(1).alias("delta"))
+    closes = ev.select(
+        "event_type",
+        (F.col("t") + F.lit(1_800_000_000)).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = opens.unionAll(closes)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = pts.select("event_type", F.sum("delta").over(w).alias("c"))
+    return r.groupBy("event_type").agg(
+        F.max("c").cast("long").alias("peak_concurrency"),
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+    )

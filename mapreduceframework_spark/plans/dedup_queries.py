@@ -158,8 +158,13 @@ MINHASH_PAIRS_CTES = f"""
 """
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (doc_a, doc_b, jac >= 0.5) via MinHash+LSH."""
+def _minhash_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """LSH band-bucket candidate pairs plus the per-doc shingle sets:
+    returns (cand[doc_a, doc_b], shf[doc_id, hs]) — the shared front
+    half of every MinHash-family query (Jaccard pairs, containment,
+    clusters) so the candidate definition cannot drift between them."""
     sh = _docs_wide(spark, sf_dir).select(
         "doc_id", D.hashed_shingles(F.col("words")).alias("hs")
     )
@@ -181,6 +186,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return cand, shf
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jac >= 0.5) via MinHash+LSH."""
+    cand, shf = _minhash_candidates(spark, sf_dir)
     x, y = shf.alias("x"), shf.alias("y")
     jac = D.jaccard(F.col("x.hs"), F.col("y.hs"))
     return (
@@ -660,4 +671,57 @@ def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
+    )
+
+
+@query(
+    "dedup_minhash_containment",
+    oracle=f"""
+        WITH {MINHASH_PAIRS_CTES}
+        SELECT doc_a, doc_b,
+               len(list_intersect(x.hs, y.hs))
+                   / CAST(len(x.hs) AS DOUBLE) AS contain_ab,
+               len(list_intersect(x.hs, y.hs))
+                   / CAST(len(y.hs) AS DOUBLE) AS contain_ba
+        FROM cand
+        JOIN shf x ON x.doc_id = doc_a
+        JOIN shf y ON y.doc_id = doc_b
+        WHERE len(list_intersect(x.hs, y.hs))
+                  / CAST(len(x.hs) AS DOUBLE) >= 0.7
+           OR len(list_intersect(x.hs, y.hs))
+                  / CAST(len(y.hs) AS DOUBLE) >= 0.7
+    """,
+    tags=("dedup", "similarity", "extension"),
+)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup detection over the same LSH
+    candidate pairs as dedup_minhash_lsh: C(A,B) = |A∩B|/|A| flags a
+    short document swallowed whole by a longer one (quote farms,
+    boilerplate wrappers, doc-in-doc) that symmetric Jaccard misses —
+    a 100-shingle doc fully contained in a 2000-shingle doc has
+    Jaccard 0.05 but containment 1.0. Broder's (1997) resemblance vs
+    containment distinction; the shape modern corpus pipelines use for
+    partial-duplicate pruning.
+
+    Candidate generation is shared with the Jaccard path
+    (_minhash_candidates — band-bucket equi-join, fixed per-doc
+    fan-out, never all-pairs), so the scale story is identical; the
+    exact containment check runs only on candidate pairs. Both
+    directions reported; either >= 0.7 keeps the pair. Floats are
+    exact-integer ratios divided once, identically, on both engines."""
+    cand, shf = _minhash_candidates(spark, sf_dir)
+    x, y = shf.alias("x"), shf.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.hs"), F.col("y.hs")))
+    c_ab = inter / F.size(F.col("x.hs")).cast("double")
+    c_ba = inter / F.size(F.col("y.hs")).cast("double")
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("contain_ab"),
+            c_ba.alias("contain_ba"),
+        )
+        .filter((F.col("contain_ab") >= 0.7) | (F.col("contain_ba") >= 0.7))
     )

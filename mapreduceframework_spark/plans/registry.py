@@ -75,10 +75,13 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 5 queries new this round (the three
-# write-path/maintenance sinks, the ordered funnel, the KS drift test), one
-# sentinel adjacent to this round's fanout-threading change, and the
-# 25 STALEST rotated-out greens (latest driver row r03) to refresh.
+# cross-engine), first rows for the 8 queries new this round (three
+# write-path/maintenance sinks, ordered funnel, KS drift test,
+# readability, minhash containment, peak concurrency), one sentinel
+# adjacent to this round's fanout-threading change, and the 22 STALEST
+# rotated-out greens (latest driver row r03) to refresh (join_cross /
+# mr_filter_evens / window_running_sum ceded their refresh slots to
+# first-evidence rows; each family keeps other refreshed rows).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- round-6 queries: first driver rows (19) ---
     "agg_percent_of_total",
@@ -100,12 +103,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_interpolate",
     "union_by_name_evolved",
     "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (5) ---
+    # --- NEW this round: first driver rows (8) ---
     "sink_partitioned_roundtrip",
     "sink_bucketed_join",
     "sink_compact_small_files",
     "events_funnel_stages",
     "stats_ks_two_sample",
+    "text_readability_scores",
+    "dedup_minhash_containment",
+    "events_peak_concurrency",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
     # --- stalest rotated-out greens (latest row r03) ---
@@ -125,12 +131,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_anti",
     "join_broadcast",
     "join_theta",
-    "join_cross",
     "mr_char_counts",
     "mr_histogram_mod100",
-    "mr_filter_evens",
     "window_topk_per_group",
-    "window_running_sum",
     "udf_pandas_grouped_agg",
     "udtf_bigram_counts",
     "udtf_native_token_runs",

@@ -632,3 +632,83 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(per, "doc_id", "left").select(
         "doc_id", "n_bigrams", "lm_score_e6"
     )
+
+
+@query(
+    "text_readability_scores",
+    oracle=r"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text),
+                                                    '[ \t\n\r\f]+'))
+                        END AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[.!?]+'))
+                        AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS n_vowel_groups
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+               CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+                   CAST(ROUND(1000 * (0.39 * (CAST(n_words AS DOUBLE)
+                                              / CAST(n_sentences AS DOUBLE))
+                                      + 11.8 * (CAST(n_vowel_groups AS DOUBLE)
+                                                / CAST(n_words AS DOUBLE))
+                                      - 15.59)) AS BIGINT)
+               END AS fk_grade_e3
+        FROM m
+    """,
+    tags=("text", "quality", "extension"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style readability grade per document — the
+    reading-level heuristic pretraining quality filters bin corpora by
+    (Kincaid et al. 1975). Syllables are approximated by vowel-group
+    runs ([aeiouy]+, the standard cheap proxy), sentences by
+    terminal-punctuation runs — both via explicit character classes so
+    Java and RE2 regex semantics cannot diverge (the \\s lesson).
+
+    Float contract: the three counts are exact BIGINTs; the grade is
+    one fixed shape of double arithmetic over exact integer ratios,
+    identical tree both engines, ROUNDed to integer 1e-3 units.
+    Degenerate docs (no words / no sentences) yield NULL grade on both
+    sides instead of a division error.
+
+    Scale shape: pure row-local scan — zero shuffles, zero joins; at
+    100 TB this pipelines into whatever scan already reads the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.when(
+        F.trim("text") == "", F.lit(0).cast("long")
+    ).otherwise(F.size(F.split(F.trim("text"), r"[ \t\n\r\f]+")).cast("long"))
+    n_sent = F.size(
+        F.expr("regexp_extract_all(text, '[.!?]+', 0)")
+    ).cast("long")
+    n_vow = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_vow.alias("n_vowel_groups"),
+    )
+    grade = F.round(
+        F.lit(1000)
+        * (
+            F.lit(0.39)
+            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+            + F.lit(11.8)
+            * (F.col("n_vowel_groups").cast("double") / F.col("n_words").cast("double"))
+            - F.lit(15.59)
+        )
+    ).cast("long")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_vowel_groups",
+        F.when(
+            (F.col("n_words") > 0) & (F.col("n_sentences") > 0), grade
+        ).alias("fk_grade_e3"),
+    )

@@ -109,6 +109,28 @@ SHOWCASE = [
      "partial-aggregated groupBys; scoring is equality joins on the "
      "bigram key (AQE handles Zipf skew). No Python, no nested loop; "
      "at 100 TB the pruned top-K model broadcasts."),
+    ("sink_partitioned_roundtrip",
+     "The write path as a first-class plan: hive-partitioned parquet "
+     "sink, then a read-back whose returnflag predicate appears as a "
+     "PARTITION filter — pruned at file-listing time, before any byte "
+     "of the pruned subtree is read."),
+    ("sink_bucketed_join",
+     "Bucketed-table co-located join: both scans read 'Bucketed: true' "
+     "layouts on the join key and the SortMergeJoin has NO exchange "
+     "beneath it — the pay-once-at-ingest shuffle strategy for "
+     "repeatedly-joined 100 TB fact tables. The only Exchange in the "
+     "plan is the post-join aggregation."),
+    ("stats_ks_two_sample",
+     "A global cumulative count WITHOUT an unpartitioned window: "
+     "range-bucketed local cumsums under a bucket-partitioned window, "
+     "bucket offsets from an O(buckets) broadcast theta-join — the "
+     "two-phase distributed prefix sum. The windowspecdefinition in "
+     "the plan carries a partition column."),
+    ("events_peak_concurrency",
+     "Sweep-line peak concurrency: the +1/-1 fan-out is row-local "
+     "(unionAll of two projections of one scan), the running sum rides "
+     "a window PARTITIONED by event_type, and the final max is a "
+     "partial-aggregated groupBy on the same key."),
     ("join_interval_overlap",
      "Interval x interval temporal join: both interval sets explode "
      "to 1-hour buckets (Generate) and meet in an equi hash join, "
