@@ -862,3 +862,70 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "s_suppkey", d2.alias("dist2"))
         .distinct()
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'click'),
+        bwd AS (SELECT p.event_id, MAX(c.t) AS bt
+                FROM p JOIN c ON c.user_id = p.user_id AND c.t <= p.t
+                GROUP BY p.event_id),
+        fwd AS (SELECT p.event_id, MIN(c.t) AS ft
+                FROM p JOIN c ON c.user_id = p.user_id AND c.t >= p.t
+                GROUP BY p.event_id),
+        pick AS (
+            SELECT p.event_id, p.user_id, p.t,
+                   CASE WHEN bt IS NOT NULL
+                             AND (ft IS NULL OR (p.t - bt) <= (ft - p.t))
+                        THEN bt ELSE ft END AS ct
+            FROM p LEFT JOIN bwd USING (event_id)
+                   LEFT JOIN fwd USING (event_id))
+        SELECT event_id, user_id, t AS purchase_us, ct AS click_us,
+               ABS(t - ct) AS gap_us
+        FROM pick WHERE ct IS NOT NULL
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join, completing the direction matrix
+    (backward `join_asof`, forward `join_asof_forward_gap`, nearest
+    here): each purchase matched to the temporally closest click by the
+    same user, whichever side of it — attribution when the touchpoint
+    may log after the conversion. Equidistant ties go BACKWARD, pinned
+    to pandas merge_asof semantics and mirrored in the oracle's
+    `(t - bt) <= (ft - t)`.
+
+    Same scale story as the rest of the matrix: one co-partitioned
+    hash shuffle per side on user_id, then each key's slices meet in
+    one Arrow batch where merge_asof runs vectorized — no range join,
+    no window over all events. Timestamps ride as exact microsecond
+    BIGINTs end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.unix_micros("ts").alias("ct")
+    )
+    out = asof_join(
+        p,
+        c,
+        left_key="user_id",
+        right_key="c_user",
+        left_ts="t",
+        right_ts="ct",
+        out_schema="event_id long, user_id long, t long, ct long",
+        right_cols=[],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("purchase_us"),
+        F.col("ct").alias("click_us"),
+        F.abs(F.col("t") - F.col("ct")).alias("gap_us"),
+    )

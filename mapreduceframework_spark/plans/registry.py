@@ -75,11 +75,11 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 8 queries new this round (three
+# cross-engine), first rows for the 9 queries new this round (three
 # write-path/maintenance sinks, ordered funnel, KS drift test,
-# readability, minhash containment, peak concurrency), one sentinel
+# readability, minhash containment, peak concurrency, nearest asof), one sentinel
 # adjacent to this round's fanout-threading change, and the 22 STALEST
-# rotated-out greens (latest driver row r03) to refresh (join_cross /
+# rotated-out greens (latest driver row r03) to refresh (join_cross / join_left_agg /
 # mr_filter_evens / window_running_sum ceded their refresh slots to
 # first-evidence rows; each family keeps other refreshed rows).
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -103,7 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_interpolate",
     "union_by_name_evolved",
     "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (8) ---
+    # --- NEW this round: first driver rows (9) ---
     "sink_partitioned_roundtrip",
     "sink_bucketed_join",
     "sink_compact_small_files",
@@ -112,6 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_readability_scores",
     "dedup_minhash_containment",
     "events_peak_concurrency",
+    "join_asof_nearest",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
     # --- stalest rotated-out greens (latest row r03) ---
@@ -125,7 +126,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_rich_customers",
     "join_inner",
-    "join_left_agg",
     "join_full_outer",
     "join_semi",
     "join_anti",

@@ -386,6 +386,18 @@ SHUFFLE_BUDGET = {
     "decontaminate_ngram_overlap": 3,
     "pack_token_chunks": 1,
     "text_tfidf_top_terms": 5,
+    # Round-7 rows. The funnel/KS counts look high but are mostly
+    # O(users)/O(buckets)/1-row exchanges — the budget pins them so a
+    # rewrite that silently adds a CORPUS-sized shuffle fails loudly.
+    "stats_ks_two_sample": 16,
+    "events_funnel_stages": 17,
+    "events_peak_concurrency": 1,
+    "join_asof_nearest": 2,
+    "dedup_minhash_containment": 8,
+    "text_readability_scores": 0,
+    "sink_partitioned_roundtrip": 1,
+    "sink_bucketed_join": 1,
+    "sink_compact_small_files": 1,
 }
 
 
