@@ -45,9 +45,9 @@ EMB_BANDS_CTE = f"""
 # --------------------------------------------------------------------------
 
 
-@query(
-    "ann_cosine_bruteforce",
-    oracle=f"""
+# Exact top-5 per query — shared verbatim by the bruteforce row and the
+# recall report so "ground truth" cannot drift between them.
+BF_TOPK_SQL = f"""
         WITH e AS ({EMB_CTE}),
         q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
         scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -59,7 +59,12 @@ EMB_BANDS_CTE = f"""
                        ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
         WHERE rank <= 5
-    """,
+"""
+
+
+@query(
+    "ann_cosine_bruteforce",
+    oracle=BF_TOPK_SQL,
     tags=("similarity", "extension"),
     bench=True,
 )
@@ -92,9 +97,7 @@ def ann_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_cosine_lsh",
-    oracle=f"""
+LSH_TOPK_SQL = f"""
         WITH e AS ({EMB_CTE}),
         b AS ({EMB_BANDS_CTE}),
         qb AS (SELECT vec_id, tbl, bucket FROM b WHERE vec_id < 10),
@@ -114,7 +117,12 @@ def ann_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
         WHERE rank <= 5
-    """,
+"""
+
+
+@query(
+    "ann_cosine_lsh",
+    oracle=LSH_TOPK_SQL,
     tags=("similarity", "extension"),
 )
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,4 +747,53 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clamped), 2).alias("mean_winsor"),
         )
         .select("l_returnflag", "n", "lo", "hi", "mean_raw", "mean_winsor")
+    )
+
+
+@query(
+    "ann_lsh_recall_report",
+    oracle=f"""
+        SELECT bf.query_id,
+               CAST(COUNT(*) AS BIGINT) AS bf_k,
+               CAST(COUNT(l.neighbor_id) AS BIGINT) AS hits,
+               CAST(COUNT(l.neighbor_id) * 20 AS BIGINT) AS recall_pct
+        FROM ({BF_TOPK_SQL}) bf
+        LEFT JOIN ({LSH_TOPK_SQL}) l
+          ON l.query_id = bf.query_id
+         AND l.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """,
+    tags=("similarity", "quality", "extension"),
+)
+def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the SRP-LSH scale path against the exact
+    brute-force baseline, per query — "measure, don't guess" as a
+    driver-checked row rather than a pytest-only claim. Both rankings
+    reuse the EXACT registered query plans (module-level fns) and the
+    oracle reuses their SQL bodies verbatim (BF_TOPK_SQL/LSH_TOPK_SQL),
+    so the ground truth cannot drift from what the bruteforce row
+    verifies. recall_pct is hits*20 — exact integers, no float ratio.
+
+    This is the recall-vs-cost dial every production ANN deployment
+    tunes: more hash tables / probes => higher hits at higher candidate
+    volume. At 100 TB the report stays cheap: it scores only the M
+    query rows' top-k (O(M*k)), not the corpus."""
+    bf = ann_cosine_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ls = ann_cosine_lsh(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("l_neighbor")
+    )
+    joined = bf.join(
+        ls,
+        (bf["query_id"] == ls["query_id"])
+        & (bf["neighbor_id"] == ls["l_neighbor"]),
+        "left",
+    ).select(bf["query_id"].alias("qid"), "l_neighbor")
+    return joined.groupBy("qid").agg(
+        F.count("*").alias("bf_k"),
+        F.count("l_neighbor").alias("hits"),
+        (F.count("l_neighbor") * 20).alias("recall_pct"),
+    ).select(
+        F.col("qid").alias("query_id"), "bf_k", "hits", "recall_pct"
     )

@@ -75,11 +75,11 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 9 queries new this round (three
+# cross-engine), first rows for the 10 queries new this round (three
 # write-path/maintenance sinks, ordered funnel, KS drift test,
-# readability, minhash containment, peak concurrency, nearest asof), one sentinel
+# readability, minhash containment, peak concurrency, nearest asof, LSH recall report), one sentinel
 # adjacent to this round's fanout-threading change, and the 22 STALEST
-# rotated-out greens (latest driver row r03) to refresh (join_cross / join_left_agg /
+# rotated-out greens (latest driver row r03) to refresh (join_cross / join_left_agg / join_theta /
 # mr_filter_evens / window_running_sum ceded their refresh slots to
 # first-evidence rows; each family keeps other refreshed rows).
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -103,7 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_interpolate",
     "union_by_name_evolved",
     "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (9) ---
+    # --- NEW this round: first driver rows (10) ---
     "sink_partitioned_roundtrip",
     "sink_bucketed_join",
     "sink_compact_small_files",
@@ -113,6 +113,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_containment",
     "events_peak_concurrency",
     "join_asof_nearest",
+    "ann_lsh_recall_report",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
     # --- stalest rotated-out greens (latest row r03) ---
@@ -130,7 +131,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_semi",
     "join_anti",
     "join_broadcast",
-    "join_theta",
     "mr_char_counts",
     "mr_histogram_mod100",
     "window_topk_per_group",

@@ -398,6 +398,7 @@ SHUFFLE_BUDGET = {
     "sink_partitioned_roundtrip": 1,
     "sink_bucketed_join": 1,
     "sink_compact_small_files": 1,
+    "ann_lsh_recall_report": 10,
 }
 
 
