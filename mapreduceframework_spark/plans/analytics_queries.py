@@ -1253,10 +1253,11 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
                        (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n2)
         SELECT n1, n2,
-               CAST(ROUND(1000000.0
-                          * CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
-                          / CAST(n1 * n2 AS DOUBLE)) AS BIGINT)
-                   AS ks_d_e6
+               CASE WHEN n1 * n2 != 0 THEN
+                   CAST(ROUND(1000000.0
+                              * CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+                              / CAST(n1 * n2 AS DOUBLE)) AS BIGINT)
+               END AS ks_d_e6
         FROM cum, tot GROUP BY n1, n2
     """,
     tags=("agg", "statistical", "extension"),
@@ -1342,13 +1343,17 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n1_d").cast("long").alias("n1"),
             F.col("n2_d").cast("long").alias("n2"),
-            F.round(
-                F.lit(1000000.0)
-                * F.col("dnum").cast("double")
-                / (F.col("n1_d") * F.col("n2_d")).cast("double")
-            )
-            .cast("long")
-            .alias("ks_d_e6"),
+            # Empty-sample guard (same divergence class as the
+            # regression slope fix): n1*n2 = 0 makes 0/0 -> NaN in
+            # ANSI Spark but NULL in DuckDB; both sides emit NULL.
+            F.when(
+                (F.col("n1_d") * F.col("n2_d")) != 0,
+                F.round(
+                    F.lit(1000000.0)
+                    * F.col("dnum").cast("double")
+                    / (F.col("n1_d") * F.col("n2_d")).cast("double")
+                ).cast("long"),
+            ).alias("ks_d_e6"),
         )
     )
 
