@@ -1261,6 +1261,7 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cum, tot GROUP BY n1, n2
     """,
     tags=("agg", "statistical", "extension"),
+    bench=True,
 )
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between the value

@@ -75,11 +75,11 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 10 queries new this round (three
+# cross-engine), first rows for the 11 queries new this round (three
 # write-path/maintenance sinks, ordered funnel, KS drift test,
-# readability, minhash containment, peak concurrency, nearest asof, LSH recall report), one sentinel
+# readability, minhash containment, peak concurrency, nearest asof, LSH recall report, temperature mixture), one sentinel
 # adjacent to this round's fanout-threading change, and the 22 STALEST
-# rotated-out greens (latest driver row r03) to refresh (join_cross / join_left_agg / join_theta /
+# rotated-out greens (latest driver row r03) to refresh (join_cross / join_left_agg / join_theta / udtf_bigram_counts /
 # mr_filter_evens / window_running_sum ceded their refresh slots to
 # first-evidence rows; each family keeps other refreshed rows).
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -103,7 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_interpolate",
     "union_by_name_evolved",
     "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (10) ---
+    # --- NEW this round: first driver rows (11) ---
     "sink_partitioned_roundtrip",
     "sink_bucketed_join",
     "sink_compact_small_files",
@@ -114,6 +114,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_peak_concurrency",
     "join_asof_nearest",
     "ann_lsh_recall_report",
+    "sample_temperature_mixture",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
     # --- stalest rotated-out greens (latest row r03) ---
@@ -135,7 +136,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mr_histogram_mod100",
     "window_topk_per_group",
     "udf_pandas_grouped_agg",
-    "udtf_bigram_counts",
     "udtf_native_token_runs",
 )
 

@@ -451,3 +451,88 @@ def sample_frequency_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("doc_id").alias("kept_id_sum"),
     )
+
+
+TEMP_TARGET = 250  # expected docs kept by the temperature mixture
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+        WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+                          CAST(ROUND(sqrt(COUNT(*)) * 1000000) AS BIGINT)
+                              AS w_e6
+                   FROM documents GROUP BY lang),
+        w AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS tot_e6 FROM c),
+        k AS (SELECT d.doc_id, d.lang, c.cnt, c.w_e6
+              FROM documents d JOIN c USING (lang), w
+              WHERE ((('0x' || substring(
+                          md5('t' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                          ::BIGINT % 10000) / CAST(10000 AS DOUBLE))
+                    < least(CAST(1 AS DOUBLE),
+                            CAST({TEMP_TARGET} * c.w_e6 AS DOUBLE)
+                                / CAST(w.tot_e6 * c.cnt AS DOUBLE)))
+        SELECT lang,
+               CAST(MAX(cnt) AS BIGINT) AS n_before,
+               CAST(MAX(w_e6) AS BIGINT) AS w_e6,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+        FROM k GROUP BY lang
+    """,
+    tags=("sampling", "extension", "training-data"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (alpha = 0.5): keep each
+    document with probability proportional to count^(alpha-1), i.e.
+    language share ~ sqrt(count) — the standard multilingual-LM recipe
+    (mBERT/XLM-R exponent-smoothed sampling) that lifts low-resource
+    languages without flattening the mixture entirely. Here: en (218
+    docs at sf0.01) is downsampled hardest, fr/de/es/zh least.
+
+    Cross-engine float contract: sqrt is IEEE-correctly-rounded in both
+    engines, but SUMMING the raw sqrt weights would be summation-order
+    dependent — so each weight snaps to exact 1e-6-unit BIGINTs first
+    and the normalizer is an exact integer SUM; the keep probability is
+    then ONE double division of identical exact integers. Selection is
+    the deterministic salted md5 unit-hash (no RNG; 't' salt
+    decorrelates from sample_frequency_downsample's keep-set).
+
+    Scale shape: identical to frequency downsampling — O(#langs)
+    weight table broadcast onto the corpus, row-local filter, no
+    per-lang partition funnel."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sqrt(F.count("*")) * 1_000_000)
+        .cast("long")
+        .alias("w_e6"),
+    )
+    tot = c.agg(F.sum("w_e6").alias("tot_e6"))
+    unit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    ) / F.lit(10000).cast("double")
+    keep_prob = F.least(
+        F.lit(1.0),
+        (F.lit(TEMP_TARGET) * F.col("w_e6")).cast("double")
+        / (F.col("tot_e6") * F.col("cnt")).cast("double"),
+    )
+    kept = (
+        d.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter(unit < keep_prob)
+    )
+    return kept.groupBy("lang").agg(
+        F.max("cnt").alias("n_before"),
+        F.max("w_e6").alias("w_e6"),
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )

@@ -97,6 +97,7 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
     """,
     tags=("sink", "join", "lakehouse"),
+    bench=True,
 )
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-table sink + shuffle-free co-located join: write orders

@@ -399,6 +399,7 @@ SHUFFLE_BUDGET = {
     "sink_bucketed_join": 1,
     "sink_compact_small_files": 1,
     "ann_lsh_recall_report": 10,
+    "sample_temperature_mixture": 6,
 }
 
 
