@@ -712,3 +712,92 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_words") > 0) & (F.col("n_sentences") > 0), grade
         ).alias("fk_grade_e3"),
     )
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        m AS (
+            SELECT doc_id,
+                   len(words)::BIGINT AS word_count,
+                   list_sum(list_transform(words, w -> length(w)))::BIGINT
+                       AS char_sum,
+                   (length(text) - length(replace(text, '#', '')))::BIGINT
+                       AS n_hash,
+                   ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT
+                       AS n_ellipsis,
+                   len(list_filter(words,
+                       w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+                       AS n_alpha_words,
+                   len(list_filter(words, w -> list_contains(
+                       ['the','a','of','and','to','in','is','it'], w)))::BIGINT
+                       AS stop_hits
+            FROM d)
+        SELECT doc_id, word_count,
+               char_sum / word_count AS mean_word_len,
+               (n_hash + n_ellipsis) / word_count AS symbol_ratio,
+               n_alpha_words / word_count AS alpha_ratio,
+               stop_hits,
+               (word_count BETWEEN 50 AND 100000
+                AND char_sum / word_count BETWEEN 3.0 AND 10.0
+                AND (n_hash + n_ellipsis) / word_count <= 0.1
+                AND n_alpha_words / word_count >= 0.8
+                AND stop_hits >= 2) AS keep
+        FROM m
+    """,
+    tags=("text", "quality", "extension"),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021, 'Scaling Language
+    Models', table A1 shape): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (# / ellipsis), alphabetic-word
+    fraction, minimum stopword presence — the standard rule battery a
+    pretraining pipeline runs before any model-based scoring.
+
+    Parity: every ratio is a single int/int division of exactly-counted
+    integers, so both engines produce bit-identical doubles; the keep
+    flag compares those doubles to dyadic-or-short-decimal literals the
+    same way on both sides. Scale: pure row-local array expressions
+    (no shuffle at all) — the filter streams over the corpus scan and
+    whole-stage-codegens; at 100 TB this is scan-bound, exactly as the
+    C4/Gopher reference pipelines run it."""
+    d = _docs(spark, sf_dir)
+    words = F.col("words")
+    wc = F.size(words).cast("long")
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))).cast("long")
+    n_ellipsis = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+    ).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    stop_hits = F.size(F.filter(words, X._membership(X.STOPWORDS))).cast("long")
+    m = d.select(
+        "doc_id",
+        wc.alias("word_count"),
+        char_sum.alias("char_sum"),
+        n_hash.alias("n_hash"),
+        n_ellipsis.alias("n_ellipsis"),
+        n_alpha.alias("n_alpha_words"),
+        stop_hits.alias("stop_hits"),
+    )
+    mwl = F.col("char_sum") / F.col("word_count")
+    sym = (F.col("n_hash") + F.col("n_ellipsis")) / F.col("word_count")
+    alpha = F.col("n_alpha_words") / F.col("word_count")
+    return m.select(
+        "doc_id",
+        "word_count",
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("alpha_ratio"),
+        "stop_hits",
+        (
+            F.col("word_count").between(50, 100000)
+            & mwl.between(3.0, 10.0)
+            & (sym <= 0.1)
+            & (alpha >= 0.8)
+            & (F.col("stop_hits") >= 2)
+        ).alias("keep"),
+    )
