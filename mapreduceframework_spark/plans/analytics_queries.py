@@ -1422,3 +1422,112 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("long").alias("peak_concurrency"),
         (F.count("*") / 2).cast("long").alias("n_intervals"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to 1e6-integers: cumulative
+# probabilities e^-1 * sum(1/k!) for k = 0..5, rounded to 6 decimals.
+# Both engines compare the SAME integer hash draw against the SAME
+# integer thresholds, so replicate weights are bit-identical.
+_POIS_T = (367879, 735759, 919699, 981012, 996340, 999406)
+_POIS_CASE_SQL = (
+    "CASE WHEN m < 367879 THEN 0 WHEN m < 735759 THEN 1 "
+    "WHEN m < 919699 THEN 2 WHEN m < 981012 THEN 3 "
+    "WHEN m < 996340 THEN 4 WHEN m < 999406 THEN 5 ELSE 6 END"
+)
+
+
+@query(
+    "stats_bootstrap_poisson_ci",
+    oracle=f"""
+        WITH r AS (
+            SELECT o.o_orderpriority AS priority,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+                   s.b AS b,
+                   (o.o_orderkey * 2654435761 + s.b * 40503) % 1000000 AS m
+            FROM orders o, generate_series(1, 64) AS s(b)),
+        w AS (SELECT priority, b, cents, {_POIS_CASE_SQL} AS wgt FROM r),
+        est AS (
+            SELECT priority, b,
+                   SUM(wgt * cents) / (100.0 * SUM(wgt)) AS est
+            FROM w GROUP BY priority, b
+            HAVING SUM(wgt) > 0),
+        ranked AS (
+            SELECT priority, est,
+                   ROW_NUMBER() OVER (PARTITION BY priority
+                                      ORDER BY est, b) AS rk
+            FROM est),
+        point AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) / (100.0 * COUNT(*)) AS point_mean
+            FROM orders GROUP BY o_orderpriority)
+        SELECT p.priority, p.n_orders, p.point_mean,
+               MAX(CASE WHEN r.rk = 2 THEN r.est END) AS ci_lo,
+               MAX(CASE WHEN r.rk = 63 THEN r.est END) AS ci_hi
+        FROM point p JOIN ranked r ON p.priority = r.priority
+        GROUP BY p.priority, p.n_orders, p.point_mean
+    """,
+    tags=("agg", "statistical", "extension"),
+)
+def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value per
+    priority — the bootstrap that actually runs at corpus scale: instead
+    of materializing B resamples (B full shuffles), every row draws a
+    deterministic Poisson(1) weight per replicate in a single pass and
+    the B weighted means partial-aggregate map-side (Chamandy et al.
+    2012, 'Estimating Uncertainty for Massive Data Streams' shape).
+
+    Determinism contract: the per-(row, replicate) uniform draw is the
+    same multiplicative-hash literal both engines use for sampling
+    (sampling_queries._BUCKET family), quantized to an integer in
+    [0, 1e6) and pushed through an integer-threshold inverse CDF — no
+    engine RNG anywhere. Weighted sums stay in exact BIGINT cents;
+    each replicate mean is ONE double division of exact integers, and
+    the CI bounds are order statistics (ranks 2 and 63 of 64) with a
+    replicate-id tie-break, not interpolated percentiles.
+
+    Scale: fan-out ×64 is row-local (explode of a literal sequence);
+    the only shuffle is the (priority, replicate) partial agg to
+    |priorities|×64 rows, after which everything is model-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    r = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        cents.alias("cents"),
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("b"),
+        F.col("o_orderkey"),
+    ).withColumn(
+        "m", (F.col("o_orderkey") * 2654435761 + F.col("b") * 40503) % 1000000
+    )
+    wgt = F.lit(6)
+    for k in range(5, -1, -1):
+        wgt = F.when(F.col("m") < _POIS_T[k], F.lit(k)).otherwise(wgt)
+    est = (
+        r.withColumn("wgt", wgt)
+        .groupBy("priority", "b")
+        .agg(
+            F.sum(F.col("wgt") * F.col("cents")).alias("ws"),
+            F.sum("wgt").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            "priority", "b", (F.col("ws") / (F.lit(100.0) * F.col("wn"))).alias("est")
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("priority").orderBy("est", "b")
+    )
+    ranked = est.select("priority", "est", rk.alias("rk"))
+    point = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(cents) / (F.lit(100.0) * F.count("*"))).alias("point_mean"),
+    )
+    return (
+        point.join(ranked, "priority")
+        .groupBy("priority", "n_orders", "point_mean")
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("est"))).alias("ci_lo"),
+            F.max(F.when(F.col("rk") == 63, F.col("est"))).alias("ci_hi"),
+        )
+    )
