@@ -797,3 +797,55 @@ def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("qid").alias("query_id"), "bf_k", "hits", "recall_pct"
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle=f"""
+        WITH q AS (
+            SELECT list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+                       AS qv
+            FROM ({EMB_CTE})),
+        pairs AS (
+            SELECT s.i AS i, t.j AS j, qv[s.i] * qv[t.j] AS p
+            FROM q, generate_series(1, 64) AS s(i),
+                    generate_series(1, 64) AS t(j)
+            WHERE t.j >= s.i)
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               CAST(SUM(p) AS BIGINT) AS g
+        FROM pairs GROUP BY i, j
+    """,
+    tags=("ann", "embedding", "extension"),
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix G = Σ v·vᵀ over the embedding corpus —
+    the single-pass building block for PCA / covariance / whitening
+    (compute G distributed, eigendecompose the d×d result driver-side:
+    the classic tall-skinny pattern, d=64 here so |G| = 2,080 upper-
+    triangle cells regardless of corpus size).
+
+    Parity: components quantize ONCE to 1e-3-unit BIGINTs (identical
+    float→double widening and round on both engines), so every product
+    and the full sum stay in exact integer arithmetic — no float
+    summation-order drift at any scale. Scale: the d(d+1)/2 pair
+    expansion is row-local (nested transform + one explode, no join);
+    the only shuffle is the partial-agged groupBy down to 2,080 rows.
+    At 100 TB the map-side combine reduces each partition to ≤2,080
+    cells before anything moves."""
+    e = _embeddings(spark, sf_dir)
+    qv = F.transform(F.col("v"), lambda x: F.round(x * 1000).cast("long"))
+    pairs = e.select(qv.alias("qv")).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 64), i -> "
+                "transform(sequence(i, 64), j -> "
+                "struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
+                "element_at(qv, i) * element_at(qv, j) AS p))))"
+            )
+        ).alias("c")
+    )
+    return (
+        pairs.select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+    )
