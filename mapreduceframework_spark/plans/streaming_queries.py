@@ -425,3 +425,61 @@ def streaming_click_purchase_left_join(
     return res.filter(F.col("click_ts") <= F.lit(max_ts)).select(
         "user_id", "click_id", "purchase_id"
     )
+
+
+@query(
+    "streaming_click_purchase_full_join",
+    oracle="""
+        WITH cutoff AS (
+            SELECT LEAST(
+                (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+            ) - INTERVAL 61 MINUTE AS t)
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               a.event_id AS click_id, b.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        FULL OUTER JOIN
+             (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        WHERE (a.ts IS NULL OR a.ts <= (SELECT t FROM cutoff))
+          AND (b.ts IS NULL OR b.ts <= (SELECT t FROM cutoff))
+    """,
+    tags=("streaming", "true-streaming", "join"),
+)
+def streaming_click_purchase_full_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the
+    inner/left/full matrix: unmatched rows on BOTH sides are emitted
+    on watermark-driven state eviction. The deterministic region is
+    symmetric: a row is stable once EVERY non-null event time in it is
+    older than min(max click ts, max purchase ts) - (watermark 30 min
+    + join range 30 min + 1 min truncation slack); the oracle applies
+    the identical predicate to the batch full join. Note the trim is on
+    the OUTPUT, not the inputs — trimming inputs would turn a
+    match-beyond-cutoff into a spurious null row on exactly one side.
+    See streaming/windows.py click_purchase_full_join."""
+    from mapreduceframework_spark.streaming.windows import (
+        click_purchase_full_join,
+    )
+
+    res = click_purchase_full_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = (
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("mx")
+        )
+        .select(F.col("mx") - F.expr("INTERVAL 61 MINUTES"))
+        .collect()[0][0]
+    )
+    return res.filter(
+        (F.col("click_ts").isNull() | (F.col("click_ts") <= F.lit(cutoff)))
+        & (
+            F.col("purchase_ts").isNull()
+            | (F.col("purchase_ts") <= F.lit(cutoff))
+        )
+    ).select("user_id", "click_id", "purchase_id")

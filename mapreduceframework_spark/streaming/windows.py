@@ -311,3 +311,52 @@ def click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"), "click_id", "purchase_id", "click_ts"
     )
     return run_available_now(joined, "append")
+
+
+def click_purchase_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both eviction semantics
+    at once: clicks with no purchase AND purchases with no click each
+    surface as null-padded rows once the watermark proves no match can
+    still arrive. Matched rows stream out immediately; null rows on
+    either side trail the global watermark (min over both sides).
+
+    Determinism: same caveat as click_purchase_left_join, on BOTH
+    sides — rows near the end of input may terminate still in state, so
+    the caller must restrict to the deterministic region where every
+    non-null event time is old enough that eviction provably happened."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+    return run_available_now(joined, "append")
