@@ -75,13 +75,19 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 11 queries new this round (three
+# cross-engine), first rows for the 15 queries new this round (three
 # write-path/maintenance sinks, ordered funnel, KS drift test,
-# readability, minhash containment, peak concurrency, nearest asof, LSH recall report, temperature mixture), one sentinel
-# adjacent to this round's fanout-threading change, and the 22 STALEST
-# rotated-out greens (latest driver row r03) to refresh (join_cross / join_left_agg / join_theta / udtf_bigram_counts /
-# mr_filter_evens / window_running_sum ceded their refresh slots to
-# first-evidence rows; each family keeps other refreshed rows).
+# readability, minhash containment, peak concurrency, nearest asof,
+# LSH recall report, temperature mixture, Gopher rule filter, Poisson
+# bootstrap CI, Gram matrix, stream-stream full outer), one sentinel
+# adjacent to this round's fanout-threading change, and the STALEST
+# rotated-out greens (latest driver row r03) to refresh (join_cross /
+# join_left_agg / join_theta / udtf_bigram_counts / mr_filter_evens /
+# window_running_sum, and this round join_inner / join_semi /
+# join_anti / join_broadcast, ceded their refresh slots to
+# first-evidence rows; each family keeps other refreshed rows —
+# sentinel sampling via tools/check_window.py --sentinels bounds the
+# staleness exposure of everything rotated out).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- round-6 queries: first driver rows (19) ---
     "agg_percent_of_total",
@@ -115,6 +121,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_asof_nearest",
     "ann_lsh_recall_report",
     "sample_temperature_mixture",
+    "quality_gopher_rules",
+    "stats_bootstrap_poisson_ci",
+    "embedding_gram_matrix",
+    "streaming_click_purchase_full_join",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
     # --- stalest rotated-out greens (latest row r03) ---
@@ -127,11 +137,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q18_large_orders",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_rich_customers",
-    "join_inner",
     "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
     "mr_char_counts",
     "mr_histogram_mod100",
     "window_topk_per_group",

@@ -400,6 +400,15 @@ SHUFFLE_BUDGET = {
     "sink_compact_small_files": 1,
     "ann_lsh_recall_report": 10,
     "sample_temperature_mixture": 6,
+    # Zero-shuffle row-local rule battery — the whole point; pin it.
+    "quality_gopher_rules": 0,
+    # ×64 replicate fan-out is row-local; the 4 are the (priority,
+    # replicate) partial agg, the point-estimate agg, the rank window,
+    # and the final CI pivot — all |priorities|-or-smaller exchanges.
+    "stats_bootstrap_poisson_ci": 4,
+    # d(d+1)/2 pair expansion is row-local; the single exchange is the
+    # partial-agged reduce down to 2,080 Gram cells.
+    "embedding_gram_matrix": 1,
 }
 
 
