@@ -347,3 +347,99 @@ def resize_payloads(with_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_payload.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+# Seeded near-dup image synthesis + perceptual hash. Constants are
+# mirrored in the multimodal_phash_dedup oracle SQL; change both
+# together. The seed period makes every 293rd document the SAME base
+# image; the brightness term adds a constant (mod 256) to every pixel,
+# which a difference hash is invariant to EXCEPT where the addition
+# wraps — producing genuine near-duplicates (small, deterministic
+# Hamming distances), not just exact copies.
+PHASH_SEED_MOD = 293  # base image repeats every 293 docs
+PHASH_BRIGHT_MOD = 5  # brightness = (doc_id // 293) % 5
+PHASH_GRID_W, PHASH_GRID_H = 9, 8  # dHash samples a 9x8 grid -> 64 bits
+
+PHASH_SCHEMA = "doc_id long, lo long, hi long"
+
+
+def synth_images_seeded(docs: DataFrame) -> DataFrame:
+    """Encode a real image per document from a SEEDED pixel function:
+    base pixels depend on doc_id % PHASH_SEED_MOD, plus a small
+    brightness offset from doc_id // PHASH_SEED_MOD — so the corpus
+    contains deterministic clusters of exact and near duplicate images.
+    PNG for even doc_ids, binary PPM for odd (same codec coverage as
+    synth_images)."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                s = d % PHASH_SEED_MOD
+                br = (d // PHASH_SEED_MOD) % PHASH_BRIGHT_MOD
+                w = s % IMG_W_MOD + IMG_W_BASE
+                h = s % IMG_H_MOD + IMG_H_BASE
+                pix = bytes(
+                    (s * IMG_PIX_A + i * IMG_PIX_B + br) % 256
+                    for i in range(w * h * 3)
+                )
+                if d % 2 == 0:
+                    payload, codec = IC.encode_png(w, h, pix, 3), "image/png"
+                else:
+                    payload, codec = IC.encode_ppm(w, h, pix), "image/ppm"
+                rows["doc_id"].append(d)
+                rows["payload"].append(payload)
+                rows["meta"].append({"codec": codec})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, SYNTH_SCHEMA)
+
+
+def dhash_images(with_images: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hash (dHash) over decoded images: REAL
+    codec decode -> integer grayscale (r+g+b)//3 -> 9x8 nearest-neighbor
+    downsample -> 64 adjacent-comparison bits, returned as two unsigned
+    32-bit halves in BIGINTs (lo = bits 0..31, hi = bits 32..63) so no
+    value ever touches the BIGINT sign bit on either engine.
+
+    Every arithmetic step is integer (floor-division grayscale,
+    floor-mapped nearest neighbor, strict > comparison), so an oracle
+    that knows the pixel function can predict both halves exactly —
+    the decode/hash path has no float anywhere."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gw, gh = PHASH_GRID_W, PHASH_GRID_H
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "lo": [], "hi": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h, ch, pix = decode_image(bytes(payload), meta["codec"])
+                gray = [
+                    [
+                        (
+                            pix[((y * h // gh) * w + (x * w // gw)) * 3]
+                            + pix[((y * h // gh) * w + (x * w // gw)) * 3 + 1]
+                            + pix[((y * h // gh) * w + (x * w // gw)) * 3 + 2]
+                        )
+                        // 3
+                        for x in range(gw)
+                    ]
+                    for y in range(gh)
+                ]
+                lo = hi = 0
+                for k in range(64):
+                    y, x = k // 8, k % 8
+                    if gray[y][x + 1] > gray[y][x]:
+                        if k < 32:
+                            lo |= 1 << k
+                        else:
+                            hi |= 1 << (k - 32)
+                out["doc_id"].append(int(doc_id))
+                out["lo"].append(lo)
+                out["hi"].append(hi)
+            yield pd.DataFrame(out)
+
+    return with_images.mapInPandas(batches, PHASH_SCHEMA)

@@ -10,6 +10,7 @@ Split out of extension_queries.py in round 7 (pure move, zero renames).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
@@ -210,3 +211,135 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
     return resize_payloads(attach_payload(docs))
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, doc_id % 293 AS s, (doc_id // 293) % 5 AS br,
+                   (doc_id % 293) % 13 + 4 AS w,
+                   (doc_id % 293) % 7 + 3 AS h
+            FROM documents),
+        grid AS (
+            SELECT doc_id, gy.y AS y, gx.x AS x, s, br,
+                   ((gy.y * h // 8) * w + (gx.x * w // 9)) AS pi
+            FROM dims, range(0, 9) gx(x), range(0, 8) gy(y)),
+        gray AS (
+            SELECT doc_id, y, x,
+                   ((s*7 + (pi*3 + 0)*13 + br) % 256
+                    + (s*7 + (pi*3 + 1)*13 + br) % 256
+                    + (s*7 + (pi*3 + 2)*13 + br) % 256) // 3 AS g
+            FROM grid),
+        arrs AS (
+            SELECT doc_id, list(g ORDER BY y, x) AS a
+            FROM gray GROUP BY doc_id),
+        hashes AS (
+            SELECT doc_id,
+                   list_sum(list_transform(range(32), k ->
+                       CASE WHEN a[(k//8)*9 + (k%8) + 2]
+                                 > a[(k//8)*9 + (k%8) + 1]
+                            THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS lo,
+                   list_sum(list_transform(range(32), k ->
+                       CASE WHEN a[((k+32)//8)*9 + ((k+32)%8) + 2]
+                                 > a[((k+32)//8)*9 + ((k+32)%8) + 1]
+                            THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS hi
+            FROM arrs),
+        reps AS (
+            SELECT lo, hi, MIN(doc_id) AS rep, COUNT(*)::BIGINT AS cnt
+            FROM hashes GROUP BY lo, hi),
+        bands AS (
+            SELECT rep, lo, hi, cnt, b.b AS band_id,
+                   CASE b.b WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                            WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS key
+            FROM reps, range(0, 4) b(b)),
+        cand AS (
+            SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b,
+                   a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
+                   a.cnt AS cnt_a, b.cnt AS cnt_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.key = b.key AND a.rep < b.rep)
+        SELECT doc_a, doc_b,
+               (bit_count(xor(lo_a, lo_b))
+                + bit_count(xor(hi_a, hi_b)))::BIGINT AS hamming,
+               cnt_a, cnt_b
+        FROM cand
+        WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6
+    """,
+    tags=("multimodal", "dedup", "extension", "codec"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection end to end: REAL codec decode
+    (PNG chunk-walk/inflate/un-filter, PPM tokenizer) -> integer
+    grayscale -> 9x8 nearest-neighbor downsample -> 64-bit dHash ->
+    exact-duplicate clustering on the hash -> banded (4x16-bit LSH)
+    near-dup pair generation between cluster representatives with a
+    Hamming <= 6 verify — the image-dedup pipeline a multimodal corpus
+    runs, composed from the same shapes dedup_simhash uses for text.
+
+    The seeded synthesis plants real near-dups: every 293rd doc shares
+    a base image and a brightness offset (constant add mod 256) leaves
+    the difference hash invariant EXCEPT at wrap pixels, so variants
+    land a few deterministic bits apart. The oracle predicts both hash
+    halves analytically from the pixel function — a bug anywhere in
+    decode, grayscale, resize, or bit packing breaks the value hash.
+
+    Scale: decode+hash is partition-preserving mapInPandas (the
+    PIL/libvips seam); clustering is one partial-agged groupBy on the
+    64-bit key; candidate pairs come ONLY from band-bucket equi-joins
+    between cluster representatives (bounded at 4 keys/rep — never
+    all-pairs), with the standard LSH caveat that >4-band-spread bit
+    flips can miss a pair (both engines apply the identical banding, so
+    recall is part of the contract, not noise)."""
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    hashes = M.dhash_images(M.synth_images_seeded(docs))
+    reps = hashes.groupBy("lo", "hi").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("cnt")
+    )
+    band_keys = F.array(
+        F.struct(F.lit(0).alias("band_id"), (F.col("lo") % 65536).alias("key")),
+        F.struct(
+            F.lit(1).alias("band_id"), F.expr("lo DIV 65536").alias("key")
+        ),
+        F.struct(F.lit(2).alias("band_id"), (F.col("hi") % 65536).alias("key")),
+        F.struct(
+            F.lit(3).alias("band_id"), F.expr("hi DIV 65536").alias("key")
+        ),
+    )
+    bands = reps.select(
+        "rep", "lo", "hi", "cnt", F.explode(band_keys).alias("bk")
+    ).select("rep", "lo", "hi", "cnt", "bk.band_id", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(
+            F.col("a.rep").alias("doc_a"),
+            F.col("b.rep").alias("doc_b"),
+            F.col("a.lo").alias("lo_a"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("b.lo").alias("lo_b"),
+            F.col("b.hi").alias("hi_b"),
+            F.col("a.cnt").alias("cnt_a"),
+            F.col("b.cnt").alias("cnt_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        ham.cast("long").alias("hamming"),
+        "cnt_a",
+        "cnt_b",
+    ).filter(F.col("hamming") <= 6)

@@ -125,6 +125,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stats_bootstrap_poisson_ci",
     "embedding_gram_matrix",
     "streaming_click_purchase_full_join",
+    "multimodal_phash_dedup",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
     # --- stalest rotated-out greens (latest row r03) ---
@@ -139,7 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q22_idle_rich_customers",
     "join_full_outer",
     "mr_char_counts",
-    "mr_histogram_mod100",
     "window_topk_per_group",
     "udf_pandas_grouped_agg",
     "udtf_native_token_runs",

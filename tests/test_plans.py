@@ -409,6 +409,11 @@ SHUFFLE_BUDGET = {
     # d(d+1)/2 pair expansion is row-local; the single exchange is the
     # partial-agged reduce down to 2,080 Gram cells.
     "embedding_gram_matrix": 1,
+    # decode+hash is partition-preserving mapInPandas (0 exchanges);
+    # the 5 are the hash groupBy, the band self-join sides, and the
+    # pair distinct — all rep-sized (<= #distinct hashes), never
+    # corpus-sized.
+    "multimodal_phash_dedup": 5,
 }
 
 
