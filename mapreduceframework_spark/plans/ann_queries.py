@@ -849,3 +849,178 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("p").alias("g"))
     )
+
+
+def _sq_l2(a, b) -> F.Column:
+    """Exact-integer squared L2 between two BIGINT arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_PQ_SQ = "list_sum(list_transform(range(8), c -> ({a}[c+1] - {b}[c+1]) * ({a}[c+1] - {b}[c+1])))"
+
+
+@query(
+    "ann_cosine_pq",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        q AS (SELECT vec_id,
+                     list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+                         AS qv
+              FROM e),
+        subs AS (
+            SELECT vec_id, j.j AS j, qv[j.j*8+1 : j.j*8+8] AS sub
+            FROM q, range(0, 8) j(j)),
+        seeds AS (SELECT vec_id AS t, j, sub AS ssub
+                  FROM subs WHERE vec_id < 16),
+        a1 AS (
+            SELECT vec_id, j, t, sub,
+                   {_PQ_SQ.format(a='sub', b='ssub')} AS dist
+            FROM subs JOIN seeds USING (j)),
+        c1 AS (
+            SELECT vec_id, j, t, sub FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                             ORDER BY dist, t) AS rn
+                FROM a1) WHERE rn = 1),
+        upd AS (
+            SELECT j, t, c.c AS c,
+                   CAST(FLOOR(SUM(sub[c.c+1])::DOUBLE / COUNT(*)) AS BIGINT)
+                       AS cx
+            FROM c1, range(0, 8) c(c) GROUP BY j, t, c.c),
+        cent AS (
+            SELECT s.j, s.t,
+                   list(COALESCE(u.cx, s.ssub[c.c+1]) ORDER BY c.c) AS cv
+            FROM seeds s CROSS JOIN range(0, 8) c(c)
+            LEFT JOIN upd u ON u.j = s.j AND u.t = s.t AND u.c = c.c
+            GROUP BY s.j, s.t),
+        a2 AS (
+            SELECT vec_id, j, t,
+                   {_PQ_SQ.format(a='sub', b='cv')} AS dist
+            FROM subs JOIN cent USING (j)),
+        codes AS (
+            SELECT vec_id, j, t FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                             ORDER BY dist, t) AS rn
+                FROM a2) WHERE rn = 1),
+        qsubs AS (SELECT vec_id AS query_id, j, sub AS qsub
+                  FROM subs WHERE vec_id < 8),
+        partials AS (
+            SELECT qs.query_id, co.vec_id AS neighbor_id,
+                   {_PQ_SQ.format(a='qsub', b='cv')} AS pd
+            FROM codes co
+            JOIN cent ce ON co.j = ce.j AND co.t = ce.t
+            JOIN qsubs qs ON qs.j = co.j
+            WHERE co.vec_id <> qs.query_id),
+        adist AS (
+            SELECT query_id, neighbor_id, CAST(SUM(pd) AS BIGINT) AS adist
+            FROM partials GROUP BY query_id, neighbor_id)
+        SELECT query_id, neighbor_id, adist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adist, neighbor_id) AS rank
+            FROM adist)
+        WHERE rank <= 3
+    """,
+    tags=("similarity", "extension"),
+)
+def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011) — the
+    memory-bounded member of the brute/LSH/IVF/PQ quartet: d=64 splits
+    into m=8 subspaces of 8 dims; each subspace trains a 16-entry
+    codebook (stratified seeds + ONE exact Lloyd refinement), every
+    vector compresses to 8 one-byte codes (64x smaller than float32),
+    and queries rank the whole corpus by asymmetric distance (query
+    subvector vs the neighbor's reconstructed codeword) without ever
+    touching the original vectors.
+
+    Exactness contract: components quantize once to 1e-3-unit BIGINTs;
+    every distance is an exact integer sum of squared integer
+    differences; the Lloyd centroid update is FLOOR(double division of
+    exact integer sum by exact count) — identical IEEE operands, so
+    identical on both engines (DuckDB's BIGINT // truncates while
+    Spark's DIV does too, but they diverge from floor on negatives —
+    FLOOR over the exact double dodges the whole class); empty
+    clusters deterministically fall back to their seed; all argmins
+    tie-break on code id, the final top-3 on neighbor id.
+
+    Scale: codebooks are O(m*k*d/m) = 1,024 values broadcast both
+    directions; assignment is corpus x k per subspace with a
+    (vec_id, j)-partitioned argmin window; ADC scoring never joins
+    corpus x corpus — it's corpus-codes x broadcast queries, partial-
+    agged per (query, neighbor). This is exactly the layout a 100 TB
+    vector store ships: codes live with the data, floats stay cold."""
+    e = _embeddings(spark, sf_dir)
+    base = e.select(
+        "vec_id",
+        F.transform("v", lambda x: F.round(x * 1000).cast("long")).alias("qv"),
+    )
+    subs = base.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), j -> "
+                "struct(j AS j, slice(qv, j*8+1, 8) AS sub))"
+            )
+        ).alias("js"),
+    ).select("vec_id", "js.j", "js.sub")
+    seeds = subs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("t"), "j", F.col("sub").alias("ssub")
+    )
+    a1 = subs.join(F.broadcast(seeds), "j").select(
+        "vec_id", "j", "t", "sub", _sq_l2(F.col("sub"), F.col("ssub")).alias("dist")
+    )
+    w_assign = Window.partitionBy("vec_id", "j").orderBy("dist", "t")
+    c1 = (
+        a1.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", "t", "sub")
+    )
+    upd = (
+        c1.select("j", "t", F.posexplode("sub").alias("c", "x"))
+        .groupBy("j", "t", "c")
+        .agg(
+            F.floor(F.sum("x").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cx")
+        )
+    )
+    seed_comps = seeds.select("j", "t", F.posexplode("ssub").alias("c", "sx"))
+    cent = (
+        seed_comps.join(upd, ["j", "t", "c"], "left")
+        .select("j", "t", "c", F.coalesce("cx", "sx").alias("cx"))
+        .groupBy("j", "t")
+        .agg(F.array_sort(F.collect_list(F.struct("c", "cx"))).alias("pc"))
+        .select("j", "t", F.transform("pc", lambda s: s.cx).alias("cv"))
+    )
+    a2 = subs.join(F.broadcast(cent), "j").select(
+        "vec_id", "j", "t", _sq_l2(F.col("sub"), F.col("cv")).alias("dist")
+    )
+    codes = (
+        a2.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", "t")
+    )
+    qsubs = subs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "j", F.col("sub").alias("qsub")
+    )
+    partials = (
+        codes.join(F.broadcast(cent), ["j", "t"])
+        .join(F.broadcast(qsubs), "j")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sq_l2(F.col("qsub"), F.col("cv")).alias("pd"),
+        )
+    )
+    adist = partials.groupBy("query_id", "neighbor_id").agg(
+        F.sum("pd").cast("long").alias("adist")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )

@@ -75,16 +75,18 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 15 queries new this round (three
+# cross-engine), first rows for the 17 queries new this round (three
 # write-path/maintenance sinks, ordered funnel, KS drift test,
 # readability, minhash containment, peak concurrency, nearest asof,
 # LSH recall report, temperature mixture, Gopher rule filter, Poisson
-# bootstrap CI, Gram matrix, stream-stream full outer), one sentinel
+# bootstrap CI, Gram matrix, stream-stream full outer, image
+# perceptual-hash dedup, product-quantization ANN), one sentinel
 # adjacent to this round's fanout-threading change, and the STALEST
 # rotated-out greens (latest driver row r03) to refresh (join_cross /
 # join_left_agg / join_theta / udtf_bigram_counts / mr_filter_evens /
 # window_running_sum, and this round join_inner / join_semi /
-# join_anti / join_broadcast, ceded their refresh slots to
+# join_anti / join_broadcast / mr_histogram_mod100 /
+# window_topk_per_group, ceded their refresh slots to
 # first-evidence rows; each family keeps other refreshed rows —
 # sentinel sampling via tools/check_window.py --sentinels bounds the
 # staleness exposure of everything rotated out).
@@ -109,7 +111,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_interpolate",
     "union_by_name_evolved",
     "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (11) ---
+    # --- NEW this round: first driver rows (17) ---
     "sink_partitioned_roundtrip",
     "sink_bucketed_join",
     "sink_compact_small_files",
@@ -126,6 +128,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_gram_matrix",
     "streaming_click_purchase_full_join",
     "multimodal_phash_dedup",
+    "ann_cosine_pq",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
     # --- stalest rotated-out greens (latest row r03) ---
@@ -140,7 +143,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q22_idle_rich_customers",
     "join_full_outer",
     "mr_char_counts",
-    "window_topk_per_group",
     "udf_pandas_grouped_agg",
     "udtf_native_token_runs",
 )
