@@ -1013,3 +1013,84 @@ def union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old.unionByName(new, allowMissingColumns=True).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderpriority AS priority, o_orderstatus AS s,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY priority, s),
+        m AS (
+            SELECT priority, s AS mode_status, cnt AS mode_count FROM (
+                SELECT priority, s, cnt,
+                       ROW_NUMBER() OVER (PARTITION BY priority
+                                          ORDER BY cnt DESC, s) AS rn
+                FROM c) WHERE rn = 1),
+        v AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+        med AS (
+            SELECT priority, cents AS median_cents,
+                   n AS n_orders FROM (
+                SELECT priority, cents,
+                       ROW_NUMBER() OVER (PARTITION BY priority
+                                          ORDER BY cents) AS rn,
+                       COUNT(*) OVER (PARTITION BY priority) AS n
+                FROM v) WHERE rn = (n + 1) // 2)
+        SELECT m.priority, m.mode_status, m.mode_count,
+               med.median_cents, CAST(med.n_orders AS BIGINT) AS n_orders
+        FROM m JOIN med ON m.priority = med.priority
+    """,
+    tags=("agg", "statistical"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: per-priority MODE of order status (most
+    frequent value, ties broken to the lexicographically smallest — the
+    determinism max_by/mode() engines don't promise) and the exact
+    LOWER MEDIAN of order value (percentile_disc(0.5) semantics: the
+    (n+1)/2-th order statistic, an actual data value — no
+    interpolation, so no float contract at all; cents stay BIGINT).
+
+    Scale: mode is a two-level aggregate — corpus shuffles once to
+    O(groups x distinct-values) counts, the argmax window runs on that
+    model-sized table. The exact median needs a per-group sort
+    (priority-partitioned window, never unpartitioned); at 100 TB the
+    sketch path (feature_quantile_sketch) is the approximate variant,
+    this row is the exact semantics it is measured against."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("s"),
+    ).agg(F.count("*").alias("cnt"))
+    w_mode = Window.partitionBy("priority").orderBy(
+        F.col("cnt").desc(), F.col("s")
+    )
+    m = (
+        c.withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select(
+            "priority",
+            F.col("s").alias("mode_status"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+    v = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w_rank = Window.partitionBy("priority").orderBy("cents")
+    w_all = Window.partitionBy("priority")
+    med = (
+        v.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_all))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(
+            "priority",
+            F.col("cents").alias("median_cents"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+    return m.join(med, "priority")

@@ -500,3 +500,149 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return d.select("id", F.col("d").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# Weighted single-source shortest paths (bounded Bellman-Ford)
+# --------------------------------------------------------------------------
+
+SSSP_ROUNDS = 4
+
+TRADE_WEDGES_CTE = """
+    trade_w AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst,
+               CAST(1 + COUNT(*) % 7 AS BIGINT) AS w
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        GROUP BY src, dst
+    )
+"""
+
+
+def _trade_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted trade edges: per nation pair, cost 1 + (#trades % 7) —
+    a deterministic data-derived BIGINT weight (mirrors
+    TRADE_WEDGES_CTE; change both together)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("src"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("dst"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+        .groupBy("src", "dst")
+        .agg((1 + F.count("*") % 7).cast("long").alias("w"))
+    )
+
+
+def _sssp_oracle_sql() -> str:
+    """Unroll SSSP_ROUNDS Bellman-Ford rounds as DuckDB CTEs — the
+    same exact-integer recurrence as the engine loop: d0 = 0 at the
+    seed, NULL elsewhere; d_{t+1}(v) = LEAST(d_t(v), min over in-edges
+    (u, v, w) of d_t(u) + w). All-BIGINT, all-positive."""
+    ctes = [
+        TRADE_WEDGES_CTE,
+        "nodes AS (SELECT src AS id FROM trade_w"
+        " UNION SELECT dst FROM trade_w)",
+        "seed AS (SELECT MIN(id) AS sid FROM nodes)",
+        "d0 AS (SELECT id, CASE WHEN id = sid THEN CAST(0 AS BIGINT)"
+        " END AS d FROM nodes CROSS JOIN seed)",
+    ]
+    for t in range(1, SSSP_ROUNDS + 1):
+        ctes.append(
+            f"f{t} AS (SELECT e.dst AS id, MIN(p.d + e.w) AS nd"
+            f" FROM trade_w e JOIN d{t - 1} p"
+            " ON p.id = e.src AND p.d IS NOT NULL"
+            " GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"d{t} AS (SELECT n.id,"
+            f" LEAST(COALESCE(p.d, f{t}.nd), COALESCE(f{t}.nd, p.d)) AS d"
+            f" FROM nodes n"
+            f" LEFT JOIN d{t - 1} p ON p.id = n.id"
+            f" LEFT JOIN f{t} ON f{t}.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, d AS dist FROM d{SSSP_ROUNDS}"
+    )
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle=_sssp_oracle_sql(),
+    tags=("graph", "iterative", "extension"),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford: cheapest weighted path cost from a
+    deterministic seed (lexicographically smallest nation) to every
+    node of the directed trade graph, edge costs derived from the data
+    (1 + #trades % 7). The relaxation d_{t+1}(v) = min(d_t(v),
+    min_(u,v,w)(d_t(u) + w) runs a FIXED number of rounds — the exact
+    unroll the oracle repeats, converged or not; unreached nodes stay
+    NULL. This is the weighted generalization of graph_bfs_distances
+    (BFS is Bellman-Ford with w ≡ 1) — together with pagerank / label
+    propagation / pointer doubling it completes the iterative-join
+    family a graph engine runs on the MapReduce substrate.
+
+    Scale shape: identical to BFS — one edge-keyed equi-join + one
+    min-aggregate per round, all exact BIGINT, localCheckpoint
+    truncating lineage; edges partition by src once and every round
+    reuses that layout. Round count = effective diameter; frontier
+    stabilizes early on dense graphs like this one."""
+    e = _trade_wedges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed = nodes.agg(F.min("id").alias("sid"))
+    d = (
+        nodes.join(F.broadcast(seed))
+        .select(
+            "id",
+            F.when(F.col("id") == F.col("sid"), F.lit(0).cast("long")).alias(
+                "d"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(SSSP_ROUNDS):
+        frontier = (
+            e.join(
+                d.filter(F.col("d").isNotNull()).select(
+                    F.col("id").alias("src"), "d"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
+        )
+        d = (
+            d.join(frontier, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("d", "nd"), F.coalesce("nd", "d")
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return d.select("id", F.col("d").alias("dist"))

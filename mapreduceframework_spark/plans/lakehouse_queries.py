@@ -202,3 +202,77 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sx").alias("min_supp"),
         F.max("sx").alias("max_supp"),
     )
+
+
+@query(
+    "lakehouse_incremental_agg",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+           OR (o_orderkey % 10 <> 0 AND o_orderkey % 13 <> 0)
+        GROUP BY priority, day
+    """,
+    tags=("lakehouse", "incremental", "extension"),
+)
+def lakehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the +1/-1
+    multiplicity algorithm for algebraic aggregates (the counting
+    technique differential dataflow / DBSP formalize): a daily
+    (priority, day) -> (count, revenue) view materialized over the
+    base snapshot is advanced to the next snapshot by aggregating ONLY
+    the change batch (inserts weighted +1, retractions -1) and merging
+    the O(groups)-sized delta into the old view with one full-outer
+    join; groups whose count reaches zero vanish.
+
+    The partition: keys %10 == 0 are the new arrivals (inserts), keys
+    %13 == 0 of the old snapshot are retracted — so the maintained
+    view must equal a fresh aggregate over (base \\ retractions) ∪
+    inserts, which is exactly what the oracle recomputes. Sums stay in
+    exact BIGINT cents so the merge is associative without float
+    drift.
+
+    Scale: this is THE pattern that keeps a 100 TB rollup fresh —
+    recompute touches only |delta| rows and the merge shuffles
+    O(groups), not O(corpus); the full recompute the oracle runs is
+    the thing production avoids."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    gcols = [
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ]
+    base = orders.filter(k % 10 != 0)
+    mv_old = base.groupBy(*gcols).agg(
+        F.count("*").alias("n_orders"), F.sum(cents).alias("sum_cents")
+    )
+    inserts = orders.filter(k % 10 == 0).select(
+        *gcols, F.lit(1).alias("w"), cents.alias("cents")
+    )
+    retractions = base.filter(k % 13 == 0).select(
+        *gcols, F.lit(-1).alias("w"), cents.alias("cents")
+    )
+    delta = (
+        inserts.unionByName(retractions)
+        .groupBy("priority", "day")
+        .agg(
+            F.sum("w").alias("d_n"),
+            F.sum(F.col("w") * F.col("cents")).alias("d_sum"),
+        )
+    )
+    merged = mv_old.join(delta, ["priority", "day"], "full_outer").select(
+        "priority",
+        "day",
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (
+            F.coalesce("sum_cents", F.lit(0)) + F.coalesce("d_sum", F.lit(0))
+        ).alias("sum_cents"),
+    )
+    return merged.filter(F.col("n_orders") > 0)

@@ -418,6 +418,11 @@ SHUFFLE_BUDGET = {
     # groupBys + ADC partial agg — every exchange is codebook- or
     # codes-sized, never corpus x corpus; broadcasts pinned in plan.
     "ann_cosine_pq": 16,
+    # Two O(groups) partial aggs + the O(groups) full-outer view merge
+    # — the whole point is that nothing here is corpus-sized.
+    "lakehouse_incremental_agg": 2,
+    # Count shuffle + mode argmax window + median rank window + join.
+    "agg_mode_exact": 4,
 }
 
 
