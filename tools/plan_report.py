@@ -136,6 +136,32 @@ SHOWCASE = [
      "to 1-hour buckets (Generate) and meet in an equi hash join, "
      "then the exact overlap predicate filters candidates — never "
      "the quadratic theta join the oracle states."),
+    ("ann_cosine_pq",
+     "Product-quantization ANN: both Lloyd phases and the ADC scoring "
+     "join against BROADCAST codebook/query tables (O(m*k*d) model "
+     "state); the corpus is never joined with itself — the codes "
+     "travel, the floats stay put."),
+    ("multimodal_phash_dedup",
+     "Image near-dup: decode+dHash is a partition-preserving "
+     "MapInPandas (zero exchanges), clustering is one partial-agged "
+     "groupBy on the 64-bit key, candidates come from a 4x16-bit "
+     "band-bucket equi-join between cluster representatives — no "
+     "CartesianProduct anywhere."),
+    ("lakehouse_incremental_agg",
+     "Incremental view maintenance: the delta aggregates alone and "
+     "merges into the old view through an O(groups) full-outer join — "
+     "the corpus-sized recompute the oracle runs is exactly what this "
+     "plan avoids."),
+    ("embedding_gram_matrix",
+     "Single-pass Gram matrix: the d(d+1)/2 pair expansion is a "
+     "row-local Generate; ONE exchange carries at most 2,080 "
+     "partial-aggregated cells per partition — corpus size never "
+     "crosses the wire."),
+    ("stats_bootstrap_poisson_ci",
+     "Poisson bootstrap: the x64 replicate fan-out is a row-local "
+     "explode of a literal sequence; the only corpus-sized work is "
+     "the single partial-aggregated shuffle down to |priorities| x 64 "
+     "replicate sums."),
 ]
 
 
