@@ -443,3 +443,82 @@ def dhash_images(with_images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_images.mapInPandas(batches, PHASH_SCHEMA)
+
+
+# Seeded near-dup audio synthesis + sign-of-delta fingerprint (the
+# audio analogue of the dHash path). Constants mirrored in the
+# multimodal_audio_fingerprint oracle SQL; change both together. A
+# constant offset (gain bias) added to every PCM sample mod 2^16 leaves
+# the delta-sign fingerprint invariant except where the addition wraps
+# — deterministic near-duplicates, exactly like the image brightness
+# trick.
+AFP_SEED_MOD = 181  # base clip repeats every 181 docs
+AFP_GAIN_MOD = 4  # gain bias = (doc_id // 181) % 4, scaled by 1024
+AFP_S_B = 4099  # per-index sample step — coprime to 2^16, so base
+# samples span the full uint16 range and the gain bias actually wraps
+AFP_POS = 33  # fingerprint samples 33 positions -> 32 bits
+
+AFP_SCHEMA = "doc_id long, fp long"
+
+
+def synth_audio_seeded(docs: DataFrame) -> DataFrame:
+    """Encode a real RIFF/WAVE clip per document from a SEEDED sample
+    function: base samples depend on doc_id % AFP_SEED_MOD, plus a
+    small gain bias from doc_id // AFP_SEED_MOD — deterministic
+    clusters of exact and near duplicate clips."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                s = d % AFP_SEED_MOD
+                g = (d // AFP_SEED_MOD) % AFP_GAIN_MOD
+                frames = s % AUD_N_MOD + AUD_N_BASE
+                ch = s % AUD_CH_MOD + 1
+                rate = AUD_RATES[s % 4]
+                n_u16 = frames * ch
+                samples = b"".join(
+                    ((s * AUD_S_A + i * AFP_S_B + g * 1024) % 65536).to_bytes(
+                        2, "little"
+                    )
+                    for i in range(n_u16)
+                )
+                rows["doc_id"].append(d)
+                rows["payload"].append(IC.encode_wav(rate, ch, samples))
+                rows["meta"].append({"codec": "audio/wav"})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, SYNTH_SCHEMA)
+
+
+def fingerprint_audio(with_audio: DataFrame) -> DataFrame:
+    """Arrow-batched audio fingerprint: REAL RIFF/WAVE decode ->
+    channel-0 frame stream -> 33 floor-mapped sample positions -> 32
+    adjacent-comparison bits packed into one unsigned 32-bit value in a
+    BIGINT. All-integer (uint16 samples, floor index mapping, strict >)
+    so an oracle that knows the sample function predicts the value
+    exactly."""
+    from mapreduceframework_spark.operators.imagecodec import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "fp": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n_frames, data = decode_wav(bytes(payload))
+                # channel-0 uint16 sample of frame f
+                def fr(f: int) -> int:
+                    k = f * ch * 2
+                    return data[k] | (data[k + 1] << 8)
+
+                pos = [j * n_frames // AFP_POS for j in range(AFP_POS)]
+                fp = 0
+                for j in range(AFP_POS - 1):
+                    if fr(pos[j + 1]) > fr(pos[j]):
+                        fp |= 1 << j
+                out["doc_id"].append(int(doc_id))
+                out["fp"].append(fp)
+            yield pd.DataFrame(out)
+
+    return with_audio.mapInPandas(batches, AFP_SCHEMA)

@@ -423,6 +423,9 @@ SHUFFLE_BUDGET = {
     "lakehouse_incremental_agg": 2,
     # Count shuffle + mode argmax window + median rank window + join.
     "agg_mode_exact": 4,
+    # Same shape as phash: decode+fingerprint is exchange-free
+    # mapInPandas; the 5 are rep-sized groupBy/band-join/distinct.
+    "multimodal_audio_fingerprint": 5,
 }
 
 
