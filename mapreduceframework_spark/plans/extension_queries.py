@@ -285,3 +285,53 @@ def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return orders.select("o_orderkey", canon.alias("odd_tripled"))
+
+
+@query(
+    "scalar_struct_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               s['c'] AS cents_field,
+               s < {'st': 'O', 'c': 5000000} AS below_limit,
+               pair[1]['v'] AS first_v,
+               pair[1]['k'] AS first_k
+        FROM (SELECT o_orderkey,
+                     {'st': o_orderstatus,
+                      'c': CAST(ROUND(o_totalprice * 100) AS BIGINT)} AS s,
+                     list_sort([
+                         {'k': CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                          'v': 'price'},
+                         {'k': o_orderkey % 100000, 'v': 'key'}]) AS pair
+              FROM orders)
+    """,
+    tags=("scalar", "struct"),
+)
+def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType surface: build a struct per row, read a field back,
+    compare structs (lexicographic by field order — the ordering
+    argmax/skyline/dHash-band queries rely on), and sort an array of
+    structs (field-wise lexicographic, tie falling through to the next
+    field). Both engines define identical struct ordering, which this
+    row pins as a contract. Zero-shuffle scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = F.struct(F.col("o_orderstatus").alias("st"), cents.alias("c"))
+    lim = F.struct(
+        F.lit("O").alias("st"), F.lit(5000000).cast("long").alias("c")
+    )
+    pair = F.array_sort(
+        F.array(
+            F.struct(cents.alias("k"), F.lit("price").alias("v")),
+            F.struct(
+                (F.col("o_orderkey") % 100000).cast("long").alias("k"),
+                F.lit("key").alias("v"),
+            ),
+        )
+    )
+    return orders.select(
+        "o_orderkey",
+        s.getField("c").alias("cents_field"),
+        (s < lim).alias("below_limit"),
+        pair[0].getField("v").alias("first_v"),
+        pair[0].getField("k").alias("first_k"),
+    )
