@@ -75,14 +75,15 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 22 queries new this round (three
+# cross-engine), first rows for the 23 queries new this round (three
 # write-path/maintenance sinks, ordered funnel, KS drift test,
 # readability, minhash containment, peak concurrency, nearest asof,
 # LSH recall report, temperature mixture, Gopher rule filter, Poisson
 # bootstrap CI, Gram matrix, stream-stream full outer, image
 # perceptual-hash dedup, product-quantization ANN, incremental MV
 # maintenance, ordered-set aggregates, weighted SSSP, audio
-# fingerprint dedup, struct scalar family), one sentinel
+# fingerprint dedup, struct scalar family, corpus-boilerplate
+# top-K n-grams), one sentinel
 # adjacent to this round's fanout-threading change, and the STALEST
 # rotated-out greens (latest driver row r03) to refresh (join_cross /
 # join_left_agg / join_theta / udtf_bigram_counts / mr_filter_evens /
@@ -113,7 +114,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_interpolate",
     "union_by_name_evolved",
     "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (22) ---
+    # --- NEW this round: first driver rows (23) ---
     "sink_partitioned_roundtrip",
     "sink_bucketed_join",
     "sink_compact_small_files",
@@ -136,11 +137,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_sssp_weighted",
     "multimodal_audio_fingerprint",
     "scalar_struct_funcs",
+    "text_boilerplate_ngrams",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
     # --- stalest rotated-out greens (latest row r03) ---
     "tpch_q1_pricing",
-    "tpch_q3_shipping",
     "tpch_q9_product_profit",
     "tpch_q18_large_orders",
     "join_full_outer",

@@ -801,3 +801,76 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_hits") >= 2)
         ).alias("keep"),
     )
+
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        sh AS (SELECT doc_id, {D.string_shingles_sql("words", 3)}
+                   AS shingles FROM d),
+        ex AS (SELECT doc_id, unnest(shingles) AS s
+               FROM sh WHERE len(shingles) > 0),
+        dfreq AS (SELECT s, COUNT(*)::BIGINT AS nd FROM ex GROUP BY s),
+        top AS (SELECT s FROM dfreq ORDER BY nd DESC, s LIMIT 256),
+        per AS (
+            SELECT e.doc_id, COUNT(*)::BIGINT AS n_shingles,
+                   SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_common
+            FROM ex e LEFT JOIN top t USING (s)
+            GROUP BY e.doc_id)
+        SELECT doc_id, n_shingles, n_common,
+               n_common / n_shingles AS boilerplate_frac,
+               n_common * 8 >= n_shingles AS is_boilerplate
+        FROM per
+    """,
+    tags=("text", "quality", "dedup", "extension"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate detection (the CCNet/C4 'common crawl
+    boilerplate' signal): rank every distinct 3-gram shingle by
+    document frequency, take the top 256 (deterministic tie-break on
+    the shingle itself) as the corpus boilerplate list, and score each
+    document by the fraction of its shingles on that list; docs with
+    >= 1/8 boilerplate mass get flagged. Rank-based rather than a
+    percentage DF cutoff because document frequency does NOT scale
+    linearly with corpus size (verified on this generator: a 1%-of-
+    docs cutoff selects shingles at sf0.01 and nothing at sf0.1) — a
+    top-K list is the scale-stable formulation real pipelines ship.
+
+    This catches templated/navigational text that intra-document
+    repetition (text_repetition_ratio) and held-out decontamination
+    (decontaminate_ngram_overlap) both miss. Fraction is one int/int
+    division — exact on both engines.
+
+    Scale: one shingle groupBy builds the DF table (partial-agged, the
+    Jaccard-family inverted-index discipline), the top-256 lowers to
+    TakeOrderedAndProject (per-partition heaps), and the list joins
+    back as a BROADCAST — nothing is ever doc x doc."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", D.string_shingles(F.col("words"), 3).alias("sh"))
+    ex = sh.filter(F.size("sh") > 0).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("nd"))
+    top = (
+        dfreq.orderBy(F.col("nd").desc(), "s")
+        .limit(256)
+        .select("s", F.lit(1).alias("hit"))
+    )
+    per = (
+        ex.join(F.broadcast(top), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_common"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_common",
+        (F.col("n_common") / F.col("n_shingles")).alias("boilerplate_frac"),
+        (F.col("n_common") * 8 >= F.col("n_shingles")).alias("is_boilerplate"),
+    )

@@ -426,6 +426,9 @@ SHUFFLE_BUDGET = {
     # Same shape as phash: decode+fingerprint is exchange-free
     # mapInPandas; the 5 are rep-sized groupBy/band-join/distinct.
     "multimodal_audio_fingerprint": 5,
+    # Inverted-index DF groupBy + TakeOrderedAndProject top-256 +
+    # broadcast list join + per-doc partial agg.
+    "text_boilerplate_ngrams": 3,
 }
 
 
