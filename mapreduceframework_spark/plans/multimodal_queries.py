@@ -213,10 +213,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_payloads(attach_payload(docs))
 
 
-@query(
-    "multimodal_phash_dedup",
-    oracle="""
-        WITH dims AS (
+# DuckDB CTE chain reproducing the engine's decode->dHash path
+# analytically (dims/grid/gray/arrs/hashes; ends with hashes(doc_id,
+# lo, hi)). Shared by multimodal_phash_dedup and the multimodal
+# curation capstone so the two oracles cannot drift apart.
+PHASH_HASHES_CTES = """dims AS (
             SELECT doc_id, doc_id % 293 AS s, (doc_id // 293) % 5 AS br,
                    (doc_id % 293) % 13 + 4 AS w,
                    (doc_id % 293) % 7 + 3 AS h
@@ -244,7 +245,13 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CASE WHEN a[((k+32)//8)*9 + ((k+32)%8) + 2]
                                  > a[((k+32)//8)*9 + ((k+32)%8) + 1]
                             THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS hi
-            FROM arrs),
+            FROM arrs)"""
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+        WITH {PHASH_HASHES_CTES},
         reps AS (
             SELECT lo, hi, MIN(doc_id) AS rep, COUNT(*)::BIGINT AS cnt
             FROM hashes GROUP BY lo, hi),
@@ -345,10 +352,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= 6)
 
 
-@query(
-    "multimodal_audio_fingerprint",
-    oracle="""
-        WITH p AS (
+# DuckDB CTE chain reproducing the engine's WAV-decode->fingerprint
+# path analytically (p/fps; ends with fps(doc_id, fp)). Shared by
+# multimodal_audio_fingerprint and the curation capstone.
+AFP_FPS_CTES = """p AS (
             SELECT doc_id, doc_id % 181 AS s, (doc_id // 181) % 4 AS g,
                    (doc_id % 181) % 50 + 10 AS n,
                    (doc_id % 181) % 2 + 1 AS ch
@@ -360,7 +367,13 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      % 65536
                                > (s*31 + ((j*n//33)*ch)*4099 + g*1024) % 65536
                             THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS fp
-            FROM p),
+            FROM p)"""
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    oracle=f"""
+        WITH {AFP_FPS_CTES},
         reps AS (
             SELECT fp, MIN(doc_id) AS rep, COUNT(*)::BIGINT AS cnt
             FROM fps GROUP BY fp),
@@ -441,3 +454,101 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt_a",
         "cnt_b",
     ).filter(F.col("hamming") <= 4)
+
+
+@query(
+    "pipeline_multimodal_curate",
+    oracle=None,  # replaced below — needs cross-module CTE imports
+    tags=("multimodal", "pipeline", "extension", "codec"),
+)
+def pipeline_multimodal_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation capstone — one composed plan that does what
+    a real multimodal training-data job does per document batch: text
+    passes the Gopher rule battery, the image payload decodes through
+    the real PNG/PPM codec into a dHash and only the exact-duplicate
+    cluster representative survives, the audio payload decodes through
+    the real RIFF/WAVE codec into a delta-sign fingerprint and only
+    ITS cluster representative survives; the curated manifest is the
+    intersection, carrying the dedup keys and copy counts forward for
+    downstream near-dup passes.
+
+    Reuses the registered quality_gopher_rules plan and the
+    synth/decode/hash operators verbatim (the ann_lsh_recall_report
+    discipline: composed queries share the exact artifacts the
+    component queries verify, so the capstone cannot drift from its
+    parts). Oracle: conjunction of the three analytic CTE chains.
+
+    Scale: two partition-preserving mapInPandas decode stages, two
+    O(distinct-hash) groupBys, and doc_id-keyed joins of rep-sized
+    tables — the text rules are a zero-shuffle scan; nothing is ever
+    corpus x corpus."""
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.plans.text_queries import (
+        quality_gopher_rules,
+    )
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    gq = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", "word_count", "keep"
+    )
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    preps = (
+        M.dhash_images(M.synth_images_seeded(docs))
+        .groupBy("lo", "hi")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("img_copies"))
+    )
+    areps = (
+        M.fingerprint_audio(M.synth_audio_seeded(docs))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("aud_copies"))
+    )
+    return (
+        gq.filter(F.col("keep"))
+        .select("doc_id", "word_count")
+        .join(preps, "doc_id")
+        .join(areps, "doc_id")
+        .select(
+            "doc_id", "word_count", "lo", "hi", "img_copies", "fp",
+            "aud_copies",
+        )
+    )
+
+
+# The capstone oracle composes the three shared CTE chains; assembled
+# after registration because GOPHER_KEEP_CTES lives in text_queries.
+def _curate_oracle() -> str:
+    from mapreduceframework_spark.plans.text_queries import GOPHER_KEEP_CTES
+
+    return f"""
+        WITH {GOPHER_KEEP_CTES},
+        {PHASH_HASHES_CTES},
+        {AFP_FPS_CTES},
+        preps AS (
+            SELECT MIN(doc_id) AS doc_id, lo, hi,
+                   COUNT(*)::BIGINT AS img_copies
+            FROM hashes GROUP BY lo, hi),
+        areps AS (
+            SELECT MIN(doc_id) AS doc_id, fp,
+                   COUNT(*)::BIGINT AS aud_copies
+            FROM fps GROUP BY fp)
+        SELECT g.doc_id, g.word_count, p.lo, p.hi, p.img_copies,
+               a.fp, a.aud_copies
+        FROM gkeep g
+        JOIN preps p USING (doc_id)
+        JOIN areps a USING (doc_id)
+        WHERE g.keep
+    """
+
+
+def _install_curate_oracle() -> None:
+    from dataclasses import replace
+
+    from mapreduceframework_spark.plans.registry import REGISTRY
+
+    spec = REGISTRY["pipeline_multimodal_curate"]
+    REGISTRY["pipeline_multimodal_curate"] = replace(
+        spec, oracle=_curate_oracle()
+    )
+
+
+_install_curate_oracle()

@@ -714,6 +714,37 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB CTE chain computing the Gopher keep flag per doc (gdocs/gm/
+# gkeep; ends with gkeep(doc_id, keep)). Shared by quality_gopher_rules'
+# sibling consumers (the multimodal curation capstone) so the rule
+# battery cannot drift between oracles.
+GOPHER_KEEP_CTES = f"""gdocs AS ({DOCS_CTE}),
+        gm AS (
+            SELECT doc_id,
+                   len(words)::BIGINT AS word_count,
+                   list_sum(list_transform(words, w -> length(w)))::BIGINT
+                       AS char_sum,
+                   (length(text) - length(replace(text, '#', '')))::BIGINT
+                       AS n_hash,
+                   ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT
+                       AS n_ellipsis,
+                   len(list_filter(words,
+                       w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+                       AS n_alpha_words,
+                   len(list_filter(words, w -> list_contains(
+                       ['the','a','of','and','to','in','is','it'], w)))::BIGINT
+                       AS stop_hits
+            FROM gdocs),
+        gkeep AS (
+            SELECT doc_id, word_count,
+                   (word_count BETWEEN 50 AND 100000
+                    AND char_sum / word_count BETWEEN 3.0 AND 10.0
+                    AND (n_hash + n_ellipsis) / word_count <= 0.1
+                    AND n_alpha_words / word_count >= 0.8
+                    AND stop_hits >= 2) AS keep
+            FROM gm)"""
+
+
 @query(
     "quality_gopher_rules",
     oracle=f"""

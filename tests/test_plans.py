@@ -429,6 +429,9 @@ SHUFFLE_BUDGET = {
     # Inverted-index DF groupBy + TakeOrderedAndProject top-256 +
     # broadcast list join + per-doc partial agg.
     "text_boilerplate_ngrams": 3,
+    # Two O(distinct-hash) rep groupBys + doc_id-keyed joins of
+    # rep-sized tables; the Gopher stage is a zero-shuffle scan.
+    "pipeline_multimodal_curate": 6,
 }
 
 
