@@ -865,6 +865,7 @@ _PQ_SQ = "list_sum(list_transform(range(8), c -> ({a}[c+1] - {b}[c+1]) * ({a}[c+
 
 @query(
     "ann_cosine_pq",
+    bench=True,
     oracle=f"""
         WITH e AS ({EMB_CTE}),
         q AS (SELECT vec_id,

@@ -206,6 +206,7 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lakehouse_incremental_agg",
+    bench=True,
     oracle="""
         SELECT o_orderpriority AS priority,
                STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,

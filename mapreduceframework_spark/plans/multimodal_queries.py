@@ -250,6 +250,7 @@ PHASH_HASHES_CTES = """dims AS (
 
 @query(
     "multimodal_phash_dedup",
+    bench=True,
     oracle=f"""
         WITH {PHASH_HASHES_CTES},
         reps AS (
