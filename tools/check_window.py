@@ -26,6 +26,15 @@ import duckdb
 
 sys.path.insert(0, ".")
 
+import importlib.util as _ilu
+from pathlib import Path as _Path
+
+_spec = _ilu.spec_from_file_location(
+    "drive_contract", _Path(__file__).resolve().parent / "drive_contract.py"
+)
+_dc = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_dc)
+
 from mapreduceframework_spark.plans.registry import DRIVER_WINDOW, all_queries
 from mapreduceframework_spark.session import get_session
 from mapreduceframework_spark.sources.registry import TABLES
@@ -69,6 +78,20 @@ def main() -> int:
             df = spec.fn(spark, sf_dir)
             if spec.oracle is not None:
                 assert_parity(df, con, spec.oracle)
+                # ALSO run the driver's own normalize+bag_hash compare:
+                # assert_parity canonicalizes more aggressively (e.g.
+                # date columns), so a rendering difference can pass the
+                # pre-flight yet MISMATCH in drive_contract — exactly
+                # the round-7 lakehouse_incremental_agg blind spot.
+                sdf = _dc.normalize(df.toPandas())
+                odf = _dc.normalize(con.execute(spec.oracle).fetchdf())
+                if len(sdf) != len(odf) or _dc.bag_hash(sdf) != _dc.bag_hash(
+                    odf
+                ):
+                    raise AssertionError(
+                        "driver bag_hash mismatch "
+                        f"({len(sdf)} vs {len(odf)} rows)"
+                    )
                 status = "ok"
             else:
                 n = df.count()
