@@ -1025,3 +1025,54 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+@query(
+    "feature_target_encode_loo",
+    oracle="""
+        WITH v AS (
+            SELECT o_orderkey, o_orderpriority AS priority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+        g AS (
+            SELECT priority, CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM v GROUP BY priority)
+        SELECT v.o_orderkey, v.priority,
+               CASE WHEN g.n > 1
+                    THEN (g.s - v.cents) / (100.0 * (g.n - 1)) END
+                   AS target_enc
+        FROM v JOIN g USING (priority)
+    """,
+    tags=("feature", "extension"),
+)
+def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the standard high-cardinality
+    categorical featurization for tabular ML: each row's category is
+    replaced by the mean target over all OTHER rows of that category
+    ((sum - own)/(n-1)), which avoids the self-leakage plain mean
+    encoding suffers. Singleton categories yield NULL on both engines.
+
+    Exactness: sums stay in BIGINT cents; each encoding is ONE double
+    division of exact integers. Scale: one O(categories) partial-agged
+    groupBy broadcast back against the fact scan — the LOO adjustment
+    is row-local, so the encode costs the same as the plain group
+    mean at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        cents.alias("cents"),
+    )
+    g = v.groupBy("priority").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    return v.join(F.broadcast(g), "priority").select(
+        "o_orderkey",
+        "priority",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("cents")) / (100.0 * (F.col("n") - 1)),
+        ).alias("target_enc"),
+    )

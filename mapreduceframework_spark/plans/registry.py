@@ -75,7 +75,7 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 24 queries new this round (three
+# cross-engine), first rows for the 26 queries new this round (three
 # write-path/maintenance sinks, ordered funnel, KS drift test,
 # readability, minhash containment, peak concurrency, nearest asof,
 # LSH recall report, temperature mixture, Gopher rule filter, Poisson
@@ -83,7 +83,8 @@ def query(
 # perceptual-hash dedup, product-quantization ANN, incremental MV
 # maintenance, ordered-set aggregates, weighted SSSP, audio
 # fingerprint dedup, struct scalar family, corpus-boilerplate
-# top-K n-grams, the multimodal curation capstone), one sentinel
+# top-K n-grams, the multimodal curation capstone, LOO target
+# encoding, contrastive negative sampling), one sentinel
 # adjacent to this round's fanout-threading change, and the STALEST
 # rotated-out greens (latest driver row r03) to refresh (join_cross /
 # join_left_agg / join_theta / udtf_bigram_counts / mr_filter_evens /
@@ -114,7 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_interpolate",
     "union_by_name_evolved",
     "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (24) ---
+    # --- NEW this round: first driver rows (26) ---
     "sink_partitioned_roundtrip",
     "sink_bucketed_join",
     "sink_compact_small_files",
@@ -139,12 +140,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_struct_funcs",
     "text_boilerplate_ngrams",
     "pipeline_multimodal_curate",
+    "feature_target_encode_loo",
+    "sample_negative_pairs",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
     # --- stalest rotated-out greens (latest row r03) ---
     "tpch_q1_pricing",
-    "tpch_q9_product_profit",
-    "tpch_q18_large_orders",
     "join_full_outer",
     "mr_char_counts",
     "udf_pandas_grouped_agg",

@@ -536,3 +536,55 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("doc_id").alias("kept_id_sum"),
     )
+
+
+@query(
+    "sample_negative_pairs",
+    oracle="""
+        WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        neg AS (
+            SELECT d.doc_id,
+                   (d.doc_id * 2654435761 + j.j * 40503) % t.n AS neg_id,
+                   j.j AS slot
+            FROM documents d CROSS JOIN tot t, range(1, 5) j(j))
+        SELECT doc_id, slot, neg_id
+        FROM neg WHERE neg_id <> doc_id
+    """,
+    tags=("sampling", "extension"),
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    anchor document draws 4 pseudo-random negatives from the corpus id
+    space via the same multiplicative-hash family the split/sample
+    queries use (never engine RNG — pairs survive re-runs, engine
+    swaps, and resumable jobs, which is what makes contrastive corpora
+    reproducible). Self-collisions drop, so anchors contribute 3-4
+    pairs each.
+
+    Scale: the draw is a pure row-local expression over a broadcast
+    O(1) corpus count — no join against the corpus at all (negatives
+    are materialized as ids; the downstream gather is the usual
+    doc_id-keyed equi-join). Contrast with sampling a shuffled copy of
+    the corpus, which would cost a full shuffle per epoch."""
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(F.count("*").alias("n"))
+    neg = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("slot"),
+            F.col("n"),
+        )
+        .select(
+            "doc_id",
+            "slot",
+            (
+                (F.col("doc_id") * 2654435761 + F.col("slot") * 40503)
+                % F.col("n")
+            ).alias("neg_id"),
+        )
+    )
+    return neg.filter(F.col("neg_id") != F.col("doc_id")).select(
+        "doc_id", "slot", "neg_id"
+    )

@@ -432,6 +432,11 @@ SHUFFLE_BUDGET = {
     # Two O(distinct-hash) rep groupBys + doc_id-keyed joins of
     # rep-sized tables; the Gopher stage is a zero-shuffle scan.
     "pipeline_multimodal_curate": 6,
+    # O(categories) group stats broadcast back against the fact scan;
+    # the LOO adjustment is row-local.
+    "feature_target_encode_loo": 2,
+    # O(1) count broadcast + row-local hash draw — no corpus join.
+    "sample_negative_pairs": 2,
 }
 
 
