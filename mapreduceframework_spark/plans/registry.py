@@ -75,7 +75,7 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 26 queries new this round (three
+# cross-engine), first rows for the 27 queries new this round (three
 # write-path/maintenance sinks, ordered funnel, KS drift test,
 # readability, minhash containment, peak concurrency, nearest asof,
 # LSH recall report, temperature mixture, Gopher rule filter, Poisson
@@ -84,7 +84,8 @@ def query(
 # maintenance, ordered-set aggregates, weighted SSSP, audio
 # fingerprint dedup, struct scalar family, corpus-boilerplate
 # top-K n-grams, the multimodal curation capstone, LOO target
-# encoding, contrastive negative sampling), one sentinel
+# encoding, contrastive negative sampling, the CSV/JSON source
+# round-trip), one sentinel
 # adjacent to this round's fanout-threading change, and the STALEST
 # rotated-out greens (latest driver row r03) to refresh (join_cross /
 # join_left_agg / join_theta / udtf_bigram_counts / mr_filter_evens /
@@ -115,7 +116,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_interpolate",
     "union_by_name_evolved",
     "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (26) ---
+    # --- NEW this round: first driver rows (27) ---
     "sink_partitioned_roundtrip",
     "sink_bucketed_join",
     "sink_compact_small_files",
@@ -142,10 +143,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_multimodal_curate",
     "feature_target_encode_loo",
     "sample_negative_pairs",
+    "source_csv_json_roundtrip",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
     # --- stalest rotated-out greens (latest row r03) ---
-    "tpch_q1_pricing",
     "join_full_outer",
     "mr_char_counts",
     "udf_pandas_grouped_agg",

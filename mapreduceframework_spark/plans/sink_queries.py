@@ -185,3 +185,64 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.length("text")).alias("total_len"),
     )
+
+
+@query(
+    "source_csv_json_roundtrip",
+    oracle=f"""
+        SELECT 'orders_csv' AS src, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({snap_units_sql('o_totalprice', 100)}) AS BIGINT)
+                   AS sum_e
+        FROM orders
+        UNION ALL
+        SELECT 'events_json' AS src, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({snap_units_sql('value', 10000)}) AS BIGINT) AS sum_e
+        FROM events
+    """,
+    tags=("source", "sink", "lakehouse"),
+)
+def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format SOURCE round-trip — the read-path twin of the sink
+    rows: orders exports to CSV and events to JSON-lines, then both
+    read BACK through the engine's schema-pinned FAILFAST scanners
+    (sources/io.py read_csv / read_json — never inferSchema, which at
+    100 TB is a full extra pass) and aggregate. The oracle computes
+    the same aggregates from the original parquet, so any row the text
+    writers or parsers drop, duplicate, or corrupt — including double
+    round-trip precision, which Spark's writers preserve at full 17
+    significant digits — hash-mismatches.
+
+    Scale shape: text scans parallelize by file split exactly like
+    parquet (minus column pruning, which is the documented cost of
+    text formats); the aggregates are algebraic partial-aggs; sums
+    snap to exact integer units after the round-trip."""
+    from mapreduceframework_spark.sources.io import read_csv, read_json
+
+    out_csv = _scratch(sf_dir, "src-csv")
+    out_json = _scratch(sf_dir, "src-json")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_table(orders, out_csv, fmt="csv", header="true")
+    write_table(events, out_json, fmt="json")
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderstatus string"
+    )
+    e_schema = "event_id long, user_id long, event_type string, value double"
+    o_back = read_csv(spark, out_csv, o_schema)
+    e_back = read_json(spark, out_json, e_schema)
+    o_agg = o_back.agg(
+        F.lit("orders_csv").alias("src"),
+        F.count("*").alias("n"),
+        F.sum(snap_units("o_totalprice", 100)).alias("sum_e"),
+    )
+    e_agg = e_back.agg(
+        F.lit("events_json").alias("src"),
+        F.count("*").alias("n"),
+        F.sum(snap_units("value", 10000)).alias("sum_e"),
+    )
+    return o_agg.unionByName(e_agg)

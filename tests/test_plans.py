@@ -437,6 +437,8 @@ SHUFFLE_BUDGET = {
     "feature_target_encode_loo": 2,
     # O(1) count broadcast + row-local hash draw — no corpus join.
     "sample_negative_pairs": 2,
+    # Two 1-row aggregates over text scans + the 2-row union.
+    "source_csv_json_roundtrip": 2,
 }
 
 
