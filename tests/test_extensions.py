@@ -753,3 +753,121 @@ def test_pq_codebook_seed_fallback_and_self_distance(spark, sf_dir):
         dists = [r["adist"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert dists == sorted(dists)  # rank order == distance order
         assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_sssp_hand_computed_micro_graph(spark):
+    """Bellman-Ford relaxation on a 4-node weighted path with a
+    shortcut: seed A; A->B w=5, B->C w=1, A->C w=9, C->D w=1. After 4
+    rounds: A=0, B=5, C=6 (via B, not the 9-cost shortcut), D=7."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [("A", "B", 5), ("B", "C", 1), ("A", "C", 9), ("C", "D", 1)],
+        "src string, dst string, w long",
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    d = nodes.select(
+        "id", F.when(F.col("id") == "A", F.lit(0).cast("long")).alias("d")
+    )
+    for _ in range(4):
+        frontier = (
+            e.join(
+                d.filter(F.col("d").isNotNull()).select(
+                    F.col("id").alias("src"), "d"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
+        )
+        d = d.join(frontier, "id", "left").select(
+            "id",
+            F.least(F.coalesce("d", "nd"), F.coalesce("nd", "d")).alias("d"),
+        )
+    got = {r["id"]: r["d"] for r in d.collect()}
+    assert got == {"A": 0, "B": 5, "C": 6, "D": 7}
+
+
+def test_negative_pairs_reproducible_and_self_free(spark, sf_dir):
+    """Same draw on two invocations; no anchor ever samples itself;
+    every anchor keeps 3 or 4 slots."""
+    from mapreduceframework_spark.plans.sampling_queries import (
+        sample_negative_pairs,
+    )
+
+    a = sorted(map(tuple, sample_negative_pairs(spark, sf_dir).collect()))
+    b = sorted(map(tuple, sample_negative_pairs(spark, sf_dir).collect()))
+    assert a == b
+    assert all(doc != neg for doc, _, neg in a)
+    from collections import Counter
+
+    per_anchor = Counter(doc for doc, _, _ in a)
+    assert set(per_anchor.values()) <= {3, 4}
+
+
+def test_target_encoding_excludes_own_row(spark):
+    """LOO mean for a 3-row category must be the mean of the OTHER two
+    rows; singleton categories yield NULL."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 99.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v = df.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        cents.alias("cents"),
+    )
+    g = v.groupBy("priority").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    out = v.join(g, "priority").select(
+        "o_orderkey",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("cents")) / (100.0 * (F.col("n") - 1)),
+        ).alias("enc"),
+    )
+    got = {r["o_orderkey"]: r["enc"] for r in out.collect()}
+    assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
+    assert got[4] is None
+
+
+def test_incremental_mv_zero_count_group_vanishes(spark):
+    """A group whose members are all retracted must disappear from the
+    maintained view, not linger with count 0."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("g1", 100), ("g2", 50)], "grp string, cents long"
+    )
+    mv_old = base.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    delta = spark.createDataFrame(
+        [("g2", -1, 50)], "grp string, w int, cents long"
+    ).groupBy("grp").agg(
+        F.sum("w").alias("d_n"),
+        F.sum(F.col("w") * F.col("cents")).alias("d_s"),
+    )
+    merged = (
+        mv_old.join(delta, "grp", "full_outer")
+        .select(
+            "grp",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "n"
+            ),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("d_s", F.lit(0))).alias(
+                "s"
+            ),
+        )
+        .filter(F.col("n") > 0)
+    )
+    got = {r["grp"]: (r["n"], r["s"]) for r in merged.collect()}
+    assert got == {"g1": (1, 100)}
