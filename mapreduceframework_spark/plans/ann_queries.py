@@ -947,8 +947,8 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break on code id, the final top-3 on neighbor id.
 
     Scale: codebooks are O(m*k*d/m) = 1,024 values broadcast both
-    directions; assignment is corpus x k per subspace with a
-    (vec_id, j)-partitioned argmin window; ADC scoring never joins
+    directions; assignment is corpus x k per subspace reduced by a map-side
+    min(struct(dist, code)) combine (no rank window, no sort); ADC scoring never joins
     corpus x corpus — it's corpus-codes x broadcast queries, partial-
     agged per (query, neighbor). This is exactly the layout a 100 TB
     vector store ships: codes live with the data, floats stay cold."""
@@ -972,11 +972,15 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = subs.join(F.broadcast(seeds), "j").select(
         "vec_id", "j", "t", "sub", _sq_l2(F.col("sub"), F.col("ssub")).alias("dist")
     )
-    w_assign = Window.partitionBy("vec_id", "j").orderBy("dist", "t")
+    # argmin as a partial-aggregated min(struct(dist, t, ...)): struct
+    # ordering gives the (dist, t) tie-break for free and the map-side
+    # combine reduces each partition to one row per (vec, subspace)
+    # BEFORE the exchange — measurably cheaper than a rank window,
+    # which must shuffle all k candidate rows and sort them.
     c1 = (
-        a1.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "j", "t", "sub")
+        a1.groupBy("vec_id", "j")
+        .agg(F.min(F.struct("dist", "t", "sub")).alias("m"))
+        .select("vec_id", "j", F.col("m.t").alias("t"), F.col("m.sub").alias("sub"))
     )
     upd = (
         c1.select("j", "t", F.posexplode("sub").alias("c", "x"))
@@ -999,9 +1003,9 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "j", "t", _sq_l2(F.col("sub"), F.col("cv")).alias("dist")
     )
     codes = (
-        a2.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "j", "t")
+        a2.groupBy("vec_id", "j")
+        .agg(F.min(F.struct("dist", "t")).alias("m"))
+        .select("vec_id", "j", F.col("m.t").alias("t"))
     )
     qsubs = subs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "j", F.col("sub").alias("qsub")

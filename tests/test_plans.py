@@ -414,7 +414,7 @@ SHUFFLE_BUDGET = {
     # pair distinct — all rep-sized (<= #distinct hashes), never
     # corpus-sized.
     "multimodal_phash_dedup": 5,
-    # Two Lloyd phases (assign windows over (vec_id, j)) + centroid
+    # Two Lloyd phases (min-struct assign combines) + centroid
     # groupBys + ADC partial agg — every exchange is codebook- or
     # codes-sized, never corpus x corpus; broadcasts pinned in plan.
     "ann_cosine_pq": 16,
