@@ -99,6 +99,9 @@ VOLATILE = frozenset({
     "dedup_clusters",
     "ann_cosine_bruteforce",
     "dedup_substring_chunks",
+    # First r7 samples spread 2.9x ([1.70, 3.43, 1.20]) — the Python-
+    # codec mapInPandas stage is GC-adjacent like the dedup family.
+    "multimodal_phash_dedup",
 })
 EXTRA_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPEATS", "2"))
 
