@@ -361,3 +361,40 @@ def exact_dedup(df: DataFrame, cols: list[str], keep_order_col: str) -> DataFram
     return df.groupBy(*cols).agg(
         F.min(keep_order_col).alias("keeper"), F.count("*").alias("n_copies")
     )
+
+
+def banded_rep_pairs(reps, band_keys, hash_cols: list[str]):
+    """Banded-LSH candidate pairs between cluster representatives — the
+    shared tail of every fingerprint-dedup family (image dHash, audio
+    delta-sign, and any future hash): explode the per-rep band keys,
+    self-join on (band_id, key) with the rep< tie-break, de-duplicate
+    multi-band hits, and carry the hash columns through as
+    ``{col}_a``/``{col}_b`` so the caller can apply its own Hamming
+    verify. ``reps`` must have columns ``rep``, ``cnt`` and
+    ``hash_cols``; ``band_keys`` is an array<struct<band_id, key>>
+    column expression."""
+    from pyspark.sql import functions as F
+
+    bands = reps.select(
+        "rep", *hash_cols, "cnt", F.explode(band_keys).alias("bk")
+    ).select("rep", *hash_cols, "cnt", "bk.band_id", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    sel = [
+        F.col("a.rep").alias("doc_a"),
+        F.col("b.rep").alias("doc_b"),
+        F.col("a.cnt").alias("cnt_a"),
+        F.col("b.cnt").alias("cnt_b"),
+    ]
+    for c in hash_cols:
+        sel.append(F.col(f"a.{c}").alias(f"{c}_a"))
+        sel.append(F.col(f"b.{c}").alias(f"{c}_b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(*sel)
+        .distinct()
+    )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreduceframework_spark.plans.exact import snap_units
+from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 
@@ -1441,7 +1441,7 @@ _POIS_CASE_SQL = (
     oracle=f"""
         WITH r AS (
             SELECT o.o_orderpriority AS priority,
-                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+                   {snap_units_sql('o.o_totalprice', 100)} AS cents,
                    s.b AS b,
                    (o.o_orderkey * 2654435761 + s.b * 40503) % 1000000 AS m
             FROM orders o, generate_series(1, 64) AS s(b)),
@@ -1459,7 +1459,7 @@ _POIS_CASE_SQL = (
         point AS (
             SELECT o_orderpriority AS priority,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   CAST(SUM({snap_units_sql('o_totalprice', 100)})
                         AS BIGINT) / (100.0 * COUNT(*)) AS point_mean
             FROM orders GROUP BY o_orderpriority)
         SELECT p.priority, p.n_orders, p.point_mean,
@@ -1491,7 +1491,7 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle is the (priority, replicate) partial agg to
     |priorities|×64 rows, after which everything is model-sized."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = snap_units("o_totalprice", 100)
     r = orders.select(
         F.col("o_orderpriority").alias("priority"),
         cents.alias("cents"),

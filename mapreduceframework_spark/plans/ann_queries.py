@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduceframework_spark.operators import vectors as V
+from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 from mapreduceframework_spark.plans.corpus import EMB_CTE, _embeddings
@@ -1033,10 +1034,10 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "feature_target_encode_loo",
-    oracle="""
+    oracle=f"""
         WITH v AS (
             SELECT o_orderkey, o_orderpriority AS priority,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                   {snap_units_sql('o_totalprice', 100)} AS cents
             FROM orders),
         g AS (
             SELECT priority, CAST(SUM(cents) AS BIGINT) AS s,
@@ -1063,7 +1064,7 @@ def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     is row-local, so the encode costs the same as the plain group
     mean at any corpus size."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = snap_units("o_totalprice", 100)
     v = orders.select(
         "o_orderkey",
         F.col("o_orderpriority").alias("priority"),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreduceframework_spark.plans.exact import snap_units
+from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 from mapreduceframework_spark.sources.registry import ensure_min_partitions
@@ -1017,7 +1017,7 @@ def union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_mode_exact",
-    oracle="""
+    oracle=f"""
         WITH c AS (
             SELECT o_orderpriority AS priority, o_orderstatus AS s,
                    CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1030,7 +1030,7 @@ def union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM c) WHERE rn = 1),
         v AS (
             SELECT o_orderpriority AS priority,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                   {snap_units_sql('o_totalprice', 100)} AS cents
             FROM orders),
         med AS (
             SELECT priority, cents AS median_cents,
@@ -1079,7 +1079,7 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = orders.select(
         F.col("o_orderpriority").alias("priority"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        snap_units("o_totalprice", 100).alias("cents"),
     )
     w_rank = Window.partitionBy("priority").orderBy("cents")
     w_all = Window.partitionBy("priority")

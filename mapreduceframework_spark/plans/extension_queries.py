@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs
@@ -289,19 +290,19 @@ def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_struct_funcs",
-    oracle="""
+    oracle=f"""
         SELECT o_orderkey,
                s['c'] AS cents_field,
-               s < {'st': 'O', 'c': 5000000} AS below_limit,
+               s < {{'st': 'O', 'c': 5000000}} AS below_limit,
                pair[1]['v'] AS first_v,
                pair[1]['k'] AS first_k
         FROM (SELECT o_orderkey,
-                     {'st': o_orderstatus,
-                      'c': CAST(ROUND(o_totalprice * 100) AS BIGINT)} AS s,
+                     {{'st': o_orderstatus,
+                      'c': {snap_units_sql('o_totalprice', 100)}}} AS s,
                      list_sort([
-                         {'k': CAST(ROUND(o_totalprice * 100) AS BIGINT),
-                          'v': 'price'},
-                         {'k': o_orderkey % 100000, 'v': 'key'}]) AS pair
+                         {{'k': {snap_units_sql('o_totalprice', 100)},
+                          'v': 'price'}},
+                         {{'k': o_orderkey % 100000, 'v': 'key'}}]) AS pair
               FROM orders)
     """,
     tags=("scalar", "struct"),
@@ -314,7 +315,7 @@ def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     field). Both engines define identical struct ordering, which this
     row pins as a contract. Zero-shuffle scan."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = snap_units("o_totalprice", 100)
     s = F.struct(F.col("o_orderstatus").alias("st"), cents.alias("c"))
     lim = F.struct(
         F.lit("O").alias("st"), F.lit(5000000).cast("long").alias("c")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceframework_spark.operators.cdc import merge_changes
+from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 
@@ -207,11 +208,11 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lakehouse_incremental_agg",
     bench=True,
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority AS priority,
                STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               CAST(SUM({snap_units_sql('o_totalprice', 100)})
                     AS BIGINT) AS sum_cents
         FROM orders
         WHERE o_orderkey % 10 = 0
@@ -243,7 +244,7 @@ def lakehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the thing production avoids."""
     orders = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = snap_units("o_totalprice", 100)
     gcols = [
         F.col("o_orderpriority").alias("priority"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),

@@ -213,6 +213,26 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_payloads(attach_payload(docs))
 
 
+def _banded_pairs_ctes(n_bands: int, key_case_sql: str, hash_cols: list[str]) -> str:
+    """bands/cand CTE pair shared by the fingerprint-dedup oracles —
+    the SQL mirror of operators/dedup.py::banded_rep_pairs (expects a
+    ``reps`` CTE with rep, cnt and ``hash_cols``; ends with
+    cand(doc_a, doc_b, {col}_a/_b..., cnt_a, cnt_b))."""
+    carry = ", ".join(hash_cols)
+    pairs = ", ".join(
+        f"a.{c} AS {c}_a, b.{c} AS {c}_b" for c in hash_cols
+    )
+    return f"""bands AS (
+            SELECT rep, {carry}, cnt, b.b AS band_id,
+                   {key_case_sql} AS key
+            FROM reps, range(0, {n_bands}) b(b)),
+        cand AS (
+            SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b,
+                   {pairs}, a.cnt AS cnt_a, b.cnt AS cnt_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.key = b.key AND a.rep < b.rep)"""
+
+
 # DuckDB CTE chain reproducing the engine's decode->dHash path
 # analytically (dims/grid/gray/arrs/hashes; ends with hashes(doc_id,
 # lo, hi)). Shared by multimodal_phash_dedup and the multimodal
@@ -256,17 +276,7 @@ PHASH_HASHES_CTES = """dims AS (
         reps AS (
             SELECT lo, hi, MIN(doc_id) AS rep, COUNT(*)::BIGINT AS cnt
             FROM hashes GROUP BY lo, hi),
-        bands AS (
-            SELECT rep, lo, hi, cnt, b.b AS band_id,
-                   CASE b.b WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
-                            WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS key
-            FROM reps, range(0, 4) b(b)),
-        cand AS (
-            SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b,
-                   a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
-                   a.cnt AS cnt_a, b.cnt AS cnt_b
-            FROM bands a JOIN bands b
-              ON a.band_id = b.band_id AND a.key = b.key AND a.rep < b.rep)
+        {_banded_pairs_ctes(4, "CASE b.b WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536 WHEN 2 THEN hi % 65536 ELSE hi // 65536 END", ["lo", "hi"])}
         SELECT doc_a, doc_b,
                (bit_count(xor(lo_a, lo_b))
                 + bit_count(xor(hi_a, hi_b)))::BIGINT AS hamming,
@@ -317,30 +327,9 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(3).alias("band_id"), F.expr("hi DIV 65536").alias("key")
         ),
     )
-    bands = reps.select(
-        "rep", "lo", "hi", "cnt", F.explode(band_keys).alias("bk")
-    ).select("rep", "lo", "hi", "cnt", "bk.band_id", "bk.key")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.rep") < F.col("b.rep")),
-        )
-        .select(
-            F.col("a.rep").alias("doc_a"),
-            F.col("b.rep").alias("doc_b"),
-            F.col("a.lo").alias("lo_a"),
-            F.col("a.hi").alias("hi_a"),
-            F.col("b.lo").alias("lo_b"),
-            F.col("b.hi").alias("hi_b"),
-            F.col("a.cnt").alias("cnt_a"),
-            F.col("b.cnt").alias("cnt_b"),
-        )
-        .distinct()
-    )
+    from mapreduceframework_spark.operators.dedup import banded_rep_pairs
+
+    cand = banded_rep_pairs(reps, band_keys, ["lo", "hi"])
     ham = F.bit_count(
         F.col("lo_a").bitwiseXOR(F.col("lo_b"))
     ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
@@ -378,18 +367,10 @@ AFP_FPS_CTES = """p AS (
         reps AS (
             SELECT fp, MIN(doc_id) AS rep, COUNT(*)::BIGINT AS cnt
             FROM fps GROUP BY fp),
-        bands AS (
-            SELECT rep, fp, cnt, b.b AS band_id,
-                   CASE b.b WHEN 0 THEN fp % 65536 ELSE fp // 65536 END AS key
-            FROM reps, range(0, 2) b(b)),
-        cand AS (
-            SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b,
-                   a.fp AS fa, b.fp AS fb, a.cnt AS cnt_a, b.cnt AS cnt_b
-            FROM bands a JOIN bands b
-              ON a.band_id = b.band_id AND a.key = b.key AND a.rep < b.rep)
+        {_banded_pairs_ctes(2, "CASE b.b WHEN 0 THEN fp % 65536 ELSE fp // 65536 END", ["fp"])}
         SELECT doc_a, doc_b,
-               bit_count(xor(fa, fb))::BIGINT AS hamming, cnt_a, cnt_b
-        FROM cand WHERE bit_count(xor(fa, fb)) <= 4
+               bit_count(xor(fp_a, fp_b))::BIGINT AS hamming, cnt_a, cnt_b
+        FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 4
     """,
     tags=("multimodal", "dedup", "extension", "codec"),
 )
@@ -426,28 +407,10 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("band_id"), F.expr("fp DIV 65536").alias("key")
         ),
     )
-    bands = reps.select(
-        "rep", "fp", "cnt", F.explode(band_keys).alias("bk")
-    ).select("rep", "fp", "cnt", "bk.band_id", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.rep") < F.col("b.rep")),
-        )
-        .select(
-            F.col("a.rep").alias("doc_a"),
-            F.col("b.rep").alias("doc_b"),
-            F.col("a.fp").alias("fa"),
-            F.col("b.fp").alias("fb"),
-            F.col("a.cnt").alias("cnt_a"),
-            F.col("b.cnt").alias("cnt_b"),
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    from mapreduceframework_spark.operators.dedup import banded_rep_pairs
+
+    cand = banded_rep_pairs(reps, band_keys, ["fp"])
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return cand.select(
         "doc_a",
         "doc_b",

@@ -91,10 +91,14 @@ def query(
 # join_left_agg / join_theta / udtf_bigram_counts / mr_filter_evens /
 # window_running_sum, and this round join_inner / join_semi /
 # join_anti / join_broadcast / mr_histogram_mod100 /
-# window_topk_per_group, ceded their refresh slots to
+# window_topk_per_group / udtf_native_token_runs / tpch_q1 / tpch_q2 /
+# tpch_q3 / tpch_q5 / tpch_q6 / tpch_q9 / tpch_q18 / tpch_q21 /
+# tpch_q22, ceded their refresh slots to
 # first-evidence rows; each family keeps other refreshed rows —
 # sentinel sampling via tools/check_window.py --sentinels bounds the
-# staleness exposure of everything rotated out).
+# staleness exposure of everything rotated out; every row rotated out
+# THIS round was additionally re-verified directly via check_window at
+# rotation time).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- round-6 queries: first driver rows (19) ---
     "agg_percent_of_total",

@@ -714,10 +714,11 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB CTE chain computing the Gopher keep flag per doc (gdocs/gm/
-# gkeep; ends with gkeep(doc_id, keep)). Shared by quality_gopher_rules'
-# sibling consumers (the multimodal curation capstone) so the rule
-# battery cannot drift between oracles.
+# DuckDB CTE chain computing the Gopher metrics and keep flag per doc
+# (gdocs/gm/gkeep). THE single definition of the rule battery: the
+# quality_gopher_rules oracle selects its ratio columns from gm and
+# keep from gkeep, and the multimodal curation capstone reuses gkeep —
+# a threshold change lands in every consumer or none.
 GOPHER_KEEP_CTES = f"""gdocs AS ({DOCS_CTE}),
         gm AS (
             SELECT doc_id,
@@ -748,34 +749,14 @@ GOPHER_KEEP_CTES = f"""gdocs AS ({DOCS_CTE}),
 @query(
     "quality_gopher_rules",
     oracle=f"""
-        WITH d AS ({DOCS_CTE}),
-        m AS (
-            SELECT doc_id,
-                   len(words)::BIGINT AS word_count,
-                   list_sum(list_transform(words, w -> length(w)))::BIGINT
-                       AS char_sum,
-                   (length(text) - length(replace(text, '#', '')))::BIGINT
-                       AS n_hash,
-                   ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT
-                       AS n_ellipsis,
-                   len(list_filter(words,
-                       w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
-                       AS n_alpha_words,
-                   len(list_filter(words, w -> list_contains(
-                       ['the','a','of','and','to','in','is','it'], w)))::BIGINT
-                       AS stop_hits
-            FROM d)
-        SELECT doc_id, word_count,
-               char_sum / word_count AS mean_word_len,
-               (n_hash + n_ellipsis) / word_count AS symbol_ratio,
-               n_alpha_words / word_count AS alpha_ratio,
-               stop_hits,
-               (word_count BETWEEN 50 AND 100000
-                AND char_sum / word_count BETWEEN 3.0 AND 10.0
-                AND (n_hash + n_ellipsis) / word_count <= 0.1
-                AND n_alpha_words / word_count >= 0.8
-                AND stop_hits >= 2) AS keep
-        FROM m
+        WITH {GOPHER_KEEP_CTES}
+        SELECT m.doc_id, m.word_count,
+               m.char_sum / m.word_count AS mean_word_len,
+               (m.n_hash + m.n_ellipsis) / m.word_count AS symbol_ratio,
+               m.n_alpha_words / m.word_count AS alpha_ratio,
+               m.stop_hits,
+               k.keep
+        FROM gm m JOIN gkeep k USING (doc_id)
     """,
     tags=("text", "quality", "extension"),
 )

@@ -61,8 +61,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_parity(spark_df, oracle_con, oracle_query: str) -> None:
-    got = _canon(spark_df.toPandas())
-    want = _canon(oracle_con.execute(oracle_query).fetchdf())
+    assert_parity_frames(
+        spark_df.toPandas(), oracle_con.execute(oracle_query).fetchdf()
+    )
+
+
+def assert_parity_frames(got_raw: pd.DataFrame, want_raw: pd.DataFrame) -> None:
+    """Frame-level core of :func:`assert_parity` — callers that already
+    collected both sides (e.g. tools/check_window.py, which also runs
+    the driver's bag_hash compare on the same frames) use this to avoid
+    re-executing the query and the oracle."""
+    got = _canon(got_raw)
+    want = _canon(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )

@@ -38,7 +38,7 @@ _spec.loader.exec_module(_dc)
 from mapreduceframework_spark.plans.registry import DRIVER_WINDOW, all_queries
 from mapreduceframework_spark.session import get_session
 from mapreduceframework_spark.sources.registry import TABLES
-from tests.conftest import assert_parity
+from tests.conftest import assert_parity_frames
 
 
 def main() -> int:
@@ -77,14 +77,18 @@ def main() -> int:
         try:
             df = spec.fn(spark, sf_dir)
             if spec.oracle is not None:
-                assert_parity(df, con, spec.oracle)
-                # ALSO run the driver's own normalize+bag_hash compare:
-                # assert_parity canonicalizes more aggressively (e.g.
-                # date columns), so a rendering difference can pass the
-                # pre-flight yet MISMATCH in drive_contract — exactly
-                # the round-7 lakehouse_incremental_agg blind spot.
-                sdf = _dc.normalize(df.toPandas())
-                odf = _dc.normalize(con.execute(spec.oracle).fetchdf())
+                # Collect both sides ONCE, then run BOTH compares on the
+                # same frames: assert_parity's canonicalized check, and
+                # the driver's own normalize+bag_hash (assert_parity
+                # canonicalizes more aggressively — e.g. date columns —
+                # so a rendering difference can pass the pre-flight yet
+                # MISMATCH in drive_contract: the round-7
+                # lakehouse_incremental_agg blind spot).
+                sdf_raw = df.toPandas()
+                odf_raw = con.execute(spec.oracle).fetchdf()
+                assert_parity_frames(sdf_raw.copy(), odf_raw.copy())
+                sdf = _dc.normalize(sdf_raw)
+                odf = _dc.normalize(odf_raw)
                 if len(sdf) != len(odf) or _dc.bag_hash(sdf) != _dc.bag_hash(
                     odf
                 ):
