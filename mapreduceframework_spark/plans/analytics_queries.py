@@ -1531,3 +1531,148 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rk") == 63, F.col("est"))).alias("ci_hi"),
         )
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_id, event_type,
+                   {snap_units_sql('value', 10000)} AS v_e4
+            FROM events),
+        ranked AS (
+            SELECT event_type, v_e4,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY v_e4) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM v),
+        med AS (
+            SELECT event_type, v_e4 AS med_e4
+            FROM ranked WHERE rn = (n + 1) // 2),
+        dev AS (
+            SELECT v.event_type, ABS(v.v_e4 - m.med_e4) AS d_e4
+            FROM v JOIN med m USING (event_type)),
+        dranked AS (
+            SELECT event_type, d_e4,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY d_e4) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev),
+        mad AS (
+            SELECT event_type, d_e4 AS mad_e4
+            FROM dranked WHERE rn = (n + 1) // 2)
+        SELECT v.event_id, v.event_type, v.v_e4,
+               m.med_e4, a.mad_e4
+        FROM v
+        JOIN med m USING (event_type)
+        JOIN mad a USING (event_type)
+        WHERE a.mad_e4 > 0
+          AND ABS(v.v_e4 - m.med_e4) > 3 * a.mad_e4
+    """,
+    tags=("agg", "statistical", "timeseries", "extension"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: |x - median| > 3 * MAD
+    (median absolute deviation) — the resistant counterpart of
+    events_anomaly_zscore, which a single extreme value can blind by
+    inflating the stddev. Both the median and the MAD are exact lower-
+    median order statistics over 1e-4-unit BIGINTs, so there is no
+    float anywhere; groups with MAD = 0 (over half the values
+    identical) are excluded on both engines rather than dividing by
+    zero.
+
+    Scale: two per-type rank windows (type-partitioned, never global)
+    + two broadcast-sized joins of the O(types) median/MAD tables back
+    against the scan — the same exact-order-statistic discipline as
+    agg_mode_exact, with feature_quantile_sketch as the documented
+    approximate path at extreme group sizes."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", "event_type", snap_units("value", 10000).alias("v_e4")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("v_e4")
+    w_all = Window.partitionBy("event_type")
+    med = (
+        v.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_all))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("v_e4").alias("med_e4"))
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v_e4") - F.col("med_e4")).alias("d_e4")
+    )
+    wd_rank = Window.partitionBy("event_type").orderBy("d_e4")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd_rank))
+        .withColumn("n", F.count("*").over(w_all))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("d_e4").alias("mad_e4"))
+    )
+    return (
+        v.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad_e4") > 0)
+            & (F.abs(F.col("v_e4") - F.col("med_e4")) > 3 * F.col("mad_e4"))
+        )
+        .select("event_id", "event_type", "v_e4", "med_e4", "mad_e4")
+    )
+
+
+@query(
+    "events_streak_longest",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        grp AS (
+            SELECT user_id, d,
+                   (d - DATE '1970-01-01')::BIGINT - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY d) AS island
+            FROM days),
+        streaks AS (
+            SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+                   STRFTIME(MIN(d), '%Y-%m-%d') AS start_day
+            FROM grp GROUP BY user_id, island)
+        SELECT user_id, len AS longest_streak, start_day
+        FROM (SELECT user_id, len, start_day,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY len DESC, start_day) AS rk
+              FROM streaks)
+        WHERE rk = 1
+    """,
+    tags=("window", "timeseries", "extension"),
+)
+def events_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands reduction: distinct active days minus their
+    per-user row number is constant exactly within a consecutive run,
+    so one groupBy on that island key measures every streak and a
+    per-user argmax (deterministic earliest-start tie-break) picks the
+    longest. The engagement metric every activity dashboard ships,
+    built purely from a partitioned window + two aggregations.
+
+    Exactness: DATE-to-epoch-day arithmetic is all BIGINT; the start
+    day is emitted as a string per the date-rendering contract. Scale:
+    everything partitions by user_id — one distinct, one window, two
+    partial-agged groupBys, no global ordering anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w_u = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island",
+        F.unix_date(F.col("d")).cast("long") - F.row_number().over(w_u),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("start_day"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "start_day"
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("len").alias("longest_streak"), "start_day")
+    )

@@ -1081,3 +1081,56 @@ def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") - F.col("cents")) / (100.0 * (F.col("n") - 1)),
         ).alias("target_enc"),
     )
+
+
+@query(
+    "quality_label_balance",
+    oracle="""
+        WITH c AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+            FROM embeddings GROUP BY label),
+        t AS (
+            SELECT CAST(SUM(n_label) AS BIGINT) AS n,
+                   CAST(SUM(n_label * n_label) AS BIGINT) AS sq
+            FROM c)
+        SELECT c.label, c.n_label,
+               CAST(ROUND(1000000.0 * c.n_label / t.n) AS BIGINT)
+                   AS share_e6,
+               CAST(ROUND(1000000.0 * (t.n * t.n - t.sq)
+                          / (t.n * t.n)) AS BIGINT) AS gini_e6
+        FROM c CROSS JOIN t
+    """,
+    tags=("agg", "statistical", "quality", "extension"),
+)
+def quality_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset label-balance audit — the class-imbalance report run
+    before any supervised fine-tune: per-label counts and shares plus
+    the corpus Gini impurity 1 - sum(share_i^2), reported in exact
+    1e-6 units. Gini rather than entropy deliberately: it is a RATIONAL
+    function of the counts ((n^2 - sum n_i^2) / n^2 — one double
+    division of exact BIGINTs), whereas entropy would route every
+    share through ln(), whose last-ulp behavior differs between
+    engines (the text_bigram_lm_score lesson).
+
+    Scale: one O(labels) partial-agged groupBy; the summary is a 1-row
+    broadcast joined back — no window, no second pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count("*").alias("n_label"))
+    t = c.agg(
+        F.sum("n_label").alias("n"),
+        F.sum(F.col("n_label") * F.col("n_label")).alias("sq"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n_label",
+        F.round(1000000.0 * F.col("n_label") / F.col("n"))
+        .cast("long")
+        .alias("share_e6"),
+        F.round(
+            1000000.0
+            * (F.col("n") * F.col("n") - F.col("sq"))
+            / (F.col("n") * F.col("n"))
+        )
+        .cast("long")
+        .alias("gini_e6"),
+    )

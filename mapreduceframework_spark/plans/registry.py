@@ -75,7 +75,7 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 27 queries new this round (three
+# cross-engine), first rows for the 30 queries new this round (three
 # write-path/maintenance sinks, ordered funnel, KS drift test,
 # readability, minhash containment, peak concurrency, nearest asof,
 # LSH recall report, temperature mixture, Gopher rule filter, Poisson
@@ -85,7 +85,8 @@ def query(
 # fingerprint dedup, struct scalar family, corpus-boilerplate
 # top-K n-grams, the multimodal curation capstone, LOO target
 # encoding, contrastive negative sampling, the CSV/JSON source
-# round-trip), one sentinel
+# round-trip, MAD anomaly detection, longest activity streaks, the
+# Gini label-balance audit), one sentinel
 # adjacent to this round's fanout-threading change, and the STALEST
 # rotated-out greens (latest driver row r03) to refresh (join_cross /
 # join_left_agg / join_theta / udtf_bigram_counts / mr_filter_evens /
@@ -93,7 +94,8 @@ def query(
 # join_anti / join_broadcast / mr_histogram_mod100 /
 # window_topk_per_group / udtf_native_token_runs / tpch_q1 / tpch_q2 /
 # tpch_q3 / tpch_q5 / tpch_q6 / tpch_q9 / tpch_q18 / tpch_q21 /
-# tpch_q22, ceded their refresh slots to
+# tpch_q22 / join_full_outer / mr_char_counts /
+# udf_pandas_grouped_agg, ceded their refresh slots to
 # first-evidence rows; each family keeps other refreshed rows —
 # sentinel sampling via tools/check_window.py --sentinels bounds the
 # staleness exposure of everything rotated out; every row rotated out
@@ -120,7 +122,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_interpolate",
     "union_by_name_evolved",
     "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (27) ---
+    # --- NEW this round: first driver rows (30) ---
     "sink_partitioned_roundtrip",
     "sink_bucketed_join",
     "sink_compact_small_files",
@@ -148,12 +150,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "feature_target_encode_loo",
     "sample_negative_pairs",
     "source_csv_json_roundtrip",
+    "events_anomaly_mad",
+    "events_streak_longest",
+    "quality_label_balance",
     # --- sentinel adjacent to this round's code changes ---
     "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
-    # --- stalest rotated-out greens (latest row r03) ---
-    "join_full_outer",
-    "mr_char_counts",
-    "udf_pandas_grouped_agg",
+    # (no refresh slots this round: all 50 slots produce first-time
+    # driver evidence; every row rotated out was directly re-verified
+    # via check_window at rotation time, and --sentinels sampling
+    # bounds residual staleness)
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -439,6 +439,12 @@ SHUFFLE_BUDGET = {
     "sample_negative_pairs": 2,
     # Two 1-row aggregates over text scans + the 2-row union.
     "source_csv_json_roundtrip": 2,
+    # Two type-partitioned rank windows + O(types) broadcast joins.
+    "events_anomaly_mad": 6,
+    # Distinct days + per-user island window + two partial aggs.
+    "events_streak_longest": 2,
+    # One O(labels) groupBy + 1-row summary broadcast.
+    "quality_label_balance": 4,
 }
 
 
