@@ -266,13 +266,15 @@ FRAMES_SCHEMA = (
 )
 
 
-def sample_frames(with_payload: DataFrame) -> DataFrame:
+def sample_frames(with_payload: DataFrame, stride: int | None = None) -> DataFrame:
     """Frame sampling as 1-to-many mapInPandas: each payload is cut
     into FRAME_BYTES-sized frames and every FRAME_STRIDE-th frame is
     'decoded' (byte checksum stands in for the pixel work). This is
     the table-generating shape a real video sampler plugs into — same
     Arrow batch flow as decode_features, but emitting 0..n rows per
     input; partitioning is preserved, no shuffle."""
+
+    step = FRAME_STRIDE if stride is None else stride
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -287,7 +289,7 @@ def sample_frames(with_payload: DataFrame) -> DataFrame:
             ):
                 data = decode_payload(payload, meta["codec"])
                 n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
-                for f in range(0, n_frames, FRAME_STRIDE):
+                for f in range(0, n_frames, step):
                     fr = data[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
                     out["doc_id"].append(int(doc_id))
                     out["frame_idx"].append(f)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
@@ -516,3 +517,65 @@ def _install_curate_oracle() -> None:
 
 
 _install_curate_oracle()
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, t.f AS frame_idx,
+                   (list_sum(list_transform(string_split(
+                        substring(text, (t.f * 16)::INT + 1, 16), ''),
+                        c -> ascii(c))) % 256)::BIGINT AS cks
+            FROM documents,
+                 unnest(range(0, (strlen(text) + 15) // 16)) AS t(f)),
+        lagged AS (
+            SELECT doc_id, frame_idx, cks,
+                   LAG(cks) OVER (PARTITION BY doc_id
+                                  ORDER BY frame_idx) AS prev_cks
+            FROM f)
+        SELECT doc_id, frame_idx, prev_cks, cks,
+               ABS(cks - prev_cks) AS delta
+        FROM lagged
+        WHERE prev_cks IS NOT NULL AND ABS(cks - prev_cks) > 160
+    """,
+    tags=("multimodal", "timeseries", "extension"),
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over a frame stream — the
+    video-pipeline op that decides where to cut clips for sampling:
+    every frame 'decodes' to a signature (byte checksum standing in
+    for a pixel histogram; the mapInPandas seam is where a real
+    frame-difference metric plugs in), and a frame whose signature
+    jumps more than a threshold from its predecessor marks a cut.
+
+    Composition: reuses the frame sampler verbatim at stride 1, then a
+    doc-partitioned LAG window — the same shape a real pipeline runs
+    (sample -> per-asset ordered diff -> threshold). All-integer
+    signatures, so the threshold compare is exact on both engines.
+
+    Scale: frame expansion is partition-preserving mapInPandas; the
+    only shuffle is the per-doc window partition, keyed on the asset —
+    never a global ordering."""
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    frames = M.sample_frames(M.attach_payload(docs), stride=1)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.col("frame_checksum").alias("cks"),
+        F.lag("frame_checksum").over(w).alias("prev_cks"),
+    )
+    return lagged.filter(
+        F.col("prev_cks").isNotNull()
+        & (F.abs(F.col("cks") - F.col("prev_cks")) > 160)
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "prev_cks",
+        "cks",
+        F.abs(F.col("cks") - F.col("prev_cks")).alias("delta"),
+    )

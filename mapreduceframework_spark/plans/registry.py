@@ -75,7 +75,7 @@ def query(
 # for the 19 round-6 queries that have only local parity evidence (the
 # r6 VERDICT's top item — several are float-contract rows of exactly
 # the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 30 queries new this round (three
+# cross-engine), first rows for the 31 queries new this round (three
 # write-path/maintenance sinks, ordered funnel, KS drift test,
 # readability, minhash containment, peak concurrency, nearest asof,
 # LSH recall report, temperature mixture, Gopher rule filter, Poisson
@@ -86,8 +86,7 @@ def query(
 # top-K n-grams, the multimodal curation capstone, LOO target
 # encoding, contrastive negative sampling, the CSV/JSON source
 # round-trip, MAD anomaly detection, longest activity streaks, the
-# Gini label-balance audit), one sentinel
-# adjacent to this round's fanout-threading change, and the STALEST
+# Gini label-balance audit, scene-cut detection), and the STALEST
 # rotated-out greens (latest driver row r03) to refresh (join_cross /
 # join_left_agg / join_theta / udtf_bigram_counts / mr_filter_evens /
 # window_running_sum, and this round join_inner / join_semi /
@@ -122,7 +121,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_interpolate",
     "union_by_name_evolved",
     "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (30) ---
+    # --- NEW this round: first driver rows (31) ---
     "sink_partitioned_roundtrip",
     "sink_bucketed_join",
     "sink_compact_small_files",
@@ -153,10 +152,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_anomaly_mad",
     "events_streak_longest",
     "quality_label_balance",
-    # --- sentinel adjacent to this round's code changes ---
-    "hierarchy_rollup_recursive",  # resolve_forest_roots fanout threading
-    # (no refresh slots this round: all 50 slots produce first-time
-    # driver evidence; every row rotated out was directly re-verified
+    "multimodal_scene_cuts",
+    # (no refresh or sentinel slots this round: all 50 slots produce
+    # first-time driver evidence; the fanout-threading sentinel
+    # (hierarchy_rollup_recursive) and every row rotated out were
+    # directly re-verified
     # via check_window at rotation time, and --sentinels sampling
     # bounds residual staleness)
 )

@@ -445,6 +445,10 @@ SHUFFLE_BUDGET = {
     "events_streak_longest": 2,
     # One O(labels) groupBy + 1-row summary broadcast.
     "quality_label_balance": 4,
+    # Frame expansion is exchange-free mapInPandas; the 2 are the
+    # gated round-robin spread of the single local scan split and the
+    # per-doc lag window partition.
+    "multimodal_scene_cuts": 2,
 }
 
 
