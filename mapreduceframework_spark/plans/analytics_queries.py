@@ -1676,3 +1676,45 @@ def events_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("len").alias("longest_streak"), "start_day")
     )
+
+
+@query(
+    "timeseries_seasonal_profile",
+    oracle=f"""
+        SELECT event_type,
+               CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({snap_units_sql('value', 10000)}) AS BIGINT)
+                   AS sum_e4,
+               CAST(SUM({snap_units_sql('value', 10000)}) AS BIGINT)
+                   / (10000.0 * COUNT(*)) AS mean_v
+        FROM events
+        GROUP BY event_type, dow, hour
+    """,
+    tags=("timeseries", "agg", "extension"),
+)
+def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal activity profile — the (day-of-week, hour-of-day) mean
+    matrix that seasonal-naive forecasting, anomaly baselining
+    (compare events_anomaly_zscore against the right seasonal cell,
+    not the global mean), and load-shaping all start from. Means are
+    one double division of exact BIGINT 1e-4-unit sums.
+
+    Cross-engine note: day-of-week conventions differ across engines;
+    both sides here use the Sunday=0 convention explicitly (Spark
+    ``dayofweek`` is Sunday=1, so the engine subtracts 1; DuckDB
+    ``EXTRACT(dow)`` is already Sunday=0). Scale: one partial-agged
+    groupBy to O(types x 7 x 24) cells — the profile is model-sized
+    no matter the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.sum(snap_units("value", 10000))
+    return ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count("*").alias("n"),
+        s.alias("sum_e4"),
+        (s / (10000.0 * F.count("*"))).alias("mean_v"),
+    )

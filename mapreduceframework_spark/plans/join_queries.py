@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapreduceframework_spark.operators.joins import (
     asof_join,
@@ -928,4 +929,78 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("purchase_us"),
         F.col("ct").alias("click_us"),
         F.abs(F.col("t") - F.col("ct")).alias("gap_us"),
+    )
+
+
+@query(
+    "join_attribution_first_touch",
+    oracle="""
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts,
+                          value FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+              FROM events WHERE event_type = 'click'),
+        cand AS (
+            SELECT p.purchase_id, p.user_id, c.click_id, c.click_ts,
+                   CAST(ROUND(p.value * 10000) AS BIGINT) AS value_e4
+            FROM p JOIN c
+              ON p.user_id = c.user_id
+                 AND c.click_ts <= p.ts
+                 AND c.click_ts >= p.ts - INTERVAL 7 DAY)
+        SELECT purchase_id, user_id, click_id AS first_click_id,
+               STRFTIME(click_ts, '%Y-%m-%d %H:%M:%S') AS first_click_ts,
+               value_e4
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY purchase_id
+                  ORDER BY click_ts, click_id) AS rk
+              FROM cand)
+        WHERE rk = 1
+    """,
+    tags=("join", "asof", "extension"),
+)
+def join_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch marketing attribution: each purchase credits the
+    EARLIEST click by the same user within the preceding 7 days — the
+    complement of the as-of family's last-before-timestamp semantics
+    (join_asof takes the latest match; first-touch takes the earliest
+    inside a bounded lookback, which as-of cannot express). Ties on
+    the click timestamp break on click_id, so attribution is
+    deterministic.
+
+    Scale: user-keyed equi-join with a time-range residual (the
+    join_range_bands discipline — never a theta join), then a
+    purchase-partitioned rank window on the candidate set, which is
+    bounded by clicks-per-user-week, not the corpus. Timestamps are
+    emitted as strings per the date-rendering contract; revenue in
+    exact 1e-4 units."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    cand = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("p_ts"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("click_id").alias("first_click_id"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_click_ts"
+            ),
+            "value_e4",
+        )
     )

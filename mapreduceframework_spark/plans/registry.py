@@ -153,6 +153,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_streak_longest",
     "quality_label_balance",
     "multimodal_scene_cuts",
+    # timeseries_seasonal_profile and join_attribution_first_touch are
+    # this round's overflow: every one of the 50 slots is already a
+    # first-evidence row, so they wait for the round-8 window (both are
+    # double-verified locally at sf0.01 AND sf0.1 with both compare
+    # paths).
     # (no refresh or sentinel slots this round: all 50 slots produce
     # first-time driver evidence; the fanout-threading sentinel
     # (hierarchy_rollup_recursive) and every row rotated out were

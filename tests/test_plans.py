@@ -449,6 +449,10 @@ SHUFFLE_BUDGET = {
     # gated round-robin spread of the single local scan split and the
     # per-doc lag window partition.
     "multimodal_scene_cuts": 2,
+    # One partial-agged groupBy to O(types x 7 x 24) cells.
+    "timeseries_seasonal_profile": 1,
+    # User-keyed candidate join + purchase-partitioned rank window.
+    "join_attribution_first_touch": 2,
 }
 
 
