@@ -1134,3 +1134,75 @@ def quality_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_e6"),
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+        WITH q AS (
+            SELECT label,
+                   list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))
+                       AS qv
+            FROM ({EMB_CTE})),
+        comp AS (
+            SELECT label, p.p AS pos, qv[p.p + 1] AS x
+            FROM q, range(0, 64) p(p)),
+        lsum AS (
+            SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM comp GROUP BY label, pos),
+        lcent AS (
+            SELECT label, pos,
+                   CAST(FLOOR(s::DOUBLE / n) AS BIGINT) AS c, n
+            FROM lsum),
+        gcent AS (
+            SELECT pos,
+                   CAST(FLOOR(SUM(s)::DOUBLE / SUM(n)) AS BIGINT) AS g
+            FROM lsum GROUP BY pos)
+        SELECT l.label, MAX(l.n) AS n_vectors,
+               CAST(SUM((l.c - g.g) * (l.c - g.g)) AS BIGINT) AS drift_sq
+        FROM lcent l JOIN gcent g USING (pos)
+        GROUP BY l.label
+    """,
+    tags=("ann", "embedding", "quality", "extension"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid drift — the embedding-space diagnostic run
+    after ingesting a new data slice: each label's centroid against the
+    global centroid, as an exact squared L2 over 1e-3-unit quantized
+    components (the ann_cosine_pq FLOOR-of-exact-double mean
+    convention, so both engines agree on negative sums). Labels whose
+    drift collapses toward zero are indistinguishable from the corpus
+    mean — the signal that a class boundary eroded.
+
+    Scale: one partial-agged (label, pos) sum — O(labels x d) rows —
+    from which BOTH centroid levels derive (the global centroid is the
+    re-aggregated label sums, no second corpus pass); the drift join
+    is model-sized."""
+    e = _embeddings(spark, sf_dir)
+    qv = F.transform(F.col("v"), lambda x: F.round(x * 1000).cast("long"))
+    comp = e.select("label", F.posexplode(qv).alias("pos", "x"))
+    lsum = comp.groupBy("label", "pos").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    lcent = lsum.select(
+        "label",
+        "pos",
+        F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("c"),
+        "n",
+    )
+    gcent = lsum.groupBy("pos").agg(
+        F.floor(F.sum("s").cast("double") / F.sum("n"))
+        .cast("long")
+        .alias("g")
+    )
+    return (
+        lcent.join(F.broadcast(gcent), "pos")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.sum((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")))
+            .cast("long")
+            .alias("drift_sq"),
+        )
+    )

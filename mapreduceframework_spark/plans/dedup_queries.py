@@ -725,3 +725,101 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("contain_ab") >= 0.7) | (F.col("contain_ba") >= 0.7))
     )
+
+
+@query(
+    "mining_association_rules",
+    oracle="""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+              FROM lineitem),
+        items AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+                  FROM b GROUP BY l_partkey),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, bb.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                              AND a.l_partkey < bb.l_partkey
+            GROUP BY part_a, part_b),
+        top AS (
+            SELECT * FROM pairs
+            ORDER BY n_ab DESC, part_a, part_b LIMIT 20)
+        SELECT t.part_a, t.part_b, t.n_ab,
+               ia.n_item AS n_a, ib.n_item AS n_b,
+               CAST(ROUND(1000000.0 * t.n_ab / n.n_orders) AS BIGINT)
+                   AS support_e6,
+               CAST(ROUND(1000000.0 * t.n_ab / ia.n_item) AS BIGINT)
+                   AS conf_ab_e6,
+               CAST(ROUND(1000000.0 * t.n_ab * n.n_orders
+                          / (ia.n_item * ib.n_item)) AS BIGINT) AS lift_e6
+        FROM top t
+        JOIN items ia ON ia.l_partkey = t.part_a
+        JOIN items ib ON ib.l_partkey = t.part_b
+        CROSS JOIN n
+    """,
+    tags=("extension", "mining", "cooccurrence"),
+)
+def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the top co-occurring part pairs: support,
+    confidence(a -> b), and lift in exact 1e-6 units — the metric layer
+    Apriori/FP-growth emit on top of the counting core
+    mining_pair_cooccurrence already provides. Baskets deduplicate to
+    DISTINCT (order, part) first so a part repeated across line items
+    can't inflate its own support.
+
+    Exactness: every ratio is ONE double division of exact BIGINT
+    counts (products stay far under 2^53), rounded to integer units on
+    both engines. Scale: same bounded self-equi-join as the counting
+    query; the item-frequency table is O(parts) and broadcasts back
+    against the 20-row top list — metrics cost nothing beyond the
+    counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    items = b.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a, bb = b.alias("a"), b.alias("bb")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.l_orderkey") == F.col("bb.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("bb.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("bb.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    top = pairs.orderBy(F.col("n_ab").desc(), "part_a", "part_b").limit(20)
+    ia = items.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = items.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        top.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(1000000.0 * F.col("n_ab") / F.col("n_orders"))
+            .cast("long")
+            .alias("support_e6"),
+            F.round(1000000.0 * F.col("n_ab") / F.col("n_a"))
+            .cast("long")
+            .alias("conf_ab_e6"),
+            F.round(
+                1000000.0
+                * F.col("n_ab")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            )
+            .cast("long")
+            .alias("lift_e6"),
+        )
+    )

@@ -453,6 +453,11 @@ SHUFFLE_BUDGET = {
     "timeseries_seasonal_profile": 1,
     # User-keyed candidate join + purchase-partitioned rank window.
     "join_attribution_first_touch": 2,
+    # Basket distinct + bounded self-join pair agg + item-frequency
+    # groupBy + TakeOrderedAndProject top-20; metric joins broadcast.
+    "mining_association_rules": 13,
+    # One (label, pos) partial agg feeding BOTH centroid levels.
+    "embedding_centroid_drift": 5,
 }
 
 
