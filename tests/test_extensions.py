@@ -871,3 +871,103 @@ def test_incremental_mv_zero_count_group_vanishes(spark):
     )
     got = {r["grp"]: (r["n"], r["s"]) for r in merged.collect()}
     assert got == {"g1": (1, 100)}
+
+
+def test_first_touch_attribution_earliest_wins(spark):
+    """Two clicks inside the lookback: the EARLIER one gets the credit;
+    a click after the purchase or older than 7 days never matches."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        # (event_id, ts, user_id, type)
+        (1, "2024-01-01 10:00:00", 7, "click"),   # earliest in window
+        (2, "2024-01-03 10:00:00", 7, "click"),
+        (3, "2024-01-05 10:00:00", 7, "purchase"),
+        (4, "2024-01-06 10:00:00", 7, "click"),   # after purchase
+        (5, "2023-12-20 10:00:00", 7, "click"),   # out of lookback
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    cand = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("p_ts"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    got = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("purchase_id", "click_id")
+        .collect()
+    )
+    assert [(r["purchase_id"], r["click_id"]) for r in got] == [(3, 1)]
+
+
+def test_seasonal_profile_dow_convention(spark, sf_dir):
+    """Both engines must emit Sunday=0..Saturday=6 — pin the convention
+    with a known date (2024-01-07 was a Sunday)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-01-07 12:00:00",), ("2024-01-08 12:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = [
+        r[0]
+        for r in df.select((F.dayofweek("ts") - 1).alias("dow"))
+        .orderBy("dow")
+        .collect()
+    ]
+    assert got == [0, 1]  # Sunday=0, Monday=1
+
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT EXTRACT(dow FROM TIMESTAMP '2024-01-07 12:00:00'), "
+        "EXTRACT(dow FROM TIMESTAMP '2024-01-08 12:00:00')"
+    ).fetchall()[0]
+    assert list(want) == [0, 1]
+
+
+def test_association_rules_lift_hand_computed(spark):
+    """2 orders, both containing parts (1, 2); part 3 in one order:
+    lift(1,2) = (2/2) / ((2/2)*(2/2)) = 1.0; conf(1->2) = 1.0."""
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2)],
+        "l_orderkey long, l_partkey long",
+    )
+    b = li.distinct()
+    n_orders = b.select("l_orderkey").distinct().count()
+    items = {r["l_partkey"]: r["n"] for r in
+             b.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()}
+    a, bb = b.alias("a"), b.alias("bb")
+    pairs = {
+        (r["pa"], r["pb"]): r["n"]
+        for r in a.join(
+            bb,
+            (F.col("a.l_orderkey") == F.col("bb.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("bb.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("bb.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_ab = pairs[(1, 2)]
+    lift = n_ab * n_orders / (items[1] * items[2])
+    conf = n_ab / items[1]
+    assert n_ab == 2 and lift == 1.0 and conf == 1.0
