@@ -483,3 +483,47 @@ def streaming_click_purchase_full_join(
             | (F.col("purchase_ts") <= F.lit(cutoff))
         )
     ).select("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "streaming_threshold_alerts",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, event_id, ts,
+                   CAST(ROUND(value * 10000) AS BIGINT) AS v_e4
+            FROM events WHERE event_type = 'purchase'),
+        c AS (
+            SELECT user_id, event_id,
+                   SUM(v_e4) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_e4
+            FROM p)
+        SELECT user_id, event_id AS crossing_event_id,
+               CAST(cum_e4 AS BIGINT) AS cum_e4
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY cum_e4, event_id) AS rk
+              FROM c WHERE cum_e4 >= 5000000)
+        WHERE rk = 1
+    """,
+    tags=("streaming", "true-streaming", "stateful"),
+)
+def streaming_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful threshold alerting in the streaming engine: the first
+    purchase that pushes a user's cumulative spend over 500.0 emits
+    one alert carrying the crossing event and the running total; the
+    alerted flag persists in GroupState so later batches stay silent —
+    semantics dropDuplicates/window aggregation cannot express (emit
+    depends on the ORDERED prefix sum of the state, not on membership
+    or a window bucket). Values fold as exact 1e-4-unit integers in
+    (ts, event_id) order, so the crossing point is deterministic
+    across micro-batch boundaries; the oracle is the batch ordered
+    cumulative sum with the identical tie-break.
+
+    Scale: state is two scalars per user (the O(1)-per-key discipline
+    of every stateful row); the per-user fold is the streaming
+    engine's keyed partitioning, never a global order."""
+    from mapreduceframework_spark.streaming.windows import (
+        spend_threshold_alerts,
+    )
+
+    return spend_threshold_alerts(spark, sf_dir)

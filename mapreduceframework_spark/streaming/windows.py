@@ -360,3 +360,51 @@ def click_purchase_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
     )
     return run_available_now(joined, "append")
+
+
+ALERT_THRESHOLD_E4 = 5_000_000  # cumulative purchase value 500.0
+ALERT_OUTPUT_SCHEMA = "user_id long, crossing_event_id long, cum_e4 long"
+ALERT_STATE_SCHEMA = "cum long, alerted boolean"
+
+
+def spend_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second custom stateful operator: per-user cumulative-spend
+    threshold alerting via applyInPandasWithState — emit ONE alert row
+    the first time a user's running purchase total crosses
+    ALERT_THRESHOLD_E4, then stay silent (the alerted flag lives in
+    GroupState across batches; the fraud/budget-alert shape every
+    event pipeline ships). Events are folded in (ts, event_id) order
+    inside each group so the crossing event is deterministic no matter
+    how micro-batches split or order the rows."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        cum, alerted = state.get if state.exists else (0, False)
+        rows = []
+        for pdf in pdfs:
+            for _, r in (
+                pdf.sort_values(["ts", "event_id"]).iterrows()
+            ):
+                if alerted:
+                    break
+                cum += int(round(float(r["value"]) * 10000))
+                if cum >= ALERT_THRESHOLD_E4:
+                    alerted = True
+                    rows.append((key[0], int(r["event_id"]), cum))
+        state.update((cum, alerted))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "crossing_event_id", "cum_e4"]
+            )
+
+    events = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value")
+    alerts = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(alerts, "update")
