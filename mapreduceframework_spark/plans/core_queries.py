@@ -1094,3 +1094,69 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return m.join(med, "priority")
+
+
+@query(
+    "agg_weighted_median",
+    oracle=f"""
+        WITH v AS (
+            SELECT l_returnflag,
+                   {snap_units_sql('l_extendedprice', 100)} AS cents,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem),
+        cum AS (
+            SELECT l_returnflag, cents, w,
+                   SUM(w) OVER (PARTITION BY l_returnflag
+                                ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM v)
+        SELECT l_returnflag,
+               CAST(MIN(tw) AS BIGINT) AS total_weight,
+               CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+        FROM cum
+        WHERE 2 * cw >= tw
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "statistical"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median — the robust aggregate where each value
+    counts with a weight (here: price weighted by quantity, the
+    'median price actually paid per unit' a pricing analysis wants,
+    which the unweighted median distorts): the smallest value whose
+    cumulative weight reaches half the total. No interpolation, no
+    float contract — weights and values are exact BIGINTs, and the
+    selection rule (first cents with 2*cumweight >= total) is the same
+    closed predicate on both engines, so tie-handling is structural
+    rather than order-dependent (equal cents rows share the predicate
+    outcome; MIN over the qualifying set is unambiguous).
+
+    Scale: one group-partitioned cumulative-weight window + a
+    partial-agged MIN — the agg_mode_exact per-group-sort cost, with
+    the sketch path as the documented approximation at extreme
+    cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        snap_units("l_extendedprice", 100).alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = v.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("tw").alias("total_weight"),
+            F.min("cents").alias("wmedian_cents"),
+        )
+    )

@@ -458,6 +458,8 @@ SHUFFLE_BUDGET = {
     "mining_association_rules": 13,
     # One (label, pos) partial agg feeding BOTH centroid levels.
     "embedding_centroid_drift": 5,
+    # Group-partitioned cumulative-weight window + partial-agged MIN.
+    "agg_weighted_median": 2,
 }
 
 
