@@ -1718,3 +1718,82 @@ def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("sum_e4"),
         (s / (10000.0 * F.count("*"))).alias("mean_v"),
     )
+
+
+@query(
+    "stats_cusum_drift",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_type, ts, event_id,
+                   {snap_units_sql('value', 10000)} - 500000 AS y
+            FROM events),
+        p AS (
+            SELECT event_type, ts, event_id,
+                   SUM(y) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS pf
+            FROM v),
+        srow AS (
+            SELECT event_type, ts, event_id,
+                   CAST(pf - LEAST(0, MIN(pf) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s
+            FROM p)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               MAX({{'ts': ts, 'id': event_id, 's': s}}).s
+                   AS final_cusum_e4,
+               CAST(MAX(s) AS BIGINT) AS max_cusum_e4
+        FROM srow GROUP BY event_type
+    """,
+    tags=("agg", "statistical", "timeseries", "extension"),
+)
+def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-drift statistic per event type (Page 1954) — the
+    changepoint alarm a monitoring pipeline thresholds. The recursion
+    S_i = max(0, S_(i-1) + x_i - k) looks sequential, but has the
+    associative prefix-sum representation S_i = P_i - min(0,
+    min_(j<=i) P_j) with P the running sum of (x - k) — so both
+    engines compute it with type-partitioned windows over exact
+    1e-4-unit BIGINTs (allowance k = 50.0), no per-group sequence
+    collect and no higher-order fold. (A first attempt used a
+    list_reduce fold; DuckDB evaluates struct-literal fields against a
+    partially-updated accumulator, so any lambda whose fields both
+    read acc is a cross-engine trap — the prefix-sum form sidesteps
+    the whole class.) final_cusum is the last row's S via a
+    deterministic struct-argmax on (ts, event_id); max_cusum is the
+    alarm statistic.
+
+    Scale: two stacked type-partitioned running windows + one
+    partial-agged group — the same distributed-prefix discipline as
+    stats_ks_two_sample, and the streaming twin
+    (streaming_threshold_alerts) holds O(1) state per key."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (snap_units("value", 10000) - 500000).alias("y"),
+    )
+    w_run = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = v.select(
+        "event_type", "ts", "event_id", F.sum("y").over(w_run).alias("pf")
+    )
+    srow = p.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.col("pf")
+            - F.least(F.lit(0).cast("long"), F.min("pf").over(w_run))
+        ).cast("long").alias("s"),
+    )
+    return srow.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max(F.struct("ts", F.col("event_id").alias("id"), F.col("s")))
+        .getField("s")
+        .alias("final_cusum_e4"),
+        F.max("s").alias("max_cusum_e4"),
+    )

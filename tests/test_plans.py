@@ -460,6 +460,8 @@ SHUFFLE_BUDGET = {
     "embedding_centroid_drift": 5,
     # Group-partitioned cumulative-weight window + partial-agged MIN.
     "agg_weighted_median": 2,
+    # Two stacked type-partitioned running windows + one partial agg.
+    "stats_cusum_drift": 2,
 }
 
 
