@@ -971,3 +971,71 @@ def test_association_rules_lift_hand_computed(spark):
     lift = n_ab * n_orders / (items[1] * items[2])
     conf = n_ab / items[1]
     assert n_ab == 2 and lift == 1.0 and conf == 1.0
+
+
+def test_weighted_median_hand_computed(spark):
+    """Values 10(w=1), 20(w=2), 30(w=1): total 4, half 2 — cumulative
+    weight reaches 2 at value 20. Unweighted median logic would also
+    give 20 here, so add a heavy tail: 10(w=5), 20(w=1), 30(w=1):
+    half of 7 is 3.5 -> crossed at 10."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def wmedian(rows):
+        df = spark.createDataFrame(rows, "g string, cents long, w long")
+        w_cum = Window.partitionBy("g").orderBy("cents").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.partitionBy("g")
+        cum = df.select(
+            "g", "cents",
+            F.sum("w").over(w_cum).alias("cw"),
+            F.sum("w").over(w_all).alias("tw"),
+        )
+        out = (
+            cum.filter(2 * F.col("cw") >= F.col("tw"))
+            .groupBy("g")
+            .agg(F.min("cents").alias("m"))
+            .collect()
+        )
+        return {r["g"]: r["m"] for r in out}
+
+    assert wmedian([("a", 10, 1), ("a", 20, 2), ("a", 30, 1)]) == {"a": 20}
+    assert wmedian([("b", 10, 5), ("b", 20, 1), ("b", 30, 1)]) == {"b": 10}
+
+
+def test_cusum_prefix_sum_equals_recursion(spark):
+    """The prefix-sum representation must equal the literal recursion
+    S_i = max(0, S_{i-1} + y_i) on a sequence that resets to zero in
+    the middle (the case where a plain running max of prefix sums
+    would be wrong)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ys = [3, -10, 4, 2, -1, 5]  # resets after the -10
+    s = smax = 0
+    for y in ys:
+        s = max(0, s + y)
+        smax = max(smax, s)
+    assert (s, smax) == (10, 10)
+
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "i long, y long"
+    )
+    w = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # NB: the running-min window must order by the ORIGINAL sequence
+    df2 = df.select("i", F.sum("y").over(w).alias("pf"))
+    w2 = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    srows = df2.select(
+        "i",
+        (
+            F.col("pf")
+            - F.least(F.lit(0).cast("long"), F.min("pf").over(w2))
+        ).alias("s"),
+    ).orderBy("i").collect()
+    ss = [r["s"] for r in srows]
+    assert ss[-1] == 10 and max(ss) == 10
