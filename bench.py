@@ -102,6 +102,9 @@ VOLATILE = frozenset({
     # First r7 samples spread 2.9x ([1.70, 3.43, 1.20]) — the Python-
     # codec mapInPandas stage is GC-adjacent like the dedup family.
     "multimodal_phash_dedup",
+    # r8: same candidate-pair shape as dedup_minhash_lsh (shares its
+    # signature/band pipeline) — inherits the family's volatility.
+    "similarity_join_minhash",
 })
 EXTRA_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPEATS", "2"))
 

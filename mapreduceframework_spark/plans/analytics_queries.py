@@ -706,16 +706,20 @@ def regression_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes round(x*10^k)/10^k — see plans/exact.py), while
     ROUND-to-integer is stable.
 
-    Scale shape: one window pass for the per-group epoch (same
-    shuffle as the aggregate), then a partial-combined groupBy to
-    O(types) rows. regr_slope/regr_intercept stay available for the
-    approximate fast path; this query is the exact contract."""
+    Scale shape (r8): the per-group epoch is an O(types) MIN aggregate
+    broadcast back onto the scan — NOT a window. event_type has 5
+    values, so even an unordered window aggregate partitioned by it
+    must co-locate every fact row on 5 reducers; the groupBy partial-
+    aggregates map-side and the join is a broadcast, so the only
+    corpus-sized exchange left is the moment aggregation itself.
+    regr_slope/regr_intercept stay available for the approximate fast
+    path; this query is the exact contract."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
     sec = F.expr("unix_micros(ts) DIV 1000000")
-    pts = ev.select(
+    t0 = ev.groupBy("event_type").agg(F.min(sec).alias("t0"))
+    pts = ev.join(F.broadcast(t0), "event_type").select(
         "event_type",
-        (sec - F.min(sec).over(w)).alias("x"),
+        (sec - F.col("t0")).alias("x"),
         snap_units("value", 10_000).alias("y"),
     )
     d38 = "decimal(38,0)"
@@ -858,6 +862,81 @@ def _islands(
     )
 
 
+def _islands_bucketed(
+    df: DataFrame, part_col: str, gap_us: int, bucket_us: int = 86_400_000_000
+) -> DataFrame:
+    """_islands for CONSTANT-cardinality part_col (event_type has 5
+    values: a plain part_col-partitioned window funnels the whole fact
+    table through 5 reducer sorts at 100 TB). Same semantics, same
+    output, but decomposed with the bucketed two-phase prefix scan
+    (the stats_cusum_drift discipline): rows range-bucket by day, the
+    lag and the boundary-count prefix sum run LOCALLY under a
+    (part, bucket)-partitioned window — parallelism grows with the
+    time span — and two O(buckets) broadcast theta-joins stitch the
+    bucket boundaries (the previous bucket's last timestamp feeds each
+    bucket-local first row's lag; earlier buckets' boundary totals
+    offset the local island sequence). Identities are exact BIGINT
+    arithmetic, so island numbering matches the plain window form
+    row for row."""
+    v = df.withColumn("bucket", F.expr(f"ts_us DIV {bucket_us}"))
+    w_loc = Window.partitionBy(part_col, "bucket").orderBy("ts_us", "event_id")
+    # Cross-bucket lag: last timestamp of any earlier non-empty bucket.
+    bl = v.groupBy(part_col, "bucket").agg(F.max("ts_us").alias("last_ts"))
+    t2 = bl.select(
+        F.col(part_col).alias("p2"),
+        F.col("bucket").alias("b2"),
+        F.col("last_ts").alias("last2"),
+    )
+    prev_last = (
+        bl.join(
+            F.broadcast(t2),
+            (F.col("p2") == F.col(part_col)) & (F.col("b2") < F.col("bucket")),
+            "left",
+        )
+        .groupBy(part_col, "bucket")
+        .agg(F.max("last2").alias("prev_last"))
+    )
+    r = (
+        v.join(F.broadcast(prev_last), [part_col, "bucket"])
+        .withColumn(
+            "prev_ts",
+            F.coalesce(F.lag("ts_us").over(w_loc), F.col("prev_last")),
+        )
+        .withColumn(
+            "b",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts_us") - F.col("prev_ts") > F.lit(gap_us)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("lseq", F.sum("b").over(w_loc))
+    )
+    # Earlier buckets' boundary counts offset the local sequence.
+    bt = r.groupBy(part_col, "bucket").agg(F.sum("b").alias("tb"))
+    bt2 = bt.select(
+        F.col(part_col).alias("p3"),
+        F.col("bucket").alias("b3"),
+        F.col("tb").alias("tb3"),
+    )
+    zero = F.lit(0).cast("long")
+    off = (
+        bt.join(
+            F.broadcast(bt2),
+            (F.col("p3") == F.col(part_col)) & (F.col("b3") < F.col("bucket")),
+            "left",
+        )
+        .groupBy(part_col, "bucket")
+        .agg(F.coalesce(F.sum("tb3"), zero).alias("off"))
+    )
+    return (
+        r.join(F.broadcast(off), [part_col, "bucket"])
+        .withColumn("seq", (F.col("lseq") + F.col("off")).cast("long"))
+        .groupBy(part_col, "seq")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+    )
+
+
 @query(
     "join_interval_overlap",
     oracle=f"""
@@ -896,7 +975,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
     )
     sess = _islands(ev, "user_id", 30 * 60 * 1_000_000)
-    burst = _islands(ev, "event_type", 10 * 60 * 1_000_000)
+    # event_type is a 5-value key: the burst side uses the bucketed
+    # islands decomposition (see _islands_bucketed) so no window ever
+    # partitions the raw fact table by an enum-cardinality key.
+    burst = _islands_bucketed(ev, "event_type", 10 * 60 * 1_000_000)
     hour = 3_600_000_000
 
     def binned(df: DataFrame) -> DataFrame:
@@ -1581,33 +1663,53 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical) are excluded on both engines rather than dividing by
     zero.
 
-    Scale: two per-type rank windows (type-partitioned, never global)
-    + two broadcast-sized joins of the O(types) median/MAD tables back
-    against the scan — the same exact-order-statistic discipline as
-    agg_mode_exact, with feature_quantile_sketch as the documented
-    approximate path at extreme group sizes."""
+    Scale: event_type has CONSTANT cardinality (5 values), so a rank
+    window over raw event rows would funnel the whole fact table
+    through 5 reducer sorts at 100 TB. Both order statistics therefore
+    run as weighted selections over PRE-AGGREGATED distinct-value
+    counts (the agg_mode_exact / agg_weighted_median discipline): one
+    map-side-combined shuffle to (type, v_e4, count), a cumulative
+    window over the distinct-value table (bounded by the value domain,
+    not the corpus), and the (n+1)/2-th order statistic is the
+    smallest value whose cumulative count reaches the target rank —
+    exactly the row per-row ROW_NUMBER selects. The MAD counts derive
+    from the SAME count table (|v - med| aggregates counts, no second
+    fact scan); only the final anomaly filter touches raw rows again,
+    via two O(types) broadcast joins. feature_quantile_sketch stays
+    the documented approximate path at extreme value cardinality."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         "event_id", "event_type", snap_units("value", 10000).alias("v_e4")
     )
-    w_rank = Window.partitionBy("event_type").orderBy("v_e4")
+    cnt = v.groupBy("event_type", "v_e4").agg(F.count("*").alias("c"))
     w_all = Window.partitionBy("event_type")
-    med = (
-        v.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_all))
-        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
-        .select("event_type", F.col("v_e4").alias("med_e4"))
+
+    def weighted_rank_select(counts: DataFrame, val: str, out: str) -> DataFrame:
+        w_cum = Window.partitionBy("event_type").orderBy(val).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            counts.select(
+                "event_type",
+                val,
+                F.sum("c").over(w_cum).alias("cw"),
+                F.sum("c").over(w_all).alias("n"),
+            )
+            .filter(F.col("cw") >= F.expr("(n + 1) DIV 2"))
+            .groupBy("event_type")
+            .agg(F.min(val).alias(out))
+        )
+
+    med = weighted_rank_select(cnt, "v_e4", "med_e4")
+    dcnt = (
+        cnt.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type",
+            F.abs(F.col("v_e4") - F.col("med_e4")).alias("d_e4"),
+        )
+        .agg(F.sum("c").alias("c"))
     )
-    dev = v.join(F.broadcast(med), "event_type").select(
-        "event_type", F.abs(F.col("v_e4") - F.col("med_e4")).alias("d_e4")
-    )
-    wd_rank = Window.partitionBy("event_type").orderBy("d_e4")
-    mad = (
-        dev.withColumn("rn", F.row_number().over(wd_rank))
-        .withColumn("n", F.count("*").over(w_all))
-        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
-        .select("event_type", F.col("d_e4").alias("mad_e4"))
-    )
+    mad = weighted_rank_select(dcnt, "d_e4", "mad_e4")
     return (
         v.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
@@ -1764,9 +1866,19 @@ def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic struct-argmax on (ts, event_id); max_cusum is the
     alarm statistic.
 
-    Scale: two stacked type-partitioned running windows + one
-    partial-agged group — the same distributed-prefix discipline as
-    stats_ks_two_sample, and the streaming twin
+    Scale — the bucketed two-phase prefix scan (Blelloch'90), the SAME
+    discipline as stats_ks_two_sample: event_type has constant
+    cardinality (5 values), so a type-partitioned running window over
+    raw rows would funnel the whole fact table through 5 reducer sorts
+    at 100 TB. Instead rows range-bucket by DAY, each bucket computes
+    its LOCAL prefix sum and local running min under a (type, bucket)-
+    partitioned window — parallelism grows with the time span — and
+    the per-bucket totals (O(buckets) rows) turn into per-bucket
+    offsets and previous-bucket prefix minima via two tiny broadcast
+    theta-joins. Global prefix P = offset + local prefix; global
+    running min = least(min over earlier buckets of bucket-min(P),
+    offset + local running min); both are exact BIGINT identities, so
+    S_i = P_i - min(0, runmin_i) is unchanged. The streaming twin
     (streaming_threshold_alerts) holds O(1) state per key."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
@@ -1774,20 +1886,69 @@ def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         (snap_units("value", 10000) - 500000).alias("y"),
+        F.expr("unix_micros(ts) DIV 86400000000").alias("bucket"),
     )
-    w_run = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_loc = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    p = v.select(
-        "event_type", "ts", "event_id", F.sum("y").over(w_run).alias("pf")
+    loc = v.select(
+        "event_type",
+        "bucket",
+        "ts",
+        "event_id",
+        "y",
+        F.sum("y").over(w_loc).alias("lp"),
+    ).withColumn("lmin", F.min("lp").over(w_loc))
+    bstats = loc.groupBy("event_type", "bucket").agg(
+        F.sum("y").alias("tsum"), F.min("lp").alias("bmin_loc")
     )
-    srow = p.select(
+    # Phase-2a: per-bucket offset = sum of earlier buckets' totals.
+    t2 = bstats.select(
+        F.col("event_type").alias("et2"),
+        F.col("bucket").alias("b2"),
+        F.col("tsum").alias("tsum2"),
+    )
+    zero = F.lit(0).cast("long")
+    bkt = (
+        bstats.join(
+            F.broadcast(t2),
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("b2") < F.col("bucket")),
+            "left",
+        )
+        .groupBy("event_type", "bucket", "bmin_loc")
+        .agg(F.coalesce(F.sum("tsum2"), zero).alias("off"))
+        .withColumn("bmin_abs", F.col("off") + F.col("bmin_loc"))
+    )
+    # Phase-2b: strict-prefix minimum of the absolute bucket minima.
+    m2 = bkt.select(
+        F.col("event_type").alias("et3"),
+        F.col("bucket").alias("b3"),
+        F.col("bmin_abs").alias("bmin3"),
+    )
+    offsets = (
+        bkt.join(
+            F.broadcast(m2),
+            (F.col("et3") == F.col("event_type"))
+            & (F.col("b3") < F.col("bucket")),
+            "left",
+        )
+        .groupBy("event_type", "bucket", "off")
+        .agg(F.min("bmin3").alias("pmin_prev"))
+    )
+    srow = loc.join(F.broadcast(offsets), ["event_type", "bucket"]).select(
         "event_type",
         "ts",
         "event_id",
         (
-            F.col("pf")
-            - F.least(F.lit(0).cast("long"), F.min("pf").over(w_run))
+            (F.col("off") + F.col("lp"))
+            # least() skips NULLs: the first bucket has no pmin_prev.
+            - F.least(
+                zero,
+                F.least(F.col("pmin_prev"), F.col("off") + F.col("lmin")),
+            )
         ).cast("long").alias("s"),
     )
     return srow.groupBy("event_type").agg(

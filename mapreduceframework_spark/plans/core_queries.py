@@ -1056,10 +1056,16 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: mode is a two-level aggregate — corpus shuffles once to
     O(groups x distinct-values) counts, the argmax window runs on that
-    model-sized table. The exact median needs a per-group sort
-    (priority-partitioned window, never unpartitioned); at 100 TB the
-    sketch path (feature_quantile_sketch) is the approximate variant,
-    this row is the exact semantics it is measured against."""
+    model-sized table. The exact median takes the SAME two-level shape
+    (the priority key has constant cardinality, so a rank window over
+    raw order rows would funnel the fact table through 5 reducer
+    sorts): partial-aggregate to (priority, cents, count) first, then
+    select the (n+1)/2-th order statistic from the cumulative count
+    over DISTINCT cents — the smallest value whose cumulative count
+    reaches the target rank, which is exactly the row the per-row
+    ROW_NUMBER selects. At 100 TB the sketch path
+    (feature_quantile_sketch) is the approximate variant, this row is
+    the exact semantics it is measured against."""
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy(
         F.col("o_orderpriority").alias("priority"),
@@ -1077,23 +1083,31 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
-    v = orders.select(
+    v = orders.groupBy(
         F.col("o_orderpriority").alias("priority"),
         snap_units("o_totalprice", 100).alias("cents"),
+    ).agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("priority").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    w_rank = Window.partitionBy("priority").orderBy("cents")
     w_all = Window.partitionBy("priority")
     med = (
-        v.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_all))
-        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
-        .select(
+        v.select(
             "priority",
-            F.col("cents").alias("median_cents"),
-            F.col("n").alias("n_orders"),
+            "cents",
+            F.sum("c").over(w_cum).alias("cw"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        .filter(F.col("cw") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("priority")
+        .agg(
+            F.min("cents").alias("median_cents"),
+            F.min("n").alias("n_orders"),
         )
     )
-    return m.join(med, "priority")
+    return m.join(med, "priority").select(
+        "priority", "mode_status", "mode_count", "median_cents", "n_orders"
+    )
 
 
 @query(
@@ -1132,15 +1146,27 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than order-dependent (equal cents rows share the predicate
     outcome; MIN over the qualifying set is unambiguous).
 
-    Scale: one group-partitioned cumulative-weight window + a
-    partial-agged MIN — the agg_mode_exact per-group-sort cost, with
-    the sketch path as the documented approximation at extreme
-    cardinality."""
+    Scale: the cumulative window partitions by l_returnflag — a
+    CONSTANT-cardinality key (3 values), so feeding it raw lineitem
+    rows would funnel the whole fact table through 3 reducer sorts at
+    100 TB. Instead the scan partial-aggregates to (flag, cents,
+    sum(w)) FIRST — map-side combine, one O(groups x distinct-cents)
+    shuffle — and the window runs over the distinct-value table, which
+    is orders of magnitude smaller and bounded by the value domain,
+    not the corpus. Per-row and per-distinct-value cumulative weights
+    select the same median: a cents value qualifies (2*cw >= tw) iff
+    its LAST duplicate row qualifies, and MIN over qualifiers is
+    shared. The sketch path stays the documented approximation at
+    extreme value cardinality."""
     li = load_table(spark, sf_dir, "lineitem")
-    v = li.select(
-        "l_returnflag",
-        snap_units("l_extendedprice", 100).alias("cents"),
-        F.col("l_quantity").cast("long").alias("w"),
+    v = (
+        li.select(
+            "l_returnflag",
+            snap_units("l_extendedprice", 100).alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("w").alias("w"))
     )
     w_cum = Window.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

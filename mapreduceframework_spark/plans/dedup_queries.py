@@ -728,6 +728,76 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_join_minhash",
+    oracle=f"""
+        WITH {MINHASH_PAIRS_CTES},
+        xcand AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+                  FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+        SELECT left_id, right_id, {D.jaccard_sql("x.hs", "y.hs")} AS jac
+        FROM xcand
+        JOIN shf x ON x.doc_id = left_id
+        JOIN shf y ON y.doc_id = right_id
+        WHERE {D.jaccard_sql("x.hs", "y.hs")} >= 0.5
+    """,
+    tags=("dedup", "similarity", "join", "extension"),
+    bench=True,
+)
+def similarity_join_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus SIMILARITY JOIN (the V-SMART-Join / set-similarity
+    join shape, Metwally & Faloutsos 2012; Vernica et al. 2010): find
+    all (left, right) pairs across TWO corpora with word-3-gram
+    Jaccard >= 0.5 — the 'which new-crawl documents near-duplicate the
+    existing corpus' question, which intra-corpus dedup pairs cannot
+    answer because its candidates and its `<` ordering live inside one
+    table. Corpora here are the even/odd doc_id halves of `documents`
+    (disjoint stand-ins for crawl vs corpus).
+
+    Scale shape — identical to dedup_minhash_lsh and the reason this
+    is never corpus x corpus: both sides minhash independently (fixed
+    4 band keys per doc, O(n) fan-out), candidates come from the
+    band-bucket EQUI join between the two band tables, and the exact
+    Jaccard verify runs only on candidate pairs via two slim
+    doc_id-keyed joins of the shingle-set table. Filtering the shared
+    band table by parity (not re-shingling per side) keeps one scan +
+    one signature pass feeding both join sides."""
+    sh = _docs_wide(spark, sf_dir).select(
+        "doc_id", D.hashed_shingles(F.col("words")).alias("hs")
+    )
+    shf = sh.filter(F.size("hs") > 0)
+    sig = shf.select("doc_id", D.minhash_signature(F.col("hs")).alias("sig"))
+    bands = sig.select(
+        "doc_id", F.explode(D.lsh_band_keys(F.col("sig"))).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = bands.filter(F.col("doc_id") % 2 == 0)
+    right = bands.filter(F.col("doc_id") % 2 == 1)
+    cand = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+        )
+        .distinct()
+    )
+    x, y = shf.alias("x"), shf.alias("y")
+    jac = D.jaccard(F.col("x.hs"), F.col("y.hs"))
+    return (
+        cand.join(x, F.col("left_id") == F.col("x.doc_id"))
+        .join(y, F.col("right_id") == F.col("y.doc_id"))
+        .select("left_id", "right_id", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+@query(
     "mining_association_rules",
     oracle="""
         WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -71,99 +71,76 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-7 window: FIRST driver rows
-# for the 19 round-6 queries that have only local parity evidence (the
-# r6 VERDICT's top item — several are float-contract rows of exactly
-# the kind the sf0.1 sweep showed can be locally green and fragile
-# cross-engine), first rows for the 31 queries new this round (three
-# write-path/maintenance sinks, ordered funnel, KS drift test,
-# readability, minhash containment, peak concurrency, nearest asof,
-# LSH recall report, temperature mixture, Gopher rule filter, Poisson
-# bootstrap CI, Gram matrix, stream-stream full outer, image
-# perceptual-hash dedup, product-quantization ANN, incremental MV
-# maintenance, ordered-set aggregates, weighted SSSP, audio
-# fingerprint dedup, struct scalar family, corpus-boilerplate
-# top-K n-grams, the multimodal curation capstone, LOO target
-# encoding, contrastive negative sampling, the CSV/JSON source
-# round-trip, MAD anomaly detection, longest activity streaks, the
-# Gini label-balance audit, scene-cut detection), and the STALEST
-# rotated-out greens (latest driver row r03) to refresh (join_cross /
-# join_left_agg / join_theta / udtf_bigram_counts / mr_filter_evens /
-# window_running_sum, and this round join_inner / join_semi /
-# join_anti / join_broadcast / mr_histogram_mod100 /
-# window_topk_per_group / udtf_native_token_runs / tpch_q1 / tpch_q2 /
-# tpch_q3 / tpch_q5 / tpch_q6 / tpch_q9 / tpch_q18 / tpch_q21 /
-# tpch_q22 / join_full_outer / mr_char_counts /
-# udf_pandas_grouped_agg, ceded their refresh slots to
-# first-evidence rows; each family keeps other refreshed rows —
-# sentinel sampling via tools/check_window.py --sentinels bounds the
-# staleness exposure of everything rotated out; every row rotated out
-# THIS round was additionally re-verified directly via check_window at
-# rotation time).
+# all_queries() in iteration order. Round-8 window (VERDICT r7 items
+# 1 and 6): FIRST driver rows for the 7 queries that have never had a
+# driver-window row (all added late in round 7; every other query has
+# at least one green round) plus the query new this round
+# (similarity_join_minhash, the cross-corpus set-similarity join);
+# then the 3 queries whose CODE changed this round as sentinels
+# (agg_mode_exact / events_anomaly_mad / join_interval_overlap — the
+# enum-key window fixes; agg_weighted_median and stats_cusum_drift,
+# the other two fixes, are already in the never-checked block); then
+# the 39 STALEST greens — all 32 rows whose latest driver evidence is
+# round 3, and the 7 alphabetically-first of the round-4 cohort —
+# which caps cumulative staleness at 4 rounds for everything rotated
+# out (the remaining r04 rows). All 50 re-verified locally at sf0.01
+# via check_window (both compare paths) + drive_contract at rotation
+# time; the five rewritten/new queries additionally at sf0.1.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round-6 queries: first driver rows (19) ---
-    "agg_percent_of_total",
-    "division_priority_complete",
-    "events_markov_transitions",
-    "feature_winsorize",
-    "graph_bfs_distances",
-    "join_bloom_pruned",
-    "join_interval_overlap",
-    "join_spatial_grid",
-    "regression_by_event_type",
-    "sketch_hll_rolling_users",
-    "skyline_pareto_frontier",
-    "stats_chi_square_independence",
-    "streaming_click_purchase_left_join",
-    "text_bigram_lm_score",
-    "timeseries_ewma",
-    "timeseries_forward_fill",
-    "timeseries_interpolate",
-    "union_by_name_evolved",
-    "window_rolling_distinct_users",
-    # --- NEW this round: first driver rows (31) ---
-    "sink_partitioned_roundtrip",
-    "sink_bucketed_join",
-    "sink_compact_small_files",
-    "events_funnel_stages",
-    "stats_ks_two_sample",
-    "text_readability_scores",
-    "dedup_minhash_containment",
-    "events_peak_concurrency",
-    "join_asof_nearest",
-    "ann_lsh_recall_report",
-    "sample_temperature_mixture",
-    "quality_gopher_rules",
-    "stats_bootstrap_poisson_ci",
-    "embedding_gram_matrix",
-    "streaming_click_purchase_full_join",
-    "multimodal_phash_dedup",
-    "ann_cosine_pq",
-    "lakehouse_incremental_agg",
+    # --- never driver-checked: first evidence (8) ---
+    "agg_weighted_median",
+    "embedding_centroid_drift",
+    "join_attribution_first_touch",
+    "mining_association_rules",
+    "stats_cusum_drift",
+    "streaming_threshold_alerts",
+    "timeseries_seasonal_profile",
+    "similarity_join_minhash",
+    # --- round-8 code-change sentinels (3) ---
     "agg_mode_exact",
-    "graph_sssp_weighted",
-    "multimodal_audio_fingerprint",
-    "scalar_struct_funcs",
-    "text_boilerplate_ngrams",
-    "pipeline_multimodal_curate",
-    "feature_target_encode_loo",
-    "sample_negative_pairs",
-    "source_csv_json_roundtrip",
     "events_anomaly_mad",
-    "events_streak_longest",
-    "quality_label_balance",
-    "multimodal_scene_cuts",
-    # timeseries_seasonal_profile and join_attribution_first_touch are
-    # this round's overflow: every one of the 50 slots is already a
-    # first-evidence row, so they wait for the round-8 window (both are
-    # double-verified locally at sf0.01 AND sf0.1 with both compare
-    # paths).
-    # (no refresh or sentinel slots this round: all 50 slots produce
-    # first-time driver evidence; the fanout-threading sentinel
-    # (hierarchy_rollup_recursive) and every row rotated out were
-    # directly re-verified
-    # via check_window at rotation time, and --sentinels sampling
-    # bounds residual staleness)
+    "join_interval_overlap",
+    # --- stalest refresh: the full r03 cohort (32) ---
+    "ann_cosine_lsh",
+    "dedup_edit_distance_verify",
+    "join_anti",
+    "join_broadcast",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left_agg",
+    "join_semi",
+    "join_theta",
+    "layout_zorder_clustering",
+    "mr_char_counts",
+    "mr_filter_evens",
+    "mr_histogram_mod100",
+    "multimodal_decode_features",
+    "pivot_status_by_priority",
+    "rollup_revenue",
+    "sketch_kmv_distinct",
+    "text_bm25_topk",
+    "tpch_q18_large_orders",
+    "tpch_q1_pricing",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_rich_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "udf_pandas_grouped_agg",
+    "udtf_bigram_counts",
+    "udtf_native_token_runs",
+    "window_running_sum",
+    "window_topk_per_group",
+    # --- oldest of the r04 cohort (7) ---
+    "agg_approx_count_distinct",
+    "agg_decimal_exact",
+    "agg_salted_two_stage",
+    "cube_counts",
+    "feature_quantile_buckets",
+    "flatmap_posexplode",
+    "graph_degree_stats",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or
