@@ -1479,11 +1479,17 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX is invariant to intra-run order — no further tiebreak needed,
     and both engines agree exactly (pure BIGINT arithmetic).
 
-    Scale shape: the sweep is one window pass PARTITIONED by event_type
-    (never a global single-task sweep); the 2x fan-out union is
-    row-local. For a key whose timeline outgrows one task, the KS
-    query's bucketed two-phase prefix-sum (stats_ks_two_sample) is the
-    drop-in rewrite — noted, not needed at O(events/type) here."""
+    Scale shape (r8): the sweep runs through the bucketed two-phase
+    prefix scan for real (it used to be only a documented fallback —
+    event_type has 5 values, so even a type-partitioned window funnels
+    every endpoint through 5 reducer sorts). Endpoints range-bucket by
+    DAY; each bucket computes its local running sum AND local max
+    under a (type, bucket)-partitioned window, then collapses to ONE
+    row (bucket delta-total + local peak) — so the global peak is just
+    max over O(buckets) rows of (earlier-bucket offset + local peak),
+    stitched with one tiny broadcast theta-join. The raw endpoints
+    never leave their bucket tasks."""
+    day_us = 86_400_000_000
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.unix_micros("ts").alias("t")
     )
@@ -1493,16 +1499,43 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t") + F.lit(1_800_000_000)).alias("t"),
         F.lit(-1).alias("delta"),
     )
-    pts = opens.unionAll(closes)
-    w = (
-        Window.partitionBy("event_type")
+    pts = opens.unionAll(closes).withColumn(
+        "bucket", F.expr(f"t DIV {day_us}")
+    )
+    w_loc = (
+        Window.partitionBy("event_type", "bucket")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    r = pts.select("event_type", F.sum("delta").over(w).alias("c"))
-    return r.groupBy("event_type").agg(
-        F.max("c").cast("long").alias("peak_concurrency"),
-        (F.count("*") / 2).cast("long").alias("n_intervals"),
+    b = (
+        pts.withColumn("ls", F.sum("delta").over(w_loc))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("delta").alias("tsum"),
+            F.max("ls").alias("lmax"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    t2 = b.select(
+        F.col("event_type").alias("et2"),
+        F.col("bucket").alias("b2"),
+        F.col("tsum").alias("tsum2"),
+    )
+    zero = F.lit(0).cast("long")
+    stitched = (
+        b.join(
+            F.broadcast(t2),
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("b2") < F.col("bucket")),
+            "left",
+        )
+        .groupBy("event_type", "bucket", "lmax", "cnt")
+        .agg(F.coalesce(F.sum("tsum2"), zero).alias("off"))
+    )
+    return stitched.groupBy("event_type").agg(
+        F.max(F.col("off") + F.col("lmax")).cast("long")
+        .alias("peak_concurrency"),
+        (F.sum("cnt") / 2).cast("long").alias("n_intervals"),
     )
 
 

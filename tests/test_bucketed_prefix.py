@@ -64,6 +64,47 @@ def test_bucketed_islands_boundary_stitching_exercised(spark, sf_dir):
     assert n_buckets > 10, f"only {n_buckets} hour buckets at this SF"
 
 
+def test_peak_concurrency_bucketed_sweep_matches_plain_window(spark, sf_dir):
+    """The bucketed sweep-line (per-bucket local peak + offset stitch)
+    vs the plain type-partitioned running-sum sweep it decomposes."""
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    REG = all_queries()
+    got = {
+        r["event_type"]: (r["peak_concurrency"], r["n_intervals"])
+        for r in REG["events_peak_concurrency"].fn(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t")
+    )
+    pts = ev.select("event_type", "t", F.lit(1).alias("delta")).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("t") + F.lit(1_800_000_000)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["event_type"]: (r["peak_concurrency"], r["n_intervals"])
+        for r in pts.select(
+            "event_type", F.sum("delta").over(w).alias("c")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("c").cast("long").alias("peak_concurrency"),
+            (F.count("*") / 2).cast("long").alias("n_intervals"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_cusum_bucketed_scan_matches_plain_window(spark, sf_dir):
     """stats_cusum_drift's bucketed prefix scan vs the textbook plain
     window recursion it decomposes: S_i = P_i - min(0, running min P)

@@ -392,7 +392,9 @@ SHUFFLE_BUDGET = {
     # rewrite that silently adds a CORPUS-sized shuffle fails loudly.
     "stats_ks_two_sample": 16,
     "events_funnel_stages": 17,
-    "events_peak_concurrency": 1,
+    # Bucketed sweep-line (r8): (type, day-bucket) window shuffle +
+    # O(buckets) stitch groupBys — endpoints never leave their bucket.
+    "events_peak_concurrency": 4,
     "join_asof_nearest": 2,
     "dedup_minhash_containment": 8,
     "text_readability_scores": 0,
@@ -581,8 +583,6 @@ ENUM_PARTITION_COLS = {
 }
 
 # Enum-key fact windows with a DOCUMENTED scale fallback:
-#  - events_peak_concurrency: SURVEY §8 documents the bucketed
-#    prefix-sum fallback for the running concurrency counter.
 #  - window_rank_dense_percent / window_ntile_cume: the SQL-surface
 #    rows for the ranking-function API — their per-row output requires
 #    the per-group total order, and NTILE is position-based (tie rows
@@ -590,9 +590,9 @@ ENUM_PARTITION_COLS = {
 #    agg_mode_exact/events_anomaly_mad cannot express it. The engine's
 #    scale discipline for enum-key order statistics lives in those
 #    fixed queries; these two rows exist to cover the functions
-#    themselves.
+#    themselves. (events_peak_concurrency left this list in r8: its
+#    sweep-line now runs the bucketed prefix scan for real.)
 ENUM_WINDOW_OK = {
-    "events_peak_concurrency",
     "window_rank_dense_percent",
     "window_ntile_cume",
 }
