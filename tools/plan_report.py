@@ -127,10 +127,23 @@ SHOWCASE = [
      "two-phase distributed prefix sum. The windowspecdefinition in "
      "the plan carries a partition column."),
     ("events_peak_concurrency",
-     "Sweep-line peak concurrency: the +1/-1 fan-out is row-local "
-     "(unionAll of two projections of one scan), the running sum rides "
-     "a window PARTITIONED by event_type, and the final max is a "
-     "partial-aggregated groupBy on the same key."),
+     "Sweep-line peak concurrency through the bucketed prefix scan: "
+     "the +1/-1 fan-out is row-local, the running sum rides a window "
+     "partitioned by (event_type, day-bucket) — parallelism grows "
+     "with the time span, not the 5-value type domain — and each "
+     "bucket collapses to ONE row before the O(buckets) broadcast "
+     "offset stitch."),
+    ("agg_weighted_median",
+     "Exact order statistics over an enum-cardinality group key: the "
+     "scan partial-aggregates to (flag, cents, weight) BEFORE the "
+     "cumulative window, so the constant-reducer window sorts the "
+     "distinct-value table, never raw fact rows — the two-level shape "
+     "all the r8 enum-key fixes share."),
+    ("similarity_join_minhash",
+     "Cross-corpus set-similarity join: one shared signature/band "
+     "pass filtered by corpus id feeds both sides of a band-bucket "
+     "equi join; exact Jaccard verifies candidates only — no "
+     "CartesianProduct, no corpus x corpus."),
     ("join_interval_overlap",
      "Interval x interval temporal join: both interval sets explode "
      "to 1-hour buckets (Generate) and meet in an equi hash join, "
