@@ -291,13 +291,42 @@ def sort_partition_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sort_global_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global total order, made hash-observable via row_number (the
     driver compare is order-insensitive, so the rank column carries the
-    ordering). Scale note: a global window without partitionBy serializes
-    on one task — acceptable only because rank output is the point here;
-    the engine's top-k path (below) never does this."""
+    ordering) — WITHOUT a global single-task window. Rows range-bucket
+    by the leading sort key (floor(o_totalprice / 1000): the TPC-H
+    price domain is bounded by order size, so ~550 buckets at every
+    scale factor), row_number runs inside each bucket-partitioned
+    window, and an O(buckets) theta-join offset (count of rows in
+    higher-priced buckets) broadcast-lifts local ranks to the global
+    sequence. Bucket order is consistent with (price DESC, key ASC), so
+    offset + local rank IS the global row_number, exactly — the same
+    bucketed two-phase prefix-scan discipline as stats_cusum_drift and
+    the islands scan, applied to the last global window the engine had
+    (GLOBAL_WINDOW_OK in tests/test_plans.py is empty now)."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return orders.select(
-        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+    v = orders.select("o_orderkey", "o_totalprice").withColumn(
+        "pb", F.floor(F.col("o_totalprice") / F.lit(1000.0))
+    )
+    w_loc = Window.partitionBy("pb").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    counts = v.groupBy("pb").agg(F.count("*").alias("c"))
+    # Rows ranked before bucket pb = total rows in higher-price buckets.
+    offsets = (
+        counts.select(F.col("pb").alias("pb_hi"), "c")
+        .join(counts.select("pb"), F.col("pb_hi") > F.col("pb"))
+        .groupBy("pb")
+        .agg(F.sum("c").alias("off"))
+    )
+    return (
+        v.withColumn("lrn", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), "pb", "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.coalesce(F.col("off"), F.lit(0)) + F.col("lrn"))
+            .cast("long")
+            .alias("rn"),
+        )
     )
 
 

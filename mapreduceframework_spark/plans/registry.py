@@ -76,16 +76,17 @@ def query(
 # driver-window row (all added late in round 7; every other query has
 # at least one green round) plus the query new this round
 # (similarity_join_minhash, the cross-corpus set-similarity join);
-# then the 3 queries whose CODE changed this round as sentinels
+# then the 4 queries whose CODE changed this round as sentinels
 # (agg_mode_exact / events_anomaly_mad / join_interval_overlap — the
-# enum-key window fixes; agg_weighted_median and stats_cusum_drift,
-# the other two fixes, are already in the never-checked block); then
-# the 39 STALEST greens — all 32 rows whose latest driver evidence is
-# round 3, and the 7 alphabetically-first of the round-4 cohort —
-# which caps cumulative staleness at 4 rounds for everything rotated
-# out (the remaining r04 rows). All 50 re-verified locally at sf0.01
-# via check_window (both compare paths) + drive_contract at rotation
-# time; the five rewritten/new queries additionally at sf0.1.
+# enum-key window fixes; sort_global_ranked — the bucketed two-phase
+# global rank that emptied GLOBAL_WINDOW_OK; agg_weighted_median and
+# stats_cusum_drift, the other two fixes, are already in the
+# never-checked block); then the 38 STALEST greens — all 32 rows whose
+# latest driver evidence is round 3, and 6 of the round-4 cohort
+# (cube_counts yielded its slot to the sort_global_ranked sentinel).
+# All 50 re-verified locally at sf0.01 via check_window (both compare
+# paths) + drive_contract at rotation time; the six rewritten/new
+# queries additionally at sf0.1.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never driver-checked: first evidence (8) ---
     "agg_weighted_median",
@@ -96,10 +97,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_threshold_alerts",
     "timeseries_seasonal_profile",
     "similarity_join_minhash",
-    # --- round-8 code-change sentinels (3) ---
+    # --- round-8 code-change sentinels (4) ---
     "agg_mode_exact",
     "events_anomaly_mad",
     "join_interval_overlap",
+    "sort_global_ranked",
     # --- stalest refresh: the full r03 cohort (32) ---
     "ann_cosine_lsh",
     "dedup_edit_distance_verify",
@@ -133,11 +135,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_native_token_runs",
     "window_running_sum",
     "window_topk_per_group",
-    # --- oldest of the r04 cohort (7) ---
+    # --- oldest of the r04 cohort (6) ---
     "agg_approx_count_distinct",
     "agg_decimal_exact",
     "agg_salted_two_stage",
-    "cube_counts",
     "feature_quantile_buckets",
     "flatmap_posexplode",
     "graph_degree_stats",

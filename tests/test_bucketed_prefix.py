@@ -105,6 +105,47 @@ def test_peak_concurrency_bucketed_sweep_matches_plain_window(spark, sf_dir):
     assert got == want
 
 
+def test_global_rank_bucketed_matches_plain_window(spark, sf_dir):
+    """sort_global_ranked's price-bucketed two-phase rank vs the plain
+    one-task global window it decomposes (row_number over
+    (o_totalprice DESC, o_orderkey)): identical rank for every order,
+    including ties broken by key inside one bucket and runs that cross
+    bucket boundaries."""
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    REG = all_queries()
+    got = {
+        r["o_orderkey"]: r["rn"]
+        for r in REG["sort_global_ranked"].fn(spark, sf_dir).collect()
+    }
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    want = {
+        r["o_orderkey"]: r["rn"]
+        for r in orders.select(
+            "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_bucket_spread_exercised(spark, sf_dir):
+    """The price-bucket decomposition must actually spread: the orders
+    table has to span enough distinct 1000-unit price buckets that the
+    offset stitch is doing real work (and would at any SF — the TPC-H
+    price domain is fixed by order size, not by row count)."""
+    orders = load_table(spark, sf_dir, "orders")
+    n_buckets = (
+        orders.select(
+            F.floor(F.col("o_totalprice") / F.lit(1000.0)).alias("pb")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 50, f"only {n_buckets} price buckets at this SF"
+
+
 def test_cusum_bucketed_scan_matches_plain_window(spark, sf_dir):
     """stats_cusum_drift's bucketed prefix scan vs the textbook plain
     window recursion it decomposes: S_i = P_i - min(0, running min P)

@@ -524,23 +524,161 @@ SHUFFLE_BUDGET = {
     "tpch_q20_excess_shippers": 4,
     "tpch_q21_waiting_supplier": 4,
     "tpch_q22_idle_rich_customers": 4,
+    # --- Round-8 full-registry extension: EVERY registered batch query
+    # now carries a pinned static-Exchange ceiling, measured from the
+    # tuned plans at sf0.001 (plan shape is SF-independent). The only
+    # exemptions are NOT_STATIC (iterative driver loops whose plan
+    # varies by round count) and true-streaming queries — asserted by
+    # test_shuffle_budget_covers_registry below. Notable:
+    # graph_triangle_count's 85 is the static expansion of its bounded
+    # 2-hop joins (AQE ReuseExchange collapses repeats at runtime);
+    # everything else sits at <= 12. ---
+    "agg_algebraic": 1,
+    "agg_approx_count_distinct": 2,
+    "agg_argmax_struct": 2,
+    "agg_bitwise": 1,
+    "agg_collect_sorted": 1,
+    "agg_count_distinct": 2,
+    "agg_decimal_exact": 1,
+    "agg_full_group": 1,
+    "agg_null_semantics": 1,
+    "agg_percent_of_total": 3,
+    "agg_salted_two_stage": 2,
+    "agg_statistical": 1,
+    "ann_cosine_lsh": 5,
+    "ann_topk_join": 6,
+    "conditional_case_agg": 1,
+    "cube_counts": 1,
+    "cube_grouping_id": 1,
+    "dedup_edit_distance_verify": 7,
+    "dedup_embedding_cosine": 4,
+    "dedup_exact": 1,
+    "distinct_keys_mod100": 1,
+    "division_priority_complete": 5,
+    "events_anomaly_zscore": 2,
+    "events_funnel_conversion": 6,
+    "events_markov_transitions": 6,
+    "events_retention_cohorts": 5,
+    "events_sliding_windows": 1,
+    "feature_quantile_buckets": 3,
+    "feature_quantile_sketch": 1,
+    "feature_winsorize": 3,
+    "filter_predicate": 0,
+    "flatmap_explode_words": 0,
+    "flatmap_posexplode": 0,
+    "graph_bfs_distances": 0,
+    "graph_degree_stats": 6,
+    "graph_sssp_weighted": 0,
+    "graph_triangle_count": 85,
+    "grouping_sets_explicit": 1,
+    "histogram_mod100": 1,
+    "join_anti": 1,
+    "join_asof": 2,
+    "join_asof_forward_gap": 2,
+    "join_broadcast": 1,
+    "join_cross": 1,
+    "join_full_outer": 2,
+    "join_inner": 1,
+    "join_left_agg": 2,
+    "join_not_in_null_aware": 2,
+    "join_null_safe": 3,
+    "join_range_bands": 2,
+    "join_salted_skew": 2,
+    "join_semi": 1,
+    "join_spatial_grid": 2,
+    "join_theta": 2,
+    "lateral_last_ship": 4,
+    "layout_zorder_clustering": 1,
+    "mining_pair_cooccurrence": 2,
+    "mr_char_counts": 1,
+    "mr_filter_evens": 1,
+    "mr_histogram_mod100": 1,
+    "multimodal_audio_decode": 1,
+    "multimodal_frame_sample": 1,
+    "multimodal_image_decode": 1,
+    "multimodal_resize": 1,
+    "pivot_status_by_priority": 2,
+    "profile_numeric_histogram": 3,
+    "projection": 0,
+    "quality_report_tables": 8,
+    "regression_by_event_type": 3,
+    "rollup_revenue": 1,
+    "sample_deterministic": 0,
+    "sample_frequency_downsample": 3,
+    "sample_mixture_by_source": 1,
+    "sample_stratified_exact": 1,
+    "scalar_array_funcs": 0,
+    "scalar_array_setops": 0,
+    "scalar_date_funcs": 0,
+    "scalar_hash_funcs": 0,
+    "scalar_json_funcs": 0,
+    "scalar_map_funcs": 0,
+    "scalar_map_hof_funcs": 0,
+    "scalar_math_funcs": 0,
+    "scalar_string_funcs": 0,
+    "scalar_struct_funcs": 0,
+    "scd2_order_history": 1,
+    "set_except": 2,
+    "set_except_all": 1,
+    "set_intersect": 2,
+    "set_intersect_all": 1,
+    "set_union": 1,
+    "sketch_bloom_probe": 6,
+    "sketch_countmin_heavy": 4,
+    "sketch_hll_rolling_users": 7,
+    "sketch_kmv_distinct": 8,
+    "skyline_pareto_frontier": 4,
+    "sort_global_ranked": 6,
+    "sort_partition_local": 0,
+    "sorted_histogram": 2,
+    "split_train_val_test": 1,
+    "stats_chi_square_independence": 12,
+    "subquery_exists_late_ship": 2,
+    "subquery_scalar_above_avg": 2,
+    "text_fingerprints": 0,
+    "text_lang_id": 0,
+    "text_quality_classifier": 1,
+    "text_quality_scores": 0,
+    "text_repetition_ratio": 0,
+    "text_scrub_redact": 0,
+    "text_token_stats": 0,
+    "timeseries_ewma": 1,
+    "timeseries_forward_fill": 3,
+    "timeseries_gap_fill": 3,
+    "timeseries_interpolate": 3,
+    "timeseries_ohlc": 1,
+    "topk_orders": 0,
+    "udf_cogrouped_reconcile": 2,
+    "udf_pandas_scalar": 0,
+    "udtf_bigram_counts": 1,
+    "udtf_native_token_runs": 0,
+    "union_by_name_evolved": 0,
+    "unpivot_price_components": 1,
+    "window_lag_lead": 1,
+    "window_moving_avg": 1,
+    "window_ntile_cume": 1,
+    "window_rank_dense_percent": 1,
+    "window_running_sum": 1,
+    "window_value_functions": 1,
 }
 
 
-def test_shuffle_budget_covers_headliners():
-    """Every bench-headline row and every TPC-H shape must carry a
-    pinned Exchange budget (streaming and driver-iterative queries
-    excepted) — adding a bench query without tuning-and-pinning its
-    shuffle count is itself a regression."""
+def test_shuffle_budget_covers_registry():
+    """EVERY registered batch query must carry a pinned Exchange budget
+    (driver-iterative NOT_STATIC and true-streaming queries excepted)
+    — registering a query without tuning-and-pinning its shuffle count
+    is itself a regression. Stale entries (budget for an unregistered
+    name) fail too, so the table cannot rot."""
     missing = [
         n
         for n, s in REG.items()
-        if (s.bench or n.startswith("tpch_"))
-        and n not in SHUFFLE_BUDGET
+        if n not in SHUFFLE_BUDGET
         and n not in NOT_STATIC
         and "true-streaming" not in s.tags
     ]
-    assert not missing, f"bench/TPC-H queries without a budget: {missing}"
+    assert not missing, f"queries without a budget: {missing}"
+    stale = [n for n in SHUFFLE_BUDGET if n not in REG]
+    assert not stale, f"budgets for unregistered queries: {stale}"
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
@@ -553,10 +691,12 @@ def test_shuffle_budget_not_exceeded(spark, sf_dir, name):
     )
 
 
-# Queries whose SEMANTICS are a global rank over the full result — the
-# one legitimate use of an unpartitioned window (and the result set is
-# output-sized, not corpus-sized, by the time the window runs).
-GLOBAL_WINDOW_OK = {"sort_global_ranked"}
+# Queries allowed an unpartitioned window. EMPTY since round 8:
+# sort_global_ranked — the last global window the engine had — now
+# computes exact global row_number via the bucketed two-phase prefix
+# scan (price-bucket-local rank + O(buckets) broadcast offsets), so
+# zero registered queries funnel through a one-task window.
+GLOBAL_WINDOW_OK: set[str] = set()
 
 # Columns with <= 16 distinct values at sf0.01 (measured; the generator
 # pins these domains, they do NOT grow with scale factor) plus the
