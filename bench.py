@@ -105,6 +105,9 @@ VOLATILE = frozenset({
     # r8: same candidate-pair shape as dedup_minhash_lsh (shares its
     # signature/band pipeline) — inherits the family's volatility.
     "similarity_join_minhash",
+    # r8: exact prefix-filtered sibling — same shingle pipeline and
+    # candidate-join shape, same GC-adjacent volatility.
+    "similarity_join_prefix_filter",
 })
 EXTRA_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPEATS", "2"))
 

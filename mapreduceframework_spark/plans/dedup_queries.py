@@ -893,3 +893,113 @@ def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_e6"),
         )
     )
+
+
+@query(
+    "similarity_join_prefix_filter",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        sh AS (SELECT doc_id, {D.string_shingles_sql("words")} AS s FROM d),
+        shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM shf),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.n AS na, b.n AS nb,
+                         CAST(COUNT(*) AS BIGINT) AS n_shared
+                  FROM ex a JOIN ex b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, n_shared,
+               CAST(na + nb - n_shared AS BIGINT) AS n_union,
+               n_shared / CAST(na + nb - n_shared AS DOUBLE) AS jac
+        FROM pairs
+        WHERE 10 * n_shared >= 7 * (na + nb - n_shared)
+    """,
+    tags=("dedup", "similarity", "join", "extension"),
+    bench=True,
+)
+def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (Chaudhuri et
+    al. 2006 SSJoin; Bayardo et al. 2007 AllPairs; Xiao et al. 2008
+    PPJoin; distributed as in Vernica et al. 2010's MapReduce stages):
+    all intra-corpus pairs with word-3-gram Jaccard >= 0.7, found
+    WITHOUT hashing away exactness (MinHash) and WITHOUT indexing every
+    token (dedup_ngram_jaccard's full inverted index).
+
+    The lossless trick: order each doc's tokens by ascending global
+    document frequency (rarest first, ties by token string) and index
+    only the first p = n - ceil(t*n) + 1 of them — two sets with
+    Jaccard >= t MUST share a token inside these prefixes, so the
+    candidate join touches only rare-token buckets (fan-out per doc is
+    the prefix, not the set, and bucket sizes are small BY CONSTRUCTION
+    — the prefix tokens are the rarest, the exact opposite of the
+    stop-shingle skew that makes the full inverted index AQE-dependent).
+    A length filter (10*min(na,nb) >= 7*max(na,nb), exact ints) prunes
+    candidates Jaccard could never qualify. The verify stage re-joins
+    candidates through the full token table and COUNTs shared tokens —
+    intersection without shipping arrays (per-doc shingles are
+    distinct, so COUNT IS |A o B|) — and keeps 10*inter >= 7*union in
+    exact integer math; the only doubles are single divisions of exact
+    ints. The DuckDB oracle is the brute-force all-pairs join — parity
+    with it IS the proof the prefix filter dropped nothing
+    (tests/test_plans.py pins that the prefix candidates are a strict
+    subset of the full-index candidates).
+
+    ceil(0.7*n) is computed as (7*n + 9) DIV 10 — pure integer math,
+    engine-identical, no float boundary to disagree on."""
+    sh = _docs_wide(spark, sf_dir).select(
+        "doc_id", D.string_shingles(F.col("words")).alias("s")
+    )
+    shf = sh.filter(F.size("s") > 0)
+    ex = shf.select(
+        "doc_id", F.size("s").alias("n"), F.explode("s").alias("tok")
+    )
+    df_tab = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix_len = F.col("n") - F.expr("(7 * n + 9) DIV 10") + 1
+    pre = (
+        ex.join(df_tab, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "n", "tok")
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b").hint("shuffle_merge"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            10 * F.least(F.col("a.n"), F.col("b.n"))
+            >= 7 * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    ta = ex.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = ex.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    n_union = (F.col("na") + F.col("nb") - F.col("n_shared")).cast("long")
+    return (
+        inter.filter(
+            10 * F.col("n_shared")
+            >= 7 * (F.col("na") + F.col("nb") - F.col("n_shared"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            n_union.alias("n_union"),
+            (F.col("n_shared") / n_union).alias("jac"),
+        )
+    )

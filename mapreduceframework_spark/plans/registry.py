@@ -74,8 +74,11 @@ def query(
 # all_queries() in iteration order. Round-8 window (VERDICT r7 items
 # 1 and 6): FIRST driver rows for the 7 queries that have never had a
 # driver-window row (all added late in round 7; every other query has
-# at least one green round) plus the query new this round
-# (similarity_join_minhash, the cross-corpus set-similarity join);
+# at least one green round) plus the three queries new this round
+# (similarity_join_minhash — cross-corpus MinHash set-similarity join;
+# similarity_join_prefix_filter — exact prefix-filtered self
+# similarity join; sample_weighted_reservoir — Efraimidis-Spirakis
+# weighted sampling);
 # then the 4 queries whose CODE changed this round as sentinels
 # (agg_mode_exact / events_anomaly_mad / join_interval_overlap — the
 # enum-key window fixes; sort_global_ranked — the bucketed two-phase
@@ -88,7 +91,7 @@ def query(
 # paths) + drive_contract at rotation time; the six rewritten/new
 # queries additionally at sf0.1.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (8) ---
+    # --- never driver-checked: first evidence (10) ---
     "agg_weighted_median",
     "embedding_centroid_drift",
     "join_attribution_first_touch",
@@ -97,6 +100,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_threshold_alerts",
     "timeseries_seasonal_profile",
     "similarity_join_minhash",
+    "similarity_join_prefix_filter",
+    "sample_weighted_reservoir",
     # --- round-8 code-change sentinels (4) ---
     "agg_mode_exact",
     "events_anomaly_mad",
@@ -135,13 +140,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_native_token_runs",
     "window_running_sum",
     "window_topk_per_group",
-    # --- oldest of the r04 cohort (6) ---
+    # --- oldest of the r04 cohort (4) ---
     "agg_approx_count_distinct",
     "agg_decimal_exact",
     "agg_salted_two_stage",
     "feature_quantile_buckets",
-    "flatmap_posexplode",
-    "graph_degree_stats",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

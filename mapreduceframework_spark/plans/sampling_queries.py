@@ -588,3 +588,93 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neg.filter(F.col("neg_id") != F.col("doc_id")).select(
         "doc_id", "slot", "neg_id"
     )
+
+
+RESERVOIR_K = 3  # docs kept per source by the weighted reservoir
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+        WITH c AS (SELECT doc_id, source, n_chars,
+                          (('0x' || substring(
+                                md5('r' || CAST(doc_id AS VARCHAR)), 1, 8))
+                               ::BIGINT % 10000 + 1) AS k
+                   FROM documents WHERE n_chars > 0),
+        s AS (SELECT doc_id, source, n_chars,
+                     CAST(ROUND(ln(k / 10001.0) * 1000000) AS BIGINT)
+                         AS ln_key_e6
+              FROM c),
+        r AS (SELECT doc_id, source, n_chars, ln_key_e6,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY CAST(ln_key_e6 AS DOUBLE) / n_chars DESC,
+                                  doc_id) AS rk
+              FROM s)
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+               ln_key_e6, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= {RESERVOIR_K}
+    """,
+    tags=("sampling", "extension", "training-data"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per source, by the
+    Efraimidis–Spirakis (2006) reservoir: each item draws u in (0,1)
+    and the k largest keys u^(1/w) win — here w = n_chars, so long
+    documents are proportionally likelier but never certain. Ordering
+    by u^(1/w) is ordering by ln(u)/w, which is what both engines
+    compare.
+
+    Cross-engine float contract, proven exhaustively: u is the salted
+    md5 unit-hash over a 10,000-value grid ((h % 10000 + 1)/10001 — the
+    'r' salt decorrelates from the other sampling keep-sets, and the +1
+    keeps ln away from 0), so ln has exactly 10,000 possible inputs;
+    tests/test_sampling_semantics.py asserts Spark and DuckDB agree on
+    CAST(ROUND(ln(u)*1e6) AS BIGINT) for ALL of them (they do — ln
+    differences of 1 ulp sit ~1e5x below the nearest rounding
+    boundary; the division that follows is exact-int-to-double, IEEE
+    -identical). The divisor must be an explicit DOUBLE cast: a
+    10001.0 literal parses as DECIMAL on Spark and the decimal
+    quotient ROUNDS (1/10001 -> 0.0001 exactly — off by 1e-8, which
+    moved ln by 1e-4).
+
+    Scale shape: the rank window partitions by source, but rk <= k
+    lowers to WindowGroupLimit (asserted in tests/test_plans.py), so
+    every map task pre-trims to k rows per source before the shuffle —
+    the exchange carries O(k x tasks) rows per source and the final
+    per-source sort is reservoir-sized, not corpus-sized. That is the
+    distributed reservoir-merge property that makes E-S the standard
+    cluster algorithm for weighted sampling."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    k = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("r"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+        + 1
+    )
+    ln_key = F.round(
+        F.log(k / F.lit(10001).cast("double")) * 1_000_000
+    ).cast("long")
+    s = d.select("doc_id", "source", "n_chars", ln_key.alias("ln_key_e6"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.col("ln_key_e6").cast("double") / F.col("n_chars")),
+        F.asc("doc_id"),
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            "ln_key_e6",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

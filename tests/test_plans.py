@@ -131,10 +131,77 @@ def test_dedup_queries_have_no_cartesian(spark, sf_dir):
         "dedup_simhash",
         "dedup_embedding_cosine",
         "similarity_join_minhash",
+        "similarity_join_prefix_filter",
     ]:
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_reservoir_rank_lowers_to_window_group_limit(spark, sf_dir):
+    """sample_weighted_reservoir's rk <= k filter must lower to
+    WindowGroupLimit (map-side partial top-k per source) — that is the
+    property that makes a rank window over a fixed number of sources
+    scale-sound: each task pre-trims to k rows per group BEFORE the
+    shuffle, so the exchange and the final sort are reservoir-sized."""
+    plan = plan_of(spark, sf_dir, "sample_weighted_reservoir")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange (") <= 1
+
+
+def test_prefix_filter_candidates_are_strict_subset(spark, sf_dir):
+    """The prefix filter must PRUNE: its candidate pairs are a strict
+    subset of the full-inverted-index candidate pairs (pairs sharing
+    any token), while still containing every qualifying result pair —
+    losslessness is separately proven by oracle parity against the
+    brute-force all-pairs SQL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduceframework_spark.operators import dedup as D
+    from mapreduceframework_spark.plans.corpus import _docs_wide
+
+    sh = _docs_wide(spark, sf_dir).select(
+        "doc_id", D.string_shingles(F.col("words")).alias("s")
+    )
+    shf = sh.filter(F.size("s") > 0)
+    ex = shf.select(
+        "doc_id", F.size("s").alias("n"), F.explode("s").alias("tok")
+    )
+
+    def pairs_of(side):
+        return (
+            side.alias("a")
+            .join(
+                side.alias("b"),
+                (F.col("a.tok") == F.col("b.tok"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    full = {(r["doc_a"], r["doc_b"]) for r in pairs_of(ex).collect()}
+
+    df_tab = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pre = (
+        ex.join(df_tab, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("n") - F.expr("(7 * n + 9) DIV 10") + 1)
+        .select("doc_id", "tok")
+    )
+    prefix = {(r["doc_a"], r["doc_b"]) for r in pairs_of(pre).collect()}
+
+    assert prefix < full, (len(prefix), len(full))
+    result = {
+        (r["doc_a"], r["doc_b"])
+        for r in REG["similarity_join_prefix_filter"].fn(spark, sf_dir).collect()
+    }
+    assert result <= prefix, "a result pair the prefix index never saw"
 
 
 def test_pandas_udf_is_arrow_vectorized(spark, sf_dir):
@@ -660,6 +727,14 @@ SHUFFLE_BUDGET = {
     "window_rank_dense_percent": 1,
     "window_running_sum": 1,
     "window_value_functions": 1,
+    # One exchange: the WindowGroupLimit-trimmed source rank shuffle
+    # (the scan is projection-only; every key expression is row-local).
+    "sample_weighted_reservoir": 1,
+    # The exploded token table is expanded at its use sites (df count,
+    # prefix rank, both self-join sides, both verify sides — AQE
+    # ReuseExchange collapses the repeats at runtime), plus the
+    # doc_id prefix-rank window and the candidate/verify groupBys.
+    "similarity_join_prefix_filter": 17,
 }
 
 

@@ -1,0 +1,78 @@
+"""Cross-engine determinism contracts for the sampling family.
+
+The deterministic samplers replace RNG state with salted md5 unit
+hashes so keep-sets survive re-runs and engine swaps; the weighted
+reservoir (sample_weighted_reservoir) additionally runs the draw
+through ln(). That is a transcendental — NOT guaranteed identically
+rounded across libms — but its input domain is a 10,000-value grid, so
+the contract is provable by enumeration rather than hoped for."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from mapreduceframework_spark.plans.registry import all_queries
+
+
+def test_reservoir_ln_key_agrees_on_entire_domain(spark):
+    """CAST(ROUND(ln(k/10001)*1e6) AS BIGINT) must agree between the
+    JVM and DuckDB for ALL 10,000 possible unit-hash values — this is
+    the complete input space of sample_weighted_reservoir's key, so
+    agreement here makes the query engine-deterministic for any data.
+    (Empirically the nearest value sits ~7e-5 from a rounding boundary
+    while 1-ulp ln disagreements move it ~1e-10 — five orders of
+    margin; this test exists so a libm change that eats that margin
+    fails loudly.) The Spark side MUST divide by an explicit DOUBLE:
+    a 10001.0 literal parses as DECIMAL and the decimal quotient
+    rounds 1/10001 to 0.0001 exactly, moving ln by 1e-4."""
+    sdf = (
+        spark.range(1, 10001)
+        .selectExpr(
+            "id AS k",
+            "CAST(ROUND(ln(id / CAST(10001 AS DOUBLE)) * 1000000) AS BIGINT)"
+            " AS ln_e6",
+        )
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ddf = duckdb.connect().execute(
+        "SELECT k, CAST(ROUND(ln(k / 10001.0) * 1000000) AS BIGINT) AS ln_e6 "
+        "FROM range(1, 10001) t(k) ORDER BY k"
+    ).fetchdf()
+    mism = (sdf["ln_e6"].values != ddf["ln_e6"].values).sum()
+    assert mism == 0, f"{mism}/10000 grid points round differently"
+
+
+def test_reservoir_is_weighted_sampling_without_replacement(spark, sf_dir):
+    """Structural E-S properties on real data: per source exactly
+    min(k, docs-in-source) rows, no doc repeats, ranks are 1..k, and
+    every ln key is negative (u < 1)."""
+    REG = all_queries()
+    rows = REG["sample_weighted_reservoir"].fn(spark, sf_dir).collect()
+    assert rows, "reservoir returned nothing"
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+        assert r["ln_key_e6"] < 0
+        assert r["weight"] > 0
+    doc_ids = [r["doc_id"] for r in rows]
+    assert len(doc_ids) == len(set(doc_ids)), "sampled a doc twice"
+    from mapreduceframework_spark.sources import load_table
+
+    src_counts = {
+        r["source"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("n_chars > 0")
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    from mapreduceframework_spark.plans.sampling_queries import RESERVOIR_K
+
+    for src, picked in per_src.items():
+        assert len(picked) == min(RESERVOIR_K, src_counts[src]), src
+        assert sorted(r["rk"] for r in picked) == list(
+            range(1, len(picked) + 1)
+        )

@@ -144,6 +144,22 @@ SHOWCASE = [
      "pass filtered by corpus id feeds both sides of a band-bucket "
      "equi join; exact Jaccard verifies candidates only — no "
      "CartesianProduct, no corpus x corpus."),
+    ("similarity_join_prefix_filter",
+     "Exact prefix-filtered similarity join: each doc indexes only "
+     "its rarest p = n - ceil(t*n) + 1 tokens (df-ascending), so the "
+     "candidate self-join meets in rare-token buckets; the verify "
+     "COUNT runs on candidates only. Exactness proven by parity with "
+     "the brute-force all-pairs oracle."),
+    ("sample_weighted_reservoir",
+     "Efraimidis-Spirakis weighted reservoir: the rank window's "
+     "rk <= k filter lowers to WindowGroupLimit, so every map task "
+     "pre-trims to k rows per source BEFORE the single exchange — "
+     "the shuffle is reservoir-sized, not corpus-sized."),
+    ("sort_global_ranked",
+     "Global total-order rank without a one-task window: rows "
+     "range-bucket by the leading sort key, row_number runs per "
+     "bucket, and an O(buckets) broadcast offset stitch lifts local "
+     "ranks to the exact global sequence — GLOBAL_WINDOW_OK is empty."),
     ("join_interval_overlap",
      "Interval x interval temporal join: both interval sets explode "
      "to 1-hour buckets (Generate) and meet in an equi hash join, "
