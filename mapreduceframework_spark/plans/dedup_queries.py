@@ -933,14 +933,30 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     the prefix, not the set, and bucket sizes are small BY CONSTRUCTION
     — the prefix tokens are the rarest, the exact opposite of the
     stop-shingle skew that makes the full inverted index AQE-dependent).
-    A length filter (10*min(na,nb) >= 7*max(na,nb), exact ints) prunes
-    candidates Jaccard could never qualify. The verify stage re-joins
-    candidates through the full token table and COUNTs shared tokens —
-    intersection without shipping arrays (per-doc shingles are
-    distinct, so COUNT IS |A o B|) — and keeps 10*inter >= 7*union in
-    exact integer math; the only doubles are single divisions of exact
-    ints. The DuckDB oracle is the brute-force all-pairs join — parity
-    with it IS the proof the prefix filter dropped nothing
+    Two further PPJoin prunes run BEFORE verification, both exact-int:
+    a length filter (10*min(na,nb) >= 7*max(na,nb) — sizes that far
+    apart cannot reach t) and the POSITIONAL filter: because every doc
+    orders its tokens by the SAME global (df, token) total order, the
+    minimal shared token of a pair sits at positions (i, j) that are
+    simultaneously minimal in both docs, so the overlap can never
+    exceed o_ub = 1 + min(na-i, nb-j); pairs with 17*o_ub < 7*(na+nb)
+    (o_ub below the equivalent-overlap threshold alpha = t/(1+t) *
+    (na+nb)) are dropped without touching their token sets. Aggregating
+    MAX(o_ub) over shared prefix tokens yields exactly the minimal
+    -token bound. Measured at sf0.1 this prunes candidates 202k -> 33k
+    and the whole query 4.96 -> 2.7 s — the verify fan-out (candidates
+    x tokens) was the dominant cost. (A Vernica-style materialized
+    ordered-record variant with array_intersect verification measured
+    5.6-7 s: the localCheckpoint write + single-partition checkpoint
+    scan cost more than it saved at this scale.)
+
+    The verify stage re-joins surviving candidates through the full
+    token table and COUNTs shared tokens — intersection without
+    shipping arrays (per-doc shingles are distinct, so COUNT IS
+    |A o B|) — and keeps 10*inter >= 7*union in exact integer math;
+    the only doubles are single divisions of exact ints. The DuckDB
+    oracle is the brute-force all-pairs join — parity with it IS the
+    proof the prefix + positional filters dropped nothing
     (tests/test_plans.py pins that the prefix candidates are a strict
     subset of the full-index candidates).
 
@@ -960,7 +976,10 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         ex.join(df_tab, "tok")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "n", "tok")
+        .select("doc_id", "n", "pos", "tok")
+    )
+    o_ub = 1 + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
     )
     cand = (
         pre.alias("a")
@@ -973,13 +992,14 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
             10 * F.least(F.col("a.n"), F.col("b.n"))
             >= 7 * F.greatest(F.col("a.n"), F.col("b.n"))
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.n").alias("na"),
             F.col("b.n").alias("nb"),
         )
-        .distinct()
+        .agg(F.max(o_ub).alias("o_ub"))
+        .filter(17 * F.col("o_ub") >= 7 * (F.col("na") + F.col("nb")))
     )
     ta = ex.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = ex.select(F.col("doc_id").alias("doc_b"), "tok")
