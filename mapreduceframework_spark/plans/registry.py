@@ -91,7 +91,7 @@ def query(
 # paths) + drive_contract at rotation time; the six rewritten/new
 # queries additionally at sf0.1.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (10) ---
+    # --- never driver-checked: first evidence (11) ---
     "agg_weighted_median",
     "embedding_centroid_drift",
     "join_attribution_first_touch",
@@ -102,6 +102,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_join_minhash",
     "similarity_join_prefix_filter",
     "sample_weighted_reservoir",
+    "quality_char_entropy",
     # --- round-8 code-change sentinels (4) ---
     "agg_mode_exact",
     "events_anomaly_mad",
@@ -140,11 +141,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_native_token_runs",
     "window_running_sum",
     "window_topk_per_group",
-    # --- oldest of the r04 cohort (4) ---
+    # --- oldest of the r04 cohort (3) ---
     "agg_approx_count_distinct",
     "agg_decimal_exact",
     "agg_salted_two_stage",
-    "feature_quantile_buckets",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -886,3 +886,74 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_common") / F.col("n_shingles")).alias("boilerplate_frac"),
         (F.col("n_common") * 8 >= F.col("n_shingles")).alias("is_boilerplate"),
     )
+
+
+@query(
+    "quality_char_entropy",
+    oracle="""
+        WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                    FROM documents WHERE length(text) > 0),
+        cnt AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+                FROM ch GROUP BY 1, 2),
+        agg AS (SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(SUM(c * CAST(ROUND(ln(c::DOUBLE) * 1000000)
+                                         AS BIGINT)) AS BIGINT) AS s_e6
+                FROM cnt GROUP BY doc_id)
+        SELECT doc_id, n,
+               CAST(n * CAST(ROUND(ln(n::DOUBLE) * 1000000) AS BIGINT)
+                    - s_e6 AS BIGINT) AS entropy_num_e6,
+               (n * CAST(ROUND(ln(n::DOUBLE) * 1000000) AS BIGINT) - s_e6)
+                   / CAST(n * 1000000 AS DOUBLE) AS entropy_nats
+        FROM agg
+    """,
+    tags=("text", "quality", "extension", "training-data"),
+)
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/low-diversity quality signal (near-zero entropy = one
+    repeated character, ~4.2 nats = typical English prose; corpus
+    pipelines band-pass on it next to the Gopher rules). Identity used:
+    H = ln(n) - (1/n) * sum_i c_i * ln(c_i), over per-doc character
+    counts c_i — two chained aggregations with map-side partials, the
+    reference's char-frequency client (SampleClient.cpp:32-66) composed
+    per document instead of corpus-wide.
+
+    Cross-engine float contract (the enumerable-domain discipline from
+    sample_weighted_reservoir): ln(c) quantizes to 1e-6-unit BIGINTs
+    BEFORE the multiply, so every term is the exact integer
+    c * ln_e6(c) and the two sums are exact — Spark and DuckDB agree on
+    ln_e6 for EVERY count c in [1, 200000]
+    (tests/test_sampling_semantics.py enumerates the domain; doc
+    lengths here are <= 577). Rounding the PRODUCT instead would
+    re-introduce a second float boundary — c * ln(c) * 1e6 collides
+    with a half-integer within 1 ulp at c = 101527 — which is exactly
+    why the quantize-then-multiply order matters. The only double in
+    the output is one division of exact integers.
+
+    Scale shape: explode to characters -> partial-agged (doc_id, ch)
+    groupBy -> partial-agged doc_id groupBy; two keyed shuffles whose
+    widths grow with the corpus, no windows, no joins."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+
+    def ln_e6(col):
+        return F.round(F.log(col.cast("double")) * 1_000_000).cast("long")
+
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * ln_e6(F.col("c"))).alias("s_e6"),
+    )
+    num = F.col("n") * ln_e6(F.col("n")) - F.col("s_e6")
+    return agg.select(
+        "doc_id",
+        "n",
+        num.alias("entropy_num_e6"),
+        (num / (F.col("n") * 1_000_000)).alias("entropy_nats"),
+    )

@@ -735,6 +735,9 @@ SHUFFLE_BUDGET = {
     # ReuseExchange collapses the repeats at runtime), plus the
     # doc_id prefix-rank window and the candidate/verify groupBys.
     "similarity_join_prefix_filter": 17,
+    # Two partial-agged keyed shuffles: (doc_id, ch) counts, then the
+    # per-doc entropy sums.
+    "quality_char_entropy": 2,
 }
 
 

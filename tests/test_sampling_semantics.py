@@ -76,3 +76,30 @@ def test_reservoir_is_weighted_sampling_without_replacement(spark, sf_dir):
         assert sorted(r["rk"] for r in picked) == list(
             range(1, len(picked) + 1)
         )
+
+
+def test_entropy_ln_count_quantization_agrees_on_domain(spark):
+    """quality_char_entropy quantizes ln(c) to 1e-6-unit BIGINTs BEFORE
+    multiplying by the integer count c — assert Spark and DuckDB agree
+    on ln_e6(c) for every count c in [1, 200000] (doc lengths in the
+    synthetic corpus top out at 577; the bound leaves ~350x headroom).
+    Rounding the PRODUCT c*ln(c)*1e6 instead would collide with a
+    half-integer inside 1 ulp at c = 101527 — this test plus the
+    quantize-then-multiply order is what makes the entropy exact-int."""
+    sdf = (
+        spark.range(1, 200001)
+        .selectExpr(
+            "id AS c",
+            "CAST(ROUND(ln(CAST(id AS DOUBLE)) * 1000000) AS BIGINT)"
+            " AS ln_e6",
+        )
+        .toPandas()
+        .sort_values("c")
+        .reset_index(drop=True)
+    )
+    ddf = duckdb.connect().execute(
+        "SELECT c, CAST(ROUND(ln(c::DOUBLE) * 1000000) AS BIGINT) AS ln_e6 "
+        "FROM range(1, 200001) t(c) ORDER BY c"
+    ).fetchdf()
+    mism = (sdf["ln_e6"].values != ddf["ln_e6"].values).sum()
+    assert mism == 0, f"{mism}/200000 count points round differently"
