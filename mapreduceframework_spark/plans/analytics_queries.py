@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceframework_spark.operators.bucketscan import earlier_bucket_agg
 from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
@@ -882,19 +883,8 @@ def _islands_bucketed(
     w_loc = Window.partitionBy(part_col, "bucket").orderBy("ts_us", "event_id")
     # Cross-bucket lag: last timestamp of any earlier non-empty bucket.
     bl = v.groupBy(part_col, "bucket").agg(F.max("ts_us").alias("last_ts"))
-    t2 = bl.select(
-        F.col(part_col).alias("p2"),
-        F.col("bucket").alias("b2"),
-        F.col("last_ts").alias("last2"),
-    )
-    prev_last = (
-        bl.join(
-            F.broadcast(t2),
-            (F.col("p2") == F.col(part_col)) & (F.col("b2") < F.col("bucket")),
-            "left",
-        )
-        .groupBy(part_col, "bucket")
-        .agg(F.max("last2").alias("prev_last"))
+    prev_last = earlier_bucket_agg(
+        bl, [part_col], "bucket", "last_ts", "max", "prev_last"
     )
     r = (
         v.join(F.broadcast(prev_last), [part_col, "bucket"])
@@ -914,21 +904,7 @@ def _islands_bucketed(
     )
     # Earlier buckets' boundary counts offset the local sequence.
     bt = r.groupBy(part_col, "bucket").agg(F.sum("b").alias("tb"))
-    bt2 = bt.select(
-        F.col(part_col).alias("p3"),
-        F.col("bucket").alias("b3"),
-        F.col("tb").alias("tb3"),
-    )
-    zero = F.lit(0).cast("long")
-    off = (
-        bt.join(
-            F.broadcast(bt2),
-            (F.col("p3") == F.col(part_col)) & (F.col("b3") < F.col("bucket")),
-            "left",
-        )
-        .groupBy(part_col, "bucket")
-        .agg(F.coalesce(F.sum("tb3"), zero).alias("off"))
-    )
+    off = earlier_bucket_agg(bt, [part_col], "bucket", "tb", "sum", "off")
     return (
         r.join(F.broadcast(off), [part_col, "bucket"])
         .withColumn("seq", (F.col("lseq") + F.col("off")).cast("long"))
@@ -1516,21 +1492,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
         )
     )
-    t2 = b.select(
-        F.col("event_type").alias("et2"),
-        F.col("bucket").alias("b2"),
-        F.col("tsum").alias("tsum2"),
-    )
-    zero = F.lit(0).cast("long")
-    stitched = (
-        b.join(
-            F.broadcast(t2),
-            (F.col("et2") == F.col("event_type"))
-            & (F.col("b2") < F.col("bucket")),
-            "left",
-        )
-        .groupBy("event_type", "bucket", "lmax", "cnt")
-        .agg(F.coalesce(F.sum("tsum2"), zero).alias("off"))
+    stitched = earlier_bucket_agg(
+        b, ["event_type"], "bucket", "tsum", "sum", "off",
+        carry=("lmax", "cnt"),
     )
     return stitched.groupBy("event_type").agg(
         F.max(F.col("off") + F.col("lmax")).cast("long")
@@ -1938,39 +1902,16 @@ def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("tsum"), F.min("lp").alias("bmin_loc")
     )
     # Phase-2a: per-bucket offset = sum of earlier buckets' totals.
-    t2 = bstats.select(
-        F.col("event_type").alias("et2"),
-        F.col("bucket").alias("b2"),
-        F.col("tsum").alias("tsum2"),
+    bkt = earlier_bucket_agg(
+        bstats, ["event_type"], "bucket", "tsum", "sum", "off",
+        carry=("bmin_loc",),
+    ).withColumn("bmin_abs", F.col("off") + F.col("bmin_loc"))
+    # Phase-2b: strict-prefix minimum of the absolute bucket minima.
+    offsets = earlier_bucket_agg(
+        bkt, ["event_type"], "bucket", "bmin_abs", "min", "pmin_prev",
+        carry=("off",),
     )
     zero = F.lit(0).cast("long")
-    bkt = (
-        bstats.join(
-            F.broadcast(t2),
-            (F.col("et2") == F.col("event_type"))
-            & (F.col("b2") < F.col("bucket")),
-            "left",
-        )
-        .groupBy("event_type", "bucket", "bmin_loc")
-        .agg(F.coalesce(F.sum("tsum2"), zero).alias("off"))
-        .withColumn("bmin_abs", F.col("off") + F.col("bmin_loc"))
-    )
-    # Phase-2b: strict-prefix minimum of the absolute bucket minima.
-    m2 = bkt.select(
-        F.col("event_type").alias("et3"),
-        F.col("bucket").alias("b3"),
-        F.col("bmin_abs").alias("bmin3"),
-    )
-    offsets = (
-        bkt.join(
-            F.broadcast(m2),
-            (F.col("et3") == F.col("event_type"))
-            & (F.col("b3") < F.col("bucket")),
-            "left",
-        )
-        .groupBy("event_type", "bucket", "off")
-        .agg(F.min("bmin3").alias("pmin_prev"))
-    )
     srow = loc.join(F.broadcast(offsets), ["event_type", "bucket"]).select(
         "event_type",
         "ts",

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceframework_spark.operators.bucketscan import earlier_bucket_agg
 from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
@@ -310,22 +311,18 @@ def sort_global_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     counts = v.groupBy("pb").agg(F.count("*").alias("c"))
-    # Rows ranked before bucket pb = total rows in higher-price buckets.
-    offsets = (
-        counts.select(F.col("pb").alias("pb_hi"), "c")
-        .join(counts.select("pb"), F.col("pb_hi") > F.col("pb"))
-        .groupBy("pb")
-        .agg(F.sum("c").alias("off"))
+    # Rows ranked before bucket pb = total rows in higher-price buckets
+    # ('earlier' in rank order = larger bucket, hence descending).
+    offsets = earlier_bucket_agg(
+        counts, [], "pb", "c", "sum", "off", descending=True
     )
     return (
         v.withColumn("lrn", F.row_number().over(w_loc))
-        .join(F.broadcast(offsets), "pb", "left")
+        .join(F.broadcast(offsets), "pb")
         .select(
             "o_orderkey",
             "o_totalprice",
-            (F.coalesce(F.col("off"), F.lit(0)) + F.col("lrn"))
-            .cast("long")
-            .alias("rn"),
+            (F.col("off") + F.col("lrn")).cast("long").alias("rn"),
         )
     )
 

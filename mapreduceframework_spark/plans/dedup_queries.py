@@ -895,6 +895,36 @@ def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, set-size, token) table over distinct word
+    3-gram shingles — the input both to the prefix index and to the
+    verify COUNT of similarity_join_prefix_filter."""
+    sh = _docs_wide(spark, sf_dir).select(
+        "doc_id", D.string_shingles(F.col("words")).alias("s")
+    )
+    shf = sh.filter(F.size("s") > 0)
+    return shf.select(
+        "doc_id", F.size("s").alias("n"), F.explode("s").alias("tok")
+    )
+
+
+def _prefix_index(ex: DataFrame) -> DataFrame:
+    """The SSJoin prefix index at t = 0.7: tokens ranked per doc by
+    ascending global document frequency (ties by token), keeping only
+    the first p = n - ceil(t*n) + 1. Shared with tests/test_plans.py's
+    strict-subset pin so the test can never drift to a stale prefix
+    definition if the threshold or ordering is retuned."""
+    df_tab = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix_len = F.col("n") - F.expr("(7 * n + 9) DIV 10") + 1
+    return (
+        ex.join(df_tab, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "n", "pos", "tok")
+    )
+
+
 @query(
     "similarity_join_prefix_filter",
     oracle=f"""
@@ -962,22 +992,8 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ceil(0.7*n) is computed as (7*n + 9) DIV 10 — pure integer math,
     engine-identical, no float boundary to disagree on."""
-    sh = _docs_wide(spark, sf_dir).select(
-        "doc_id", D.string_shingles(F.col("words")).alias("s")
-    )
-    shf = sh.filter(F.size("s") > 0)
-    ex = shf.select(
-        "doc_id", F.size("s").alias("n"), F.explode("s").alias("tok")
-    )
-    df_tab = ex.groupBy("tok").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    prefix_len = F.col("n") - F.expr("(7 * n + 9) DIV 10") + 1
-    pre = (
-        ex.join(df_tab, "tok")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "n", "pos", "tok")
-    )
+    ex = _prefix_token_table(spark, sf_dir)
+    pre = _prefix_index(ex)
     o_ub = 1 + F.least(
         F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
     )

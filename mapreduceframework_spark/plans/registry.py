@@ -72,23 +72,27 @@ def query(
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-8 window (VERDICT r7 items
-# 1 and 6): FIRST driver rows for the 7 queries that have never had a
-# driver-window row (all added late in round 7; every other query has
-# at least one green round) plus the three queries new this round
-# (similarity_join_minhash — cross-corpus MinHash set-similarity join;
-# similarity_join_prefix_filter — exact prefix-filtered self
-# similarity join; sample_weighted_reservoir — Efraimidis-Spirakis
-# weighted sampling);
-# then the 4 queries whose CODE changed this round as sentinels
-# (agg_mode_exact / events_anomaly_mad / join_interval_overlap — the
-# enum-key window fixes; sort_global_ranked — the bucketed two-phase
-# global rank that emptied GLOBAL_WINDOW_OK; agg_weighted_median and
-# stats_cusum_drift, the other two fixes, are already in the
-# never-checked block); then the 38 STALEST greens — all 32 rows whose
-# latest driver evidence is round 3, and 6 of the round-4 cohort
-# (cube_counts yielded its slot to the sort_global_ranked sentinel).
+# 1 and 6), 11 + 4 + 32 + 3 = 50:
+# - 11 never-driver-checked rows: the 7 queries added late in round 7
+#   (every other pre-r8 query has at least one green round) plus the
+#   FOUR queries new this round (similarity_join_minhash — cross
+#   -corpus MinHash set-similarity join; similarity_join_prefix_filter
+#   — exact prefix-filtered self similarity join;
+#   sample_weighted_reservoir — Efraimidis-Spirakis weighted sampling;
+#   quality_char_entropy — per-doc character entropy);
+# - 4 code-change sentinels (agg_mode_exact / events_anomaly_mad /
+#   join_interval_overlap — the enum-key window fixes;
+#   sort_global_ranked — the bucketed two-phase global rank that
+#   emptied GLOBAL_WINDOW_OK; agg_weighted_median and
+#   stats_cusum_drift, the other two fixes, are in the block above);
+# - 35 stalest greens: all 32 rows whose latest driver evidence is
+#   round 3, plus only THREE of the round-4 cohort — cube_counts,
+#   feature_quantile_buckets, flatmap_posexplode and graph_degree_stats
+#   each yielded their refresh slot to a new-query/sentinel row, so the
+#   REMAINING r04 rows reach 5-round staleness and must lead round 9's
+#   refresh block.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
-# paths) + drive_contract at rotation time; the six rewritten/new
+# paths) + drive_contract at rotation time; the seven rewritten/new
 # queries additionally at sf0.1.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never driver-checked: first evidence (11) ---
