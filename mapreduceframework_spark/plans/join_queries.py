@@ -528,6 +528,79 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skew_two_path",
+    oracle="""
+        WITH cnt AS (
+            SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey
+        ),
+        hot AS (
+            SELECT l_suppkey FROM cnt ORDER BY c DESC, l_suppkey LIMIT 10
+        )
+        SELECT s_name,
+               CAST(s_suppkey IN (SELECT l_suppkey FROM hot) AS INT)
+                   AS is_hot,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               round(SUM(l.l_extendedprice), 4) AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s_name, is_hot
+    """,
+    tags=("join", "skew", "agg"),
+)
+def join_skew_two_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER classic skew-join recipe (complement of
+    join_salted_skew's salting): split the fact table into hot-key and
+    cold-key row sets and give each its own physical join. Hot keys —
+    the top-10 suppliers by row count, a rank-based cutoff with a
+    deterministic (count DESC, key ASC) tie-break so the set is
+    scale-stable — are routed through a BROADCAST join (their rows
+    never shuffle, so the one reducer that would drown under a hot key
+    never exists); the cold majority goes through a plain shuffle
+    sort-merge join (hinted, because at 100 TB the dimension a cold
+    path joins is NOT generally broadcastable — the hint keeps the
+    demo honest at test scale where supplier would auto-broadcast).
+    The union is semantically the plain join, which is what the oracle
+    checks — including the routing itself via the is_hot flag.
+
+    The hot-key list is a model-sized driver read (10 ints, the
+    join_bloom_pruned precedent); production engines derive it from
+    shuffle statistics (AQE's OptimizeSkewedJoin splits oversized
+    partitions the same way, salting-in-effect), but the explicit
+    two-path plan works on any engine and lets the hot side skip the
+    exchange entirely rather than merely splitting it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    hot_rows = (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "l_suppkey")
+        .limit(10)
+        .collect()
+    )
+    hot_keys = [r["l_suppkey"] for r in hot_rows]
+    hot_join = (
+        li.filter(F.col("l_suppkey").isin(hot_keys))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    cold_join = (
+        li.filter(~F.col("l_suppkey").isin(hot_keys))
+        .join(sup.hint("merge"), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        hot_join.unionByName(cold_join)
+        .groupBy(
+            "s_name",
+            F.col("s_suppkey").isin(hot_keys).cast("int").alias("is_hot"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@query(
     "join_range_binned",
     bench=True,
     oracle="""

@@ -147,6 +147,194 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lakehouse_incremental_join",
+    bench=True,
+    oracle=f"""
+        SELECT c_mktsegment AS segment,
+               STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM({snap_units_sql('o_totalprice', 100)})
+                    AS BIGINT) AS sum_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderkey % 10 = 0
+           OR (o_orderkey % 10 <> 0 AND o_orderkey % 13 <> 0)
+        GROUP BY segment, day
+    """,
+    tags=("lakehouse", "incremental", "join", "extension"),
+)
+def lakehouse_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join rule
+    d(A |><| B) = dA |><| B (B static; with both sides changing it is
+    dA |><| B_new  U  A_old |><| dB), composed with the same +1/-1
+    multiplicity merge as lakehouse_incremental_agg: the maintained
+    (segment, day) rollup over orders |><| customer is advanced by
+    joining ONLY the change batch (inserts %10 weighted +1,
+    retractions %13 of the old snapshot weighted -1) against the
+    dimension, aggregating the delta, and merging O(groups) rows into
+    the old view with one full-outer join.
+
+    Scale: the fact delta is change-sized and the dimension join is a
+    broadcast, so maintenance does |delta| work instead of re-joining
+    the 100 TB fact table; the full recompute the oracle runs —
+    re-join + re-aggregate of (base \\ retractions) U inserts — is
+    exactly what this avoids. Sums stay in exact BIGINT cents so the
+    merge is associative without float drift."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    k = F.col("o_orderkey")
+    cents = snap_units("o_totalprice", 100)
+    gcols = [
+        F.col("c_mktsegment").alias("segment"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ]
+    base = orders.filter(k % 10 != 0)
+    mv_old = (
+        base.join(F.broadcast(cust), base.o_custkey == cust.c_custkey)
+        .groupBy(*gcols)
+        .agg(F.count("*").alias("n_orders"), F.sum(cents).alias("sum_cents"))
+    )
+    inserts = orders.filter(k % 10 == 0).select(
+        "o_custkey", "o_orderdate", F.lit(1).alias("w"), cents.alias("cents")
+    )
+    retractions = base.filter(k % 13 == 0).select(
+        "o_custkey", "o_orderdate", F.lit(-1).alias("w"), cents.alias("cents")
+    )
+    changes = inserts.unionByName(retractions)
+    delta = (
+        changes.join(F.broadcast(cust), changes.o_custkey == cust.c_custkey)
+        .groupBy(*gcols)
+        .agg(
+            F.sum("w").alias("d_n"),
+            F.sum(F.col("w") * F.col("cents")).alias("d_sum"),
+        )
+    )
+    merged = mv_old.join(delta, ["segment", "day"], "full_outer").select(
+        "segment",
+        "day",
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (
+            F.coalesce("sum_cents", F.lit(0)) + F.coalesce("d_sum", F.lit(0))
+        ).alias("sum_cents"),
+    )
+    return merged.filter(F.col("n_orders") > 0)
+
+
+RECON_BUCKETS = 256
+
+
+def _mutated_orders(base: DataFrame) -> DataFrame:
+    """The reconcile target: orders with a SPARSE deterministic drift —
+    status updates for keys %997, deletes for %1499 (minus the update
+    keys), inserts with MAX+1-offset keys for %1001. Sparse on purpose:
+    the point of cdc_merkle_reconcile is that the drill-down scan
+    touches only the few buckets the drift lands in."""
+    k = F.col("o_orderkey")
+    max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
+    offset = (max_key if max_key is not None else 0) + 1
+    keep = base.filter((k % 997 != 0) & (k % 1499 != 0))
+    upd = base.filter(k % 997 == 0).withColumn("o_orderstatus", F.lit("X"))
+    ins = (
+        base.filter(k % 1001 == 0)
+        .withColumn("o_orderkey", k + F.lit(offset))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    return keep.unionByName(upd).unionByName(ins)
+
+
+def _bucket_digests(df: DataFrame) -> DataFrame:
+    """Phase-1 summary: (bucket, row count, XOR of per-row xxhash64).
+    bit_xor is order- and partition-insensitive, so the digest needs
+    one map-side-combinable shuffle of O(buckets) rows."""
+    return (
+        df.withColumn("h", F.xxhash64(*ORDER_COLS))
+        .groupBy((F.col("o_orderkey") % RECON_BUCKETS).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("xh"))
+    )
+
+
+@query(
+    "cdc_merkle_reconcile",
+    oracle="""
+        WITH mx AS (SELECT MAX(o_orderkey) + 1 AS off FROM orders)
+        SELECT o_orderkey % 256 AS bucket, o_orderkey, 'U' AS op
+        FROM orders WHERE o_orderkey % 997 = 0
+        UNION ALL
+        SELECT o_orderkey % 256, o_orderkey, 'D'
+        FROM orders WHERE o_orderkey % 1499 = 0 AND o_orderkey % 997 <> 0
+        UNION ALL
+        SELECT (o_orderkey + off) % 256, o_orderkey + off, 'I'
+        FROM orders, mx WHERE o_orderkey % 1001 = 0
+    """,
+    tags=("lakehouse", "cdc", "reconcile", "extension"),
+)
+def cdc_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style cross-table reconciliation — find every row that
+    differs between two 100 TB snapshots WITHOUT comparing 100 TB of
+    rows. Phase 1 reduces each table to O(buckets) digests (per
+    o_orderkey%256 bucket: row count + XOR of per-row xxhash64 — the
+    leaf level of a merkle tree, one map-side-combinable shuffle each),
+    compares the two digest sets, and pulls the mismatched bucket ids
+    to the driver (model-sized: <= 256 ints, the join_bloom_pruned
+    precedent). Phase 2 re-scans ONLY those buckets — the isin
+    predicate is pushed into both parquet scans, i.e. partition
+    pruning when bucket is the layout key — and full-outer joins them
+    by key to classify each difference as U (both sides, payload
+    hash differs), D (source only) or I (target only).
+
+    The target here is a deterministic sparse drift of orders
+    (_mutated_orders), so the oracle can state the expected difference
+    rows directly from the %-patterns; a 64-bit XOR digest has a
+    ~2^-64 cancellation risk that production systems cover with
+    128-bit hashes, and bucket count is sized so drift stays a strict
+    subset of buckets (a real merkle tree recurses levels instead of
+    fixing 256). tests/test_extensions.py asserts the
+    drill-down really is partial: mismatched buckets == the changed
+    keys' buckets, strictly fewer than RECON_BUCKETS, and an
+    unchanged-table reconcile yields zero mismatched buckets."""
+    source = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    target = _mutated_orders(source)
+    src_d = _bucket_digests(source).alias("s")
+    tgt_d = _bucket_digests(target).alias("t")
+    digest_cmp = src_d.join(
+        tgt_d, F.col("s.bucket") == F.col("t.bucket"), "full_outer"
+    ).filter(
+        ~F.col("s.n").eqNullSafe(F.col("t.n"))
+        | ~F.col("s.xh").eqNullSafe(F.col("t.xh"))
+    )
+    mismatched = sorted(
+        r[0]
+        for r in digest_cmp.select(
+            F.coalesce("s.bucket", "t.bucket").alias("bucket")
+        ).collect()
+    )
+    k = F.col("o_orderkey")
+    s2 = (
+        source.filter((k % RECON_BUCKETS).isin(mismatched))
+        .select(k.alias("s_key"), F.xxhash64(*ORDER_COLS).alias("s_h"))
+    )
+    t2 = (
+        target.filter((k % RECON_BUCKETS).isin(mismatched))
+        .select(k.alias("t_key"), F.xxhash64(*ORDER_COLS).alias("t_h"))
+    )
+    diff = s2.join(t2, s2.s_key == t2.t_key, "full_outer").select(
+        F.coalesce("s_key", "t_key").alias("o_orderkey"),
+        F.when(F.col("t_key").isNull(), "D")
+        .when(F.col("s_key").isNull(), "I")
+        .when(F.col("s_h") != F.col("t_h"), "U")
+        .alias("op"),
+    )
+    return diff.filter(F.col("op").isNotNull()).select(
+        (F.col("o_orderkey") % RECON_BUCKETS).alias("bucket"),
+        "o_orderkey",
+        "op",
+    )
+
+
 Z_BITS = 8  # bits per dimension -> 16-bit z-value
 Z_BUCKETS = 32
 

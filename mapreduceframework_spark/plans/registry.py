@@ -72,14 +72,17 @@ def query(
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-8 window (VERDICT r7 items
-# 1 and 6), 11 + 4 + 32 + 3 = 50:
-# - 11 never-driver-checked rows: the 7 queries added late in round 7
+# 1 and 6), 14 + 4 + 32 = 50:
+# - 14 never-driver-checked rows: the 7 queries added late in round 7
 #   (every other pre-r8 query has at least one green round) plus the
-#   FOUR queries new this round (similarity_join_minhash — cross
+#   SEVEN queries new this round (similarity_join_minhash — cross
 #   -corpus MinHash set-similarity join; similarity_join_prefix_filter
 #   — exact prefix-filtered self similarity join;
 #   sample_weighted_reservoir — Efraimidis-Spirakis weighted sampling;
-#   quality_char_entropy — per-doc character entropy);
+#   quality_char_entropy — per-doc character entropy;
+#   lakehouse_incremental_join — delta-join view maintenance;
+#   cdc_merkle_reconcile — bucketed-digest snapshot reconciliation;
+#   join_skew_two_path — hot/cold routed skew join);
 # - 4 code-change sentinels (agg_mode_exact / events_anomaly_mad /
 #   join_interval_overlap — the enum-key window fixes;
 #   sort_global_ranked — the bucketed two-phase global rank that
@@ -95,7 +98,13 @@ def query(
 # paths) + drive_contract at rotation time; the seven rewritten/new
 # queries additionally at sf0.1.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (11) ---
+    # --- never driver-checked: first evidence (11 + the 3 mid-round-8
+    #     additions below, which each displaced one r04-cohort refresh
+    #     slot — those move to the round-9 head with the rest of the
+    #     r04 cohort) ---
+    "lakehouse_incremental_join",
+    "cdc_merkle_reconcile",
+    "join_skew_two_path",
     "agg_weighted_median",
     "embedding_centroid_drift",
     "join_attribution_first_touch",
@@ -145,10 +154,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_native_token_runs",
     "window_running_sum",
     "window_topk_per_group",
-    # --- oldest of the r04 cohort (3) ---
-    "agg_approx_count_distinct",
-    "agg_decimal_exact",
-    "agg_salted_two_stage",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -1039,3 +1039,101 @@ def test_cusum_prefix_sum_equals_recursion(spark):
     ).orderBy("i").collect()
     ss = [r["s"] for r in srows]
     assert ss[-1] == 10 and max(ss) == 10
+
+
+# Round-8 continuation operators: merkle reconcile, delta-join IVM,
+# two-path skew join.
+
+
+def test_merkle_reconcile_drilldown_is_partial(spark, sf_dir):
+    """The whole point of the merkle phase split: the drift lands in a
+    strict subset of buckets, the digest compare finds EXACTLY that
+    subset (no false positives — each flagged bucket really contains a
+    changed key), and two identical tables produce zero mismatches."""
+    from pyspark.sql import functions as F
+
+    from mapreduceframework_spark.plans.lakehouse_queries import (
+        ORDER_COLS,
+        RECON_BUCKETS,
+        _bucket_digests,
+        _mutated_orders,
+    )
+    from mapreduceframework_spark.sources import load_table
+
+    source = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    target = _mutated_orders(source)
+    s, t = _bucket_digests(source).alias("s"), _bucket_digests(target).alias("t")
+    mismatched = {
+        r["bucket"]
+        for r in s.join(t, F.col("s.bucket") == F.col("t.bucket"), "full_outer")
+        .filter(
+            ~F.col("s.n").eqNullSafe(F.col("t.n"))
+            | ~F.col("s.xh").eqNullSafe(F.col("t.xh"))
+        )
+        .select(F.coalesce("s.bucket", "t.bucket").alias("bucket"))
+        .collect()
+    }
+    # Expected buckets straight from the drift %-patterns.
+    k = F.col("o_orderkey")
+    max_key = source.agg(F.max("o_orderkey")).collect()[0][0]
+    changed = (
+        source.filter((k % 997 == 0) | (k % 1499 == 0))
+        .select((k % RECON_BUCKETS).alias("b"))
+        .unionByName(
+            source.filter(k % 1001 == 0).select(
+                ((k + max_key + 1) % RECON_BUCKETS).alias("b")
+            )
+        )
+    )
+    expected = {r["b"] for r in changed.distinct().collect()}
+    assert mismatched == expected
+    assert 0 < len(mismatched) < RECON_BUCKETS
+    # Clean compare: a table reconciled against itself has no
+    # mismatched buckets at all (phase 2 would scan nothing).
+    s2, t2 = _bucket_digests(source).alias("s"), _bucket_digests(source).alias("t")
+    clean = (
+        s2.join(t2, F.col("s.bucket") == F.col("t.bucket"), "full_outer")
+        .filter(
+            ~F.col("s.n").eqNullSafe(F.col("t.n"))
+            | ~F.col("s.xh").eqNullSafe(F.col("t.xh"))
+        )
+        .count()
+    )
+    assert clean == 0
+
+
+def test_incremental_join_equals_full_recompute(spark, sf_dir):
+    """Delta-join maintenance must land on exactly the view a full
+    re-join + re-aggregate over the next snapshot produces."""
+    from pyspark.sql import functions as F
+
+    from mapreduceframework_spark.plans.lakehouse_queries import (
+        lakehouse_incremental_join,
+    )
+    from mapreduceframework_spark.plans.exact import snap_units
+    from mapreduceframework_spark.sources import load_table
+
+    got = {
+        (r["segment"], r["day"]): (r["n_orders"], r["sum_cents"])
+        for r in lakehouse_incremental_join(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    nxt = orders.filter((k % 10 == 0) | ((k % 10 != 0) & (k % 13 != 0)))
+    full = (
+        nxt.join(cust, nxt.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(snap_units("o_totalprice", 100)).alias("sum_cents"),
+        )
+    )
+    want = {
+        (r["segment"], r["day"]): (r["n_orders"], r["sum_cents"])
+        for r in full.collect()
+    }
+    assert got == want

@@ -507,6 +507,17 @@ SHUFFLE_BUDGET = {
     # Two O(groups) partial aggs + the O(groups) full-outer view merge
     # — the whole point is that nothing here is corpus-sized.
     "lakehouse_incremental_agg": 2,
+    # Delta-join IVM: the same two O(groups) aggs (the view merge
+    # reuses their partitioning — zero extra shuffle) + the 2 pinned
+    # dimension BroadcastExchanges; the fact delta never shuffles.
+    "lakehouse_incremental_join": 4,
+    # Phase 2 only (phase 1's O(buckets) digest compare runs as its
+    # own model-sized action): the mismatched-bucket key join, both
+    # sides pre-shrunk by the pushed bucket-isin filter.
+    "cdc_merkle_reconcile": 2,
+    # Hot rows skip the shuffle entirely (1 BroadcastExchange); the
+    # cold majority pays the hinted sort-merge pair + the final agg.
+    "join_skew_two_path": 4,
     # Two (group, value)-count shuffles + argmax/cumulative windows
     # over the O(distinct-values) count tables + the final join — no
     # fact-table window anywhere since the round-8 enum-key fix.
@@ -1302,3 +1313,34 @@ def test_compaction_collapses_file_count(spark, sf_dir):
     compacted = glob.glob(os.path.join(_scratch(sf_dir, "compacted"), "part-*"))
     assert len(small) == 64
     assert len(compacted) == 1
+
+
+def test_skew_two_path_has_both_join_paths(spark, sf_dir):
+    """The routing must be physical, not notional: one broadcast join
+    for the hot keys (their rows never reach an exchange) AND one
+    sort-merge join for the cold majority, in the same plan."""
+    plan = plan_of(spark, sf_dir, "join_skew_two_path")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_incremental_join_dimension_broadcasts(spark, sf_dir):
+    """Both the old-view join and the delta join take the dimension as
+    a broadcast (2 BHJ nodes; formatted explain names each node twice,
+    tree + detail); the view merge itself must reuse the aggregates'
+    (segment, day) hash partitioning rather than re-exchange — the
+    budget entry (4 = 2 broadcasts + 2 agg shuffles) pins that."""
+    plan = plan_of(spark, sf_dir, "lakehouse_incremental_join")
+    assert plan.count("BroadcastHashJoin") == 4
+
+
+def test_merkle_phase2_filters_both_scans(spark, sf_dir):
+    """The returned plan IS phase 2: both snapshot scans carry the
+    mismatched-bucket membership predicate (bucket-isin over key%256),
+    so only flagged buckets are re-read — on a bucket-laid-out table
+    this is partition pruning. Modulo isn't a parquet-pushable
+    predicate, so assert on the post-scan Filter, not PushedFilters."""
+    plan = optimized_plan_of(spark, sf_dir, "cdc_merkle_reconcile")
+    import re
+
+    assert len(re.findall(r"% 256\)(?:\s+AS \w+)? IN \(", plan)) >= 2, plan
