@@ -72,17 +72,18 @@ def query(
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-8 window (VERDICT r7 items
-# 1 and 6), 14 + 4 + 32 = 50:
-# - 14 never-driver-checked rows: the 7 queries added late in round 7
+# 1 and 6), 15 + 4 + 31 = 50:
+# - 15 never-driver-checked rows: the 7 queries added late in round 7
 #   (every other pre-r8 query has at least one green round) plus the
-#   SEVEN queries new this round (similarity_join_minhash — cross
+#   EIGHT queries new this round (similarity_join_minhash — cross
 #   -corpus MinHash set-similarity join; similarity_join_prefix_filter
 #   — exact prefix-filtered self similarity join;
 #   sample_weighted_reservoir — Efraimidis-Spirakis weighted sampling;
 #   quality_char_entropy — per-doc character entropy;
 #   lakehouse_incremental_join — delta-join view maintenance;
 #   cdc_merkle_reconcile — bucketed-digest snapshot reconciliation;
-#   join_skew_two_path — hot/cold routed skew join);
+#   join_skew_two_path — hot/cold routed skew join;
+#   sample_importance_dsir — DSIR importance selection);
 # - 4 code-change sentinels (agg_mode_exact / events_anomaly_mad /
 #   join_interval_overlap — the enum-key window fixes;
 #   sort_global_ranked — the bucketed two-phase global rank that
@@ -98,13 +99,14 @@ def query(
 # paths) + drive_contract at rotation time; the seven rewritten/new
 # queries additionally at sf0.1.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (11 + the 3 mid-round-8
-    #     additions below, which each displaced one r04-cohort refresh
-    #     slot — those move to the round-9 head with the rest of the
-    #     r04 cohort) ---
+    # --- never driver-checked: first evidence (11 + the 4 mid-round-8
+    #     additions below, which displaced the 3 oldest r04-cohort
+    #     refresh slots and window_topk_per_group — those move to the
+    #     round-9 head with the rest of the r04 cohort) ---
     "lakehouse_incremental_join",
     "cdc_merkle_reconcile",
     "join_skew_two_path",
+    "sample_importance_dsir",
     "agg_weighted_median",
     "embedding_centroid_drift",
     "join_attribution_first_touch",
@@ -153,7 +155,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_bigram_counts",
     "udtf_native_token_runs",
     "window_running_sum",
-    "window_topk_per_group",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -678,3 +678,152 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+DSIR_BUCKETS = 8192
+DSIR_TOPK = 100
+
+
+@query(
+    "sample_importance_dsir",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(text), '[ \t\n\r\f]+') AS ws
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        feats AS (
+            SELECT doc_id, lang,
+                   {X.token_bucket_sql('w', 8192)} AS hb
+            FROM (
+                SELECT doc_id, lang, unnest(ws) AS w FROM toks
+                UNION ALL
+                SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS w
+                FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 2
+            )
+        ),
+        cr AS (SELECT hb, CAST(COUNT(*) AS BIGINT) AS c_raw
+               FROM feats GROUP BY hb),
+        ct AS (SELECT hb, CAST(COUNT(*) AS BIGINT) AS c_tgt
+               FROM feats WHERE lang = 'en' GROUP BY hb),
+        model AS (
+            SELECT cr.hb,
+                   CAST(ROUND(ln((COALESCE(ct.c_tgt, 0) + 1)::DOUBLE)
+                              * 1000000) AS BIGINT)
+                 - CAST(ROUND(ln((cr.c_raw + 1)::DOUBLE)
+                              * 1000000) AS BIGINT) AS w_e6
+            FROM cr LEFT JOIN ct USING (hb)
+        ),
+        scored AS (
+            SELECT f.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   CAST(SUM(m.w_e6) AS BIGINT) AS sum_w_e6
+            FROM feats f JOIN model m USING (hb)
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, n_feats, sum_w_e6,
+               sum_w_e6 / CAST(n_feats * 1000000 AS DOUBLE) AS llr_per_feat
+        FROM scored
+        ORDER BY llr_per_feat DESC, doc_id
+        LIMIT {DSIR_TOPK}
+    """,
+    tags=("sampling", "extension", "training-data"),
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every raw document by how target-like its hashed
+    n-gram features are — the log likelihood ratio between a target
+    feature distribution (here the lang='en' slice stands in for the
+    curated target corpus) and the raw-corpus distribution — and keep
+    the top-K. Features are word unigrams + bigrams pushed through the
+    hashing trick (DSIR_BUCKETS=8192 md5 buckets, token_bucket — the SAME
+    portable formula as the quality classifier), which is what bounds
+    the model at O(buckets) rows INDEPENDENT of corpus vocabulary: the
+    bucket-count model broadcasts, so scoring is a map-side join +
+    one doc_id aggregation no matter how many tokens the corpus has.
+
+    Contract details: add-1 smoothing keeps every bucket finite;
+    ln quantizes to 1e-6-unit BIGINTs BEFORE the subtraction (the
+    enumerable-domain discipline — tests/test_sampling_semantics.py
+    proves Spark==DuckDB ln_e6 on [1, 200000] and asserts the observed
+    bucket counts stay inside that proven domain), so each bucket
+    weight and every per-doc sum is exact integer math; the ONLY
+    double is one exact-int division per doc (sum_e6 / (n*1e6), IEEE
+    -identical operands both engines). The score is the per-feature
+    MEAN log-ratio — length normalization that also removes the
+    corpus-total normalizer constants, whose ln sits outside the
+    proven domain. Selection is deterministic top-K with a doc_id
+    tie-break (rank-based, scale-stable — never a score threshold);
+    the paper's Gumbel-noise resampling variant maps onto the
+    sample_weighted_reservoir machinery with weight = exp(score).
+
+    Scale shape: explode-to-features is row-local; two O(buckets)
+    count shuffles train the model; scoring re-shuffles only the
+    (doc_id) aggregation; top-K lowers to TakeOrderedAndProject
+    (per-partition heaps, never a global sort)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.trim("text"), r"[ \t\n\r\f]+").alias("ws")
+    )
+    n = F.size("ws")
+    uni = toks.select("doc_id", "lang", F.explode("ws").alias("w"))
+    big = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, n - 1).alias("w1"),
+                    F.slice("ws", 2, n - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).alias("w"),
+        )
+    )
+    feats = uni.unionByName(big).select(
+        "doc_id",
+        "lang",
+        X.token_bucket(F.col("w"), DSIR_BUCKETS).alias("hb"),
+    )
+    cr = feats.groupBy("hb").agg(F.count("*").alias("c_raw"))
+    ct = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("hb")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+
+    def ln_e6(col):
+        return F.round(F.log(col.cast("double")) * 1_000_000).cast("long")
+
+    model = cr.join(ct, "hb", "left").select(
+        "hb",
+        (
+            ln_e6(F.coalesce("c_tgt", F.lit(0)) + 1)
+            - ln_e6(F.col("c_raw") + 1)
+        ).alias("w_e6"),
+    )
+    scored = (
+        feats.join(F.broadcast(model), "hb")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("w_e6").alias("sum_w_e6"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_feats",
+            "sum_w_e6",
+            (F.col("sum_w_e6") / (F.col("n_feats") * F.lit(1_000_000))).alias(
+                "llr_per_feat"
+            ),
+        )
+        .orderBy(F.desc("llr_per_feat"), "doc_id")
+        .limit(DSIR_TOPK)
+    )

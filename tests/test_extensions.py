@@ -1137,3 +1137,34 @@ def test_incremental_join_equals_full_recompute(spark, sf_dir):
         for r in full.collect()
     }
     assert got == want
+
+
+def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
+    """DSIR direction check on a corpus where the answer is computable
+    by eye: en docs use one vocabulary, de docs a disjoint one. Every
+    en feature has c_tgt == c_raw (weight ln(c+1)-ln(c+1) = 0); every
+    de feature has c_tgt = 0 (weight -ln(c_raw+1) < 0) — so every
+    target-vocabulary doc must strictly outscore every non-target
+    doc."""
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    rows = [(i, "alpha alif aleph alpha alif", "en") for i in range(10)]
+    rows += [(i, "beta bet beth beta bet", "de") for i in range(10, 20)]
+    df = spark.createDataFrame(
+        [(i, t, lang, "s", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r["llr_per_feat"]
+        for r in all_queries()["sample_importance_dsir"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(out) == 20
+    en_scores = [out[i] for i in range(10)]
+    de_scores = [out[i] for i in range(10, 20)]
+    assert min(en_scores) > max(de_scores)
+    assert all(s == 0.0 for s in en_scores)  # ct == cr exactly

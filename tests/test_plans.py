@@ -518,6 +518,11 @@ SHUFFLE_BUDGET = {
     # Hot rows skip the shuffle entirely (1 BroadcastExchange); the
     # cold majority pays the hinted sort-merge pair + the final agg.
     "join_skew_two_path": 4,
+    # Two O(buckets) model-count shuffles + the per-doc score agg; the
+    # 2 broadcasts are the <= 8192-row model (its build join and the
+    # scoring join) — the feature stream itself shuffles only once, on
+    # doc_id. Top-K is TakeOrderedAndProject, not an exchange.
+    "sample_importance_dsir": 5,
     # Two (group, value)-count shuffles + argmax/cumulative windows
     # over the O(distinct-values) count tables + the final join — no
     # fact-table window anywhere since the round-8 enum-key fix.
@@ -1332,6 +1337,17 @@ def test_incremental_join_dimension_broadcasts(spark, sf_dir):
     budget entry (4 = 2 broadcasts + 2 agg shuffles) pins that."""
     plan = plan_of(spark, sf_dir, "lakehouse_incremental_join")
     assert plan.count("BroadcastHashJoin") == 4
+
+
+def test_dsir_model_broadcasts_and_topk_is_heap(spark, sf_dir):
+    """The hashed-feature model must broadcast (no sort-merge join
+    anywhere — the feature stream is never shuffled for scoring) and
+    the final top-K must lower to TakeOrderedAndProject, not a global
+    sort."""
+    plan = plan_of(spark, sf_dir, "sample_importance_dsir")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_merkle_phase2_filters_both_scans(spark, sf_dir):

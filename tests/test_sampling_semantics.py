@@ -103,3 +103,40 @@ def test_entropy_ln_count_quantization_agrees_on_domain(spark):
     ).fetchdf()
     mism = (sdf["ln_e6"].values != ddf["ln_e6"].values).sum()
     assert mism == 0, f"{mism}/200000 count points round differently"
+
+
+def test_dsir_bucket_counts_inside_proven_ln_domain(spark, sf_dir):
+    """sample_importance_dsir's exactness rests on ln_e6 agreement over
+    [1, 200000] (proven exhaustively above); its ln inputs are bucket
+    counts + 1, so the observed counts at the test scale must stay
+    inside that domain — at sf0.1 the hottest of the 8192 buckets
+    holds ~9.5k features, 20x of headroom (a larger corpus re-proves a
+    wider domain the same way)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceframework_spark.operators import text as X
+    from mapreduceframework_spark.plans.sampling_queries import DSIR_BUCKETS
+    from mapreduceframework_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(F.split(F.trim("text"), r"[ \t\n\r\f]+").alias("ws"))
+    n = F.size("ws")
+    uni = toks.select(F.explode("ws").alias("w"))
+    big = toks.filter(n >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, n - 1).alias("w1"),
+                F.slice("ws", 2, n - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).alias("w"))
+    hot = (
+        uni.unionByName(big)
+        .groupBy(X.token_bucket(F.col("w"), DSIR_BUCKETS).alias("hb"))
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
+    assert hot + 1 <= 200_000
