@@ -729,6 +729,7 @@ DSIR_TOPK = 100
         LIMIT {DSIR_TOPK}
     """,
     tags=("sampling", "extension", "training-data"),
+    bench=True,
 )
 def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al.

@@ -191,6 +191,25 @@ SHOWCASE = [
      "explode of a literal sequence; the only corpus-sized work is "
      "the single partial-aggregated shuffle down to |priorities| x 64 "
      "replicate sums."),
+    ("lakehouse_incremental_join",
+     "Delta-join view maintenance: the change batch joins the "
+     "BROADCAST dimension (two BroadcastHashJoins, fact delta never "
+     "shuffles) and the O(groups) view merge reuses the aggregates' "
+     "hash partitioning — no exchange under the full-outer join."),
+    ("cdc_merkle_reconcile",
+     "Snapshot reconciliation, phase 2: both scans carry the "
+     "mismatched-bucket isin predicate from the O(buckets) digest "
+     "compare, so the row-level diff join touches only drifted "
+     "buckets — never a full-table compare."),
+    ("join_skew_two_path",
+     "Hot/cold routed skew join: ONE plan containing both a "
+     "BroadcastHashJoin (top-10 hot keys — their rows skip the "
+     "exchange entirely) and a SortMergeJoin for the cold majority."),
+    ("sample_importance_dsir",
+     "DSIR data selection: the 8192-bucket hashed n-gram model "
+     "broadcasts (no SortMergeJoin anywhere), scoring shuffles only "
+     "the per-doc aggregation, and top-K lowers to "
+     "TakeOrderedAndProject."),
 ]
 
 
