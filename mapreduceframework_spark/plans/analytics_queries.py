@@ -1932,3 +1932,110 @@ def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("final_cusum_e4"),
         F.max("s").alias("max_cusum_e4"),
     )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS s1,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                            * CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS s2
+            FROM events GROUP BY event_type),
+        m AS (
+            SELECT event_type, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_e2,
+                   (CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE) AS var_e4
+            FROM g)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n AS n_a, b.n AS n_b,
+               ROUND((a.mean_e2 - b.mean_e2)
+                     / SQRT(a.var_e4 / CAST(a.n AS DOUBLE)
+                            + b.var_e4 / CAST(b.n AS DOUBLE)), 6) AS t_stat,
+               ROUND((a.var_e4 / CAST(a.n AS DOUBLE)
+                      + b.var_e4 / CAST(b.n AS DOUBLE))
+                     * (a.var_e4 / CAST(a.n AS DOUBLE)
+                        + b.var_e4 / CAST(b.n AS DOUBLE))
+                     / ((a.var_e4 / CAST(a.n AS DOUBLE))
+                        * (a.var_e4 / CAST(a.n AS DOUBLE))
+                        / CAST(a.n - 1 AS DOUBLE)
+                        + (b.var_e4 / CAST(b.n AS DOUBLE))
+                          * (b.var_e4 / CAST(b.n AS DOUBLE))
+                          / CAST(b.n - 1 AS DOUBLE)), 6) AS df_welch
+        FROM m a JOIN m b ON a.event_type < b.event_type
+    """,
+    tags=("agg", "statistical", "extension"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the value distributions
+    of every pair of event types — the significance test behind an
+    A/B readout or a did-this-data-refresh-move-the-metric check
+    (Welch 1947; the BEST-practice default over Student's t).
+
+    Determinism contract: values snap to exact e2 integers, the three
+    sufficient statistics (n, Σv, Σv²) accumulate as exact BIGINTs
+    (order-insensitive), and only the final t / Welch–Satterthwaite df
+    expressions touch doubles — the same IEEE-754 tree on both engines
+    over identical exact inputs, rounded to 1e-6. t and df are scale
+    -invariant, so e2/e4 units need no un-scaling.
+
+    Scale shape: ONE partial-aggregated shuffle down to O(types) rows,
+    then an O(types²) broadcast theta self-join over the tiny
+    aggregate — the fact table is never joined or re-shuffled. At
+    100 TB this is the cheapest possible two-sample test: a map-side
+    combine per type plus driver-free tiny-table math."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v_e2").alias("s1"),
+        F.sum(F.col("v_e2") * F.col("v_e2")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    m = g.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / nd).alias("mean_e2"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / nd
+            )
+            / (F.col("n") - 1).cast("double")
+        ).alias("var_e4"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    sa = F.col("a.var_e4") / F.col("a.n").cast("double")
+    sb = F.col("b.var_e4") / F.col("b.n").cast("double")
+    se2 = sa + sb
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(
+                (F.col("a.mean_e2") - F.col("b.mean_e2")) / F.sqrt(se2), 6
+            ).alias("t_stat"),
+            F.round(
+                se2 * se2
+                / (
+                    sa * sa / (F.col("a.n") - 1).cast("double")
+                    + sb * sb / (F.col("b.n") - 1).cast("double")
+                ),
+                6,
+            ).alias("df_welch"),
+        )
+    )

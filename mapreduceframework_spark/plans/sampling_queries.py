@@ -828,3 +828,71 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("llr_per_feat"), "doc_id")
         .limit(DSIR_TOPK)
     )
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+        WITH RECURSIVE {MINHASH_PAIRS_CTES},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+                  UNION
+                  SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+        nodes AS (SELECT DISTINCT src AS doc FROM edges),
+        reach(doc, lab) AS (
+            SELECT doc, doc FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+        comp AS (SELECT doc AS doc_id, MIN(lab) AS cluster_id
+                 FROM reach GROUP BY doc),
+        grp AS (SELECT d.doc_id,
+                       COALESCE(c.cluster_id, d.doc_id) AS group_id
+                FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+        SELECT doc_id, group_id,
+               CASE WHEN ((group_id * 2654435761 + 40503) % 1000) < 800
+                         THEN 'train'
+                    WHEN ((group_id * 2654435761 + 40503) % 1000) < 900
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM grp
+    """,
+    tags=("sampling", "dedup", "extension", "training-data"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents land
+    in the SAME split, so eval can never score a near-copy of a
+    training doc (the contamination mechanism Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §6
+    measure). Assignment unit = the MinHash near-dup CLUSTER
+    (connected components over the same candidate graph dedup_clusters
+    verifies), not the document: every doc hashes its GROUP id
+    (cluster label, or its own id when unclustered) through the
+    registry's deterministic affine split bucket.
+
+    Scale shape: the CC fixpoint is the already-audited O(diameter)
+    min-label propagation over banded candidates; the only addition is
+    one left join of the corpus against the O(duplicate docs) label
+    table (key-partitioned, AQE-broadcastable at typical dup rates)
+    and a row-local hash — no new windows, no global sort. The oracle
+    recomputes the clusters via an independent recursive transitive
+    closure, so the split respects components is checked end-to-end,
+    not assumed."""
+    from mapreduceframework_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _minhash_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("c_doc_id"), F.col("label").alias("cluster_id")
+    )
+    grp = docs.join(
+        comp, docs.doc_id == F.col("c_doc_id"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+    )
+    b = (F.col("group_id") * F.lit(2654435761) + F.lit(40503)) % 1000
+    return grp.select(
+        "doc_id",
+        "group_id",
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+        .alias("split"),
+    )

@@ -957,3 +957,89 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("entropy_num_e6"),
         (num / (F.col("n") * 1_000_000)).alias("entropy_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking (RAG / context-window preparation)
+# --------------------------------------------------------------------------
+
+# Fixed-size overlapping token windows: size 16, stride 12 (overlap 4).
+# Chunk i covers tokens [i*stride, i*stride + size); the number of
+# chunks is 1 + ceil((n - size) / stride) so every token is covered and
+# the final chunk may be short. ceil on non-negative ints is expressed
+# as floor((n - (size - stride + 1)) / stride) + 1 — identical integer
+# math in Spark (`DIV`-equivalent floor) and DuckDB (`//`).
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 12
+_CHUNK_CEIL_BIAS = _CHUNK_SIZE - _CHUNK_STRIDE + 1  # = 5
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        n AS (SELECT doc_id, words, len(words) AS n_tok FROM d),
+        c AS (SELECT doc_id, words,
+                     unnest(generate_series(0,
+                         CASE WHEN n_tok <= {_CHUNK_SIZE} THEN 0
+                              ELSE (n_tok - {_CHUNK_CEIL_BIAS})
+                                   // {_CHUNK_STRIDE} END)) AS chunk_idx
+              FROM n)
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+               CAST(len(list_slice(words,
+                        chunk_idx * {_CHUNK_STRIDE} + 1,
+                        chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}))
+                    AS BIGINT) AS n_toks,
+               md5(array_to_string(
+                   list_slice(words,
+                        chunk_idx * {_CHUNK_STRIDE} + 1,
+                        chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' '))
+                   AS chunk_hash
+        FROM c
+    """,
+    tags=("text", "extension", "training-data"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/context-window
+    preparation pass (fixed-size overlapping chunks, the RAG-standard
+    splitter): every doc explodes into size-16/stride-12 token windows
+    with byte-stable identities (md5 of the space-joined window).
+
+    Scale shape: one scan, a row-local explode whose fan-out is
+    ~n_tok/stride per document, and row-local slice/hash expressions —
+    zero shuffles, zero windows, zero joins; the chunker is purely
+    map-side at 100 TB and chunk rows stream straight to the sink.
+    Both engines floor the same non-negative integer expression, and
+    md5 hex is identical, so the chunk identities are engine-portable
+    (what makes an index built here re-usable elsewhere)."""
+    d = _docs(spark, sf_dir).select("doc_id", "words")
+    last_idx = (
+        F.when(F.size("words") <= _CHUNK_SIZE, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (F.size("words") - F.lit(_CHUNK_CEIL_BIAS))
+                / F.lit(_CHUNK_STRIDE)
+            )
+        )
+    )
+    chunks = d.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias(
+            "chunk_idx"
+        ),
+    )
+    window = F.slice(
+        F.col("words"),
+        (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+        F.lit(_CHUNK_SIZE),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * _CHUNK_STRIDE).cast("long").alias("start_tok"),
+        F.size(window).cast("long").alias("n_toks"),
+        F.md5(F.array_join(window, " ")).alias("chunk_hash"),
+    )

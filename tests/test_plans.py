@@ -325,7 +325,7 @@ CARTESIAN_OK = {"join_cross"}
 # Streaming queries execute through the streaming engine; batch explain
 # isn't meaningful for them. Iterative/driver-loop queries materialize
 # checkpoints during plan construction — skip the static explain too.
-NOT_STATIC = {"dedup_clusters"}
+NOT_STATIC = {"dedup_clusters", "split_leakage_safe"}
 
 
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
@@ -770,6 +770,13 @@ SHUFFLE_BUDGET = {
     # Two partial-agged keyed shuffles: (doc_id, ch) counts, then the
     # per-doc entropy sums.
     "quality_char_entropy": 2,
+    # Purely map-side: scan -> explode -> slice/hash. Zero exchanges is
+    # the POINT (the chunker streams straight to the sink at 100 TB).
+    "text_chunk_sliding": 0,
+    # One keyed aggregation per side of the tiny self theta-join (static
+    # plan materializes the subtree twice; ReuseExchange collapses it at
+    # runtime) + the broadcast for the O(types^2) pair join.
+    "stats_welch_ttest": 5,
 }
 
 
