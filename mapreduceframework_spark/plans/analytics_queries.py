@@ -2039,3 +2039,203 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("df_welch"),
         )
     )
+
+
+# RFM goodness-dimension bucket widths (Spark-side only — the bucketed
+# two-phase cumulative scan never appears in the oracle, which states
+# the cutoff rule with a naive global window over distinct values).
+# Widths keep the per-dimension bucket tables O(tens) at test SFs and
+# grow the bucket COUNT, not any single window's input, as the domains
+# widen with scale.
+_RFM_W = {"g_r": 4, "g_f": 4, "g_m": 16384}
+_US_PER_DAY = 86_400_000_000
+
+
+def _rfm_cutoffs(users: DataFrame) -> DataFrame:
+    """Exact tertile cutoffs for ALL THREE goodness dimensions as ONE
+    broadcastable 1-row frame (c1_g_r, c2_g_r, c1_g_f, ..., c2_g_m):
+    c_k = the smallest value whose cumulative user count reaches
+    ceil(k*n/3). The user table melts to (dim, g) long form (row-local
+    explode), so every dimension's distinct-value counts ride ONE
+    keyed shuffle down to O(sum |domains|) rows; the cumulative counts
+    then run the bucketed two-phase prefix scan — a (dim, range
+    -bucket)-local window plus the shared earlier-bucket stitch — so
+    no window sorts more than one bucket's distinct values and
+    nothing runs unpartitioned (the registry's global-selection
+    discipline, per sort_global_ranked / stats_ks_two_sample), and all
+    six cutoffs fall out of one conditional aggregation."""
+    melted = users.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(col).alias("dim"), F.col(col).alias("g")
+                    )
+                    for col in ("g_r", "g_f", "g_m")
+                ]
+            )
+        ).alias("x")
+    ).select("x.dim", "x.g")
+    w = F.when(F.col("dim") == "g_r", _RFM_W["g_r"]).when(
+        F.col("dim") == "g_f", _RFM_W["g_f"]
+    ).otherwise(_RFM_W["g_m"])
+    dv = melted.groupBy("dim", "g").agg(F.count("*").alias("c"))
+    dvb = dv.withColumn(
+        "bk", F.floor(F.col("g") / w.cast("double")).cast("long")
+    )
+    bt = dvb.groupBy("dim", "bk").agg(F.sum("c").alias("bc"))
+    off = earlier_bucket_agg(bt, ["dim"], "bk", "bc", "sum", "off")
+    wloc = (
+        Window.partitionBy("dim", "bk")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_row = users.agg(F.count("*").alias("nn"))
+    cum = (
+        dvb.withColumn("lc", F.sum("c").over(wloc))
+        .join(F.broadcast(off), ["dim", "bk"])
+        .withColumn("cw", F.col("lc") + F.col("off"))
+        .crossJoin(F.broadcast(n_row))
+    )
+    r1 = F.floor((F.col("nn") + 2) / 3).cast("long")
+    r2 = F.floor((2 * F.col("nn") + 2) / 3).cast("long")
+    return cum.agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("dim") == col) & (F.col("cw") >= rk),
+                    F.col("g"),
+                )
+            ).alias(f"c{k}_{col}")
+            for col in ("g_r", "g_f", "g_m")
+            for k, rk in ((1, r1), (2, r2))
+        ]
+    )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+        WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+                          CAST(ROUND(value * 100) AS BIGINT) AS v_e2
+                   FROM events WHERE event_type = 'purchase'),
+        g AS (SELECT MAX(us) AS gus FROM p),
+        u AS (SELECT user_id,
+                     -CAST(((SELECT gus FROM g) - MAX(us)) // 86400000000
+                           AS BIGINT) AS g_r,
+                     CAST(COUNT(*) AS BIGINT) AS g_f,
+                     CAST(SUM(v_e2) AS BIGINT) AS g_m
+              FROM p GROUP BY user_id),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM u),
+        cr AS (SELECT MIN(CASE WHEN cw >= (nn + 2) // 3
+                               THEN g_r END) AS c1r,
+                      MIN(CASE WHEN cw >= (2 * nn + 2) // 3
+                               THEN g_r END) AS c2r
+               FROM (SELECT g_r, SUM(c) OVER (ORDER BY g_r) AS cw
+                     FROM (SELECT g_r, CAST(COUNT(*) AS BIGINT) AS c
+                           FROM u GROUP BY g_r)), n),
+        cf AS (SELECT MIN(CASE WHEN cw >= (nn + 2) // 3
+                               THEN g_f END) AS c1f,
+                      MIN(CASE WHEN cw >= (2 * nn + 2) // 3
+                               THEN g_f END) AS c2f
+               FROM (SELECT g_f, SUM(c) OVER (ORDER BY g_f) AS cw
+                     FROM (SELECT g_f, CAST(COUNT(*) AS BIGINT) AS c
+                           FROM u GROUP BY g_f)), n),
+        cm AS (SELECT MIN(CASE WHEN cw >= (nn + 2) // 3
+                               THEN g_m END) AS c1m,
+                      MIN(CASE WHEN cw >= (2 * nn + 2) // 3
+                               THEN g_m END) AS c2m
+               FROM (SELECT g_m, SUM(c) OVER (ORDER BY g_m) AS cw
+                     FROM (SELECT g_m, CAST(COUNT(*) AS BIGINT) AS c
+                           FROM u GROUP BY g_m)), n)
+        SELECT CAST(1 + CAST(u.g_r > cr.c1r AS INT)
+                      + CAST(u.g_r > cr.c2r AS INT) AS INT) AS r_score,
+               CAST(1 + CAST(u.g_f > cf.c1f AS INT)
+                      + CAST(u.g_f > cf.c2f AS INT) AS INT) AS f_score,
+               CAST(1 + CAST(u.g_m > cm.c1m AS INT)
+                      + CAST(u.g_m > cm.c2m AS INT) AS INT) AS m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(u.g_m) AS BIGINT) AS monetary_e2
+        FROM u, cr, cf, cm
+        GROUP BY r_score, f_score, m_score
+    """,
+    tags=("events", "statistical", "extension"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994, the classic marketing
+    -analytics cube): per purchasing user, Recency (days since last
+    purchase, vs the corpus-max purchase time), Frequency (purchase
+    count) and Monetary (exact e2 cents); each dimension scores 1-3 by
+    EXACT tertiles and the output is the segment cube with user counts
+    and monetary mass.
+
+    Tertile rule (identical both engines, no interpolation, no float
+    contract): score = 1 + [g > c1] + [g > c2] on a per-dimension
+    "goodness" value g (recency negated so larger is better), with
+    c_k = the smallest g whose cumulative user count reaches
+    ceil(k*n/3) — percentile_disc semantics over exact BIGINTs.
+
+    Scale shape: one keyed shuffle to the per-user table (partial
+    -agged); the USER table then melts to (dim, value) long form and
+    ALL THREE dimensions' cutoffs reduce through ONE distinct-value
+    count shuffle plus the bucketed two-phase prefix scan ((dim,
+    range-bucket)-local window + the shared earlier-bucket stitch),
+    because users grow with the corpus — a global NTILE(3) window
+    over raw users is exactly the unpartitioned-window shape the plan
+    sweeps forbid. All six cutoffs broadcast back as ONE 1-row frame;
+    scoring is row-local; the final cube is O(27) rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    gmax = p.agg(F.max("us").alias("gus"))
+    users = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("us").alias("lus"),
+            F.count("*").alias("g_f"),
+            F.sum("v_e2").alias("g_m"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            (
+                -F.floor(
+                    (F.col("gus") - F.col("lus"))
+                    / F.lit(_US_PER_DAY).cast("double")
+                )
+            ).cast("long").alias("g_r"),
+            F.col("g_f").cast("long").alias("g_f"),
+            "g_m",
+        )
+    )
+    cuts = _rfm_cutoffs(users)
+    scored = (
+        users.crossJoin(F.broadcast(cuts))
+        .select(
+            "g_m",
+            (
+                1
+                + (F.col("g_r") > F.col("c1_g_r")).cast("int")
+                + (F.col("g_r") > F.col("c2_g_r")).cast("int")
+            ).alias("r_score"),
+            (
+                1
+                + (F.col("g_f") > F.col("c1_g_f")).cast("int")
+                + (F.col("g_f") > F.col("c2_g_f")).cast("int")
+            ).alias("f_score"),
+            (
+                1
+                + (F.col("g_m") > F.col("c1_g_m")).cast("int")
+                + (F.col("g_m") > F.col("c2_g_m")).cast("int")
+            ).alias("m_score"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.sum("g_m").alias("monetary_e2"),
+    )

@@ -1,7 +1,8 @@
 """Semantic contracts for the round-8 additions: sliding-window
 chunking (coverage + identity), the pairwise Welch t-test (numpy
-cross-check), and the leakage-safe split (no near-dup pair may ever
-straddle a split boundary — the property the query exists for)."""
+cross-check), the leakage-safe split (no near-dup pair may ever
+straddle a split boundary — the property the query exists for), and
+RFM segmentation (independent pandas exact-tertile reference)."""
 
 from __future__ import annotations
 
@@ -111,3 +112,53 @@ def test_leakage_safe_split_never_splits_a_near_dup_pair(spark, sf_dir):
         labels=["train", "val", "test"],
     ).astype(str)
     assert (asg["split"] == expect).all()
+
+
+def test_rfm_segments_match_pandas_reference(spark, sf_dir):
+    """The segment cube must equal an independent pandas computation
+    of the same exact-tertile rule (c_k = smallest goodness value
+    whose cumulative user count reaches ceil(k*n/3); score =
+    1 + [g > c1] + [g > c2])."""
+    q = all_queries()["events_rfm_segments"]
+    got = (
+        q.fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["r_score", "f_score", "m_score"])
+        .reset_index(drop=True)
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .toPandas()
+    )
+    gus = ev["us"].max()
+    u = ev.groupby("user_id").agg(
+        lus=("us", "max"), g_f=("us", "size"), g_m=("v", "sum")
+    )
+    u["g_r"] = -((gus - u["lus"]) // 86_400_000_000)
+    n = len(u)
+
+    def cutoffs(s):
+        vc = s.value_counts().sort_index().cumsum()
+        c1 = vc.index[vc >= (n + 2) // 3][0]
+        c2 = vc.index[vc >= (2 * n + 2) // 3][0]
+        return c1, c2
+
+    for dim, col in (("r", "g_r"), ("f", "g_f"), ("m", "g_m")):
+        c1, c2 = cutoffs(u[col])
+        u[f"{dim}_score"] = 1 + (u[col] > c1) + (u[col] > c2)
+    expect = (
+        u.groupby(["r_score", "f_score", "m_score"])
+        .agg(n_users=("g_m", "size"), monetary_e2=("g_m", "sum"))
+        .reset_index()
+        .sort_values(["r_score", "f_score", "m_score"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect)
+    for c in ("r_score", "f_score", "m_score", "n_users", "monetary_e2"):
+        assert list(got[c]) == list(expect[c]), c

@@ -777,6 +777,12 @@ SHUFFLE_BUDGET = {
     # plan materializes the subtree twice; ReuseExchange collapses it at
     # runtime) + the broadcast for the O(types^2) pair join.
     "stats_welch_ttest": 5,
+    # Static expansion of the shared per-user subtree (melt/cutoff/
+    # score/count references; ReuseExchange collapses at runtime).
+    # Runtime distinct shuffles: users agg, ONE melted (dim, value)
+    # count, bucket totals, final cube — the melt-once design; the
+    # per-dimension variant measured 73 static exchanges.
+    "events_rfm_segments": 27,
 }
 
 
