@@ -2239,3 +2239,67 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("g_m").alias("monetary_e2"),
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, date_trunc('day', ts) AS d,
+                   epoch_us(ts) AS us, event_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events),
+        s AS (
+            SELECT user_id, d,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM e WHERE rn <= 8 GROUP BY user_id, d),
+        c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+              FROM s GROUP BY path)
+        SELECT path, n_sessions FROM c
+        ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    tags=("events", "analytics", "extension"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey paths — the path/flow analysis behind every
+    product-analytics funnel explorer: each user-day session becomes
+    its ordered event-type sequence (deterministic (ts, event_id)
+    order, truncated to the first 8 steps BEFORE any list builds, so
+    per-session state is bounded no matter how hot a user-day gets),
+    then paths count corpus-wide and the top 20 rank by (count desc,
+    path) — a total order, so the cut is engine-deterministic.
+
+    Scale shape: ONE shuffle — the row_number window partitions by
+    (user_id, day) (cardinality grows with the data; the sessionize
+    precedent) and the following groupBy reuses the exact same hash
+    partitioning, so the truncate + assemble pipeline is a single
+    exchange; the path-count aggregation is partial-agged and the
+    top-20 lowers to TakeOrderedAndProject — no global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("d"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id", "d").orderBy("us", "event_id")
+    s = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .groupBy("user_id", "d")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    c = s.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    return c.orderBy(F.col("n_sessions").desc(), "path").limit(20)

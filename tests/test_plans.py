@@ -783,6 +783,10 @@ SHUFFLE_BUDGET = {
     # count, bucket totals, final cube — the melt-once design; the
     # per-dimension variant measured 73 static exchanges.
     "events_rfm_segments": 27,
+    # ONE (user_id, day) exchange shared by the truncation window and
+    # the path-assembly groupBy (same hash partitioning) + the path
+    # count; top-20 lowers to TakeOrderedAndProject.
+    "events_top_paths": 2,
 }
 
 
