@@ -2160,6 +2160,7 @@ def _rfm_cutoffs(users: DataFrame) -> DataFrame:
         GROUP BY r_score, f_score, m_score
     """,
     tags=("events", "statistical", "extension"),
+    bench=True,
 )
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (Hughes 1994, the classic marketing
@@ -2261,6 +2262,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_sessions DESC, path LIMIT 20
     """,
     tags=("events", "analytics", "extension"),
+    bench=True,
 )
 def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 user journey paths — the path/flow analysis behind every

@@ -1000,6 +1000,7 @@ _CHUNK_CEIL_BIAS = _CHUNK_SIZE - _CHUNK_STRIDE + 1  # = 5
         FROM c
     """,
     tags=("text", "extension", "training-data"),
+    bench=True,
 )
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking — the retrieval/context-window
