@@ -210,6 +210,24 @@ SHOWCASE = [
      "broadcasts (no SortMergeJoin anywhere), scoring shuffles only "
      "the per-doc aggregation, and top-K lowers to "
      "TakeOrderedAndProject."),
+    ("text_chunk_sliding",
+     "Sliding-window RAG chunking is PURELY map-side: scan -> explode "
+     "-> slice/md5, zero Exchange operators anywhere — chunk rows "
+     "stream straight to the sink at any scale."),
+    ("stats_welch_ttest",
+     "Welch t-test: ONE partial-aggregated shuffle down to O(types) "
+     "sufficient-statistic rows, then a broadcast theta self-join for "
+     "the O(types^2) pair matrix — the fact table never re-shuffles."),
+    ("events_rfm_segments",
+     "Melt-once exact tertiles: all three RFM dimensions' distinct "
+     "-value counts ride ONE keyed shuffle; cumulative counts run "
+     "(dim, range-bucket)-local windows plus the broadcast earlier "
+     "-bucket stitch — no global NTILE window over users anywhere."),
+    ("events_top_paths",
+     "Journey paths: the 8-step truncation lowers to WindowGroupLimit "
+     "(map-side pre-trim), the path-assembly groupBy reuses the "
+     "window's (user, day) hash partitioning, and the top-20 lowers "
+     "to TakeOrderedAndProject — 2 exchanges total."),
 ]
 
 
