@@ -2305,3 +2305,87 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = s.groupBy("path").agg(F.count("*").alias("n_sessions"))
     return c.orderBy(F.col("n_sessions").desc(), "path").limit(20)
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+        WITH p AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE)
+                              AS d,
+                          CAST(ROUND(value * 100) AS BIGINT) AS v_e2
+                   FROM events WHERE event_type = 'purchase'),
+        fc AS (SELECT user_id, MIN(d) AS cohort FROM p GROUP BY user_id),
+        cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+               FROM fc GROUP BY cohort),
+        cell AS (SELECT fc.cohort,
+                        CAST(date_diff('day', fc.cohort, p.d) AS BIGINT)
+                            AS offset_days,
+                        CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                        CAST(SUM(p.v_e2) AS BIGINT) AS rev_e2
+                 FROM p JOIN fc ON p.user_id = fc.user_id
+                 GROUP BY fc.cohort, offset_days)
+        SELECT STRFTIME(cell.cohort, '%Y-%m-%d') AS cohort,
+               offset_days, n_purchases, rev_e2,
+               CAST(SUM(rev_e2) OVER (PARTITION BY cell.cohort
+                                      ORDER BY offset_days
+                                      ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_rev_e2,
+               cs.cohort_size
+        FROM cell JOIN cs ON cell.cohort = cs.cohort
+    """,
+    tags=("events", "analytics", "extension"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — the lifetime-value readout behind every
+    retention dashboard: users cohort by first-purchase day, every
+    purchase lands in its (cohort, day-offset) cell, and revenue
+    accumulates across offsets so each cohort row reads as 'revenue
+    per user by day N'. Exact e2 cents throughout (numerator and
+    cohort_size ship separately — no float contract at all).
+
+    Scale shape: the first-purchase aggregation and the purchases
+    x cohort join share the SAME user_id hash partitioning (one
+    logical shuffle reused); the triangle cell aggregation is partial
+    -agged down to O(cohorts x offsets) rows, and the cumulative
+    window runs on THAT aggregate (guard-safe by construction — never
+    raw purchases); cohort sizes join in as a broadcast O(cohorts)
+    table."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+        )
+    )
+    fc = p.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    cs = fc.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    cell = (
+        p.join(fc, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff("d", "cohort").cast("long").alias("offset_days"),
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("v_e2").alias("rev_e2"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offset_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.withColumn("cum_rev_e2", F.sum("rev_e2").over(w))
+        .join(F.broadcast(cs), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "offset_days",
+            "n_purchases",
+            "rev_e2",
+            "cum_rev_e2",
+            "cohort_size",
+        )
+    )

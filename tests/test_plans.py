@@ -787,6 +787,11 @@ SHUFFLE_BUDGET = {
     # the path-assembly groupBy (same hash partitioning) + the path
     # count; top-20 lowers to TakeOrderedAndProject.
     "events_top_paths": 2,
+    # Static expansion of the purchases subtree (first-purchase agg +
+    # the purchases x cohort join reuse the same user_id partitioning
+    # at runtime); cumulative window runs on the O(cohorts x offsets)
+    # triangle, cohort sizes broadcast.
+    "events_cohort_ltv": 7,
 }
 
 
