@@ -1942,9 +1942,9 @@ def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
                         AS BIGINT) AS s1,
-                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
-                            * CAST(ROUND(value * 100) AS BIGINT))
-                        AS BIGINT) AS s2
+                   -- stays HUGEINT: v_e2^2 sums can pass 2^63 at scale
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)
+                       * CAST(ROUND(value * 100) AS BIGINT)) AS s2
             FROM events GROUP BY event_type),
         m AS (
             SELECT event_type, n,
@@ -1970,6 +1970,9 @@ def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * (b.var_e4 / CAST(b.n AS DOUBLE))
                           / CAST(b.n - 1 AS DOUBLE)), 6) AS df_welch
         FROM m a JOIN m b ON a.event_type < b.event_type
+        WHERE a.n > 1 AND b.n > 1
+          AND a.var_e4 / CAST(a.n AS DOUBLE)
+              + b.var_e4 / CAST(b.n AS DOUBLE) > 0
     """,
     tags=("agg", "statistical", "extension"),
 )
@@ -1980,11 +1983,20 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Welch 1947; the BEST-practice default over Student's t).
 
     Determinism contract: values snap to exact e2 integers, the three
-    sufficient statistics (n, Σv, Σv²) accumulate as exact BIGINTs
-    (order-insensitive), and only the final t / Welch–Satterthwaite df
-    expressions touch doubles — the same IEEE-754 tree on both engines
-    over identical exact inputs, rounded to 1e-6. t and df are scale
-    -invariant, so e2/e4 units need no un-scaling.
+    sufficient statistics (n, Σv, Σv²) accumulate exactly and order
+    -insensitively — n and Σv as BIGINT (Σv needs |value| * rows
+    < 9.2e16, comfortable at any realistic event volume), Σv² as
+    DECIMAL(38,0) because v² is ~1e9-1e10 per row and a BIGINT sum
+    would wrap near 1e9 rows per type (DuckDB's SUM(BIGINT) widens to
+    HUGEINT for the same reason). Only the final t / Welch
+    –Satterthwaite df expressions touch doubles — both engines convert
+    the same exact integers and evaluate the same IEEE-754 tree,
+    rounded to 1e-6. t and df are scale-invariant, so e2/e4 units need
+    no un-scaling. Pairs with a singleton side (n <= 1 leaves the
+    sample variance undefined) or two zero-variance sides (t's divisor
+    is 0) are excluded by the SAME exact-arithmetic predicate on both
+    engines — Spark's NULL-on-divide-by-zero vs DuckDB's NaN would
+    otherwise disagree.
 
     Scale shape: ONE partial-aggregated shuffle down to O(types) rows,
     then an O(types²) broadcast theta self-join over the tiny
@@ -1998,7 +2010,9 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("v_e2").alias("s1"),
-        F.sum(F.col("v_e2") * F.col("v_e2")).alias("s2"),
+        F.sum(
+            (F.col("v_e2") * F.col("v_e2")).cast("decimal(38,0)")
+        ).alias("s2"),
     )
     nd = F.col("n").cast("double")
     m = g.select(
@@ -2021,6 +2035,9 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     se2 = sa + sb
     return (
         a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .filter(
+            (F.col("a.n") > 1) & (F.col("b.n") > 1) & (se2 > 0)
+        )
         .select(
             F.col("a.event_type").alias("type_a"),
             F.col("b.event_type").alias("type_b"),
@@ -2355,7 +2372,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select(
             "user_id",
-            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            F.to_date("ts").alias("d"),
             F.round(F.col("value") * 100).cast("long").alias("v_e2"),
         )
     )

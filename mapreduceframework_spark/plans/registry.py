@@ -73,9 +73,9 @@ def query(
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-8 window (VERDICT r7 items
 # 1 and 6), 21 + 4 + 25 = 50:
-# - 15 never-driver-checked rows: the 7 queries added late in round 7
+# - 21 never-driver-checked rows: the 7 queries added late in round 7
 #   (every other pre-r8 query has at least one green round) plus the
-#   EIGHT queries new this round (similarity_join_minhash — cross
+#   FOURTEEN queries new this round (similarity_join_minhash — cross
 #   -corpus MinHash set-similarity join; similarity_join_prefix_filter
 #   — exact prefix-filtered self similarity join;
 #   sample_weighted_reservoir — Efraimidis-Spirakis weighted sampling;
@@ -103,8 +103,8 @@ def query(
 #   tpch_q6_forecast_revenue and tpch_q5_local_volume — ALL of those
 #   must lead round 9's refresh block (5-round staleness by then).
 # All 50 re-verified locally at sf0.01 via check_window (both compare
-# paths) + drive_contract at rotation time; the seven rewritten/new
-# queries additionally at sf0.1.
+# paths) + drive_contract at rotation time; every new/rewritten query
+# additionally at sf0.1 (plus full-registry sf0.1 sweeps, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never driver-checked: first evidence (11 + the 10 mid-round-8
     #     additions, which displaced the r04-cohort refresh slots,
@@ -137,7 +137,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_anomaly_mad",
     "join_interval_overlap",
     "sort_global_ranked",
-    # --- stalest refresh: the full r03 cohort (32) ---
+    # --- stalest refresh: the remaining r03 cohort (25; six of the
+    #     original 32 yielded their slots to new-query rows above and
+    #     move to the round-9 head) ---
     "ann_cosine_lsh",
     "dedup_edit_distance_verify",
     "join_anti",

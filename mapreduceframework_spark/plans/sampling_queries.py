@@ -29,11 +29,31 @@ from mapreduceframework_spark.plans.dedup_queries import MINHASH_PAIRS_CTES, _mi
 # literal formula on both engines (never engine-native hash/rand — a
 # training pipeline needs splits that survive re-runs and engine swaps).
 # Max intermediate: doc_id * 2654435761 stays < 2^63 for doc_id < 3.4e9.
-_BUCKET = "((doc_id * 2654435761 + 40503) % 1000)"
+def _bucket_sql(col: str = "doc_id") -> str:
+    return f"(({col} * 2654435761 + 40503) % 1000)"
 
 
-def _bucket_col() -> F.Column:
-    return (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % 1000
+_BUCKET = _bucket_sql()
+
+
+def _bucket_col(col: str = "doc_id") -> F.Column:
+    return (F.col(col) * F.lit(2654435761) + F.lit(40503)) % 1000
+
+
+# The 80/10/10 split convention — ONE definition per engine, shared by
+# split_train_val_test (doc-keyed) and split_leakage_safe (group-keyed)
+# so the split thresholds cannot drift between them.
+def _split_case_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {_bucket_sql(col)} < 800 THEN 'train' "
+        f"WHEN {_bucket_sql(col)} < 900 THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def _split_case_col(col: str) -> F.Column:
+    b = _bucket_col(col)
+    return F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
 
 
 @query(
@@ -59,9 +79,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "split_train_val_test",
     oracle=f"""
-        SELECT CASE WHEN {_BUCKET} < 800 THEN 'train'
-                    WHEN {_BUCKET} < 900 THEN 'val'
-                    ELSE 'test' END AS split,
+        SELECT {_split_case_sql("doc_id")} AS split,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM documents GROUP BY split
@@ -73,12 +91,8 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket — the split a 100 TB corpus job computes inline (a join
     against a split table would be another shuffle; a hash is free)."""
     docs = load_table(spark, sf_dir, "documents")
-    b = _bucket_col()
     return (
-        docs.withColumn(
-            "split",
-            F.when(b < 800, "train").when(b < 900, "val").otherwise("test"),
-        )
+        docs.withColumn("split", _split_case_col("doc_id"))
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -848,11 +862,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
                        COALESCE(c.cluster_id, d.doc_id) AS group_id
                 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
         SELECT doc_id, group_id,
-               CASE WHEN ((group_id * 2654435761 + 40503) % 1000) < 800
-                         THEN 'train'
-                    WHEN ((group_id * 2654435761 + 40503) % 1000) < 900
-                         THEN 'val'
-                    ELSE 'test' END AS split
+               {_split_case_sql("group_id")} AS split
         FROM grp
     """,
     tags=("sampling", "dedup", "extension", "training-data"),
@@ -889,10 +899,8 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
     )
-    b = (F.col("group_id") * F.lit(2654435761) + F.lit(40503)) % 1000
     return grp.select(
         "doc_id",
         "group_id",
-        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
-        .alias("split"),
+        _split_case_col("group_id").alias("split"),
     )
