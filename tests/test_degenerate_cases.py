@@ -94,3 +94,71 @@ def test_snapshot_diff_merge_round_trip(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_welch_ttest_excludes_degenerate_pairs_like_oracle(spark, tmp_path):
+    """The Welch guard (review finding): singleton event types (sample
+    variance undefined at n=1) and pairs whose pooled variance is zero
+    must be EXCLUDED — Spark's NULL-on-divide-by-zero and DuckDB's NaN
+    would otherwise disagree. Crafted parquet: 'solo' has one row,
+    'flat'/'flat2' are zero-variance, 'varied'/'varied2' are normal.
+    Both engines must return the same pair set with finite stats."""
+    import duckdb
+    import math
+    import pandas as pd
+
+    from mapreduceframework_spark.plans.registry import all_queries
+
+    rows = []
+
+    def add(t, values):
+        for v in values:
+            rows.append(
+                (
+                    len(rows),
+                    pd.Timestamp("2024-01-01") + pd.Timedelta(len(rows), "s"),
+                    len(rows) % 3,
+                    t,
+                    v,
+                    "{}",
+                )
+            )
+
+    add("solo", [5.0])
+    add("flat", [2.0, 2.0, 2.0])
+    add("flat2", [7.0, 7.0])
+    add("varied", [1.0, 3.0, 8.0])
+    add("varied2", [2.5, 9.75])
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+
+    spec = all_queries()["stats_welch_ttest"]
+    got = spec.fn(spark, str(tmp_path)).toPandas()
+    pairs = set(zip(got["type_a"], got["type_b"]))
+
+    # No 'solo' pair survives; the flat x flat2 pair (zero pooled
+    # variance) is excluded; everything else is present.
+    assert pairs == {
+        ("flat", "varied"),
+        ("flat", "varied2"),
+        ("flat2", "varied"),
+        ("flat2", "varied2"),
+        ("varied", "varied2"),
+    }
+    assert got["t_stat"].notna().all() and got["df_welch"].notna().all()
+    assert all(math.isfinite(v) for v in got["t_stat"])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    ora = con.execute(spec.oracle).fetchdf()
+    assert set(zip(ora["type_a"], ora["type_b"])) == pairs
+    merged = got.merge(ora, on=["type_a", "type_b"], suffixes=("", "_o"))
+    assert (merged["t_stat"] == merged["t_stat_o"]).all()
+    assert (merged["df_welch"] == merged["df_welch_o"]).all()
