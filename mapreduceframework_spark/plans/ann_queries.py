@@ -1206,3 +1206,142 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drift_sq"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-ranking (Carbonell & Goldstein 1998)
+# --------------------------------------------------------------------------
+
+_MMR_POOL = 20  # relevance-pruned candidate pool size
+_MMR_K = 5      # results to select
+_MMR_QUERY = 0  # query vector id
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy MMR as plain chained CTEs (no recursion — the
+    recursive-term restrictions around aggregating the working table
+    differ per engine; K is a fixed constant, so unrolling is exact).
+    Step i picks argmax over unpicked candidates of
+    rel - max(sim to picked)/2, ties to the smallest vec_id."""
+    from mapreduceframework_spark.operators.vectors import cosine_sql
+    from mapreduceframework_spark.plans.corpus import EMB_CTE
+
+    steps = []
+    for i in range(1, _MMR_K + 1):
+        if i == 1:
+            steps.append(
+                "s1 AS (SELECT vec_id, rel, rel AS mmr FROM cand "
+                "ORDER BY rel DESC, vec_id LIMIT 1)"
+            )
+            continue
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        steps.append(
+            f"s{i} AS (SELECT c.vec_id, c.rel, "
+            f"c.rel - (SELECT MAX(s.sim) FROM sims s "
+            f"WHERE s.ia = c.vec_id AND s.ib IN ({prev})) "
+            f"/ CAST(2 AS DOUBLE) AS mmr "
+            f"FROM cand c WHERE c.vec_id NOT IN ({prev}) "
+            f"ORDER BY mmr DESC, c.vec_id LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, vec_id, rel, mmr FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+        WITH e AS ({EMB_CTE}),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {_MMR_QUERY}),
+        scored AS (SELECT e.vec_id, {cosine_sql("q.qv", "e.v")} AS rel
+                   FROM e, q WHERE e.vec_id <> {_MMR_QUERY}),
+        cand AS (SELECT vec_id, rel FROM scored
+                 ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),
+        sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                        {cosine_sql("ea.v", "eb.v")} AS sim
+                 FROM cand a JOIN e ea ON ea.vec_id = a.vec_id
+                 JOIN cand b ON b.vec_id <> a.vec_id
+                 JOIN e eb ON eb.vec_id = b.vec_id),
+        {", ".join(steps)}
+        SELECT step, vec_id, ROUND(rel, 6) AS rel,
+               ROUND(mmr, 6) AS mmr FROM ({union})
+    """
+
+
+@query(
+    "ann_mmr_rerank",
+    oracle=_mmr_oracle_sql(),
+    tags=("similarity", "extension", "training-data"),
+)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): select K=5 results that balance relevance to the query
+    against redundancy with what's already selected — the diversity
+    -aware top-k a retrieval/eval-set-construction pipeline runs AFTER
+    candidate generation (near-identical neighbors add no information).
+    score(c) = rel(c) - max_{s in selected} sim(c, s) / 2 (lambda =
+    1/2), greedy, ties to the smallest vec_id.
+
+    Scale shape: the corpus-sized work is exactly the brute-force
+    relevance scan (broadcast query, no corpus shuffle) pruned to a
+    CONSTANT pool of 20 candidates via the top-k window; pairwise
+    similarities among the pool are 20x19 rows. The greedy selection
+    then runs driver-side over that model-sized state (the k-means
+    -centroid pattern: a bounded collect, never corpus rows) — at
+    100 TB the pool is still 20 rows. Both engines feed the SAME
+    IEEE cosine doubles into the same one-subtraction-one-halving
+    score, so the greedy picks are engine-identical; the oracle
+    unrolls the K steps as chained CTEs."""
+    e = _embeddings(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == _MMR_QUERY).select(
+        F.col("v").alias("qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != _MMR_QUERY)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", V.cosine(F.col("qv"), F.col("v")).alias("rel"))
+    )
+    # Global top-k lowers to TakeOrderedAndProject (per-partition heaps
+    # + driver merge, the topk_orders pattern) — never a global window.
+    cand = scored.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_POOL)
+    a = cand.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("rel").alias("rel_a"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select("ia", "ib", V.cosine(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    # Model-sized driver reads (pool rows + pool^2 sims), then the
+    # greedy loop in exact IEEE double arithmetic.
+    cand_rows = cand.select("vec_id", "rel").collect()
+    sim_rows = sims.collect()
+    rel = {r["vec_id"]: r["rel"] for r in cand_rows}
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in sim_rows}
+    selected: list[tuple[int, int, float, float]] = []
+    picked: list[int] = []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for vid in sorted(rel):
+            if vid in picked:
+                continue
+            if picked:
+                score = rel[vid] - max(sim[(vid, s)] for s in picked) / 2
+            else:
+                score = rel[vid]
+            # argmax with ties to the smallest vec_id: strictly-greater
+            # wins; equal keeps the earlier (smaller, since sorted) id.
+            if best is None or score > best[1]:
+                best = (vid, score)
+        picked.append(best[0])
+        selected.append((step, best[0], rel[best[0]], best[1]))
+    out = spark.createDataFrame(
+        selected, "step long, vec_id long, rel double, mmr double"
+    )
+    return out.select(
+        "step", "vec_id",
+        F.round("rel", 6).alias("rel"),
+        F.round("mmr", 6).alias("mmr"),
+    )

@@ -325,7 +325,7 @@ CARTESIAN_OK = {"join_cross"}
 # Streaming queries execute through the streaming engine; batch explain
 # isn't meaningful for them. Iterative/driver-loop queries materialize
 # checkpoints during plan construction — skip the static explain too.
-NOT_STATIC = {"dedup_clusters", "split_leakage_safe"}
+NOT_STATIC = {"dedup_clusters", "split_leakage_safe", "ann_mmr_rerank"}
 
 
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
