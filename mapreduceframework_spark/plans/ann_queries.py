@@ -1335,6 +1335,8 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # wins; equal keeps the earlier (smaller, since sorted) id.
             if best is None or score > best[1]:
                 best = (vid, score)
+        if best is None:  # pool exhausted (corpus smaller than K)
+            break
         picked.append(best[0])
         selected.append((step, best[0], rel[best[0]], best[1]))
     out = spark.createDataFrame(
