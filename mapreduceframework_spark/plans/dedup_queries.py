@@ -1039,3 +1039,100 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("n_shared") / n_union).alias("jac"),
         )
     )
+
+
+# Collaborative-filtering popularity cap: parts bought by more than
+# this many customers are dropped before pair generation (the standard
+# CF hot-item prune — a part half the corpus bought says nothing about
+# taste similarity AND quadratically dominates the candidate join).
+_RECO_CAP = 40
+
+
+@query(
+    "reco_user_similarity",
+    oracle=f"""
+        WITH b AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                   FROM orders o
+                   JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        keep AS (SELECT p FROM b GROUP BY p
+                 HAVING COUNT(*) BETWEEN 2 AND {_RECO_CAP}),
+        bk AS (SELECT c, b.p FROM b JOIN keep ON keep.p = b.p),
+        sz AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS s FROM bk GROUP BY c),
+        pairs AS (SELECT x.c AS cust_a, y.c AS cust_b,
+                         CAST(COUNT(*) AS BIGINT) AS inter
+                  FROM bk x JOIN bk y ON x.p = y.p AND x.c < y.c
+                  GROUP BY x.c, y.c)
+        SELECT cust_a, cust_b, inter,
+               sa.s + sb.s - inter AS uni,
+               CAST(ROUND(1000000 * inter / (sa.s + sb.s - inter))
+                    AS BIGINT) AS jaccard_e6
+        FROM pairs
+        JOIN sz sa ON sa.c = cust_a
+        JOIN sz sb ON sb.c = cust_b
+        ORDER BY jaccard_e6 DESC, cust_a, cust_b
+        LIMIT 20
+    """,
+    tags=("mining", "extension", "recommendation"),
+)
+def reco_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative-filtering USER similarity (the
+    neighborhood method behind 'customers like you also bought',
+    Sarwar et al. WWW'01 transposed): exact part-basket Jaccard
+    between customer pairs, top-20. All math is exact integers —
+    intersection counts from the shared-part join, union by
+    inclusion-exclusion — and the 1e-6-unit score is one double
+    division of exact ints (never a half-integer tie: unions are
+    <= ~100 so ROUND is engine-identical).
+
+    Scale shape: the candidate join is part-keyed with fan-out capped
+    by the popularity prune (parts bought by > {_RECO_CAP} customers
+    carry no taste signal AND dominate the join quadratically — the
+    CF analogue of the stop-shingle prune, deterministic, applied
+    identically both engines). Per-part pair volume is O(cap^2), so
+    candidates grow linearly in |parts|; pair counts partial-aggregate
+    map-side; basket sizes join in as an O(customers) table; top-20
+    lowers to TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    b = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    keep = (
+        b.groupBy("p")
+        .agg(F.count("*").alias("cnt"))
+        .filter((F.col("cnt") >= 2) & (F.col("cnt") <= _RECO_CAP))
+        .select("p")
+    )
+    bk = b.join(keep, "p").select("c", "p")
+    sz = bk.groupBy("c").agg(F.count("*").alias("s"))
+    x = bk.select(F.col("c").alias("cust_a"), "p")
+    y = bk.select(F.col("c").alias("cust_b"), "p")
+    pairs = (
+        x.join(y, ["p"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sz.select(F.col("c").alias("cust_a"), F.col("s").alias("s_a"))
+    sb = sz.select(F.col("c").alias("cust_b"), F.col("s").alias("s_b"))
+    uni = F.col("s_a") + F.col("s_b") - F.col("inter")
+    scored = (
+        pairs.join(sa, "cust_a")
+        .join(sb, "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "inter",
+            uni.alias("uni"),
+            F.round(F.lit(1_000_000) * F.col("inter") / uni)
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_e6").desc(), "cust_a", "cust_b"
+    ).limit(20)

@@ -72,10 +72,10 @@ def query(
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-8 window (VERDICT r7 items
-# 1 and 6), 22 + 4 + 24 = 50:
-# - 22 never-driver-checked rows: the 7 queries added late in round 7
+# 1 and 6), 23 + 4 + 23 = 50:
+# - 23 never-driver-checked rows: the 7 queries added late in round 7
 #   (every other pre-r8 query has at least one green round) plus the
-#   FIFTEEN queries new this round (similarity_join_minhash — cross
+#   SIXTEEN queries new this round (similarity_join_minhash — cross
 #   -corpus MinHash set-similarity join; similarity_join_prefix_filter
 #   — exact prefix-filtered self similarity join;
 #   sample_weighted_reservoir — Efraimidis-Spirakis weighted sampling;
@@ -90,29 +90,29 @@ def query(
 #   events_rfm_segments — RFM segmentation, melt-once exact tertiles;
 #   events_top_paths — top-20 user journey paths;
 #   events_cohort_ltv — cohort LTV triangle, exact cents;
-#   ann_mmr_rerank — MMR diversity re-ranking, bounded-pool greedy);
+#   ann_mmr_rerank — MMR diversity re-ranking, bounded-pool greedy;
+#   reco_user_similarity — CF user-similarity, popularity-capped);
 # - 4 code-change sentinels (agg_mode_exact / events_anomaly_mad /
 #   join_interval_overlap — the enum-key window fixes;
 #   sort_global_ranked — the bucketed two-phase global rank that
 #   emptied GLOBAL_WINDOW_OK; agg_weighted_median and
 #   stats_cusum_drift, the other two fixes, are in the block above);
-# - 24 stalest greens from the round-3 cohort. Slots yielded to
+# - 23 stalest greens from the round-3 cohort. Slots yielded to
 #   new-query evidence this round: the whole r04 cohort (cube_counts,
 #   feature_quantile_buckets, flatmap_posexplode, graph_degree_stats,
 #   window_topk_per_group, ...) plus the r03 rows udtf_bigram_counts,
-#   udtf_native_token_runs, window_running_sum, udf_pandas_grouped_agg,
-#   tpch_q6_forecast_revenue, tpch_q5_local_volume and tpch_q3_shipping
-#   — ALL of those must lead round 9's refresh block (5-round
-#   staleness by then).
+#   udtf_native_token_runs, window_running_sum, udf_pandas_grouped_agg
+#   and tpch_q2/q3/q5/q6 — ALL of those must lead round 9's refresh
+#   block (5-round staleness by then).
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
 # additionally at sf0.1 (plus full-registry sf0.1 sweeps, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (11 + the 11 mid-round-8
+    # --- never driver-checked: first evidence (11 + the 12 mid-round-8
     #     additions, which displaced the r04-cohort refresh slots,
     #     window_topk_per_group, the udtf_* pair, window_running_sum,
-    #     udf_pandas_grouped_agg and tpch_q3/q5/q6 — those move to the
-    #     round-9 head) ---
+    #     udf_pandas_grouped_agg and tpch_q2/q3/q5/q6 — those move to
+    #     the round-9 head) ---
     "lakehouse_incremental_join",
     "cdc_merkle_reconcile",
     "join_skew_two_path",
@@ -124,6 +124,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_top_paths",
     "events_cohort_ltv",
     "ann_mmr_rerank",
+    "reco_user_similarity",
     "agg_weighted_median",
     "embedding_centroid_drift",
     "join_attribution_first_touch",
@@ -166,7 +167,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q1_pricing",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_rich_customers",
-    "tpch_q2_min_cost_supplier",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -792,6 +792,12 @@ SHUFFLE_BUDGET = {
     # at runtime); cumulative window runs on the O(cohorts x offsets)
     # triangle, cohort sizes broadcast.
     "events_cohort_ltv": 7,
+    # Static expansion of the shared pruned-basket subtree (pair join
+    # sides + basket sizes each re-expand the distinct + popularity
+    # -prune chain; runtime ReuseExchange collapses them). Runtime
+    # distinct shuffles: basket dedup, part counts, pair counts, size
+    # joins; top-20 lowers to TakeOrderedAndProject.
+    "reco_user_similarity": 29,
 }
 
 
