@@ -228,6 +228,16 @@ SHOWCASE = [
      "(map-side pre-trim), the path-assembly groupBy reuses the "
      "window's (user, day) hash partitioning, and the top-20 lowers "
      "to TakeOrderedAndProject — 2 exchanges total."),
+    ("events_cohort_ltv",
+     "Cohort LTV triangle: the first-purchase aggregation and the "
+     "purchases x cohort join reuse the same user_id hash "
+     "partitioning; the cumulative window reads only the O(cohorts x "
+     "offsets) triangle; cohort sizes ride a BroadcastHashJoin."),
+    ("reco_user_similarity",
+     "CF user similarity: the pair join is part-keyed with fan-out "
+     "capped by the popularity prune, pair counts partial-aggregate "
+     "before the exchange, and the top-20 lowers to "
+     "TakeOrderedAndProject — never a user x user join."),
 ]
 
 
