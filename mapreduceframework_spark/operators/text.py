@@ -157,3 +157,110 @@ def rolling_fingerprint(text: Column, modulus: int = 1_000_000_007) -> Column:
             F.lit(modulus),
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact BPE tokenization (text_bpe_tokenize / pack_bpe_chunks)
+# --------------------------------------------------------------------------
+
+# The engine's published subword merge table: 48 byte-pair merges
+# learned offline with the classic BPE trainer (Sennrich et al. 2016 —
+# count adjacent symbol pairs over the word-frequency table, merge the
+# most frequent, repeat; ties broken count-DESC then pair-ASC) on the
+# synthetic corpus' word frequencies. Order IS the tokenizer: merges
+# apply rank by rank, exactly like a GPT-2-style encoder consuming
+# merges.txt. Model-sized by definition (a real table is 32k-100k rows
+# and ships broadcast — here it folds into the expression tree, the
+# text_quality_classifier precedent).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+    ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+    ("e", "ctor"), ("or", "der"), ("v", "ector"),
+)
+
+# Unit delimiter for the in-string token representation. '|' cannot
+# survive into the encoded text: encoding strips it first (tokenizer
+# normalization, stated in the query contract).
+_BPE_D = "|"
+
+
+def bpe_encode(text: Column) -> Column:
+    """Exact BPE encoding of ``text`` as a delimited unit string.
+
+    Representation: every character becomes a ``|c|`` unit (so units
+    abut as ``||`` and the string starts/ends with a single ``|``);
+    merge rank r rewrites every left-to-right non-overlapping
+    ``|a||b|`` into ``|ab|``. Plain string ``replace`` continues
+    scanning AFTER each replacement, which is exactly BPE's
+    merge-all-occurrences-left-to-right pass, and applying ranks in
+    order is exactly the greedy encoder: a merge can only create pairs
+    involving its own output token, which every later-rank pattern —
+    never an earlier one — may consume. Word boundaries need no
+    special casing: spaces/digits/punctuation are units no merge pair
+    contains, so letter merges cannot cross them.
+
+    Scale shape: 1 + len(BPE_MERGES) row-local string passes, all
+    inside whole-stage codegen — zero Python, zero shuffle, and the
+    merge table travels inside the plan (broadcast-equivalent)."""
+    s = F.regexp_replace(F.lower(text), r"\|", "")
+    # (?s) is load-bearing: without DOTALL, Java's '.' skips \n and \r
+    # (and RE2 skips only \n), so newline chars silently escape the
+    # unit representation — and differently per engine.
+    s = F.regexp_replace(s, "(?s)(.)", "|$1|")
+    for a, b in BPE_MERGES:
+        s = F.replace(
+            s,
+            F.lit(f"{_BPE_D}{a}{_BPE_D}{_BPE_D}{b}{_BPE_D}"),
+            F.lit(f"{_BPE_D}{a}{b}{_BPE_D}"),
+        )
+    return s
+
+
+def bpe_encode_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`bpe_encode` — same passes in the same
+    order (DuckDB regexp_replace needs the explicit 'g' flag; replace()
+    is replace-all in both engines)."""
+    s = (
+        f"regexp_replace(regexp_replace(lower({expr}), '\\|', '', 'g'), "
+        f"'(?s)(.)', '|\\1|', 'g')"
+    )
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    return s
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Exact BPE token count of ``text``: total units in the encoded
+    string minus whitespace units (whitespace separates words; it is
+    not a token). Unit count = count('||') + 1 = (len - len(with '||'
+    collapsed to '|')) + 1 for non-empty input."""
+    s = bpe_encode(text)
+    units = (
+        F.length(s) - F.length(F.replace(s, F.lit("||"), F.lit("|"))) + 1
+    )
+    t = F.lower(text)
+    ws = F.length(t) - F.length(F.regexp_replace(t, "[ \t\n\r]", ""))
+    return (
+        F.when(F.length(s) == 0, F.lit(0))
+        .otherwise(units - ws)
+        .cast("long")
+    )
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    s = bpe_encode_sql(expr)
+    return (
+        f"(CASE WHEN length({s}) = 0 THEN 0 "
+        f"ELSE length({s}) - length(replace({s}, '||', '|')) + 1 "
+        f"- (length(lower({expr})) "
+        f"   - length(regexp_replace(lower({expr}), '[ \\t\\n\\r]', '', 'g'))) "
+        f"END)::BIGINT"
+    )

@@ -1940,8 +1940,9 @@ def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH g AS (
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
-                        AS BIGINT) AS s1,
+                   -- stays HUGEINT (like s2): symmetric with Spark's
+                   -- DECIMAL(38,0) accumulator — neither engine wraps
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1,
                    -- stays HUGEINT: v_e2^2 sums can pass 2^63 at scale
                    SUM(CAST(ROUND(value * 100) AS BIGINT)
                        * CAST(ROUND(value * 100) AS BIGINT)) AS s2
@@ -1984,11 +1985,12 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism contract: values snap to exact e2 integers, the three
     sufficient statistics (n, Σv, Σv²) accumulate exactly and order
-    -insensitively — n and Σv as BIGINT (Σv needs |value| * rows
-    < 9.2e16, comfortable at any realistic event volume), Σv² as
-    DECIMAL(38,0) because v² is ~1e9-1e10 per row and a BIGINT sum
-    would wrap near 1e9 rows per type (DuckDB's SUM(BIGINT) widens to
-    HUGEINT for the same reason). Only the final t / Welch
+    -insensitively — n as BIGINT, Σv AND Σv² as DECIMAL(38,0) (v² is
+    ~1e9-1e10 per row so a BIGINT Σv² would wrap near 1e9 rows per
+    type, and Σv gets the same wide accumulator so the exact-integer
+    contract is symmetric with the oracle — DuckDB's SUM(BIGINT)
+    widens both to HUGEINT — instead of silently wrapping past
+    |value| * rows ~ 9.2e16). Only the final t / Welch
     –Satterthwaite df expressions touch doubles — both engines convert
     the same exact integers and evaluate the same IEEE-754 tree,
     rounded to 1e-6. t and df are scale-invariant, so e2/e4 units need
@@ -2009,7 +2011,11 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("v_e2").alias("s1"),
+        # DECIMAL(38,0) like s2: a raw LONG sum would wrap silently in
+        # non-ANSI mode past |value| * rows ~ 9.2e16 while the oracle's
+        # SUM(BIGINT) widens to HUGEINT — the exact-integer contract
+        # must fail loudly (overflow) or not at all, symmetrically.
+        F.sum(F.col("v_e2").cast("decimal(38,0)")).alias("s1"),
         F.sum(
             (F.col("v_e2") * F.col("v_e2")).cast("decimal(38,0)")
         ).alias("s2"),

@@ -444,11 +444,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "kmeans_quantized_clusters",
-    bench=True,
-    oracle="""
-        WITH x64 AS (
+# Shared DuckDB CTE chain: int8 quantization + the full 2-update
+# Lloyd's k-means (k=8, d=64) iteration trace, ending in the final
+# assignment ``a3(vec_id, qv, cid)``. Both kmeans_quantized_clusters
+# and dedup_semantic_clusters (plans/dedup_queries.py) embed it, so the
+# SemDeDup oracle value-checks the IDENTICAL clustering the Spark side
+# computes via operators/vectors.kmeans_lloyd — one rendering, two
+# consumers, zero drift.
+KMEANS8_ASSIGN_CTES = """
+        x64 AS (
             SELECT vec_id, [CAST(e AS DOUBLE) for e in embedding] AS x
             FROM embeddings),
         s AS (
@@ -497,15 +501,44 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c1.cid, COALESCE(c2l.c, c1.c) AS c
             FROM c1 LEFT JOIN c2l ON c1.cid = c2l.cid),
         a3 AS (
-            SELECT vec_id, cid FROM (
-                SELECT q.vec_id, c2.cid,
+            SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c2.cid,
                        row_number() OVER (PARTITION BY q.vec_id ORDER BY
                            list_reduce(list_prepend(0.0::DOUBLE,
                                [(qv[i] - c[i]) * (qv[i] - c[i])
                                 for i in range(1, len(qv) + 1)]),
                                (acc, e) -> acc + e), cid) AS rn
                 FROM q CROSS JOIN c2)
-            WHERE rn = 1),
+            WHERE rn = 1)"""
+
+
+def _embeddings_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv): symmetric int8 quantization of the embedding
+    column — the exact-integer code arrays the iterative/cluster rows
+    operate on (mirrors the ``x64 -> s -> q`` CTEs above; determinism
+    notes in embedding_quantize_int8's docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("x", F.col("embedding").cast("array<double>"))
+        .withColumn(
+            "absmax", F.array_max(F.transform("x", lambda v: F.abs(v)))
+        )
+        .filter(F.col("absmax") > 0)
+        .withColumn("scale", F.col("absmax") / 127.0)
+        .select(
+            "vec_id",
+            F.transform(
+                "x", lambda v: F.floor(v / F.col("scale") + 0.5)
+            ).alias("qv"),
+        )
+    )
+
+
+@query(
+    "kmeans_quantized_clusters",
+    bench=True,
+    oracle=f"""
+        WITH {KMEANS8_ASSIGN_CTES},
         digest AS (
             SELECT cid,
                    list_reduce(
@@ -538,21 +571,7 @@ def kmeans_quantized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     -cluster COALESCE — so the entire iteration trace is value-checked,
     not just the final sizes. Output per cluster: size, exact member
     id sum, and a fold digest of the final centroid coordinates."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.withColumn("x", F.col("embedding").cast("array<double>"))
-        .withColumn(
-            "absmax", F.array_max(F.transform("x", lambda v: F.abs(v)))
-        )
-        .filter(F.col("absmax") > 0)
-        .withColumn("scale", F.col("absmax") / 127.0)
-        .select(
-            "vec_id",
-            F.transform(
-                "x", lambda v: F.floor(v / F.col("scale") + 0.5)
-            ).alias("qv"),
-        )
-    )
+    q = _embeddings_q8(spark, sf_dir)
     asg, cents = V.kmeans_lloyd(q, k=8, updates=2)
     # Centroids are driver-side model state (list[list[float]]), so the
     # coordinate digest is plain Python — same IEEE floor(v*1000+0.5)

@@ -21,7 +21,12 @@ from mapreduceframework_spark.operators import dedup as D
 from mapreduceframework_spark.operators import vectors as V
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
-from mapreduceframework_spark.plans.ann_queries import EMB_BANDS_CTE, _emb_bands
+from mapreduceframework_spark.plans.ann_queries import (
+    EMB_BANDS_CTE,
+    KMEANS8_ASSIGN_CTES,
+    _emb_bands,
+    _embeddings_q8,
+)
 from mapreduceframework_spark.plans.corpus import (
     DOCS_CTE,
     EMB_CTE,
@@ -574,6 +579,57 @@ def mining_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTRING_CHUNK = 8
 
 
+def substring_chunk_dedup(docs: DataFrame) -> DataFrame:
+    """The chunked substring-dedup pipeline over ``docs(doc_id, words)``
+    — split into non-overlapping SUBSTRING_CHUNK-token chunks,
+    corpus-wide first occurrence (doc_id, pos) wins, rebuild — factored
+    out of dedup_substring_chunks so tests can drive it with PLANTED
+    duplicate spans and measure the chunk-granularity recall gap vs
+    exact suffix matching (tests/test_substring_fidelity.py pins both
+    the aligned-case exactness and the phase-misalignment miss)."""
+    n_chunks = F.ceil(F.size("words") / F.lit(float(SUBSTRING_CHUNK)))
+    # Lambda reads the stored `words` array, so each slice is O(chunk)
+    # on a decoded array, not a re-tokenization (see
+    # string_shingles_all's shape rationale).
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks.cast("int")),
+        lambda i: F.array_join(
+            F.slice(
+                F.col("words"),
+                (i - F.lit(1)) * SUBSTRING_CHUNK + 1,
+                SUBSTRING_CHUNK,
+            ),
+            " ",
+        ),
+    )
+    c = docs.select("doc_id", chunks.alias("chunks"))
+    e = c.select("doc_id", F.posexplode("chunks").alias("pos", "chunk"))
+    first_wins = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = (
+        e.withColumn("rn", F.row_number().over(first_wins))
+        .filter(F.col("rn") == 1)
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("kept_digest"),
+    )
+    base = c.select("doc_id", F.size("chunks").cast("long").alias("n_chunks"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
+    )
+
+
 @query(
     "dedup_substring_chunks",
     oracle=f"""
@@ -627,51 +683,17 @@ def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — no all-pairs anywhere, identical at 100 TB. A true
     suffix-array dedup (arbitrary-boundary substrings) trades this
     plan's 2 shuffles for a global sort; the chunk approximation is
-    the standard distributed compromise."""
-    docs = _docs_wide(spark, sf_dir)
-    n_chunks = F.ceil(F.size("words") / F.lit(float(SUBSTRING_CHUNK)))
-    # Lambda reads the stored `words` array (materialized by
-    # _docs_wide), so each slice is O(chunk) on a decoded array, not a
-    # re-tokenization (see string_shingles_all's shape rationale).
-    chunks = F.transform(
-        F.sequence(F.lit(1), n_chunks.cast("int")),
-        lambda i: F.array_join(
-            F.slice(
-                F.col("words"),
-                (i - F.lit(1)) * SUBSTRING_CHUNK + 1,
-                SUBSTRING_CHUNK,
-            ),
-            " ",
-        ),
-    )
-    c = docs.select("doc_id", chunks.alias("chunks"))
-    e = c.select(
-        "doc_id", F.posexplode("chunks").alias("pos", "chunk")
-    )
-    first_wins = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    kept = (
-        e.withColumn("rn", F.row_number().over(first_wins))
-        .filter(F.col("rn") == 1)
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            )
-        ).alias("kept_digest"),
-    )
-    base = c.select("doc_id", F.size("chunks").cast("long").alias("n_chunks"))
-    return base.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-        F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
-    )
+    the standard distributed compromise.
+
+    Fidelity bound (measured, tests/test_substring_fidelity.py): a
+    span duplicated at offsets CONGRUENT mod C (= 8) is caught exactly
+    (every fully-contained aligned chunk removed — >= floor(L/C) - 1
+    chunks of an L-token span); duplicated at a phase-SHIFTED offset
+    it is missed entirely (no chunk string repeats), so recall on
+    uniformly-offset planted duplicates is ~1/C of pairs — the price
+    of avoiding the suffix-array global sort, quantified rather than
+    hoped about."""
+    return substring_chunk_dedup(_docs_wide(spark, sf_dir))
 
 
 @query(
@@ -1064,8 +1086,13 @@ _RECO_CAP = 40
                   GROUP BY x.c, y.c)
         SELECT cust_a, cust_b, inter,
                sa.s + sb.s - inter AS uni,
-               CAST(ROUND(1000000 * inter / (sa.s + sb.s - inter))
-                    AS BIGINT) AS jaccard_e6
+               -- round-half-up of 1e6*inter/uni in EXACT integer math
+               -- (// truncates = floors for non-negative operands):
+               -- no double division, so half-integer ties (uni a
+               -- power of two) cannot depend on engine rounding.
+               CAST((2000000 * inter + (sa.s + sb.s - inter))
+                    // (2 * (sa.s + sb.s - inter)) AS BIGINT)
+                    AS jaccard_e6
         FROM pairs
         JOIN sz sa ON sa.c = cust_a
         JOIN sz sb ON sb.c = cust_b
@@ -1080,9 +1107,18 @@ def reco_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sarwar et al. WWW'01 transposed): exact part-basket Jaccard
     between customer pairs, top-20. All math is exact integers —
     intersection counts from the shared-part join, union by
-    inclusion-exclusion — and the 1e-6-unit score is one double
-    division of exact ints (never a half-integer tie: unions are
-    <= ~100 so ROUND is engine-identical).
+    inclusion-exclusion, and the 1e-6-unit score is round-half-up
+    computed as (2e6*inter + uni) div (2*uni) in integer arithmetic,
+    so no engine's float rounding is ever consulted (uni CAN be a
+    power of two, which makes 1e6*inter/uni an exact half-integer —
+    the integer form decides those ties identically by construction).
+
+    Denominator convention: basket sizes |A| and |B| are sizes of the
+    PRUNED baskets (counted after the popularity cap below), so the
+    Jaccard is over the informative-item universe — the convention the
+    oracle states too. Scores are therefore not comparable with a
+    Jaccard over raw baskets (which would only dilute every pair with
+    shared hot items the prune deems signal-free).
 
     Scale shape: the candidate join is part-keyed with fan-out capped
     by the popularity prune (parts bought by > {_RECO_CAP} customers
@@ -1128,11 +1164,137 @@ def reco_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_b",
             "inter",
             uni.alias("uni"),
-            F.round(F.lit(1_000_000) * F.col("inter") / uni)
+            # Round-half-up in exact integer math (Spark `div` on
+            # BIGINTs truncates = floors for non-negative operands) —
+            # mirrors the oracle's // expression symbol for symbol.
+            (F.lit(2_000_000) * F.col("inter") + uni)
             .cast("long")
-            .alias("jaccard_e6"),
+            .alias("_num"),
+            (F.lit(2) * uni).cast("long").alias("_den"),
         )
+        .withColumn("jaccard_e6", F.expr("_num div _den"))
+        .drop("_num", "_den")
     )
     return scored.orderBy(
         F.col("jaccard_e6").desc(), "cust_a", "cust_b"
     ).limit(20)
+
+
+# SemDeDup duplicate threshold: cosine >= 0.4 over the int8-quantized
+# embeddings (the corpus' near-dup band — dedup_embedding_cosine uses
+# the same cutoff over the raw floats). Compared in EXACT integer math
+# as 1e6*dot^2 >= eps^2_e6 * |a|^2 * |b|^2 with dot > 0, so no float
+# division or rounding is ever consulted: eps^2 * 1e6 = 160000.
+_SEMDEDUP_EPS2_E6 = 160_000
+
+
+@query(
+    "dedup_semantic_clusters",
+    bench=True,
+    oracle=f"""
+        WITH {KMEANS8_ASSIGN_CTES},
+        nn AS (
+            SELECT vec_id, cid, qv,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       [v * v for v in qv]), (acc, e) -> acc + e) AS n2
+            FROM a3),
+        cand AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb, a.n2 AS na2,
+                   b.n2 AS nb2,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       [a.qv[i] * b.qv[i] for i in range(1, 65)]),
+                       (acc, e) -> acc + e) AS dot
+            FROM nn a JOIN nn b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        dup AS (
+            SELECT DISTINCT vb AS vec_id FROM cand
+            WHERE dot > 0
+              AND 1000000 * dot * dot >= {_SEMDEDUP_EPS2_E6} * na2 * nb2)
+        SELECT nn.vec_id, CAST(nn.cid AS BIGINT) AS cid,
+               CAST(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END
+                    AS INT) AS is_dup
+        FROM nn LEFT JOIN dup ON nn.vec_id = dup.vec_id
+    """,
+    tags=("dedup", "embedding", "cluster", "extension", "training-data"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster only — candidates never cross
+    clusters, which is the whole trick that makes semantic dedup
+    feasible at corpus scale (the pairwise stage is cluster-keyed, so
+    its cost is sum of squared CLUSTER sizes, not corpus size squared).
+
+    Composition of two existing verified pieces: the assignment comes
+    from the same deterministic quantized Lloyd's iteration as
+    kmeans_quantized_clusters (operators/vectors.kmeans_lloyd, k=8,
+    2 updates — the oracle embeds the SAME unrolled CTE chain, so the
+    clustering trace is value-checked, not assumed), and the
+    within-cluster prune is dedup_embedding_cosine's threshold recast
+    in exact integers over the int8 codes: pair (a, b) is a semantic
+    dup iff dot(qa, qb) > 0 and 1e6*dot^2 >= eps^2_e6*|qa|^2*|qb|^2
+    (eps = 0.4) — squaring removes the sqrt, so both engines decide
+    every pair in overflow-checked BIGINT arithmetic (max |term| ~1e18
+    at d=64: inside int64, and quantization bounds it independently of
+    data values). Keep-rule: the matrix-threshold form of the paper's
+    prune — a vector is dropped iff some SAME-CLUSTER vector with a
+    smaller vec_id passes the threshold (representative = min id; no
+    chain transitivity, exactly like the paper's per-item max-sim
+    test, which also evaluates pairs, not closures).
+
+    Output: one row per clustered vector (vec_id, cid, is_dup) — the
+    full keep/drop decision is value-hashed, not just counts.
+
+    Scale shape: assignment is the zero-shuffle HOF pass over a
+    driver-resident k x d model (kmeans_lloyd docstring); the pair
+    stage shuffles on cid and the keep-rule anti-structure on vec_id.
+    k=8 here matches the corpus (500-5k vectors); at 100 TB k grows
+    with n (the paper uses ~n/10k clusters) so per-cluster fan-out
+    stays bounded — k is a knob of the SAME plan, not a rewrite. The
+    SMALL fixed k at test scale also means the cid shuffle has 8 live
+    keys; production k (10^4-10^6) gives the exchange its parallelism
+    back."""
+    nn = _embeddings_q8(spark, sf_dir)
+    asg, _cents = V.kmeans_lloyd(nn, k=8, updates=2)
+    n2 = F.aggregate(
+        F.transform("qv", lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    scored = asg.select("vec_id", "cid", "qv", n2.alias("n2"))
+    a, b = scored.alias("a"), scored.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("dup_id"),
+            dot.alias("dot"),
+            F.col("a.n2").alias("na2"),
+            F.col("b.n2").alias("nb2"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(1_000_000) * F.col("dot") * F.col("dot")
+                >= F.lit(_SEMDEDUP_EPS2_E6) * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select("dup_id")
+        .distinct()
+    )
+    return (
+        scored.join(dups, scored["vec_id"] == dups["dup_id"], "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.col("dup_id").isNotNull().cast("int").alias("is_dup"),
+        )
+    )

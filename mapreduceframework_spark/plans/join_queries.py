@@ -566,7 +566,15 @@ def join_skew_two_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle statistics (AQE's OptimizeSkewedJoin splits oversized
     partitions the same way, salting-in-effect), but the explicit
     two-path plan works on any engine and lets the hot side skip the
-    exchange entirely rather than merely splitting it."""
+    exchange entirely rather than merely splitting it.
+
+    Hot-key DISCOVERY convention: this demo finds the hot keys with a
+    full groupBy-count pass over the fact table — exact, but one extra
+    scan+shuffle that a 100 TB run would replace with a cheap sample
+    (``df.sample(0.001)`` count, hot keys are by definition the ones a
+    sample cannot miss) or the previous run's shuffle statistics; only
+    the discovery pass changes, the two-path routing below is
+    unchanged."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice"
     )

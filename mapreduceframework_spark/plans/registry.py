@@ -71,102 +71,80 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-8 window (VERDICT r7 items
-# 1 and 6), 23 + 4 + 23 = 50:
-# - 23 never-driver-checked rows: the 7 queries added late in round 7
-#   (every other pre-r8 query has at least one green round) plus the
-#   SIXTEEN queries new this round (similarity_join_minhash — cross
-#   -corpus MinHash set-similarity join; similarity_join_prefix_filter
-#   — exact prefix-filtered self similarity join;
-#   sample_weighted_reservoir — Efraimidis-Spirakis weighted sampling;
-#   quality_char_entropy — per-doc character entropy;
-#   lakehouse_incremental_join — delta-join view maintenance;
-#   cdc_merkle_reconcile — bucketed-digest snapshot reconciliation;
-#   join_skew_two_path — hot/cold routed skew join;
-#   sample_importance_dsir — DSIR importance selection;
-#   text_chunk_sliding — sliding-window RAG chunking;
-#   stats_welch_ttest — pairwise Welch t-test over event types;
-#   split_leakage_safe — near-dup-cluster-aware train/val/test split;
-#   events_rfm_segments — RFM segmentation, melt-once exact tertiles;
-#   events_top_paths — top-20 user journey paths;
-#   events_cohort_ltv — cohort LTV triangle, exact cents;
-#   ann_mmr_rerank — MMR diversity re-ranking, bounded-pool greedy;
-#   reco_user_similarity — CF user-similarity, popularity-capped);
-# - 4 code-change sentinels (agg_mode_exact / events_anomaly_mad /
-#   join_interval_overlap — the enum-key window fixes;
-#   sort_global_ranked — the bucketed two-phase global rank that
-#   emptied GLOBAL_WINDOW_OK; agg_weighted_median and
-#   stats_cusum_drift, the other two fixes, are in the block above);
-# - 23 stalest greens from the round-3 cohort. Slots yielded to
-#   new-query evidence this round: the whole r04 cohort (cube_counts,
-#   feature_quantile_buckets, flatmap_posexplode, graph_degree_stats,
-#   window_topk_per_group, ...) plus the r03 rows udtf_bigram_counts,
-#   udtf_native_token_runs, window_running_sum, udf_pandas_grouped_agg
-#   and tpch_q2/q3/q5/q6 — ALL of those must lead round 9's refresh
-#   block (5-round staleness by then).
+# all_queries() in iteration order. Round-9 window (VERDICT r8 item 1 —
+# the composition is tools/window_planner.py's proposal verbatim),
+# 3 + 12 + 35 = 50:
+# - 3 never-driver-checked rows: the round-9 exact-BPE tokenizer pair
+#   (text_bpe_tokenize — merge-table subword token accounting;
+#   pack_bpe_chunks — sequence packing budgeted in exact BPE tokens)
+#   and dedup_semantic_clusters — SemDeDup-shape semantic dedup;
+# - 12 auto-sentinels: queries whose decorated definition (normalized
+#   AST, planner's git diff vs the last-green commit) changed since
+#   their last green driver row — the round-9 Welch/reco arithmetic
+#   fixes plus rewrites from rounds 5-8 whose refresh never landed;
+# - 36 stalest greens: the nine remaining r03 rows (5 rounds stale,
+#   the r8 verdict's named cohort) then r04 rows oldest-first. The
+#   r04 remainder (~13 rows, 5 rounds stale at r10) must lead round
+#   10's refresh block.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
 # additionally at sf0.1 (plus full-registry sf0.1 sweeps, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (11 + the 12 mid-round-8
-    #     additions, which displaced the r04-cohort refresh slots,
-    #     window_topk_per_group, the udtf_* pair, window_running_sum,
-    #     udf_pandas_grouped_agg and tpch_q2/q3/q5/q6 — those move to
-    #     the round-9 head) ---
-    "lakehouse_incremental_join",
-    "cdc_merkle_reconcile",
-    "join_skew_two_path",
-    "sample_importance_dsir",
-    "text_chunk_sliding",
-    "stats_welch_ttest",
-    "split_leakage_safe",
-    "events_rfm_segments",
-    "events_top_paths",
-    "events_cohort_ltv",
-    "ann_mmr_rerank",
+    # --- never driver-checked: first evidence (3) ---
+    "text_bpe_tokenize",
+    "pack_bpe_chunks",
+    "dedup_semantic_clusters",
+    # --- auto-sentinels: definition changed since last green (12) ---
+    "ann_cosine_bruteforce",
+    "ann_cosine_ivf",
+    "events_peak_concurrency",
+    "events_sessionize_gaps",
+    "events_sliding_windows",
     "reco_user_similarity",
-    "agg_weighted_median",
-    "embedding_centroid_drift",
-    "join_attribution_first_touch",
-    "mining_association_rules",
-    "stats_cusum_drift",
-    "streaming_threshold_alerts",
-    "timeseries_seasonal_profile",
-    "similarity_join_minhash",
-    "similarity_join_prefix_filter",
-    "sample_weighted_reservoir",
-    "quality_char_entropy",
-    # --- round-8 code-change sentinels (4) ---
-    "agg_mode_exact",
-    "events_anomaly_mad",
-    "join_interval_overlap",
-    "sort_global_ranked",
-    # --- stalest refresh: the remaining r03 cohort (25; six of the
-    #     original 32 yielded their slots to new-query rows above and
-    #     move to the round-9 head) ---
-    "ann_cosine_lsh",
-    "dedup_edit_distance_verify",
-    "join_anti",
-    "join_broadcast",
-    "join_cross",
-    "join_full_outer",
-    "join_inner",
-    "join_left_agg",
-    "join_semi",
-    "join_theta",
-    "layout_zorder_clustering",
-    "mr_char_counts",
-    "mr_filter_evens",
-    "mr_histogram_mod100",
-    "multimodal_decode_features",
-    "pivot_status_by_priority",
-    "rollup_revenue",
-    "sketch_kmv_distinct",
-    "text_bm25_topk",
-    "tpch_q18_large_orders",
-    "tpch_q1_pricing",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_rich_customers",
+    "regression_by_event_type",
+    "split_train_val_test",
+    "stats_welch_ttest",
+    "streaming_sliding_avgs",
+    "window_moving_avg",
+    "window_range_frame",
+    # --- stalest refresh: the nine r03 rows (5 rounds stale) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "udf_pandas_grouped_agg",
+    "udtf_bigram_counts",
+    "udtf_native_token_runs",
+    "window_running_sum",
+    "window_topk_per_group",
+    # --- then the r04 cohort, oldest-first (26 of 40 fit; the rest
+    #     lead round 10) ---
+    "agg_approx_count_distinct",
+    "agg_decimal_exact",
+    "agg_salted_two_stage",
+    "cube_counts",
+    "feature_quantile_buckets",
+    "flatmap_posexplode",
+    "graph_degree_stats",
+    "grouping_sets_explicit",
+    "join_range_bands",
+    "lateral_last_ship",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "quality_report_tables",
+    "sample_deterministic",
+    "sample_mixture_by_source",
+    "scalar_array_setops",
+    "scalar_map_funcs",
+    "sketch_bloom_probe",
+    "subquery_exists_late_ship",
+    "subquery_scalar_above_avg",
+    "text_scrub_redact",
+    "text_tfidf_top_terms",
+    "tpch_q10_returned_revenue",
+    "tpch_q11_important_parts",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_custdist",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -1044,3 +1044,112 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(window).cast("long").alias("n_toks"),
         F.md5(F.array_join(window, " ")).alias("chunk_hash"),
     )
+
+
+@query(
+    "text_bpe_tokenize",
+    oracle=f"""
+        SELECT doc_id,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END)::BIGINT AS ws_tokens,
+               {X.bpe_token_count_sql('text')} AS bpe_tokens
+        FROM documents
+    """,
+    tags=("text", "extension", "training-data", "tokenizer"),
+    bench=True,
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT subword (BPE) token accounting per document — the unit
+    every real pre-training mix is budgeted in, replacing the
+    whitespace/char proxies used elsewhere (text_token_stats counts
+    ws words and pre-tokens; this row runs the actual merge table).
+
+    The tokenizer is a faithful GPT-2-style encoder over the engine's
+    published 48-merge table (operators/text.py BPE_MERGES, learned
+    offline with the classic Sennrich trainer): characters become
+    delimited units and each merge rank rewrites left-to-right
+    non-overlapping ``|a||b|`` -> ``|ab|`` — plain string replace IS
+    that pass, on both engines, so the count is bit-identical to a
+    reference Python encoder (asserted in tests/test_text_semantics.py
+    against an independent word-at-a-time implementation).
+    Normalization: lowercase; literal '|' stripped (the unit
+    delimiter); whitespace separates and is never a token.
+
+    Scale shape: one scan, ~49 row-local string passes in whole-stage
+    codegen, ZERO shuffles/joins/windows — the merge table folds into
+    the expression tree exactly as a broadcast 100k-row merges.txt
+    would at cluster scale. Counting is arithmetic over lengths, so
+    nothing leaves the JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        X.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@query(
+    "pack_bpe_chunks",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                   {X.bpe_token_count_sql('text')} AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT shard, doc_id, toks,
+                   SUM(toks) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c WHERE toks > 0
+        GROUP BY shard, (cum - 1) // {PACK_BUDGET}
+    """,
+    tags=("extension", "packing", "training-data", "tokenizer"),
+)
+def pack_bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted in EXACT BPE tokens — pack_token_chunks
+    rewired to consume the real tokenizer (text_bpe_tokenize's merge
+    -table count) instead of the whitespace proxy, because a packed
+    pretraining chunk overflows the context window by exactly the
+    ws-vs-subword undercount if the manifest is budgeted in words.
+
+    Same scale shape as pack_token_chunks: per-shard running totals
+    (ONE keyed shuffle for the window; shard count grows with the
+    cluster), chunk cut at (cum-1) div {PACK_BUDGET}, and the token
+    counter itself is the zero-shuffle codegen expression — packing
+    inherits tokenizer exactness for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        X.bpe_token_count(F.col("text")).alias("toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("toks").over(w))
+    return (
+        c.filter(F.col("toks") > 0)
+        .groupBy(
+            F.col("shard").cast("long").alias("shard"),
+            ((F.col("cum") - 1) / PACK_BUDGET)
+            .cast("long")
+            .alias("chunk_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

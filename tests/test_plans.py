@@ -443,6 +443,29 @@ def test_pack_token_chunks_single_shuffle(spark, sf_dir):
     assert "hashpartitioning(shard" in plan
 
 
+def test_pack_bpe_chunks_single_shuffle(spark, sf_dir):
+    # The exact-BPE variant must keep pack_token_chunks' plan shape:
+    # the merge-table token counter adds codegen passes, not exchanges.
+    plan = plan_of(spark, sf_dir, "pack_bpe_chunks")
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(shard" in plan
+
+
+def test_dedup_semantic_candidate_join_is_cluster_keyed(spark, sf_dir):
+    # SemDeDup's whole scale story: duplicate candidates are generated
+    # WITHIN a k-means cluster only. The pair self-join must therefore
+    # be an equi-join whose key is cid (hash or broadcast — at test
+    # scale stats pick broadcast; at cluster scale it hash-partitions
+    # on cid), with the cosine threshold as a residual condition —
+    # never a cross/nested-loop pair enumeration.
+    import re
+
+    plan = plan_of(spark, sf_dir, "dedup_semantic_clusters")
+    assert re.search(r"Left keys \[1\]: \[cid#", plan), "no cid-keyed join"
+    assert re.search(r"Right keys \[1\]: \[cid#", plan)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 # Shuffle budget per expensive query, measured at the time each plan was
 # tuned. A failure here means a code change silently ADDED an exchange —
 # the kind of regression that is invisible at sf0.001 correctness but
@@ -773,6 +796,16 @@ SHUFFLE_BUDGET = {
     # Purely map-side: scan -> explode -> slice/hash. Zero exchanges is
     # the POINT (the chunker streams straight to the sink at 100 TB).
     "text_chunk_sliding": 0,
+    # Zero by construction: the whole merge table folds into ~49
+    # row-local codegen string passes; counting is length arithmetic.
+    "text_bpe_tokenize": 0,
+    # 2x gated round-robin (the kmeans corpus spread, both self-join
+    # branches) + the pair join's cid exchange pair collapsing to one
+    # broadcast at stats time + dup distinct + the left-join pair.
+    "dedup_semantic_clusters": 6,
+    # Same single shard-keyed window shuffle as pack_token_chunks —
+    # the exact-BPE counter adds expression passes, not exchanges.
+    "pack_bpe_chunks": 1,
     # One keyed aggregation per side of the tiny self theta-join (static
     # plan materializes the subtree twice; ReuseExchange collapses it at
     # runtime) + the broadcast for the O(types^2) pair join.

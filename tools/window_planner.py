@@ -16,12 +16,22 @@ prints:
 
 1. per-query last-green round (never-checked queries first),
 2. a staleness histogram,
-3. a proposed next-round window: all never-checked queries, then the
-   stalest greens, truncated/padded to 50 — the same policy every
-   round's hand rotation has followed (new evidence first, oldest
-   refresh next). Code-change sentinels are the planner's ONE manual
-   input: pass them with --sentinel NAME (repeatable) and they are
-   placed after the never-checked block.
+3. a proposed next-round window: all never-checked queries, then
+   code-change sentinels, then the stalest greens, truncated/padded
+   to 50 — the same policy every round's hand rotation has followed
+   (new evidence first, changed code next, oldest refresh last).
+
+Code-change sentinels are detected AUTOMATICALLY: a green query whose
+decorated definition (decorator + oracle SQL + body, extracted with
+ast from ``git show <round-commit>:<module>``) differs from the
+current source is treated as rewritten-since-last-green and promoted
+ahead of the staleness refreshes — the round-8 failure mode this
+guards was four rewrites whose slots depended on the operator
+remembering to pass ``--sentinel`` for each. The detection is
+function-granular but module-scoped: a change to a shared helper in
+another file (operators/, streaming/) or to a module-level constant
+the oracle interpolates does NOT flag its callers, so ``--sentinel
+NAME`` (repeatable) remains as the manual override for those.
 
 The proposal is advisory — DRIVER_WINDOW stays an explicit literal in
 registry.py so the window is reviewable in diffs — but the ledger is
@@ -30,15 +40,142 @@ the ground truth for "what ages out next round".
 
 from __future__ import annotations
 
+import ast
+import functools
 import glob
+import inspect
 import json
 import os
 import re
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 WINDOW = 50
+
+
+def _fn_fingerprint(src: str, fn_name: str) -> str | None:
+    """Normalized fingerprint of ``fn_name``'s decorated definition in
+    ``src`` (decorators — including the @query(...) call whose oracle
+    SQL is the other half of the contract — plus the body), or None if
+    absent. Compared as a docstring-stripped ``ast.dump`` so
+    formatting and comment/docstring edits don't flag, only changes to
+    executable structure or literal SQL do."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == fn_name:
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:]
+            return ast.dump(node)
+    return None
+
+
+@functools.lru_cache(maxsize=None)
+def _git_show(commit: str, relpath: str) -> str | None:
+    r = subprocess.run(
+        ["git", "show", f"{commit}:{relpath}"],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+    )
+    return r.stdout if r.returncode == 0 else None
+
+
+@functools.lru_cache(maxsize=None)
+def _round_commit(rnd: int) -> str | None:
+    """The commit that recorded round ``rnd``'s driver evidence (the
+    last one touching its CORRECTNESS file) — the point in history a
+    query's green row vouches for."""
+    r = subprocess.run(
+        [
+            "git", "log", "--format=%H", "-1", "--",
+            f"CORRECTNESS_r{rnd:02d}.json",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+    )
+    lines = r.stdout.strip().splitlines()
+    return lines[0] if r.returncode == 0 and lines else None
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_py_files(commit: str) -> tuple[str, ...]:
+    r = subprocess.run(
+        [
+            "git", "ls-tree", "-r", "--name-only", commit,
+            "mapreduceframework_spark",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+    )
+    if r.returncode != 0:
+        return ()
+    return tuple(p for p in r.stdout.splitlines() if p.endswith(".py"))
+
+
+def _old_fingerprint(commit: str, relpath: str, fn_name: str) -> str | None:
+    """``_fn_fingerprint`` of ``fn_name`` as of ``commit`` — tried in
+    ``relpath`` first, then every other package module (queries have
+    been moved between modules in pure-split refactors; a move alone
+    is not a semantic change)."""
+    src = _git_show(commit, relpath)
+    if src is not None:
+        fp = _fn_fingerprint(src, fn_name)
+        if fp is not None:
+            return fp
+    for other in _tree_py_files(commit):
+        if other == relpath:
+            continue
+        src = _git_show(commit, other)
+        if src is None:
+            continue
+        fp = _fn_fingerprint(src, fn_name)
+        if fp is not None:
+            return fp
+    return None
+
+
+def auto_sentinels(last: dict[str, int]) -> dict[str, int]:
+    """Green queries whose decorated definition (normalized AST)
+    differs from what their last green round verified ->
+    {name: last_green_round}. A definition absent from the old tree
+    counts as changed (conservative)."""
+    from mapreduceframework_spark.plans.registry import REGISTRY
+
+    flagged: dict[str, int] = {}
+    cur_cache: dict[str, str] = {}
+    for name, rnd in last.items():
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        fn = inspect.unwrap(spec.fn)
+        path = fn.__code__.co_filename
+        relpath = os.path.relpath(path, _REPO)
+        commit = _round_commit(rnd)
+        if commit is None:
+            continue
+        if relpath not in cur_cache:
+            with open(path) as f:
+                cur_cache[relpath] = f.read()
+        cur_fp = _fn_fingerprint(cur_cache[relpath], fn.__name__)
+        if cur_fp is None:
+            continue  # dynamically built — nothing to diff
+        if _old_fingerprint(commit, relpath, fn.__name__) != cur_fp:
+            flagged[name] = rnd
+    return flagged
 
 
 def ledger() -> tuple[dict[str, int], int]:
@@ -94,6 +231,7 @@ def main(argv: list[str]) -> int:
                     "latest_round": latest,
                     "registry": len(names),
                     "never_checked": never,
+                    "auto_sentinels": auto_sentinels(last),
                     "last_green": {n: last[n] for n in greens},
                 }
             )
@@ -116,8 +254,13 @@ def main(argv: list[str]) -> int:
     if bad:
         print(f"\nERROR: unknown sentinel(s): {bad}")
         return 1
+    auto = auto_sentinels(last)
+    if auto:
+        print(f"\nauto-sentinels (source changed since last green):")
+        for n in sorted(auto):
+            print(f"  {n}  [last green r{auto[n]}]")
     proposal: list[str] = []
-    for n in never + sentinels:
+    for n in never + sentinels + sorted(auto):
         if n not in proposal:
             proposal.append(n)
     for n in greens:
@@ -125,15 +268,17 @@ def main(argv: list[str]) -> int:
             break
         if n not in proposal:
             proposal.append(n)
+    proposal = proposal[:WINDOW]
     print(f"\nproposed next window ({len(proposal)} of {WINDOW}):")
     for n in proposal:
         tag = (
             "never-checked" if n in never
             else "sentinel" if n in sentinels
+            else f"auto-sentinel, changed since r{auto[n]}" if n in auto
             else f"last green r{last[n]}"
         )
         print(f"  {n}  [{tag}]")
-    overflow = len(never) + len(sentinels) - WINDOW
+    overflow = len(never) + len(sentinels) + len(auto) - WINDOW
     if overflow > 0:
         print(f"\nWARNING: {overflow} never-checked/sentinel rows do not "
               f"fit one window — plan two rounds.")
