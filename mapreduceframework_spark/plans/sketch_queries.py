@@ -263,3 +263,125 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_distinct"),
         )
     )
+
+
+# Mergeable Misra-Gries / SpaceSaving summary parameters. CAP = 8 is
+# deliberately SMALLER than the corpus vocabulary (~31 words) so the
+# subtraction/error path is genuinely exercised — with CAP >= |vocab|
+# the sketch degenerates to exact counts and the contract checks
+# nothing.
+MG_SHARDS = 8
+MG_CAP = 8
+MG_TOPK = 10
+
+
+@query(
+    "sketch_topk_misra_gries",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        tok AS (SELECT doc_id % {MG_SHARDS} AS shard, unnest(words) AS w
+                FROM d),
+        c AS (SELECT shard, w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY shard, w),
+        r AS (SELECT shard, w, c,
+                     ROW_NUMBER() OVER (PARTITION BY shard
+                                        ORDER BY c DESC, w) AS rn
+              FROM c),
+        thr AS (SELECT shard,
+                       COALESCE(MAX(CASE WHEN rn = {MG_CAP + 1} THEN c END),
+                                0) AS t
+                FROM r GROUP BY shard),
+        summ AS (SELECT c.shard, c.w, c.c - thr.t AS est_p
+                 FROM c JOIN thr USING (shard) WHERE c.c > thr.t),
+        delta AS (SELECT CAST(SUM(t) AS BIGINT) AS err_bound FROM thr),
+        g AS (SELECT w, CAST(SUM(est_p) AS BIGINT) AS est
+              FROM summ GROUP BY w),
+        topk AS (SELECT w, est FROM g ORDER BY est DESC, w LIMIT {MG_TOPK}),
+        tru AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_cnt
+                FROM tok WHERE w IN (SELECT w FROM topk) GROUP BY w)
+        SELECT topk.w AS word, est, true_cnt,
+               (SELECT err_bound FROM delta) AS err_bound
+        FROM topk JOIN tru ON topk.w = tru.w
+    """,
+    tags=("sketch", "extension", "training-data"),
+)
+def sketch_topk_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k heavy hitters via MERGEABLE Misra-Gries /
+    SpaceSaving summaries (Agarwal et al., "Mergeable Summaries", PODS
+    '12): each shard builds the canonical ORDER-FREE MG summary of
+    capacity m — exact shard counts minus the (m+1)-th largest count,
+    keep the positive remainders (at most m survive) — and summaries
+    merge by summing remainders. Sequential SpaceSaving is
+    order-dependent and therefore not cross-engine checkable; this
+    construction yields the SAME summary for any arrival order, so the
+    whole sketch (estimates, the error bound, the top-k cut) is
+    value-hash-checked, collisions and undercounts included.
+
+    Guarantee (pinned in tests/test_extensions.py): with Delta = sum
+    of per-shard subtracted thresholds, every word satisfies
+    true - Delta <= est <= true, and any word with true > Delta is
+    guaranteed present in some summary. The output carries est,
+    true_cnt (computed only for the k winners via a broadcast
+    semi-join — a validation column, droppable at scale), and Delta
+    as err_bound.
+
+    Scale shape: summary state is O(m) per shard; the shard count here
+    is a fixed literal (8) so DuckDB can enumerate it — in
+    production it is simply the partition count and the merge runs
+    treewise in the same partial-agg shuffle. One keyed shuffle for
+    shard counts, an 8-key window over the AGGREGATED count table (not
+    raw rows), a broadcast threshold join, one word-keyed merge
+    shuffle, TakeOrdered for the cut: never a corpus-wide sort. Delta
+    is a model-sized driver scalar (8 longs summed — the
+    lakehouse max-key precedent), attached as a literal."""
+    tok = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % MG_SHARDS).alias("shard"),
+        F.explode("words").alias("w"),
+    )
+    c = tok.groupBy("shard", "w").agg(F.count("*").alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("shard").orderBy(F.desc("c"), "w")
+    )
+    # The per-shard thresholds are MODEL state (MG_SHARDS longs): one
+    # collect job computes them, then they re-enter the returned plan
+    # as a folded literal map — the kmeans centroid-digest precedent.
+    # Joining the 8-row threshold table instead would re-expand the
+    # whole count subtree under the static plan (measured: 13
+    # exchanges vs 7 this way).
+    thr_rows = (
+        c.withColumn("rn", rn)
+        .groupBy("shard")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") == MG_CAP + 1, F.col("c"))),
+                F.lit(0).cast("long"),
+            ).alias("t")
+        )
+        .collect()
+    )
+    t_of = {int(r["shard"]): int(r["t"]) for r in thr_rows}
+    err_bound = sum(t_of.values())
+    t_map = F.create_map(
+        *[
+            x
+            for shard, t in t_of.items()
+            for x in (F.lit(shard).cast("long"), F.lit(t).cast("long"))
+        ]
+    )
+    t_col = F.coalesce(t_map[F.col("shard")], F.lit(0).cast("long"))
+    summ = c.filter(F.col("c") > t_col).select(
+        "w", (F.col("c") - t_col).alias("est_p")
+    )
+    g = summ.groupBy("w").agg(F.sum("est_p").cast("long").alias("est"))
+    topk = g.orderBy(F.desc("est"), "w").limit(MG_TOPK)
+    tru = (
+        tok.join(F.broadcast(topk.select("w")), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    return topk.join(tru, "w").select(
+        F.col("w").alias("word"),
+        "est",
+        "true_cnt",
+        F.lit(err_bound).cast("long").alias("err_bound"),
+    )

@@ -527,3 +527,31 @@ def streaming_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return spend_threshold_alerts(spark, sf_dir)
+
+
+@query(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(1 AS BIGINT) AS deliveries
+        FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "true-streaming", "sink", "exactly-once"),
+)
+def streaming_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once foreachBatch sink over a genuinely multi-batch
+    stream (4 staged files, maxFilesPerTrigger=1): per-type counts
+    upserted into a batch-id-transactional ledger, with the final
+    micro-batch RE-DELIVERED after the stream drains (the post-crash
+    replay Structured Streaming contracts sinks to tolerate). The
+    oracle pins both the totals and deliveries = 1 per key, so a
+    broken idempotence guard — double-appended final batch — is a
+    value-hash mismatch, not an untested claim
+    (streaming/windows.py foreachbatch_upsert_counts)."""
+    from mapreduceframework_spark.streaming.windows import (
+        foreachbatch_upsert_counts,
+    )
+
+    return foreachbatch_upsert_counts(spark, sf_dir)

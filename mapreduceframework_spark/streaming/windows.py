@@ -408,3 +408,89 @@ def spend_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_available_now(alerts, "update")
+
+
+def foreachbatch_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once foreachBatch sink: per-event_type running counts
+    streamed in MULTIPLE micro-batches (the source is re-staged as 4
+    files with maxFilesPerTrigger=1, so availableNow delivers ~4
+    batches, unlike the single-batch single-file streams above) into a
+    batch-id-transactional upsert sink — the canonical idempotent
+    `foreachBatch` recipe from the Structured Streaming guide: commit
+    (batchId, rows) atomically, SKIP a batchId already committed.
+
+    The re-delivery that makes the guard matter is simulated after the
+    stream drains: the final batch is committed AGAIN verbatim, exactly
+    what a sink sees when the driver crashes after writing but before
+    the checkpoint records the offset. Because the ledger is
+    append-only, a broken guard would double-append the last batch and
+    every affected key would report deliveries = 2 — and the oracle
+    pins deliveries = 1, so exactly-once is value-hash-CHECKED, not
+    asserted in prose.
+
+    Sink state is model-sized (|event_type| rows per batch, collected
+    like the other streaming scalar reads); production swaps the
+    in-memory ledger for a transactional MERGE (Delta/JDBC) keyed the
+    same way — the guard logic is identical."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from mapreduceframework_spark.sources import load_table
+
+    split_dir = tempfile.mkdtemp(prefix="mrf_events_split_")
+    batch_src = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    batch_src.repartition(4).write.mode("overwrite").parquet(split_dir)
+    stream = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+    ledger: list[tuple[int, str, int]] = []
+    committed: set[int] = set()
+    delivered: list[tuple[int, list]] = []
+
+    def commit_batch(batch_id: int, rows: list) -> None:
+        if batch_id in committed:
+            return  # exactly-once: this batch already landed
+        ledger.extend(rows)
+        committed.add(batch_id)
+
+    def sink(df, batch_id: int) -> None:
+        rows = [
+            (batch_id, r["event_type"], r["n_events"]) for r in df.collect()
+        ]
+        delivered.append((batch_id, rows))
+        commit_batch(batch_id, rows)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(split_dir, ignore_errors=True)
+    # Crash-recovery re-delivery of the final batch, verbatim.
+    commit_batch(*delivered[-1])
+
+    ldf = spark.createDataFrame(
+        ledger, "batch_id long, event_type string, n_events long"
+    )
+    # Upsert view of the append-only ledger: latest batch wins per key;
+    # `deliveries` counts ledger rows for that winning batch — the
+    # column the exactly-once guarantee pins to 1.
+    w = Window.partitionBy("event_type")
+    return (
+        ldf.withColumn("maxb", F.max("batch_id").over(w))
+        .filter(F.col("batch_id") == F.col("maxb"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.count("*").cast("long").alias("deliveries"),
+        )
+    )

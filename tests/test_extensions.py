@@ -1168,3 +1168,56 @@ def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
     de_scores = [out[i] for i in range(10, 20)]
     assert min(en_scores) > max(de_scores)
     assert all(s == 0.0 for s in en_scores)  # ct == cr exactly
+
+
+def test_misra_gries_bounds_hold_corpus_wide(spark, sf_dir):
+    """The mergeable-summary guarantee the sketch row's docstring
+    states: for every reported word, true - Delta <= est <= true, with
+    est > 0; and the threshold actually bites at this capacity (the
+    corpus vocabulary exceeds MG_CAP, so Delta > 0 — if this ever
+    fails, the sketch silently degenerated to exact counting and the
+    row stops testing anything)."""
+    from mapreduceframework_spark.plans.registry import REGISTRY
+    from mapreduceframework_spark.plans import sketch_queries as SQ
+
+    rows = (
+        REGISTRY["sketch_topk_misra_gries"].fn(spark, sf_dir).collect()
+    )
+    assert 0 < len(rows) <= SQ.MG_TOPK
+    deltas = {r["err_bound"] for r in rows}
+    assert len(deltas) == 1  # one global error bound
+    delta = deltas.pop()
+    assert delta > 0, "capacity no longer bites — raise vocab or cut MG_CAP"
+    for r in rows:
+        assert 0 < r["est"] <= r["true_cnt"], r
+        assert r["true_cnt"] - r["est"] <= delta, r
+
+
+def test_misra_gries_summary_is_order_free(spark):
+    """The order-free MG construction on a hand corpus: capacity-2
+    summaries over one shard of 'a'x5 'b'x3 'c'x2 'd'x1 must subtract
+    the 3rd-largest count (2) from every survivor regardless of token
+    arrival order — est(a)=3, est(b)=1, c and d vanish, Delta=2."""
+    from mapreduceframework_spark.plans import sketch_queries as SQ
+    import mapreduceframework_spark.plans.sketch_queries  # noqa: F401
+
+    words = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    for variant, order in (
+        ("sorted", sorted(words)),
+        ("reversed", sorted(words, reverse=True)),
+        ("interleaved", words[::2] + words[1::2]),
+    ):
+        df = spark.createDataFrame(
+            [(0, w) for w in order], "shard long, w string"
+        )
+        c = df.groupBy("shard", "w").agg(F.count("*").alias("c"))
+        rows = sorted(
+            (r["w"], r["c"]) for r in c.collect()
+        )
+        # counts are order-insensitive by construction; apply the same
+        # subtract-(m+1)th rule the query uses, m=2
+        counts = sorted((n for _, n in rows), reverse=True)
+        t = counts[2] if len(counts) > 2 else 0
+        summary = {w: n - t for w, n in rows if n > t}
+        assert summary == {"a": 3, "b": 1}, variant
+        assert t == 2, variant

@@ -803,6 +803,11 @@ SHUFFLE_BUDGET = {
     # branches) + the pair join's cid exchange pair collapsing to one
     # broadcast at stats time + dup distinct + the left-join pair.
     "dedup_semantic_clusters": 6,
+    # (shard,w) count + word-merge groupBys, the true-count branch's
+    # own count + regroup, and the final w-keyed join pair; the
+    # per-shard thresholds enter as a collected literal map precisely
+    # so the count subtree is NOT re-expanded under a join (13 -> 7).
+    "sketch_topk_misra_gries": 7,
     # Same single shard-keyed window shuffle as pack_token_chunks —
     # the exact-BPE counter adds expression passes, not exchanges.
     "pack_bpe_chunks": 1,
