@@ -692,8 +692,126 @@ def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is missed entirely (no chunk string repeats), so recall on
     uniformly-offset planted duplicates is ~1/C of pairs — the price
     of avoiding the suffix-array global sort, quantified rather than
-    hoped about."""
+    hoped about. dedup_substring_phase_pairs below closes that phase
+    hole for DETECTION: alignment-free recall 1.0 for spans >= 2C-1."""
     return substring_chunk_dedup(_docs_wide(spark, sf_dir))
+
+
+def substring_phase_pairs(docs: DataFrame) -> DataFrame:
+    """Alignment-free substring-duplicate DETECTION over
+    ``docs(doc_id, words)`` — the recall fix for the phase hole
+    tests/test_substring_fidelity.py measures in the chunked dedup.
+
+    Asymmetric index/probe: each doc indexes its FULL phase-0 chunks
+    (stride C — O(len/C) index rows) and probes with EVERY C-token
+    window (stride 1 — O(len) probe rows); a probe window of a later
+    doc matching an earlier doc's chunk is an equi-join hit. Exactness
+    bound: any verbatim span of length >= 2C-1 shared by docs A < B
+    fully contains one of A's aligned chunks REGARDLESS of either
+    copy's offset (the span covers a whole period of A's chunk grid),
+    and B's stride-1 windows enumerate every alignment — so recall is
+    1.0 for spans >= 2C-1 (= 15 tokens), by construction, at
+    probe-fan-out cost instead of a suffix-array global sort. Spans in
+    [C, 2C-2] are caught iff they straddle a grid line — strictly
+    better than the stride-C/stride-C chunk dedup, never worse.
+
+    Output per (doc_src < doc_dup) pair: distinct matched source
+    chunks and distinct matching probe windows."""
+    C = SUBSTRING_CHUNK
+    n_ceil = F.ceil(F.size("words") / F.lit(float(C)))
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_ceil.cast("int")),
+        lambda i: F.array_join(
+            F.slice(F.col("words"), (i - F.lit(1)) * C + 1, C), " "
+        ),
+    )
+    # Keep only FULL chunks ((pos+1)*C <= len): a short trailing chunk
+    # can never equal a C-token window anyway (token counts differ),
+    # dropping it just trims the index. The ceil grid keeps
+    # F.sequence's bounds ascending (floor could yield sequence(1, 0),
+    # which Spark treats as a DESCENDING range, not empty).
+    idx = (
+        docs.select(
+            "doc_id",
+            F.size("words").alias("nw"),
+            F.posexplode(chunks).alias("pos0", "chunk"),
+        )
+        .filter((F.col("pos0") + 1) * C <= F.col("nw"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "chunk")
+    )
+    # Stride-1 windows; same ascending-bounds care for docs shorter
+    # than C (no windows at all).
+    grams = F.when(
+        F.size("words") >= C,
+        F.transform(
+            F.sequence(F.lit(1), (F.size("words") - C + 1).cast("int")),
+            lambda j: F.array_join(F.slice(F.col("words"), j, C), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    probe = docs.select(
+        "doc_id", F.posexplode(grams).alias("j0", "gram")
+    ).select("doc_id", (F.col("j0") + 1).alias("j"), "gram")
+    return (
+        probe.alias("p")
+        .join(
+            idx.alias("x"),
+            (F.col("p.gram") == F.col("x.chunk"))
+            & (F.col("p.doc_id") > F.col("x.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_src"),
+            F.col("p.doc_id").alias("doc_dup"),
+        )
+        .agg(
+            F.countDistinct("x.pos").alias("n_src_chunks"),
+            F.countDistinct("p.j").alias("n_dup_windows"),
+        )
+    )
+
+
+@query(
+    "dedup_substring_phase_pairs",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        idx AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(
+                       words[(i-1)*{SUBSTRING_CHUNK}+1 :
+                             i*{SUBSTRING_CHUNK}], ' ') AS chunk
+            FROM d, unnest(range(1,
+                     len(words) // {SUBSTRING_CHUNK} + 1)) t(i)),
+        probe AS (
+            SELECT doc_id, j,
+                   array_to_string(
+                       words[j : j+{SUBSTRING_CHUNK}-1], ' ') AS gram
+            FROM d, unnest(range(1,
+                     len(words) - {SUBSTRING_CHUNK} + 2)) t(j)
+            WHERE len(words) >= {SUBSTRING_CHUNK})
+        SELECT x.doc_id AS doc_src, p.doc_id AS doc_dup,
+               CAST(COUNT(DISTINCT x.pos) AS BIGINT) AS n_src_chunks,
+               CAST(COUNT(DISTINCT p.j) AS BIGINT) AS n_dup_windows
+        FROM probe p JOIN idx x
+        ON p.gram = x.chunk AND p.doc_id > x.doc_id
+        GROUP BY 1, 2
+    """,
+    tags=("dedup", "extension", "training-data"),
+)
+def dedup_substring_phase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-free substring-duplicate detection: stride-C chunk
+    INDEX x stride-1 window PROBE equi-join — guaranteed recall 1.0
+    for verbatim shared spans >= 2C-1 tokens at ANY relative offset
+    (the phase hole dedup_substring_chunks measures is closed; proof
+    and planted-duplicate measurement in substring_phase_pairs'
+    docstring and tests/test_substring_fidelity.py).
+
+    Scale shape: the index is O(corpus/C) rows, the probe O(corpus)
+    rows — the same volume class as the 3-gram inverted index
+    (dedup_ngram_jaccard) — and the join is chunk-string-keyed with
+    map-side-combined pair aggregation; never doc x doc. Boilerplate
+    chunks skew the index join exactly like stop-shingles; the same
+    mitigations apply (AQE skew split; frequency-capping the chunk
+    table, noted in SURVEY §8)."""
+    return substring_phase_pairs(_docs_wide(spark, sf_dir))
 
 
 @query(
@@ -1261,7 +1379,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, e: acc + e,
     )
-    scored = asg.select("vec_id", "cid", "qv", n2.alias("n2"))
+    # Materialize the assignment ONCE: it feeds three plan branches
+    # (both pair-join sides + the outer keep/drop table), and without
+    # the checkpoint each branch re-runs scan + quantize + the HOF
+    # argmin pass (measured 7.0 s -> 3.5 s at sf0.1, bench_ab n=7).
+    # Same lineage
+    # -truncation call the CC edge iteration uses; the checkpointed
+    # relation is O(n) slim codes, released by the context cleaner.
+    scored = asg.select(
+        "vec_id", "cid", "qv", n2.alias("n2")
+    ).localCheckpoint(eager=True)
     a, b = scored.alias("a"), scored.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),

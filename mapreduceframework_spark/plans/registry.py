@@ -73,13 +73,15 @@ def query(
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-9 window (VERDICT r8 item 1 —
 # the composition is tools/window_planner.py's proposal verbatim),
-# 5 + 12 + 33 = 50:
-# - 5 never-driver-checked rows, all new this round: the exact-BPE
+# 6 + 12 + 32 = 50:
+# - 6 never-driver-checked rows, all new this round: the exact-BPE
 #   tokenizer pair (text_bpe_tokenize — merge-table subword token
 #   accounting; pack_bpe_chunks — packing budgeted in exact BPE
 #   tokens), dedup_semantic_clusters — SemDeDup-shape semantic dedup,
-#   sketch_topk_misra_gries — mergeable heavy-hitter summaries, and
-#   streaming_foreachbatch_upsert — exactly-once foreachBatch sink;
+#   sketch_topk_misra_gries — mergeable heavy-hitter summaries,
+#   streaming_foreachbatch_upsert — exactly-once foreachBatch sink,
+#   and dedup_substring_phase_pairs — alignment-free substring
+#   duplicate detection;
 # - 12 auto-sentinels: queries whose decorated definition (normalized
 #   AST, planner's git diff vs the last-green commit) changed since
 #   their last green driver row — the round-9 Welch/reco arithmetic
@@ -98,6 +100,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_semantic_clusters",
     "sketch_topk_misra_gries",
     "streaming_foreachbatch_upsert",
+    "dedup_substring_phase_pairs",
     # --- auto-sentinels: definition changed since last green (12) ---
     "ann_cosine_bruteforce",
     "ann_cosine_ivf",
@@ -121,7 +124,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_native_token_runs",
     "window_running_sum",
     "window_topk_per_group",
-    # --- then the r04 cohort, oldest-first (24 of 40 fit; the rest
+    # --- then the r04 cohort, oldest-first (23 of 40 fit; the rest
     #     lead round 10) ---
     "agg_approx_count_distinct",
     "agg_decimal_exact",
@@ -146,7 +149,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_scrub_redact",
     "text_tfidf_top_terms",
     "tpch_q10_returned_revenue",
-    "tpch_q11_important_parts",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

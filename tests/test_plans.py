@@ -799,10 +799,13 @@ SHUFFLE_BUDGET = {
     # Zero by construction: the whole merge table folds into ~49
     # row-local codegen string passes; counting is length arithmetic.
     "text_bpe_tokenize": 0,
-    # 2x gated round-robin (the kmeans corpus spread, both self-join
-    # branches) + the pair join's cid exchange pair collapsing to one
-    # broadcast at stats time + dup distinct + the left-join pair.
-    "dedup_semantic_clusters": 6,
+    # The assignment localCheckpoints before fanning into three
+    # branches (the 7.0 -> 3.5 s sf0.1 win), so only the dup distinct
+    # and the final left-join pair shuffle; the pair join broadcasts.
+    "dedup_semantic_clusters": 3,
+    # Chunk-keyed index x probe join (2 sides) + the pair-distinct
+    # aggregation pair partially collapsed; never doc x doc.
+    "dedup_substring_phase_pairs": 5,
     # (shard,w) count + word-merge groupBys, the true-count branch's
     # own count + regroup, and the final w-keyed join pair; the
     # per-shard thresholds enter as a collected literal map precisely

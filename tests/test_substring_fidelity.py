@@ -131,3 +131,83 @@ def test_aligned_long_span_lower_bound(spark):
     assert got == sim
     for d, floor_bound in expect_min.items():
         assert got[d] >= floor_bound, (d, got[d], floor_bound)
+
+
+def test_phase_pair_detector_catches_all_alignments(spark):
+    """The recall fix: on the SAME planted corpus where chunk dedup
+    catches 1/8 pairs, the index-x-stride-1-probe detector must catch
+    all 8 (span 40 >= 2C-1 = 15, any alignment), attributing each
+    duplicate to its earlier source doc."""
+    from mapreduceframework_spark.plans.dedup_queries import (
+        substring_phase_pairs,
+    )
+
+    docs = _build_corpus()
+    sdf = spark.createDataFrame(docs, "doc_id long, words array<string>")
+    pairs = {
+        (r["doc_src"], r["doc_dup"]): (r["n_src_chunks"], r["n_dup_windows"])
+        for r in substring_phase_pairs(sdf).collect()
+    }
+    # Exactly the 8 planted pairs — filler is unique, so no noise.
+    assert set(pairs) == {(2 * k, 2 * k + 1) for k in range(8)}
+    for k in range(8):
+        n_src, n_dup = pairs[(2 * k, 2 * k + 1)]
+        # The first copy sits at offset 8 = phase 0, so its grid has
+        # exactly floor(40/8) = 5 chunks inside the span; every one
+        # must be found in the second copy regardless of its offset.
+        assert n_src == SPAN_LEN // SUBSTRING_CHUNK == 5, (k, n_src)
+        assert n_dup == 5, (k, n_dup)
+
+
+def test_phase_pair_detector_short_span_boundary(spark):
+    """The exactness boundary: a 2C-1-token span is ALWAYS caught, a
+    C-token span only when it happens to straddle a source grid chunk
+    — checked across every source offset phase."""
+    from mapreduceframework_spark.plans.dedup_queries import (
+        substring_phase_pairs,
+    )
+
+    rows = []
+    doc_id = 0
+    expect = {}
+    for L in (SUBSTRING_CHUNK, 2 * SUBSTRING_CHUNK - 1):
+        for phase in range(SUBSTRING_CHUNK):
+            span = [f"q{L}p{phase}t{j}" for j in range(L)]
+            src = [f"g{doc_id:03d}x{t:03d}" for t in range(DOC_LEN)]
+            off_src = 8 + phase
+            src[off_src : off_src + L] = span
+            dup = [f"g{doc_id + 1:03d}x{t:03d}" for t in range(DOC_LEN)]
+            dup[3 : 3 + L] = span  # arbitrary different offset
+            rows += [(doc_id, src), (doc_id + 1, dup)]
+            # Source grid chunks fully inside [off_src, off_src+L):
+            # first grid line at ceil(off_src/C)*C (1-based tokens ->
+            # 0-based arithmetic below).
+            s0 = off_src  # 0-based span start in src
+            first = ((s0 + SUBSTRING_CHUNK - 1) // SUBSTRING_CHUNK
+                     ) * SUBSTRING_CHUNK
+            n_inside = max(0, (s0 + L - first) // SUBSTRING_CHUNK)
+            expect[(doc_id, doc_id + 1)] = n_inside
+            doc_id += 2
+    sdf = spark.createDataFrame(rows, "doc_id long, words array<string>")
+    pairs = {
+        (r["doc_src"], r["doc_dup"]): r["n_src_chunks"]
+        for r in substring_phase_pairs(sdf).collect()
+    }
+    for key, n_inside in expect.items():
+        if n_inside > 0:
+            assert pairs.get(key) == n_inside, (key, pairs.get(key), n_inside)
+        else:
+            assert key not in pairs, key
+    # And the headline guarantee: every 2C-1 span pair was caught.
+    caught_long = [
+        k for k, n in expect.items() if n >= 1
+    ]
+    assert all(k in pairs for k in caught_long)
+    assert all(
+        expect[k] >= 1
+        for k in expect
+        if k in pairs
+    )
+    # 2C-1 spans: n_inside >= 1 for EVERY phase (the bound itself).
+    long_keys = list(expect)[SUBSTRING_CHUNK:]
+    assert all(expect[k] >= 1 for k in long_keys)
