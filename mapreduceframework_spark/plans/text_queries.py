@@ -1153,3 +1153,62 @@ def pack_bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "text_bpe_vocab_counts",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        tok AS (SELECT doc_id, unnest(words) AS w FROM d),
+        voc AS (SELECT w, {X.bpe_token_count_sql('w')} AS toks
+                FROM (SELECT DISTINCT w FROM tok)),
+        per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+                       CAST(SUM(voc.toks) AS BIGINT) AS bpe_tokens
+                FROM tok JOIN voc USING (w) GROUP BY doc_id)
+        SELECT doc_id, ws_tokens, bpe_tokens FROM per
+    """,
+    tags=("text", "extension", "training-data", "tokenizer"),
+    bench=True,
+)
+def text_bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH form of exact BPE token accounting: encode each
+    DISTINCT word once, then join the per-word token counts back to
+    the corpus — tokenizer cost becomes O(vocabulary), not O(corpus
+    bytes), which is why Sennrich's own trainer (and every production
+    tokenizer pipeline) operates on the word-frequency table. Same
+    merge table, same counts as text_bpe_tokenize (whitespace never
+    participates in a merge, so a document's BPE count is exactly the
+    sum of its words' counts — the decomposition identity pinned in
+    tests/test_text_semantics.py), different physical plan:
+
+    - text_bpe_tokenize: zero-shuffle scan, ~49 codegen string passes
+      over EVERY document — scan-bound, pays the passes per byte.
+    - this row: explode -> distinct words (one partial-agged shuffle
+      that collapses to vocabulary size map-side), the 49 passes run
+      over O(|vocab|) short strings, and a broadcast-sized word->count
+      table joins back (the join key is the word the explode already
+      produced, one more keyed shuffle + map-side-combined sum).
+
+    At 100 TB the vocabulary is millions against trillions of tokens:
+    the passes run ~10^6x fewer times and the extra shuffles move
+    word-sized rows — this is the plan you actually deploy; the
+    zero-shuffle sibling is the right shape only when documents are
+    short and the vocabulary is corpus-sized (URLs, code). Scope note:
+    like every DOCS_CTE consumer this row covers non-blank documents;
+    the sibling also emits blank docs with count 0."""
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode("words").alias("w")
+    )
+    voc = (
+        tok.select("w")
+        .distinct()
+        .select("w", X.bpe_token_count(F.col("w")).alias("toks"))
+    )
+    return (
+        tok.join(F.broadcast(voc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("ws_tokens"),
+            F.sum("toks").cast("long").alias("bpe_tokens"),
+        )
+    )

@@ -814,6 +814,10 @@ SHUFFLE_BUDGET = {
     # Same single shard-keyed window shuffle as pack_token_chunks —
     # the exact-BPE counter adds expression passes, not exchanges.
     "pack_bpe_chunks": 1,
+    # The O(vocab) plan: word distinct (partial-agged), the broadcast
+    # vocab build's own exchange, and the per-doc sum regroup — the
+    # 49 string passes run over distinct words only.
+    "text_bpe_vocab_counts": 3,
     # One keyed aggregation per side of the tiny self theta-join (static
     # plan materializes the subtree twice; ReuseExchange collapses it at
     # runtime) + the broadcast for the O(types^2) pair join.

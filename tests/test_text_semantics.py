@@ -200,3 +200,32 @@ def test_bpe_counts_strictly_refine_char_counts(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+# --------------------------------------------------------------------
+# The decomposition identity the vocab-table plan relies on.
+# --------------------------------------------------------------------
+
+def test_bpe_doc_count_decomposes_into_word_counts(spark, sf_dir):
+    """text_bpe_vocab_counts' whole premise: because no merge pair
+    contains a whitespace unit, a document's BPE count equals the sum
+    of its whitespace-words' counts. Both registered rows must agree
+    doc-for-doc on the non-blank corpus (the vocab row's scope)."""
+    from mapreduceframework_spark.plans.registry import REGISTRY
+    import mapreduceframework_spark.plans.text_queries  # noqa: F401
+
+    full = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+        for r in REGISTRY["text_bpe_tokenize"].fn(spark, sf_dir).collect()
+    }
+    vocab = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+        for r in REGISTRY["text_bpe_vocab_counts"].fn(spark, sf_dir).collect()
+    }
+    assert vocab  # non-blank docs exist at every SF
+    for doc_id, counts in vocab.items():
+        assert full[doc_id] == counts, doc_id
+    # Blank docs are exactly the difference in coverage.
+    assert all(
+        full[d] == (0, 0) for d in set(full) - set(vocab)
+    )

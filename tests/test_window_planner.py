@@ -32,3 +32,31 @@ def test_every_never_checked_query_is_in_the_window():
     assert ledger["registry"] == len(ledger["never_checked"]) + len(
         ledger["last_green"]
     )
+
+
+def test_fn_fingerprint_ignores_docs_and_formatting_only():
+    """The auto-sentinel detector must flag executable/oracle changes
+    and ONLY those: docstring edits, comments, and reformatting are
+    noise (else every doc pass would evict real refresh slots)."""
+    sys.path.insert(0, "tools")
+    from window_planner import _fn_fingerprint
+
+    base = (
+        "from x import query\n"
+        "@query('q', oracle='SELECT 1 AS a')\n"
+        "def q(spark, sf_dir):\n"
+        "    '''doc v1'''\n"
+        "    return spark.range(1)  # comment\n"
+    )
+    doc_edit = base.replace("doc v1", "doc v2, totally rewritten")
+    reformat = base.replace("return spark.range(1)  # comment",
+                            "return spark.range(1)")
+    body_edit = base.replace("spark.range(1)", "spark.range(2)")
+    oracle_edit = base.replace("SELECT 1 AS a", "SELECT 2 AS a")
+    fp = _fn_fingerprint(base, "q")
+    assert fp is not None
+    assert _fn_fingerprint(doc_edit, "q") == fp
+    assert _fn_fingerprint(reformat, "q") == fp
+    assert _fn_fingerprint(body_edit, "q") != fp
+    assert _fn_fingerprint(oracle_edit, "q") != fp
+    assert _fn_fingerprint(base, "missing") is None
