@@ -2412,3 +2412,319 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_size",
         )
     )
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+        tp AS (SELECT DISTINCT event_type FROM events),
+        pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+               FROM tp a JOIN tp b ON a.event_type < b.event_type),
+        m AS (
+            SELECT pr.ta, pr.tb, h.v, h.c,
+                   CASE WHEN h.event_type = pr.ta THEN h.c ELSE 0 END AS ca,
+                   CASE WHEN h.event_type = pr.tb THEN h.c ELSE 0 END AS cb
+            FROM pr JOIN h
+            ON h.event_type = pr.ta OR h.event_type = pr.tb),
+        w AS (
+            SELECT ta, tb, v, ca, cb,
+                   COALESCE(SUM(ca) OVER (
+                       PARTITION BY ta, tb ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cum_a_lt,
+                   SUM(ca) OVER (
+                       PARTITION BY ta, tb ORDER BY v
+                       RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                       AS a_at_v
+            FROM m),
+        s AS (
+            SELECT ta, tb,
+                   CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb,
+                   CAST(SUM(cb * (2 * cum_a_lt + a_at_v)) AS BIGINT)
+                       AS u2a,
+                   CAST(SUM(CAST((ca + cb) AS HUGEINT)
+                            * (ca + cb) * (ca + cb)
+                            - (ca + cb)) AS DECIMAL(38,0)) AS tie3
+            FROM w GROUP BY 1, 2)
+        SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b, u2a,
+               CAST(ROUND(
+                   (u2a - CAST(na AS DOUBLE) * nb)
+                   / (2.0 * sqrt(
+                       (CAST(na AS DOUBLE) * nb / 12.0)
+                       * ((na + nb + 1)
+                          - CAST(tie3 AS DOUBLE)
+                            / (CAST(na + nb AS DOUBLE)
+                               * (na + nb - 1)))))
+                   * 1000000) AS BIGINT) AS z_e6
+        FROM s
+        WHERE na > 0 AND nb > 0
+          AND CAST(tie3 AS DECIMAL(38,0)) <
+              CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * (na + nb)
+              - (na + nb)
+    """,
+    tags=("extension", "statistics"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) for every event-type pair —
+    the nonparametric complement to stats_welch_ttest: does one type's
+    value distribution stochastically dominate the other's, no
+    normality assumed.
+
+    Distributed formulation: never rank a row. U_A counts pairs
+    (a, b) with a < b plus half the ties, which over the per-type
+    VALUE HISTOGRAMS is U2_A = sum_b c_B(v) * (2*cumA(<v) + c_A(v)) in
+    doubled units — exact BIGINT arithmetic, no 0.5 anywhere. The
+    cumulative runs as a RANGE-framed window over the histogram (ties
+    across the two sides handled by value-range frames, not row
+    frames), partitioned per pair over AGGREGATED rows (never raw
+    events). The normal-approximation z uses the tie-corrected
+    variance; ties enter as Sum(t^3 - t) with t = combined tie-group
+    sizes, accumulated in DECIMAL(38,0)/HUGEINT (t^3 wraps BIGINT
+    near t ~ 2e6). z evaluates ONE fixed IEEE tree over exact
+    integers on both engines (the Welch discipline), rounded to 1e-6;
+    all-tied pairs (variance 0) are excluded by the identical exact
+    predicate Sum(t^3 - t) < n^3 - n on both engines — never by
+    comparing a float to 0.
+
+    Scale shape: one partial-agged histogram shuffle (O(types x
+    values) rows), a 10-row broadcast pair fan-out, pair-partitioned
+    windows over the histogram, one aggregation back to O(pairs)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", snap_units("value", 100).alias("v")
+    )
+    h = ev.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    tp = ev.select("event_type").distinct()
+    pr = (
+        tp.alias("x")
+        .join(tp.alias("y"), F.col("x.event_type") < F.col("y.event_type"))
+        .select(
+            F.col("x.event_type").alias("ta"),
+            F.col("y.event_type").alias("tb"),
+        )
+    )
+    # Fan the pair table out to one row per (pair, member type) so the
+    # histogram attaches via a broadcast EQUI join — an OR-condition
+    # join would nested-loop over the histogram instead.
+    pr_long = pr.select(
+        "ta", "tb", F.explode(F.array("ta", "tb")).alias("event_type")
+    )
+    m = (
+        h.join(F.broadcast(pr_long), "event_type")
+        .select(
+            "ta",
+            "tb",
+            "v",
+            F.when(F.col("event_type") == F.col("ta"), F.col("c"))
+            .otherwise(F.lit(0))
+            .alias("ca"),
+            F.when(F.col("event_type") == F.col("tb"), F.col("c"))
+            .otherwise(F.lit(0))
+            .alias("cb"),
+        )
+    )
+    below = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    at_v = (
+        Window.partitionBy("ta", "tb").orderBy("v").rangeBetween(0, 0)
+    )
+    w = m.select(
+        "ta",
+        "tb",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("ca").over(below), F.lit(0)).alias("cum_a_lt"),
+        F.sum("ca").over(at_v).alias("a_at_v"),
+    )
+    t = (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
+    s = w.groupBy("ta", "tb").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(
+            F.col("cb") * (F.lit(2) * F.col("cum_a_lt") + F.col("a_at_v"))
+        )
+        .cast("long")
+        .alias("u2a"),
+        F.sum(t * t * t - t).alias("tie3"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = F.col("na") + F.col("nb")
+    sigma = F.sqrt(
+        (na * nb / F.lit(12.0))
+        * (
+            (n + 1).cast("double")
+            - F.col("tie3").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    z = (F.col("u2a").cast("double") - na * nb) / (F.lit(2.0) * sigma)
+    n_dec = n.cast("decimal(38,0)")
+    return (
+        s.filter(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("tie3") < n_dec * n_dec * n_dec - n_dec)
+        )
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "u2a",
+            F.round(z * 1_000_000).cast("long").alias("z_e6"),
+        )
+    )
+
+
+ACF_MAX_LAG = 3
+
+
+@query(
+    "timeseries_autocorrelation",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v, ts, event_id
+            FROM events),
+        lagged AS (
+            SELECT event_type, day, v,
+                   LAG(v, 1) OVER w AS l1,
+                   LAG(v, 2) OVER w AS l2,
+                   LAG(v, 3) OVER w AS l3
+            FROM e
+            WINDOW w AS (PARTITION BY event_type, day
+                         ORDER BY ts, event_id)),
+        g AS (
+            SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s
+            FROM lagged GROUP BY 1, 2),
+        terms AS (
+            SELECT l.event_type, l.day, t.lag, g.n,
+                   SUM(CASE t.lag WHEN 1 THEN
+                         CASE WHEN l1 IS NULL THEN NULL ELSE
+                           CAST((g.n * l.v - g.s) AS DECIMAL(38,0))
+                           * (g.n * l1 - g.s) END
+                       WHEN 2 THEN
+                         CASE WHEN l2 IS NULL THEN NULL ELSE
+                           CAST((g.n * l.v - g.s) AS DECIMAL(38,0))
+                           * (g.n * l2 - g.s) END
+                       ELSE
+                         CASE WHEN l3 IS NULL THEN NULL ELSE
+                           CAST((g.n * l.v - g.s) AS DECIMAL(38,0))
+                           * (g.n * l3 - g.s) END
+                       END) AS num,
+                   SUM(CAST((g.n * l.v - g.s) AS DECIMAL(38,0))
+                       * (g.n * l.v - g.s)) AS den
+            FROM lagged l
+            JOIN g USING (event_type, day)
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) t
+            GROUP BY 1, 2, 3, 4)
+        SELECT event_type, day, CAST(lag AS BIGINT) AS lag, n,
+               CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                          * 1000000) AS BIGINT) AS acf_e6
+        FROM terms
+        WHERE n > lag AND den <> 0 AND num IS NOT NULL
+    """,
+    tags=("extension", "timeseries", "statistics"),
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of the event-value series
+    per (event_type, day) — the seasonality/persistence fingerprint a
+    forecasting pipeline derives before model choice.
+
+    Exactness: the textbook ACF r_k = sum (x_t - m)(x_t+k - m) / sum
+    (x_t - m)^2 is float-fragile through the mean; multiplying both
+    sides by n^2 clears it — every term becomes (n*x_t - S)(n*x_t+k -
+    S) over exact e2 BIGINTs, accumulated in DECIMAL(38,0)/HUGEINT
+    (products pass 2^63 once n*v ~ 3e9), and ONE double division at
+    the end rounds to 1e-6 (the n^2 factors cancel). Degenerate
+    series — constant day (den = 0) or too short (n <= lag) — are
+    excluded by identical exact predicates on both engines, never by
+    float comparison (the Welch divide-by-zero lesson).
+
+    Scale shape: the ordering window partitions by (event_type, day)
+    — thousands of live keys growing with the time span, never the
+    5-key event_type funnel (the banned enum-window shape); one
+    (type, day) aggregation for (n, S); the lag columns ride the same
+    window partitioning, so the whole query is TWO exchanges of the
+    same key."""
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        snap_units("value", 100).alias("v"),
+        "ts",
+        "event_id",
+    )
+    lagged = e.select(
+        "event_type",
+        "day",
+        "v",
+        *[
+            F.lag("v", k).over(w).alias(f"l{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    g = lagged.groupBy("event_type", "day").agg(
+        F.count("*").alias("n"), F.sum("v").cast("long").alias("s")
+    )
+    j = lagged.join(g, ["event_type", "day"])
+    dev = (F.col("n") * F.col("v") - F.col("s")).cast("decimal(38,0)")
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    F.when(
+                        F.col(f"l{k}").isNotNull(),
+                        dev * (F.col("n") * F.col(f"l{k}") - F.col("s")),
+                    ).alias("term"),
+                )
+                for k in range(1, ACF_MAX_LAG + 1)
+            ]
+        )
+    )
+    t = j.select(
+        "event_type", "day", "n", (dev * dev).alias("dev2"), pairs.alias("p")
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        "dev2",
+        F.col("p.lag").alias("lag"),
+        F.col("p.term").alias("term"),
+    )
+    agg = t.groupBy("event_type", "day", "lag", "n").agg(
+        F.sum("term").alias("num"),
+        # dev2 triplicates across the 3 exploded lag rows; each lag
+        # group sums the SAME per-row dev2 set, so den is correct
+        # per (type, day, lag) without a second scan.
+        F.sum("dev2").alias("den"),
+    )
+    return (
+        agg.filter(
+            (F.col("n") > F.col("lag"))
+            & (F.col("den") != 0)
+            & F.col("num").isNotNull()
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("lag").cast("long").alias("lag"),
+            "n",
+            F.round(
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("acf_e6"),
+        )
+    )

@@ -73,29 +73,31 @@ def query(
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-9 window (VERDICT r8 item 1 —
 # the composition is tools/window_planner.py's proposal verbatim),
-# 7 + 12 + 31 = 50:
-# - 7 never-driver-checked rows, all new this round: the exact-BPE
+# 10 + 12 + 28 = 50:
+# - 10 never-driver-checked rows, all new this round: the exact-BPE
 #   tokenizer trio (text_bpe_tokenize — merge-table subword token
 #   accounting; text_bpe_vocab_counts — the O(vocab) scale-path plan;
 #   pack_bpe_chunks — packing budgeted in exact BPE tokens),
 #   dedup_semantic_clusters — SemDeDup-shape semantic dedup,
 #   sketch_topk_misra_gries — mergeable heavy-hitter summaries,
 #   streaming_foreachbatch_upsert — exactly-once foreachBatch sink,
-#   and dedup_substring_phase_pairs — alignment-free substring
-#   duplicate detection;
+#   dedup_substring_phase_pairs — alignment-free substring
+#   duplicate detection, stats_mann_whitney_u — histogram-form
+#   rank-sum test, timeseries_autocorrelation — exact per-day ACF,
+#   and sketch_kmv_setops — KMV union/intersection algebra;
 # - 12 auto-sentinels: queries whose decorated definition (normalized
 #   AST, planner's git diff vs the last-green commit) changed since
 #   their last green driver row — the round-9 Welch/reco arithmetic
 #   fixes plus rewrites from rounds 5-8 whose refresh never landed;
-# - 31 stalest greens: the nine remaining r03 rows (5 rounds stale,
+# - 28 stalest greens: the nine remaining r03 rows (5 rounds stale,
 #   the r8 verdict's named cohort) then r04 rows oldest-first. The
-#   r04 remainder (18 rows, 5 rounds stale at r10) must lead round
+#   r04 remainder (21 rows, 5 rounds stale at r10) must lead round
 #   10's refresh block.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
 # additionally at sf0.1 (plus full-registry sf0.1 sweeps, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (7) ---
+    # --- never driver-checked: first evidence (10) ---
     "text_bpe_tokenize",
     "pack_bpe_chunks",
     "dedup_semantic_clusters",
@@ -103,6 +105,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_foreachbatch_upsert",
     "dedup_substring_phase_pairs",
     "text_bpe_vocab_counts",
+    "stats_mann_whitney_u",
+    "timeseries_autocorrelation",
+    "sketch_kmv_setops",
     # --- auto-sentinels: definition changed since last green (12) ---
     "ann_cosine_bruteforce",
     "ann_cosine_ivf",
@@ -126,7 +131,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_native_token_runs",
     "window_running_sum",
     "window_topk_per_group",
-    # --- then the r04 cohort, oldest-first (22 of 40 fit; the rest
+    # --- then the r04 cohort, oldest-first (19 of 40 fit; the rest
     #     lead round 10) ---
     "agg_approx_count_distinct",
     "agg_decimal_exact",
@@ -147,9 +152,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_map_funcs",
     "sketch_bloom_probe",
     "subquery_exists_late_ship",
-    "subquery_scalar_above_avg",
-    "text_scrub_redact",
-    "text_tfidf_top_terms",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

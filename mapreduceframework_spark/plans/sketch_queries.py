@@ -230,10 +230,15 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     division keeps the estimate bit-exact. KMV state is O(k) per group
     and merges by keeping the k smallest of a union — the property that
     lets 1000 executors sketch partitions independently."""
+    # sw is O(sources x vocabulary) — tiny — and feeds FOUR consumers
+    # (sketch build, both exact-join sides, sizes); materialize it once
+    # instead of re-expanding the corpus scan under each (static plan
+    # measured 16 exchanges without the checkpoints, 8 with).
     sw = (
         _docs(spark, sf_dir)
         .select("source", F.explode("words").alias("word"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sh = sw.select(
         "source", S.kmv_hash(D.word_hash(F.col("word"))).alias("h")
@@ -384,4 +389,196 @@ def sketch_topk_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
         "true_cnt",
         F.lit(err_bound).cast("long").alias("err_bound"),
+    )
+
+
+@query(
+    "sketch_kmv_setops",
+    oracle=f"""
+        WITH d AS (SELECT source,
+                          regexp_split_to_array(trim(text), '\\s+') AS words
+                   FROM documents WHERE length(trim(text)) > 0),
+        sw AS (SELECT DISTINCT source, unnest(words) AS word FROM d),
+        sh AS (SELECT DISTINCT source,
+                      {S.kmv_hash_sql(D.word_hash_sql("word"))} AS h
+               FROM sw),
+        sk AS (SELECT source, list_sort(list(h)) AS full_set
+               FROM sh GROUP BY source),
+        skk AS (SELECT source, full_set[1:{KMV_K}] AS sk,
+                       len(full_set) AS nh
+                FROM sk),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   a.sk AS ska, b.sk AS skb, a.nh AS nha, b.nh AS nhb,
+                   list_sort(list_distinct(list_concat(a.sk, b.sk)))
+                       AS u_all
+            FROM skk a JOIN skk b ON a.source < b.source),
+        est AS (
+            SELECT source_a, source_b,
+                   CASE WHEN len(u_all) < {KMV_K} THEN len(u_all)
+                        ELSE CAST({(KMV_K - 1) * D.P} AS BIGINT)
+                             // u_all[{KMV_K}] END AS est_union,
+                   CASE WHEN len(u_all) < {KMV_K}
+                        THEN len(list_intersect(ska, skb))
+                        ELSE len(list_intersect(
+                                 list_intersect(u_all[1:{KMV_K}], ska),
+                                 skb))
+                             * (CAST({(KMV_K - 1) * D.P} AS BIGINT)
+                                // u_all[{KMV_K}]) // {KMV_K} END
+                       AS est_inter
+            FROM pairs),
+        ew AS (SELECT a.source AS source_a, b.source AS source_b,
+                      CAST(COUNT(*) AS BIGINT) AS exact_inter
+               FROM sw a JOIN sw b
+               ON a.word = b.word AND a.source < b.source
+               GROUP BY 1, 2),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nw
+               FROM sw GROUP BY source)
+        SELECT e.source_a, e.source_b,
+               CAST(e.est_union AS BIGINT) AS est_union,
+               x.nw + y.nw - COALESCE(ew.exact_inter, 0) AS exact_union,
+               CAST(e.est_inter AS BIGINT) AS est_inter,
+               COALESCE(ew.exact_inter, 0) AS exact_inter
+        FROM est e
+        JOIN sz x ON x.source = e.source_a
+        JOIN sz y ON y.source = e.source_b
+        LEFT JOIN ew ON ew.source_a = e.source_a
+                    AND ew.source_b = e.source_b
+    """,
+    tags=("sketch", "extension"),
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA over per-source word sets — the reason
+    KMV earns its place in a distributed engine: sketches of disjoint
+    corpus slices merge into sketches of unions without touching the
+    data again. For every source pair: the union sketch is the k
+    smallest of the two sketches' merged hash sets (exactly the
+    sketch a treewise merge would produce), est_union the standard
+    (k-1)*P // h_k estimator, and est_inter the Jaccard-style rho
+    estimator — matches = |union_k ∩ sk_A ∩ sk_B|, est_inter =
+    matches * est_union // k (Beyer et al. SIGMOD'07), all in exact
+    integer arithmetic. Pairs whose merged sketch holds fewer than k
+    hashes are EXACT by construction (both sketches were complete
+    sets) and both engines take the same CASE branch. Estimates sit
+    beside the exact union/intersection sizes so the error is
+    value-checked, not waved through.
+
+    Scale shape: sketches are O(k) per source (the model-sized table
+    — 20 sources x 16 hashes); the pair stage is a self-join of that
+    tiny table, and the only corpus-sized work is the distinct
+    (source, word) projection and the exact-answer join that exists
+    purely as the oracle's measuring stick."""
+    # sw is O(sources x vocabulary) — tiny — and feeds FOUR consumers
+    # (sketch build, both exact-join sides, sizes); materialize it once
+    # instead of re-expanding the corpus scan under each (static plan
+    # measured 16 exchanges without the checkpoints, 8 with).
+    sw = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode("words").alias("word"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sh = sw.select(
+        "source", S.kmv_hash(D.word_hash(F.col("word"))).alias("h")
+    ).distinct()
+    skk = (
+        sh.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("source").orderBy("h")),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+        # 20 rows; checkpointed so the pair self-join's two sides read
+        # the built sketches instead of re-running hash+rank+collect.
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        skk.alias("a")
+        .join(skk.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.sk").alias("ska"),
+            F.col("b.sk").alias("skb"),
+            F.array_sort(
+                F.array_union(F.col("a.sk"), F.col("b.sk"))
+            ).alias("u_all"),
+        )
+    )
+    matches = F.size(
+        F.array_intersect(
+            F.array_intersect(F.slice("u_all", 1, KMV_K), F.col("ska")),
+            F.col("skb"),
+        )
+    )
+    small = F.size("u_all") < KMV_K
+    # Exact BIGINT `div` on both engines (the reco_user_similarity /
+    # kmv_distinct discipline) — never floor(double/double), whose
+    # rounding could disagree with the oracle's integer `//` at a
+    # quotient boundary.
+    est = (
+        pairs.select(
+            "source_a",
+            "source_b",
+            "ska",
+            "skb",
+            "u_all",
+            F.element_at("u_all", KMV_K).cast("long").alias("kth"),
+            matches.cast("long").alias("matches"),
+        )
+        .withColumn(
+            "full_est",
+            F.expr(f"CAST({(KMV_K - 1) * D.P} AS BIGINT) div kth"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.when(small, F.size("u_all").cast("long"))
+            .otherwise(F.col("full_est"))
+            .alias("est_union"),
+            F.when(
+                small,
+                F.size(F.array_intersect("ska", "skb")).cast("long"),
+            )
+            .otherwise(F.expr(f"(matches * full_est) div {KMV_K}"))
+            .alias("est_inter"),
+        )
+    )
+    ew = (
+        sw.alias("x")
+        .join(
+            sw.alias("y"),
+            (F.col("x.word") == F.col("y.word"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    sz = sw.groupBy("source").agg(F.count("*").alias("nw"))
+    return (
+        est.join(
+            sz.select(F.col("source").alias("source_a"), F.col("nw").alias("nwa")),
+            "source_a",
+        )
+        .join(
+            sz.select(F.col("source").alias("source_b"), F.col("nw").alias("nwb")),
+            "source_b",
+        )
+        .join(ew, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "est_union",
+            (
+                F.col("nwa")
+                + F.col("nwb")
+                - F.coalesce("exact_inter", F.lit(0))
+            ).alias("exact_union"),
+            "est_inter",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+        )
     )

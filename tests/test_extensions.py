@@ -1221,3 +1221,115 @@ def test_misra_gries_summary_is_order_free(spark):
         summary = {w: n - t for w, n in rows if n > t}
         assert summary == {"a": 3, "b": 1}, variant
         assert t == 2, variant
+
+
+def test_mann_whitney_matches_reference_formulas(spark, sf_dir):
+    """Ground-truth check (the Welch-cross-check discipline): recompute
+    U and the tie-corrected z per pair from raw collected values with
+    an independent rank-based implementation — the classic midrank
+    formula, NOT the histogram/cumulative form the query uses."""
+    from collections import Counter
+
+    from mapreduceframework_spark.plans.registry import REGISTRY
+    import mapreduceframework_spark.plans.analytics_queries  # noqa: F401
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type", "CAST(ROUND(value * 100) AS BIGINT) AS v"
+        )
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["v"])
+
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in REGISTRY["stats_mann_whitney_u"].fn(spark, sf_dir).collect()
+    }
+    types = sorted(by_type)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            a, b = by_type[ta], by_type[tb]
+            na, nb, n = len(a), len(b), len(a) + len(b)
+            # Midrank U via sorted merge: U_A = R_A - na(na+1)/2,
+            # doubled to stay integral.
+            combined = sorted(Counter(a + b).items())
+            counts_a = Counter(a)
+            rank2 = 0  # 2 * (rank of previous values' end)
+            r2a = 0  # 2 * rank sum of sample A
+            for v, c in combined:
+                # midrank*2 of this tie group = 2*start + (c - 1) + 2
+                mid2 = 2 * (rank2 // 2) + c + 1
+                r2a += counts_a.get(v, 0) * mid2
+                rank2 += 2 * c
+            # R_A-based U counts pairs where A EXCEEDS B; the query's
+            # u2a counts pairs where A is BELOW B (its cumulative is
+            # over A-values less than each B value), so mirror via
+            # U + U' = n_a * n_b (doubled here).
+            u2a = 2 * na * nb - (r2a - na * (na + 1))
+            tie3 = sum(c**3 - c for _, c in combined)
+            key = (ta, tb)
+            if tie3 >= n**3 - n:
+                assert key not in got
+                continue
+            assert got[key]["u2a"] == u2a, key
+            import math
+
+            sigma = math.sqrt(
+                (na * nb / 12.0)
+                * ((n + 1) - tie3 / (float(n) * (n - 1)))
+            )
+            z = (u2a - float(na) * nb) / (2.0 * sigma)
+            assert abs(got[key]["z_e6"] - round(z * 1e6)) <= 1, key
+
+
+def test_autocorrelation_matches_textbook_formula(spark, sf_dir):
+    """Ground-truth check: recompute every (type, day, lag) ACF with
+    the plain float textbook formula (mean-centered products over the
+    full-sample variance) from raw collected values — the n^2-scaled
+    integer form the query uses must land within 1e-6 of it (rounding
+    units), and the emitted row set must be exactly the non-degenerate
+    (n > lag, nonconstant) series."""
+    from mapreduceframework_spark.plans.registry import REGISTRY
+    import mapreduceframework_spark.plans.analytics_queries  # noqa: F401
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "date_format(ts, 'yyyy-MM-dd') AS day",
+            "CAST(ROUND(value * 100) AS BIGINT) AS v",
+            "ts",
+            "event_id",
+        )
+        .collect()
+    )
+    series: dict[tuple, list] = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault((r["event_type"], r["day"]), []).append(r["v"])
+
+    got = {
+        (r["event_type"], r["day"], r["lag"]): (r["n"], r["acf_e6"])
+        for r in REGISTRY["timeseries_autocorrelation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    expected_keys = set()
+    for (t, d), xs in series.items():
+        n = len(xs)
+        m = sum(xs) / n
+        den = sum((x - m) ** 2 for x in xs)
+        for k in (1, 2, 3):
+            if n <= k or den == 0:
+                continue
+            expected_keys.add((t, d, k))
+            num = sum(
+                (xs[i] - m) * (xs[i + k] - m) for i in range(n - k)
+            )
+            r = num / den
+            nn, acf_e6 = got[(t, d, k)]
+            assert nn == n
+            assert abs(acf_e6 - round(r * 1e6)) <= 1, (t, d, k)
+    assert set(got) == expected_keys

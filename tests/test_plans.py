@@ -806,6 +806,17 @@ SHUFFLE_BUDGET = {
     # Chunk-keyed index x probe join (2 sides) + the pair-distinct
     # aggregation pair partially collapsed; never doc x doc.
     "dedup_substring_phase_pairs": 5,
+    # Histogram groupBy + the distinct-types pair build + the
+    # pair-partitioned RANGE windows + the O(pairs) final agg; the
+    # pair fan-out is a broadcast equi join (explode, not OR).
+    "stats_mann_whitney_u": 6,
+    # (type, day)-keyed window + the (n, S) aggregate join + the final
+    # per-lag aggregation sharing the same key.
+    "timeseries_autocorrelation": 3,
+    # sw and the 20-row sketch table are checkpointed (16 -> 8): what
+    # remains is the exact-answer measuring-stick join (word-keyed, 2)
+    # + pair/size aggregations + final broadcast assembly.
+    "sketch_kmv_setops": 8,
     # (shard,w) count + word-merge groupBys, the true-count branch's
     # own count + regroup, and the final w-keyed join pair; the
     # per-shard thresholds enter as a collected literal map precisely
