@@ -73,8 +73,8 @@ def query(
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-9 window (VERDICT r8 item 1 —
 # the composition is tools/window_planner.py's proposal verbatim),
-# 10 + 12 + 28 = 50:
-# - 10 never-driver-checked rows, all new this round: the exact-BPE
+# 11 + 12 + 27 = 50:
+# - 11 never-driver-checked rows, all new this round: the exact-BPE
 #   tokenizer trio (text_bpe_tokenize — merge-table subword token
 #   accounting; text_bpe_vocab_counts — the O(vocab) scale-path plan;
 #   pack_bpe_chunks — packing budgeted in exact BPE tokens),
@@ -84,20 +84,21 @@ def query(
 #   dedup_substring_phase_pairs — alignment-free substring
 #   duplicate detection, stats_mann_whitney_u — histogram-form
 #   rank-sum test, timeseries_autocorrelation — exact per-day ACF,
-#   and sketch_kmv_setops — KMV union/intersection algebra;
+#   sketch_kmv_setops — KMV union/intersection algebra, and
+#   sample_epoch_shuffle — reproducible per-epoch shuffle order;
 # - 12 auto-sentinels: queries whose decorated definition (normalized
 #   AST, planner's git diff vs the last-green commit) changed since
 #   their last green driver row — the round-9 Welch/reco arithmetic
 #   fixes plus rewrites from rounds 5-8 whose refresh never landed;
-# - 28 stalest greens: the nine remaining r03 rows (5 rounds stale,
+# - 27 stalest greens: the nine remaining r03 rows (5 rounds stale,
 #   the r8 verdict's named cohort) then r04 rows oldest-first. The
-#   r04 remainder (21 rows, 5 rounds stale at r10) must lead round
+#   r04 remainder (22 rows, 5 rounds stale at r10) must lead round
 #   10's refresh block.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
 # additionally at sf0.1 (plus full-registry sf0.1 sweeps, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (10) ---
+    # --- never driver-checked: first evidence (11) ---
     "text_bpe_tokenize",
     "pack_bpe_chunks",
     "dedup_semantic_clusters",
@@ -108,6 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stats_mann_whitney_u",
     "timeseries_autocorrelation",
     "sketch_kmv_setops",
+    "sample_epoch_shuffle",
     # --- auto-sentinels: definition changed since last green (12) ---
     "ann_cosine_bruteforce",
     "ann_cosine_ivf",
@@ -131,7 +133,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_native_token_runs",
     "window_running_sum",
     "window_topk_per_group",
-    # --- then the r04 cohort, oldest-first (19 of 40 fit; the rest
+    # --- then the r04 cohort, oldest-first (18 of 40 fit; the rest
     #     lead round 10) ---
     "agg_approx_count_distinct",
     "agg_decimal_exact",
@@ -151,7 +153,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_array_setops",
     "scalar_map_funcs",
     "sketch_bloom_probe",
-    "subquery_exists_late_ship",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -904,3 +904,67 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_id",
         _split_case_col("group_id").alias("split"),
     )
+
+
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 16
+
+
+@query(
+    "sample_epoch_shuffle",
+    oracle=f"""
+        WITH e AS (SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch),
+        k AS (SELECT e.epoch, d.doc_id,
+                     (d.doc_id * 2654435761 + e.epoch * 1000003
+                      + 40503) % 1000000007 AS kh
+              FROM documents d CROSS JOIN e)
+        SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+               CAST(kh % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY epoch, kh % {SHUFFLE_SHARDS}
+                   ORDER BY kh, doc_id) AS BIGINT) AS pos
+        FROM k
+    """,
+    tags=("sampling", "extension", "training-data"),
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-EPOCH global shuffle order — the data-loader
+    contract behind "shuffle each epoch, but make every run (and every
+    resume) see the identical order". df.sample/shuffle state can't
+    give that across engines or restarts; a salted affine hash can:
+    epoch e's key for a doc is (doc_id * 2654435761 + e * 1000003 +
+    40503) mod P (the registry's _bucket_col constants, epoch-salted),
+    shard = key mod {SHUFFLE_SHARDS}, position = rank of (key, doc_id)
+    within the (epoch, shard). The emitted (epoch, doc_id, shard, pos)
+    manifest IS the shuffle: a reader streams shard files in pos order
+    and gets a fresh permutation per epoch with zero RNG state.
+
+    Scale shape: the fan-out is a row-local explode (never a join);
+    one rank window per (epoch, shard) — shard count is a knob sized
+    to the cluster exactly like pack_token_chunks' shards, so the sort
+    is per-shard, not global. At trillion-doc scale reduce doc_id mod
+    P BEFORE the multiply (modular arithmetic commutes; the straight
+    product overflows int64 past ~3e9 ids — same convention note as
+    _bucket_col)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))
+        ).alias("epoch"),
+    )
+    kh = (
+        F.col("doc_id") * F.lit(2654435761)
+        + F.col("epoch") * F.lit(1000003)
+        + F.lit(40503)
+    ) % F.lit(1000000007)
+    s = e.select(
+        F.col("epoch").cast("long").alias("epoch"), "doc_id", kh.alias("kh")
+    ).withColumn("shard", (F.col("kh") % SHUFFLE_SHARDS).cast("long"))
+    w = Window.partitionBy("epoch", "shard").orderBy("kh", "doc_id")
+    return s.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

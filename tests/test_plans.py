@@ -817,6 +817,9 @@ SHUFFLE_BUDGET = {
     # remains is the exact-answer measuring-stick join (word-keyed, 2)
     # + pair/size aggregations + final broadcast assembly.
     "sketch_kmv_setops": 8,
+    # One (epoch, shard)-keyed rank exchange; the epoch fan-out is a
+    # row-local explode, never a join.
+    "sample_epoch_shuffle": 1,
     # (shard,w) count + word-merge groupBys, the true-count branch's
     # own count + regroup, and the final w-keyed join pair; the
     # per-shard thresholds enter as a collected literal map precisely
