@@ -46,6 +46,30 @@ BLOOM_A = (2003, 2339, 2713)
 BLOOM_B = (571, 761, 919)
 BLOOM_BITS = 4096
 
+# AMS (Alon-Matias-Szegedy) F2 sketch: one ±1 four-universal-ish sign
+# stream per row; five rows so the median estimator has an odd count.
+AMS_A = (5471, 6197, 7919, 8597, 9241)
+AMS_B = (101, 313, 617, 829, 947)
+
+
+def ams_signs(wh: Column) -> Column:
+    """Array of the AMS ±1 signs of a word hash, one per sketch row:
+    sign_r = 1 - 2*((a_r*wh + b_r) % P % 2). Max intermediate
+    9241*65535 + 947 < 7e8 << 2^63."""
+    return F.array(
+        *[
+            (
+                F.lit(1) - F.lit(2) * ((F.lit(a) * wh + F.lit(b)) % P % 2)
+            ).cast("long")
+            for a, b in zip(AMS_A, AMS_B)
+        ]
+    )
+
+
+def ams_sign_sql(wh: str, a: int, b: int) -> str:
+    """DuckDB rendering of one AMS sign (kept adjacent to ams_signs)."""
+    return f"1 - 2*(({a} * ({wh}) + {b}) % {P} % 2)"
+
 
 def cms_cols(wh: Column) -> Column:
     """Array of ``depth`` column indices for a word-hash value — one

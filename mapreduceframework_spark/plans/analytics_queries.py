@@ -2728,3 +2728,345 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acf_e6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_theil_sen",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1995-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS d,
+                   CAST(SUM({snap_units_sql("value", 10_000)}) AS BIGINT)
+                       AS s
+            FROM events GROUP BY 1, 2),
+        slopes AS (
+            SELECT a.event_type,
+                   CAST(FLOOR(CAST(b.s - a.s AS DOUBLE) / (b.d - a.d)
+                              + 0.5) AS BIGINT) AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d),
+        fit AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   list_sort(list(slope))[(COUNT(*) + 1) // 2] AS slope_e4
+            FROM slopes GROUP BY event_type),
+        resid AS (
+            SELECT d.event_type, d.s - f.slope_e4 * d.d AS r
+            FROM daily d JOIN fit f ON f.event_type = d.event_type)
+        SELECT f.event_type, f.n_pairs, f.slope_e4,
+               i.intercept_e4
+        FROM fit f JOIN (
+            SELECT event_type,
+                   list_sort(list(r))[(COUNT(*) + 1) // 2]
+                       AS intercept_e4
+            FROM resid GROUP BY event_type) i
+          ON i.event_type = f.event_type
+    """,
+    tags=("stats", "extension"),
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type: daily metric
+    totals (exact e4 units), slope = the MEDIAN over all day pairs of
+    (s2-s1)/(d2-d1), intercept = the median residual at that slope —
+    the 29%-breakdown-point regression a monitoring pipeline uses
+    where one corrupted day would wreck least squares (Theil 1950,
+    Sen 1968). Conventions pinned for cross-engine exactness: slopes
+    snap half-up via FLOOR(diff/gap + 0.5) over exact-integer inputs
+    (identical IEEE double ops), medians are the LOWER median
+    (element (n+1)//2, 1-based, of the sorted list) so no averaging
+    of middle pairs ever introduces a float.
+
+    Scale shape: the O(days²) pair join runs on the DAILY AGGREGATE
+    (365 rows/year per type — model-sized forever), never on raw
+    events; the one corpus-sized stage is the first groupBy. The
+    medians collect O(days²) ints per type driver-free via
+    sort_array(collect_list(...)) inside an aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1995-01-01"))
+            .cast("long")
+            .alias("d"),
+            snap_units("value", 10_000).alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").alias("s"))
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("s").alias("s1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("s").alias("s2")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            F.floor(
+                (F.col("s2") - F.col("s1")).cast("double")
+                / (F.col("d2") - F.col("d1"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("slope"),
+        )
+    )
+    lower_median = lambda c: F.element_at(  # noqa: E731
+        F.sort_array(F.collect_list(c)),
+        ((F.count(F.lit(1)) + 1) / 2).cast("int"),
+    )
+    fit = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        lower_median("slope").alias("slope_e4"),
+    )
+    resid = daily.join(fit, "event_type").select(
+        "event_type",
+        "n_pairs",
+        "slope_e4",
+        (F.col("s") - F.col("slope_e4") * F.col("d")).alias("r"),
+    )
+    return resid.groupBy("event_type", "n_pairs", "slope_e4").agg(
+        lower_median("r").alias("intercept_e4")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution with exponential time decay
+# --------------------------------------------------------------------------
+
+ATTR_LOOKBACK_DAYS = 7
+ATTR_TOUCH_TYPES = ("view", "click", "signup")
+
+
+@query(
+    "events_attribution_time_decay",
+    oracle=f"""
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts,
+                          epoch_us(ts) AS ep,
+                          {snap_units_sql("value", 10_000)} AS value_e4
+                   FROM events WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, event_type AS touch_type, epoch_us(ts) AS et
+              FROM events
+              WHERE event_type IN {ATTR_TOUCH_TYPES!r}),
+        cand AS (
+            SELECT p.purchase_id, p.value_e4, t.touch_type,
+                   (1 << ({ATTR_LOOKBACK_DAYS}
+                          - CAST(FLOOR((p.ep - t.et) / 86400000000)
+                                 AS INT))) AS w
+            FROM p JOIN t
+              ON p.user_id = t.user_id
+                 AND t.et <= p.ep
+                 AND t.et >= p.ep - {ATTR_LOOKBACK_DAYS * 86400 * 10**6}),
+        grp AS (SELECT purchase_id, value_e4, touch_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_touches,
+                       CAST(SUM(w) AS BIGINT) AS wsum
+                FROM cand GROUP BY 1, 2, 3),
+        tot AS (SELECT *, CAST(SUM(wsum) OVER (
+                    PARTITION BY purchase_id) AS BIGINT) AS wtot
+                FROM grp)
+        SELECT touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(n_touches) AS BIGINT) AS n_touches,
+               CAST(SUM(CAST(FLOOR(CAST(wsum AS DOUBLE) * 1000000.0
+                                   / wtot + 0.5) AS BIGINT))
+                    AS BIGINT) AS credit_e6,
+               CAST(SUM(CAST(FLOOR(CAST(value_e4 AS DOUBLE) * wsum
+                                   / wtot + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_e4
+        FROM tot GROUP BY touch_type
+    """,
+    tags=("events", "analytics", "extension"),
+    bench=True,
+)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-touch attribution with exponential time decay: every
+    view/click/signup in the 7 days before a purchase shares that
+    purchase's credit, weighted 2^-(days before conversion) — the
+    industry-standard middle ground between first-touch (all credit
+    to one event, join_attribution_first_touch) and linear. Weights
+    are exact powers of two via integer shifts (1 << (LOOKBACK -
+    gap)), so per-purchase weight totals are exact BIGINTs and the
+    only doubles are the final per-purchase share divisions — both
+    snapped half-up to e6 credit units / e4 revenue units with the
+    engine-identical FLOOR(+0.5) convention on < 2^53 operands.
+
+    Scale shape: user-keyed equi-join with a time-range residual
+    (bounded by touches-per-user-week, the join_range_bands
+    discipline), one (purchase, type) partial agg, a purchase-keyed
+    window for the denominator (high-cardinality fact key — never an
+    enum window), and a 3-row final rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        snap_units("value", 10_000).alias("value_e4"),
+    )
+    t = ev.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("et"),
+    )
+    cand = p.join(t, "user_id").filter(
+        (F.col("et") <= F.col("ep"))
+        & (F.col("et") >= F.col("ep") - ATTR_LOOKBACK_DAYS * 86400 * 10**6)
+    )
+    grp = (
+        cand.select(
+            "purchase_id",
+            "value_e4",
+            "touch_type",
+            F.expr(
+                f"shiftleft(1, {ATTR_LOOKBACK_DAYS}"
+                " - cast(floor((ep - et) / 86400000000) as int))"
+            ).alias("w"),
+        )
+        .groupBy("purchase_id", "value_e4", "touch_type")
+        .agg(F.count(F.lit(1)).alias("n_touches"), F.sum("w").alias("wsum"))
+    )
+    tot = grp.withColumn(
+        "wtot", F.sum("wsum").over(Window.partitionBy("purchase_id"))
+    )
+    half_up = lambda num, den, scale: F.floor(  # noqa: E731
+        num.cast("double") * scale / den + F.lit(0.5)
+    ).cast("long")
+    return tot.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("n_touches").alias("n_touches"),
+        F.sum(
+            half_up(F.col("wsum"), F.col("wtot"), F.lit(1000000.0))
+        ).alias("credit_e6"),
+        F.sum(
+            half_up(F.col("value_e4"), F.col("wtot"), F.col("wsum"))
+        ).alias("revenue_e4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (pre/post x treated/control)
+# --------------------------------------------------------------------------
+
+DID_CUTOFF = "2024-01-16"  # events span 2024-01-01..30 at every SF
+
+
+@query(
+    "events_diff_in_diff",
+    oracle=f"""
+        WITH treat AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'signup'),
+        p AS (SELECT user_id,
+                     CASE WHEN CAST(ts AS DATE) >= DATE '{DID_CUTOFF}'
+                          THEN 'post' ELSE 'pre' END AS period,
+                     {snap_units_sql("value", 10_000)} AS v
+              FROM events WHERE event_type = 'purchase'),
+        cell AS (SELECT CASE WHEN t.user_id IS NULL
+                             THEN 'control' ELSE 'treated' END AS grp,
+                        period, CAST(SUM(v) AS BIGINT) AS s,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM p LEFT JOIN treat t USING (user_id)
+                 GROUP BY 1, 2),
+        m AS (SELECT grp, period, n,
+                     CAST(FLOOR(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+                         AS mean_e4
+              FROM cell),
+        pv AS (SELECT
+                 MAX(CASE WHEN grp='treated' AND period='pre'
+                          THEN mean_e4 END) AS mt_pre,
+                 MAX(CASE WHEN grp='treated' AND period='post'
+                          THEN mean_e4 END) AS mt_post,
+                 MAX(CASE WHEN grp='control' AND period='pre'
+                          THEN mean_e4 END) AS mc_pre,
+                 MAX(CASE WHEN grp='control' AND period='post'
+                          THEN mean_e4 END) AS mc_post,
+                 CAST(SUM(n) AS BIGINT) AS n_purchases
+               FROM m)
+        SELECT mt_pre, mt_post, mc_pre, mc_post, n_purchases,
+               (mt_post - mt_pre) - (mc_post - mc_pre) AS did_e4
+        FROM pv
+    """,
+    tags=("events", "stats", "extension"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse quasi-experimental
+    estimator (Card & Krueger 1994): users who ever signed up form
+    the treated group, the event stream splits pre/post at a fixed
+    cutoff, and the effect on mean purchase value is the treated
+    pre→post change minus the control pre→post change (differencing
+    away both group-level and time-level confounds). Cell means snap
+    half-up to exact e4 units from BIGINT sums (FLOOR(s/n + 0.5),
+    identical IEEE ops both engines); the DiD contrast is then pure
+    integer arithmetic — no float ever crosses engines.
+
+    Scale shape: the treated-user table is user-keyed (never
+    broadcast-assumed — billions of users at 100 TB), purchases join
+    it on the same key, and the 2x2 cell agg is partial-combined;
+    everything after is O(1)."""
+    ev = load_table(spark, sf_dir, "events")
+    treat = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .withColumn("tr", F.lit(1))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.when(
+            F.to_date("ts") >= F.lit(DID_CUTOFF).cast("date"), "post"
+        )
+        .otherwise("pre")
+        .alias("period"),
+        snap_units("value", 10_000).alias("v"),
+    )
+    cell = (
+        p.join(treat, "user_id", "left")
+        .groupBy(
+            F.when(F.col("tr").isNull(), "control")
+            .otherwise("treated")
+            .alias("grp"),
+            "period",
+        )
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    m = cell.select(
+        "grp",
+        "period",
+        "n",
+        F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+        .cast("long")
+        .alias("mean_e4"),
+    )
+
+    def pick(g: str, per: str) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == per),
+                F.col("mean_e4"),
+            )
+        )
+
+    pv = m.agg(
+        pick("treated", "pre").alias("mt_pre"),
+        pick("treated", "post").alias("mt_post"),
+        pick("control", "pre").alias("mc_pre"),
+        pick("control", "post").alias("mc_post"),
+        F.sum("n").alias("n_purchases"),
+    )
+    return pv.select(
+        "mt_pre",
+        "mt_post",
+        "mc_pre",
+        "mc_post",
+        "n_purchases",
+        (
+            (F.col("mt_post") - F.col("mt_pre"))
+            - (F.col("mc_post") - F.col("mc_pre"))
+        ).alias("did_e4"),
+    )

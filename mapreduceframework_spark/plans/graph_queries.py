@@ -646,3 +646,235 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return d.select("id", F.col("d").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (fixed rounds, unnormalized exact integers)
+# --------------------------------------------------------------------------
+
+HITS_ROUNDS = 2
+
+
+def _hits_oracle_sql() -> str:
+    """Unroll HITS_ROUNDS of the unnormalized HITS recurrence as CTEs:
+    a_t(v) = Σ_{u→v} h_{t-1}(u), h_t(u) = Σ_{u→v} a_t(v), h_0 ≡ 1.
+    Round 1's authority pass is therefore plain indegree."""
+    ctes = [
+        "nodes AS (SELECT src AS id FROM trade_e"
+        " UNION SELECT dst FROM trade_e)",
+        "a1 AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS a"
+        " FROM trade_e GROUP BY dst)",
+        "h1 AS (SELECT e.src AS id, CAST(SUM(a1.a) AS BIGINT) AS h"
+        " FROM trade_e e JOIN a1 ON a1.id = e.dst GROUP BY e.src)",
+    ]
+    for t in range(2, HITS_ROUNDS + 1):
+        ctes.append(
+            f"a{t} AS (SELECT e.dst AS id, CAST(SUM(h{t-1}.h) AS BIGINT)"
+            f" AS a FROM trade_e e JOIN h{t-1} ON h{t-1}.id = e.src"
+            " GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"h{t} AS (SELECT e.src AS id, CAST(SUM(a{t}.a) AS BIGINT)"
+            f" AS h FROM trade_e e JOIN a{t} ON a{t}.id = e.dst"
+            " GROUP BY e.src)"
+        )
+    t = HITS_ROUNDS
+    return f"""
+        WITH {TRADE_EDGES_CTE},
+        {", ".join(ctes)}
+        SELECT n.id AS nation,
+               COALESCE(h{t}.h, 0) AS hub_score,
+               COALESCE(a{t}.a, 0) AS auth_score
+        FROM nodes n
+        LEFT JOIN h{t} ON h{t}.id = n.id
+        LEFT JOIN a{t} ON a{t}.id = n.id
+    """
+
+
+@query(
+    "graph_hits",
+    oracle=_hits_oracle_sql(),
+    tags=("graph", "iterative", "extension"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg's hubs-and-authorities) over the directed trade
+    graph, HITS_ROUNDS mutual-reinforcement rounds UNNORMALIZED so the
+    whole fixpoint stays in exact BIGINT: with h_0 ≡ 1, every score is
+    a path count (a_t = #paths of length 2t-1 ending at v under the
+    alternating out/in walk), so skipping the usual L2 normalization
+    trades convergence for bit-exact cross-engine checkability — the
+    RANKING after any fixed round count is the same as the normalized
+    iterate's. Nodes with no qualifying edges surface with score 0
+    (the left join), not dropped.
+
+    Scale shape: each half-round is one equi-join of the score table
+    (O(nodes), model-sized here; node-partitioned at web scale)
+    against the edge list plus a sum-aggregate — identical discipline
+    to pagerank_int (partial-agged, integer, localCheckpoint per
+    round, edges materialized once and reused every round keyed on
+    the join side's column). Scores grow ≤ ×max_degree per
+    half-round: 25 nations × 2 rounds tops out ~25⁴ ≈ 4e5 ≪ 2^63;
+    at any SF the node set is the fixed 25 nations."""
+    e = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("id", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a = (
+            e.join(h.select(F.col("id").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            e.join(a.select(F.col("id").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            F.col("id").alias("nation"),
+            F.coalesce("h", F.lit(0)).alias("hub_score"),
+            F.coalesce("a", F.lit(0)).alias("auth_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (bounded peel rounds over a thresholded graph)
+# --------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+KCORE_TOP_EDGES = 80  # rank-based sparsification: top pairs by volume
+
+KCORE_UND_CTE = f"""
+    pairs AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE cn.n_name <> sn.n_name
+        GROUP BY 1, 2
+        ORDER BY cnt DESC, src, dst LIMIT {KCORE_TOP_EDGES}),
+    und AS (SELECT src, dst FROM pairs
+            UNION
+            SELECT dst AS src, src AS dst FROM pairs)
+"""
+
+
+def _kcore_oracle_sql() -> str:
+    """Unroll KCORE_ROUNDS of the peel: deg_r = degree restricted to
+    the previous alive set (both endpoints), alive_r = deg_r >= K."""
+    ctes = ["a0 AS (SELECT DISTINCT src AS id FROM und)"]
+    prev = "a0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"d{r} AS (SELECT e.src AS id, CAST(COUNT(*) AS BIGINT)"
+            f" AS deg FROM und e JOIN {prev} x ON x.id = e.src"
+            f" JOIN {prev} y ON y.id = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT id FROM d{r} WHERE deg >= {KCORE_K})"
+        )
+        prev = f"a{r}"
+    r = KCORE_ROUNDS
+    return f"""
+        WITH {KCORE_UND_CTE},
+        {", ".join(ctes)}
+        SELECT n.id AS nation,
+               CASE WHEN a.id IS NULL THEN 0 ELSE 1 END AS in_core,
+               COALESCE(d.deg, 0) AS deg_last
+        FROM a0 n
+        LEFT JOIN a{r} a ON a.id = n.id
+        LEFT JOIN d{r} d ON d.id = n.id
+    """
+
+
+@query(
+    "graph_kcore",
+    oracle=_kcore_oracle_sql(),
+    tags=("graph", "iterative", "extension"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (Seidman 1983; the Batagelj-Zaversnik
+    decomposition's distributed form): over the volume-thresholded
+    undirected trade graph (top-KCORE_TOP_EDGES pairs by lineitem count — a
+    RANK-based cut so the graph's sparsity is scale-stable, then
+    symmetrized, self-loops dropped), repeatedly delete nodes with
+    degree < k. Fixed peel rounds keep the oracle an exact unroll;
+    in_core after round R plus the last-round degree make partial
+    convergence itself the checked value. k-core is the standard
+    graph-cleanup primitive (spam/bot subgraph trimming, dense-
+    community seeding) a trade/interaction graph pipeline runs
+    before PageRank-class analytics.
+
+    Scale shape: each round re-derives degrees with two alive-set
+    semi-join-shaped equi-joins (edges partition by endpoint — the
+    same keyed-iteration discipline as graph_bfs_distances) and one
+    partial-agged count; alive sets are node-sized, edges
+    materialize once (localCheckpoint) and never re-shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("dst")
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "src", "dst")
+        .limit(KCORE_TOP_EDGES)
+    )
+    und = (
+        pairs.select("src", "dst")
+        .union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    alive = nodes
+    deg = None
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            und.join(alive.select(F.col("id").alias("src")), "src")
+            .join(alive.select(F.col("id").alias("dst")), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        alive = deg.filter(F.col("deg") >= KCORE_K).select("id")
+    return (
+        nodes.join(alive.withColumn("ic", F.lit(1)), "id", "left")
+        .join(deg, "id", "left")
+        .select(
+            F.col("id").alias("nation"),
+            F.coalesce("ic", F.lit(0)).alias("in_core"),
+            F.coalesce("deg", F.lit(0)).alias("deg_last"),
+        )
+    )

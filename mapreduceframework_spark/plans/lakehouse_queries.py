@@ -466,3 +466,110 @@ def lakehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_cents"),
     )
     return merged.filter(F.col("n_orders") > 0)
+
+
+# --------------------------------------------------------------------------
+# Zone-map (data-skipping) pruning audit: natural vs clustered layout
+# --------------------------------------------------------------------------
+
+ZONE_ORDERKEYS = 1024  # orderkeys per natural zone (file-ish granule)
+ZONE_DAYS = 28  # shipdate days per clustered zone
+ZONE_PRED_LO = "1994-03-01"
+ZONE_PRED_HI = "1994-08-31"
+
+
+def _zone_audit_sql(zone_expr: str, layout: str) -> str:
+    """Per-layout zone-map audit CTE chain: assign each lineitem row a
+    zone, collect the zone's shipdate min/max (the zone map), then
+    measure what a scanner using that map must read for the predicate."""
+    return f"""
+        SELECT '{layout}' AS layout,
+               CAST(COUNT(*) AS BIGINT) AS zones_total,
+               CAST(SUM(CASE WHEN zmin <= DATE '{ZONE_PRED_HI}'
+                              AND zmax >= DATE '{ZONE_PRED_LO}'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zones_scanned,
+               CAST(SUM(CASE WHEN zmin <= DATE '{ZONE_PRED_HI}'
+                              AND zmax >= DATE '{ZONE_PRED_LO}'
+                             THEN n ELSE 0 END) AS BIGINT)
+                   AS rows_scanned,
+               CAST(SUM(hits) AS BIGINT) AS rows_matched
+        FROM (SELECT {zone_expr} AS zone,
+                     MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN l_shipdate BETWEEN
+                                        DATE '{ZONE_PRED_LO}'
+                                        AND DATE '{ZONE_PRED_HI}'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS hits
+              FROM lineitem GROUP BY 1)
+    """
+
+
+@query(
+    "lakehouse_zone_map_prune",
+    oracle=f"""
+        {_zone_audit_sql(f"l_orderkey // {ZONE_ORDERKEYS}", "natural")}
+        UNION ALL
+        {_zone_audit_sql(
+            f"date_diff('day', DATE '1992-01-01', l_shipdate)"
+            f" // {ZONE_DAYS}",
+            "clustered",
+        )}
+    """,
+    tags=("lakehouse", "extension"),
+)
+def lakehouse_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping audit — the min-max file statistics
+    every lakehouse format (parquet row groups, Delta/Iceberg file
+    stats) uses to prune scans, measured under two physical layouts
+    for the same shipdate range predicate: 'natural' zones follow
+    insertion order (orderkey ranges — shipdates spread everywhere,
+    so min/max spans swallow the predicate and nothing prunes) vs
+    'clustered' zones aligned with the predicate column (shipdate
+    ranges — zones either miss entirely or are genuinely needed).
+    rows_scanned vs rows_matched is the read amplification a 100 TB
+    scan would pay under each layout — THE quantitative argument for
+    layout_zorder_clustering's existence, as an oracle-checked row.
+
+    Scale shape: one zone-keyed partial agg per layout (the zone map
+    itself is O(zones), model-sized), then an O(zones) rollup; the
+    predicate evaluation rides the same scan that builds the map —
+    no second pass, no join, all exact integers/dates."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+
+    def audit(zone: F.Column, layout: str) -> DataFrame:
+        lo, hi = F.lit(ZONE_PRED_LO).cast("date"), F.lit(
+            ZONE_PRED_HI
+        ).cast("date")
+        zones = li.groupBy(zone.alias("zone")).agg(
+            F.min("l_shipdate").alias("zmin"),
+            F.max("l_shipdate").alias("zmax"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_shipdate").between(lo, hi), 1).otherwise(0)
+            ).alias("hits"),
+        )
+        scanned = (F.col("zmin") <= hi) & (F.col("zmax") >= lo)
+        return zones.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("zones_total"),
+            F.sum(F.when(scanned, 1).otherwise(0)).alias("zones_scanned"),
+            F.sum(F.when(scanned, F.col("n")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+            F.sum("hits").alias("rows_matched"),
+        )
+
+    natural = audit(
+        F.floor(F.col("l_orderkey") / ZONE_ORDERKEYS).cast("long"), "natural"
+    )
+    clustered = audit(
+        F.floor(
+            F.datediff("l_shipdate", F.lit("1992-01-01").cast("date"))
+            / ZONE_DAYS
+        ).cast("long"),
+        "clustered",
+    )
+    return natural.unionByName(clustered)

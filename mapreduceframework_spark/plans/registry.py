@@ -73,8 +73,8 @@ def query(
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-9 window (VERDICT r8 item 1 —
 # the composition is tools/window_planner.py's proposal verbatim),
-# 11 + 12 + 27 = 50:
-# - 11 never-driver-checked rows, all new this round: the exact-BPE
+# 20 + 12 + 18 = 50:
+# - 20 never-driver-checked rows, all new this round: the exact-BPE
 #   tokenizer trio (text_bpe_tokenize — merge-table subword token
 #   accounting; text_bpe_vocab_counts — the O(vocab) scale-path plan;
 #   pack_bpe_chunks — packing budgeted in exact BPE tokens),
@@ -84,15 +84,24 @@ def query(
 #   dedup_substring_phase_pairs — alignment-free substring
 #   duplicate detection, stats_mann_whitney_u — histogram-form
 #   rank-sum test, timeseries_autocorrelation — exact per-day ACF,
-#   sketch_kmv_setops — KMV union/intersection algebra, and
-#   sample_epoch_shuffle — reproducible per-epoch shuffle order;
+#   sketch_kmv_setops — KMV union/intersection algebra,
+#   sample_epoch_shuffle — reproducible per-epoch shuffle order,
+#   sketch_ams_f2 — AMS tug-of-war F2 estimator, graph_hits —
+#   exact-integer unnormalized HITS hubs/authorities,
+#   feature_hashing_trick — zero-shuffle hashed featurization,
+#   stats_theil_sen — median-of-slopes robust trend,
+#   events_attribution_time_decay — multi-touch decay attribution,
+#   lakehouse_zone_map_prune — data-skipping layout audit,
+#   pack_binpack_harmonic — whole-doc capacity-class bin packing,
+#   events_diff_in_diff — quasi-experimental DiD contrast, and
+#   graph_kcore — bounded k-core peel;
 # - 12 auto-sentinels: queries whose decorated definition (normalized
 #   AST, planner's git diff vs the last-green commit) changed since
 #   their last green driver row — the round-9 Welch/reco arithmetic
 #   fixes plus rewrites from rounds 5-8 whose refresh never landed;
-# - 27 stalest greens: the nine remaining r03 rows (5 rounds stale,
+# - 18 stalest greens: the nine remaining r03 rows (5 rounds stale,
 #   the r8 verdict's named cohort) then r04 rows oldest-first. The
-#   r04 remainder (22 rows, 5 rounds stale at r10) must lead round
+#   r04 remainder (31 rows, 5 rounds stale at r10) must lead round
 #   10's refresh block.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
@@ -110,6 +119,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "timeseries_autocorrelation",
     "sketch_kmv_setops",
     "sample_epoch_shuffle",
+    "sketch_ams_f2",
+    "graph_hits",
+    "feature_hashing_trick",
+    "stats_theil_sen",
+    "events_attribution_time_decay",
+    "lakehouse_zone_map_prune",
+    "pack_binpack_harmonic",
+    "events_diff_in_diff",
+    "graph_kcore",
     # --- auto-sentinels: definition changed since last green (12) ---
     "ann_cosine_bruteforce",
     "ann_cosine_ivf",
@@ -133,7 +151,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_native_token_runs",
     "window_running_sum",
     "window_topk_per_group",
-    # --- then the r04 cohort, oldest-first (18 of 40 fit; the rest
+    # --- then the r04 cohort, oldest-first (9 of 40 fit; the rest
     #     lead round 10) ---
     "agg_approx_count_distinct",
     "agg_decimal_exact",
@@ -144,15 +162,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_degree_stats",
     "grouping_sets_explicit",
     "join_range_bands",
-    "lateral_last_ship",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "quality_report_tables",
-    "sample_deterministic",
-    "sample_mixture_by_source",
-    "scalar_array_setops",
-    "scalar_map_funcs",
-    "sketch_bloom_probe",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

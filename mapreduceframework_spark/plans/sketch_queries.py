@@ -582,3 +582,96 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) second-frequency-moment sketch
+# --------------------------------------------------------------------------
+
+def _ams_cells_sql() -> str:
+    """UNION ALL rendering of the per-occurrence AMS sign stream, one
+    branch per sketch row (mirrors the posexplode index order)."""
+    parts = [
+        f"SELECT {i} AS row_id, {S.ams_sign_sql('wh', a, b)} AS sign"
+        " FROM whs"
+        for i, (a, b) in enumerate(zip(S.AMS_A, S.AMS_B))
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "sketch_ams_f2",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        w AS (SELECT unnest(words) AS word FROM d),
+        whs AS (SELECT {D.word_hash_sql("word")} AS wh FROM w),
+        cells AS ({_ams_cells_sql()}),
+        z AS (SELECT row_id, CAST(SUM(sign) AS BIGINT) AS z_val
+              FROM cells GROUP BY row_id),
+        est AS (SELECT row_id, z_val, z_val * z_val AS est_f2 FROM z),
+        med AS (SELECT list_sort(list(est_f2))[3] AS med_est FROM est),
+        truth AS (SELECT CAST(SUM(c * c) AS BIGINT) AS true_f2
+                  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+                        FROM w GROUP BY word))
+        SELECT row_id, z_val, est_f2, med_est, true_f2,
+               CAST(FLOOR((med_est - true_f2) * 1000000.0 / true_f2)
+                    AS BIGINT) AS err_ppm
+        FROM est, med, truth
+    """,
+    tags=("sketch", "extension"),
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment (F2) sketch over the document word
+    stream: five ±1 sign rows, Z_r = Σ_occurrences sign_r(word),
+    per-row estimate Z_r², final estimate the median of the five —
+    the classic tug-of-war sketch (Alon-Matias-Szegedy STOC'96). F2
+    = Σ_w count(w)² is the self-join size / repetition energy of the
+    stream; the exact value sits beside the estimates and the signed
+    median error in ppm so the estimator's variance is itself
+    value-checked across engines (same signs → same collisions →
+    identical Z, bit for bit).
+
+    Why it earns a distributed slot: unlike count-min (which needs a
+    per-cell keyed shuffle), the AMS state is FIVE counters total —
+    each partition folds its occurrences into five partial sums
+    map-side and the exchange moves 5 longs per partition, making it
+    the cheapest possible global statistic at 100 TB (the same
+    all-to-one partial-agg shape as a global COUNT). The exact-F2
+    branch (one word-keyed shuffle) exists purely as the oracle's
+    measuring stick. err_ppm uses FLOOR over double division — the
+    engine-identical signed-division convention (BIGINT inputs are
+    < 2^53 so the double is exact)."""
+    occ = _docs(spark, sf_dir).select(F.explode("words").alias("word"))
+    signs = S.ams_signs(D.word_hash(F.col("word")))
+    z = (
+        occ.select(F.posexplode(signs).alias("row_id", "sign"))
+        .groupBy("row_id")
+        .agg(F.sum("sign").alias("z_val"))
+    )
+    est = z.withColumn("est_f2", F.col("z_val") * F.col("z_val"))
+    med = est.agg(
+        F.sort_array(F.collect_list("est_f2")).getItem(2).alias("med_est")
+    )
+    truth = (
+        occ.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("true_f2"))
+    )
+    return (
+        est.join(F.broadcast(med))
+        .join(F.broadcast(truth))
+        .select(
+            "row_id",
+            "z_val",
+            "est_f2",
+            "med_est",
+            "true_f2",
+            F.floor(
+                (F.col("med_est") - F.col("true_f2"))
+                * F.lit(1000000.0)
+                / F.col("true_f2")
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+    )

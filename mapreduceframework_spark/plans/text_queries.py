@@ -1212,3 +1212,148 @@ def text_bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("long").alias("bpe_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick feature vectors (zero-shuffle sparse featurization)
+# --------------------------------------------------------------------------
+
+FH_BUCKETS = 64  # hashed feature dimensionality
+
+
+@query(
+    "feature_hashing_trick",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        w AS (SELECT doc_id, unnest(words) AS word FROM d),
+        h AS (SELECT doc_id, {D.word_hash_sql("word")} AS wh FROM w)
+        SELECT doc_id, wh % {FH_BUCKETS} AS bucket,
+               CAST(SUM(1 - 2*((wh // {FH_BUCKETS}) % 2)) AS BIGINT)
+                   AS weight
+        FROM h GROUP BY doc_id, bucket
+        HAVING SUM(1 - 2*((wh // {FH_BUCKETS}) % 2)) <> 0
+    """,
+    tags=("text", "feature", "extension"),
+    bench=True,
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. ICML'09): each
+    document becomes a sparse B-dim vector (B = FH_BUCKETS) — bucket =
+    hash(word) mod B, weight = Σ ±1 signs (the sign bit is the hash's
+    next bit, so collisions cancel in expectation instead of only
+    inflating). The unbounded vocabulary never materializes: no
+    dictionary fit, no vocab broadcast, memory O(B) per doc forever —
+    the standard way to featurize a 100 TB corpus for a linear model.
+
+    Scale shape: ZERO exchanges. The per-doc vector folds map-side
+    with one F.aggregate HOF over the words array (O(B) per word,
+    JVM-codegen), then posexplodes to sparse (bucket, weight) rows —
+    the whole query is a single narrow scan at any corpus size. The
+    oracle states the same result as the explode+groupBy it replaces
+    (integer addition is order-free), which is exactly the cross-
+    engine proof that the fold's accumulation order doesn't matter."""
+    d = _docs(spark, sf_dir)
+    wh_of = D.word_hash
+    pairs = F.transform(
+        F.col("words"),
+        lambda w: F.struct(
+            (wh_of(w) % FH_BUCKETS).alias("b"),
+            F.when(wh_of(w).bitwiseAND(F.lit(FH_BUCKETS)) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("s"),
+        ),
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), FH_BUCKETS)
+    weights = F.aggregate(
+        pairs,
+        zero,
+        lambda acc, p: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(i.cast("long") == p["b"], p["s"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+    )
+    return d.select(
+        "doc_id", F.posexplode(weights).alias("bucket", "weight")
+    ).filter(F.col("weight") != 0)
+
+
+# --------------------------------------------------------------------------
+# Whole-document bin packing (harmonic capacity classes, no fold)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pack_binpack_harmonic",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                   LEAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(regexp_split_to_array(
+                                        trim(text), '\\s+')) END),
+                         {PACK_BUDGET}) AS toks
+            FROM documents),
+        cls AS (
+            SELECT shard, doc_id, toks, {PACK_BUDGET} // toks AS k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY shard, {PACK_BUDGET} // toks
+                       ORDER BY toks DESC, doc_id) AS rn
+            FROM t WHERE toks > 0)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(k AS BIGINT) AS k,
+               CAST((rn - 1) // k AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS tokens,
+               CAST({PACK_BUDGET} - SUM(toks) AS BIGINT) AS waste
+        FROM cls GROUP BY shard, k, (rn - 1) // k
+    """,
+    tags=("extension", "packing", "training-data"),
+)
+def pack_binpack_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-document bin packing into fixed token-budget bins — the
+    packing variant a finetuning/eval pipeline needs when documents
+    must not split across sequences (pack_token_chunks is the
+    complementary concat-and-split). True first-fit is an inherently
+    sequential fold, so this uses HARMONIC capacity classes (Lee &
+    Lee JACM'85): a doc of size s goes to class k = budget div s (the
+    max that fit one bin), and within a (shard, class) docs fill bins
+    k at a time by (size desc, doc_id) rank — bin = (rank-1) div k.
+    Every bin holds one class, so fill is guaranteed > B/(k+1) per
+    doc and waste = budget - Σtoks is nonneg by construction; both
+    are emitted per bin, making the packing efficiency itself the
+    value-checked output. Docs longer than the budget clamp to one
+    full bin (the truncate-don't-split convention).
+
+    Scale shape: class assignment is row-local; the only state is a
+    rank per (shard, class) — one keyed window shuffle, no sequential
+    fold, no global sort, bins numbered deterministically so re-runs
+    and engines agree bin-for-bin."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.least(
+            X.whitespace_token_count(F.col("text")), F.lit(PACK_BUDGET)
+        ).alias("toks"),
+    ).filter(F.col("toks") > 0)
+    cls = t.withColumn("k", F.floor(F.lit(PACK_BUDGET) / F.col("toks")))
+    rn = F.row_number().over(
+        Window.partitionBy("shard", "k").orderBy(
+            F.col("toks").desc(), "doc_id"
+        )
+    )
+    binned = cls.withColumn(
+        "bin_id", F.floor((rn - 1) / F.col("k")).cast("long")
+    )
+    return binned.groupBy(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("k").cast("long").alias("k"),
+        "bin_id",
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("tokens"),
+        (F.lit(PACK_BUDGET) - F.sum("toks")).cast("long").alias("waste"),
+    )

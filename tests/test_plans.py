@@ -820,6 +820,34 @@ SHUFFLE_BUDGET = {
     # One (epoch, shard)-keyed rank exchange; the epoch fan-out is a
     # row-local explode, never a join.
     "sample_epoch_shuffle": 1,
+    # Sketch side is one 5-row partial-agged exchange + the to-1 final;
+    # the exact-F2 measuring stick adds its word groupBy + global agg;
+    # +2 broadcast exchanges assembling the (est × med × truth) row.
+    "sketch_ams_f2": 7,
+    # Per half-round score-table aggs collapse behind localCheckpoint;
+    # the static plan is the node spine + two broadcast score joins.
+    "graph_hits": 3,
+    # The whole point: hashed featurization is ONE narrow scan — the
+    # per-doc fold is a row-local HOF, the explode row-local. Any
+    # exchange appearing here is a regression of the design itself.
+    "feature_hashing_trick": 0,
+    # Daily agg + the type-keyed pair self-join + two median groupBys
+    # (slopes, residuals) + the fit join back onto daily.
+    "stats_theil_sen": 6,
+    # User-keyed touch join + (purchase,type) agg + purchase-keyed
+    # window + the 3-row type rollup.
+    "events_attribution_time_decay": 4,
+    # One zone-keyed partial agg + O(zones) rollup per layout (x2).
+    "lakehouse_zone_map_prune": 4,
+    # Class assignment is row-local; ONE (shard, class) rank exchange
+    # (the bin groupBy rides the same partitioning).
+    "pack_binpack_harmonic": 1,
+    # Treated-user distinct + the user-keyed purchase join + 2x2 cell
+    # agg + the O(1) pivot.
+    "events_diff_in_diff": 4,
+    # Per-round degree joins collapse behind localCheckpoint; static
+    # plan = node spine + alive/deg broadcast joins.
+    "graph_kcore": 3,
     # (shard,w) count + word-merge groupBys, the true-count branch's
     # own count + regroup, and the final w-keyed join pair; the
     # per-shard thresholds enter as a collected literal map precisely
