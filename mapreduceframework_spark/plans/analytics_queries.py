@@ -3070,3 +3070,199 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("mc_post") - F.col("mc_pre"))
         ).alias("did_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE workalike)
+# --------------------------------------------------------------------------
+
+PATTERN_FUNNEL = "v[^e]*c[^e]*p"  # view ... click ... purchase, no error
+
+
+@query(
+    "events_pattern_match_regex",
+    oracle=f"""
+        WITH seqs AS (
+            SELECT user_id,
+                   STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY 1, 2)
+        SELECT user_id, day, seq,
+               CAST(len(regexp_extract_all(seq, '{PATTERN_FUNNEL}'))
+                    AS BIGINT) AS n_matches
+        FROM seqs
+        WHERE len(regexp_extract_all(seq, '{PATTERN_FUNNEL}')) > 0
+    """,
+    tags=("events", "analytics", "extension"),
+)
+def events_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-sequence pattern matching — the MATCH_RECOGNIZE clause
+    (SQL:2016, shipped by Flink/Trino/Oracle, absent from Spark SQL)
+    rebuilt from primitives: each user-day's event stream becomes a
+    one-letter-per-event string in deterministic (ts, event_id)
+    order, and the funnel pattern 'view, then click, then purchase,
+    with no error between' runs as the regex v[^e]*c[^e]*p; emitted
+    per user-day with the count of non-overlapping matches. Both
+    engines scan leftmost-first with greedy quantifiers over an
+    explicit character class (no \\s/\\w shorthand — the documented
+    Java-vs-RE2 divergence), so match COUNTS are engine-identical.
+
+    Scale shape: one (user, day) shuffle builds the sequences (state
+    bounded by events-per-user-day, the events_top_paths bound); the
+    regex is a row-local scan over strings that are one CHARACTER per
+    event — a 100x-1000x reduction over the raw rows before any
+    pattern work happens."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+            ).alias("e"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    n = F.size(
+        F.expr(f"regexp_extract_all(seq, '{PATTERN_FUNNEL}', 0)")
+    ).cast("long")
+    return seqs.select(
+        "user_id", "day", "seq", n.alias("n_matches")
+    ).filter(F.col("n_matches") > 0)
+
+
+# --------------------------------------------------------------------------
+# Multiple linear regression via sufficient statistics + Cramer's rule
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_regression_multi",
+    oracle=f"""
+        WITH pts AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS x1,
+                   CAST(hour(ts) AS BIGINT) AS x2,
+                   {snap_units_sql("value", 10_000)} AS y
+            FROM events),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(x1 AS HUGEINT)) AS s1,
+                   SUM(CAST(x2 AS HUGEINT)) AS s2,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x1 * x1 AS HUGEINT)) AS s11,
+                   SUM(CAST(x1 * x2 AS HUGEINT)) AS s12,
+                   SUM(CAST(x2 * x2 AS HUGEINT)) AS s22,
+                   SUM(CAST(x1 * y AS HUGEINT)) AS s1y,
+                   SUM(CAST(x2 * y AS HUGEINT)) AS s2y
+            FROM pts GROUP BY event_type),
+        d AS (
+            SELECT event_type, n,
+                   n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                     + s2*(s1*s12 - s11*s2) AS det,
+                   sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                     + s2*(s1y*s12 - s11*s2y) AS det0,
+                   n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                     + s2*(s1*s2y - s1y*s2) AS det1,
+                   n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                     + sy*(s1*s12 - s11*s2) AS det2
+            FROM m)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(ROUND(CAST(det0 * 1000000 AS DOUBLE)
+                          / CAST(det AS DOUBLE)) AS BIGINT) AS b0_e10,
+               CAST(ROUND(CAST(det1 * 1000000 AS DOUBLE)
+                          / CAST(det AS DOUBLE)) AS BIGINT) AS b1_e10,
+               CAST(ROUND(CAST(det2 * 1000000 AS DOUBLE)
+                          / CAST(det AS DOUBLE)) AS BIGINT) AS b2_e10
+        FROM d WHERE det <> 0
+    """,
+    tags=("stats", "extension"),
+)
+def stats_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE linear regression fit in one distributed pass: per
+    event type, y (exact e4 value units) on x1 = day index and x2 =
+    hour-of-day, solved from the nine sufficient statistics (n, Σx1,
+    Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y) via Cramer's rule on the
+    3x3 normal equations — how a feature pipeline fits millions of
+    tiny per-group models without an optimizer loop. Determinism
+    contract: the statistics accumulate as DECIMAL(38,0)/HUGEINT
+    (order-free exact integers — the Welch Σv² lesson), ALL
+    determinant algebra stays exact integer, and each coefficient is
+    ONE double division of identical exact operands, rounded to an
+    integer (the stable ROUND). Degenerate groups (det = 0,
+    collinear regressors) are excluded by the same exact-integer
+    predicate on both engines — never by hoping NULL/NaN conventions
+    agree.
+
+    Scale shape: ONE partial-agged keyed shuffle down to O(types)
+    sufficient-statistic rows; the solve is row-local on the tiny
+    aggregate. b*_e10: e4 value units x the e6 output snap."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pts = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x1"),
+        F.hour("ts").cast("long").alias("x2"),
+        snap_units("value", 10_000).alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        F.sum(dec(F.col("x1"))).alias("s1"),
+        F.sum(dec(F.col("x2"))).alias("s2"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x1") * F.col("x1"))).alias("s11"),
+        F.sum(dec(F.col("x1") * F.col("x2"))).alias("s12"),
+        F.sum(dec(F.col("x2") * F.col("x2"))).alias("s22"),
+        F.sum(dec(F.col("x1") * F.col("y"))).alias("s1y"),
+        F.sum(dec(F.col("x2") * F.col("y"))).alias("s2y"),
+    )
+    c = F.col
+    minor = c("s11") * c("s22") - c("s12") * c("s12")
+    d = m.select(
+        "event_type",
+        "n",
+        (
+            c("n") * minor
+            - c("s1") * (c("s1") * c("s22") - c("s12") * c("s2"))
+            + c("s2") * (c("s1") * c("s12") - c("s11") * c("s2"))
+        ).alias("det"),
+        (
+            c("sy") * minor
+            - c("s1") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+            + c("s2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+        ).alias("det0"),
+        (
+            c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+            - c("sy") * (c("s1") * c("s22") - c("s12") * c("s2"))
+            + c("s2") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+        ).alias("det1"),
+        (
+            c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+            - c("s1") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+            + c("sy") * (c("s1") * c("s12") - c("s11") * c("s2"))
+        ).alias("det2"),
+    )
+    coef = lambda det_i: F.round(  # noqa: E731
+        (det_i * F.lit(1000000).cast("decimal(38,0)")).cast("double")
+        / c("det").cast("double")
+    ).cast("long")
+    return d.filter(c("det") != 0).select(
+        "event_type",
+        c("n").cast("long").alias("n"),
+        coef(c("det0")).alias("b0_e10"),
+        coef(c("det1")).alias("b1_e10"),
+        coef(c("det2")).alias("b2_e10"),
+    )

@@ -848,6 +848,11 @@ SHUFFLE_BUDGET = {
     # Per-round degree joins collapse behind localCheckpoint; static
     # plan = node spine + alive/deg broadcast joins.
     "graph_kcore": 3,
+    # ONE (user, day) sequence-build shuffle; the regex is row-local.
+    "events_pattern_match_regex": 1,
+    # ONE partial-agged shuffle to O(types) sufficient statistics;
+    # Cramer's solve is row-local on the aggregate.
+    "stats_regression_multi": 1,
     # (shard,w) count + word-merge groupBys, the true-count branch's
     # own count + regroup, and the final w-keyed join pair; the
     # per-shard thresholds enter as a collected literal map precisely
