@@ -3266,3 +3266,150 @@ def stats_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         coef(c("det1")).alias("b1_e10"),
         coef(c("det2")).alias("b2_e10"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation (lead-lag detection between series)
+# --------------------------------------------------------------------------
+
+CCF_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@query(
+    "timeseries_cross_correlation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS d,
+                   CAST(SUM({snap_units_sql("value", 10_000)}) AS BIGINT)
+                       AS v
+            FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(v) AS BIGINT) AS s
+               FROM daily GROUP BY event_type),
+        a AS (SELECT d.event_type AS type_a, d.d, d.v, st.n AS na,
+                     st.s AS sa
+              FROM daily d JOIN st USING (event_type)),
+        b AS (SELECT d.event_type AS type_b, d.d, d.v, st.n AS nb,
+                     st.s AS sb
+              FROM daily d JOIN st USING (event_type)),
+        al AS (SELECT type_a, d + t.lag AS dm, v, na, sa, t.lag
+               FROM a CROSS JOIN
+                    (SELECT unnest({list(CCF_LAGS)}) AS lag) t),
+        pairs AS (
+            SELECT al.type_a, b.type_b, al.lag,
+                   CAST(al.na * al.v - al.sa AS DECIMAL(38,0)) AS xa,
+                   CAST(b.nb * b.v - b.sb AS DECIMAL(38,0)) AS xb
+            FROM al JOIN b ON b.d = al.dm
+            WHERE al.type_a <> b.type_b),
+        acc AS (
+            SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_overlap,
+                   SUM(xa * xb) AS num,
+                   SUM(xa * xa) AS denx,
+                   SUM(xb * xb) AS deny
+            FROM pairs GROUP BY 1, 2, 3)
+        SELECT type_a, type_b, lag, n_overlap,
+               CAST(ROUND(CAST(num AS DOUBLE)
+                          / sqrt(CAST(denx AS DOUBLE)
+                                 * CAST(deny AS DOUBLE))
+                          * 1000000) AS BIGINT) AS ccf_e6
+        FROM acc WHERE denx <> 0 AND deny <> 0
+    """,
+    tags=("extension", "timeseries", "statistics"),
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-correlation between every ordered pair of event
+    types' daily-total series (lags -3..+3) — the lead-lag detector
+    behind 'do clicks predict purchases three days out'. Exactness
+    follows timeseries_autocorrelation's mean-clearing: each side's
+    full-series mean clears by scaling its deviations by its own n
+    (terms n_a*x_d - S_a, all exact e4 BIGINTs into DECIMAL(38,0)
+    products), and because each scale factor enters num linearly and
+    its own den quadratically, n_a*n_b cancels through num /
+    sqrt(denx*deny) — leaving ONE double division against an IEEE
+    sqrt (correctly rounded by spec on both engines: sqrt is safe
+    where ln/exp are not), snapped to e6. Degenerate constant series
+    are excluded by the exact den<>0 predicate on both engines.
+
+    Scale shape: one corpus-sized keyed shuffle (the daily agg);
+    everything after runs on the O(types x days) aggregate — the lag
+    fan-out is a row-local explode and the alignment join is
+    day-keyed, never a cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            snap_units("value", 10_000).alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").alias("v"))
+        # O(types x days) — feeds three plan branches (st, a, b); without
+        # the checkpoint the corpus-sized daily agg re-expands per branch
+        # (measured 10 -> 4 exchanges, the registry's plan-bloat pattern).
+        .localCheckpoint(eager=True)
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    # Same reasoning one level up: ds feeds both alignment sides.
+    ds = daily.join(F.broadcast(st), "event_type").localCheckpoint(
+        eager=True
+    )
+    a = ds.select(
+        F.col("event_type").alias("type_a"),
+        "d",
+        "v",
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = ds.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("dm"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    al = a.select(
+        "type_a",
+        "d",
+        "v",
+        "na",
+        "sa",
+        F.explode(F.array(*[F.lit(x) for x in CCF_LAGS])).alias("lag"),
+    ).withColumn("dm", F.col("d") + F.col("lag"))
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        al.join(b, "dm")
+        .filter(F.col("type_a") != F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("long").alias("lag"),
+            dec(F.col("na") * F.col("v") - F.col("sa")).alias("xa"),
+            dec(F.col("nb") * F.col("vb") - F.col("sb")).alias("xb"),
+        )
+    )
+    acc = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum(F.col("xa") * F.col("xb")).alias("num"),
+        F.sum(F.col("xa") * F.col("xa")).alias("denx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("deny"),
+    )
+    return acc.filter((F.col("denx") != 0) & (F.col("deny") != 0)).select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n_overlap",
+        F.round(
+            F.col("num").cast("double")
+            / F.sqrt(F.col("denx").cast("double") * F.col("deny").cast("double"))
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("ccf_e6"),
+    )

@@ -73,8 +73,8 @@ def query(
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-9 window (VERDICT r8 item 1 —
 # the composition is tools/window_planner.py's proposal verbatim),
-# 22 + 12 + 16 = 50:
-# - 22 never-driver-checked rows, all new this round: the exact-BPE
+# 24 + 12 + 14 = 50:
+# - 24 never-driver-checked rows, all new this round: the exact-BPE
 #   tokenizer trio (text_bpe_tokenize — merge-table subword token
 #   accounting; text_bpe_vocab_counts — the O(vocab) scale-path plan;
 #   pack_bpe_chunks — packing budgeted in exact BPE tokens),
@@ -95,15 +95,17 @@ def query(
 #   pack_binpack_harmonic — whole-doc capacity-class bin packing,
 #   events_diff_in_diff — quasi-experimental DiD contrast,
 #   graph_kcore — bounded k-core peel, events_pattern_match_regex —
-#   MATCH_RECOGNIZE workalike, and stats_regression_multi —
-#   one-pass Cramer-solved multiple OLS;
+#   MATCH_RECOGNIZE workalike, stats_regression_multi — one-pass
+#   Cramer-solved multiple OLS, timeseries_cross_correlation —
+#   lead-lag CCF, and source_schema_evolution_merge — mergeSchema
+#   read over pre/post-evolution parquet batches;
 # - 12 auto-sentinels: queries whose decorated definition (normalized
 #   AST, planner's git diff vs the last-green commit) changed since
 #   their last green driver row — the round-9 Welch/reco arithmetic
 #   fixes plus rewrites from rounds 5-8 whose refresh never landed;
-# - 16 stalest greens: the nine remaining r03 rows (5 rounds stale,
+# - 14 stalest greens: the nine remaining r03 rows (5 rounds stale,
 #   the r8 verdict's named cohort) then r04 rows oldest-first. The
-#   r04 remainder (33 rows, 5 rounds stale at r10) must lead round
+#   r04 remainder (35 rows, 5 rounds stale at r10) must lead round
 #   10's refresh block.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
@@ -132,6 +134,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_kcore",
     "events_pattern_match_regex",
     "stats_regression_multi",
+    "timeseries_cross_correlation",
+    "source_schema_evolution_merge",
     # --- auto-sentinels: definition changed since last green (12) ---
     "ann_cosine_bruteforce",
     "ann_cosine_ivf",
@@ -155,15 +159,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_native_token_runs",
     "window_running_sum",
     "window_topk_per_group",
-    # --- then the r04 cohort, oldest-first (7 of 40 fit; the rest
+    # --- then the r04 cohort, oldest-first (5 of 40 fit; the rest
     #     lead round 10) ---
     "agg_approx_count_distinct",
     "agg_decimal_exact",
     "agg_salted_two_stage",
     "cube_counts",
     "feature_quantile_buckets",
-    "flatmap_posexplode",
-    "graph_degree_stats",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -246,3 +246,68 @@ def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(snap_units("value", 10000)).alias("sum_e"),
     )
     return o_agg.unionByName(e_agg)
+
+
+@query(
+    "source_schema_evolution_merge",
+    oracle=f"""
+        WITH early AS (
+            SELECT o_orderkey, o_custkey,
+                   {snap_units_sql('o_totalprice', 100)} AS price_e2,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0),
+        late AS (
+            SELECT o_orderkey, o_custkey,
+                   {snap_units_sql('o_totalprice', 100)} AS price_e2,
+                   o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 1),
+        unioned AS (SELECT * FROM early UNION ALL SELECT * FROM late)
+        SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(price_e2) AS BIGINT) AS revenue_e2
+        FROM unioned GROUP BY 1
+    """,
+    tags=("sink", "source", "lakehouse"),
+)
+def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON READ — the lakehouse reality that a 100 TB
+    table's old files predate its newest columns: an 'early' parquet
+    batch is written WITHOUT o_orderpriority, a 'late' batch WITH it,
+    and one mergeSchema read unifies them — rows from pre-evolution
+    files surface the added column as NULL (bucketed here into an
+    explicit '<pre-evolution>' group so the null semantics are part
+    of the checked value). The oracle recomputes from the original
+    table with the same column masking, so a reader that drops old
+    files, misaligns columns by position, or defaults the missing
+    column to anything but NULL hash-mismatches.
+
+    Scale shape: both writes are scan-parallel (no shuffle); the
+    merged read costs one extra footer pass to reconcile schemas
+    (mergeSchema lists all footers — at 100 TB you pin the merged
+    schema in a metastore/Delta log instead, which this query's plan
+    shape matches once the schema argument is supplied); the
+    aggregate is algebraic map-side."""
+    out = _scratch(sf_dir, "evolve")
+    o = load_table(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        snap_units("o_totalprice", 100).alias("price_e2"),
+    )
+    late = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        snap_units("o_totalprice", 100).alias("price_e2"),
+        "o_orderpriority",
+    )
+    early.write.mode("overwrite").parquet(os.path.join(out, "b=0"))
+    late.write.mode("overwrite").parquet(os.path.join(out, "b=1"))
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_e2").alias("revenue_e2"),
+    )

@@ -853,6 +853,12 @@ SHUFFLE_BUDGET = {
     # ONE partial-agged shuffle to O(types) sufficient statistics;
     # Cramer's solve is row-local on the aggregate.
     "stats_regression_multi": 1,
+    # Daily agg + final (pair, lag) groupBy; the checkpointed daily
+    # table broadcasts through the alignment join (10 -> 2 measured).
+    "timeseries_cross_correlation": 2,
+    # Writes are scan-parallel; the merged read-back aggregate is one
+    # partial-agged exchange.
+    "source_schema_evolution_merge": 1,
     # (shard,w) count + word-merge groupBys, the true-count branch's
     # own count + regroup, and the final w-keyed join pair; the
     # per-shard thresholds enter as a collected literal map precisely

@@ -238,6 +238,20 @@ SHOWCASE = [
      "capped by the popularity prune, pair counts partial-aggregate "
      "before the exchange, and the top-20 lowers to "
      "TakeOrderedAndProject — never a user x user join."),
+    ("feature_hashing_trick",
+     "Hashed featurization with ZERO Exchange operators: the per-doc "
+     "sparse vector folds map-side in one codegen HOF pass and "
+     "posexplodes row-locally — the whole query is a single narrow "
+     "scan at any corpus size."),
+    ("lakehouse_zone_map_prune",
+     "The data-skipping audit itself is one zone-keyed partial "
+     "aggregate per layout — the zone map (min/max per zone) and the "
+     "predicate evaluation ride the same scan, no joins."),
+    ("stats_regression_multi",
+     "A 3-coefficient OLS per group from ONE partial-aggregated "
+     "exchange: nine exact sufficient statistics cross the wire as "
+     "O(groups) rows and Cramer's rule solves row-locally — model "
+     "fitting with the plan shape of a GROUP BY."),
 ]
 
 
