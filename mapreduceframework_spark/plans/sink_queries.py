@@ -311,3 +311,45 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         F.sum("price_e2").alias("revenue_e2"),
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({snap_units_sql('o_totalprice', 100)}) AS BIGINT)
+                   AS revenue_e2,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("sink", "source"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip — the third columnar format the
+    engine speaks natively beside parquet and csv/json
+    (source_csv_json_roundtrip): orders write to ORC (zlib, the
+    default) and read back with a predicate + projection, aggregated
+    against an oracle computed from the ORIGINAL table, so row loss,
+    type coercion drift, or a reader that ignores ORC predicate
+    pushdown's results all hash-mismatch.
+
+    Scale shape: write is scan-parallel (no shuffle); the read-back
+    carries the same PushedFilters/ReadSchema machinery as parquet
+    (ORC is the other first-class columnar source in Spark — min/max
+    stripe stats serve the same data-skipping role the zone-map row
+    audits); the aggregate is algebraic map-side."""
+    out = _scratch(sf_dir, "orc")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        snap_units("o_totalprice", 100).alias("price_e2"),
+    )
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_e2").alias("revenue_e2"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

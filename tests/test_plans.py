@@ -859,6 +859,8 @@ SHUFFLE_BUDGET = {
     # Writes are scan-parallel; the merged read-back aggregate is one
     # partial-agged exchange.
     "source_schema_evolution_merge": 1,
+    # ORC write is scan-parallel; the read-back agg is one exchange.
+    "source_orc_roundtrip": 1,
     # (shard,w) count + word-merge groupBys, the true-count branch's
     # own count + regroup, and the final w-keyed join pair; the
     # per-shard thresholds enter as a collected literal map precisely
