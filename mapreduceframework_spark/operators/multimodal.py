@@ -524,3 +524,56 @@ def fingerprint_audio(with_audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_audio.mapInPandas(batches, AFP_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, win_id long, n_samples long, energy long, crossings long"
+)
+
+AUDIO_WINDOW = 32  # interleaved samples per feature window
+
+
+def audio_window_features(with_audio: DataFrame) -> DataFrame:
+    """Arrow-batched windowed DSP features over REALLY-decoded PCM:
+    each payload decodes through the RIFF chunk walker, the interleaved
+    u16 stream centers to signed (s - 32768), and every AUDIO_WINDOW
+    -sample window emits exact-integer energy (sum of squares) and the
+    in-window zero-crossing count (sign transitions between adjacent
+    samples; window-boundary pairs excluded so windows are independent
+    — the property that makes the framing embarrassingly parallel).
+    Partition-preserving mapInPandas, the same seam a real DSP binding
+    (librosa/torchaudio) swaps into."""
+    import numpy as np
+
+    from mapreduceframework_spark.operators.imagecodec import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "win_id": [], "n_samples": [],
+                "energy": [], "crossings": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["codec"] != "audio/wav":
+                    raise NotImplementedError(meta["codec"])
+                _, _, _, samples = decode_wav(bytes(payload))
+                # samples is the raw little-endian 16-bit PCM stream.
+                c = (
+                    np.frombuffer(samples, dtype="<u2").astype(np.int64)
+                    - 32768
+                )
+                for w in range(0, len(c), AUDIO_WINDOW):
+                    seg = c[w : w + AUDIO_WINDOW]
+                    nonneg = seg >= 0
+                    out["doc_id"].append(int(doc_id))
+                    out["win_id"].append(w // AUDIO_WINDOW)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["crossings"].append(
+                        int((nonneg[1:] != nonneg[:-1]).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return with_audio.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)

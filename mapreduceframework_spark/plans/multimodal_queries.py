@@ -579,3 +579,57 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cks",
         F.abs(F.col("cks") - F.col("prev_cks")).alias("delta"),
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   doc_id % 50 + 10 AS n_frames,
+                   doc_id % 2 + 1 AS channels
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   unnest(range(0, n_frames * channels)) AS i
+            FROM p),
+        c AS (
+            SELECT doc_id, i, i // 32 AS win_id, i % 32 AS pos,
+                   (doc_id * 31 + i * 17) % 65536 - 32768 AS v
+            FROM s),
+        lagged AS (
+            SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY i)
+                          AS prev
+            FROM c)
+        SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(v * v) AS BIGINT) AS energy,
+               CAST(SUM(CASE WHEN pos > 0
+                              AND (v >= 0) <> (prev >= 0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+        FROM lagged GROUP BY doc_id, win_id
+    """,
+    tags=("multimodal", "extension", "codec", "audio"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio DSP features over REALLY-decoded PCM — the
+    feature-extraction stage after multimodal_audio_decode: every
+    document's RIFF/WAVE payload decodes through the pure-Python chunk
+    walker, and each 32-sample window of the centered signed stream
+    emits exact-integer ENERGY (sum of squares — the loudness/VAD
+    signal) and the in-window ZERO-CROSSING count (the cheap
+    pitch/noisiness proxy). PCM samples are integer functions of
+    doc_id, so the oracle re-derives every window analytically — the
+    decode path, the framing, and the feature math are all inside the
+    value hash.
+
+    Scale shape: decode + framing is partition-preserving Arrow
+    mapInPandas with ZERO shuffles (windows never straddle payloads,
+    and boundary pairs are excluded so windows are independent);
+    feature rows stream straight to the sink. The NotImplementedError
+    seam for compressed codecs stays explicit in the operator."""
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    return M.audio_window_features(M.synth_audio(docs))

@@ -426,7 +426,11 @@ def test_codec_queries_have_no_shuffle(spark, sf_dir):
     # Synth + decode chain in one task: partition-preserving mapInPandas
     # stages, no exchange anywhere (ensure_min_partitions may add one
     # round-robin on a single-file local scan — accept only that).
-    for name in ("multimodal_image_decode", "multimodal_audio_decode"):
+    for name in (
+        "multimodal_image_decode",
+        "multimodal_audio_decode",
+        "multimodal_audio_energy",
+    ):
         plan = plan_of(spark, sf_dir, name)
         assert "MapInPandas" in plan, name
         n_exchange = plan.count("Exchange (")
@@ -861,6 +865,9 @@ SHUFFLE_BUDGET = {
     "source_schema_evolution_merge": 1,
     # ORC write is scan-parallel; the read-back agg is one exchange.
     "source_orc_roundtrip": 1,
+    # Decode + framing is partition-preserving mapInPandas; the one
+    # allowed exchange is the gated round-robin on a single-split scan.
+    "multimodal_audio_energy": 1,
     # (shard,w) count + word-merge groupBys, the true-count branch's
     # own count + regroup, and the final w-keyed join pair; the
     # per-shard thresholds enter as a collected literal map precisely
