@@ -73,8 +73,8 @@ def query(
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-9 window (VERDICT r8 item 1 —
 # the composition is tools/window_planner.py's proposal verbatim),
-# 26 + 12 + 12 = 50:
-# - 26 never-driver-checked rows, all new this round: the exact-BPE
+# 28 + 12 + 10 = 50:
+# - 28 never-driver-checked rows, all new this round: the exact-BPE
 #   tokenizer trio (text_bpe_tokenize — merge-table subword token
 #   accounting; text_bpe_vocab_counts — the O(vocab) scale-path plan;
 #   pack_bpe_chunks — packing budgeted in exact BPE tokens),
@@ -99,15 +99,17 @@ def query(
 #   Cramer-solved multiple OLS, timeseries_cross_correlation —
 #   lead-lag CCF, source_schema_evolution_merge — mergeSchema read
 #   over pre/post-evolution parquet batches, source_orc_roundtrip —
-#   the third native columnar format, and multimodal_audio_energy —
-#   windowed energy/ZCR over really-decoded PCM;
+#   the third native columnar format, multimodal_audio_energy —
+#   windowed energy/ZCR over really-decoded PCM,
+#   agg_distinct_bitmap — exact bitmap-OR distinct counting, and
+#   text_keywords_rake — document-local RAKE keyword extraction;
 # - 12 auto-sentinels: queries whose decorated definition (normalized
 #   AST, planner's git diff vs the last-green commit) changed since
 #   their last green driver row — the round-9 Welch/reco arithmetic
 #   fixes plus rewrites from rounds 5-8 whose refresh never landed;
-# - 12 stalest greens: the nine remaining r03 rows (5 rounds stale,
-#   the r8 verdict's named cohort) then r04 rows oldest-first. The
-#   r04 remainder (37 rows, 5 rounds stale at r10) must lead round
+# - 10 stalest greens: the nine remaining r03 rows (5 rounds stale,
+#   the r8 verdict's named cohort) then the single r04 slot left. The
+#   r04 remainder (39 rows, 5 rounds stale at r10) must lead round
 #   10's refresh block.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
@@ -140,6 +142,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_schema_evolution_merge",
     "source_orc_roundtrip",
     "multimodal_audio_energy",
+    "agg_distinct_bitmap",
+    "text_keywords_rake",
     # --- auto-sentinels: definition changed since last green (12) ---
     "ann_cosine_bruteforce",
     "ann_cosine_ivf",
@@ -163,11 +167,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_native_token_runs",
     "window_running_sum",
     "window_topk_per_group",
-    # --- then the r04 cohort, oldest-first (3 of 40 fit; the rest
+    # --- then the r04 cohort, oldest-first (1 of 40 fits; the rest
     #     lead round 10) ---
     "agg_approx_count_distinct",
-    "agg_decimal_exact",
-    "agg_salted_two_stage",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

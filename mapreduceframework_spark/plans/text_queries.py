@@ -1357,3 +1357,112 @@ def pack_binpack_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").alias("tokens"),
         (F.lit(PACK_BUDGET) - F.sum("toks")).cast("long").alias("waste"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (document-local, no corpus statistics)
+# --------------------------------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+RAKE_TOP_K = 10
+
+
+@query(
+    "text_keywords_rake",
+    oracle=f"""
+        WITH d AS ({DOCS_CTE}),
+        pos AS (
+            SELECT doc_id, t.i AS pos, words[t.i + 1] AS word
+            FROM d, LATERAL (SELECT unnest(range(0, len(words))) AS i) t),
+        flagged AS (
+            SELECT doc_id, pos, word,
+                   CASE WHEN word IN {RAKE_STOPWORDS!r}
+                        THEN 1 ELSE 0 END AS is_stop
+            FROM pos),
+        phr AS (
+            SELECT doc_id, pos, word, is_stop,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS phrase_id
+            FROM flagged),
+        content AS (SELECT doc_id, phrase_id, word FROM phr
+                    WHERE is_stop = 0),
+        plen AS (SELECT doc_id, phrase_id,
+                        CAST(COUNT(*) AS BIGINT) AS phrase_len
+                 FROM content GROUP BY 1, 2),
+        wstats AS (
+            SELECT c.doc_id, c.word,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(p.phrase_len) AS BIGINT) AS degree
+            FROM content c JOIN plen p
+              ON p.doc_id = c.doc_id AND p.phrase_id = c.phrase_id
+            GROUP BY 1, 2),
+        scored AS (
+            SELECT doc_id, word, freq, degree,
+                   CAST(degree * 1000000 // freq AS BIGINT) AS score_e6
+            FROM wstats)
+        SELECT doc_id, word, freq, degree, score_e6
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score_e6 DESC, word) AS rk
+              FROM scored)
+        WHERE rk <= {RAKE_TOP_K}
+    """,
+    tags=("text", "extension"),
+)
+def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — document-LOCAL
+    keywording, the complement of the corpus-statistical tf-idf/BM25
+    rows: phrases are maximal stopword-free runs, each content word
+    scores degree/freq where degree sums the lengths of the phrases
+    it appears in (co-occurrence reward) and freq is its own count;
+    top-10 per doc with deterministic (score, word) tie-break. Scores
+    are exact e6 integers via nonneg integer floor division — no
+    float contract at all.
+
+    Scale shape: phrase segmentation is a doc-keyed prefix sum
+    (high-cardinality window key, never an enum funnel), the
+    degree/freq join is (doc, phrase)-keyed and bounded by document
+    length, and the per-doc top-10 lowers to WindowGroupLimit —
+    corpus-sized state never exists outside the initial scan."""
+    d = _docs(spark, sf_dir)
+    pos = d.select("doc_id", F.posexplode("words").alias("pos", "word"))
+    flagged = pos.withColumn(
+        "is_stop",
+        F.when(F.col("word").isin(*RAKE_STOPWORDS), 1).otherwise(0),
+    )
+    phr = flagged.withColumn(
+        "phrase_id",
+        F.sum("is_stop").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    content = phr.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "word"
+    )
+    plen = content.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    wstats = (
+        content.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").alias("degree"),
+        )
+    )
+    scored = wstats.withColumn(
+        "score_e6",
+        F.floor(F.col("degree") * 1000000 / F.col("freq")).cast("long"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score_e6").desc(), "word"
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= RAKE_TOP_K)
+        .select("doc_id", "word", "freq", "degree", "score_e6")
+    )

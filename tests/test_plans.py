@@ -868,6 +868,12 @@ SHUFFLE_BUDGET = {
     # Decode + framing is partition-preserving mapInPandas; the one
     # allowed exchange is the gated round-robin on a single-split scan.
     "multimodal_audio_energy": 1,
+    # (priority, word)-keyed bit_or (map-side combined) + the O(groups
+    # x domain/64) popcount rollup.
+    "agg_distinct_bitmap": 2,
+    # Doc-keyed prefix-sum window + (doc, phrase) length join + the
+    # per-doc top-10 (WindowGroupLimit rides the same doc key).
+    "text_keywords_rake": 3,
     # (shard,w) count + word-merge groupBys, the true-count branch's
     # own count + regroup, and the final w-keyed join pair; the
     # per-shard thresholds enter as a collected literal map precisely

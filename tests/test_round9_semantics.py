@@ -221,3 +221,51 @@ def test_ams_z_is_sum_of_sign_stream(spark, sf_dir, oracle_con):
         ests.append(z * z)
     assert got.true_f2.iloc[0] == true_f2
     assert got.med_est.iloc[0] == sorted(ests)[2]
+
+
+# --------------------------------------------------------------------
+# text_keywords_rake vs a pure-Python RAKE reference
+# --------------------------------------------------------------------
+
+
+def test_rake_matches_pure_python(spark, sf_dir, oracle_con):
+    from mapreduceframework_spark.plans.text_queries import (
+        RAKE_STOPWORDS,
+        RAKE_TOP_K,
+    )
+
+    got = _run(spark, sf_dir, "text_keywords_rake")
+    docs = oracle_con.execute(
+        "SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0"
+    ).fetchdf()
+    ref_rows = {}
+    for r in docs.itertuples():
+        words = r.text.strip().split()
+        phrases, cur = [], []
+        for w in words:
+            if w in RAKE_STOPWORDS:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+        freq, degree = {}, {}
+        for p in phrases:
+            for w in p:
+                freq[w] = freq.get(w, 0) + 1
+                degree[w] = degree.get(w, 0) + len(p)
+        scored = sorted(
+            ((degree[w] * 1_000_000 // freq[w], w) for w in freq),
+            key=lambda t: (-t[0], t[1]),
+        )[:RAKE_TOP_K]
+        for score, w in scored:
+            ref_rows[(r.doc_id, w)] = (freq[w], degree[w], score)
+    assert len(got) == len(ref_rows)
+    for r in got.itertuples():
+        assert ref_rows[(r.doc_id, r.word)] == (
+            r.freq,
+            r.degree,
+            r.score_e6,
+        )
