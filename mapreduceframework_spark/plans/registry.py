@@ -71,105 +71,81 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-9 window (VERDICT r8 item 1 —
-# the composition is tools/window_planner.py's proposal verbatim),
-# 28 + 12 + 10 = 50:
-# - 28 never-driver-checked rows, all new this round: the exact-BPE
-#   tokenizer trio (text_bpe_tokenize — merge-table subword token
-#   accounting; text_bpe_vocab_counts — the O(vocab) scale-path plan;
-#   pack_bpe_chunks — packing budgeted in exact BPE tokens),
-#   dedup_semantic_clusters — SemDeDup-shape semantic dedup,
-#   sketch_topk_misra_gries — mergeable heavy-hitter summaries,
-#   streaming_foreachbatch_upsert — exactly-once foreachBatch sink,
-#   dedup_substring_phase_pairs — alignment-free substring
-#   duplicate detection, stats_mann_whitney_u — histogram-form
-#   rank-sum test, timeseries_autocorrelation — exact per-day ACF,
-#   sketch_kmv_setops — KMV union/intersection algebra,
-#   sample_epoch_shuffle — reproducible per-epoch shuffle order,
-#   sketch_ams_f2 — AMS tug-of-war F2 estimator, graph_hits —
-#   exact-integer unnormalized HITS hubs/authorities,
-#   feature_hashing_trick — zero-shuffle hashed featurization,
-#   stats_theil_sen — median-of-slopes robust trend,
-#   events_attribution_time_decay — multi-touch decay attribution,
-#   lakehouse_zone_map_prune — data-skipping layout audit,
-#   pack_binpack_harmonic — whole-doc capacity-class bin packing,
-#   events_diff_in_diff — quasi-experimental DiD contrast,
-#   graph_kcore — bounded k-core peel, events_pattern_match_regex —
-#   MATCH_RECOGNIZE workalike, stats_regression_multi — one-pass
-#   Cramer-solved multiple OLS, timeseries_cross_correlation —
-#   lead-lag CCF, source_schema_evolution_merge — mergeSchema read
-#   over pre/post-evolution parquet batches, source_orc_roundtrip —
-#   the third native columnar format, multimodal_audio_energy —
-#   windowed energy/ZCR over really-decoded PCM,
-#   agg_distinct_bitmap — exact bitmap-OR distinct counting, and
-#   text_keywords_rake — document-local RAKE keyword extraction;
-# - 12 auto-sentinels: queries whose decorated definition (normalized
+# all_queries() in iteration order. Round-10 window (VERDICT r9 item 1:
+# an evidence-hygiene round — the composition is
+# tools/window_planner.py's proposal verbatim), 3 + 37 + 10 = 50:
+# - 3 auto-sentinels: queries whose decorated definition (normalized
 #   AST, planner's git diff vs the last-green commit) changed since
-#   their last green driver row — the round-9 Welch/reco arithmetic
-#   fixes plus rewrites from rounds 5-8 whose refresh never landed;
-# - 10 stalest greens: the nine remaining r03 rows (5 rounds stale,
-#   the r8 verdict's named cohort) then the single r04 slot left. The
-#   r04 remainder (39 rows, 5 rounds stale at r10) must lead round
-#   10's refresh block.
+#   their last green driver row (dedup_substring_chunks r6,
+#   kmeans_quantized_clusters r5, sketch_kmv_distinct r8);
+# - 37 stalest greens: the ENTIRE r04 cohort (5 rounds stale — the r9
+#   verdict's named highest-leverage block): TPC-H part 2
+#   (q4/q7/q8/q10-q17/q19/q20), cube/grouping-sets, the window-function
+#   surface rows, multimodal frame-sample/resize, sampling, scalar-fn
+#   and subquery rows;
+# - 10 next-stalest: the head of the r05 cohort (40 rows; the
+#   remaining 30 lead round 11's refresh block).
+# Registry growth is frozen this round (VERDICT r9 item 2) so the
+# rotation catches up: max staleness falls from 5 rounds to 4.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
 # additionally at sf0.1 (plus full-registry sf0.1 sweeps, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (11) ---
-    "text_bpe_tokenize",
-    "pack_bpe_chunks",
-    "dedup_semantic_clusters",
-    "sketch_topk_misra_gries",
-    "streaming_foreachbatch_upsert",
-    "dedup_substring_phase_pairs",
-    "text_bpe_vocab_counts",
-    "stats_mann_whitney_u",
-    "timeseries_autocorrelation",
-    "sketch_kmv_setops",
-    "sample_epoch_shuffle",
-    "sketch_ams_f2",
-    "graph_hits",
-    "feature_hashing_trick",
-    "stats_theil_sen",
-    "events_attribution_time_decay",
-    "lakehouse_zone_map_prune",
-    "pack_binpack_harmonic",
-    "events_diff_in_diff",
-    "graph_kcore",
-    "events_pattern_match_regex",
-    "stats_regression_multi",
-    "timeseries_cross_correlation",
-    "source_schema_evolution_merge",
-    "source_orc_roundtrip",
-    "multimodal_audio_energy",
-    "agg_distinct_bitmap",
-    "text_keywords_rake",
-    # --- auto-sentinels: definition changed since last green (12) ---
-    "ann_cosine_bruteforce",
-    "ann_cosine_ivf",
-    "events_peak_concurrency",
-    "events_sessionize_gaps",
-    "events_sliding_windows",
-    "reco_user_similarity",
-    "regression_by_event_type",
-    "split_train_val_test",
-    "stats_welch_ttest",
-    "streaming_sliding_avgs",
-    "window_moving_avg",
-    "window_range_frame",
-    # --- stalest refresh: the nine r03 rows (5 rounds stale) ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "udf_pandas_grouped_agg",
-    "udtf_bigram_counts",
-    "udtf_native_token_runs",
-    "window_running_sum",
-    "window_topk_per_group",
-    # --- then the r04 cohort, oldest-first (1 of 40 fits; the rest
-    #     lead round 10) ---
-    "agg_approx_count_distinct",
+    # --- auto-sentinels: definition changed since last green (3) ---
+    "dedup_substring_chunks",
+    "kmeans_quantized_clusters",
+    "sketch_kmv_distinct",
+    # --- stalest refresh: the full 37-row r04 cohort (5 rounds stale,
+    #     the r9 verdict's named highest-leverage block) ---
+    "agg_decimal_exact",
+    "agg_salted_two_stage",
+    "cube_counts",
+    "feature_quantile_buckets",
+    "flatmap_posexplode",
+    "graph_degree_stats",
+    "grouping_sets_explicit",
+    "join_range_bands",
+    "lateral_last_ship",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "quality_report_tables",
+    "sample_deterministic",
+    "sample_mixture_by_source",
+    "scalar_array_setops",
+    "scalar_map_funcs",
+    "sketch_bloom_probe",
+    "subquery_exists_late_ship",
+    "subquery_scalar_above_avg",
+    "text_scrub_redact",
+    "text_tfidf_top_terms",
+    "tpch_q10_returned_revenue",
+    "tpch_q11_important_parts",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_shippers",
+    "tpch_q4_priority_count",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "window_ntile_cume",
+    "window_rank_dense_percent",
+    "window_value_functions",
+    # --- then the r05 cohort, oldest-first (10 of 40 fit; the rest
+    #     lead round 11) ---
+    "agg_bitwise",
+    "cdc_merge_orders",
+    "cdc_snapshot_diff",
+    "decontaminate_ngram_overlap",
+    "dedup_clusters",
+    "embedding_quantize_int8",
+    "events_anomaly_zscore",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_session_windows",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or
