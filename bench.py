@@ -117,18 +117,44 @@ def abbrev_names(names) -> dict[str, str]:
 
 def stdout_payload(out: dict) -> tuple[str, dict[str, str] | None]:
     """The single stdout line for ``out``, plus the alias map if the
-    full-name rendering would overflow the driver's tail capture
-    (None when full names fit — the common case, and the one
-    cross-round tooling prefers: BENCH_r{N}.json keeps full names
-    until the registry genuinely outgrows the capture)."""
-    line = json.dumps(out, separators=(",", ":"))
+    rendering had to fall back to short names. Degradation ladder
+    (r9 VERDICT item 3 / ADVICE: every step re-checks the ceiling so
+    overflow fails loudly instead of emitting a truncated record):
+
+    1. full names, 3-decimal values — the common case; BENCH_r{N}.json
+       stays directly name- and value-comparable across rounds;
+    2. full names, 2-decimal values (marked ``"prec": 2``) — saves
+       ~1 char/row; bench noise is >> 10 ms so nothing real is lost
+       and cross-round tooling still joins on full names;
+    3. ``abbrev-v1`` aliases (+ 2-decimal) — resolve via the
+       ``stdout_name_map`` in BENCH_SUMMARY.json;
+    4. still over -> RuntimeError (a silent fragment costs the whole
+       round's BENCH record; a loud failure costs one re-run).
+    """
+    def render(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    line = render(out)
+    if len(line) <= STDOUT_LIMIT:
+        return line, None
+    rounded = dict(out)
+    rounded["prec"] = 2  # per-query values rounded; sidecar keeps 3-dec
+    rounded["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+    line = render(rounded)
     if len(line) <= STDOUT_LIMIT:
         return line, None
     amap = abbrev_names(out["queries"])
-    short = dict(out)
+    short = dict(rounded)
     short["names"] = "abbrev-v1"  # consumer: resolve via sidecar map
-    short["queries"] = {amap[k]: v for k, v in out["queries"].items()}
-    return json.dumps(short, separators=(",", ":")), amap
+    short["queries"] = {amap[k]: v for k, v in rounded["queries"].items()}
+    line = render(short)
+    if len(line) > STDOUT_LIMIT:
+        raise RuntimeError(
+            f"bench stdout line is {len(line)} chars even after abbrev-v1 "
+            f"+ 2-decimal degradation (ceiling {STDOUT_LIMIT}); add a "
+            "further degradation step before the registry grows again"
+        )
+    return line, amap
 
 # The dedup/ANN family shows 2-4x swing across passes (r06 samples:
 # dedup_simhash [2.56, 7.30, 4.73], ann_cosine_bruteforce

@@ -8,6 +8,9 @@ operator is a single scan + optional O(groups) shuffle at any scale.
 
 from __future__ import annotations
 
+import functools
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -264,3 +267,88 @@ def bpe_token_count_sql(expr: str) -> str:
         f"   - length(regexp_replace(lower({expr}), '[ \\t\\n\\r]', '', 'g'))) "
         f"END)::BIGINT"
     )
+
+
+# --------------------------------------------------------------------------
+# Realistic-vocab encoder seam (the 50k-merge scale path)
+# --------------------------------------------------------------------------
+#
+# bpe_encode folds the merge table into 1 + len(BPE_MERGES) codegen
+# string passes — perfect at 48 merges, impossible at a production 50k
+# (the expression tree alone would break Catalyst). The deployable
+# shape keeps text_bpe_vocab_counts' plan (encode DISTINCT words once,
+# join counts back) and swaps the per-word encoder for the functions
+# below: the standard min-rank greedy merge loop (Sennrich apply_bpe /
+# GPT-2 encoder), Arrow-batched over the O(|vocab|) word table. The
+# loop is O(applied merges x word length) per word with dict-rank
+# lookups — independent of the merge-table size, so 50k merges cost
+# the same as 48. Equivalence with the expression encoder on the
+# 48-merge table is pinned in tests/test_text_semantics.py.
+
+_BPE_RANK: dict[tuple[str, str], int] = {
+    pair: r for r, pair in enumerate(BPE_MERGES)
+}
+_COUNTED_WS = " \t\n\r"  # the separator class bpe_token_count subtracts
+
+
+@functools.lru_cache(maxsize=65536)
+def _bpe_word_tokens(word: str) -> int:
+    """Token count of one lowercase letter run via min-rank greedy
+    merging. Cached: the scale path feeds DISTINCT words, and raw-text
+    callers repeat words with Zipfian frequency."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for pair in zip(syms, syms[1:]):
+            r = _BPE_RANK.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_token_count_py(text: str) -> int:
+    """Pure-Python :func:`bpe_token_count`: lowercase, strip the '|'
+    delimiter, encode maximal [a-z] runs via min-rank BPE, count every
+    other character as one token except the four counted whitespace
+    separators."""
+    t = text.lower().replace(_BPE_D, "")
+    n, start = 0, -1
+    for i, ch in enumerate(t + "\x00"):  # sentinel flushes the last run
+        if "a" <= ch <= "z":
+            if start < 0:
+                start = i
+            continue
+        if start >= 0:
+            n += _bpe_word_tokens(t[start:i])
+            start = -1
+        if ch != "\x00" and ch not in _COUNTED_WS:
+            n += 1
+    return n
+
+
+def bpe_token_count_arrow():
+    """Arrow-batched pandas-UDF form of :func:`bpe_token_count` — the
+    encoder you deploy on the distinct-word table when the merge table
+    is production-sized (see the seam comment above). Returns a fresh
+    UDF object; apply as ``bpe_token_count_arrow()(col)``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: 0 if t is None else bpe_token_count_py(t)
+        ).astype("int64")
+
+    return _count

@@ -3207,7 +3207,20 @@ def stats_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE partial-agged keyed shuffle down to O(types)
     sufficient-statistic rows; the solve is row-local on the tiny
-    aggregate. b*_e10: e4 value units x the e6 output snap."""
+    aggregate. b*_e10: e4 value units x the e6 output snap.
+
+    Operand-magnitude bound (the Welch-row convention): the Cramer
+    terms are triple products of sufficient statistics, e.g.
+    ``sy*minor`` ~ Σy·Σx1²·Σx2². With |x1| ≤ ~4×10³ (day index),
+    |x2| ≤ 23 and |y| ≤ ~10⁹ (e4-snapped value), a group of n rows
+    puts the largest term near n³·10¹⁶ — inside DECIMAL(38,0)/HUGEINT
+    up to n ≈ 2×10⁷ rows PER GROUP, far beyond the per-event-type
+    cardinality here but NOT unconditional. Past that, Spark's
+    non-ANSI decimal overflow yields silent NULLs while DuckDB's
+    HUGEINT errors — the engines diverge. The 100 TB fix is centering:
+    accumulate (x−x̄)-moment statistics in a second pass (or sketch
+    the means first) so determinant terms shrink by ~n² before the
+    triple products."""
     ev = load_table(spark, sf_dir, "events")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     pts = ev.select(

@@ -1195,7 +1195,25 @@ def text_bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle sibling is the right shape only when documents are
     short and the vocabulary is corpus-sized (URLs, code). Scope note:
     like every DOCS_CTE consumer this row covers non-blank documents;
-    the sibling also emits blank docs with count 0."""
+    the sibling also emits blank docs with count 0.
+
+    Realistic-vocab (50k-merge) note: the per-word encoder here is the
+    same ~49-pass codegen expression as the sibling's, which is only
+    viable because the merge table is 48 entries — a production 50k
+    merge table CANNOT be 50k chained string passes (Catalyst would
+    choke on the expression tree long before runtime). At real vocab
+    size, keep THIS plan shape and swap only the encoder on the
+    distinct-word table: an Arrow-batched pandas UDF running the
+    standard greedy merge loop (dict-ranked pairs, heap per word) over
+    the O(|vocab|) word rows — Python cost amortized over millions of
+    words, not trillions of corpus tokens, while the corpus-side
+    explode/join/sum stays JVM codegen. The expression encoder and a
+    pandas-UDF encoder are provably interchangeable: both must satisfy
+    the word-sum decomposition identity pinned in
+    tests/test_text_semantics.py, and the pandas path is exercised
+    against the expression path on the full 48-merge vocabulary in
+    tests/test_text_semantics.py::test_bpe_pandas_encoder_matches_
+    expression_encoder."""
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode("words").alias("w")
     )

@@ -229,3 +229,53 @@ def test_bpe_doc_count_decomposes_into_word_counts(spark, sf_dir):
     assert all(
         full[d] == (0, 0) for d in set(full) - set(vocab)
     )
+
+
+# --------------------------------------------------------------------
+# The realistic-vocab (50k-merge) encoder seam: the Arrow-batched
+# pandas-UDF encoder must equal the codegen expression encoder.
+# --------------------------------------------------------------------
+
+def test_bpe_pandas_encoder_matches_expression_encoder(spark, sf_dir):
+    """operators/text.py's bpe_token_count_arrow() is the encoder the
+    vocab-table plan deploys when the merge table is production-sized
+    (50k chained string passes cannot be an expression tree). On the
+    full 48-merge table it must agree with the expression encoder on
+    every adversarial string AND every distinct corpus word — proving
+    the two encoders are interchangeable at the text_bpe_vocab_counts
+    seam."""
+    from mapreduceframework_spark.operators.text import (
+        bpe_token_count_arrow,
+        bpe_token_count_py,
+    )
+
+    # Adversarial strings, both the pandas UDF (executor path) and the
+    # plain-Python form (driver path) vs the codegen expression.
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ADVERSARIAL)], "i long, text string"
+    )
+    rows = df.select(
+        "i",
+        "text",
+        bpe_token_count(F.col("text")).alias("expr_n"),
+        bpe_token_count_arrow()(F.col("text")).alias("arrow_n"),
+    ).collect()
+    for r in rows:
+        assert r["expr_n"] == r["arrow_n"], repr(r["text"])
+        assert bpe_token_count_py(r["text"]) == r["expr_n"], repr(r["text"])
+
+    # Every distinct whitespace-word of the corpus — exactly the rows
+    # the scale path would feed the pandas encoder.
+    words = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+        .select(
+            "w",
+            bpe_token_count(F.col("w")).alias("expr_n"),
+            bpe_token_count_arrow()(F.col("w")).alias("arrow_n"),
+        )
+    )
+    assert words.count() > 0
+    assert words.filter(F.col("expr_n") != F.col("arrow_n")).count() == 0

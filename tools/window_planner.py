@@ -56,19 +56,43 @@ sys.path.insert(0, _REPO)
 WINDOW = 50
 
 
-def _fn_fingerprint(src: str, fn_name: str) -> str | None:
+def _has_query_decorator(node: ast.FunctionDef, query_name: str) -> bool:
+    """True if ``node`` carries ``@query("<query_name>", ...)`` — the
+    registration that makes a function THE definition of that query."""
+    for dec in node.decorator_list:
+        if (
+            isinstance(dec, ast.Call)
+            and isinstance(dec.func, ast.Name)
+            and dec.func.id == "query"
+            and dec.args
+            and isinstance(dec.args[0], ast.Constant)
+            and dec.args[0].value == query_name
+        ):
+            return True
+    return False
+
+
+def _fn_fingerprint(
+    src: str, fn_name: str, require_query: str | None = None
+) -> str | None:
     """Normalized fingerprint of ``fn_name``'s decorated definition in
     ``src`` (decorators — including the @query(...) call whose oracle
     SQL is the other half of the contract — plus the body), or None if
     absent. Compared as a docstring-stripped ``ast.dump`` so
     formatting and comment/docstring edits don't flag, only changes to
-    executable structure or literal SQL do."""
+    executable structure or literal SQL do. With ``require_query``,
+    only a definition carrying ``@query("<require_query>", ...)``
+    matches — a same-named undecorated helper is NOT that query."""
     try:
         tree = ast.parse(src)
     except SyntaxError:
         return None
     for node in ast.walk(tree):
         if isinstance(node, ast.FunctionDef) and node.name == fn_name:
+            if require_query is not None and not _has_query_decorator(
+                node, require_query
+            ):
+                continue
             body = node.body
             if (
                 body
@@ -126,11 +150,17 @@ def _tree_py_files(commit: str) -> tuple[str, ...]:
     return tuple(p for p in r.stdout.splitlines() if p.endswith(".py"))
 
 
-def _old_fingerprint(commit: str, relpath: str, fn_name: str) -> str | None:
+def _old_fingerprint(
+    commit: str, relpath: str, fn_name: str, query_name: str
+) -> str | None:
     """``_fn_fingerprint`` of ``fn_name`` as of ``commit`` — tried in
     ``relpath`` first, then every other package module (queries have
     been moved between modules in pure-split refactors; a move alone
-    is not a semantic change)."""
+    is not a semantic change). The cross-module fallback requires the
+    found definition to carry ``@query("<query_name>", ...)`` so an
+    unrelated same-named helper in some other old module cannot make a
+    genuinely rewritten query compare 'unchanged' and silently drop
+    out of the auto-sentinel list."""
     src = _git_show(commit, relpath)
     if src is not None:
         fp = _fn_fingerprint(src, fn_name)
@@ -142,7 +172,7 @@ def _old_fingerprint(commit: str, relpath: str, fn_name: str) -> str | None:
         src = _git_show(commit, other)
         if src is None:
             continue
-        fp = _fn_fingerprint(src, fn_name)
+        fp = _fn_fingerprint(src, fn_name, require_query=query_name)
         if fp is not None:
             return fp
     return None
@@ -173,7 +203,7 @@ def auto_sentinels(last: dict[str, int]) -> dict[str, int]:
         cur_fp = _fn_fingerprint(cur_cache[relpath], fn.__name__)
         if cur_fp is None:
             continue  # dynamically built — nothing to diff
-        if _old_fingerprint(commit, relpath, fn.__name__) != cur_fp:
+        if _old_fingerprint(commit, relpath, fn.__name__, name) != cur_fp:
             flagged[name] = rnd
     return flagged
 
@@ -278,7 +308,9 @@ def main(argv: list[str]) -> int:
             else f"last green r{last[n]}"
         )
         print(f"  {n}  [{tag}]")
-    overflow = len(never) + len(sentinels) + len(auto) - WINDOW
+    # Dedup before counting: a --sentinel that is also auto-detected
+    # (or already never-checked) holds ONE slot, not two.
+    overflow = len(set(never) | set(sentinels) | set(auto)) - WINDOW
     if overflow > 0:
         print(f"\nWARNING: {overflow} never-checked/sentinel rows do not "
               f"fit one window — plan two rounds.")
