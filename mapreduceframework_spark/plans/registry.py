@@ -73,7 +73,10 @@ def query(
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-10 window (VERDICT r9 item 1:
 # an evidence-hygiene round — the composition is
-# tools/window_planner.py's proposal verbatim), 3 + 37 + 10 = 50:
+# tools/window_planner.py's proposal plus the round's one new query),
+# 1 + 3 + 37 + 9 = 50:
+# - 1 never-driver-checked row: sketch_quantile_kll (VERDICT r9
+#   item 4 — the mergeable-quantile row completing the sketch family);
 # - 3 auto-sentinels: queries whose decorated definition (normalized
 #   AST, planner's git diff vs the last-green commit) changed since
 #   their last green driver row (dedup_substring_chunks r6,
@@ -83,14 +86,19 @@ def query(
 #   (q4/q7/q8/q10-q17/q19/q20), cube/grouping-sets, the window-function
 #   surface rows, multimodal frame-sample/resize, sampling, scalar-fn
 #   and subquery rows;
-# - 10 next-stalest: the head of the r05 cohort (40 rows; the
-#   remaining 30 lead round 11's refresh block).
-# Registry growth is frozen this round (VERDICT r9 item 2) so the
-# rotation catches up: max staleness falls from 5 rounds to 4.
+# - 9 next-stalest: the head of the r05 cohort (40 rows; the
+#   remaining 31 lead round 11's refresh block).
+# Registry growth is near-frozen this round (VERDICT r9 item 2: one
+# query, named above, at 270 <= the ~272 cap) so the rotation catches
+# up: max staleness falls from 5 rounds to 4.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
 # additionally at sf0.1 (plus full-registry sf0.1 sweeps, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- never driver-checked: first evidence (1 — the round's single
+    #     new query, VERDICT r9 item 4's mergeable quantile sketch;
+    #     it knowingly displaces one r05 refresh slot) ---
+    "sketch_quantile_kll",
     # --- auto-sentinels: definition changed since last green (3) ---
     "dedup_substring_chunks",
     "kmeans_quantized_clusters",
@@ -145,7 +153,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_anomaly_zscore",
     "events_funnel_conversion",
     "events_retention_cohorts",
-    "events_session_windows",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

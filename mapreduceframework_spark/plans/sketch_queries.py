@@ -26,9 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceframework_spark.operators import bucketscan as B
 from mapreduceframework_spark.operators import dedup as D
 from mapreduceframework_spark.operators import sketches as S
 from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs
+from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 
@@ -673,5 +675,219 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("err_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch (deterministic one-level KLL compaction)
+# --------------------------------------------------------------------------
+
+KLLQ_SHARDS = 16   # B: independent per-shard summaries, merged by union
+KLLQ_STRIDE = 25   # C: keep every C-th within-shard rank, weight C
+KLLQ_PCTS = (50, 90, 99)
+# Rank-error guarantee, proven in the docstring: the estimate's true
+# rank lies within tau +/- 2*B*(C-1).
+KLLQ_SLACK = 2 * KLLQ_SHARDS * (KLLQ_STRIDE - 1)
+KLLQ_VB = 500_000  # e4-units per value bucket for the two-phase rank
+
+
+@query(
+    "sketch_quantile_kll",
+    oracle=f"""
+        WITH ev AS (SELECT event_id AS eid,
+                           {{snap}} AS v
+                    FROM events),
+        sr AS (SELECT v, eid,
+                      ROW_NUMBER() OVER (PARTITION BY eid % {KLLQ_SHARDS}
+                                         ORDER BY v, eid) AS rn
+               FROM ev),
+        kept AS (SELECT v, eid FROM sr WHERE rn % {KLLQ_STRIDE} = 0),
+        kr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, eid) AS r
+               FROM kept),
+        fr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, eid) AS r
+               FROM ev),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+        kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS kept_cnt FROM kept),
+        t AS (SELECT q_pct, n, kept_cnt,
+                     CAST((q_pct * n + 99) // 100 AS BIGINT) AS tau
+              FROM (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+                           (CAST(99 AS BIGINT))) q(q_pct), nn, kc),
+        t2 AS (SELECT q_pct, n, tau,
+                      LEAST(CAST((tau + {KLLQ_STRIDE - 1})
+                                 // {KLLQ_STRIDE} AS BIGINT),
+                            kept_cnt) AS k_eff,
+                      GREATEST(CAST(1 AS BIGINT),
+                               tau - {KLLQ_SLACK}) AS lo_r,
+                      LEAST(n, tau + {KLLQ_SLACK}) AS hi_r
+               FROM t),
+        est AS (SELECT q_pct, v AS est_e4
+                FROM kr JOIN t2 ON kr.r = t2.k_eff),
+        lo AS (SELECT q_pct, v AS lo_e4
+               FROM fr JOIN t2 ON fr.r = t2.lo_r),
+        hi AS (SELECT q_pct, v AS hi_e4
+               FROM fr JOIN t2 ON fr.r = t2.hi_r)
+        SELECT t2.q_pct, n, tau,
+               CAST({KLLQ_SLACK} AS BIGINT) AS rank_slack,
+               est_e4, lo_e4, hi_e4,
+               (est_e4 >= lo_e4 AND est_e4 <= hi_e4) AS within_bound
+        FROM t2 JOIN est USING (q_pct) JOIN lo USING (q_pct)
+                JOIN hi USING (q_pct)
+    """.replace("{snap}", snap_units_sql("value", 10_000)),
+    tags=("sketch", "extension", "training-data"),
+    bench=True,
+)
+def sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch: deterministic one-level KLL/MRL
+    compaction (Karnin-Lang-Liberty FOCS'16 with the random coin
+    replaced by rank selection; equivalently a one-round
+    Manku-Rajagopalan-Lindsay collapse). Each of B = 16 shards
+    (eid % B — any partitioning works) summarizes its values by
+    keeping every C = 25th element of its sorted order with weight C;
+    summaries MERGE BY PLAIN UNION — no re-compaction, no order
+    dependence — and a global quantile q is answered by the
+    ceil(ceil(q*n)/C)-th smallest kept element (clamped to the last
+    kept element when the shard floors make the summary run short).
+    Randomized KLL cannot be cross-engine value-checked; this
+    deterministic construction yields the identical summary in any
+    engine, so the estimates AND the error guarantee are hash-checked
+    like the Misra-Gries row, not waved through with tolerances.
+
+    Guarantee carried in the output (within_bound, pinned all-true in
+    tests/test_round10_semantics.py): with slack = 2*B*(C-1), the
+    estimate lies between the EXACT order statistics at ranks
+    tau - slack and tau + slack. Proof sketch: for a kept element at
+    merged-summary rank k, each shard contributes C * (its kept
+    elements <= v) counted rows, undercounting true <=v rows by at
+    most C-1 per shard, so true_rank(est) >= C*k >= tau (un-clamped)
+    and >= n - B*(C-1) >= tau - slack (clamped); conversely rows
+    strictly below est number < C*k <= tau + C plus at most C-1
+    un-kept stragglers per shard, < tau + 2*B*(C-1) total. The lo/hi
+    exact order statistics are validation columns (the MG true_cnt
+    precedent) — droppable at scale.
+
+    Scale shape: summary size n/C with ONE keyed shuffle to build
+    (the (shard, value-bucket) two-phase prefix scan — bucket-local
+    row_number + O(buckets) broadcast offsets via earlier_bucket_agg,
+    never a 16-reducer funnel); the summary is localCheckpointed
+    (model-sized) before fan-out, targets are driver scalars (two
+    O(1)-row count jobs — the lakehouse max-key precedent). At 100 TB
+    you recurse the same compaction over the n/C summary (KLL's
+    levels) instead of ranking it flat; one level keeps this row's
+    oracle exact. n, tau, and ranks are exact BIGINTs; v is the
+    events-family e4 snap, so every output column is integer or
+    boolean — nothing float crosses engines.
+
+    Reference parity: the reference's framework has no quantile
+    operator (its unique-key state is exact, reference JobContext.h:78);
+    this row is part of the sketch-family extension surface
+    (SURVEY.md §2.2 ⊕)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"),
+        snap_units("value", 10_000).alias("v"),
+    )
+    base = ev.select(
+        "eid",
+        "v",
+        (F.col("eid") % KLLQ_SHARDS).alias("shard"),
+        F.expr(f"v DIV {KLLQ_VB}").alias("vb"),
+    )
+    # Per-shard rank = (shard, value-bucket)-local row_number + the sum
+    # of earlier buckets' counts (vb is monotone in v, so bucket order
+    # then in-bucket (v, eid) order IS the shard's (v, eid) order).
+    loc = base.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("shard", "vb").orderBy("v", "eid")
+        ),
+    )
+    # Model-sized (<= shards x buckets rows) and consumed by two plan
+    # branches (the shard offsets and the full-table bucket counts) —
+    # localCheckpoint so the static plan doesn't re-expand the
+    # events aggregation per consumer (the kmeans/MG literal pattern).
+    bt = (
+        base.groupBy("shard", "vb")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    off = B.earlier_bucket_agg(bt, ["shard"], "vb", "cnt", "sum", "off")
+    kept = (
+        loc.join(F.broadcast(off), ["shard", "vb"])
+        .filter((F.col("off") + F.col("rn")) % KLLQ_STRIDE == 0)
+        .select("v", "eid", "vb")
+        .localCheckpoint(eager=True)  # summary-sized: n/C rows
+    )
+    # Model-sized driver scalars (two count jobs), mirrored exactly by
+    # the oracle's integer arithmetic: Python floor-div on positive
+    # BIGINTs == DuckDB // == Spark DIV.
+    n = ev.count()
+    kept_cnt = kept.count()
+    targets = []
+    for q in KLLQ_PCTS:
+        tau = (q * n + 99) // 100
+        k_eff = min((tau + KLLQ_STRIDE - 1) // KLLQ_STRIDE, kept_cnt)
+        lo_r = max(1, tau - KLLQ_SLACK)
+        hi_r = min(n, tau + KLLQ_SLACK)
+        targets.append((q, tau, k_eff, lo_r, hi_r))
+
+    def _ranked(df: DataFrame, bucket_counts: DataFrame) -> DataFrame:
+        """Global (v, eid) rank of ``df`` via the value-bucket
+        two-phase prefix scan (sort_global_ranked's shape).
+        ``bucket_counts`` is the per-vb count table — passed in so the
+        full-table ranking reuses the per-(shard, vb) aggregate the
+        summary build already pays for instead of re-scanning."""
+        rloc = df.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vb").orderBy("v", "eid")),
+        )
+        roff = B.earlier_bucket_agg(
+            bucket_counts, [], "vb", "cnt", "sum", "roff"
+        )
+        return rloc.join(F.broadcast(roff), "vb").select(
+            "v", (F.col("roff") + F.col("rn")).alias("r")
+        )
+
+    tdf = spark.createDataFrame(
+        [(q, k) for q, _tau, k, _lo, _hi in targets],
+        "q_pct long, k_eff long",
+    )
+    kbt = kept.groupBy("vb").agg(F.count("*").cast("long").alias("cnt"))
+    est = _ranked(kept, kbt).join(
+        F.broadcast(tdf), F.col("r") == F.col("k_eff")
+    ).select("q_pct", F.col("v").alias("est_e4"))
+    probe = spark.createDataFrame(
+        [(q, "lo", lo) for q, _tau, _k, lo, _hi in targets]
+        + [(q, "hi", hi) for q, _tau, _k, _lo, hi in targets],
+        "q_pct long, side string, pr long",
+    )
+    fbt = bt.groupBy("vb").agg(F.sum("cnt").cast("long").alias("cnt"))
+    bounds = (
+        _ranked(base, fbt)
+        .join(F.broadcast(probe), F.col("r") == F.col("pr"))
+        .groupBy("q_pct")
+        .agg(
+            F.max(F.when(F.col("side") == "lo", F.col("v"))).alias("lo_e4"),
+            F.max(F.when(F.col("side") == "hi", F.col("v"))).alias("hi_e4"),
+        )
+    )
+    meta = spark.createDataFrame(
+        [(q, n, tau) for q, tau, _k, _lo, _hi in targets],
+        "q_pct long, n long, tau long",
+    )
+    return (
+        est.join(bounds, "q_pct")
+        .join(F.broadcast(meta), "q_pct")
+        .select(
+            "q_pct",
+            "n",
+            "tau",
+            F.lit(KLLQ_SLACK).cast("long").alias("rank_slack"),
+            "est_e4",
+            "lo_e4",
+            "hi_e4",
+            (
+                (F.col("est_e4") >= F.col("lo_e4"))
+                & (F.col("est_e4") <= F.col("hi_e4"))
+            ).alias("within_bound"),
         )
     )

@@ -821,6 +821,11 @@ SHUFFLE_BUDGET = {
     # remains is the exact-answer measuring-stick join (word-keyed, 2)
     # + pair/size aggregations + final broadcast assembly.
     "sketch_kmv_setops": 8,
+    # 4 window/agg shuffles over events (shard-rank pair + the two
+    # derived rankings) + the checkpointed-summary branches and
+    # 3-row result joins; bt/kept are localCheckpointed so nothing
+    # re-expands.
+    "sketch_quantile_kll": 15,
     # One (epoch, shard)-keyed rank exchange; the epoch fan-out is a
     # row-local explode, never a join.
     "sample_epoch_shuffle": 1,
