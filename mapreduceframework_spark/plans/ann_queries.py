@@ -1366,3 +1366,112 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rel", 6).alias("rel"),
         F.round("mmr", 6).alias("mmr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered ANN (metadata predicate + IVF probe in one plan)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_filtered_ivf",
+    oracle=f"""
+        WITH e AS ({EMB_CTE}),
+        allowed AS (SELECT doc_id AS vec_id FROM documents
+                    WHERE lang = 'en'),
+        corpus AS (SELECT e.* FROM e JOIN allowed USING (vec_id)),
+        cent AS ({CENTROIDS_CTE}),
+        probes AS (
+            SELECT query_id, qv, label FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, cent.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {V.cosine_sql("q.v", "cent.c")} DESC,
+                                    cent.label) AS r
+                FROM e q, cent WHERE q.vec_id < 10)
+            WHERE r <= 3),
+        scored AS (
+            SELECT query_id, corpus.vec_id AS neighbor_id,
+                   {V.cosine_sql("probes.qv", "corpus.v")} AS cos
+            FROM probes JOIN corpus USING (label)
+            WHERE corpus.vec_id <> query_id)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    tags=("similarity", "extension", "retrieval"),
+)
+def ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — the "retrieve within a tenant" shape every RAG
+    deployment needs: top-5 cosine neighbors restricted to vectors
+    whose document metadata passes a predicate (lang = 'en' — the
+    scale-stable 5-value domain; `source` grows with SF so a literal
+    source filter would be scale-brittle), through the IVF probe path.
+
+    Two design decisions that are the whole point of the row:
+
+    - PRE-filtering, not post-filtering: the metadata predicate
+      restricts the CANDIDATE lists before scoring, so every query
+      still receives a full k results (post-filtering a top-k under-
+      fills k whenever the filter removes winners — the classic
+      filtered-ANN correctness trap). The trade is scoring against a
+      sparser list; with ~43% selectivity and 3 probed lists there are
+      still dozens of candidates per query here.
+    - The IVF index (centroids) is built ONCE over the FULL corpus and
+      shared by every filter: probes rank unfiltered centroids (same
+      CENTROIDS_CTE as ann_cosine_ivf), only the inverted-list scan is
+      filtered. Rebuilding centroids per predicate would make the
+      index useless operationally and would change recall behavior
+      per-filter.
+
+    Scale shape: the predicate pushes to the documents parquet scan
+    (PushedFilters, asserted in tests/test_plans.py) and prunes to a
+    2-column read; the allowed-id semi-join keys on vec_id — at 100 TB
+    metadata and vectors co-partition/bucket on id so this join is
+    co-located, and the filtered lists stream through the same
+    broadcast-probe join as ann_cosine_ivf: no shuffle of the vector
+    side, no corpus x corpus pair. Queries themselves are NOT filtered
+    (a caller's query vector is independent of the tenant it searches).
+    """
+    e = _embeddings(spark, sf_dir)
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = e.join(allowed, "vec_id", "left_semi")
+    cent = _label_centroids(e)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("centroid_sim"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("centroid_sim", V.cosine(F.col("qv"), F.col("c")))
+        .withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= 3)
+        .select("query_id", "qv", "label")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -73,10 +73,12 @@ def query(
 # The driver's per-round correctness run checks the FIRST 50 entries of
 # all_queries() in iteration order. Round-10 window (VERDICT r9 item 1:
 # an evidence-hygiene round — the composition is
-# tools/window_planner.py's proposal plus the round's one new query),
-# 1 + 3 + 37 + 9 = 50:
-# - 1 never-driver-checked row: sketch_quantile_kll (VERDICT r9
-#   item 4 — the mergeable-quantile row completing the sketch family);
+# tools/window_planner.py's proposal plus the round's two new queries),
+# 2 + 3 + 37 + 8 = 50:
+# - 2 never-driver-checked rows: sketch_quantile_kll (VERDICT r9
+#   item 4 — the mergeable-quantile row completing the sketch family)
+#   and ann_filtered_ivf (item 8 — metadata-predicate + IVF probe in
+#   one plan, the RAG "retrieve within a tenant" shape);
 # - 3 auto-sentinels: queries whose decorated definition (normalized
 #   AST, planner's git diff vs the last-green commit) changed since
 #   their last green driver row (dedup_substring_chunks r6,
@@ -86,19 +88,22 @@ def query(
 #   (q4/q7/q8/q10-q17/q19/q20), cube/grouping-sets, the window-function
 #   surface rows, multimodal frame-sample/resize, sampling, scalar-fn
 #   and subquery rows;
-# - 9 next-stalest: the head of the r05 cohort (40 rows; the
-#   remaining 31 lead round 11's refresh block).
-# Registry growth is near-frozen this round (VERDICT r9 item 2: one
-# query, named above, at 270 <= the ~272 cap) so the rotation catches
-# up: max staleness falls from 5 rounds to 4.
+# - 8 next-stalest: the head of the r05 cohort (40 rows; the
+#   remaining 32 lead round 11's refresh block).
+# Registry growth is near-frozen this round (VERDICT r9 item 2: two
+# queries, both named above and both VERDICT-requested, at 271 <= the
+# ~272 cap) so the rotation catches up: max staleness falls from 5
+# rounds to 4.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
 # additionally at sf0.1 (plus full-registry sf0.1 sweeps, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (1 — the round's single
-    #     new query, VERDICT r9 item 4's mergeable quantile sketch;
-    #     it knowingly displaces one r05 refresh slot) ---
+    # --- never driver-checked: first evidence (2 — the round's only
+    #     new queries, VERDICT r9 item 4's mergeable quantile sketch
+    #     and item 8's filtered-ANN row; each knowingly displaces one
+    #     r05 refresh slot) ---
     "sketch_quantile_kll",
+    "ann_filtered_ivf",
     # --- auto-sentinels: definition changed since last green (3) ---
     "dedup_substring_chunks",
     "kmeans_quantized_clusters",
@@ -152,7 +157,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_quantize_int8",
     "events_anomaly_zscore",
     "events_funnel_conversion",
-    "events_retention_cohorts",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -137,6 +137,27 @@ def test_ann_topk_join_candidates_are_bucket_keyed(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
+def test_ann_filtered_ivf_prefilters_with_pushdown(spark, sf_dir):
+    """Filtered ANN: the metadata predicate must reach the documents
+    parquet scan (PushedFilters + 2-column ReadSchema — never a full
+    -row read of the metadata table), the allowed-id restriction must
+    be a semi-join on vec_id, and the candidate join stays label-keyed
+    with the probe side broadcast, exactly like the unfiltered IVF."""
+    plan = plan_of(spark, sf_dir, "ann_filtered_ivf")
+    lines = plan.splitlines()
+    doc_idx = [i for i, l in enumerate(lines) if "documents.parquet" in l]
+    assert doc_idx, "documents scan missing from the plan"
+    # The scan node's detail block follows its Location line: the lang
+    # predicate must be pushed and the read pruned to 2 columns.
+    block = "\n".join(lines[doc_idx[0]: doc_idx[0] + 4])
+    assert "PushedFilters" in block and "lang,en" in block, block
+    read = [l for l in block.splitlines() if "ReadSchema" in l]
+    assert read and "text" not in read[0], read  # no full-row read
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mining_pair_topk_avoids_total_sort(spark, sf_dir):
     """Top-20 must plan as a parallel TakeOrderedAndProject (per
     -partition heaps), not an unpartitioned rank window funneling every
@@ -488,6 +509,9 @@ SHUFFLE_BUDGET = {
     "dedup_minhash_lsh": 8,
     "dedup_ngram_jaccard": 5,
     "ann_cosine_ivf": 6,
+    # ivf + the allowed-id semi-join branch (metadata scan is
+    # broadcast at test scale; co-located bucketed join at 100 TB).
+    "ann_filtered_ivf": 7,
     "tpch_q9_product_profit": 5,
     "tpch_q18_large_orders": 5,
     "cdc_merge_orders": 2,
