@@ -252,6 +252,16 @@ SHOWCASE = [
      "exchange: nine exact sufficient statistics cross the wire as "
      "O(groups) rows and Cramer's rule solves row-locally — model "
      "fitting with the plan shape of a GROUP BY."),
+    ("sketch_quantile_kll",
+     "Mergeable quantile summaries: per-shard every-C-th-rank samples "
+     "built by the (shard, value-bucket) two-phase prefix scan (never "
+     "a constant-reducer window over raw rows), merged by plain union "
+     "and localCheckpointed at n/C rows before the rank-select joins."),
+    ("ann_filtered_ivf",
+     "Filtered retrieval: the tenant predicate is PUSHED to the "
+     "metadata parquet scan (2-column read) and pre-filters the "
+     "inverted lists through a vec_id semi-join, so top-k never "
+     "under-fills; the probe join stays broadcast + label-keyed."),
 ]
 
 
