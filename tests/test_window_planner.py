@@ -60,3 +60,32 @@ def test_fn_fingerprint_ignores_docs_and_formatting_only():
     assert _fn_fingerprint(body_edit, "q") != fp
     assert _fn_fingerprint(oracle_edit, "q") != fp
     assert _fn_fingerprint(base, "missing") is None
+
+
+def test_simulate_rotations_reaches_steady_state():
+    """The projection must converge to the analytic steady state: with
+    R queries and a W-slot stalest-first rotation, max staleness
+    plateaus at ceil(R / W) and exactly R - W * (ceil(R/W) - 1)
+    queries sit at the plateau age. Uses a synthetic ledger so the
+    test pins the simulator, not the repo's current history."""
+    import tools.window_planner as wp
+
+    names = [f"q{i:03d}" for i in range(137)]  # R = 137, W = 50
+    last = {n: 1 for n in names}  # everything green at round 1
+    rounds = wp.simulate_rotations(last, names, latest=1, rounds=12)
+    period = -(-137 // wp.WINDOW)  # ceil = 3 rounds to cover everything
+    tail = 137 - wp.WINDOW * (period - 1)  # 37 at the plateau age
+    steady = rounds[-1]
+    # Ages 0..period-1 coexist after each refresh, so the plateau is
+    # period - 1 (the repo's own 271/50 case plateaus at 5 = ceil-1).
+    assert steady["max_staleness"] == period - 1
+    # Exact histogram at steady state: W at every age below the
+    # plateau, the remainder at the plateau.
+    hist = steady["histogram"]
+    assert hist[max(hist)] == tail
+    assert all(
+        hist[a] == wp.WINDOW for a in hist if a != max(hist)
+    ), hist
+    # Staleness must be non-increasing once the plateau is reached.
+    maxes = [r["max_staleness"] for r in rounds]
+    assert maxes[-1] == maxes[-2] == maxes[-3]

@@ -9,6 +9,8 @@ mechanical instead of a hand-maintained comment:
 
     python tools/window_planner.py            # ledger + proposal
     python tools/window_planner.py --json     # machine-readable ledger
+    python tools/window_planner.py --plan 6   # + project 6 future
+                                              #   rounds of rotation
 
 It reads every ``CORRECTNESS_r*.json`` in the repo root (the driver's
 per-round records), joins them against the current registry, and
@@ -230,9 +232,46 @@ def ledger() -> tuple[dict[str, int], int]:
     return last, latest
 
 
+def simulate_rotations(
+    last: dict[str, int], names: list[str], latest: int, rounds: int
+) -> list[dict]:
+    """Project ``rounds`` future rounds of stalest-first rotation
+    (assuming every window row passes and no new queries or code
+    changes land) and return per-round summaries. This is the
+    steady-state schedule: with R registered queries and a W-slot
+    window the refresh period is ceil(R / W) rounds, and the
+    projection shows exactly when the max-staleness plateau is
+    reached — the number the 'can the registry afford another query'
+    decision needs."""
+    sim = dict(last)
+    out = []
+    for step in range(1, rounds + 1):
+        rnd = latest + step
+        order = sorted(names, key=lambda n: (sim.get(n, -1), n))
+        window = order[:WINDOW]
+        for n in window:
+            sim[n] = rnd
+        ages = [rnd - sim[n] for n in names]
+        hist: dict[int, int] = {}
+        for a in ages:
+            hist[a] = hist.get(a, 0) + 1
+        out.append(
+            {
+                "round": rnd,
+                "window_oldest": min(
+                    (sim.get(n, -1) for n in window), default=rnd
+                ),
+                "max_staleness": max(ages),
+                "histogram": dict(sorted(hist.items())),
+            }
+        )
+    return out
+
+
 def main(argv: list[str]) -> int:
     sentinels: list[str] = []
     as_json = False
+    plan_rounds = 0
     i = 0
     while i < len(argv):
         if argv[i] == "--sentinel":
@@ -241,6 +280,9 @@ def main(argv: list[str]) -> int:
         elif argv[i] == "--json":
             as_json = True
             i += 1
+        elif argv[i] == "--plan":
+            plan_rounds = int(argv[i + 1])
+            i += 2
         else:
             print(__doc__)
             return 2
@@ -314,6 +356,15 @@ def main(argv: list[str]) -> int:
     if overflow > 0:
         print(f"\nWARNING: {overflow} never-checked/sentinel rows do not "
               f"fit one window — plan two rounds.")
+    if plan_rounds > 0:
+        print(f"\nprojected stalest-first schedule ({plan_rounds} rounds, "
+              "no new queries / code changes assumed):")
+        for row in simulate_rotations(last, names, latest, plan_rounds):
+            hist_s = " ".join(
+                f"{age}r:{cnt}" for age, cnt in row["histogram"].items()
+            )
+            print(f"  r{row['round']}: max staleness "
+                  f"{row['max_staleness']}  [{hist_s}]")
     return 0
 
 
