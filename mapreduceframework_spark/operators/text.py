@@ -322,10 +322,11 @@ def bpe_token_count_py(text: str) -> int:
     """Pure-Python :func:`bpe_token_count`: lowercase, strip the '|'
     delimiter, encode maximal [a-z] runs via min-rank BPE, count every
     other character as one token except the four counted whitespace
-    separators."""
+    separators. No sentinel character: a literal NUL in the input is a
+    regular one-token unit, exactly as in the expression encoder."""
     t = text.lower().replace(_BPE_D, "")
     n, start = 0, -1
-    for i, ch in enumerate(t + "\x00"):  # sentinel flushes the last run
+    for i, ch in enumerate(t):
         if "a" <= ch <= "z":
             if start < 0:
                 start = i
@@ -333,8 +334,10 @@ def bpe_token_count_py(text: str) -> int:
         if start >= 0:
             n += _bpe_word_tokens(t[start:i])
             start = -1
-        if ch != "\x00" and ch not in _COUNTED_WS:
+        if ch not in _COUNTED_WS:
             n += 1
+    if start >= 0:  # flush a trailing letter run
+        n += _bpe_word_tokens(t[start:])
     return n
 
 
@@ -347,8 +350,10 @@ def bpe_token_count_arrow():
 
     @pandas_udf("long")
     def _count(texts: pd.Series) -> pd.Series:
+        # NULL in -> NULL out, mirroring the expression encoder's
+        # null propagation (0 would silently change row semantics).
         return texts.map(
-            lambda t: 0 if t is None else bpe_token_count_py(t)
-        ).astype("int64")
+            lambda t: None if t is None else bpe_token_count_py(t)
+        ).astype("Int64")
 
     return _count

@@ -92,8 +92,12 @@ def query(
 #   remaining 32 lead round 11's refresh block).
 # Registry growth is near-frozen this round (VERDICT r9 item 2: two
 # queries, both named above and both VERDICT-requested, at 271 <= the
-# ~272 cap) so the rotation catches up: max staleness falls from 5
-# rounds to 4.
+# ~272 cap) so the rotation catches up: the 5-round-stale cohort
+# shrinks from 37 unserved rows to 0 (the whole r04 block refreshes),
+# leaving only the structural steady-state plateau — at 271 queries /
+# 50 slots, ceil(271/50)-1 = 5 rounds with ~21 rows at the plateau age
+# (tools/window_planner.py --plan projects it); shrinking THAT number
+# requires a smaller registry or a larger window, not rotation order.
 # All 50 re-verified locally at sf0.01 via check_window (both compare
 # paths) + drive_contract at rotation time; every new/rewritten query
 # additionally at sf0.1 (plus full-registry sf0.1 sweeps, BASELINE.md).
@@ -147,8 +151,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_ntile_cume",
     "window_rank_dense_percent",
     "window_value_functions",
-    # --- then the r05 cohort, oldest-first (10 of 40 fit; the rest
-    #     lead round 11) ---
+    # --- then the r05 cohort, oldest-first (8 of 40 fit; the
+    #     remaining 32 lead round 11) ---
     "agg_bitwise",
     "cdc_merge_orders",
     "cdc_snapshot_diff",

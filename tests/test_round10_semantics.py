@@ -30,7 +30,10 @@ def _numpy_reference(sf_dir: str) -> dict[int, dict]:
         f"{sf_dir}/events.parquet", columns=["event_id", "value"]
     )
     eid = t["event_id"].to_numpy()
-    v = np.rint(t["value"].to_numpy() * 10_000).astype(np.int64)
+    # snap_units is ROUND-half-AWAY-from-zero on both engines; np.rint
+    # rounds half to even, so mirror with floor(x + 0.5) (values are
+    # strictly positive in this table).
+    v = np.floor(t["value"].to_numpy() * 10_000 + 0.5).astype(np.int64)
     n = len(v)
     order = np.lexsort((eid, v))  # global (v, eid) order
     sv, se = v[order], eid[order]
@@ -89,7 +92,9 @@ def test_kll_summary_rank_error_within_slack(spark, sf_dir):
     t = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["value"]
     )
-    v = np.sort(np.rint(t["value"].to_numpy() * 10_000).astype(np.int64))
+    v = np.sort(
+        np.floor(t["value"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+    )
     n = len(v)
     rows = REGISTRY["sketch_quantile_kll"].fn(spark, sf_dir).collect()
     for r in rows:

@@ -64,15 +64,19 @@ def ref_bpe_token_count(text: str) -> int:
     characters are separators, not tokens."""
     t = text.lower().replace("|", "")
     n, word = 0, []
-    for ch in t + "\x00":  # sentinel flushes the last word
+    for ch in t:
         if "a" <= ch <= "z":
             word.append(ch)
             continue
         if word:
             n += len(_encode_word("".join(word)))
             word = []
-        if ch != "\x00" and ch not in _COUNTED_WS:
+        # Every non-letter unit is one token — including a literal
+        # NUL — except the four counted whitespace separators.
+        if ch not in _COUNTED_WS:
             n += 1
+    if word:  # flush a trailing letter run
+        n += len(_encode_word("".join(word)))
     return n
 
 
@@ -126,6 +130,7 @@ ADVERSARIAL = [
     "x1y2z3 42 3.14, odd-ball! (parens) [maps]",  # digits/punct units
     "tab\tsep\nnewline\rcr",  # counted whitespace classes
     "vert\x0bical form\x0cfeed",  # UNcounted control chars = tokens
+    "nul\x00inside\x00 runs",  # literal NUL is a regular 1-token unit
     "éclair naïve ünïcode",  # non-ascii letters are single units
     "joinjoinjoin hashhash rowrowrow",
     "stcolumnst custcustomer",  # pattern prefixes/suffixes abutting
@@ -249,11 +254,13 @@ def test_bpe_pandas_encoder_matches_expression_encoder(spark, sf_dir):
         bpe_token_count_py,
     )
 
-    # Adversarial strings, both the pandas UDF (executor path) and the
-    # plain-Python form (driver path) vs the codegen expression.
-    df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(ADVERSARIAL)], "i long, text string"
-    )
+    # Adversarial strings (plus a NULL row — both encoders must
+    # propagate NULL, not coerce to 0), both the pandas UDF (executor
+    # path) and the plain-Python form (driver path) vs the codegen
+    # expression.
+    cases = [(i, s) for i, s in enumerate(ADVERSARIAL)]
+    cases.append((len(cases), None))
+    df = spark.createDataFrame(cases, "i long, text string")
     rows = df.select(
         "i",
         "text",
@@ -262,7 +269,12 @@ def test_bpe_pandas_encoder_matches_expression_encoder(spark, sf_dir):
     ).collect()
     for r in rows:
         assert r["expr_n"] == r["arrow_n"], repr(r["text"])
-        assert bpe_token_count_py(r["text"]) == r["expr_n"], repr(r["text"])
+        if r["text"] is None:
+            assert r["expr_n"] is None
+        else:
+            assert bpe_token_count_py(r["text"]) == r["expr_n"], repr(
+                r["text"]
+            )
 
     # Every distinct whitespace-word of the corpus — exactly the rows
     # the scale path would feed the pandas encoder.

@@ -249,18 +249,26 @@ def simulate_rotations(
         rnd = latest + step
         order = sorted(names, key=lambda n: (sim.get(n, -1), n))
         window = order[:WINDOW]
+        # Pre-refresh oldest green among the refreshed cohort (-1 =
+        # a never-checked row gained first evidence this round).
+        window_oldest = min(
+            (sim.get(n, -1) for n in window), default=rnd
+        )
         for n in window:
             sim[n] = rnd
-        ages = [rnd - sim[n] for n in names]
+        # Never-checked rows still outside every simulated window keep
+        # sentinel -1, i.e. age rnd+1 — deliberately larger than any
+        # genuine staleness so the overflow case stays visible instead
+        # of crashing (the >WINDOW-never-checked scenario the WARNING
+        # in main() anticipates).
+        ages = [rnd - sim.get(n, -1) for n in names]
         hist: dict[int, int] = {}
         for a in ages:
             hist[a] = hist.get(a, 0) + 1
         out.append(
             {
                 "round": rnd,
-                "window_oldest": min(
-                    (sim.get(n, -1) for n in window), default=rnd
-                ),
+                "window_oldest": window_oldest,
                 "max_staleness": max(ages),
                 "histogram": dict(sorted(hist.items())),
             }
