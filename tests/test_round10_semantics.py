@@ -1,9 +1,15 @@
-"""Independent cross-checks for the round-10 mergeable quantile sketch
-(sketch_quantile_kll). The driver contract already hash-compares the
-Spark pipeline against the DuckDB oracle; these tests check the parts a
-two-engine comparison cannot — that the claimed ERROR GUARANTEE holds
-against an engine-independent numpy reconstruction, and that the
-summary really is mergeable (built per shard, merged by plain union).
+"""Round-10 independent cross-checks. The driver contract already
+hash-compares every query against its DuckDB oracle; these tests check
+what a two-engine comparison cannot:
+
+- sketch_quantile_kll: the claimed ERROR GUARANTEE holds against an
+  engine-independent numpy reconstruction, the summary really is
+  mergeable (built per shard, merged by plain union), and the exact
+  rank error — not just the value bracket — is within slack;
+- graph_hits: the unnormalized scores equal a pure-Python fixpoint
+  over the weighted edge multiset;
+- ann_filtered_ivf: the whole filtered-retrieval pipeline reproduces
+  under numpy (centroids, probes, pre-filter, top-5 tiebreaks).
 """
 
 from __future__ import annotations
@@ -107,3 +113,115 @@ def test_kll_summary_rank_error_within_slack(spark, sf_dir):
         assert first <= tau + KLLQ_SLACK, (r["q_pct"], first, tau)
         assert last >= tau - KLLQ_SLACK, (r["q_pct"], last, tau)
         assert r["n"] == n
+
+
+# --------------------------------------------------------------------
+# Third opinions for rows whose only prior evidence was the two-engine
+# oracle compare: a pure-Python HITS fixpoint and a full-numpy
+# reconstruction of the filtered-ANN pipeline.
+# --------------------------------------------------------------------
+
+
+def test_hits_matches_pure_python_fixpoint(spark, sf_dir):
+    """graph_hits claims its unnormalized scores are exact-integer path
+    counts of the alternating out/in walk. Recompute the fixpoint in
+    plain Python over the (weighted) collected edge multiset — the
+    trade graph is multi-edge, so multiplicities weight each hop —
+    and compare every node's hub/auth score exactly."""
+    from mapreduceframework_spark.plans.graph_queries import (
+        HITS_ROUNDS,
+        _trade_edges,
+    )
+    from mapreduceframework_spark.plans.registry import REGISTRY
+    import mapreduceframework_spark.plans.graph_queries  # noqa: F401
+
+    edges = {}  # (src, dst) -> multiplicity
+    for r in (
+        _trade_edges(spark, sf_dir).groupBy("src", "dst").count().collect()
+    ):
+        edges[(r["src"], r["dst"])] = r["count"]
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    h = {v: 1 for v in nodes}
+    a = {}
+    for _ in range(HITS_ROUNDS):
+        a = {}
+        for (s, d), m in edges.items():
+            a[d] = a.get(d, 0) + m * h[s]
+        h = {}
+        for (s, d), m in edges.items():
+            if d in a:
+                h[s] = h.get(s, 0) + m * a[d]
+    got = {
+        r["nation"]: (r["hub_score"], r["auth_score"])
+        for r in REGISTRY["graph_hits"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == nodes
+    for v in nodes:
+        assert got[v] == (h.get(v, 0), a.get(v, 0)), v
+
+
+def test_filtered_ivf_matches_numpy(spark, sf_dir):
+    """Full numpy reconstruction of ann_filtered_ivf: per-label mean
+    centroids rounded to 6, 3 probed lists per query, lang='en'
+    pre-filter, exact cosine, top-5 with (cos DESC, id ASC) tiebreak.
+    Pins the neighbor SETS and ranks; cosine values are compared to
+    within float repro tolerance (numpy sums in a different order than
+    the engines' sequential fold, so bitwise equality is not the
+    claim here — the engines' mutual bit-equality is the driver's)."""
+    from mapreduceframework_spark.plans.registry import REGISTRY
+    import mapreduceframework_spark.plans.ann_queries  # noqa: F401
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vec_id = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    V = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    allowed = set(
+        int(d)
+        for d, l in zip(
+            docs["doc_id"].to_numpy(), docs["lang"].to_pylist()
+        )
+        if l == "en"
+    )
+
+    cents = {}
+    for lab in np.unique(labels):
+        cents[int(lab)] = np.round(V[labels == lab].mean(axis=0), 6)
+
+    def cos(x, y):
+        return float(
+            np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y))
+        )
+
+    expect = {}
+    for qi in np.where(vec_id < 10)[0]:
+        qid = int(vec_id[qi])
+        probed = sorted(
+            cents, key=lambda lab: (-cos(V[qi], cents[lab]), lab)
+        )[:3]
+        cand = [
+            (-cos(V[qi], V[j]), int(vec_id[j]))
+            for j in range(len(vec_id))
+            if int(labels[j]) in probed
+            and int(vec_id[j]) != qid
+            and int(vec_id[j]) in allowed
+        ]
+        cand.sort()
+        expect[qid] = [(nid, -negc) for negc, nid in cand[:5]]
+
+    rows = REGISTRY["ann_filtered_ivf"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos"])
+        )
+    assert set(got) == set(expect)
+    for qid, exp in expect.items():
+        g = [
+            (nid, c) for _, nid, c in sorted(got[qid])
+        ]
+        assert [n for n, _ in g] == [n for n, _ in exp], qid
+        for (gn, gc), (en, ec) in zip(g, exp):
+            assert abs(gc - ec) < 1e-9, (qid, gn)
