@@ -225,3 +225,79 @@ def test_filtered_ivf_matches_numpy(spark, sf_dir):
         assert [n for n, _ in g] == [n for n, _ in exp], qid
         for (gn, gc), (en, ec) in zip(g, exp):
             assert abs(gc - ec) < 1e-9, (qid, gn)
+
+
+def test_cross_correlation_matches_exact_python(spark, sf_dir):
+    """timeseries_cross_correlation under a pure-Python mirror: daily
+    e4 sums, mean-clearing by each side's own n (all exact ints —
+    Python's bignums play the DECIMAL(38,0) role), num/sqrt(denx*deny)
+    as the single double division, ROUND-half-away to e6. Every
+    (type_a, type_b, lag) row must match exactly — including which
+    degenerate rows are excluded by the den<>0 predicate."""
+    import math
+    from collections import defaultdict
+    from datetime import date
+
+    from mapreduceframework_spark.plans.analytics_queries import CCF_LAGS
+    from mapreduceframework_spark.plans.registry import REGISTRY
+    import mapreduceframework_spark.plans.analytics_queries  # noqa: F401
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    epoch = date(2024, 1, 1)
+    daily = defaultdict(int)  # (type, day) -> exact e4 sum
+    for et, ts, val in zip(
+        t["event_type"].to_pylist(),
+        t["ts"].to_pylist(),
+        t["value"].to_pylist(),
+    ):
+        d = (ts.date() - epoch).days
+        e4 = math.floor(val * 10_000 + 0.5)  # positive values only
+        daily[(et, d)] += e4
+    series = defaultdict(dict)  # type -> {day: v}
+    for (et, d), v in daily.items():
+        series[et][d] = v
+    stats = {
+        et: (len(days), sum(days.values()))
+        for et, days in series.items()
+    }
+
+    def round_away(x: float) -> int:
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    expect = {}
+    for ta, da in series.items():
+        na, sa = stats[ta]
+        for tb, db in series.items():
+            if ta == tb:
+                continue
+            nb, sb = stats[tb]
+            for lag in CCF_LAGS:
+                num = denx = deny = 0
+                n_overlap = 0
+                for d, va in da.items():
+                    vb = db.get(d + lag)
+                    if vb is None:
+                        continue
+                    xa = na * va - sa
+                    xb = nb * vb - sb
+                    num += xa * xb
+                    denx += xa * xa
+                    deny += xb * xb
+                    n_overlap += 1
+                if denx == 0 or deny == 0:
+                    continue  # the exact-predicate exclusion
+                ccf = round_away(
+                    float(num) / math.sqrt(float(denx) * float(deny))
+                    * 1_000_000
+                )
+                expect[(ta, tb, lag)] = (n_overlap, ccf)
+
+    got = {
+        (r["type_a"], r["type_b"], r["lag"]): (r["n_overlap"], r["ccf_e6"])
+        for r in REGISTRY["timeseries_cross_correlation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
