@@ -71,7 +71,15 @@ def _numpy_reference(sf_dir: str) -> dict[int, dict]:
 
 
 @pytest.mark.parametrize(
-    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    "sf_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        # sf0.1 too: the driver's hash compare proves the ENGINES agree
+        # on within_bound, not that it is true — only this numpy
+        # reconstruction asserts the guarantee itself at each scale.
+        "/root/testdata/sf0.1",
+    ],
 )
 def test_kll_quantile_matches_numpy_and_holds_bound(spark, sf_dir):
     rows = {
