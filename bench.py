@@ -125,7 +125,13 @@ def stdout_payload(out: dict) -> tuple[str, dict[str, str] | None]:
        stays directly name- and value-comparable across rounds;
     2. full names, 2-decimal values (marked ``"prec": 2``) — saves
        ~1 char/row; bench noise is >> 10 ms so nothing real is lost
-       and cross-round tooling still joins on full names;
+       and cross-round tooling still joins on full names. This rung
+       only helps when ROW COUNT drives the overflow: the ``"prec":2``
+       key itself costs 9 chars, so a payload over the ceiling by a
+       hair with few-but-long-named rows can gain nothing here and
+       fall straight through to abbrev-v1 (each step re-checks the
+       ceiling, so that fall-through is safe, just narrower than the
+       ladder reads);
     3. ``abbrev-v1`` aliases (+ 2-decimal) — resolve via the
        ``stdout_name_map`` in BENCH_SUMMARY.json;
     4. still over -> RuntimeError (a silent fragment costs the whole

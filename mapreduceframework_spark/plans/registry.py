@@ -71,96 +71,91 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-10 window (VERDICT r9 item 1:
-# an evidence-hygiene round — the composition is
-# tools/window_planner.py's proposal plus the round's two new queries),
-# 2 + 3 + 37 + 8 = 50:
-# - 2 never-driver-checked rows: sketch_quantile_kll (VERDICT r9
-#   item 4 — the mergeable-quantile row completing the sketch family)
-#   and ann_filtered_ivf (item 8 — metadata-predicate + IVF probe in
-#   one plan, the RAG "retrieve within a tenant" shape);
-# - 3 auto-sentinels: queries whose decorated definition (normalized
-#   AST, planner's git diff vs the last-green commit) changed since
-#   their last green driver row (dedup_substring_chunks r6,
-#   kmeans_quantized_clusters r5, sketch_kmv_distinct r8);
-# - 37 stalest greens: the ENTIRE r04 cohort (5 rounds stale — the r9
-#   verdict's named highest-leverage block): TPC-H part 2
-#   (q4/q7/q8/q10-q17/q19/q20), cube/grouping-sets, the window-function
-#   surface rows, multimodal frame-sample/resize, sampling, scalar-fn
-#   and subquery rows;
-# - 8 next-stalest: the head of the r05 cohort (40 rows; the
-#   remaining 32 lead round 11's refresh block).
-# Registry growth is near-frozen this round (VERDICT r9 item 2: two
-# queries, both named above and both VERDICT-requested, at 271 <= the
-# ~272 cap) so the rotation catches up: the 5-round-stale cohort
-# shrinks from 37 unserved rows to 0 (the whole r04 block refreshes),
-# leaving only the structural steady-state plateau — at 271 queries /
-# 50 slots, ceil(271/50)-1 = 5 rounds with ~21 rows at the plateau age
-# (tools/window_planner.py --plan projects it); shrinking THAT number
-# requires a smaller registry or a larger window, not rotation order.
-# All 50 re-verified locally at sf0.01 via check_window (both compare
-# paths) + drive_contract at rotation time; every new/rewritten query
-# additionally at sf0.1 (plus full-registry sf0.1 sweeps, BASELINE.md).
+# all_queries() in iteration order. Round-11 window (VERDICT r10
+# items 1-3: lead with the ENTIRE 31-row r05-stale cohort, fill the
+# rest from the oldest r06 rows, registry stays frozen at 272 — the
+# only add is the VERDICT-item-5 two-level KLL, which knowingly
+# displaces one r06 refresh slot), 1 + 1 + 31 + 17 = 50:
+# - 1 never-driver-checked row: sketch_quantile_kll_twolevel (VERDICT
+#   r10 item 5 — the KLL recursion exercised as a registered row with
+#   the composed slack proven and value-checked);
+# - 1 auto-sentinel: sketch_quantile_kll, whose definition changed
+#   since its r10 green (the ADVICE null-guard — explicit
+#   value IS NOT NULL on both engine sides);
+# - 31 stalest greens: the ENTIRE r05 cohort (5 rounds stale — the
+#   r10 verdict's named highest-leverage block): the streaming family
+#   (7 rows), the as-of/range/salted joins, pipeline_curate_corpus,
+#   tpch_q9, scd2, the pandas-UDF rows, OHLC/gap-fill timeseries,
+#   retention/session events, countmin, audio decode, token packing;
+# - 17 next-stalest: the head of the r06 cohort (48 rows; the
+#   remainder leads round 12's refresh block — window_planner --plan 2
+#   projects the cohort fully scheduled by then).
+# At 272 queries / 50 slots the steady-state refresh period stays
+# ceil(272/50) - 1 = 5 rounds (the structural plateau); shrinking THAT
+# number requires a smaller registry or a larger window, not rotation
+# order. All 50 re-verified locally at sf0.01 via check_window (both
+# compare paths) + drive_contract at rotation time; every new/rewritten
+# query additionally at sf0.1 (plus the closing full-registry sf0.1
+# sweep, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (2 — the round's only
-    #     new queries, VERDICT r9 item 4's mergeable quantile sketch
-    #     and item 8's filtered-ANN row; each knowingly displaces one
-    #     r05 refresh slot) ---
+    # --- never driver-checked: first evidence (1 — the round's only
+    #     new query, the VERDICT-r10-item-5 two-level KLL) ---
+    "sketch_quantile_kll_twolevel",
+    # --- auto-sentinel: definition changed since last green (1 —
+    #     the ADVICE NULL-ordering guard) ---
     "sketch_quantile_kll",
-    "ann_filtered_ivf",
-    # --- auto-sentinels: definition changed since last green (3) ---
-    "dedup_substring_chunks",
-    "kmeans_quantized_clusters",
-    "sketch_kmv_distinct",
-    # --- stalest refresh: the full 37-row r04 cohort (5 rounds stale,
-    #     the r9 verdict's named highest-leverage block) ---
-    "agg_decimal_exact",
-    "agg_salted_two_stage",
-    "cube_counts",
-    "feature_quantile_buckets",
-    "flatmap_posexplode",
-    "graph_degree_stats",
-    "grouping_sets_explicit",
-    "join_range_bands",
-    "lateral_last_ship",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "quality_report_tables",
-    "sample_deterministic",
-    "sample_mixture_by_source",
-    "scalar_array_setops",
-    "scalar_map_funcs",
-    "sketch_bloom_probe",
-    "subquery_exists_late_ship",
-    "subquery_scalar_above_avg",
-    "text_scrub_redact",
-    "text_tfidf_top_terms",
-    "tpch_q10_returned_revenue",
-    "tpch_q11_important_parts",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive",
-    "tpch_q20_excess_shippers",
-    "tpch_q4_priority_count",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "window_ntile_cume",
-    "window_rank_dense_percent",
-    "window_value_functions",
-    # --- then the r05 cohort, oldest-first (8 of 40 fit; the
-    #     remaining 32 lead round 11) ---
-    "agg_bitwise",
-    "cdc_merge_orders",
-    "cdc_snapshot_diff",
-    "decontaminate_ngram_overlap",
-    "dedup_clusters",
-    "embedding_quantize_int8",
-    "events_anomaly_zscore",
-    "events_funnel_conversion",
+    # --- stalest refresh: the full 31-row r05 cohort (5 rounds
+    #     stale, the r10 verdict's named highest-leverage block) ---
+    "events_retention_cohorts",
+    "events_session_windows",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "join_asof",
+    "join_asof_forward_gap",
+    "join_range_binned",
+    "join_salted_skew",
+    "multimodal_audio_decode",
+    "pack_token_chunks",
+    "pipeline_curate_corpus",
+    "profile_numeric_histogram",
+    "sample_stratified_exact",
+    "scalar_hash_funcs",
+    "scalar_map_hof_funcs",
+    "scd2_order_history",
+    "sketch_countmin_heavy",
+    "streaming_click_purchase_join",
+    "streaming_dedup_keys",
+    "streaming_session_counts",
+    "streaming_static_enrich",
+    "streaming_tumbling_counts",
+    "streaming_user_counts_stateful",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "timeseries_gap_fill",
+    "timeseries_ohlc",
+    "tpch_q9_product_profit",
+    "udf_cogrouped_reconcile",
+    "udf_pandas_scalar",
+    "window_lag_lead",
+    # --- then the r06 cohort, oldest-first (17 of 48 fit; the
+    #     remaining 31 lead round 12) ---
+    "agg_algebraic",
+    "agg_argmax_struct",
+    "agg_collect_sorted",
+    "agg_count_distinct",
+    "agg_full_group",
+    "agg_null_semantics",
+    "agg_statistical",
+    "ann_topk_join",
+    "char_counts",
+    "conditional_case_agg",
+    "cube_grouping_id",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_keys_mod100",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -697,7 +697,8 @@ KLLQ_VB = 500_000  # e4-units per value bucket for the two-phase rank
     oracle=f"""
         WITH ev AS (SELECT event_id AS eid,
                            {{snap}} AS v
-                    FROM events),
+                    FROM events
+                    WHERE value IS NOT NULL),
         sr AS (SELECT v, eid,
                       ROW_NUMBER() OVER (PARTITION BY eid % {KLLQ_SHARDS}
                                          ORDER BY v, eid) AS rn
@@ -782,9 +783,19 @@ def sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (its unique-key state is exact, reference JobContext.h:78);
     this row is part of the sketch-family extension surface
     (SURVEY.md §2.2 ⊕)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_id").alias("eid"),
-        snap_units("value", 10_000).alias("v"),
+    # NULL guard (mirrored in the oracle's WHERE): every rank below
+    # orders by v, and Spark windows sort ASC NULLS FIRST while DuckDB
+    # sorts NULLS LAST — one NULL value would silently diverge the
+    # engines (the degenerate-denominator convention: exclude with the
+    # identical exact predicate on both sides, never rely on engine
+    # NULL-ordering agreement).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_id").alias("eid"),
+            snap_units("value", 10_000).alias("v"),
+        )
     )
     base = ev.select(
         "eid",
@@ -882,6 +893,245 @@ def sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "tau",
             F.lit(KLLQ_SLACK).cast("long").alias("rank_slack"),
+            "est_e4",
+            "lo_e4",
+            "hi_e4",
+            (
+                (F.col("est_e4") >= F.col("lo_e4"))
+                & (F.col("est_e4") <= F.col("hi_e4"))
+            ).alias("within_bound"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-level KLL: the recursion the one-level docstring promises
+# (plans/sketch_queries.py "At 100 TB you recurse the same compaction
+# over the n/C summary") exercised as a registered, bound-checked row.
+# --------------------------------------------------------------------------
+
+KLL2_B1 = 16  # level-1 shards
+KLL2_C1 = 5   # level-1 stride (keep every C1-th, weight C1)
+KLL2_B2 = 8   # level-2 shards over the level-1 summary
+KLL2_C2 = 5   # level-2 stride (kept weight C1*C2)
+KLL2_W = KLL2_C1 * KLL2_C2  # weight of a level-2 kept element
+# Composed rank-error guarantee, proven in the docstring:
+#   slack2 = C1*C2 + C1 + C1*B2*(C2-1) + B1*(C1-1)
+KLL2_SLACK = (
+    KLL2_C1 * KLL2_C2
+    + KLL2_C1
+    + KLL2_C1 * KLL2_B2 * (KLL2_C2 - 1)
+    + KLL2_B1 * (KLL2_C1 - 1)
+)
+
+
+@query(
+    "sketch_quantile_kll_twolevel",
+    oracle=f"""
+        WITH ev AS (SELECT event_id AS eid,
+                           {{snap}} AS v
+                    FROM events
+                    WHERE value IS NOT NULL),
+        s1 AS (SELECT v, eid,
+                      ROW_NUMBER() OVER (PARTITION BY eid % {KLL2_B1}
+                                         ORDER BY v, eid) AS rn
+               FROM ev),
+        k1 AS (SELECT v, eid FROM s1 WHERE rn % {KLL2_C1} = 0),
+        s2 AS (SELECT v, eid,
+                      ROW_NUMBER() OVER (PARTITION BY eid % {KLL2_B2}
+                                         ORDER BY v, eid) AS rn
+               FROM k1),
+        k2 AS (SELECT v, eid FROM s2 WHERE rn % {KLL2_C2} = 0),
+        kr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, eid) AS r
+               FROM k2),
+        fr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, eid) AS r
+               FROM ev),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+        kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS kept_cnt FROM k2),
+        t AS (SELECT q_pct, n, kept_cnt,
+                     CAST((q_pct * n + 99) // 100 AS BIGINT) AS tau
+              FROM (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+                           (CAST(99 AS BIGINT))) q(q_pct), nn, kc),
+        t2 AS (SELECT q_pct, n, tau,
+                      LEAST(CAST((tau + {KLL2_W - 1})
+                                 // {KLL2_W} AS BIGINT),
+                            kept_cnt) AS k_eff,
+                      GREATEST(CAST(1 AS BIGINT),
+                               tau - {KLL2_SLACK}) AS lo_r,
+                      LEAST(n, tau + {KLL2_SLACK}) AS hi_r
+               FROM t),
+        est AS (SELECT q_pct, v AS est_e4
+                FROM kr JOIN t2 ON kr.r = t2.k_eff),
+        lo AS (SELECT q_pct, v AS lo_e4
+               FROM fr JOIN t2 ON fr.r = t2.lo_r),
+        hi AS (SELECT q_pct, v AS hi_e4
+               FROM fr JOIN t2 ON fr.r = t2.hi_r)
+        SELECT t2.q_pct, n, tau,
+               CAST({KLL2_SLACK} AS BIGINT) AS rank_slack,
+               est_e4, lo_e4, hi_e4,
+               (est_e4 >= lo_e4 AND est_e4 <= hi_e4) AS within_bound
+        FROM t2 JOIN est USING (q_pct) JOIN lo USING (q_pct)
+                JOIN hi USING (q_pct)
+    """.replace("{snap}", snap_units_sql("value", 10_000)),
+    tags=("sketch", "extension", "training-data"),
+    bench=True,
+)
+def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL deterministic KLL: the multi-level recursion that is
+    KLL's actual space story (Karnin-Lang-Liberty FOCS'16 §2 — each
+    level compacts the previous level's summary again), exercised as a
+    registered row rather than asserted in prose. Level 1 shards the
+    data B1 = 16 ways (eid % B1), keeps every C1 = 5th element of each
+    shard's (v, eid) order with weight C1; level 2 re-shards the n/C1
+    summary B2 = 8 ways and keeps every C2 = 5th kept element, weight
+    W = C1*C2 = 25. Summaries at every level MERGE BY PLAIN UNION; a
+    global quantile q is answered by the ceil(tau/W)-th smallest
+    level-2 kept element (tau = ceil(q*n/100), clamped to the last
+    kept element when shard floors run the summary short).
+
+    Composed guarantee carried in the output (within_bound, pinned
+    all-true in tests/test_round11_semantics.py at sf0.001/0.01/0.1):
+    with slack2 = C1*C2 + C1 + C1*B2*(C2-1) + B1*(C1-1) = {KLL2_SLACK},
+    the estimate lies between the EXACT order statistics at ranks
+    tau - slack2 and tau + slack2. Proof: for e in the merged level-1
+    summary K1 at K1-rank r1, (a) true_rank(e) >= C1*r1 (each of the
+    r1 kept-elements <= e testifies to C1 data rows <= e in its
+    shard), and (b) data rows strictly below e number <= C1*r1 +
+    B1*(C1-1) (a shard with C1 more rows strictly below e than its
+    kept-count testifies would contain another kept element < e).
+    Applying the same two facts to level 2 over K1: e at K2-rank k2
+    has r1 >= C2*k2 and r1 <= C2*k2 + B2*(C2-1) + 1. Composing with
+    k2 = ceil(tau/W): true_rank(est) >= W*k2 >= tau, and strictly-below
+    <= C1*(C2*k2 + B2*(C2-1) + 1) + B1*(C1-1) <= tau + slack2 - 1.
+    Clamped case: W*kept2_cnt >= n - C1*B2*(C2-1) - B1*(C1-1)
+    >= tau - slack2 (per-shard floors lose < C-1 per shard per level).
+    lo/hi are validation columns (the one-level row's convention) —
+    droppable at scale.
+
+    Scale shape: level-1 build is the identical one-keyed-shuffle
+    two-phase prefix scan as `sketch_quantile_kll`; every later level
+    runs over a summary that is C1x (then C1*C2x) smaller — at 100 TB
+    the level-2+ tables are model-sized, so recursion depth costs
+    almost nothing while total summary memory stays O(n / prod(C_l)).
+    Both levels' summaries are localCheckpointed before fan-out
+    (model-sized; the kmeans/MG plan-bloat pattern). All outputs are
+    exact BIGINTs/boolean on the events e4 snap — nothing float
+    crosses engines.
+
+    Reference parity: sketch-family extension surface (SURVEY.md §2.2
+    ⊕); the reference framework (JobContext.h:78) has no quantile
+    operator."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_id").alias("eid"),
+            snap_units("value", 10_000).alias("v"),
+        )
+    )
+    base = ev.select(
+        "eid", "v", F.expr(f"v DIV {KLLQ_VB}").alias("vb")
+    )
+    # Per-(vb) counts of the FULL table — feeds both the level-1
+    # offsets and the lo/hi exact ranking; model-sized, two consumers.
+    fbt = (
+        base.groupBy("vb")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _compact(df: DataFrame, shards: int, stride: int) -> DataFrame:
+        """One KLL compaction level: per-shard (eid % shards) rank by
+        (v, eid) via the (shard, value-bucket) two-phase prefix scan,
+        keep every stride-th rank. Identical construction at every
+        level — the summary it returns is a valid input to itself."""
+        sh = df.withColumn("shard", F.col("eid") % shards)
+        loc = sh.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("shard", "vb").orderBy("v", "eid")
+            ),
+        )
+        bt = (
+            sh.groupBy("shard", "vb")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        off = B.earlier_bucket_agg(bt, ["shard"], "vb", "cnt", "sum", "off")
+        return (
+            loc.join(F.broadcast(off), ["shard", "vb"])
+            .filter((F.col("off") + F.col("rn")) % stride == 0)
+            .select("v", "eid", "vb")
+            # summary-sized (n/stride of this level's input); consumed
+            # by the next level AND (for level 2) two ranking branches.
+            .localCheckpoint(eager=True)
+        )
+
+    kept1 = _compact(base, KLL2_B1, KLL2_C1)
+    kept2 = _compact(kept1, KLL2_B2, KLL2_C2)
+
+    # Model-sized driver scalars (two O(1)-row count jobs), mirrored
+    # exactly by the oracle's integer arithmetic (positive BIGINTs:
+    # Python // == DuckDB // == Spark DIV).
+    n = ev.count()
+    kept_cnt = kept2.count()
+    targets = []
+    for q in KLLQ_PCTS:
+        tau = (q * n + 99) // 100
+        k_eff = min((tau + KLL2_W - 1) // KLL2_W, kept_cnt)
+        lo_r = max(1, tau - KLL2_SLACK)
+        hi_r = min(n, tau + KLL2_SLACK)
+        targets.append((q, tau, k_eff, lo_r, hi_r))
+
+    def _ranked(df: DataFrame, bucket_counts: DataFrame) -> DataFrame:
+        """Global (v, eid) rank via the value-bucket two-phase prefix
+        scan (sort_global_ranked's shape; same helper shape as the
+        one-level row)."""
+        rloc = df.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vb").orderBy("v", "eid")),
+        )
+        roff = B.earlier_bucket_agg(
+            bucket_counts, [], "vb", "cnt", "sum", "roff"
+        )
+        return rloc.join(F.broadcast(roff), "vb").select(
+            "v", (F.col("roff") + F.col("rn")).alias("r")
+        )
+
+    tdf = spark.createDataFrame(
+        [(q, k) for q, _tau, k, _lo, _hi in targets],
+        "q_pct long, k_eff long",
+    )
+    kbt = kept2.groupBy("vb").agg(F.count("*").cast("long").alias("cnt"))
+    est = _ranked(kept2, kbt).join(
+        F.broadcast(tdf), F.col("r") == F.col("k_eff")
+    ).select("q_pct", F.col("v").alias("est_e4"))
+    probe = spark.createDataFrame(
+        [(q, "lo", lo) for q, _tau, _k, lo, _hi in targets]
+        + [(q, "hi", hi) for q, _tau, _k, _lo, hi in targets],
+        "q_pct long, side string, pr long",
+    )
+    bounds = (
+        _ranked(base, fbt)
+        .join(F.broadcast(probe), F.col("r") == F.col("pr"))
+        .groupBy("q_pct")
+        .agg(
+            F.max(F.when(F.col("side") == "lo", F.col("v"))).alias("lo_e4"),
+            F.max(F.when(F.col("side") == "hi", F.col("v"))).alias("hi_e4"),
+        )
+    )
+    meta = spark.createDataFrame(
+        [(q, n, tau) for q, tau, _k, _lo, _hi in targets],
+        "q_pct long, n long, tau long",
+    )
+    return (
+        est.join(bounds, "q_pct")
+        .join(F.broadcast(meta), "q_pct")
+        .select(
+            "q_pct",
+            "n",
+            "tau",
+            F.lit(KLL2_SLACK).cast("long").alias("rank_slack"),
             "est_e4",
             "lo_e4",
             "hi_e4",

@@ -850,6 +850,11 @@ SHUFFLE_BUDGET = {
     # 3-row result joins; bt/kept are localCheckpointed so nothing
     # re-expands.
     "sketch_quantile_kll": 15,
+    # Same spine as the one-level row, but BOTH compaction levels
+    # collapse behind localCheckpoints (level 2 runs over a
+    # summary-sized table), so the static plan is the level-1
+    # shard-rank window + the derived rankings + 3-row result joins.
+    "sketch_quantile_kll_twolevel": 14,
     # One (epoch, shard)-keyed rank exchange; the epoch fan-out is a
     # row-local explode, never a join.
     "sample_epoch_shuffle": 1,

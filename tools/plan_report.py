@@ -262,6 +262,12 @@ SHOWCASE = [
      "metadata parquet scan (2-column read) and pre-filters the "
      "inverted lists through a vec_id semi-join, so top-k never "
      "under-fills; the probe join stays broadcast + label-keyed."),
+    ("sketch_quantile_kll_twolevel",
+     "KLL's actual recursion: level 2 re-compacts the n/C1 summary "
+     "behind a localCheckpoint, so the SECOND level adds zero "
+     "exchanges over raw data — at 100 TB every level past the first "
+     "runs over a model-sized table while the composed rank bound "
+     "(slack2 = 254) stays value-checked."),
 ]
 
 

@@ -165,7 +165,16 @@ def _old_fingerprint(
     out of the auto-sentinel list."""
     src = _git_show(commit, relpath)
     if src is not None:
-        fp = _fn_fingerprint(src, fn_name)
+        # Same-path lookup holds the same decorator requirement as the
+        # cross-module fallback: a same-named undecorated helper in the
+        # OLD version of the query's own module must not make a
+        # rewritten query fingerprint as 'unchanged'. Older rounds
+        # (pre-r9 window discipline) sometimes staged the decorator in
+        # a wrapper, so fall back to the unrestricted match only when
+        # no decorated form exists in the old module at all.
+        fp = _fn_fingerprint(src, fn_name, require_query=query_name)
+        if fp is None:
+            fp = _fn_fingerprint(src, fn_name)
         if fp is not None:
             return fp
     for other in _tree_py_files(commit):
@@ -283,13 +292,20 @@ def main(argv: list[str]) -> int:
     i = 0
     while i < len(argv):
         if argv[i] == "--sentinel":
+            if i + 1 >= len(argv):
+                print(__doc__)
+                return 2
             sentinels.append(argv[i + 1])
             i += 2
         elif argv[i] == "--json":
             as_json = True
             i += 1
         elif argv[i] == "--plan":
-            plan_rounds = int(argv[i + 1])
+            try:
+                plan_rounds = int(argv[i + 1])
+            except (IndexError, ValueError):
+                print(__doc__)
+                return 2
             i += 2
         else:
             print(__doc__)
