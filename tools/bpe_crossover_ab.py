@@ -11,18 +11,25 @@ vocab-table BPE plan (encode DISTINCT words once, join counts back):
   with dict lookups — cost is O(applied merges x word length) per
   word, INDEPENDENT of M.
 
-This tool times both on the same distinct-word workload (sf0.1
-documents vocabulary) across a ladder of merge-table sizes, so the
-"swap encoders at production vocab size" recommendation in the seam
-comment is a measured crossover, not an assertion. Merge tables beyond
-the repo's 48 are learned here with the classic Sennrich trainer over
-the corpus word frequencies — real merges, so the greedy loop does
-representative work (a synthetic non-matching table would flatter the
+This tool times both on the same distinct-word workload across a
+ladder of merge-table sizes, so the "swap encoders at production vocab
+size" recommendation in the seam comment is a measured crossover, not
+an assertion.
+
+The workload is a SEEDED SYNTHETIC vocabulary, and deliberately so:
+the synthetic corpus' real vocabulary is 31 distinct words and its BPE
+trainer exhausts all pairs at 89 merges — it physically cannot
+exercise a production merge table. A production tokenizer encodes a
+30k-100k-word vocab against a 32k-50k-merge table; the generator below
+reproduces that shape (Zipf-weighted letter unigrams, 3-12-letter
+words, Zipfian counts) and the merges are LEARNED from a sample of it
+with the classic Sennrich trainer, so the greedy loop does
+representative merge work (a non-matching pad table would flatter the
 Arrow path).
 
 Usage:
-    python tools/bpe_crossover_ab.py [--n 5] [--max-merges 1024] \
-        [--sf-dir /root/testdata/sf0.1]
+    python tools/bpe_crossover_ab.py [--n 5] [--vocab 20000] \
+        [--train-sample 2000] [--max-merges 1024]
 
 Prints one JSON line per (M, encoder) cell: median/min/max seconds,
 plus a final summary naming the crossover M. Results recorded in
@@ -32,11 +39,37 @@ BASELINE.md ("Arrow-BPE crossover" note).
 from __future__ import annotations
 
 import json
+import random
 import statistics
 import sys
 import time
 
+# Module-level: pandas_udf resolves the 'pd.Series' type hints through
+# the module globals, and with `from __future__ import annotations` a
+# function-local import is invisible to that resolution (the
+# operators/text.py r10 gotcha).
+import pandas as pd
+
 sys.path.insert(0, ".")
+
+LADDER = (48, 128, 256, 512, 1024)
+
+
+def synth_vocab(n_words: int, seed: int = 11) -> list[tuple[str, int]]:
+    """Deterministic production-shaped vocabulary: ``n_words`` distinct
+    words of 3-12 letters drawn from a Zipf-weighted alphabet (English
+    -ish letter skew so pair frequencies are non-uniform and merges
+    are meaningful), with Zipfian word counts."""
+    rng = random.Random(seed)
+    letters = "etaoinshrdlcumwfgypbvkjxqz"
+    weights = [1.0 / (i + 1) for i in range(len(letters))]
+    words: set[str] = set()
+    while len(words) < n_words:
+        k = rng.randint(3, 12)
+        words.add("".join(rng.choices(letters, weights, k=k)))
+    ordered = sorted(words)
+    rng.shuffle(ordered)
+    return [(w, max(1, int(n_words / (i + 1)))) for i, w in enumerate(ordered)]
 
 
 def train_merges(
@@ -102,17 +135,20 @@ def greedy_tokens(word: str, rank: dict[tuple[str, str], int]) -> int:
 
 def main() -> int:
     args = sys.argv[1:]
-    n, max_merges, sf_dir = 5, 1024, "/root/testdata/sf0.1"
+    n, n_vocab, n_train, max_merges = 5, 20_000, 2_000, 1024
     i = 0
     while i < len(args):
         if args[i] == "--n":
             n = int(args[i + 1])
             i += 2
+        elif args[i] == "--vocab":
+            n_vocab = int(args[i + 1])
+            i += 2
+        elif args[i] == "--train-sample":
+            n_train = int(args[i + 1])
+            i += 2
         elif args[i] == "--max-merges":
             max_merges = int(args[i + 1])
-            i += 2
-        elif args[i] == "--sf-dir":
-            sf_dir = args[i + 1]
             i += 2
         else:
             print(__doc__)
@@ -120,60 +156,68 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from mapreduceframework_spark.plans.corpus import _docs
     from mapreduceframework_spark.session import get_session
 
-    spark = get_session(app_name="bpe-crossover-ab")
+    # A deeper driver stack: Catalyst converts the M-deep replace chain
+    # recursively, and at M >= a few hundred the default JVM thread
+    # stack overflows during column-tree conversion — measured below as
+    # a hard feasibility cliff, and part of the finding. 64 MB lets the
+    # tree convert far enough to observe the TIMING crossover first.
+    spark = get_session(
+        app_name="bpe-crossover-ab",
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xss64m",
+            "spark.executor.extraJavaOptions": "-Xss64m",
+        },
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # The vocab-table workload both encoders run on: distinct lowercase
-    # letter runs of the corpus with their frequencies (the
-    # text_bpe_vocab_counts plan's inner table).
-    words = (
-        _docs(spark, sf_dir)
-        .select(F.explode("words").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-    )
-    vocab = [(r["w"], r["cnt"]) for r in words.collect()]
+    vocab = synth_vocab(n_vocab)
     print(
         f"# vocab: {len(vocab)} distinct words, "
-        f"{sum(c for _, c in vocab)} occurrences",
+        f"{sum(c for _, c in vocab)} weighted occurrences",
         file=sys.stderr,
     )
-    merges = train_merges(vocab, max_merges)
+    # Train on the count-heaviest sample (the head of the Zipf) — the
+    # full-vocab trainer is O(merges x vocab x len) in pure Python and
+    # the merges only need to be REAL, not optimal for the tail.
+    train_set = sorted(vocab, key=lambda wc: -wc[1])[:n_train]
+    merges = train_merges(train_set, max_merges)
     print(f"# trained {len(merges)} merges", file=sys.stderr)
 
-    ladder = [m for m in (48, 128, 256, 512, 1024) if m <= len(merges)]
-    if len(merges) not in ladder and len(merges) < max_merges:
-        ladder.append(len(merges))  # trainer exhausted pairs early
+    ladder = [m for m in LADDER if m <= len(merges)]
+    if not ladder or ladder[-1] < len(merges):
+        ladder.append(len(merges))
 
-    # Re-materialize the word table once as parquet so every timed cell
+    # Materialize the word table once as parquet so every timed cell
     # pays the identical scan (not a cached/uncached asymmetry).
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="bpe_ab_")
-    words.write.mode("overwrite").parquet(f"{tmp}/vocab")
+    spark.createDataFrame(vocab, "w string, cnt long").repartition(
+        32
+    ).write.mode("overwrite").parquet(f"{tmp}/vocab")
 
-    def expr_cell(m: int) -> float:
-        df = spark.read.parquet(f"{tmp}/vocab")
+    def expr_units(m: int):
         s = F.regexp_replace(F.lower(F.col("w")), r"\|", "")
         s = F.regexp_replace(s, "(?s)(.)", "|$1|")
         for a, b in merges[:m]:
             s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
-        units = (
+        return (
             F.length(s)
             - F.length(F.replace(s, F.lit("||"), F.lit("|")))
             + 1
         )
+
+    def expr_cell(m: int) -> float:
+        df = spark.read.parquet(f"{tmp}/vocab")
         t0 = time.monotonic()
         df.select(
-            F.sum(F.col("cnt") * units).alias("total")
+            F.sum(F.col("cnt") * expr_units(m)).alias("total")
         ).collect()
         return time.monotonic() - t0
 
     def arrow_cell(m: int) -> float:
-        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         rank = {p: r for r, p in enumerate(merges[:m])}
@@ -192,31 +236,40 @@ def main() -> int:
         return time.monotonic() - t0
 
     # Correctness guard: both encoders must agree on total tokens at
-    # every ladder point before their timings mean anything.
+    # every ladder point before their timings mean anything. An
+    # expression-side failure (Catalyst stack overflow on the M-deep
+    # tree) is recorded as the feasibility cliff, not a crash.
+    expr_dead: dict[int, str] = {}
     for m in ladder:
         rank = {p: r for r, p in enumerate(merges[:m])}
         py_total = sum(c * greedy_tokens(w, rank) for w, c in vocab)
         df = spark.read.parquet(f"{tmp}/vocab")
-        s = F.regexp_replace(F.lower(F.col("w")), r"\|", "")
-        s = F.regexp_replace(s, "(?s)(.)", "|$1|")
-        for a, b in merges[:m]:
-            s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
-        units = (
-            F.length(s)
-            - F.length(F.replace(s, F.lit("||"), F.lit("|")))
-            + 1
-        )
-        spark_total = df.select(
-            F.sum(F.col("cnt") * units)
-        ).collect()[0][0]
+        try:
+            spark_total = df.select(
+                F.sum(F.col("cnt") * expr_units(m))
+            ).collect()[0][0]
+        except Exception as e:  # noqa: BLE001 — Py4J error classes vary
+            expr_dead[m] = type(e).__name__
+            print(
+                f"# expr encoder INFEASIBLE at M={m}: "
+                f"{type(e).__name__}",
+                file=sys.stderr,
+            )
+            continue
         assert spark_total == py_total, (m, spark_total, py_total)
-    print("# encoder equality holds at every ladder point", file=sys.stderr)
+    print(
+        "# encoder equality holds at every feasible ladder point",
+        file=sys.stderr,
+    )
 
     results: dict[int, dict[str, float]] = {}
     for m in ladder:
-        cells: dict[str, list[float]] = {"expr": [], "arrow": []}
+        cells: dict[str, list[float]] = {"arrow": []}
+        if m not in expr_dead:
+            cells["expr"] = []
         for _ in range(n):  # interleaved: same host conditions per pair
-            cells["expr"].append(expr_cell(m))
+            if "expr" in cells:
+                cells["expr"].append(expr_cell(m))
             cells["arrow"].append(arrow_cell(m))
         row = {}
         for k, v in cells.items():
@@ -236,18 +289,25 @@ def main() -> int:
         results[m] = row
 
     crossover = next(
-        (m for m in ladder if results[m]["expr"] > results[m]["arrow"]),
+        (
+            m
+            for m in ladder
+            if m in expr_dead or results[m]["expr"] > results[m]["arrow"]
+        ),
         None,
     )
     print(
         json.dumps(
             {
                 "summary": "bpe-crossover",
+                "vocab": n_vocab,
                 "ladder": ladder,
                 "crossover_merges": crossover,
+                "expr_infeasible_at": expr_dead,
                 "ratios_expr_over_arrow": {
                     m: round(r["expr"] / r["arrow"], 2)
                     for m, r in results.items()
+                    if "expr" in r
                 },
             }
         )
