@@ -284,6 +284,13 @@ def bpe_token_count_sql(expr: str) -> str:
 # lookups — independent of the merge-table size, so 50k merges cost
 # the same as 48. Equivalence with the expression encoder on the
 # 48-merge table is pinned in tests/test_text_semantics.py.
+#
+# MEASURED crossover (tools/bpe_crossover_ab.py, BASELINE.md round-11
+# note): on a 20k-word vocab table the codegen encoder wins at 48
+# merges (0.48x Arrow), Arrow overtakes at ~128 merges, is 16x faster
+# by 1024 — where the expression tree also needs -Xss64m to convert at
+# all (default driver stack overflows at M=512). Keep codegen below
+# ~100 merges; take this path for anything vocabulary-sized.
 
 _BPE_RANK: dict[tuple[str, str], int] = {
     pair: r for r, pair in enumerate(BPE_MERGES)
