@@ -195,7 +195,10 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 _BPE_D = "|"
 
 
-def bpe_encode(text: Column) -> Column:
+def bpe_encode(
+    text: Column,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> Column:
     """Exact BPE encoding of ``text`` as a delimited unit string.
 
     Representation: every character becomes a ``|c|`` unit (so units
@@ -218,7 +221,7 @@ def bpe_encode(text: Column) -> Column:
     # (and RE2 skips only \n), so newline chars silently escape the
     # unit representation — and differently per engine.
     s = F.regexp_replace(s, "(?s)(.)", "|$1|")
-    for a, b in BPE_MERGES:
+    for a, b in merges:
         s = F.replace(
             s,
             F.lit(f"{_BPE_D}{a}{_BPE_D}{_BPE_D}{b}{_BPE_D}"),
@@ -298,16 +301,21 @@ _BPE_RANK: dict[tuple[str, str], int] = {
 _COUNTED_WS = " \t\n\r"  # the separator class bpe_token_count subtracts
 
 
-@functools.lru_cache(maxsize=65536)
-def _bpe_word_tokens(word: str) -> int:
-    """Token count of one lowercase letter run via min-rank greedy
-    merging. Cached: the scale path feeds DISTINCT words, and raw-text
-    callers repeat words with Zipfian frequency."""
+def greedy_word_tokens(
+    word: str, rank: dict[tuple[str, str], int]
+) -> int:
+    """Token count of one letter run via min-rank greedy merging
+    against an arbitrary ``rank`` table. This is THE greedy kernel:
+    the production path wraps it with the module merge table and an
+    lru_cache (:func:`_bpe_word_tokens`); the crossover harness
+    (tools/bpe_crossover_ab.py) calls it with learned tables of other
+    sizes so the A/B always measures the shipped kernel, never a
+    drifted copy."""
     syms = list(word)
     while len(syms) > 1:
         best_rank, best_pair = None, None
         for pair in zip(syms, syms[1:]):
-            r = _BPE_RANK.get(pair)
+            r = rank.get(pair)
             if r is not None and (best_rank is None or r < best_rank):
                 best_rank, best_pair = r, pair
         if best_pair is None:
@@ -323,6 +331,15 @@ def _bpe_word_tokens(word: str) -> int:
                 i += 1
         syms = out
     return len(syms)
+
+
+@functools.lru_cache(maxsize=65536)
+def _bpe_word_tokens(word: str) -> int:
+    """Token count of one lowercase letter run via min-rank greedy
+    merging against the module merge table. Cached: the scale path
+    feeds DISTINCT words, and raw-text callers repeat words with
+    Zipfian frequency."""
+    return greedy_word_tokens(word, _BPE_RANK)
 
 
 def bpe_token_count_py(text: str) -> int:

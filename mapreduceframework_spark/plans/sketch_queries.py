@@ -1032,19 +1032,18 @@ def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "eid", "v", F.expr(f"v DIV {KLLQ_VB}").alias("vb")
     )
-    # Per-(vb) counts of the FULL table — feeds both the level-1
-    # offsets and the lo/hi exact ranking; model-sized, two consumers.
-    fbt = (
-        base.groupBy("vb")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
 
-    def _compact(df: DataFrame, shards: int, stride: int) -> DataFrame:
+    def _compact(
+        df: DataFrame, shards: int, stride: int
+    ) -> tuple[DataFrame, DataFrame]:
         """One KLL compaction level: per-shard (eid % shards) rank by
         (v, eid) via the (shard, value-bucket) two-phase prefix scan,
         keep every stride-th rank. Identical construction at every
-        level — the summary it returns is a valid input to itself."""
+        level — the summary it returns is a valid input to itself.
+        Also returns the level's per-(shard, vb) count table so callers
+        can derive full-input bucket counts from the aggregate this
+        build already pays for instead of re-scanning the input (the
+        one-level row's documented reuse pattern)."""
         sh = df.withColumn("shard", F.col("eid") % shards)
         loc = sh.withColumn(
             "rn",
@@ -1058,7 +1057,7 @@ def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         off = B.earlier_bucket_agg(bt, ["shard"], "vb", "cnt", "sum", "off")
-        return (
+        kept = (
             loc.join(F.broadcast(off), ["shard", "vb"])
             .filter((F.col("off") + F.col("rn")) % stride == 0)
             .select("v", "eid", "vb")
@@ -1066,9 +1065,14 @@ def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
             # by the next level AND (for level 2) two ranking branches.
             .localCheckpoint(eager=True)
         )
+        return kept, bt
 
-    kept1 = _compact(base, KLL2_B1, KLL2_C1)
-    kept2 = _compact(kept1, KLL2_B2, KLL2_C2)
+    kept1, bt1 = _compact(base, KLL2_B1, KLL2_C1)
+    kept2, _bt2 = _compact(kept1, KLL2_B2, KLL2_C2)
+    # Per-(vb) counts of the FULL table for the lo/hi exact ranking —
+    # summed over shards from the level-1 build's checkpointed
+    # aggregate, never a second events scan.
+    fbt = bt1.groupBy("vb").agg(F.sum("cnt").cast("long").alias("cnt"))
 
     # Model-sized driver scalars (two O(1)-row count jobs), mirrored
     # exactly by the oracle's integer arithmetic (positive BIGINTs:

@@ -850,11 +850,13 @@ SHUFFLE_BUDGET = {
     # 3-row result joins; bt/kept are localCheckpointed so nothing
     # re-expands.
     "sketch_quantile_kll": 15,
-    # Same spine as the one-level row, but BOTH compaction levels
-    # collapse behind localCheckpoints (level 2 runs over a
-    # summary-sized table), so the static plan is the level-1
-    # shard-rank window + the derived rankings + 3-row result joins.
-    "sketch_quantile_kll_twolevel": 14,
+    # Same spine as the one-level row: BOTH compaction levels collapse
+    # behind localCheckpoints (level 2 runs over a summary-sized
+    # table); the full-table vb counts for lo/hi ranking are SUMMED
+    # from the level-1 build's checkpointed (shard, vb) aggregate —
+    # one tiny O(shards x buckets)-row exchange in the static plan
+    # instead of a second full events scan job (review finding r11).
+    "sketch_quantile_kll_twolevel": 15,
     # One (epoch, shard)-keyed rank exchange; the epoch fan-out is a
     # row-local explode, never a join.
     "sample_epoch_shuffle": 1,

@@ -35,11 +35,19 @@ def _numpy_reference(sf_dir: str) -> dict[int, dict]:
     t = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "value"]
     )
-    eid = t["event_id"].to_numpy()
+    # Drop NULL values like the query's explicit IS NOT NULL guard —
+    # an unfiltered read would turn a future NULL into NaN garbage and
+    # misdiagnose the engines as wrong.
+    valid = t["value"].combine_chunks().is_valid().to_numpy(
+        zero_copy_only=False
+    )
+    eid = t["event_id"].to_numpy()[valid]
     # snap_units is ROUND-half-AWAY-from-zero on both engines; np.rint
     # rounds half to even, so mirror with floor(x + 0.5) (values are
     # strictly positive in this table).
-    v = np.floor(t["value"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+    v = np.floor(
+        t["value"].to_numpy(zero_copy_only=False)[valid] * 10_000 + 0.5
+    ).astype(np.int64)
     n = len(v)
     order = np.lexsort((eid, v))  # global (v, eid) order
     sv, se = v[order], eid[order]
@@ -106,8 +114,13 @@ def test_kll_summary_rank_error_within_slack(spark, sf_dir):
     t = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["value"]
     )
+    valid = t["value"].combine_chunks().is_valid().to_numpy(
+        zero_copy_only=False
+    )
     v = np.sort(
-        np.floor(t["value"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+        np.floor(
+            t["value"].to_numpy(zero_copy_only=False)[valid] * 10_000 + 0.5
+        ).astype(np.int64)
     )
     n = len(v)
     rows = REGISTRY["sketch_quantile_kll"].fn(spark, sf_dir).collect()

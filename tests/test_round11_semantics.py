@@ -45,15 +45,28 @@ def _compact_np(v: np.ndarray, e: np.ndarray, shards: int, stride: int):
     return merged[:, 0], merged[:, 1]
 
 
-def _numpy_reference(sf_dir: str) -> dict[int, dict]:
+def _load_events(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(eid, value) with NULL values dropped — mirroring the query's
+    explicit ``value IS NOT NULL`` guard (the exact hazard the guard
+    exists for: an unfiltered read would turn a future NULL into NaN
+    garbage here and misdiagnose the engines as wrong)."""
     t = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "value"]
     )
-    eid = t["event_id"].to_numpy()
+    valid = t["value"].combine_chunks().is_valid().to_numpy(
+        zero_copy_only=False
+    )
+    eid = t["event_id"].to_numpy()[valid]
+    val = t["value"].to_numpy(zero_copy_only=False)[valid]
+    return eid, val
+
+
+def _numpy_reference(sf_dir: str) -> dict[int, dict]:
+    eid, val = _load_events(sf_dir)
     # snap_units is ROUND-half-AWAY-from-zero on both engines; np.rint
     # rounds half to even, so mirror with floor(x + 0.5) (values are
     # strictly positive in this table).
-    v = np.floor(t["value"].to_numpy() * 10_000 + 0.5).astype(np.int64)
+    v = np.floor(val * 10_000 + 0.5).astype(np.int64)
     n = len(v)
     sv = np.sort(v)
 
@@ -107,13 +120,20 @@ def test_kll2_matches_numpy_and_holds_composed_bound(spark, sf_dir):
         assert e["lo"] <= e["est"] <= e["hi"], q
 
 
+@pytest.mark.parametrize(
+    "sf_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
 def test_kll2_exact_rank_error_within_composed_slack(spark, sf_dir):
     """Stronger than the value bracket: the estimate's exact rank
-    interval intersects tau +/- slack2 (the docstring's actual claim)."""
-    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["value"])
-    v = np.sort(
-        np.floor(t["value"].to_numpy() * 10_000 + 0.5).astype(np.int64)
-    )
+    interval intersects tau +/- slack2 (the docstring's actual claim) —
+    at every scale factor, like the bracket test above."""
+    _eid, val = _load_events(sf_dir)
+    v = np.sort(np.floor(val * 10_000 + 0.5).astype(np.int64))
     n = len(v)
     rows = (
         REGISTRY["sketch_quantile_kll_twolevel"].fn(spark, sf_dir).collect()

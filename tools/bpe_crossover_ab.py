@@ -38,10 +38,14 @@ BASELINE.md ("Arrow-BPE crossover" note).
 
 from __future__ import annotations
 
+import atexit
 import json
+import os
 import random
+import shutil
 import statistics
 import sys
+import tempfile
 import time
 
 # Module-level: pandas_udf resolves the 'pd.Series' type hints through
@@ -50,7 +54,10 @@ import time
 # operators/text.py r10 gotcha).
 import pandas as pd
 
-sys.path.insert(0, ".")
+# Repo root from __file__, not cwd — the tool must import the package
+# it measures regardless of where it is launched from (the
+# window_planner convention).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LADDER = (48, 128, 256, 512, 1024)
 
@@ -108,54 +115,38 @@ def train_merges(
     return merges
 
 
-def greedy_tokens(word: str, rank: dict[tuple[str, str], int]) -> int:
-    """Min-rank greedy merge loop (the Arrow path's per-word kernel,
-    parameterized by rank table instead of the module global)."""
-    syms = list(word)
-    while len(syms) > 1:
-        best_rank, best_pair = None, None
-        for pair in zip(syms, syms[1:]):
-            r = rank.get(pair)
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_pair = r, pair
-        if best_pair is None:
-            break
-        a, b = best_pair
-        out, i = [], 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
-    return len(syms)
-
-
 def main() -> int:
     args = sys.argv[1:]
     n, n_vocab, n_train, max_merges = 5, 20_000, 2_000, 1024
+    flags = {"--n": "n", "--vocab": "n_vocab",
+             "--train-sample": "n_train", "--max-merges": "max_merges"}
+    vals = {"n": n, "n_vocab": n_vocab, "n_train": n_train,
+            "max_merges": max_merges}
     i = 0
     while i < len(args):
-        if args[i] == "--n":
-            n = int(args[i + 1])
-            i += 2
-        elif args[i] == "--vocab":
-            n_vocab = int(args[i + 1])
-            i += 2
-        elif args[i] == "--train-sample":
-            n_train = int(args[i + 1])
-            i += 2
-        elif args[i] == "--max-merges":
-            max_merges = int(args[i + 1])
-            i += 2
-        else:
+        key = flags.get(args[i])
+        if key is None:
             print(__doc__)
             return 2
+        try:
+            vals[key] = int(args[i + 1])
+        except (IndexError, ValueError):
+            print(__doc__)
+            return 2
+        i += 2
+    n, n_vocab = vals["n"], vals["n_vocab"]
+    n_train, max_merges = vals["n_train"], vals["max_merges"]
 
     from pyspark.sql import functions as F
 
+    # The SHIPPED kernels — the A/B must measure these, not copies
+    # that could drift (review finding r11): bpe_encode's pass
+    # construction parameterized by merge table, and the min-rank
+    # greedy loop the Arrow path wraps.
+    from mapreduceframework_spark.operators.text import (
+        bpe_encode,
+        greedy_word_tokens,
+    )
     from mapreduceframework_spark.session import get_session
 
     # A deeper driver stack: Catalyst converts the M-deep replace chain
@@ -191,18 +182,16 @@ def main() -> int:
 
     # Materialize the word table once as parquet so every timed cell
     # pays the identical scan (not a cached/uncached asymmetry).
-    import tempfile
-
     tmp = tempfile.mkdtemp(prefix="bpe_ab_")
+    # Removed on interpreter exit even if a ladder cell raises —
+    # repeated runs must not accumulate orphaned vocab tables.
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     spark.createDataFrame(vocab, "w string, cnt long").repartition(
         32
     ).write.mode("overwrite").parquet(f"{tmp}/vocab")
 
     def expr_units(m: int):
-        s = F.regexp_replace(F.lower(F.col("w")), r"\|", "")
-        s = F.regexp_replace(s, "(?s)(.)", "|$1|")
-        for a, b in merges[:m]:
-            s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+        s = bpe_encode(F.col("w"), tuple(merges[:m]))
         return (
             F.length(s)
             - F.length(F.replace(s, F.lit("||"), F.lit("|")))
@@ -224,7 +213,7 @@ def main() -> int:
 
         @pandas_udf("long")
         def tok(ws: pd.Series) -> pd.Series:
-            return ws.map(lambda w: greedy_tokens(w, rank)).astype(
+            return ws.map(lambda w: greedy_word_tokens(w, rank)).astype(
                 "Int64"
             )
 
@@ -242,7 +231,7 @@ def main() -> int:
     expr_dead: dict[int, str] = {}
     for m in ladder:
         rank = {p: r for r, p in enumerate(merges[:m])}
-        py_total = sum(c * greedy_tokens(w, rank) for w, c in vocab)
+        py_total = sum(c * greedy_word_tokens(w, rank) for w, c in vocab)
         df = spark.read.parquet(f"{tmp}/vocab")
         try:
             spark_total = df.select(

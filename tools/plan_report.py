@@ -20,6 +20,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from mapreduceframework_spark.plans.sketch_queries import (  # noqa: E402
+    KLL2_SLACK as _KLL2_SLACK,
+)
+
 # (query, the scale property the plan demonstrates)
 SHOWCASE = [
     ("filter_predicate",
@@ -267,7 +271,7 @@ SHOWCASE = [
      "behind a localCheckpoint, so the SECOND level adds zero "
      "exchanges over raw data — at 100 TB every level past the first "
      "runs over a model-sized table while the composed rank bound "
-     "(slack2 = 254) stays value-checked."),
+     f"(slack2 = {_KLL2_SLACK}) stays value-checked."),
 ]
 
 
