@@ -1,0 +1,185 @@
+"""Round-11 third opinions, part 2 — engine-independent pure-Python
+reconstructions for four more r05-cohort rows with intricate
+row-to-row semantics:
+
+- scd2_order_history: validity-interval chaining with deterministic
+  tie-breaks;
+- timeseries_gap_fill: dense 5-minute grids per type with zero-filled
+  gaps;
+- pack_token_chunks: the concat-and-chunk packing manifest, including
+  Spark's exact split semantics (limit -1 keeps boundary empties,
+  trim strips ASCII space only);
+- sample_stratified_exact: the md5-ordered exact-size stratified
+  sample (hashlib reproduces the ordering key bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import defaultdict
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from mapreduceframework_spark.plans.registry import REGISTRY
+from mapreduceframework_spark.plans.text_queries import (
+    PACK_BUDGET,
+    PACK_SHARDS,
+)
+import mapreduceframework_spark.plans.analytics_queries  # noqa: F401
+import mapreduceframework_spark.plans.core_queries  # noqa: F401
+import mapreduceframework_spark.plans.sampling_queries  # noqa: F401
+import mapreduceframework_spark.plans.text_queries  # noqa: F401
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+# Java's \s exactly — the class inside Spark's split().
+_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _us(arr) -> np.ndarray:
+    return (
+        arr.cast("timestamp[us]").to_numpy()
+        .astype("datetime64[us]").astype(np.int64)
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_scd2_order_history_matches_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+    per_cust: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for ck, ok, d in zip(
+        t["o_custkey"].to_numpy(), t["o_orderkey"].to_numpy(),
+        _us(t["o_orderdate"]),
+    ):
+        per_cust[int(ck)].append((int(d), int(ok)))
+    expected = {}
+    for ck, rows_ in per_cust.items():
+        rows_.sort()  # (o_orderdate, o_orderkey) — the window's order
+        for i, (d, ok) in enumerate(rows_):
+            nxt = rows_[i + 1][0] if i + 1 < len(rows_) else None
+            expected[(ck, ok)] = (d, nxt, nxt is None)
+
+    out = REGISTRY["scd2_order_history"].fn(spark, sf_dir).collect()
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): (
+            r["effective_from_us"], r["effective_to_us"], r["is_current"]
+        )
+        for r in out
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_timeseries_gap_fill_matches_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    B = 300_000_000  # 5 minutes in microseconds
+    counts: dict[tuple[str, int], int] = defaultdict(int)
+    for et, u in zip(t["event_type"].to_pylist(), _us(t["ts"])):
+        counts[(et, (int(u) // B) * B)] += 1
+    expected: dict[tuple[str, int], int] = {}
+    by_type: dict[str, list[int]] = defaultdict(list)
+    for (et, b), _c in counts.items():
+        by_type[et].append(b)
+    for et, bs in by_type.items():
+        for b in range(min(bs), max(bs) + B, B):
+            expected[(et, b)] = counts.get((et, b), 0)
+
+    out = REGISTRY["timeseries_gap_fill"].fn(spark, sf_dir).collect()
+    got = {
+        (
+            r["event_type"],
+            int(np.datetime64(r["bucket"], "us").astype(np.int64)),
+        ): r["cnt"]
+        for r in out
+    }
+    assert got == expected
+    # The gap-fill's point: zeros exist (otherwise this proved nothing).
+    assert any(v == 0 for v in expected.values())
+
+
+def _spark_ws_tokens(text: str | None) -> int:
+    """whitespace_token_count's exact semantics: trim strips ASCII
+    space ONLY; split(regex) runs with limit -1, so boundary empty
+    strings from non-space whitespace survive into the count."""
+    if text is None:
+        return 0
+    t = text.strip(" ")
+    if not t:
+        return 0
+    return len(_JAVA_WS.split(t))
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_pack_token_chunks_matches_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows_ = sorted(
+        zip(t["doc_id"].to_numpy(), t["text"].to_pylist()),
+        key=lambda r: int(r[0]),
+    )
+    agg: dict[tuple[int, int], list] = {}
+    cum: dict[int, int] = defaultdict(int)
+    for did, text in rows_:
+        did = int(did)
+        shard = did % PACK_SHARDS
+        toks = _spark_ws_tokens(text)
+        cum[shard] += toks
+        if toks <= 0:
+            continue
+        chunk = (cum[shard] - 1) // PACK_BUDGET
+        a = agg.setdefault((shard, chunk), [0, 0, did, did])
+        a[0] += 1
+        a[1] += toks
+        a[2] = min(a[2], did)
+        a[3] = max(a[3], did)
+    expected = {k: tuple(v) for k, v in agg.items()}
+
+    out = REGISTRY["pack_token_chunks"].fn(spark, sf_dir).collect()
+    got = {
+        (r["shard"], r["chunk_id"]): (
+            r["n_docs"], r["total_tokens"], r["first_doc"], r["last_doc"]
+        )
+        for r in out
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_sample_stratified_exact_matches_python(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    strata: dict[str, list[tuple[str, int, int]]] = defaultdict(list)
+    for did, src, nc in zip(
+        t["doc_id"].to_numpy(), t["source"].to_pylist(),
+        t["n_chars"].to_numpy(),
+    ):
+        did = int(did)
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        strata[src].append((h, did, int(nc)))
+    expected = {}
+    for src, members in strata.items():
+        members.sort()  # (md5 hex, doc_id) — the window's order
+        top = members[:40]
+        expected[src] = (
+            len(top),
+            sum(nc for _h, _d, nc in top),
+            sum(d for _h, d, _nc in top),
+        )
+
+    out = REGISTRY["sample_stratified_exact"].fn(spark, sf_dir).collect()
+    got = {
+        r["source"]: (r["n_sampled"], r["chars_sampled"], r["id_sum"])
+        for r in out
+    }
+    assert got == expected
