@@ -1,0 +1,112 @@
+"""Shared pure-Python mirrors for the third-opinion test modules.
+
+These deliberately RE-IMPLEMENT engine semantics (they are the
+independent opinion — importing the production kernels would defeat
+the point), but each mirror is written exactly once here so the test
+modules cannot drift from each other.
+
+Semantics pinned here, learned the hard way:
+- Spark ``F.trim`` strips ASCII space (0x20) ONLY — not \\t/\\n;
+- Spark ``F.split(str, regex)`` runs with limit -1, so EMPTY strings
+  at either boundary survive (``re.split`` matches this exactly);
+- Java's ``\\s`` is ``[ \\t\\n\\x0B\\f\\r]`` — Python's ``\\s`` adds
+  unicode spaces, so the explicit class is used everywhere;
+- Spark ``F.round`` on doubles is BigDecimal-of-shortest-repr
+  HALF_UP — ``Decimal(repr(x))``, never ``Decimal(x)``;
+- ``F.aggregate`` dot products are SEQUENTIAL left folds — mirrored
+  with a plain loop so IEEE sequences (and therefore thresholds and
+  tiebreaks) match bit-for-bit; numpy's pairwise ``dot`` does NOT.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+WORD_HASH_MOD = 65_536
+P = 1_000_000_007
+
+
+def words_of(text: str | None) -> list[str] | None:
+    """DOCS_CTE tokenization: None for blank docs (filtered out), else
+    the Java-split token list with boundary empties kept."""
+    t = text.strip(" ") if text is not None else ""
+    if not t:
+        return None
+    return JAVA_WS.split(t)
+
+
+def ws_token_count(text: str | None) -> int:
+    """operators/text.whitespace_token_count's exact semantics."""
+    t = text.strip(" ") if text is not None else ""
+    if not t:
+        return 0
+    return len(JAVA_WS.split(t))
+
+
+def word_hash(w: str) -> int:
+    """operators/dedup.word_hash: (len*2654435761 + first*97 + last)
+    % 65536, with ascii('') == 0 as in both engines."""
+    first = ord(w[0]) if w else 0
+    last = ord(w[-1]) if w else 0
+    return (len(w) * 2654435761 + first * 97 + last) % WORD_HASH_MOD
+
+
+def word_hash32(w: str) -> int:
+    """operators/dedup.word_hash32: Knuth spread to 32 bits."""
+    return (word_hash(w) * 2654435761) % 4294967296
+
+
+def hashed_shingles(words: list[str], n: int = 3) -> set[int]:
+    """operators/dedup.hashed_shingles: DISTINCT base-65536 folds of
+    n consecutive word hashes, mod P."""
+    hs = [word_hash(w) for w in words]
+    if len(hs) < n:
+        return set()
+    out = set()
+    for i in range(len(hs) - n + 1):
+        acc = hs[i]
+        for k in range(1, n):
+            acc = acc * WORD_HASH_MOD + hs[i + k]
+        out.add(acc % P)
+    return out
+
+
+def string_shingles(words: list[str], n: int = 3) -> list[str]:
+    """operators/dedup.string_shingles_all: space-joined n-grams, in
+    order, duplicates KEPT."""
+    if len(words) < n:
+        return []
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def round_half_up(x: float, places: int) -> float:
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def seq_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def seq_cosine(a: list[float], b: list[float]) -> float:
+    import math
+
+    return seq_dot(a, b) / (
+        math.sqrt(seq_dot(a, a)) * math.sqrt(seq_dot(b, b))
+    )
+
+
+def ts_us(arrow_col) -> np.ndarray:
+    """Arrow timestamp column -> int64 epoch microseconds."""
+    return (
+        arrow_col.cast("timestamp[us]").to_numpy()
+        .astype("datetime64[us]").astype(np.int64)
+    )

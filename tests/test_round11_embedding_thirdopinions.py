@@ -13,10 +13,14 @@ from __future__ import annotations
 
 import math
 from collections import defaultdict
-from decimal import ROUND_HALF_UP, Decimal
 
 import pyarrow.parquet as pq
 import pytest
+
+from tests.mirrors import (
+    round_half_up as _round_half_up,
+    seq_cosine as _cosine,
+)
 
 from mapreduceframework_spark.operators.vectors import (
     L_TABLES,
@@ -49,18 +53,6 @@ def _load(sf_dir: str):
         vecs[int(vid)] = [float(x) for x in emb]
         labels[int(vid)] = lab
     return vecs, labels
-
-
-def _dot(a: list[float], b: list[float]) -> float:
-    """F.aggregate's sequential left fold, op for op."""
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc = acc + x * y
-    return acc
-
-
-def _cosine(a: list[float], b: list[float]) -> float:
-    return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
 
 
 def _sign(i: int, plane: int) -> float:
@@ -110,11 +102,6 @@ def test_dedup_embedding_cosine_matches_python(spark, sf_dir):
     got = {(r["vec_a"], r["vec_b"]): r["cos"] for r in out}
     assert got == expected  # bit-identical IEEE sequences
     assert expected, "no near-dup vectors — the check proved nothing"
-
-
-def _round_half_up(x: float, places: int) -> float:
-    q = Decimal(1).scaleb(-places)
-    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 @pytest.mark.parametrize("sf_dir", SFS)

@@ -21,53 +21,27 @@ from __future__ import annotations
 import hashlib
 import re
 from collections import defaultdict
-from decimal import ROUND_HALF_UP, Decimal
 
 import pyarrow.parquet as pq
 import pytest
 
-from mapreduceframework_spark.operators.dedup import (
-    MINHASH_A,
-    MINHASH_B,
-    P,
-    WORD_HASH_MOD,
-)
+from mapreduceframework_spark.operators.dedup import MINHASH_A, MINHASH_B
 from mapreduceframework_spark.operators.text import STOPWORDS
+from tests.mirrors import (
+    JAVA_WS as _JAVA_WS,
+    P,
+    hashed_shingles as _shingles,
+    round_half_up as _round_half_up,
+    words_of as _words,
+    ws_token_count as _ws_tokens,
+)
 from mapreduceframework_spark.plans.registry import REGISTRY
 import mapreduceframework_spark.plans.dedup_queries  # noqa: F401
 import mapreduceframework_spark.plans.sampling_queries  # noqa: F401
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
-# Java's \s exactly; F.trim strips ASCII space ONLY.
-_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
 _NON_ALNUM_WS = re.compile(r"[^A-Za-z0-9 \t\n\x0B\f\r]")
-
-
-def _words(text: str) -> list[str] | None:
-    """DOCS_CTE tokenization: None for blank docs, else the split with
-    Spark's limit -1 semantics (boundary empties kept)."""
-    t = text.strip(" ") if text is not None else ""
-    if not t:
-        return None
-    return _JAVA_WS.split(t)
-
-
-def _wh(w: str) -> int:
-    first = ord(w[0]) if w else 0
-    last = ord(w[-1]) if w else 0
-    return (len(w) * 2654435761 + first * 97 + last) % WORD_HASH_MOD
-
-
-def _shingles(words: list[str]) -> set[int]:
-    hs = [_wh(w) for w in words]
-    if len(hs) < 3:
-        return set()
-    return {
-        ((hs[i] * WORD_HASH_MOD + hs[i + 1]) * WORD_HASH_MOD + hs[i + 2])
-        % P
-        for i in range(len(hs) - 2)
-    }
 
 
 def _minhash_pairs_py(sf_dir: str):
@@ -122,14 +96,6 @@ def test_dedup_minhash_lsh_matches_python(spark, sf_dir):
     assert expected, "no near-dup pairs — the check proved nothing"
 
 
-def _round_half_up(x: float, places: int) -> float:
-    # Spark's Round on doubles goes through BigDecimal.valueOf, i.e.
-    # the SHORTEST decimal representation — Decimal(repr(x)) is the
-    # Python equivalent; Decimal(x) (exact binary expansion) is NOT.
-    q = Decimal(1).scaleb(-places)
-    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
-
-
 def _quality(text: str) -> float:
     n = len(text)
     len_term = min(n / 200.0, 1.0)
@@ -147,13 +113,6 @@ def _quality(text: str) -> float:
     )
     stop_term = min(stop * 5, 1.0)
     return _round_half_up((len_term + punct_term + stop_term) / 3.0, 6)
-
-
-def _ws_tokens(text: str | None) -> int:
-    t = text.strip(" ") if text is not None else ""
-    if not t:
-        return 0
-    return len(_JAVA_WS.split(t))
 
 
 @pytest.mark.parametrize("sf_dir", SFS)

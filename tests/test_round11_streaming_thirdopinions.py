@@ -16,6 +16,7 @@ import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
+from tests.mirrors import ts_us
 from mapreduceframework_spark.plans.registry import REGISTRY
 import mapreduceframework_spark.plans.streaming_queries  # noqa: F401
 
@@ -31,10 +32,7 @@ def _events(sf_dir: str, cols: list[str]):
     out = {}
     for c in cols:
         if c == "ts":
-            out[c] = (
-                t["ts"].cast("timestamp[us]").to_numpy()
-                .astype("datetime64[us]").astype(np.int64)
-            )
+            out[c] = ts_us(t["ts"])
         elif c in ("event_type",):
             out[c] = t[c].to_pylist()
         else:

@@ -17,19 +17,18 @@ hide).
 
 from __future__ import annotations
 
-import re
 from collections import Counter, defaultdict
 
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
-from mapreduceframework_spark.operators.dedup import P, WORD_HASH_MOD
 from mapreduceframework_spark.operators.sketches import (
     CMS_A,
     CMS_B,
     CMS_WIDTH,
 )
+from tests.mirrors import JAVA_WS as _JAVA_WS, P, ts_us as _us, word_hash
 from mapreduceframework_spark.plans.registry import REGISTRY
 from mapreduceframework_spark.plans.sketch_queries import HEAVY_MIN
 import mapreduceframework_spark.plans.join_queries  # noqa: F401
@@ -38,17 +37,6 @@ import mapreduceframework_spark.plans.sketch_queries  # noqa: F401
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
-# Java's \s exactly ([ \t\n\x0B\f\r]) — the class Spark's split uses;
-# Python's \s would add unicode spaces (the explicit-class convention
-# from the verify-skill gotchas).
-_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
-
-
-def _us(arr) -> np.ndarray:
-    """Arrow timestamp column -> int64 epoch microseconds."""
-    return arr.cast("timestamp[us]").to_numpy().astype("datetime64[us]").astype(
-        np.int64
-    )
 
 
 @pytest.mark.parametrize("sf_dir", SFS)
@@ -158,10 +146,7 @@ def test_sketch_countmin_heavy_matches_python_cms(spark, sf_dir):
             continue
         wc.update(_JAVA_WS.split(text.strip()))
 
-    def wh(w: str) -> int:
-        return (
-            len(w) * 2654435761 + ord(w[0]) * 97 + ord(w[-1])
-        ) % WORD_HASH_MOD
+    wh = word_hash
 
     cells: dict[tuple[int, int], int] = defaultdict(int)
     for w, c in wc.items():

@@ -16,13 +16,13 @@ row-to-row semantics:
 from __future__ import annotations
 
 import hashlib
-import re
 from collections import defaultdict
 
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
+from tests.mirrors import ts_us as _us, ws_token_count
 from mapreduceframework_spark.plans.registry import REGISTRY
 from mapreduceframework_spark.plans.text_queries import (
     PACK_BUDGET,
@@ -34,16 +34,6 @@ import mapreduceframework_spark.plans.sampling_queries  # noqa: F401
 import mapreduceframework_spark.plans.text_queries  # noqa: F401
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
-
-# Java's \s exactly — the class inside Spark's split().
-_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
-
-
-def _us(arr) -> np.ndarray:
-    return (
-        arr.cast("timestamp[us]").to_numpy()
-        .astype("datetime64[us]").astype(np.int64)
-    )
 
 
 @pytest.mark.parametrize("sf_dir", SFS)
@@ -105,16 +95,7 @@ def test_timeseries_gap_fill_matches_python(spark, sf_dir):
     assert any(v == 0 for v in expected.values())
 
 
-def _spark_ws_tokens(text: str | None) -> int:
-    """whitespace_token_count's exact semantics: trim strips ASCII
-    space ONLY; split(regex) runs with limit -1, so boundary empty
-    strings from non-space whitespace survive into the count."""
-    if text is None:
-        return 0
-    t = text.strip(" ")
-    if not t:
-        return 0
-    return len(_JAVA_WS.split(t))
+_spark_ws_tokens = ws_token_count
 
 
 @pytest.mark.parametrize("sf_dir", SFS)

@@ -5,16 +5,18 @@ profiling histogram, and lag/lead gaps reconstructed in pure Python.
 from __future__ import annotations
 
 import math
-import re
 from collections import defaultdict
 
-import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
-from mapreduceframework_spark.operators.dedup import (
-    SIMHASH_BITS,
-    WORD_HASH_MOD,
+from mapreduceframework_spark.operators.dedup import SIMHASH_BITS
+from tests.mirrors import (
+    round_half_up as _round_half_up,
+    string_shingles,
+    ts_us,
+    word_hash32 as _wh32,
+    words_of as _words,
 )
 from mapreduceframework_spark.plans.registry import REGISTRY
 import mapreduceframework_spark.plans.dedup_queries  # noqa: F401
@@ -24,25 +26,7 @@ import mapreduceframework_spark.plans.analytics_queries  # noqa: F401
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
-_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
 SIMHASH_BAND_BITS = 8
-
-
-def _words(text: str) -> list[str] | None:
-    t = text.strip(" ") if text is not None else ""
-    if not t:
-        return None
-    return _JAVA_WS.split(t)
-
-
-def _wh(w: str) -> int:
-    first = ord(w[0]) if w else 0
-    last = ord(w[-1]) if w else 0
-    return (len(w) * 2654435761 + first * 97 + last) % WORD_HASH_MOD
-
-
-def _wh32(w: str) -> int:
-    return (_wh(w) * 2654435761) % 4294967296
 
 
 @pytest.mark.parametrize("sf_dir", SFS)
@@ -88,13 +72,6 @@ def test_dedup_simhash_matches_python(spark, sf_dir):
     assert expected, "no simhash pairs — the check proved nothing"
 
 
-def _round_half_up(x: float, places: int) -> float:
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q = Decimal(1).scaleb(-places)
-    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
-
-
 @pytest.mark.parametrize("sf_dir", SFS)
 def test_text_repetition_ratio_matches_python(spark, sf_dir):
     t = pq.read_table(
@@ -105,12 +82,7 @@ def test_text_repetition_ratio_matches_python(spark, sf_dir):
         ws = _words(text)
         if ws is None:
             continue
-        if len(ws) < 3:
-            sh = []
-        else:
-            sh = [
-                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
-            ]
+        sh = string_shingles(ws, 3)
         total, dis = len(sh), len(set(sh))
         ratio = 0.0 if total == 0 else _round_half_up(
             1.0 - dis / float(total), 6
@@ -159,10 +131,7 @@ def test_window_lag_lead_matches_python(spark, sf_dir):
     t = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
-    ts = (
-        t["ts"].cast("timestamp[us]").to_numpy()
-        .astype("datetime64[us]").astype(np.int64)
-    )
+    ts = ts_us(t["ts"])
     per_user: dict[int, list[tuple[int, int]]] = defaultdict(list)
     for u, eid, x in zip(
         t["user_id"].to_numpy(), t["event_id"].to_numpy(), ts
