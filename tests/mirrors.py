@@ -110,3 +110,54 @@ def ts_us(arrow_col) -> np.ndarray:
         arrow_col.cast("timestamp[us]").to_numpy()
         .astype("datetime64[us]").astype(np.int64)
     )
+
+
+def minhash_candidates(
+    doc_shingles: dict[int, set[int]],
+    a_coeffs: tuple[int, ...],
+    b_coeffs: tuple[int, ...],
+) -> set[tuple[int, int]]:
+    """LSH band-bucket candidate pairs (doc_a < doc_b) over hashed
+    shingle sets: 8-perm signature, bands of 2 rows, pairs sharing any
+    (band, key) bucket — the shared front half of the MinHash family."""
+    from collections import defaultdict
+
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for did, s in doc_shingles.items():
+        sig = [
+            min((x * a + b) % P for x in s)
+            for a, b in zip(a_coeffs, b_coeffs)
+        ]
+        for band in range(len(a_coeffs) // 2):
+            buckets[
+                (band, sig[2 * band] * P + sig[2 * band + 1])
+            ].append(did)
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                cand.add((a, b))
+    return cand
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (the single standard definition both
+    engines implement)."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]

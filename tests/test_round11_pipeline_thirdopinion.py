@@ -29,8 +29,8 @@ from mapreduceframework_spark.operators.dedup import MINHASH_A, MINHASH_B
 from mapreduceframework_spark.operators.text import STOPWORDS
 from tests.mirrors import (
     JAVA_WS as _JAVA_WS,
-    P,
     hashed_shingles as _shingles,
+    minhash_candidates,
     round_half_up as _round_half_up,
     words_of as _words,
     ws_token_count as _ws_tokens,
@@ -57,20 +57,7 @@ def _minhash_pairs_py(sf_dir: str):
         s = _shingles(ws)
         if s:
             sh[int(did)] = s
-    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
-    for did, s in sh.items():
-        sig = [min((x * a + b) % P for x in s) for a, b in
-               zip(MINHASH_A, MINHASH_B)]
-        for band in range(len(MINHASH_A) // 2):
-            buckets[(band, sig[2 * band] * P + sig[2 * band + 1])].append(
-                did
-            )
-    cand: set[tuple[int, int]] = set()
-    for ids in buckets.values():
-        ids.sort()
-        for i, a in enumerate(ids):
-            for b in ids[i + 1:]:
-                cand.add((a, b))
+    cand = minhash_candidates(sh, MINHASH_A, MINHASH_B)
     pairs = {}
     for a, b in cand:
         shared = len(sh[a] & sh[b])
