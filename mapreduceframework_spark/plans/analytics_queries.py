@@ -2424,12 +2424,20 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         tp AS (SELECT DISTINCT event_type FROM events),
         pr AS (SELECT a.event_type AS ta, b.event_type AS tb
                FROM tp a JOIN tp b ON a.event_type < b.event_type),
-        m AS (
-            SELECT pr.ta, pr.tb, h.v, h.c,
+        m0 AS (
+            SELECT pr.ta, pr.tb, h.v,
                    CASE WHEN h.event_type = pr.ta THEN h.c ELSE 0 END AS ca,
                    CASE WHEN h.event_type = pr.tb THEN h.c ELSE 0 END AS cb
             FROM pr JOIN h
             ON h.event_type = pr.ta OR h.event_type = pr.tb),
+        m AS (
+            -- one row per (pair, value): a value present in BOTH types
+            -- must form ONE combined tie group (ca + cb), not two
+            -- per-side rows — the standard tie correction's t.
+            SELECT ta, tb, v,
+                   CAST(SUM(ca) AS BIGINT) AS ca,
+                   CAST(SUM(cb) AS BIGINT) AS cb
+            FROM m0 GROUP BY ta, tb, v),
         w AS (
             SELECT ta, tb, v, ca, cb,
                    COALESCE(SUM(ca) OVER (
@@ -2525,6 +2533,18 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == F.col("tb"), F.col("c"))
             .otherwise(F.lit(0))
             .alias("cb"),
+        )
+        # One row per (pair, value): a value present in BOTH types must
+        # form ONE combined tie group (t = ca + cb) — two per-side rows
+        # would compute ca^3 + cb^3 instead of (ca+cb)^3 in the tie
+        # correction (review finding r11; the deviation hid below the
+        # 1e-6 rounding grain, but the docstring's "combined tie-group
+        # sizes" must be what the code does). Shares the (ta, tb)
+        # partitioning the windows below need.
+        .groupBy("ta", "tb", "v")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
         )
     )
     below = (

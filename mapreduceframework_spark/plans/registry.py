@@ -75,19 +75,23 @@ def query(
 # items 1-3: lead with the ENTIRE 31-row r05-stale cohort, fill the
 # rest from the oldest r06 rows, registry stays frozen at 272 — the
 # only add is the VERDICT-item-5 two-level KLL, which knowingly
-# displaces one r06 refresh slot), 1 + 1 + 31 + 17 = 50:
+# displaces one r06 refresh slot; the round's self-review also fixed
+# the Mann-Whitney tie correction, whose sentinel displaces a second),
+# 1 + 2 + 31 + 16 = 50:
 # - 1 never-driver-checked row: sketch_quantile_kll_twolevel (VERDICT
 #   r10 item 5 — the KLL recursion exercised as a registered row with
 #   the composed slack proven and value-checked);
-# - 1 auto-sentinel: sketch_quantile_kll, whose definition changed
+# - 2 auto-sentinels: sketch_quantile_kll, whose definition changed
 #   since its r10 green (the ADVICE null-guard — explicit
-#   value IS NOT NULL on both engine sides);
+#   value IS NOT NULL on both engine sides), and stats_mann_whitney_u
+#   (r9 green; the tie correction now combines per-(pair, value)
+#   groups — (ca+cb)^3, not ca^3 + cb^3);
 # - 31 stalest greens: the ENTIRE r05 cohort (5 rounds stale — the
 #   r10 verdict's named highest-leverage block): the streaming family
 #   (7 rows), the as-of/range/salted joins, pipeline_curate_corpus,
 #   tpch_q9, scd2, the pandas-UDF rows, OHLC/gap-fill timeseries,
 #   retention/session events, countmin, audio decode, token packing;
-# - 17 next-stalest: the head of the r06 cohort (48 rows; the
+# - 16 next-stalest: the head of the r06 cohort (48 rows; the
 #   remainder leads round 12's refresh block — window_planner --plan 2
 #   projects the cohort fully scheduled by then).
 # At 272 queries / 50 slots the steady-state refresh period stays
@@ -101,9 +105,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- never driver-checked: first evidence (1 — the round's only
     #     new query, the VERDICT-r10-item-5 two-level KLL) ---
     "sketch_quantile_kll_twolevel",
-    # --- auto-sentinel: definition changed since last green (1 —
-    #     the ADVICE NULL-ordering guard) ---
+    # --- auto-sentinels: definition changed since last green (2 —
+    #     the ADVICE NULL-ordering guard; the Mann-Whitney combined
+    #     tie-group fix, displacing one r06 refresh slot knowingly) ---
     "sketch_quantile_kll",
+    "stats_mann_whitney_u",
     # --- stalest refresh: the full 31-row r05 cohort (5 rounds
     #     stale, the r10 verdict's named highest-leverage block) ---
     "events_retention_cohorts",
@@ -137,8 +143,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udf_cogrouped_reconcile",
     "udf_pandas_scalar",
     "window_lag_lead",
-    # --- then the r06 cohort, oldest-first (17 of 48 fit; the
-    #     remaining 31 lead round 12) ---
+    # --- then the r06 cohort, oldest-first (16 of 48 fit; the
+    #     remaining 32 lead round 12) ---
     "agg_algebraic",
     "agg_argmax_struct",
     "agg_collect_sorted",
@@ -155,7 +161,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "distinct_keys_mod100",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -837,7 +837,9 @@ SHUFFLE_BUDGET = {
     # Histogram groupBy + the distinct-types pair build + the
     # pair-partitioned RANGE windows + the O(pairs) final agg; the
     # pair fan-out is a broadcast equi join (explode, not OR).
-    "stats_mann_whitney_u": 6,
+    # +1 (r11): the per-(pair, value) combine that makes the tie
+    # correction use COMBINED tie groups, sharing the pair-window key.
+    "stats_mann_whitney_u": 7,
     # (type, day)-keyed window + the (n, S) aggregate join + the final
     # per-lag aggregation sharing the same key.
     "timeseries_autocorrelation": 3,
