@@ -71,29 +71,22 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-11 window (VERDICT r10
-# items 1-3: lead with the ENTIRE 31-row r05-stale cohort, fill the
-# rest from the oldest r06 rows, registry stays frozen at 272 — the
-# only add is the VERDICT-item-5 two-level KLL, which knowingly
-# displaces one r06 refresh slot; the round's self-review also fixed
-# the Mann-Whitney tie correction, whose sentinel displaces a second),
-# 1 + 2 + 31 + 16 = 50:
-# - 1 never-driver-checked row: sketch_quantile_kll_twolevel (VERDICT
-#   r10 item 5 — the KLL recursion exercised as a registered row with
-#   the composed slack proven and value-checked);
-# - 2 auto-sentinels: sketch_quantile_kll, whose definition changed
-#   since its r10 green (the ADVICE null-guard — explicit
-#   value IS NOT NULL on both engine sides), and stats_mann_whitney_u
-#   (r9 green; the tie correction now combines per-(pair, value)
-#   groups — (ca+cb)^3, not ca^3 + cb^3);
-# - 31 stalest greens: the ENTIRE r05 cohort (5 rounds stale — the
-#   r10 verdict's named highest-leverage block): the streaming family
-#   (7 rows), the as-of/range/salted joins, pipeline_curate_corpus,
-#   tpch_q9, scd2, the pandas-UDF rows, OHLC/gap-fill timeseries,
-#   retention/session events, countmin, audio decode, token packing;
-# - 16 next-stalest: the head of the r06 cohort (48 rows; the
-#   remainder leads round 12's refresh block — window_planner --plan 2
-#   projects the cohort fully scheduled by then).
+# all_queries() in iteration order. Round-12 window (VERDICT r11
+# items 1-3: lead with the ENTIRE 32-row r06-stale cohort — the
+# scalar-function family, the set-ops family, the golden-client rows,
+# multimodal_image_decode, feature_quantile_sketch, etc. — then fill
+# the remaining 18 slots with the oldest r07 rows; registry stays
+# frozen at 272, zero new queries, zero code-change sentinels unless
+# the round's audits force an engine change), 32 + 18 = 50:
+# - 0 never-driver-checked rows (registry == ever-checked set, r11
+#   verdict);
+# - 32 stalest greens: the ENTIRE r06 cohort (5 rounds stale — the
+#   r11 verdict's named highest-leverage block, enumerated by
+#   tools/window_planner.py);
+# - 18 next-stalest: the head of the 45-row r07 cohort alphabetical-
+#   first per the planner (agg_percent_of_total .. multimodal_audio_
+#   fingerprint); the remainder clears over rounds 13-14 — the
+#   planner's --plan 3 projects max staleness capped at 5 throughout.
 # At 272 queries / 50 slots the steady-state refresh period stays
 # ceil(272/50) - 1 = 5 rounds (the structural plateau); shrinking THAT
 # number requires a smaller registry or a larger window, not rotation
@@ -102,65 +95,60 @@ def query(
 # query additionally at sf0.1 (plus the closing full-registry sf0.1
 # sweep, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (1 — the round's only
-    #     new query, the VERDICT-r10-item-5 two-level KLL) ---
-    "sketch_quantile_kll_twolevel",
-    # --- auto-sentinels: definition changed since last green (2 —
-    #     the ADVICE NULL-ordering guard; the Mann-Whitney combined
-    #     tie-group fix, displacing one r06 refresh slot knowingly) ---
-    "sketch_quantile_kll",
-    "stats_mann_whitney_u",
-    # --- stalest refresh: the full 31-row r05 cohort (5 rounds
-    #     stale, the r10 verdict's named highest-leverage block) ---
-    "events_retention_cohorts",
-    "events_session_windows",
-    "graph_pagerank_trade",
-    "graph_triangle_count",
-    "join_asof",
-    "join_asof_forward_gap",
-    "join_range_binned",
-    "join_salted_skew",
-    "multimodal_audio_decode",
-    "pack_token_chunks",
-    "pipeline_curate_corpus",
-    "profile_numeric_histogram",
-    "sample_stratified_exact",
-    "scalar_hash_funcs",
-    "scalar_map_hof_funcs",
-    "scd2_order_history",
-    "sketch_countmin_heavy",
-    "streaming_click_purchase_join",
-    "streaming_dedup_keys",
-    "streaming_session_counts",
-    "streaming_static_enrich",
-    "streaming_tumbling_counts",
-    "streaming_user_counts_stateful",
-    "text_repetition_ratio",
-    "text_token_stats",
-    "timeseries_gap_fill",
-    "timeseries_ohlc",
-    "tpch_q9_product_profit",
-    "udf_cogrouped_reconcile",
-    "udf_pandas_scalar",
-    "window_lag_lead",
-    # --- then the r06 cohort, oldest-first (16 of 48 fit; the
-    #     remaining 32 lead round 12) ---
-    "agg_algebraic",
-    "agg_argmax_struct",
-    "agg_collect_sorted",
-    "agg_count_distinct",
-    "agg_full_group",
-    "agg_null_semantics",
-    "agg_statistical",
-    "ann_topk_join",
-    "char_counts",
-    "conditional_case_agg",
-    "cube_grouping_id",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # --- stalest refresh: the full 32-row r06 cohort (5 rounds
+    #     stale, the r11 verdict's named highest-leverage block) ---
+    "distinct_keys_mod100",
+    "events_tumbling_counts",
+    "feature_quantile_sketch",
+    "filter_predicate",
+    "flatmap_explode_words",
+    "hierarchy_rollup_recursive",
+    "histogram_mod100",
+    "join_not_in_null_aware",
+    "join_null_safe",
+    "mining_pair_cooccurrence",
+    "multimodal_image_decode",
+    "projection",
+    "sample_frequency_downsample",
+    "scalar_array_funcs",
+    "scalar_date_funcs",
+    "scalar_json_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "sort_partition_local",
+    "sorted_histogram",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality_classifier",
+    "text_quality_scores",
+    "topk_orders",
+    "unpivot_price_components",
+    "word_counts",
+    # --- then the r07 cohort, oldest-first (18 of 45 fit; the
+    #     remainder clears over rounds 13-14) ---
+    "agg_percent_of_total",
+    "ann_cosine_pq",
+    "ann_lsh_recall_report",
+    "dedup_minhash_containment",
+    "division_priority_complete",
+    "embedding_gram_matrix",
+    "events_funnel_stages",
+    "events_markov_transitions",
+    "events_streak_longest",
+    "feature_target_encode_loo",
+    "feature_winsorize",
+    "graph_bfs_distances",
+    "graph_sssp_weighted",
+    "join_asof_nearest",
+    "join_bloom_pruned",
+    "join_spatial_grid",
+    "lakehouse_incremental_agg",
+    "multimodal_audio_fingerprint",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -96,12 +96,20 @@ def seq_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
-def seq_cosine(a: list[float], b: list[float]) -> float:
+def seq_cosine(a: list[float], b: list[float]) -> float | None:
+    """Sequential-fold cosine, IEEE-identical to the engines' plans.
+
+    Returns None for a zero-norm vector — the production queries
+    exclude degenerate embeddings with an exact norm>0 predicate on
+    both engine sides (the Welch divide-by-zero convention), so the
+    mirror reports "excluded" rather than raising ZeroDivisionError.
+    """
     import math
 
-    return seq_dot(a, b) / (
-        math.sqrt(seq_dot(a, a)) * math.sqrt(seq_dot(b, b))
-    )
+    denom = math.sqrt(seq_dot(a, a)) * math.sqrt(seq_dot(b, b))
+    if denom == 0.0:
+        return None
+    return seq_dot(a, b) / denom
 
 
 def ts_us(arrow_col) -> np.ndarray:
