@@ -112,6 +112,91 @@ def seq_cosine(a: list[float], b: list[float]) -> float | None:
     return seq_dot(a, b) / denom
 
 
+def trade_edge_counts(sf_dir: str) -> dict[tuple[str, str], int]:
+    """(customer-nation -> supplier-nation) trade-pair row counts via
+    the same 5-way star join the graph queries derive edges from,
+    evaluated with plain dicts. ``set(result)`` is the DISTINCT edge
+    list (TRADE_EDGES_CTE); ``1 + cnt % 7`` is the SSSP edge weight
+    (TRADE_WEDGES_CTE) — both derivations cross-checked from one walk."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    c = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    s = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    n = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nation = dict(zip(n["n_nationkey"].to_pylist(), n["n_name"].to_pylist()))
+    cust_nation = {
+        int(k): nation[nk]
+        for k, nk in zip(
+            c["c_custkey"].to_pylist(), c["c_nationkey"].to_pylist()
+        )
+    }
+    supp_nation = {
+        int(k): nation[nk]
+        for k, nk in zip(
+            s["s_suppkey"].to_pylist(), s["s_nationkey"].to_pylist()
+        )
+    }
+    order_cust = {
+        int(ok): int(ck)
+        for ok, ck in zip(
+            o["o_orderkey"].to_pylist(), o["o_custkey"].to_pylist()
+        )
+    }
+    counts: Counter[tuple[str, str]] = Counter()
+    for ok, sk in zip(
+        li["l_orderkey"].to_pylist(), li["l_suppkey"].to_pylist()
+    ):
+        ck = order_cust.get(int(ok))
+        if ck is None:
+            continue
+        counts[(cust_nation[ck], supp_nation[int(sk)])] += 1
+    return dict(counts)
+
+
+def bounded_relax(
+    edges: dict[tuple[str, str], int], rounds: int
+) -> dict[str, int | None]:
+    """Serial bounded Bellman-Ford mirror of the graph_bfs_distances /
+    graph_sssp_weighted recurrence: d0 = 0 at the lexicographically
+    smallest node, None elsewhere; d_{t+1}(v) = min(d_t(v),
+    min over in-edges (u, v, w) of d_t(u) + w). BFS is the w ≡ 1
+    special case. Exact integers throughout."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    seed = nodes[0]
+    d: dict[str, int | None] = {v: (0 if v == seed else None) for v in nodes}
+    for _ in range(rounds):
+        nd: dict[str, int] = {}
+        for (u, v), w in edges.items():
+            du = d[u]
+            if du is None:
+                continue
+            cand = du + w
+            if v not in nd or cand < nd[v]:
+                nd[v] = cand
+        d = {
+            v: (
+                min(x for x in (d[v], nd.get(v)) if x is not None)
+                if (d[v] is not None or v in nd)
+                else None
+            )
+            for v in nodes
+        }
+    return d
+
+
 def ts_us(arrow_col) -> np.ndarray:
     """Arrow timestamp column -> int64 epoch microseconds."""
     return (

@@ -14,10 +14,10 @@ from __future__ import annotations
 from collections import defaultdict
 from itertools import combinations
 
-import pyarrow.parquet as pq
 import pytest
 
 from mapreduceframework_spark.plans.graph_queries import PR_ITERS, PR_SCALE
+from tests.mirrors import trade_edge_counts
 from mapreduceframework_spark.plans.registry import REGISTRY
 import mapreduceframework_spark.plans.graph_queries  # noqa: F401
 
@@ -25,53 +25,9 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
 def _trade_edges_py(sf_dir: str) -> set[tuple[str, str]]:
-    """DISTINCT (customer-nation -> supplier-nation) edges via the same
-    5-way join the query derives them from, evaluated with dicts."""
-    o = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
-    li = pq.read_table(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
-    )
-    c = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    s = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    n = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    nation = dict(
-        zip(n["n_nationkey"].to_pylist(), n["n_name"].to_pylist())
-    )
-    cust_nation = {
-        int(k): nation[nk]
-        for k, nk in zip(
-            c["c_custkey"].to_pylist(), c["c_nationkey"].to_pylist()
-        )
-    }
-    supp_nation = {
-        int(k): nation[nk]
-        for k, nk in zip(
-            s["s_suppkey"].to_pylist(), s["s_nationkey"].to_pylist()
-        )
-    }
-    order_cust = {
-        int(ok): int(ck)
-        for ok, ck in zip(
-            o["o_orderkey"].to_pylist(), o["o_custkey"].to_pylist()
-        )
-    }
-    edges: set[tuple[str, str]] = set()
-    for ok, sk in zip(
-        li["l_orderkey"].to_pylist(), li["l_suppkey"].to_pylist()
-    ):
-        ck = order_cust.get(int(ok))
-        if ck is None:
-            continue
-        edges.add((cust_nation[ck], supp_nation[int(sk)]))
-    return edges
+    """DISTINCT (customer-nation -> supplier-nation) edges — the
+    shared 5-way-join mirror's key set (tests/mirrors.py)."""
+    return set(trade_edge_counts(sf_dir))
 
 
 @pytest.mark.parametrize("sf_dir", SFS)
