@@ -76,17 +76,21 @@ def query(
 # scalar-function family, the set-ops family, the golden-client rows,
 # multimodal_image_decode, feature_quantile_sketch, etc. — then fill
 # the remaining 18 slots with the oldest r07 rows; registry stays
-# frozen at 272, zero new queries, zero code-change sentinels unless
-# the round's audits force an engine change), 32 + 18 = 50:
-# - 0 never-driver-checked rows (registry == ever-checked set, r11
-#   verdict);
+# frozen at 273 — the only add is the VERDICT-r11 optional-item-8
+# checkpointed-restart row, which knowingly displaces one r07 refresh
+# slot; the round's docstring-claim audit found zero deviations, so
+# zero code-change sentinels), 1 + 32 + 17 = 50:
+# - 1 never-driver-checked row: streaming_checkpoint_restart (state
+#   and offset recovery across a real query restart, both pinned as
+#   value-checked columns);
 # - 32 stalest greens: the ENTIRE r06 cohort (5 rounds stale — the
 #   r11 verdict's named highest-leverage block, enumerated by
 #   tools/window_planner.py);
-# - 18 next-stalest: the head of the 45-row r07 cohort alphabetical-
-#   first per the planner (agg_percent_of_total .. multimodal_audio_
-#   fingerprint); the remainder clears over rounds 13-14 — the
-#   planner's --plan 3 projects max staleness capped at 5 throughout.
+# - 17 next-stalest: the head of the 45-row r07 cohort alphabetical-
+#   first per the planner (agg_percent_of_total .. lakehouse_
+#   incremental_agg; multimodal_audio_fingerprint is the displaced
+#   slot); the remainder clears over rounds 13-14 — the planner's
+#   --plan 3 projects max staleness capped at 5 throughout.
 # At 272 queries / 50 slots the steady-state refresh period stays
 # ceil(272/50) - 1 = 5 rounds (the structural plateau); shrinking THAT
 # number requires a smaller registry or a larger window, not rotation
@@ -95,6 +99,9 @@ def query(
 # query additionally at sf0.1 (plus the closing full-registry sf0.1
 # sweep, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- never driver-checked: first evidence (1 — the round's only
+    #     new query, the VERDICT-r11 optional checkpoint-restart row) ---
+    "streaming_checkpoint_restart",
     # --- stalest refresh: the full 32-row r06 cohort (5 rounds
     #     stale, the r11 verdict's named highest-leverage block) ---
     "distinct_keys_mod100",
@@ -148,7 +155,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_bloom_pruned",
     "join_spatial_grid",
     "lakehouse_incremental_agg",
-    "multimodal_audio_fingerprint",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -555,3 +555,39 @@ def streaming_foreachbatch_upsert(
     )
 
     return foreachbatch_upsert_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_checkpoint_restart",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+        FROM events
+        GROUP BY user_id
+        HAVING SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) > 0
+    """,
+    tags=("streaming", "true-streaming", "stateful", "recovery"),
+)
+def streaming_checkpoint_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpointed restart of a stateful streaming query as a
+    driver-checked row (the VERDICT-r11 optional item): the per-user
+    stateful count runs as two query executions over a growing file
+    source sharing one checkpoint; the returned rows are the SECOND
+    run's emissions. n_events pins state recovery (it equals the
+    batch count over ALL events, though run 2 ingested only the
+    newly-arrived half) and n_new pins offset recovery (run 2 read
+    exactly the new file — a wiped offset log would replay history,
+    a wiped state store would undercount). Both failure modes are
+    value-hash mismatches, per the house style of making
+    error/recovery guarantees value-checked columns
+    (streaming/windows.py checkpoint_restart_counts; recovery
+    mechanics also unit-tested in tests/test_streaming_checkpoint.py)."""
+    from mapreduceframework_spark.streaming.windows import (
+        checkpoint_restart_counts,
+    )
+
+    return checkpoint_restart_counts(spark, sf_dir)

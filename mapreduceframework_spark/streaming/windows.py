@@ -494,3 +494,116 @@ def foreachbatch_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("deliveries"),
         )
     )
+
+
+def checkpoint_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed RESTART of a stateful streaming query, as a
+    value-checked result instead of a prose claim: the per-user
+    running count (the applyInPandasWithState operator from
+    running_user_counts) runs as TWO SEPARATE query executions
+    sharing ONE checkpoint over a growing source directory —
+
+    - run 1 sees only the even-event_id half of the events table and
+      drains (availableNow), persisting source offsets AND the keyed
+      state store under the checkpoint;
+    - the odd-event_id half then "arrives" in the source directory,
+      and run 2 STARTS A NEW QUERY from the same checkpoint.
+
+    Run 2's emissions are the returned result, and they pin BOTH
+    recovery guarantees at once:
+
+    - n_events (the state counter) equals the batch count over ALL
+      events for that user — possible only if run 2 RESUMED the
+      checkpointed state (a fresh state store would report just the
+      odd half);
+    - n_new (rows ingested by run 2, counted inside the operator)
+      equals the user's odd-half count — possible only if run 2 did
+      NOT re-read the files run 1 already committed (a wiped offset
+      log would replay the even half too).
+
+    The oracle states both columns in batch SQL (count over all rows /
+    count over the odd half, for users with at least one odd-half
+    event — only they emit in run 2). This is the operational property
+    that makes a 100 TB ingest restartable after a crash or deploy:
+    the checkpoint, not the directory listing and not the sink, is the
+    source of truth. State is one long per user; the restart cost is
+    O(state), independent of how much history run 1 ingested."""
+    import shutil
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mapreduceframework_spark.sources import load_table
+
+    src_dir = tempfile.mkdtemp(prefix="mrf_events_restart_src_")
+    ckpt = tempfile.mkdtemp(prefix="mrf_events_restart_ckpt_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+
+    def stage(half_df, name: str) -> None:
+        """Materialize one half as a single file inside src_dir (the
+        file-arrival simulation from tests/test_streaming_checkpoint)."""
+        scratch = tempfile.mkdtemp(prefix=f"mrf_restart_{name}_")
+        half_df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            f
+            for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(scratch, part), os.path.join(src_dir, f"{name}.parquet")
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+        n += seen
+        state.update((n,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_new": [seen]}
+        )
+
+    def run_once(emissions: list) -> None:
+        """One query execution against the shared checkpoint. The sink
+        is foreachBatch (memory sinks don't support checkpoint
+        recovery — the engine rejects the restart outright), appending
+        each micro-batch's emissions to the caller's list."""
+
+        def sink(batch_df, _batch_id: int) -> None:
+            emissions.extend(
+                (r["user_id"], r["n_events"], r["n_new"])
+                for r in batch_df.collect()
+            )
+
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        counts = stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, n_new long",
+            stateStructType=STATEFUL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            counts.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(events.filter(F.col("event_id") % 2 == 0), "even")
+    run_once([])  # run 1's emissions are not the checked result
+
+    stage(events.filter(F.col("event_id") % 2 == 1), "odd")
+    run2: list[tuple[int, int, int]] = []
+    run_once(run2)
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        run2, "user_id long, n_events long, n_new long"
+    )
