@@ -76,21 +76,24 @@ def query(
 # scalar-function family, the set-ops family, the golden-client rows,
 # multimodal_image_decode, feature_quantile_sketch, etc. — then fill
 # the remaining 18 slots with the oldest r07 rows; registry stays
-# frozen at 273 — the only add is the VERDICT-r11 optional-item-8
-# checkpointed-restart row, which knowingly displaces one r07 refresh
-# slot; the round's docstring-claim audit found zero deviations, so
-# zero code-change sentinels), 1 + 32 + 17 = 50:
-# - 1 never-driver-checked row: streaming_checkpoint_restart (state
+# frozen at 274 — the only adds are the TWO VERDICT-r11 optional-item-8
+# rows (checkpointed restart; KLL merge invariance), each knowingly
+# displacing one r07 refresh slot; the round's docstring-claim audit
+# found zero deviations, so zero code-change sentinels), 2 + 32 + 16
+# = 50:
+# - 2 never-driver-checked rows: streaming_checkpoint_restart (state
 #   and offset recovery across a real query restart, both pinned as
-#   value-checked columns);
+#   value-checked columns) and sketch_kll_merge_invariance (the
+#   rank-error guarantee re-proven under a rehash repartitioning);
 # - 32 stalest greens: the ENTIRE r06 cohort (5 rounds stale — the
 #   r11 verdict's named highest-leverage block, enumerated by
 #   tools/window_planner.py);
-# - 17 next-stalest: the head of the 45-row r07 cohort alphabetical-
-#   first per the planner (agg_percent_of_total .. lakehouse_
-#   incremental_agg; multimodal_audio_fingerprint is the displaced
-#   slot); the remainder clears over rounds 13-14 — the planner's
-#   --plan 3 projects max staleness capped at 5 throughout.
+# - 16 next-stalest: the head of the 45-row r07 cohort alphabetical-
+#   first per the planner (agg_percent_of_total .. join_spatial_grid;
+#   lakehouse_incremental_agg and multimodal_audio_fingerprint are
+#   the displaced slots); the remainder clears over rounds 13-14 —
+#   the planner's --plan 3 projects max staleness capped at 5
+#   throughout.
 # At 272 queries / 50 slots the steady-state refresh period stays
 # ceil(272/50) - 1 = 5 rounds (the structural plateau); shrinking THAT
 # number requires a smaller registry or a larger window, not rotation
@@ -100,8 +103,9 @@ def query(
 # sweep, BASELINE.md).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never driver-checked: first evidence (1 — the round's only
-    #     new query, the VERDICT-r11 optional checkpoint-restart row) ---
+    #     two new queries, the VERDICT-r11 optional items) ---
     "streaming_checkpoint_restart",
+    "sketch_kll_merge_invariance",
     # --- stalest refresh: the full 32-row r06 cohort (5 rounds
     #     stale, the r11 verdict's named highest-leverage block) ---
     "distinct_keys_mod100",
@@ -154,7 +158,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_asof_nearest",
     "join_bloom_pruned",
     "join_spatial_grid",
-    "lakehouse_incremental_agg",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -859,6 +859,12 @@ SHUFFLE_BUDGET = {
     # one tiny O(shards x buckets)-row exchange in the static plan
     # instead of a second full events scan job (review finding r11).
     "sketch_quantile_kll_twolevel": 15,
+    # TWO one-level builds (one per sharding, each the 15-exchange
+    # row's build spine behind an eager checkpoint of the shared base)
+    # + two summary-rank estimates + ONE shared exact lo/hi bound
+    # ranking; a lazy base checkpoint measured 44 — eager is what
+    # keeps the five consumers from re-expanding the scan.
+    "sketch_kll_merge_invariance": 22,
     # One (epoch, shard)-keyed rank exchange; the epoch fan-out is a
     # row-local explode, never a join.
     "sample_epoch_shuffle": 1,
