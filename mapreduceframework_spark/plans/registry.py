@@ -94,8 +94,8 @@ def query(
 #   the displaced slots); the remainder clears over rounds 13-14 —
 #   the planner's --plan 3 projects max staleness capped at 5
 #   throughout.
-# At 272 queries / 50 slots the steady-state refresh period stays
-# ceil(272/50) - 1 = 5 rounds (the structural plateau); shrinking THAT
+# At 274 queries / 50 slots the steady-state refresh period stays
+# ceil(274/50) - 1 = 5 rounds (the structural plateau); shrinking THAT
 # number requires a smaller registry or a larger window, not rotation
 # order. All 50 re-verified locally at sf0.01 via check_window (both
 # compare paths) + drive_contract at rotation time; every new/rewritten

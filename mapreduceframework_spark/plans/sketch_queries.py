@@ -1267,15 +1267,18 @@ def sketch_kll_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"v DIV {KLLQ_VB}").alias("vb"),
         # Eager: a LAZY localCheckpoint leaves the full lineage in the
         # static plan, re-expanded under every consumer (measured: 44
-        # exchanges lazy vs 17 eager — the kmeans/MG plan-bloat
+        # exchanges lazy vs 22 eager — the kmeans/MG plan-bloat
         # pattern); base feeds five branches here.
     ).localCheckpoint(eager=True)
 
-    def build_summary(shard_col: str) -> DataFrame:
-        """One-level KLL kept-summary under the given sharding — the
-        sketch_quantile_kll build with the shard column as a
-        parameter (kept separate from that row's body so the
-        registered query's definition stays untouched)."""
+    def build_summary(shard_col: str) -> tuple[DataFrame, DataFrame]:
+        """(kept-summary, per-(shard, vb) count table) under the given
+        sharding — the sketch_quantile_kll build with the shard column
+        as a parameter (kept separate from that row's body so the
+        registered query's definition stays untouched). The count
+        table is returned so the bounds ranking can derive full-table
+        vb counts from it instead of re-aggregating the n-row base
+        (the one-level row's review-finding discipline)."""
         loc = base.withColumn(
             "rn",
             F.row_number().over(
@@ -1288,16 +1291,19 @@ def sketch_kll_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         off = B.earlier_bucket_agg(bt, [shard_col], "vb", "cnt", "sum", "off")
-        return (
+        kept = (
             loc.join(F.broadcast(off), [shard_col, "vb"])
             .filter((F.col("off") + F.col("rn")) % KLLQ_STRIDE == 0)
             .select("v", "eid", "vb")
             .localCheckpoint(eager=True)  # summary-sized: n/C rows
         )
+        return kept, bt
 
-    kept_a = build_summary("sa")
-    kept_b = build_summary("sb")
-    n = ev.count()
+    kept_a, bt_a = build_summary("sa")
+    kept_b, _bt_b = build_summary("sb")
+    # Count the checkpointed base, not ev — counting ev would re-scan
+    # the source parquet through un-checkpointed lineage.
+    n = base.count()
     cnt_a = kept_a.count()
     cnt_b = kept_b.count()
     targets = []
@@ -1346,7 +1352,10 @@ def sketch_kll_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [(q, "hi", hi) for q, _t, _a, _b, _lo, hi in targets],
         "q_pct long, side string, pr long",
     )
-    fbt = base.groupBy("vb").agg(F.count("*").cast("long").alias("cnt"))
+    # Full-table vb counts SUMMED from the checkpointed model-sized
+    # (shard, vb) aggregate — one tiny exchange, never a second
+    # aggregation over the n-row base (the twolevel row's precedent).
+    fbt = bt_a.groupBy("vb").agg(F.sum("cnt").cast("long").alias("cnt"))
     bounds = (
         ranked(base, fbt)
         .join(F.broadcast(probe), F.col("r") == F.col("pr"))

@@ -595,15 +595,19 @@ def checkpoint_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    stage(events.filter(F.col("event_id") % 2 == 0), "even")
-    run_once([])  # run 1's emissions are not the checked result
-
-    stage(events.filter(F.col("event_id") % 2 == 1), "odd")
     run2: list[tuple[int, int, int]] = []
-    run_once(run2)
+    try:
+        stage(events.filter(F.col("event_id") % 2 == 0), "even")
+        run_once([])  # run 1's emissions are not the checked result
 
-    shutil.rmtree(src_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+        stage(events.filter(F.col("event_id") % 2 == 1), "odd")
+        run_once(run2)
+    finally:
+        # This row runs at three SFs every window pass — a transient
+        # streaming failure must not leak a staged copy of the events
+        # table (plus the checkpoint) into /tmp per retry.
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(
         run2, "user_id long, n_events long, n_new long"
     )

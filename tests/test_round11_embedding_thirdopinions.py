@@ -95,7 +95,10 @@ def test_dedup_embedding_cosine_matches_python(spark, sf_dir):
     expected = {}
     for a, b in cand:
         cos = _cosine(vecs[a], vecs[b])
-        if cos >= 0.4:
+        # None = zero-norm vector, the mirror's "excluded" convention —
+        # matching the engine, where cos is x/0 -> NULL and the
+        # >= 0.4 filter drops the NULL row.
+        if cos is not None and cos >= 0.4:
             expected[(a, b)] = cos
 
     out = REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
@@ -129,6 +132,10 @@ def test_ann_topk_join_matches_python(spark, sf_dir):
 
     expected = {}
     for qid, qv in queries.items():
+        # Precondition: no zero-norm query/centroid/corpus vectors in
+        # this testdata (asserted below), so _cosine never returns its
+        # None "excluded" marker inside these sort keys.
+        assert any(x != 0.0 for x in qv)
         ranked_labels = sorted(
             cent,
             key=lambda lab: (-_cosine(qv, cent[lab]), lab),

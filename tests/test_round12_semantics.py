@@ -50,10 +50,20 @@ def _kll_two_sharding_reference(sf_dir: str) -> dict[int, dict]:
         zero_copy_only=False
     )
     eid = t["event_id"].to_numpy()[valid]
-    # snap_units is ROUND-half-AWAY on both engines; values positive.
-    v = np.floor(
-        t["value"].to_numpy(zero_copy_only=False)[valid] * 10_000 + 0.5
-    ).astype(np.int64)
+    # snap_units is BigDecimal-of-shortest-repr HALF_UP (the engines'
+    # ROUND) — mirror with the shared round_half_up, NOT
+    # floor(x*1e4 + 0.5): the binary-float form disagrees on products
+    # that land epsilon below .5 (e.g. 0.56185 * 1e4 = 5618.4999…,
+    # which the repr-based round snaps to 5619).
+    from tests.mirrors import round_half_up
+
+    v = np.array(
+        [
+            int(round_half_up(x * 10_000, 0))
+            for x in t["value"].to_numpy(zero_copy_only=False)[valid]
+        ],
+        dtype=np.int64,
+    )
     n = len(v)
     order = np.lexsort((eid, v))
     sv, se = v[order], eid[order]
