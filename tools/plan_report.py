@@ -272,6 +272,13 @@ SHOWCASE = [
      "exchanges over raw data — at 100 TB every level past the first "
      "runs over a model-sized table while the composed rank bound "
      f"(slack2 = {_KLL2_SLACK}) stays value-checked."),
+    ("sketch_kll_merge_invariance",
+     "Mergeability under repartitioning as a plan: ONE eager-"
+     "checkpointed fact scan feeds BOTH shardings' summary builds "
+     "(lazy measured 44 exchanges, eager 22), the exact-bound "
+     "ranking is computed once and shared, and the full-table "
+     "bucket counts are summed from the build's model-sized "
+     "(shard, vb) aggregate instead of a second pass over raw rows."),
 ]
 
 
