@@ -474,8 +474,15 @@ def lakehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ZONE_ORDERKEYS = 1024  # orderkeys per natural zone (file-ish granule)
 ZONE_DAYS = 28  # shipdate days per clustered zone
-ZONE_PRED_LO = "1994-03-01"
-ZONE_PRED_HI = "1994-08-31"
+# The predicate window must sit INSIDE the corpus's shipdate span
+# (1995-01..2001-11 at every SF) or the audit degenerates: the original
+# 1994 window predated every shipdate, so both layouts pruned
+# everything and rows_scanned/rows_matched were identically zero — the
+# read-amplification contrast the row exists to demonstrate never
+# engaged (caught by the round-12 pure-Python mirror, the same class
+# of below-the-assert blind spot as the r11 Mann-Whitney tie find).
+ZONE_PRED_LO = "1996-03-01"
+ZONE_PRED_HI = "1996-08-31"
 
 
 def _zone_audit_sql(zone_expr: str, layout: str) -> str:
