@@ -30,8 +30,8 @@ from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs
         SELECT round(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 2)
                    AS revenue
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '2021-01-01'
-          AND l_shipdate <  TIMESTAMP '2023-01-01'
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
           AND l_discount BETWEEN 0.02 AND 0.09
           AND l_quantity < 24
     """,
@@ -43,12 +43,19 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     global aggregate. Every predicate is pushed into the parquet reader
     (PushedFilters on l_shipdate/l_discount/l_quantity), so at 100 TB
     row groups outside the date range never leave storage. Result
-    rounded to 2 on both sides (cross-partition summation order)."""
+    rounded to 2 on both sides (cross-partition summation order).
+
+    The window is Q6's canonical ONE-YEAR slice placed inside this
+    corpus's shipdate span (1995-01..2001-11): the original 2021..2023
+    range postdated every shipdate, so the aggregate was SUM over an
+    empty set and the row's value contract pinned only NULL — the same
+    degenerate-predicate class as the zone-map find, caught by the
+    round-12 fsum mirror (tests/test_round12_thirdopinions16.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= "2021-01-01")
-            & (F.col("l_shipdate") < "2023-01-01")
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
             & (F.col("l_discount").between(0.02, 0.09))
             & (F.col("l_quantity") < 24)
         )

@@ -79,9 +79,10 @@ def query(
 # frozen at 274 — the only adds are the TWO VERDICT-r11 optional-item-8
 # rows (checkpointed restart; KLL merge invariance), each knowingly
 # displacing one r07 refresh slot; the round's docstring-claim audit
-# found zero deviations, but the third-opinion program found ONE
-# degenerate value contract — the zone-map predicate window — whose
-# fix takes a code-change sentinel slot), 2 + 32 + 1 + 15 = 50:
+# found zero deviations, but the third-opinion program found TWO
+# degenerate value contracts — the zone-map and tpch_q6 predicate
+# windows — whose fixes take code-change sentinel slots),
+# 2 + 32 + 2 + 14 = 50:
 # - 2 never-driver-checked rows: streaming_checkpoint_restart (state
 #   and offset recovery across a real query restart, both pinned as
 #   value-checked columns) and sketch_kll_merge_invariance (the
@@ -89,14 +90,14 @@ def query(
 # - 32 stalest greens: the ENTIRE r06 cohort (5 rounds stale — the
 #   r11 verdict's named highest-leverage block, enumerated by
 #   tools/window_planner.py);
-# - 1 code-change sentinel: lakehouse_zone_map_prune (see the marker
-#   below);
-# - 15 next-stalest: the head of the 45-row r07 cohort alphabetical-
-#   first per the planner (agg_percent_of_total .. join_bloom_pruned;
-#   lakehouse_incremental_agg, multimodal_audio_fingerprint and
-#   join_spatial_grid are the displaced slots); the remainder clears
-#   over rounds 13-14 — the planner's --plan 3 projects max staleness
-#   capped at 5 throughout.
+# - 2 code-change sentinels: lakehouse_zone_map_prune and
+#   tpch_q6_forecast_revenue (see the marker below);
+# - 14 next-stalest: the head of the 45-row r07 cohort alphabetical-
+#   first per the planner (agg_percent_of_total .. join_asof_nearest;
+#   lakehouse_incremental_agg, multimodal_audio_fingerprint,
+#   join_spatial_grid and join_bloom_pruned are the displaced slots);
+#   the remainder clears over rounds 13-14 — the planner's --plan 3
+#   projects max staleness capped at 5 throughout.
 # At 274 queries / 50 slots the steady-state refresh period stays
 # ceil(274/50) - 1 = 5 rounds (the structural plateau); shrinking THAT
 # number requires a smaller registry or a larger window, not rotation
@@ -143,16 +144,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "topk_orders",
     "unpivot_price_components",
     "word_counts",
-    # --- code-change sentinel (1): the zone-map predicate window was
-    #     moved inside the corpus's shipdate span (the 1994 window
-    #     predated every shipdate, so rows_scanned/rows_matched pinned
-    #     only zeros — found by the round-12 pure-Python mirror,
-    #     tests/test_round12_thirdopinions10.py; fixed in
-    #     plans/lakehouse_queries.py, 3-SF re-verified) ---
+    # --- code-change sentinels (2): both are degenerate-predicate
+    #     windows found by the round-12 pure-Python mirror program and
+    #     moved inside the corpus's shipdate span, 3-SF re-verified:
+    #     the zone-map audit's 1994 window pinned only zeros
+    #     (tests/test_round12_thirdopinions10.py), and tpch_q6's
+    #     2021..2023 window made the aggregate SUM over an empty set —
+    #     the row's value contract pinned only NULL
+    #     (tests/test_round12_thirdopinions16.py) ---
     "lakehouse_zone_map_prune",
-    # --- then the r07 cohort, oldest-first (15 of 45 fit; the
-    #     remainder clears over rounds 13-14; join_spatial_grid is the
-    #     slot displaced by the sentinel) ---
+    "tpch_q6_forecast_revenue",
+    # --- then the r07 cohort, oldest-first (14 of 45 fit; the
+    #     remainder clears over rounds 13-14; join_spatial_grid and
+    #     join_bloom_pruned are the slots displaced by the sentinels,
+    #     both already carrying round-12 mirrors) ---
     "agg_percent_of_total",
     "ann_cosine_pq",
     "ann_lsh_recall_report",
@@ -167,7 +172,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_bfs_distances",
     "graph_sssp_weighted",
     "join_asof_nearest",
-    "join_bloom_pruned",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -118,8 +118,11 @@ def test_quantize_int8_matches_python(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("sf_dir", SFS)
-def test_kmeans_matches_serial_lloyd(spark, sf_dir):
+def serial_kmeans8(sf_dir):
+    """The full serial Lloyd trace (k=8, two updates + final assign)
+    over the quantized embeddings — shared with the SemDeDup mirror in
+    part 16. Returns (final assignment vid->cid, centroids, the sorted
+    (vid, qv) list)."""
     vecs = sorted((vid, qv) for vid, _, _, qv in _quantized(sf_dir))
     cents = [[float(v) for v in qv] for _, qv in vecs[:8]]
 
@@ -153,8 +156,12 @@ def test_kmeans_matches_serial_lloyd(spark, sf_dir):
             else old  # empty cluster keeps its previous centroid
             for cid, old in enumerate(cents)
         ]
+    return assign(cents), cents, vecs
 
-    final = assign(cents)
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_kmeans_matches_serial_lloyd(spark, sf_dir):
+    final, cents, vecs = serial_kmeans8(sf_dir)
     digests = {}
     for cid, c in enumerate(cents):
         acc = 0
