@@ -247,7 +247,8 @@ def equi_width_bin(value, lo=None, hi=None, nbins: int = 20):
                           / GREATEST((hi - lo) / 20.0, 1e-12))
                           AS INTEGER), 19) AS bin,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS total_price
         FROM orders, bounds
         GROUP BY 1
     """,
@@ -276,7 +277,9 @@ def profile_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (
+                F.sum(snap_units("o_totalprice", 100)).cast("double") / 100
+            ).alias("total_price"),
         )
     )
 

@@ -191,7 +191,9 @@ def flatmap_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)            AS sum_qty,
-               ROUND(AVG(l_extendedprice), 2)       AS avg_price,
+               CAST(ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                        AS BIGINT)) AS DOUBLE)
+                          / COUNT(*)) AS BIGINT) / 100.0 AS avg_price,
                ROUND(MIN(l_discount), 2)            AS min_disc,
                ROUND(MAX(l_tax), 2)                 AS max_tax,
                COUNT(*)                             AS n_rows
@@ -206,7 +208,13 @@ def agg_algebraic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        (
+            F.round(
+                F.sum(snap_units("l_extendedprice", 100)).cast("double")
+                / F.count("*")
+            ).cast("long")
+            / 100.0
+        ).alias("avg_price"),
         F.round(F.min("l_discount"), 2).alias("min_disc"),
         F.round(F.max("l_tax"), 2).alias("max_tax"),
         F.count("*").alias("n_rows"),
@@ -617,7 +625,9 @@ def agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "unpivot_price_components",
     oracle="""
-        SELECT component, ROUND(SUM(amount), 2) AS total
+        SELECT component,
+               CAST(SUM(CAST(ROUND(amount * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS total
         FROM (
             SELECT 'extendedprice' AS component, l_extendedprice AS amount
             FROM lineitem
@@ -647,7 +657,9 @@ def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="amount",
     )
     return long.groupBy("component").agg(
-        F.round(F.sum("amount"), 2).alias("total")
+        (
+            F.sum(snap_units(F.col("amount"), 100)).cast("double") / 100
+        ).alias("total")
     )
 
 
@@ -799,7 +811,8 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_all,
                CAST(COUNT(v) AS BIGINT) AS n_nonnull,
                ROUND(AVG(v), 4) AS avg_v,
-               ROUND(SUM(v), 2) AS sum_v
+               CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS sum_v
         FROM (SELECT c_mktsegment,
                      CASE WHEN c_acctbal < 0 THEN NULL
                           ELSE c_acctbal END AS v
@@ -823,7 +836,9 @@ def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_all"),
             F.count("v").alias("n_nonnull"),
             F.round(F.avg("v"), 4).alias("avg_v"),
-            F.round(F.sum("v"), 2).alias("sum_v"),
+            (
+                F.sum(snap_units(F.col("v"), 100)).cast("double") / 100
+            ).alias("sum_v"),
         )
     )
 

@@ -44,3 +44,52 @@ def snap_units(col: Column | str, scale: int) -> Column:
 def snap_units_sql(expr: str, scale: int) -> str:
     """DuckDB mirror of :func:`snap_units` for oracle SQL strings."""
     return f"CAST(ROUND(({expr}) * {scale}) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# TPC-H revenue discipline (round 12)
+# --------------------------------------------------------------------------
+# ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) over raw doubles is
+# the one family-wide survivor of fact (1) above: prices and discounts
+# both carry exactly 2 decimals, so the per-row revenue term is an
+# EXACT 1e-4-unit integer — cents * (100 - discount_pct) — and the sum
+# can be associativity-proof like every other money aggregate in the
+# repo. The hazard is not hypothetical: at sf0.01 the Q8 ASIA/1999
+# total is exactly 102470172.5450 — a half-cent boundary — and both
+# engines' float sums (error ~1e-1 at 1e8 magnitude over 6e4 terms)
+# landed a hair BELOW it while the exact sum rounds above; the green
+# driver rows were correlated luck, not a contract
+# (tests/test_round12_thirdopinions19.py caught it). These helpers are
+# the family-wide fix; the finisher uses fact (2): ONE ROUND-to-integer
+# over the identical exact-integer-derived double on both engines.
+
+
+def rev_e4(
+    price: Column | str = "l_extendedprice",
+    disc: Column | str = "l_discount",
+) -> Column:
+    """Exact 1e-4-unit revenue term: cents(price) * (100 - pct(disc)).
+    Per-row magnitude <= ~1e9; sum in decimal(38,0) at scale."""
+    return snap_units(price, 100) * (F.lit(100) - snap_units(disc, 100))
+
+
+def rev_e4_sql(
+    price: str = "l_extendedprice", disc: str = "l_discount"
+) -> str:
+    """DuckDB mirror of :func:`rev_e4` (kept adjacent)."""
+    return (
+        f"({snap_units_sql(price, 100)}"
+        f" * (100 - {snap_units_sql(disc, 100)}))"
+    )
+
+
+def int_round_div(s: Column, div: int) -> Column:
+    """ROUND-to-integer of an exact integer sum divided by ``div`` —
+    the fact-(2) finisher: both engines convert the same exact integer
+    to the same double and round it identically."""
+    return F.round(s.cast("double") / div).cast("long")
+
+
+def int_round_div_sql(s: str, div: int) -> str:
+    """DuckDB mirror of :func:`int_round_div` (kept adjacent)."""
+    return f"CAST(ROUND(CAST(({s}) AS DOUBLE) / {div}) AS BIGINT)"

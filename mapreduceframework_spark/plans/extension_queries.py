@@ -27,8 +27,11 @@ from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs
 @query(
     "tpch_q6_forecast_revenue",
     oracle="""
-        SELECT round(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 2)
-                   AS revenue
+        SELECT CAST(ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                        AS BIGINT)
+                                   * CAST(ROUND(l_discount * 100)
+                                          AS BIGINT)) AS DOUBLE)
+                          / 100) AS BIGINT) / 100.0 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -60,9 +63,18 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            (
+                F.round(
+                    F.sum(
+                        (
+                            snap_units("l_extendedprice", 100)
+                            * snap_units("l_discount", 100)
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / 100
+                ).cast("long")
+                / 100.0
+            ).alias("revenue")
         )
     )
 
@@ -100,7 +112,8 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_two_stage",
     oracle="""
         SELECT o_orderpriority,
-               round(SUM(o_totalprice), 4) AS revenue,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders GROUP BY o_orderpriority
     """,
@@ -119,12 +132,12 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("salt", F.pmod(F.col("o_orderkey"), F.lit(16)))
         .groupBy("o_orderpriority", "salt")
         .agg(
-            F.sum("o_totalprice").alias("rev_part"),
+            F.sum(snap_units("o_totalprice", 100)).alias("rev_part"),
             F.count("*").alias("cnt_part"),
         )
     )
     return partial.groupBy("o_orderpriority").agg(
-        F.round(F.sum("rev_part"), 4).alias("revenue"),
+        (F.sum("rev_part").cast("double") / 100).alias("revenue"),
         F.sum("cnt_part").cast("long").alias("n_orders"),
     )
 

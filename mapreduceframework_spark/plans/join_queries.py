@@ -23,6 +23,14 @@ from mapreduceframework_spark.operators.joins import (
     binned_range_join,
     range_join,
 )
+from mapreduceframework_spark.plans.exact import (
+    int_round_div,
+    int_round_div_sql,
+    rev_e4,
+    rev_e4_sql,
+    snap_units,
+    snap_units_sql,
+)
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 
@@ -194,7 +202,8 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_range_bands",
     oracle="""
-        SELECT band, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue
+        SELECT band, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
         FROM lineitem
         JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0),
                      ('high', 25.0, 40.0), ('top', 40.0, 51.0))
@@ -256,41 +265,88 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q1_pricing",
-    oracle="""
+    oracle=f"""
+        WITH c AS (
+            SELECT l_returnflag, l_linestatus,
+                   {snap_units_sql('l_quantity', 1)} AS q,
+                   {snap_units_sql('l_extendedprice', 100)} AS cents,
+                   {snap_units_sql('l_discount', 100)} AS d2,
+                   {snap_units_sql('l_tax', 100)} AS t2
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02')
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                   AS sum_charge,
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               CAST(SUM(q) AS DOUBLE) AS sum_qty,
+               CAST(SUM(cents) AS DOUBLE) / 100 AS sum_base_price,
+               {int_round_div_sql('SUM(cents * (100 - d2))', 100)}
+                   / 100.0 AS sum_disc_price,
+               {int_round_div_sql(
+                   'SUM(cents * (100 - d2) * (100 + t2))', 10000)}
+                   / 100.0 AS sum_charge,
+               CAST(ROUND(CAST(SUM(q) AS DOUBLE) * 10000 / COUNT(*))
+                    AS BIGINT) / 10000.0 AS avg_qty,
+               CAST(ROUND(CAST(SUM(cents) AS DOUBLE) * 100 / COUNT(*))
+                    AS BIGINT) / 10000.0 AS avg_price,
+               CAST(ROUND(CAST(SUM(d2) AS DOUBLE) * 100 / COUNT(*))
+                    AS BIGINT) / 10000.0 AS avg_disc,
                COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-        GROUP BY l_returnflag, l_linestatus
+        FROM c GROUP BY l_returnflag, l_linestatus
     """,
     tags=("tpch", "agg"),
     bench=True,
 )
 def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — scan-heavy aggregate; the whole plan is
-    one codegen stage + one O(groups) shuffle."""
+    one codegen stage + one O(groups) shuffle.
+
+    Round-12 exactness hardening (the Q8 half-cent-boundary find,
+    plans/exact.py): quantities/prices/discounts/taxes carry at most 2
+    decimals, so every sum here is an exact integer in 1/1e2/1e4/1e6
+    units — ROUND(SUM(double), 2) over quarter-corpus-sized groups had
+    float error comparable to the rounding grain (~0.05 at 1e8
+    magnitude), i.e. the green rows depended on both engines' float
+    sums landing the same side of a cent boundary. Averages finish as
+    ROUND-to-integer in 1e-4 units (fact 2 of the exact.py contract)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    d38 = "decimal(38,0)"
+    q = snap_units("l_quantity", 1)
+    cents = snap_units("l_extendedprice", 100)
+    d2 = snap_units("l_discount", 100)
+    t2 = snap_units("l_tax", 100)
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(q).cast("double").alias("sum_qty"),
+            (F.sum(cents).cast("double") / 100).alias("sum_base_price"),
+            (
+                int_round_div(
+                    F.sum((cents * (100 - d2)).cast(d38)), 100
+                )
+                / 100.0
+            ).alias("sum_disc_price"),
+            (
+                int_round_div(
+                    F.sum(
+                        (cents * (100 - d2) * (100 + t2)).cast(d38)
+                    ),
+                    10000,
+                )
+                / 100.0
+            ).alias("sum_charge"),
+            (
+                F.round(F.sum(q).cast("double") * 10000 / n).cast("long")
+                / 10000.0
+            ).alias("avg_qty"),
+            (
+                F.round(F.sum(cents).cast("double") * 100 / n).cast("long")
+                / 10000.0
+            ).alias("avg_price"),
+            (
+                F.round(F.sum(d2).cast("double") * 100 / n).cast("long")
+                / 10000.0
+            ).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -299,7 +355,7 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping",
     oracle="""
         SELECT o_orderkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -330,8 +386,11 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("o_orderkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                int_round_div(
+                    F.sum(rev_e4().cast("decimal(38,0)")), 100
+                )
+                / 100.0
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -343,7 +402,7 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_volume",
     oracle="""
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -380,8 +439,11 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                int_round_div(
+                    F.sum(rev_e4().cast("decimal(38,0)")), 100
+                )
+                / 100.0
             ).alias("revenue")
         )
     )
@@ -391,7 +453,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_revenue",
     oracle="""
         SELECT c.c_custkey, c.c_name,
-               round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               CAST(SUM((CAST(ROUND((l.l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l.l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 10000.0
                    AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -418,8 +480,10 @@ def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # Exact: the e4 integer sum IS the 4-decimal value.
+            (
+                F.sum(rev_e4().cast("decimal(38,0)")).cast("double")
+                / 10000.0
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -490,7 +554,8 @@ def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_skew",
     oracle="""
         SELECT s.s_name,
-               round(SUM(l.l_extendedprice), 4) AS revenue,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY s.s_name
@@ -521,7 +586,10 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(sup, (F.col("l_suppkey") == F.col("s_suppkey")) & (li["salt"] == sup["salt"]))
         .groupBy("s_name")
         .agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            (
+                F.sum(snap_units("l_extendedprice", 100)).cast("double")
+                / 100
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -540,7 +608,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(s_suppkey IN (SELECT l_suppkey FROM hot) AS INT)
                    AS is_hot,
                CAST(COUNT(*) AS BIGINT) AS n_items,
-               round(SUM(l.l_extendedprice), 4) AS revenue
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY s_name, is_hot
     """,
@@ -603,7 +672,10 @@ def join_skew_two_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            (
+                F.sum(snap_units("l_extendedprice", 100)).cast("double")
+                / 100
+            ).alias("revenue"),
         )
     )
 
@@ -614,7 +686,7 @@ def join_skew_two_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT i AS band_id,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(l_extendedprice), 2) AS revenue
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
         FROM range(0, 204) t(i)
         JOIN lineitem
           ON l_quantity >= i * 0.25 AND l_quantity < i * 0.25 + 0.75
@@ -643,7 +715,9 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band_id").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        (
+            F.sum(snap_units("l_extendedprice", 100)).cast("double") / 100
+        ).alias("revenue"),
     )
 
 
@@ -703,8 +777,8 @@ def join_asof_forward_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
                CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-               round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE),
-                     2) AS revenue
+               CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT)
+                   / 100.0 AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
           AND o_orderdate >= TIMESTAMP '1995-01-01'
@@ -774,8 +848,9 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
     ).agg(
         F.count("*").alias("n_lineitems"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        (
+            int_round_div(F.sum(rev_e4().cast("decimal(38,0)")), 100)
+            / 100.0
         ).alias("revenue"),
     )
 

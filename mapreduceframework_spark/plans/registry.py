@@ -81,8 +81,8 @@ def query(
 # displacing one r07 refresh slot; the round's docstring-claim audit
 # found zero deviations, but the third-opinion program found TWO
 # degenerate value contracts — the zone-map and tpch_q6 predicate
-# windows — whose fixes take code-change sentinel slots),
-# 2 + 32 + 2 + 14 = 50:
+# windows — plus the TPC-H money-sum float fragility, whose fixes take
+# code-change sentinel slots), 2 + 32 + 4 + 12 = 50:
 # - 2 never-driver-checked rows: streaming_checkpoint_restart (state
 #   and offset recovery across a real query restart, both pinned as
 #   value-checked columns) and sketch_kll_merge_invariance (the
@@ -90,14 +90,17 @@ def query(
 # - 32 stalest greens: the ENTIRE r06 cohort (5 rounds stale — the
 #   r11 verdict's named highest-leverage block, enumerated by
 #   tools/window_planner.py);
-# - 2 code-change sentinels: lakehouse_zone_map_prune and
-#   tpch_q6_forecast_revenue (see the marker below);
-# - 14 next-stalest: the head of the 45-row r07 cohort alphabetical-
-#   first per the planner (agg_percent_of_total .. join_asof_nearest;
+# - 4 code-change sentinels: lakehouse_zone_map_prune,
+#   tpch_q6_forecast_revenue, tpch_q1_pricing, tpch_q8_market_share
+#   (see the marker below);
+# - 12 next-stalest: the head of the 45-row r07 cohort alphabetical-
+#   first per the planner (agg_percent_of_total .. graph_bfs_distances;
 #   lakehouse_incremental_agg, multimodal_audio_fingerprint,
-#   join_spatial_grid and join_bloom_pruned are the displaced slots);
-#   the remainder clears over rounds 13-14 — the planner's --plan 3
-#   projects max staleness capped at 5 throughout.
+#   join_spatial_grid, join_bloom_pruned, join_asof_nearest and
+#   graph_sssp_weighted are the displaced slots — every displaced row
+#   carries a round-11/12 engine-independent mirror); the remainder
+#   clears over rounds 13-14 — round 13 should LEAD with the displaced
+#   rows plus the r07 remainder.
 # At 274 queries / 50 slots the steady-state refresh period stays
 # ceil(274/50) - 1 = 5 rounds (the structural plateau); shrinking THAT
 # number requires a smaller registry or a larger window, not rotation
@@ -144,20 +147,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "topk_orders",
     "unpivot_price_components",
     "word_counts",
-    # --- code-change sentinels (2): both are degenerate-predicate
-    #     windows found by the round-12 pure-Python mirror program and
-    #     moved inside the corpus's shipdate span, 3-SF re-verified:
-    #     the zone-map audit's 1994 window pinned only zeros
-    #     (tests/test_round12_thirdopinions10.py), and tpch_q6's
-    #     2021..2023 window made the aggregate SUM over an empty set —
-    #     the row's value contract pinned only NULL
-    #     (tests/test_round12_thirdopinions16.py) ---
+    # --- code-change sentinels (4): all found by the round-12
+    #     pure-Python mirror program, 3-SF re-verified:
+    #     (a) two degenerate-predicate windows moved inside the
+    #     corpus's shipdate span — the zone-map audit's 1994 window
+    #     pinned only zeros (tests/test_round12_thirdopinions10.py)
+    #     and tpch_q6's 2021..2023 window pinned only NULL
+    #     (tests/test_round12_thirdopinions16.py);
+    #     (b) the TPC-H money-sum family converted to exact e4 integer
+    #     sums (plans/exact.py rev_e4) after the Q8 ASIA/1999 total
+    #     proved to be EXACTLY a half-cent boundary (102470172.5450)
+    #     that both engines' float sums were crossing only by
+    #     correlated luck — q1 (largest groups) and q8 (the measured
+    #     boundary) represent the 25-row conversion in the window;
+    #     every converted row was individually re-verified at
+    #     sf0.001/0.01/0.1 and carries an exact-integer mirror ---
     "lakehouse_zone_map_prune",
     "tpch_q6_forecast_revenue",
-    # --- then the r07 cohort, oldest-first (14 of 45 fit; the
-    #     remainder clears over rounds 13-14; join_spatial_grid and
-    #     join_bloom_pruned are the slots displaced by the sentinels,
-    #     both already carrying round-12 mirrors) ---
+    "tpch_q1_pricing",
+    "tpch_q8_market_share",
+    # --- then the r07 cohort, oldest-first (12 of 45 fit; the
+    #     remainder clears over rounds 13-14) ---
     "agg_percent_of_total",
     "ann_cosine_pq",
     "ann_lsh_recall_report",
@@ -170,8 +180,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "feature_target_encode_loo",
     "feature_winsorize",
     "graph_bfs_distances",
-    "graph_sssp_weighted",
-    "join_asof_nearest",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -29,6 +29,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduceframework_spark.plans.exact import (
+    int_round_div,
+    int_round_div_sql,
+    rev_e4,
+    rev_e4_sql,
+    snap_units,
+    snap_units_sql,
+)
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table, register_views
 
@@ -38,7 +46,7 @@ from mapreduceframework_spark.sources import load_table, register_views
     oracle="""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -79,8 +87,11 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                int_round_div(
+                    F.sum(rev_e4().cast("decimal(38,0)")), 100
+                )
+                / 100.0
             ).alias("revenue")
         )
     )
@@ -91,11 +102,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH vol AS (
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   ROUND(SUM(CASE WHEN n1.n_nationkey = 2
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END), 2) AS nation_vol,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS total_vol
+                   CAST(ROUND(CAST(SUM(CASE WHEN n1.n_nationkey = 2 THEN (CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT))) ELSE 0 END) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS nation_vol,
+                   CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS total_vol
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -128,7 +136,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(
         F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = rev_e4().cast("decimal(38,0)")
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -138,10 +146,18 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("rk2") == r.r_regionkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nk1") == 2, vol).otherwise(F.lit(0))), 2
+            (
+                int_round_div(
+                    F.sum(
+                        F.when(F.col("nk1") == 2, vol).otherwise(
+                            F.lit(0).cast("decimal(38,0)")
+                        )
+                    ),
+                    100,
+                )
+                / 100.0
             ).alias("nation_vol"),
-            F.round(F.sum(vol), 2).alias("total_vol"),
+            (int_round_div(F.sum(vol), 100) / 100.0).alias("total_vol"),
         )
     )
     return agg.select(
@@ -158,8 +174,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)
-                         - 0.1 * p_retailprice * l_quantity), 2) AS profit
+               CAST(ROUND(CAST(SUM(((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT))) - CAST(ROUND((p_retailprice) * 100) AS BIGINT) * CAST(ROUND((l_quantity) * 1) AS BIGINT) * 10)) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -180,10 +195,14 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
+    # Exact e4 units: cents*(100-d2) - retail_cents*qty*10 (the 0.1
+    # factor is retail_cents*10 in e4 units; quantities are integer).
     profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
-    )
+        rev_e4()
+        - snap_units("p_retailprice", 100)
+        * snap_units("l_quantity", 1)
+        * 10
+    ).cast("decimal(38,0)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -193,7 +212,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(
+            (int_round_div(F.sum(profit), 100) / 100.0).alias("profit")
+        )
     )
 
 
@@ -201,10 +222,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q14_promo_revenue",
     oracle="""
         WITH s AS (
-            SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END), 2) AS promo,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
+            SELECT CAST(ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN (CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT))) ELSE 0 END) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS promo,
+                   CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS total
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate <  TIMESTAMP '1997-02-01')
@@ -221,14 +240,22 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-02-01")))
     )
     p = load_table(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = rev_e4().cast("decimal(38,0)")
     s = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0)), 2
+            (
+                int_round_div(
+                    F.sum(
+                        F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                            F.lit(0).cast("decimal(38,0)")
+                        )
+                    ),
+                    100,
+                )
+                / 100.0
             ).alias("promo"),
-            F.round(F.sum(vol), 2).alias("total"),
+            (int_round_div(F.sum(vol), 100) / 100.0).alias("total"),
         )
     )
     return s.select(
@@ -275,7 +302,9 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q17_small_qty_revenue",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice), 2) / 7.0 AS avg_yearly
+SELECT CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            AS DECIMAL(38,0))) AS DOUBLE) / 100 / 7.0
+                   AS avg_yearly
         FROM lineitem l
         WHERE l.l_quantity <
               (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
@@ -293,7 +322,9 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT ROUND(SUM(l_extendedprice), 2) / 7.0 AS avg_yearly
+SELECT CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            AS DECIMAL(38,0))) AS DOUBLE) / 100 / 7.0
+                   AS avg_yearly
         FROM lineitem l
         WHERE l.l_quantity <
               (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
@@ -356,7 +387,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q19_disjunctive",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -395,8 +426,9 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(branch).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        (
+            int_round_div(F.sum(rev_e4().cast("decimal(38,0)")), 100)
+            / 100.0
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
@@ -407,7 +439,8 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_nationkey,
                CAST(COUNT(*) AS BIGINT) AS n_cust,
-               ROUND(SUM(c_acctbal), 2) AS total_bal
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS total_bal
         FROM customer c
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                            WHERE c_acctbal > 0)
@@ -429,7 +462,8 @@ def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_nationkey,
                COUNT(*) AS n_cust,
-               ROUND(SUM(c_acctbal), 2) AS total_bal
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS total_bal
         FROM customer c
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                            WHERE c_acctbal > 0)
@@ -574,7 +608,7 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT l_suppkey,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0
                        AS total_rev
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -597,8 +631,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        (
+            int_round_div(F.sum(rev_e4().cast("decimal(38,0)")), 100)
+            / 100.0
         ).alias("total_rev")
     )
     max_rev = rev.agg(F.max("total_rev").alias("m"))
@@ -723,14 +758,16 @@ def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH val AS (
             SELECT l_partkey,
-                   ROUND(SUM(l_extendedprice), 2) AS part_value
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS pv_cents
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             WHERE s_nationkey = 7
             GROUP BY l_partkey)
-        SELECT l_partkey, part_value
+        SELECT l_partkey, CAST(pv_cents AS DOUBLE) / 100 AS part_value
         FROM val
-        WHERE part_value > (SELECT ROUND(SUM(part_value), 2) * 0.001
-                            FROM val)
+        WHERE CAST(pv_cents AS DOUBLE) / 100
+              > (SELECT CAST(SUM(pv_cents) AS DOUBLE) / 100 * 0.001
+                 FROM val)
     """,
     tags=("tpch", "subquery", "agg"),
 )
@@ -748,15 +785,22 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+        .agg(
+            F.sum(snap_units("l_extendedprice", 100))
+            .cast("long")
+            .alias("pv_cents")
+        )
     )
     threshold = val.agg(
-        (F.round(F.sum("part_value"), 2) * 0.001).alias("thresh")
+        (F.sum("pv_cents").cast("double") / 100 * 0.001).alias("thresh")
     )
     return (
         val.join(F.broadcast(threshold))
-        .filter(F.col("part_value") > F.col("thresh"))
-        .select("l_partkey", "part_value")
+        .filter(F.col("pv_cents").cast("double") / 100 > F.col("thresh"))
+        .select(
+            "l_partkey",
+            (F.col("pv_cents").cast("double") / 100).alias("part_value"),
+        )
     )
 
 

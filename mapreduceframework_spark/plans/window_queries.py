@@ -199,7 +199,8 @@ def window_rank_dense_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_extendedprice), 2) AS revenue,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue,
                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
         FROM lineitem
@@ -212,7 +213,9 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark expands to a single Expand+Aggregate, still O(groups) shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        (
+            F.sum(snap_units("l_extendedprice", 100)).cast("double") / 100
+        ).alias("revenue"),
         F.grouping("l_returnflag").cast("long").alias("g_flag"),
         F.grouping("l_linestatus").cast("long").alias("g_status"),
     )

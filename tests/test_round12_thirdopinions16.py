@@ -141,7 +141,9 @@ def test_tpch_q1_matches_python_fsum(spark, sf_dir):
                  "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
     )
     cut = datetime.datetime(2000, 9, 2)
-    g: dict[tuple, list] = defaultdict(lambda: [[], [], [], [], []])
+    # The round-12 hardened exact contract (plans/exact.py): integer
+    # sums in 1/1e2/1e4/1e6 units with ROUND-to-integer finishers.
+    g: dict[tuple, list] = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
     for fl, st, q, p, d, tx, sd in zip(
         t["l_returnflag"].to_pylist(),
         t["l_linestatus"].to_pylist(),
@@ -154,22 +156,29 @@ def test_tpch_q1_matches_python_fsum(spark, sf_dir):
         if sd > cut:
             continue
         c = g[(fl, st)]
-        c[0].append(q)
-        c[1].append(p)
-        c[2].append(p * (1 - d))
-        c[3].append(p * (1 - d) * (1 + tx))
-        c[4].append(d)
+        cents = int(round_half_up(p * 100, 0))
+        d2 = int(round_half_up(d * 100, 0))
+        t2 = int(round_half_up(tx * 100, 0))
+        c[0] += int(round_half_up(q, 0))
+        c[1] += cents
+        c[2] += cents * (100 - d2)
+        c[3] += cents * (100 - d2) * (100 + t2)
+        c[4] += d2
+        c[5] += 1
+
+    def ird(s, div):
+        return int(round_half_up(float(s) / div, 0))
+
     want = {}
-    for k, (qs, ps, dps, chs, ds) in g.items():
-        n = len(qs)
+    for k, (sq, sc, se4, se6, sd2, n) in g.items():
         want[k] = (
-            round_half_up(math.fsum(qs), 2),
-            round_half_up(math.fsum(ps), 2),
-            round_half_up(math.fsum(dps), 2),
-            round_half_up(math.fsum(chs), 2),
-            round_half_up(math.fsum(qs) / n, 4),
-            round_half_up(math.fsum(ps) / n, 4),
-            round_half_up(math.fsum(ds) / n, 4),
+            float(sq),
+            float(sc) / 100,
+            ird(se4, 100) / 100.0,
+            ird(se6, 10000) / 100.0,
+            ird(float(sq) * 10000 / n, 1) / 10000.0,
+            ird(float(sc) * 100 / n, 1) / 10000.0,
+            ird(float(sd2) * 100 / n, 1) / 10000.0,
             n,
         )
     out = REGISTRY["tpch_q1_pricing"].fn(spark, sf_dir).collect()
@@ -196,7 +205,7 @@ def test_tpch_q6_matches_python_fsum(spark, sf_dir):
     lo = datetime.datetime(1997, 1, 1)
     hi = datetime.datetime(1998, 1, 1)
     terms = [
-        p * d
+        int(round_half_up(p * 100, 0)) * int(round_half_up(d * 100, 0))
         for sd, d, q, p in zip(
             t["l_shipdate"].to_pylist(),
             t["l_discount"].to_pylist(),
@@ -205,7 +214,7 @@ def test_tpch_q6_matches_python_fsum(spark, sf_dir):
         )
         if lo <= sd < hi and 0.02 <= d <= 0.09 and q < 24
     ]
-    want = round_half_up(math.fsum(terms), 2)
+    want = int(round_half_up(float(sum(terms)) / 100.0, 0)) / 100.0
     out = REGISTRY["tpch_q6_forecast_revenue"].fn(spark, sf_dir).collect()
     assert len(out) == 1 and out[0]["revenue"] == want
     assert len(terms) > 0  # the filter selects something at every SF
