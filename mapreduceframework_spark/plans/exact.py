@@ -84,12 +84,32 @@ def rev_e4_sql(
 
 
 def int_round_div(s: Column, div: int) -> Column:
-    """ROUND-to-integer of an exact integer sum divided by ``div`` —
-    the fact-(2) finisher: both engines convert the same exact integer
-    to the same double and round it identically."""
-    return F.round(s.cast("double") / div).cast("long")
+    """Half-up-away-from-zero division of an exact integer sum by
+    ``div``, computed ENTIRELY in the integer/decimal domain:
+    sign(s) * ((|s| + div/2) div_trunc div).
+
+    Why not ROUND(s::DOUBLE / div): a decimal(38,0) sum passes 2^53
+    (tpch_q1's e-6-unit sum_charge is ~1.2e16 at sf0.1 already), where
+    Spark's correctly-rounded BigDecimal->double and DuckDB's
+    two-rounding HUGEINT->double conversions can differ by 1 ulp —
+    the same cent-boundary class rev_e4 exists to kill (round-12
+    self-review finding). With |s| both operands are non-negative, so
+    Spark's truncating `div` and DuckDB's flooring `//` agree exactly
+    at any magnitude. ``div`` must be even and positive."""
+    mag = F.abs(s) + F.lit(div // 2).cast("decimal(38,0)")
+    # Decimal division keeps >= 6 fractional digits, and the true
+    # quotient here has at most len(str(div)) of them — so the decimal
+    # quotient is EXACT and floor == truncation on the non-negative
+    # magnitude.
+    trunc = F.floor(mag / F.lit(div)).cast("long")
+    return F.when(s < 0, -trunc).otherwise(trunc)
 
 
 def int_round_div_sql(s: str, div: int) -> str:
-    """DuckDB mirror of :func:`int_round_div` (kept adjacent)."""
-    return f"CAST(ROUND(CAST(({s}) AS DOUBLE) / {div}) AS BIGINT)"
+    """DuckDB mirror of :func:`int_round_div` (kept adjacent):
+    HUGEINT `//` on the non-negative magnitude, sign re-applied."""
+    mag = f"(abs({s}) + {div // 2})"
+    return (
+        f"(CASE WHEN ({s}) < 0 THEN -CAST(({mag}) // {div} AS BIGINT) "
+        f"ELSE CAST(({mag}) // {div} AS BIGINT) END)"
+    )

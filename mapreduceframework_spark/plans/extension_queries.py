@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
+from mapreduceframework_spark.plans.exact import (
+    int_round_div,
+    int_round_div_sql,
+    snap_units,
+    snap_units_sql,
+)
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs
@@ -26,12 +31,11 @@ from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs
 
 @query(
     "tpch_q6_forecast_revenue",
-    oracle="""
-        SELECT CAST(ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100)
-                                        AS BIGINT)
-                                   * CAST(ROUND(l_discount * 100)
-                                          AS BIGINT)) AS DOUBLE)
-                          / 100) AS BIGINT) / 100.0 AS revenue
+    oracle=f"""
+        SELECT {int_round_div_sql(
+            'SUM(' + snap_units_sql('l_extendedprice', 100)
+            + ' * ' + snap_units_sql('l_discount', 100) + ')', 100)}
+                   / 100.0 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -45,8 +49,9 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: highly selective scan-side filters + single
     global aggregate. Every predicate is pushed into the parquet reader
     (PushedFilters on l_shipdate/l_discount/l_quantity), so at 100 TB
-    row groups outside the date range never leave storage. Result
-    rounded to 2 on both sides (cross-partition summation order).
+    row groups outside the date range never leave storage. Revenue is
+    the exact e4 integer sum cents*d2 finished with the integer-domain
+    int_round_div (the round-12 money-sum discipline).
 
     The window is Q6's canonical ONE-YEAR slice placed inside this
     corpus's shipdate span (1995-01..2001-11): the original 2021..2023
@@ -64,15 +69,15 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
-                F.round(
+                int_round_div(
                     F.sum(
                         (
                             snap_units("l_extendedprice", 100)
                             * snap_units("l_discount", 100)
                         ).cast("decimal(38,0)")
-                    ).cast("double")
-                    / 100
-                ).cast("long")
+                    ),
+                    100,
+                )
                 / 100.0
             ).alias("revenue")
         )

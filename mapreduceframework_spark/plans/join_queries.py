@@ -225,7 +225,12 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(li, bands, F.col("l_quantity"), F.col("lo"), F.col("hi"))
     return joined.groupBy("band").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        # Exact cents like the rest of the money-sum family — the
+        # round-12 self-review caught this one row still float-summing
+        # against its already-exact oracle (masked at small SF).
+        (
+            F.sum(snap_units("l_extendedprice", 100)).cast("double") / 100
+        ).alias("revenue"),
     )
 
 
@@ -353,9 +358,10 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q3_shipping",
-    oracle="""
+    oracle=f"""
         SELECT o_orderkey,
-               CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS revenue
+               {int_round_div_sql('SUM(' + rev_e4_sql() + ')', 100)}
+                   / 100.0 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -400,9 +406,10 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q5_local_volume",
-    oracle="""
+    oracle=f"""
         SELECT n_name,
-               CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS revenue
+               {int_round_div_sql('SUM(' + rev_e4_sql() + ')', 100)}
+                   / 100.0 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -451,10 +458,10 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q10_returned_revenue",
-    oracle="""
+    oracle=f"""
         SELECT c.c_custkey, c.c_name,
-               CAST(SUM((CAST(ROUND((l.l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l.l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 10000.0
-                   AS revenue
+               CAST(SUM({rev_e4_sql('l.l_extendedprice', 'l.l_discount')}) AS DOUBLE)
+                   / 10000.0 AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -774,10 +781,10 @@ def join_asof_forward_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_bloom_pruned",
-    oracle="""
+    oracle=f"""
         SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
                CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-               CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT)
+               {int_round_div_sql('SUM(' + rev_e4_sql() + ')', 100)}
                    / 100.0 AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'

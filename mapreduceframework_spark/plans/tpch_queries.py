@@ -43,10 +43,11 @@ from mapreduceframework_spark.sources import load_table, register_views
 
 @query(
     "tpch_q7_nation_volume",
-    oracle="""
+    oracle=f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS revenue
+               {int_round_div_sql('SUM(' + rev_e4_sql() + ')', 100)}
+                   / 100.0 AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -99,11 +100,13 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q8_market_share",
-    oracle="""
+    oracle=f"""
         WITH vol AS (
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   CAST(ROUND(CAST(SUM(CASE WHEN n1.n_nationkey = 2 THEN (CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT))) ELSE 0 END) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS nation_vol,
-                   CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS total_vol
+                   {int_round_div_sql('SUM(CASE WHEN n1.n_nationkey = 2 THEN ' + rev_e4_sql() + ' ELSE 0 END)', 100)}
+                       / 100.0 AS nation_vol,
+                   {int_round_div_sql('SUM(' + rev_e4_sql() + ')', 100)}
+                       / 100.0 AS total_vol
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -171,10 +174,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q9_product_profit",
     bench=True,
-    oracle="""
+    oracle=f"""
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               CAST(ROUND(CAST(SUM(((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT))) - CAST(ROUND((p_retailprice) * 100) AS BIGINT) * CAST(ROUND((l_quantity) * 1) AS BIGINT) * 10)) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS profit
+               {int_round_div_sql('SUM((' + rev_e4_sql() + ' - ' + snap_units_sql('p_retailprice', 100) + ' * ' + snap_units_sql('l_quantity', 1) + ' * 10))', 100)}
+                   / 100.0 AS profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -220,10 +224,12 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q14_promo_revenue",
-    oracle="""
+    oracle=f"""
         WITH s AS (
-            SELECT CAST(ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN (CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT))) ELSE 0 END) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS promo,
-                   CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS total
+            SELECT {int_round_div_sql("SUM(CASE WHEN p_type = 'PROMO' THEN " + rev_e4_sql() + " ELSE 0 END)", 100)}
+                       / 100.0 AS promo,
+                   {int_round_div_sql('SUM(' + rev_e4_sql() + ')', 100)}
+                       / 100.0 AS total
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate <  TIMESTAMP '1997-02-01')
@@ -386,8 +392,9 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q19_disjunctive",
-    oracle="""
-        SELECT CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0 AS revenue,
+    oracle=f"""
+        SELECT {int_round_div_sql('SUM(' + rev_e4_sql() + ')', 100)}
+                   / 100.0 AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -605,10 +612,10 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q15_top_supplier",
-    oracle="""
+    oracle=f"""
         WITH rev AS (
             SELECT l_suppkey,
-                   CAST(ROUND(CAST(SUM((CAST(ROUND((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))) AS DOUBLE) / 100) AS BIGINT) / 100.0
+                   {int_round_div_sql('SUM(' + rev_e4_sql() + ')', 100)} / 100.0
                        AS total_rev
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'

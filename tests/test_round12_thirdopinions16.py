@@ -166,7 +166,13 @@ def test_tpch_q1_matches_python_fsum(spark, sf_dir):
         c[4] += d2
         c[5] += 1
 
+    def ihalf(s, div):
+        # integer-domain half-up (plans/exact.py int_round_div)
+        q = (abs(s) + div // 2) // div
+        return -q if s < 0 else q
+
     def ird(s, div):
+        # ROUND(double) replay for the mean finishers
         return int(round_half_up(float(s) / div, 0))
 
     want = {}
@@ -174,8 +180,8 @@ def test_tpch_q1_matches_python_fsum(spark, sf_dir):
         want[k] = (
             float(sq),
             float(sc) / 100,
-            ird(se4, 100) / 100.0,
-            ird(se6, 10000) / 100.0,
+            ihalf(se4, 100) / 100.0,
+            ihalf(se6, 10000) / 100.0,
             ird(float(sq) * 10000 / n, 1) / 10000.0,
             ird(float(sc) * 100 / n, 1) / 10000.0,
             ird(float(sd2) * 100 / n, 1) / 10000.0,
@@ -214,7 +220,7 @@ def test_tpch_q6_matches_python_fsum(spark, sf_dir):
         )
         if lo <= sd < hi and 0.02 <= d <= 0.09 and q < 24
     ]
-    want = int(round_half_up(float(sum(terms)) / 100.0, 0)) / 100.0
+    want = (abs(sum(terms)) + 50) // 100 / 100.0
     out = REGISTRY["tpch_q6_forecast_revenue"].fn(spark, sf_dir).collect()
     assert len(out) == 1 and out[0]["revenue"] == want
     assert len(terms) > 0  # the filter selects something at every SF

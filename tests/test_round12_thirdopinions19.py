@@ -57,8 +57,10 @@ def _rev4(p: float, d: float) -> int:
 
 
 def _fin2(se4: int) -> float:
-    """int_round_div(s, 100) / 100.0 replayed."""
-    return int(round_half_up(float(se4) / 100.0, 0)) / 100.0
+    """int_round_div(s, 100) / 100.0 replayed — integer-domain
+    half-up away from zero, exact at any magnitude."""
+    q = (abs(se4) + 50) // 100
+    return (-q if se4 < 0 else q) / 100.0
 
 
 @pytest.mark.parametrize("sf_dir", SFS)
@@ -472,9 +474,6 @@ def test_q17_q18_q19_quantity_shapes(spark, sf_dir):
     assert small
 
     # Q18
-    qty_per_order: dict[int, float] = defaultdict(float)
-    for ok, pk, q, pr, d in li:
-        qty_per_order[ok] += 0  # placeholder; exact below
     qsum: dict[int, list[float]] = defaultdict(list)
     for ok, pk, q, pr, d in li:
         qsum[ok].append(q)
@@ -551,10 +550,6 @@ def test_q20_q21_q22_exists_shapes(spark, sf_dir):
     nat_name = dict(nn)
 
     # Q20
-    qty_sp: dict[tuple[int, int], float] = defaultdict(float)
-    for ok, pk, sk, q, sd in li:
-        if pk in red_parts:
-            qty_sp[(sk, pk)] += 0  # exact below
     qlists: dict[tuple[int, int], list[float]] = defaultdict(list)
     for ok, pk, sk, q, sd in li:
         if pk in red_parts:
