@@ -95,7 +95,10 @@ def int_round_div(s: Column, div: int) -> Column:
     the same cent-boundary class rev_e4 exists to kill (round-12
     self-review finding). With |s| both operands are non-negative, so
     Spark's truncating `div` and DuckDB's flooring `//` agree exactly
-    at any magnitude. ``div`` must be even and positive."""
+    at any magnitude. ``div`` must be even and positive. Domain: the
+    QUOTIENT must fit BIGINT (|s|/div < 2^63) — at 100 TB TPC-H the
+    largest e4 revenue sum is ~2e20, quotient ~2e18, inside the bound;
+    the boundary itself is pinned in tests/test_round12_semantics2.py."""
     mag = F.abs(s) + F.lit(div // 2).cast("decimal(38,0)")
     # Decimal division keeps >= 6 fractional digits, and the true
     # quotient here has at most len(str(div)) of them — so the decimal
