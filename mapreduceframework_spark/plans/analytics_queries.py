@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduceframework_spark.operators.bucketscan import earlier_bucket_agg
-from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
+from mapreduceframework_spark.plans.exact import (
+    bigint_sum_sql,
+    snap_units,
+    snap_units_sql,
+)
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 
@@ -238,7 +242,7 @@ def equi_width_bin(value, lo=None, hi=None, nbins: int = 20):
 
 @query(
     "profile_numeric_histogram",
-    oracle="""
+    oracle=f"""
         WITH bounds AS (
             SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
             FROM orders
@@ -247,8 +251,8 @@ def equi_width_bin(value, lo=None, hi=None, nbins: int = 20):
                           / GREATEST((hi - lo) / 20.0, 1e-12))
                           AS INTEGER), 19) AS bin,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                    AS DOUBLE) / 100 AS total_price
+               {bigint_sum_sql(snap_units_sql('o_totalprice', 100))}
+                   / 100 AS total_price
         FROM orders, bounds
         GROUP BY 1
     """,

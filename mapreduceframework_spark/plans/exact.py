@@ -116,3 +116,64 @@ def int_round_div_sql(s: str, div: int) -> str:
         f"(CASE WHEN ({s}) < 0 THEN -CAST(({mag}) // {div} AS BIGINT) "
         f"ELSE CAST(({mag}) // {div} AS BIGINT) END)"
     )
+
+
+def int_round_mean(s: Column, mult: int, n: Column) -> Column:
+    """Half-up mean finisher with a COLUMN divisor, entirely in the
+    exact decimal domain: ROUND(s * mult / n) for s >= 0, n >= 1 as
+    the integer (2*mult*s + n) // (2*n).
+
+    Round-13 closure of the last double-domain finisher class (ADVICE
+    r13): group means previously finished as ROUND(CAST(SUM AS DOUBLE)
+    * mult / n) — the >2^53 int-to-double 1-ulp cross-engine class that
+    :func:`int_round_div` was rewritten to kill, resurfacing through
+    the division's double domain (q1's cent sum passes 2^53 near
+    SF 4,000; a 1-ulp flip at a .5 boundary moves the rounded mean).
+
+    ``int_round_div`` can't express this: its divisor is a literal,
+    but a mean divides by COUNT(*). The half-up identity
+    ROUND(a/b) = (2a + b) // (2b) (a, b >= 0) removes the .5 constant
+    instead of adding it, so no parity constraint on the divisor.
+
+    Exactness of the Spark side: decimal division rounds to scale 6,
+    so ``floor(num / den)`` alone would be wrong within 5e-7 of an
+    integer (reachable once n > 5e5 — sf0.1's largest q1 group is
+    already 1.5e5 rows). Instead subtract the remainder first:
+    ``(num - pmod(num, den)) / den`` is an exact multiple, its decimal
+    quotient is an integer with 6 zero fraction digits — exact at any
+    magnitude that fits decimal(38,.). Domain: s*2*mult < 1e38 (at
+    100 TB TPC-H the e2 cent sum is ~6e17, * 2e4 = 1.2e22) and the
+    mean itself fits BIGINT (it's a per-row-scale value; trivially).
+
+    Non-negative inputs only — every mean this finishes sums a
+    non-negative measure (quantities, cents, discount pcts)."""
+    d38 = "decimal(38,0)"
+    num = (s.cast(d38) * F.lit(2 * mult).cast(d38)) + n.cast(d38)
+    den = n.cast(d38) * F.lit(2).cast(d38)
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def int_round_mean_sql(s: str, mult: int, n: str = "COUNT(*)") -> str:
+    """DuckDB mirror of :func:`int_round_mean` (kept adjacent):
+    HUGEINT arithmetic throughout, flooring ``//`` — floor == the
+    identity's truncation on the non-negative operands. Both operands
+    are cast to HUGEINT explicitly so no INTERMEDIATE product/double
+    can overflow a narrower inferred literal type (a bare INT32 ``n``
+    overflows ``2 * n`` at 2^30 — caught by the r13 fuzz pin)."""
+    return (
+        f"CAST((2 * {mult} * CAST({s} AS HUGEINT) + {n})"
+        f" // (2 * CAST({n} AS HUGEINT)) AS BIGINT)"
+    )
+
+
+def bigint_sum_sql(expr: str) -> str:
+    """``CAST(CAST(SUM(expr) AS BIGINT) AS DOUBLE)`` — the display-sum
+    narrowing (ADVICE r13): DuckDB widens SUM(BIGINT) to HUGEINT, and
+    its HUGEINT->double conversion composes two roundings while
+    Spark's long->double is one hardware CVTSI2SD — past 2^53 the two
+    may differ by 1 ulp, breaking the exact bag-hash compare. Forcing
+    the sum through BIGINT first makes BOTH engines perform the same
+    single correctly-rounded int64->double conversion, exact-identical
+    at any magnitude that fits int64 (e2 cent sums wrap near
+    SF 1.6e6 ~ 1.6 PB — beyond the 100 TB design point)."""
+    return f"CAST(CAST(SUM({expr}) AS BIGINT) AS DOUBLE)"

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceframework_spark.plans.exact import (
+    bigint_sum_sql,
     int_round_div,
     int_round_div_sql,
     snap_units,
@@ -115,10 +116,10 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_salted_two_stage",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                    AS DOUBLE) / 100 AS revenue,
+               {bigint_sum_sql(snap_units_sql('o_totalprice', 100))}
+                   / 100 AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders GROUP BY o_orderpriority
     """,
@@ -165,7 +166,13 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order — no rounding tolerance needed, unlike double sums
     (the reference has no numeric types at all; this is the engine's
     answer for financial aggregation at scale). Cast to DOUBLE only at
-    the very end, once, identically on both sides."""
+    the very end, once, identically on both sides.
+
+    KNOWN BOUND (r13 audit, conversion scheduled r14 with a window
+    slot): the final decimal->double casts act on corpus-wide group
+    sums; past 2^53 (~SF 4e3 for the e2 sum) Spark's BigDecimal
+    conversion and DuckDB's int128-scaled conversion may differ by
+    1 ulp — the exact.py bigint_sum_sql narrowing closes it."""
     orders = load_table(spark, sf_dir, "orders")
     price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     return orders.groupBy("o_orderstatus").agg(

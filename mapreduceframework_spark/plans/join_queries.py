@@ -24,8 +24,11 @@ from mapreduceframework_spark.operators.joins import (
     range_join,
 )
 from mapreduceframework_spark.plans.exact import (
+    bigint_sum_sql,
     int_round_div,
     int_round_div_sql,
+    int_round_mean,
+    int_round_mean_sql,
     rev_e4,
     rev_e4_sql,
     snap_units,
@@ -201,9 +204,10 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range_bands",
-    oracle="""
+    oracle=f"""
         SELECT band, COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+               {bigint_sum_sql(snap_units_sql('l_extendedprice', 100))}
+                   / 100 AS revenue
         FROM lineitem
         JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0),
                      ('high', 25.0, 40.0), ('top', 40.0, 51.0))
@@ -280,19 +284,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-09-02')
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(q) AS DOUBLE) AS sum_qty,
-               CAST(SUM(cents) AS DOUBLE) / 100 AS sum_base_price,
+               {bigint_sum_sql('q')} AS sum_qty,
+               {bigint_sum_sql('cents')} / 100 AS sum_base_price,
                {int_round_div_sql('SUM(cents * (100 - d2))', 100)}
                    / 100.0 AS sum_disc_price,
                {int_round_div_sql(
                    'SUM(cents * (100 - d2) * (100 + t2))', 10000)}
                    / 100.0 AS sum_charge,
-               CAST(ROUND(CAST(SUM(q) AS DOUBLE) * 10000 / COUNT(*))
-                    AS BIGINT) / 10000.0 AS avg_qty,
-               CAST(ROUND(CAST(SUM(cents) AS DOUBLE) * 100 / COUNT(*))
-                    AS BIGINT) / 10000.0 AS avg_price,
-               CAST(ROUND(CAST(SUM(d2) AS DOUBLE) * 100 / COUNT(*))
-                    AS BIGINT) / 10000.0 AS avg_disc,
+               {int_round_mean_sql('SUM(q)', 10000)} / 10000.0 AS avg_qty,
+               {int_round_mean_sql('SUM(cents)', 100)}
+                   / 10000.0 AS avg_price,
+               {int_round_mean_sql('SUM(d2)', 100)} / 10000.0 AS avg_disc,
                COUNT(*) AS count_order
         FROM c GROUP BY l_returnflag, l_linestatus
     """,
@@ -309,8 +311,13 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     units — ROUND(SUM(double), 2) over quarter-corpus-sized groups had
     float error comparable to the rounding grain (~0.05 at 1e8
     magnitude), i.e. the green rows depended on both engines' float
-    sums landing the same side of a cent boundary. Averages finish as
-    ROUND-to-integer in 1e-4 units (fact 2 of the exact.py contract)."""
+    sums landing the same side of a cent boundary. Round 13 (ADVICE)
+    finished the job: the averages now divide by COUNT(*) in the exact
+    decimal domain too (exact.py int_round_mean — the double-domain
+    ROUND(SUM::DOUBLE * mult / n) finisher was the >2^53 1-ulp class
+    int_round_div's own docstring documents), and the display sums
+    narrow HUGEINT->BIGINT oracle-side before the single double cast
+    (exact.py bigint_sum_sql)."""
     li = load_table(spark, sf_dir, "lineitem")
     d38 = "decimal(38,0)"
     q = snap_units("l_quantity", 1)
@@ -339,18 +346,11 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 100.0
             ).alias("sum_charge"),
+            (int_round_mean(F.sum(q), 10000, n) / 10000.0).alias("avg_qty"),
             (
-                F.round(F.sum(q).cast("double") * 10000 / n).cast("long")
-                / 10000.0
-            ).alias("avg_qty"),
-            (
-                F.round(F.sum(cents).cast("double") * 100 / n).cast("long")
-                / 10000.0
+                int_round_mean(F.sum(cents), 100, n) / 10000.0
             ).alias("avg_price"),
-            (
-                F.round(F.sum(d2).cast("double") * 100 / n).cast("long")
-                / 10000.0
-            ).alias("avg_disc"),
+            (int_round_mean(F.sum(d2), 100, n) / 10000.0).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
@@ -476,7 +476,13 @@ def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue from returned
     items. The l_returnflag filter is pushed to the lineitem scan; the
     fact-side join shuffles on orderkey; the top-20 is
-    TakeOrderedAndProject (per-partition heaps), never a total sort."""
+    TakeOrderedAndProject (per-partition heaps), never a total sort.
+
+    Per-GROUP sums here are bounded at any SF (a customer has ~10
+    orders regardless of corpus size; e4 revenue sum ~1e11 << 2^53),
+    so the decimal->double / HUGEINT->double casts are exact on both
+    engines without the bigint_sum_sql narrowing — the r13 audit's
+    bounded case, unlike the constant-group corpus-wide sums."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -559,10 +565,10 @@ def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_salted_skew",
-    oracle="""
+    oracle=f"""
         SELECT s.s_name,
-               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
-                    AS DOUBLE) / 100 AS revenue,
+               {bigint_sum_sql(snap_units_sql('l.l_extendedprice', 100))}
+                   / 100 AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY s.s_name
@@ -690,10 +696,11 @@ def join_skew_two_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_range_binned",
     bench=True,
-    oracle="""
+    oracle=f"""
         SELECT i AS band_id,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+               {bigint_sum_sql(snap_units_sql('l_extendedprice', 100))}
+                   / 100 AS revenue
         FROM range(0, 204) t(i)
         JOIN lineitem
           ON l_quantity >= i * 0.25 AND l_quantity < i * 0.25 + 0.75

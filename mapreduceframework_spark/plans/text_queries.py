@@ -425,7 +425,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heaps, no total sort); ties
     break on doc_id. Shuffles: tokenize->tf is one aggregation, dl one
     more, df is O(terms), stats a scalar — everything after the two
-    corpus aggregations is broadcast-sized."""
+    corpus aggregations is broadcast-sized.
+
+    KNOWN BOUND (r13 audit): avgdl divides the corpus-total token
+    count in the double domain; exact while that total stays below
+    2^53 (~9e15 tokens, tens of PB of text — past the 100 TB design
+    point but finite). The bigint_sum_sql narrowing lands with this
+    row's next window slot (r14)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )

@@ -308,9 +308,9 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q17_small_qty_revenue",
     oracle="""
-SELECT CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                            AS DECIMAL(38,0))) AS DOUBLE) / 100 / 7.0
-                   AS avg_yearly
+        SELECT CAST(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100)
+                                       AS BIGINT) AS DECIMAL(38,0)))
+                         AS BIGINT) AS DOUBLE) / 100 / 7.0 AS avg_yearly
         FROM lineitem l
         WHERE l.l_quantity <
               (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
@@ -324,13 +324,19 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     into (per-part AVG) join (lineitem) on l_partkey; expressed through
     the SQL surface to exercise exactly that rewrite. Quantities are
     integer-valued doubles, so the per-part AVG is exact in both
-    engines and the comparison is deterministic."""
+    engines and the comparison is deterministic.
+
+    The single output cell sums a corpus-wide slice (unbounded as SF
+    grows), so both engines narrow the exact decimal sum to BIGINT
+    before the one double cast (exact.py bigint_sum_sql rationale,
+    round 13) — Spark decimal->double and DuckDB's decimal/HUGEINT
+    ->double conversions may differ by 1 ulp past 2^53."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
-SELECT CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                            AS DECIMAL(38,0))) AS DOUBLE) / 100 / 7.0
-                   AS avg_yearly
+        SELECT CAST(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100)
+                                       AS BIGINT) AS DECIMAL(38,0)))
+                         AS BIGINT) AS DOUBLE) / 100 / 7.0 AS avg_yearly
         FROM lineitem l
         WHERE l.l_quantity <
               (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
@@ -773,7 +779,8 @@ def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, CAST(pv_cents AS DOUBLE) / 100 AS part_value
         FROM val
         WHERE CAST(pv_cents AS DOUBLE) / 100
-              > (SELECT CAST(SUM(pv_cents) AS DOUBLE) / 100 * 0.001
+              > (SELECT CAST(CAST(SUM(pv_cents) AS BIGINT) AS DOUBLE)
+                        / 100 * 0.001
                  FROM val)
     """,
     tags=("tpch", "subquery", "agg"),
@@ -785,8 +792,12 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped extendedprice stands in for availqty * supplycost). Both
     the per-part values and the grand total are rounded to cents
     before the threshold multiply, so cross-engine summation-order
-    drift cannot flip the comparison. The scalar total is a single-row
-    broadcast; the value view is computed once per side."""
+    drift cannot flip the comparison; the oracle additionally narrows
+    the nation-total HUGEINT sum to BIGINT before its double cast
+    (exact.py bigint_sum_sql rationale, round 13) so both engines make
+    the same single int64->double conversion at any magnitude. The
+    scalar total is a single-row broadcast; the value view is computed
+    once per side."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
     val = (

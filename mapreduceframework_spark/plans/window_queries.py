@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreduceframework_spark.plans.exact import snap_units
+from mapreduceframework_spark.plans.exact import (
+    bigint_sum_sql,
+    snap_units,
+    snap_units_sql,
+)
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table, register_views
 
@@ -197,10 +201,10 @@ def window_rank_dense_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_revenue",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                    AS DOUBLE) / 100 AS revenue,
+               {bigint_sum_sql(snap_units_sql('l_extendedprice', 100))}
+                   / 100 AS revenue,
                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
         FROM lineitem
@@ -210,7 +214,12 @@ def window_rank_dense_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP: (flag,status) -> (flag) -> () hierarchy in one pass —
-    Spark expands to a single Expand+Aggregate, still O(groups) shuffle."""
+    Spark expands to a single Expand+Aggregate, still O(groups) shuffle.
+
+    The grand-total cell sums the WHOLE corpus (cent sum passes 2^53
+    near SF 4,000), so the oracle narrows HUGEINT->BIGINT before its
+    single double cast (exact.py bigint_sum_sql, round 13) to match
+    Spark's long->double conversion bit-for-bit at any magnitude."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         (

@@ -90,10 +90,13 @@ def test_agg_algebraic_matches_python_exact_moments(spark, sf_dir):
         c[2] = min(c[2], d)
         c[3] = max(c[3], tx)
         c[4] += 1
+    # avg_price replays the r13 integer-domain mean finisher
+    # (plans/exact.py int_round_mean): ROUND(pc / n) half-up as
+    # (2*pc + n) // (2*n) — no double anywhere.
     want = {
         k: (
             round_half_up(float(sq), 2),
-            round_half_up(float(pc) / (100.0 * n), 2),
+            ((2 * pc + n) // (2 * n)) / 100.0,
             round_half_up(mn, 2),
             round_half_up(mx, 2),
             n,

@@ -171,9 +171,11 @@ def test_tpch_q1_matches_python_fsum(spark, sf_dir):
         q = (abs(s) + div // 2) // div
         return -q if s < 0 else q
 
-    def ird(s, div):
-        # ROUND(double) replay for the mean finishers
-        return int(round_half_up(float(s) / div, 0))
+    def imean(s, mult, n):
+        # r13 integer-domain mean finisher replay (plans/exact.py
+        # int_round_mean): ROUND(s * mult / n) half-up with NO double
+        # anywhere — (2*mult*s + n) // (2*n) on non-negative operands.
+        return (2 * mult * s + n) // (2 * n)
 
     want = {}
     for k, (sq, sc, se4, se6, sd2, n) in g.items():
@@ -182,9 +184,9 @@ def test_tpch_q1_matches_python_fsum(spark, sf_dir):
             float(sc) / 100,
             ihalf(se4, 100) / 100.0,
             ihalf(se6, 10000) / 100.0,
-            ird(float(sq) * 10000 / n, 1) / 10000.0,
-            ird(float(sc) * 100 / n, 1) / 10000.0,
-            ird(float(sd2) * 100 / n, 1) / 10000.0,
+            imean(sq, 10000, n) / 10000.0,
+            imean(sc, 100, n) / 10000.0,
+            imean(sd2, 100, n) / 10000.0,
             n,
         )
     out = REGISTRY["tpch_q1_pricing"].fn(spark, sf_dir).collect()
