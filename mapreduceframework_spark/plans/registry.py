@@ -71,115 +71,87 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-12 window (VERDICT r11
-# items 1-3: lead with the ENTIRE 32-row r06-stale cohort — the
-# scalar-function family, the set-ops family, the golden-client rows,
-# multimodal_image_decode, feature_quantile_sketch, etc. — then fill
-# the remaining 18 slots with the oldest r07 rows; registry stays
-# frozen at 274 — the only adds are the TWO VERDICT-r11 optional-item-8
-# rows (checkpointed restart; KLL merge invariance), each knowingly
-# displacing one r07 refresh slot; the round's docstring-claim audit
-# found zero deviations, but the third-opinion program found TWO
-# degenerate value contracts — the zone-map and tpch_q6 predicate
-# windows — plus the TPC-H money-sum float fragility, whose fixes take
-# code-change sentinel slots), 2 + 32 + 4 + 12 = 50:
-# - 2 never-driver-checked rows: streaming_checkpoint_restart (state
-#   and offset recovery across a real query restart, both pinned as
-#   value-checked columns) and sketch_kll_merge_invariance (the
-#   rank-error guarantee re-proven under a rehash repartitioning);
-# - 32 stalest greens: the ENTIRE r06 cohort (5 rounds stale — the
-#   r11 verdict's named highest-leverage block, enumerated by
-#   tools/window_planner.py);
-# - 4 code-change sentinels: lakehouse_zone_map_prune,
-#   tpch_q6_forecast_revenue, tpch_q1_pricing, tpch_q8_market_share
-#   (see the marker below);
-# - 12 next-stalest: the head of the 45-row r07 cohort alphabetical-
-#   first per the planner (agg_percent_of_total .. graph_bfs_distances;
-#   lakehouse_incremental_agg, multimodal_audio_fingerprint,
-#   join_spatial_grid, join_bloom_pruned, join_asof_nearest and
-#   graph_sssp_weighted are the displaced slots — every displaced row
-#   carries a round-11/12 engine-independent mirror); the remainder
-#   clears over rounds 13-14 — round 13 should LEAD with the displaced
-#   rows plus the r07 remainder.
-# At 274 queries / 50 slots the steady-state refresh period stays
-# ceil(274/50) - 1 = 5 rounds (the structural plateau); shrinking THAT
-# number requires a smaller registry or a larger window, not rotation
-# order. All 50 re-verified locally at sf0.01 via check_window (both
-# compare paths) + drive_contract at rotation time; every new/rewritten
-# query additionally at sf0.1 (plus the closing full-registry sf0.1
-# sweep, BASELINE.md).
+# all_queries() in iteration order. Round-13 window (VERDICT r12 items
+# 1-2 adapted to the measured sentinel fallout): the r12 money-sum
+# conversion changed 26 decorated definitions but only 4 took r12
+# window slots, so tools/window_planner.py auto-flags the remaining 21
+# as code-change sentinels (changed since last green — the policy that
+# has outranked staleness refresh since the r8 rewrite incident). Two
+# more rows changed THIS round and join them: tpch_q1_pricing (the
+# int_round_mean average conversion + bigint_sum_sql narrowing — the
+# r13 ADVICE items) and events_diff_in_diff (VERDICT r12 item 6: the
+# early-adopter treatment definition that gives the contrast live
+# control cells). 23 sentinels + 27 of the 32 remaining r07-stale rows
+# (oldest-first per the planner; includes the four r12-displaced rows
+# join_spatial_grid, join_asof_nearest, graph_sssp_weighted and — as a
+# sentinel — join_bloom_pruned) = 50. The VERDICT r12 bar of "zero
+# rows older than r08 after r13" is arithmetically unreachable under
+# the sentinel-first policy (23 + 32 = 55 > 50); the 5 r07 rows that
+# do not fit (timeseries_ewma, timeseries_forward_fill,
+# timeseries_interpolate, union_by_name_evolved,
+# window_rolling_distinct_users) were each re-verified locally this
+# session at sf0.01 AND sf0.1 through both compare paths (BASELINE.md
+# records the runs) and LEAD the round-14 window. Registry freeze held:
+# 274 rows, zero adds.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: first evidence (1 — the round's only
-    #     two new queries, the VERDICT-r11 optional items) ---
-    "streaming_checkpoint_restart",
-    "sketch_kll_merge_invariance",
-    # --- stalest refresh: the full 32-row r06 cohort (5 rounds
-    #     stale, the r11 verdict's named highest-leverage block) ---
-    "distinct_keys_mod100",
-    "events_tumbling_counts",
-    "feature_quantile_sketch",
-    "filter_predicate",
-    "flatmap_explode_words",
-    "hierarchy_rollup_recursive",
-    "histogram_mod100",
-    "join_not_in_null_aware",
-    "join_null_safe",
-    "mining_pair_cooccurrence",
-    "multimodal_image_decode",
-    "projection",
-    "sample_frequency_downsample",
-    "scalar_array_funcs",
-    "scalar_date_funcs",
-    "scalar_json_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union",
-    "sort_partition_local",
-    "sorted_histogram",
-    "text_fingerprints",
-    "text_lang_id",
-    "text_quality_classifier",
-    "text_quality_scores",
-    "topk_orders",
-    "unpivot_price_components",
-    "word_counts",
-    # --- code-change sentinels (4): all found by the round-12
-    #     pure-Python mirror program, 3-SF re-verified:
-    #     (a) two degenerate-predicate windows moved inside the
-    #     corpus's shipdate span — the zone-map audit's 1994 window
-    #     pinned only zeros (tests/test_round12_thirdopinions10.py)
-    #     and tpch_q6's 2021..2023 window pinned only NULL
-    #     (tests/test_round12_thirdopinions16.py);
-    #     (b) the TPC-H money-sum family converted to exact e4 integer
-    #     sums (plans/exact.py rev_e4) after the Q8 ASIA/1999 total
-    #     proved to be EXACTLY a half-cent boundary (102470172.5450)
-    #     that both engines' float sums were crossing only by
-    #     correlated luck — q1 (largest groups) and q8 (the measured
-    #     boundary) represent the 25-row conversion in the window;
-    #     every converted row was individually re-verified at
-    #     sf0.001/0.01/0.1 and carries an exact-integer mirror ---
-    "lakehouse_zone_map_prune",
-    "tpch_q6_forecast_revenue",
+    # --- code-change sentinels (23): the 21 remaining money-sum
+    #     conversion rows (r12 change, auto-flagged by the planner's
+    #     function-granular fingerprint; each carries an exact-integer
+    #     mirror and was 3-SF re-verified at conversion time) plus this
+    #     round's two rewrites, all 3-SF re-verified again this
+    #     session ---
+    "agg_algebraic",
+    "agg_null_semantics",
+    "agg_salted_two_stage",
+    "join_bloom_pruned",
+    "join_range_bands",
+    "join_range_binned",
+    "join_salted_skew",
+    "join_skew_two_path",
+    "profile_numeric_histogram",
+    "rollup_revenue",
+    "tpch_q10_returned_revenue",
+    "tpch_q11_important_parts",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_rich_customers",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q9_product_profit",
     "tpch_q1_pricing",
-    "tpch_q8_market_share",
-    # --- then the r07 cohort, oldest-first (12 of 45 fit; the
-    #     remainder clears over rounds 13-14) ---
-    "agg_percent_of_total",
-    "ann_cosine_pq",
-    "ann_lsh_recall_report",
-    "dedup_minhash_containment",
-    "division_priority_complete",
-    "embedding_gram_matrix",
-    "events_funnel_stages",
-    "events_markov_transitions",
-    "events_streak_longest",
-    "feature_target_encode_loo",
-    "feature_winsorize",
-    "graph_bfs_distances",
+    "events_diff_in_diff",
+    # --- stalest refresh: 27 of the 32 remaining r07 rows (6 rounds
+    #     stale), oldest-first alphabetical per the planner ---
+    "graph_sssp_weighted",
+    "join_asof_nearest",
+    "join_spatial_grid",
+    "lakehouse_incremental_agg",
+    "multimodal_audio_fingerprint",
+    "multimodal_phash_dedup",
+    "multimodal_scene_cuts",
+    "pipeline_multimodal_curate",
+    "quality_gopher_rules",
+    "quality_label_balance",
+    "sample_negative_pairs",
+    "sample_temperature_mixture",
+    "scalar_struct_funcs",
+    "sink_bucketed_join",
+    "sink_compact_small_files",
+    "sink_partitioned_roundtrip",
+    "sketch_hll_rolling_users",
+    "skyline_pareto_frontier",
+    "source_csv_json_roundtrip",
+    "stats_bootstrap_poisson_ci",
+    "stats_chi_square_independence",
+    "stats_ks_two_sample",
+    "streaming_click_purchase_full_join",
+    "streaming_click_purchase_left_join",
+    "text_bigram_lm_score",
+    "text_boilerplate_ngrams",
+    "text_readability_scores",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

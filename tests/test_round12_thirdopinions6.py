@@ -365,7 +365,19 @@ def test_diff_in_diff_matches_python_cells(spark, sf_dir):
     tsv = ts_us(t["ts"])
     vals = t["value"].to_pylist()
 
-    treated = {u for u, ty in zip(users, types) if ty == "signup"}
+    # r13 treatment definition: EARLY ADOPTERS — first signup before
+    # 2024-01-03 (the r12 ever-signed-up definition left control empty
+    # at every SF; VERDICT r12 gap 3).
+    adopt_cutoff_us = int(
+        np.datetime64("2024-01-03", "us").astype("datetime64[us]").astype(
+            np.int64
+        )
+    )
+    first_signup: dict[int, int] = {}
+    for u, ty, us in zip(users, types, tsv.tolist()):
+        if ty == "signup" and (u not in first_signup or us < first_signup[u]):
+            first_signup[u] = us
+    treated = {u for u, us in first_signup.items() if us < adopt_cutoff_us}
     cutoff_us = int(
         np.datetime64("2024-01-16", "us").astype("datetime64[us]").astype(
             np.int64
@@ -382,13 +394,12 @@ def test_diff_in_diff_matches_python_cells(spark, sf_dir):
         c[1] += 1
 
     def mean_e4(grp, period):
-        # An empty cell is NULL on the engine side (MAX over an empty
-        # CASE set) — in this corpus every purchasing user also signs
-        # up, so the control cells are empty and did_e4 is NULL.
         if (grp, period) not in cells:
             return None
         s, n = cells[(grp, period)]
-        return int(math.floor(float(s) / float(n) + 0.5))
+        # r13 integer-domain half-up mean (plans/exact.py
+        # int_round_mean): (2*s + n) // (2*n), no double anywhere.
+        return (2 * s + n) // (2 * n)
 
     mt_pre = mean_e4("treated", "pre")
     mt_post = mean_e4("treated", "post")
@@ -400,9 +411,10 @@ def test_diff_in_diff_matches_python_cells(spark, sf_dir):
         if None not in (mt_pre, mt_post, mc_pre, mc_post)
         else None
     )
-    # The estimator itself must still be exercised: the treated
-    # pre/post means exist at every SF.
-    assert mt_pre is not None and mt_post is not None
+    # The whole point of the r13 fix: all FOUR cells are live at every
+    # SF, so the DiD contrast itself engages (did is a real number).
+    assert None not in (mt_pre, mt_post, mc_pre, mc_post)
+    assert did is not None
 
     out = REGISTRY["events_diff_in_diff"].fn(spark, sf_dir).collect()
     assert len(out) == 1
