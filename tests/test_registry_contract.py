@@ -71,3 +71,55 @@ def test_every_query_has_an_oracle():
     # where that exception gets consciously recorded.
     missing = [n for n in REG if REG[n].oracle is None]
     assert missing == [], missing
+
+
+# Modules that do NOT count as engine-independent evidence: the generic
+# oracle-parity/plan-shape/bench harnesses run EVERY registry row by
+# construction (so a name appearing there proves nothing about a
+# mirror), and the shared-helper/infra modules aren't tests of a query.
+_NON_MIRROR_MODULES = {
+    "conftest.py",
+    "mirrors.py",
+    "test_bench_contract.py",
+    "test_data_shape.py",
+    "test_mirror_constants.py",
+    "test_oracle_parity.py",
+    "test_plans.py",
+    "test_registry_contract.py",
+    "test_session_robustness.py",
+    "test_window_planner.py",
+}
+
+
+def test_every_registry_row_has_an_engine_independent_mirror():
+    """The round-12 third-opinion program closed with every registry
+    row carrying engine-independent evidence (a pure-Python/dict
+    reconstruction, a reference golden file, or an independent
+    -implementation semantics test). This guard keeps the program
+    closed BY CONSTRUCTION (VERDICT r12 item 7): a new registry row
+    that no mirror module references by name fails here, so the
+    registration and its third opinion must land together.
+
+    The check is necessarily name-reference-level (a module mentioning
+    the query name in a non-test string would slip through), but the
+    failure mode it guards — forgetting to write any mirror at all —
+    is exactly a missing name."""
+    import glob
+    import os
+
+    here = os.path.dirname(__file__)
+    texts = []
+    for f in sorted(glob.glob(os.path.join(here, "*.py"))):
+        if os.path.basename(f) in _NON_MIRROR_MODULES:
+            continue
+        with open(f, encoding="utf-8") as fh:
+            texts.append(fh.read())
+    blob = "\n".join(texts)
+    missing = [
+        n for n in REG if f'"{n}"' not in blob and f"'{n}'" not in blob
+    ]
+    assert missing == [], (
+        f"registry rows with no engine-independent mirror reference: "
+        f"{missing} — write the third opinion before (or with) the "
+        f"registration"
+    )
