@@ -7,11 +7,14 @@ Arrow-batched pandas over ``mapInPandas`` — whole batches of payloads
 cross the JVM->Python boundary as Arrow buffers, never row by row.
 
 Decoding is REAL for PNG (stdlib zlib inflate + all five scanline
-filters) and netpbm PPM/PGM — pure-Python codecs in
+filters), netpbm PPM/PGM, and — since round 13 — baseline sequential
+JPEG (marker walk, stream-carried Huffman/quant tables, restart
+markers, IDCT, 4:2:0/4:2:2 chroma upsampling) — pure-Python codecs in
 ``operators/imagecodec.py``, no imaging library needed. The byte-level
-'fake/v1' codec remains for payloads that are not images; codecs that
-genuinely need external libraries (JPEG, audio, video containers) raise
-``NotImplementedError`` so that seam stays explicit.
+'fake/v1' codec remains for payloads that are not images; what still
+genuinely needs external libraries (progressive/arithmetic JPEG,
+compressed audio, video containers) raises ``NotImplementedError`` so
+that seam stays explicit.
 
 Scale notes: mapInPandas preserves partitioning (no shuffle); batch size
 is bounded by spark.sql.execution.arrow.maxRecordsPerBatch (session.py),
@@ -50,8 +53,12 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
     """REAL image decode: returns (width, height, channels, pixels).
 
     PNG goes through the full chunk-walk + zlib-inflate + un-filter
-    path; PPM/PGM through the netpbm header tokenizer + raster slice
+    path; PPM/PGM through the netpbm header tokenizer + raster slice;
+    baseline JPEG (r13) through the marker walk + stream-carried
+    Huffman/quant tables + IDCT + chroma upsampling
     (operators/imagecodec.py — pure Python, no imaging library).
+    Progressive/arithmetic JPEG raises NotImplementedError from inside
+    the decoder — the remaining documented codec seam.
     """
     from mapreduceframework_spark.operators import imagecodec as IC
 
@@ -59,23 +66,27 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
         return IC.decode_png(payload)
     if codec in ("image/ppm", "image/pgm"):
         return IC.decode_pnm(payload)
+    if codec in ("image/jpeg", "image/jpg"):
+        return IC.decode_jpeg(payload)
     raise NotImplementedError(f"image codec {codec!r} not supported")
 
 
 def decode_payload(payload: bytes, codec: str) -> bytes:
     """Decode seam. Real codecs implemented here: PNG (zlib inflate +
-    all five scanline filters) and netpbm PPM/PGM return raw interleaved
-    pixel bytes; 'fake/v1' passes bytes through. Codecs needing
-    external libraries (JPEG, audio, video containers) stay explicitly
+    all five scanline filters), netpbm PPM/PGM, and baseline JPEG
+    (r13) return raw interleaved pixel bytes; 'fake/v1' passes bytes
+    through. Codecs needing external libraries (progressive JPEG,
+    compressed audio, video containers) stay explicitly
     unimplemented."""
     if codec == "fake/v1":
         return payload
-    if codec in ("image/png", "image/ppm", "image/pgm"):
+    if codec in ("image/png", "image/ppm", "image/pgm", "image/jpeg",
+                 "image/jpg"):
         return decode_image(payload, codec)[3]
     raise NotImplementedError(
         f"codec {codec!r}: requires an external decoder library not "
         "present in this container; supported here: fake/v1, image/png, "
-        "image/ppm, image/pgm"
+        "image/ppm, image/pgm, image/jpeg"
     )
 
 

@@ -1,8 +1,13 @@
 """Multimodal-column queries (SURVEY.md section 2.2 ⊕ rows): binary
 image/audio payloads with typed metadata, decoded by the real in-repo
-PNG/PPM/WAV codecs (operators/imagecodec.py) inside partition-preserving
-mapInPandas — Arrow-batched, never per-row Python. JPEG/video stay an
-explicit NotImplementedError seam (no external libs in this sandbox).
+PNG/PPM/WAV — and, since r13, baseline-JPEG — codecs
+(operators/imagecodec.py) inside partition-preserving mapInPandas —
+Arrow-batched, never per-row Python. Progressive JPEG / compressed
+audio / video stay an explicit NotImplementedError seam (no external
+libs in this sandbox). The registered decode queries still synthesize
+PNG/PPM payloads (changing their fixtures is a window-slotted r14
+change); the JPEG path is unit- and Spark-side tested in
+tests/test_jpegcodec.py.
 
 Split out of extension_queries.py in round 7 (pure move, zero renames).
 """

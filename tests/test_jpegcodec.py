@@ -1,0 +1,260 @@
+"""Round-13 tests for the pure-Python baseline JPEG codec
+(operators/imagecodec.py) — the JPEG half of the external-codec seam,
+closed the way r10 closed PNG.
+
+Evidence layers:
+- a THIRD-OPINION IDCT: the decoder's 8x8 inverse transform checked
+  against a from-the-formula naive O(64^2) implementation written
+  here (independent code path, same T.81 A.3.3 definition);
+- encoder->decoder round trips at tolerances DERIVED from the quant
+  tables (solid blocks must be exact: the DC step at the default
+  quality is <= 16, and a solid block's only nonzero coefficient is
+  DC, so reconstruction error <= step/16 < 1);
+- stream-feature coverage the fixture corpus can't give: 4:2:0
+  subsampled chroma, restart markers (DRI/RSTn with predictor reset),
+  16-bit DQT re-serialization, multi-table DHT segments;
+- the documented seam: progressive SOF2 raises NotImplementedError;
+- the Spark side: decode through the same mapInPandas plumbing the
+  multimodal family uses.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+from mapreduceframework_spark.operators import imagecodec as IC
+from mapreduceframework_spark.operators.multimodal import (
+    decode_image,
+    decode_payload,
+)
+
+
+def _maxerr(a: bytes, b: bytes) -> int:
+    assert len(a) == len(b)
+    return max(abs(x - y) for x, y in zip(a, b))
+
+
+def _naive_idct(coef):
+    """Independent IDCT straight from T.81 A.3.3 — no shared tables
+    with the production code (recomputes every cosine)."""
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                for v in range(8):
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u * 8 + v]
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                    )
+            out[y * 8 + x] = s / 4.0
+    return out
+
+
+def test_idct_matches_independent_formula():
+    # Deterministic pseudo-random coefficient block (no RNG state).
+    coef = [((i * 37 + 11) % 101) - 50.0 for i in range(64)]
+    got = IC._idct_block(coef)
+    want = _naive_idct(coef)
+    assert max(abs(g - w) for g, w in zip(got, want)) < 1e-9
+
+
+def test_fdct_idct_are_inverses():
+    blk = [((i * 53 + 7) % 256) - 128.0 for i in range(64)]
+    back = IC._idct_block(IC._fdct_block(blk))
+    assert max(abs(a - b) for a, b in zip(blk, back)) < 1e-9
+
+
+def test_zigzag_is_a_permutation_with_standard_head():
+    assert len(IC._ZIGZAG) == 64
+    assert len(set(IC._ZIGZAG)) == 64
+    # The standard scan's first diagonal steps (T.81 Figure A.6).
+    assert IC._ZIGZAG[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+    assert IC._ZIGZAG[-1] == (7, 7)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (8, 8), (10, 6), (17, 23)])
+def test_gray_solid_blocks_roundtrip_exact(w, h):
+    # Solid block -> only the DC coefficient is nonzero; DC quant step
+    # at the default quality is <= 16 so the error is < 1 -> exact.
+    for val in (0, 77, 128, 255):
+        j = IC.encode_jpeg(w, h, bytes([val] * (w * h)), channels=1)
+        assert IC.decode_jpeg(j) == (w, h, 1, bytes([val] * (w * h)))
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_rgb_solid_roundtrip_within_color_convert_grain(subsampling):
+    px = bytes([200, 30, 90] * (19 * 13))
+    j = IC.encode_jpeg(19, 13, px, subsampling=subsampling)
+    w, h, c, out = IC.decode_jpeg(j)
+    assert (w, h, c) == (19, 13, 3)
+    # YCbCr forward+inverse rounding costs at most 2 per channel on a
+    # solid image (no DCT error: all blocks constant).
+    assert _maxerr(out, px) <= 2
+
+
+def test_gray_gradient_high_quality_tight():
+    w, h = 33, 17
+    px = bytes(min(255, x * 3 + y * 5) for y in range(h) for x in range(w))
+    j = IC.encode_jpeg(w, h, px, channels=1, quality=95)
+    _, _, _, out = IC.decode_jpeg(j)
+    assert _maxerr(out, px) <= 2
+
+
+def test_restart_markers_decode_identically():
+    w, h = 33, 17
+    px = bytes(min(255, x * 3 + y * 5) for y in range(h) for x in range(w))
+    plain = IC.encode_jpeg(w, h, px, channels=1, quality=95)
+    rst = IC.encode_jpeg(
+        w, h, px, channels=1, quality=95, restart_interval=3
+    )
+    assert rst != plain  # DRI segment + RSTn markers present
+    assert b"\xff\xdd" in rst  # DRI
+    assert IC.decode_jpeg(rst) == IC.decode_jpeg(plain)
+
+
+def test_420_subsampling_decodes_with_bounded_chroma_error():
+    w, h = 34, 18
+    px = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (min(255, x * 7), min(255, y * 13), 128)
+    )
+    j = IC.encode_jpeg(w, h, px, subsampling="4:2:0", quality=95)
+    W, H, C, out = IC.decode_jpeg(j)
+    assert (W, H, C) == (w, h, 3)
+    # Chroma is box-averaged 2x2 then replicated back: on a ramp of
+    # slope <= 13/channel the worst pixel is half a 2x2 cell away from
+    # its reconstructed average -> error <= ~slope + DCT grain.
+    assert _maxerr(out, px) <= 16
+    # Luma (gray projection) stays tight: compare luminance.
+    lum_in = [
+        round(0.299 * px[3 * i] + 0.587 * px[3 * i + 1] + 0.114 * px[3 * i + 2])
+        for i in range(w * h)
+    ]
+    lum_out = [
+        round(
+            0.299 * out[3 * i] + 0.587 * out[3 * i + 1] + 0.114 * out[3 * i + 2]
+        )
+        for i in range(w * h)
+    ]
+    assert max(abs(a - b) for a, b in zip(lum_in, lum_out)) <= 4
+
+
+def _replace_dqt_with_16bit(buf: bytes) -> bytes:
+    """Re-serialize every 8-bit DQT segment as 16-bit precision (Pq=1)
+    — a stream shape our encoder never emits but real encoders do."""
+    out = bytearray()
+    i = 0
+    out += buf[:2]
+    i = 2
+    while i < len(buf):
+        marker = buf[i + 1]
+        if marker == 0xDA:  # copy the rest verbatim from SOS on
+            out += buf[i:]
+            break
+        (ln,) = struct.unpack(">H", buf[i + 2 : i + 4])
+        body = buf[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            new_body = bytearray()
+            j = 0
+            while j < len(body):
+                tq = body[j] & 0xF
+                vals = body[j + 1 : j + 65]
+                j += 65
+                new_body.append(0x10 | tq)  # Pq=1
+                for v in vals:
+                    new_body += struct.pack(">H", v)
+            payload = bytes(new_body)
+            out += bytes([0xFF, 0xDB]) + struct.pack(">H", len(payload) + 2)
+            out += payload
+        else:
+            out += buf[i : i + 2 + ln]
+        i += 2 + ln
+    return bytes(out)
+
+
+def test_16bit_dqt_streams_decode_identically():
+    w, h = 17, 9
+    px = bytes(min(255, x * 9 + y * 4) for y in range(h) for x in range(w))
+    j = IC.encode_jpeg(w, h, px, channels=1)
+    j16 = _replace_dqt_with_16bit(j)
+    assert j16 != j
+    assert IC.decode_jpeg(j16) == IC.decode_jpeg(j)
+
+
+def test_progressive_sof2_raises_the_documented_seam():
+    j = bytearray(IC.encode_jpeg(8, 8, bytes(64), channels=1))
+    # Rewrite the SOF0 marker byte to SOF2 (progressive).
+    k = bytes(j).index(b"\xff\xc0")
+    j[k + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        IC.decode_jpeg(bytes(j))
+
+
+def test_corrupt_streams_raise_value_error_not_crashes():
+    j = IC.encode_jpeg(10, 10, bytes([9] * 100), channels=1)
+    with pytest.raises(ValueError):
+        IC.decode_jpeg(b"\x00\x01" + j)  # no SOI
+    with pytest.raises(ValueError):
+        IC.decode_jpeg(j[: len(j) // 2])  # truncated mid-stream
+
+
+def test_decode_image_seam_routes_jpeg():
+    px = bytes([5, 200, 100] * (9 * 7))
+    j = IC.encode_jpeg(9, 7, px)
+    w, h, c, out = decode_image(j, "image/jpeg")
+    assert (w, h, c) == (9, 7, 3)
+    assert decode_payload(j, "image/jpeg") == out
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"xx", "video/mp4")
+
+
+def test_jpeg_decode_through_mapinpandas(spark):
+    """The multimodal hot path: JPEG payloads decoded inside an
+    Arrow-batched mapInPandas, exactly like the registered decode
+    queries do for PNG/PPM — proving the new codec drops into the
+    same Spark-side plumbing (schema, batch shape, partitioning)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(6):
+        w, h = 8 + i, 6 + (i % 3)
+        px = bytes((i * 31 + k * 7) % 256 for k in range(w * h))
+        rows.append((i, IC.encode_jpeg(w, h, px, channels=1), w, h))
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, w long, h long"
+    ).repartition(2)
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c, pix = decode_image(bytes(payload), "image/jpeg")
+                out.append(
+                    (int(doc_id), w, h, c, int(pix[0]), len(pix))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "w", "h", "channels", "first_px", "n_bytes"
+                ],
+            )
+
+    got = {
+        r["doc_id"]: (r["w"], r["h"], r["channels"], r["n_bytes"])
+        for r in df.mapInPandas(
+            batches,
+            "doc_id long, w long, h long, channels long, first_px long,"
+            " n_bytes long",
+        ).collect()
+    }
+    for i, _, w, h in rows:
+        assert got[i] == (w, h, 1, w * h)
