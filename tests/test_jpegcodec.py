@@ -258,3 +258,121 @@ def test_jpeg_decode_through_mapinpandas(spark):
     }
     for i, _, w, h in rows:
         assert got[i] == (w, h, 1, w * h)
+
+
+# ---------------------------------------------------------------------------
+# Format-level third opinion: streams assembled BYTE BY BYTE here (no
+# encoder involved), with expected pixels derived by hand from the
+# T.81 IDCT formula — if decode_jpeg shared a wrong convention with
+# encode_jpeg (zigzag order, EXTEND, canonical code assembly), the
+# round-trip tests above would still pass; these cannot.
+# ---------------------------------------------------------------------------
+
+
+def _minimal_stream(entropy: bytes, qdc: int = 16) -> bytes:
+    """One 8x8 gray component; quant table all ``qdc``; DC Huffman
+    table = categories [0,1,2] with canonical codes 0 / 10 / 11; AC
+    table = EOB only, code 0."""
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = bytes([0x00]) + bytes([qdc] * 64)
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00, 1, 2] + [0] * 14) + bytes([0, 1, 2])
+    dht_ac = bytes([0x10, 1] + [0] * 15) + bytes([0x00])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def test_handcrafted_dc_only_block_positive():
+    # Bits: DC category 2 = code '11', magnitude '10' (EXTEND -> +2),
+    # EOB = '0'; padded with 1s -> 11100111 = 0xE7.
+    w, h, c, out = IC.decode_jpeg(_minimal_stream(bytes([0xE7])))
+    # DC coefficient 2 * qstep 16 = 32; DC-only IDCT = 32/8 = +4.
+    assert (w, h, c) == (8, 8, 1)
+    assert set(out) == {132}
+
+
+def test_handcrafted_dc_only_block_negative():
+    # Magnitude bits '01' EXTEND at size 2 -> 1 - 4 + 1 = -2.
+    # Bits: 11 01 0 + pad 111 -> 11010111 = 0xD7.
+    w, h, c, out = IC.decode_jpeg(_minimal_stream(bytes([0xD7])))
+    assert set(out) == {124}  # 128 - 32/8
+
+
+def test_handcrafted_zero_diff_uses_category_zero():
+    # DC category 0 = code '0' (no magnitude bits), EOB '0' -> 00
+    # + pad 111111 -> 0x3F. All-zero block -> flat 128.
+    w, h, c, out = IC.decode_jpeg(_minimal_stream(bytes([0x3F])))
+    assert set(out) == {128}
+
+
+def test_handcrafted_stuffed_ff_byte_in_entropy():
+    # Force the entropy stream to CONTAIN a 0xFF data byte so decode
+    # must unstuff FF00: DC cat 2 '11', magnitude '11' (EXTEND -> +3),
+    # EOB '0', pad '11' -> 11111011? No: 11 11 0 + 111 = 11110111
+    # = 0xF7; choose qdc so the pixel value is distinct.
+    w, h, c, out = IC.decode_jpeg(_minimal_stream(bytes([0xF7]), qdc=16))
+    assert set(out) == {134}  # 128 + 3*16/8
+    # Now an actual FF in the byte stream: bits 11 11 1 -> invalid
+    # (category 3 not in table) — instead craft FF via padding: DC
+    # cat 2 '11', magnitude '11', EOB '0' gives F7 above; stuffing is
+    # separately exercised by byte value 0xFF followed by 0x00:
+    stream = _minimal_stream(bytes([0xFF, 0x00]), qdc=16)
+    # 0xFF unstuffed = bits 11111111: DC cat 2 '11', magnitude '11'
+    # (+3), EOB would need '0' but next bits are 1111 -> the AC table
+    # has maxcode 0 at length 1, so '1' cannot decode -> ValueError.
+    with pytest.raises(ValueError):
+        IC.decode_jpeg(stream)
+    # A decodable stuffed case: entropy 0xFD 0x00 is not stuffed (FD
+    # != FF); use 0xFF 0x00 followed by a byte completing EOB with 0:
+    # bits of 0xFF: 11 11 (DC cat2, +3) then '1','1','1','1' remain.
+    # Simpler decodable proof: 2-byte entropy 0xF7 0xFF/0x00 unused
+    # tail is fine because decoding stops after EOB.
+    w2, h2, c2, out2 = IC.decode_jpeg(
+        _minimal_stream(bytes([0xF7, 0xFF, 0x00]), qdc=16)
+    )
+    assert set(out2) == {134}
+
+
+def test_handcrafted_single_ac_coefficient():
+    # DC cat 0 ('0'), then one AC: but the minimal AC table only has
+    # EOB — extend it: AC table with EOB ('0' at len 1) and RS=0x01
+    # (run 0, size 1) at len 2 code '10'. Canonical: len1: [0x00]
+    # code 0; len2: [0x01] code 10.
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00, 1, 2] + [0] * 14) + bytes([0, 1, 2])
+    dht_ac = bytes([0x10, 1, 1] + [0] * 14) + bytes([0x00, 0x01])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # Bits: DC '0' (cat 0), AC '10' (rs 0x01) + magnitude '1'
+    # (EXTEND size1 -> +1), EOB '0' -> 0 10 1 0 + pad 111 -> 01010111
+    # = 0x57. Coefficient lands at ZIGZAG[1] = (0,1): S(0,1) = 16.
+    stream = (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof)
+        + seg(0xC4, dht_dc) + seg(0xC4, dht_ac) + seg(0xDA, sos)
+        + bytes([0x57]) + b"\xff\xd9"
+    )
+    w, h, c, out = IC.decode_jpeg(stream)
+    assert (w, h, c) == (8, 8, 1)
+    # Hand-derived: s(y,x) = 0.25 * (1/sqrt2) * 16 * cos((2x+1)pi/16),
+    # constant down columns; clamp(round(128 + s)).
+    for x in range(8):
+        expected = int(
+            0.25 * (1 / math.sqrt(2)) * 16 * math.cos((2 * x + 1) * math.pi / 16)
+            + 128.5
+        )
+        col = {out[y * 8 + x] for y in range(8)}
+        assert col == {expected}, (x, col, expected)
