@@ -8,9 +8,16 @@ Real decoders, no external imaging library required:
   walk (IHDR/IDAT/IEND with CRC check), concatenated-IDAT inflate, and
   scanline UN-filtering for all five filter types (None/Sub/Up/
   Average/Paeth) on 8-bit gray/RGB/RGBA.
-- **WAV (RIFF PCM)**: chunk-walking RIFF parser for 16-bit PCM audio —
-  the audio modality's real decoder (fmt/data located positionally
-  -independently, LIST/INFO chunks tolerated, word alignment handled).
+- **WAV (RIFF)**: chunk-walking RIFF parser — the audio modality's
+  real decoder (fmt/fact/data located positionally-independently,
+  LIST/INFO chunks tolerated, word alignment handled). Decodes 16-bit
+  PCM and, since r13, the COMPRESSED formats G.711 A-law/mu-law
+  (codeword tables cross-checked against CPython's independent
+  audioop C implementation over the entire int16 domain) and IMA
+  ADPCM (per-block predictor headers, interleaved nibble words, fact
+  -chunk truncation).
+- **JPEG (baseline sequential)**: see the r13 section below — marker
+  walk, in-stream tables, restarts, IDCT, subsampled chroma.
 
 These plug into ``operators/multimodal.py::decode_payload``; the
 mapInPandas plumbing there is format-agnostic. Encoders live here too so
@@ -254,23 +261,185 @@ def encode_png(
 
 
 # --------------------------------------------------------------------------
-# WAV (RIFF PCM) — the audio modality's real decoder
+# WAV (RIFF) — the audio modality's real decoder: 16-bit PCM since r8;
+# G.711 mu-law/A-law and IMA ADPCM (the COMPRESSED-audio formats) r13
 # --------------------------------------------------------------------------
+
+# G.711 per Sun Microsystems' public-domain g711.c (the canonical
+# CCITT reference implementation); cross-checked in tests against
+# CPython's independent C implementation (stdlib audioop, 3.11).
+_ALAW_SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def ulaw_to_linear(u: int) -> int:
+    """One mu-law codeword -> int16 sample (G.711 decode)."""
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+_ULAW_SEG_END = (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+
+
+def linear_to_ulaw(pcm: int) -> int:
+    """int16 sample -> mu-law codeword (G.711 encode), the 14-bit
+    -domain variant (arithmetic >>2 first) — the mapping deployed in
+    Sun's updated g711.c and CPython's audioop, bit-for-bit (the
+    original 16-bit-domain variant differs by one codeword for some
+    negative inputs because the arithmetic shift floors before
+    negation)."""
+    p = pcm >> 2
+    if p < 0:
+        p = -p
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    if p > 8158:
+        p = 8158  # clip so p + BIAS stays inside the last segment
+    p += 33  # BIAS in the 14-bit domain
+    for seg, end in enumerate(_ULAW_SEG_END):
+        if p <= end:
+            break
+    return ((seg << 4) | ((p >> (seg + 1)) & 0x0F)) ^ mask
+
+
+def alaw_to_linear(a: int) -> int:
+    """One A-law codeword -> int16 sample (G.711 decode)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def linear_to_alaw(pcm: int) -> int:
+    """int16 sample -> A-law codeword (G.711 encode)."""
+    p = pcm >> 3  # 16-bit to the 13-bit domain g711.c works in
+    if p >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        p = -p - 1
+    for seg, end in enumerate(_ALAW_SEG_END):
+        if p <= end:
+            break
+    else:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (p >> 1) & 0x0F if seg < 2 else (p >> seg) & 0x0F
+    return aval ^ mask
+
+
+# IMA/DVI ADPCM (the WAV fmt 0x11 block format) — step/index tables
+# from the IMA ADPCM reference algorithm (public, also in RFC 3551
+# and CPython's audioop).
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+
+def _ima_decode_nibble(n: int, pred: int, index: int) -> tuple[int, int]:
+    step = _IMA_STEP[index]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = -32768 if pred < -32768 else 32767 if pred > 32767 else pred
+    index += _IMA_INDEX[n]
+    index = 0 if index < 0 else 88 if index > 88 else index
+    return pred, index
+
+
+def _ima_encode_sample(s: int, pred: int, index: int) -> tuple[int, int, int]:
+    """Quantize one sample against the predictor; returns
+    (nibble, new_pred, new_index) — the encoder mirrors the decoder's
+    reconstruction so predictor state never drifts."""
+    step = _IMA_STEP[index]
+    delta = s - pred
+    n = 0
+    if delta < 0:
+        n = 8
+        delta = -delta
+    if delta >= step:
+        n |= 4
+        delta -= step
+    if delta >= step >> 1:
+        n |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        n |= 1
+    return n, *_ima_decode_nibble(n, pred, index)
+
+
+def _decode_ima_block(
+    body: bytes, channels: int, samples_per_block: int
+) -> list[int]:
+    """One IMA ADPCM block -> interleaved int16 samples. Per channel:
+    a 4-byte header (int16 predictor == sample 0, step index, pad),
+    then 4-byte words of 8 nibbles (low first), words interleaved
+    across channels."""
+    preds, idxs, chans = [], [], []
+    for ch in range(channels):
+        p, ix, _ = struct.unpack_from("<hBB", body, 4 * ch)
+        if ix > 88:
+            raise ValueError(f"IMA ADPCM step index {ix} out of range")
+        preds.append(p)
+        idxs.append(ix)
+        chans.append([p])
+    pos = 4 * channels
+    while len(chans[0]) < samples_per_block:
+        for ch in range(channels):
+            if pos + 4 > len(body):
+                raise ValueError("IMA ADPCM block truncated")
+            word = body[pos : pos + 4]
+            pos += 4
+            for b in word:
+                for n in (b & 0x0F, b >> 4):
+                    preds[ch], idxs[ch] = _ima_decode_nibble(
+                        n, preds[ch], idxs[ch]
+                    )
+                    chans[ch].append(preds[ch])
+    out = []
+    for k in range(samples_per_block):
+        for ch in range(channels):
+            out.append(chans[ch][k])
+    return out
 
 
 def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a RIFF/WAVE file with 16-bit PCM samples.
+    """Decode a RIFF/WAVE file to 16-bit PCM.
 
     Real RIFF chunk walk: validates the RIFF/WAVE header, locates the
-    ``fmt `` and ``data`` chunks wherever they appear (files in the
-    wild carry LIST/INFO chunks in between), checks PCM/16-bit, and
-    returns ``(sample_rate, channels, n_frames, samples)`` with
-    ``samples`` as the raw little-endian int16 frame data.
-    """
+    ``fmt ``/``fact``/``data`` chunks wherever they appear (files in
+    the wild carry LIST/INFO chunks in between) and returns
+    ``(sample_rate, channels, n_frames, samples)`` with ``samples`` as
+    little-endian int16 frame data. Formats decoded FOR REAL: 16-bit
+    PCM (tag 1), G.711 A-law (6) and mu-law (7), and IMA ADPCM (0x11,
+    per-block predictor headers + interleaved nibble words). Anything
+    else (MPEG, float PCM, ...) raises NotImplementedError — the
+    remaining documented audio seam."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     i = 12
-    sample_rate = channels = bits = -1
+    sample_rate = channels = bits = fmt_tag = -1
+    block_align = samples_per_block = fact_frames = -1
     data: bytes | None = None
     while i + 8 <= len(buf):
         ctype = buf[i : i + 4]
@@ -282,11 +451,28 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
             if length < 16:
                 raise ValueError(f"malformed fmt chunk: length {length}")
             fmt_tag, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            (block_align,) = struct.unpack("<H", body[12:14])
             (bits,) = struct.unpack("<H", body[14:16])
-            if fmt_tag != 1:
-                raise NotImplementedError(f"non-PCM format tag {fmt_tag}")
-            if bits != 16:
-                raise NotImplementedError(f"{bits}-bit PCM not supported")
+            if fmt_tag == 1:
+                if bits != 16:
+                    raise NotImplementedError(f"{bits}-bit PCM not supported")
+            elif fmt_tag in (6, 7):
+                if bits != 8:
+                    raise ValueError(f"G.711 with {bits}-bit samples")
+            elif fmt_tag == 0x11:
+                if bits != 4:
+                    raise NotImplementedError(
+                        f"{bits}-bit IMA ADPCM not supported"
+                    )
+                if length >= 20:
+                    (samples_per_block,) = struct.unpack("<H", body[18:20])
+            else:
+                raise NotImplementedError(
+                    f"WAV format tag {fmt_tag}: requires an external "
+                    "decoder; supported: PCM16, A-law, mu-law, IMA ADPCM"
+                )
+        elif ctype == b"fact":
+            (fact_frames,) = struct.unpack("<I", body[:4])
         elif ctype == b"data":
             data = body
         i += 8 + length + (length & 1)  # chunks are word-aligned
@@ -294,10 +480,49 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing fmt or data chunk")
     if channels < 1:
         raise ValueError(f"malformed fmt chunk: channels={channels}")
-    frame_bytes = 2 * channels
-    if len(data) % frame_bytes:
-        raise ValueError("data chunk not a whole number of frames")
-    return sample_rate, channels, len(data) // frame_bytes, data
+    if fmt_tag == 1:
+        frame_bytes = 2 * channels
+        if len(data) % frame_bytes:
+            raise ValueError("data chunk not a whole number of frames")
+        return sample_rate, channels, len(data) // frame_bytes, data
+    if fmt_tag in (6, 7):
+        table = alaw_to_linear if fmt_tag == 6 else ulaw_to_linear
+        if len(data) % channels:
+            raise ValueError("data chunk not a whole number of frames")
+        pcm = bytearray(2 * len(data))
+        for k, b in enumerate(data):
+            struct.pack_into("<h", pcm, 2 * k, table(b))
+        return sample_rate, channels, len(data) // channels, bytes(pcm)
+    # IMA ADPCM
+    if block_align <= 4 * channels:
+        raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+    if samples_per_block < 0:
+        # Derive from block geometry: header sample + 8 nibbles per
+        # 4-byte word per channel.
+        samples_per_block = (
+            (block_align - 4 * channels) * 8 // (4 * channels)
+        ) * 4 + 1
+    out: list[int] = []
+    total = fact_frames if fact_frames >= 0 else None
+    for off in range(0, len(data), block_align):
+        body = data[off : off + block_align]
+        if len(body) < 4 * channels:
+            raise ValueError("IMA ADPCM trailing partial block header")
+        n_this = samples_per_block
+        if total is not None:
+            remaining = total - len(out) // channels
+            if remaining <= 0:
+                break
+            n_this = min(samples_per_block, remaining)
+        out.extend(
+            _decode_ima_block(body, channels, samples_per_block)[
+                : n_this * channels
+            ]
+        )
+    pcm = bytearray(2 * len(out))
+    for k, s in enumerate(out):
+        struct.pack_into("<h", pcm, 2 * k, s)
+    return sample_rate, channels, len(out) // channels, bytes(pcm)
 
 
 def encode_wav(
@@ -317,6 +542,95 @@ def encode_wav(
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"LIST" + struct.pack("<I", len(info)) + info
         + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_g711(
+    sample_rate: int, channels: int, samples: bytes, law: str = "ulaw"
+) -> bytes:
+    """Encode int16 PCM frames as a G.711 (A-law/mu-law) RIFF/WAVE —
+    fmt tag 6/7, 8 bits per sample, with the fact chunk real decoders
+    expect for compressed formats."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law {law!r}")
+    if len(samples) % (2 * channels):
+        raise ValueError("sample buffer not a whole number of frames")
+    conv = linear_to_ulaw if law == "ulaw" else linear_to_alaw
+    n = len(samples) // 2
+    data = bytes(
+        conv(struct.unpack_from("<h", samples, 2 * k)[0]) for k in range(n)
+    )
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate, sample_rate * channels,
+        channels, 8,
+    )
+    fact = struct.pack("<I", n // channels)
+    pad = b"\x00" if len(data) & 1 else b""
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data + pad
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_ima_adpcm(
+    sample_rate: int,
+    channels: int,
+    samples: bytes,
+    samples_per_block: int = 505,
+) -> bytes:
+    """Encode int16 PCM frames as IMA ADPCM RIFF/WAVE (fmt 0x11) with
+    the standard per-block per-channel predictor headers and
+    interleaved 4-byte nibble words. ``samples_per_block`` must be
+    1 + a multiple of 8 (one header sample, then whole nibble words).
+    The tail block is zero-padded; the fact chunk records the true
+    frame count so decode returns exactly the input length."""
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + 8k")
+    if len(samples) % (2 * channels):
+        raise ValueError("sample buffer not a whole number of frames")
+    n_frames = len(samples) // (2 * channels)
+    pcm = [
+        struct.unpack_from("<h", samples, 2 * k)[0]
+        for k in range(len(samples) // 2)
+    ]
+    # De-interleave per channel.
+    chans = [pcm[ch::channels] for ch in range(channels)]
+    block_align = 4 * channels + (samples_per_block - 1) // 2 * channels
+    data = bytearray()
+    idxs = [0] * channels
+    for start in range(0, n_frames, samples_per_block):
+        nibbles: list[list[int]] = [[] for _ in range(channels)]
+        for ch in range(channels):
+            seq = chans[ch][start : start + samples_per_block]
+            seq = seq + [seq[-1]] * (samples_per_block - len(seq))
+            pred = seq[0]
+            data += struct.pack("<hBB", pred, idxs[ch], 0)
+            for s in seq[1:]:
+                n, pred, idxs[ch] = _ima_encode_sample(s, pred, idxs[ch])
+                nibbles[ch].append(n)
+        # Interleave per 8-nibble word across channels.
+        nwords = len(nibbles[0]) // 8
+        for wi in range(nwords):
+            for ch in range(channels):
+                grp = nibbles[ch][8 * wi : 8 * wi + 8]
+                for k in range(0, 8, 2):
+                    data.append(grp[k] | (grp[k + 1] << 4))
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, channels, sample_rate,
+        sample_rate * block_align // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    fact = struct.pack("<I", n_frames)
+    pad = b"\x00" if len(data) & 1 else b""
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + bytes(data) + pad
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 

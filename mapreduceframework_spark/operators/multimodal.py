@@ -13,8 +13,9 @@ markers, IDCT, 4:2:0/4:2:2 chroma upsampling) — pure-Python codecs in
 ``operators/imagecodec.py``, no imaging library needed. The byte-level
 'fake/v1' codec remains for payloads that are not images; what still
 genuinely needs external libraries (progressive/arithmetic JPEG,
-compressed audio, video containers) raises ``NotImplementedError`` so
-that seam stays explicit.
+MPEG/float-PCM audio, video containers) raises ``NotImplementedError``
+so that seam stays explicit; G.711 and IMA ADPCM WAVs decode for real
+through the same ``decode_wav`` entry (r13).
 
 Scale notes: mapInPandas preserves partitioning (no shuffle); batch size
 is bounded by spark.sql.execution.arrow.maxRecordsPerBatch (session.py),
@@ -76,8 +77,8 @@ def decode_payload(payload: bytes, codec: str) -> bytes:
     all five scanline filters), netpbm PPM/PGM, and baseline JPEG
     (r13) return raw interleaved pixel bytes; 'fake/v1' passes bytes
     through. Codecs needing external libraries (progressive JPEG,
-    compressed audio, video containers) stay explicitly
-    unimplemented."""
+    MPEG audio, video containers) stay explicitly unimplemented;
+    G.711/IMA-ADPCM WAVs decode for real via decode_wav (r13)."""
     if codec == "fake/v1":
         return payload
     if codec in ("image/png", "image/ppm", "image/pgm", "image/jpeg",

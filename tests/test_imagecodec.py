@@ -87,8 +87,16 @@ def test_decode_payload_dispatch():
     pix = _pix(4 * 3 * 3)
     assert decode_payload(IC.encode_png(4, 3, pix, 3), "image/png") == pix
     assert decode_payload(IC.encode_ppm(4, 3, pix), "image/ppm") == pix
-    with pytest.raises(NotImplementedError):
+    # image/jpeg routes to the REAL baseline decoder since r13: a valid
+    # stream decodes, a truncated one is a corrupt-payload ValueError
+    # (not the NotImplementedError seam, which is reserved for codecs
+    # that genuinely need external libraries).
+    j = IC.encode_jpeg(4, 3, pix)
+    assert len(decode_payload(j, "image/jpeg")) == 4 * 3 * 3
+    with pytest.raises(ValueError):
         decode_payload(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00\x00\x00", "video/mp4")
 
 
 def test_pixel_digest_matches_duckdb_fold():
