@@ -940,21 +940,11 @@ def _encode_block(bw, plane, pw, bx0, by0, q, pred_val, dc_tab, ac_tab):
     return zz[0]
 
 
-def encode_jpeg(
-    w: int,
-    h: int,
-    pixels: bytes,
-    channels: int = 3,
-    quality: int = 87,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode a baseline JFIF JPEG with generated quant + Huffman
-    tables carried in-stream. ``channels`` 1 (gray) or 3 (RGB
-    interleaved); ``subsampling`` '4:4:4' or '4:2:0' (box-average
-    chroma downsampling, luma 2x2 MCUs); ``restart_interval`` > 0
-    writes a DRI segment and RSTn markers every that many MCUs (the
-    decoder's resync + predictor-reset path)."""
+def _encode_setup(w, h, pixels, channels, quality, subsampling):
+    """Shared encoder front half: validate, build quant tables and the
+    component spec, color-convert, box-average-downsample and edge-pad
+    each component plane to the MCU grid. Returns
+    (comps, qtabs, [(plane, padded_width)], mcux, mcuy)."""
     if channels not in (1, 3):
         raise ValueError(f"channels {channels} not supported")
     if len(pixels) != w * h * channels:
@@ -1015,6 +1005,27 @@ def encode_jpeg(
                         cnt += 1
                 plane[y * pw + x] = (acc + cnt // 2) // cnt
         planes.append((plane, pw))
+    return comps, qtabs, planes, mcux, mcuy
+
+
+def encode_jpeg(
+    w: int,
+    h: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 87,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a baseline JFIF JPEG with generated quant + Huffman
+    tables carried in-stream. ``channels`` 1 (gray) or 3 (RGB
+    interleaved); ``subsampling`` '4:4:4' or '4:2:0' (box-average
+    chroma downsampling, luma 2x2 MCUs); ``restart_interval`` > 0
+    writes a DRI segment and RSTn markers every that many MCUs (the
+    decoder's resync + predictor-reset path)."""
+    comps, qtabs, planes, mcux, mcuy = _encode_setup(
+        w, h, pixels, channels, quality, subsampling
+    )
 
     dc_bits, dc_vals, ac_bits, ac_vals = _fixed_huff_tables()
     dc_tab = _HuffTable(dc_bits, dc_vals)
@@ -1087,16 +1098,20 @@ def encode_jpeg(
 
 
 def decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline sequential JPEG. Returns
-    ``(w, h, channels, pixels)`` — gray (1) or RGB (3) interleaved.
+    """Decode a baseline sequential (SOF0/1) or progressive (SOF2)
+    Huffman JPEG. Returns ``(w, h, channels, pixels)`` — gray (1) or
+    RGB (3) interleaved.
 
     Implements the real decode pipeline: marker walk, stream-carried
     quant/Huffman tables, interleaved-MCU entropy decode with DC
     prediction + EXTEND, restart-marker handling (DRI/RSTn), dequant,
     inverse zigzag, 2-D IDCT, replication upsampling of subsampled
-    chroma, JFIF YCbCr->RGB. Progressive / arithmetic / hierarchical /
-    12-bit streams raise NotImplementedError (the remaining documented
-    codec seam)."""
+    chroma, JFIF YCbCr->RGB. Progressive streams additionally carry
+    spectral-selection and successive-approximation scans (DC/AC
+    first + refinement passes, cross-block EOB runs) accumulated into
+    per-component coefficient stores before one shared finish.
+    Arithmetic-coded / hierarchical / lossless / 12-bit streams raise
+    NotImplementedError (the remaining documented codec seam)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -1105,6 +1120,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (w, h, [(cid, hs, vs, tq)])
+    progressive = False
     while True:
         if pos + 4 > len(buf):
             raise ValueError("truncated JPEG: marker segment cut short")
@@ -1149,7 +1165,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
                 i += 17 + n
                 tab = _HuffTable(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tab
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             if body[0] != 8:
                 raise NotImplementedError(f"{body[0]}-bit precision")
             fh, fw = struct.unpack(">HH", body[1:5])
@@ -1159,17 +1175,27 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (fw, fh, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (only baseline sequential"
-                f" is implemented — the documented codec seam)"
+                f"JPEG process SOF{marker - 0xC0} (only baseline and"
+                f" progressive Huffman DCT are implemented — the"
+                f" documented codec seam)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if progressive:
+                # Hand the whole remaining stream (from this SOS on) to
+                # the multi-scan decoder — DHT/DQT/DRI between scans
+                # are parsed there against the same table state.
+                return _decode_progressive(
+                    buf, pos, frame, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
             ns = body[0]
             scan_tabs = {}
             for si in range(ns):
@@ -1241,22 +1267,32 @@ def _decode_scan(buf, pos, frame, scan_tabs, qt, huff_dc, huff_ac, dri):
                                 raise ValueError("AC run past block end")
                             zz[k] = _extend(br.bits(s), s)
                             k += 1
-                        coef = [0.0] * 64
-                        for kk, (r_, c_) in enumerate(_ZIGZAG):
-                            coef[r_ * 8 + c_] = zz[kk] * q[r_ * 8 + c_]
-                        px = _idct_block(coef)
-                        bx0 = (mx * hs + hblk) * 8
-                        by0 = (my * vs + v) * 8
-                        plane = planes[ci]
-                        for yy in range(8):
-                            row = (by0 + yy) * pw + bx0
-                            for xx in range(8):
-                                val = int(px[yy * 8 + xx] + 128.5)
-                                plane[row + xx] = (
-                                    0 if val < 0 else 255 if val > 255 else val
-                                )
+                        _place_block(
+                            planes[ci], pw,
+                            (mx * hs + hblk) * 8, (my * vs + v) * 8, zz, q,
+                        )
             mcu_count += 1
-    # Upsample to full resolution and color-convert.
+    return _planes_to_image(planes, comps, fw, fh, hmax, vmax, mcux, mcuy)
+
+
+def _place_block(plane, pw, bx0, by0, zz, q):
+    """Dequantize one zigzag coefficient block, IDCT it, and write the
+    level-shifted clamped pixels into the component plane."""
+    coef = [0.0] * 64
+    for kk, (r_, c_) in enumerate(_ZIGZAG):
+        coef[r_ * 8 + c_] = zz[kk] * q[r_ * 8 + c_]
+    px = _idct_block(coef)
+    for yy in range(8):
+        row = (by0 + yy) * pw + bx0
+        for xx in range(8):
+            val = int(px[yy * 8 + xx] + 128.5)
+            plane[row + xx] = 0 if val < 0 else 255 if val > 255 else val
+
+
+def _planes_to_image(planes, comps, fw, fh, hmax, vmax, mcux, mcuy):
+    """Shared decode tail: replication-upsample each component plane to
+    full resolution and color-convert (JFIF YCbCr->RGB for 3
+    components, pass-through for gray)."""
     nch = len(comps)
     out = bytearray(fw * fh * nch)
     full = []
@@ -1284,3 +1320,542 @@ def _decode_scan(buf, pos, frame, scan_tabs, qt, huff_dc, huff_ac, dri):
         out[3 * i + 1] = 0 if g < 0 else 255 if g > 255 else g
         out[3 * i + 2] = 0 if b < 0 else 255 if b > 255 else b
     return fw, fh, 3, bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2, Huffman) — round 13, second half of the seam
+# --------------------------------------------------------------------------
+# Spectral selection AND successive approximation, both directions.
+# Decode follows T.81 G.2 (the stb_image/libjpeg-proven control flow
+# for AC refinement); the encoder mirrors libjpeg's jcphuff scan
+# discipline (cross-block EOB runs with buffered correction bits) so
+# fixtures exercise every decode branch. The load-bearing test oracle:
+# progressive encoding is a LOSSLESS rearrangement of the same
+# quantized coefficients, so progressive decode must equal baseline
+# decode of the same image BIT FOR BIT (tests/test_jpegcodec.py).
+
+
+def _comp_block_dims(fw, fh, hs, vs, hmax, vmax):
+    """True (non-MCU-padded) block grid of a component — the grid
+    non-interleaved scans cover (T.81 A.2.2)."""
+    cw = (fw * hs + hmax - 1) // hmax
+    ch = (fh * vs + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _decode_progressive(buf, pos, frame, qt, huff_dc, huff_ac, dri):
+    fw, fh, comps = frame
+    if not (1 <= len(comps) <= 3) or len(comps) == 2:
+        raise NotImplementedError(f"{len(comps)}-component JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, hs, vs, _ in comps:
+        if not (1 <= hs <= 2 and 1 <= vs <= 2):
+            raise NotImplementedError(f"sampling factors {hs}x{vs}")
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    # Zigzag-ordered coefficient store, MCU-padded grid per component.
+    blocks = []
+    for _, hs, vs, _ in comps:
+        blocks.append(
+            [[0] * 64 for _ in range((mcux * hs) * (mcuy * vs))]
+        )
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+
+    while True:
+        if pos + 2 > len(buf):
+            raise ValueError("truncated progressive JPEG: no EOI")
+        if buf[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at byte {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(buf):
+            raise ValueError("truncated progressive JPEG segment")
+        (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        body = buf[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated progressive JPEG segment body")
+        if marker == 0xC4:  # DHT between scans
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                i += 17 + n
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+            pos += 2 + ln
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", body[:2])
+            pos += 2 + ln
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []  # (ci, td, ta)
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                if cs not in cid_to_ci:
+                    raise ValueError(f"scan references unknown component {cs}")
+                scan.append((cid_to_ci[cs], tdta >> 4, tdta & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _decode_prog_scan(
+                buf, pos + 2 + ln, frame, scan, blocks, huff_dc, huff_ac,
+                ss, se, ah, al, dri, hmax, vmax, mcux, mcuy,
+            )
+        else:  # DQT/APPn/COM between scans
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0xF
+                    i += 1
+                    if pq == 0:
+                        vals = list(body[i : i + 64])
+                        i += 64
+                    else:
+                        vals = [
+                            struct.unpack(
+                                ">H", body[i + 2 * k : i + 2 * k + 2]
+                            )[0]
+                            for k in range(64)
+                        ]
+                        i += 128
+                    nat = [0] * 64
+                    for k, (r, c) in enumerate(_ZIGZAG):
+                        nat[r * 8 + c] = vals[k]
+                    qt[tq] = nat
+            pos += 2 + ln
+
+    # All scans accumulated: dequantize + IDCT + assemble.
+    planes = []
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError(f"missing quant table {tq}")
+        q = qt[tq]
+        bw = mcux * hs
+        pw = bw * 8
+        plane = [0] * (pw * mcuy * vs * 8)
+        for bi, zz in enumerate(blocks[ci]):
+            _place_block(plane, pw, (bi % bw) * 8, (bi // bw) * 8, zz, q)
+        planes.append(plane)
+    return _planes_to_image(planes, comps, fw, fh, hmax, vmax, mcux, mcuy)
+
+
+def _decode_prog_scan(
+    buf, pos, frame, scan, blocks, huff_dc, huff_ac,
+    ss, se, ah, al, dri, hmax, vmax, mcux, mcuy,
+):
+    """Decode one progressive scan's entropy data; returns the stream
+    position of the next marker."""
+    fw, fh, comps = frame
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not (0 <= al <= 13 and se <= 63 and ss <= se):
+        raise ValueError(f"bad scan parameters Ss={ss} Se={se} Al={al}")
+    br = _BitReader(buf, pos)
+    state = {"eob_run": 0}
+    pred = [0] * len(comps)
+
+    def restart(unit_count):
+        if dri and unit_count and unit_count % dri == 0:
+            m = br.align_to_marker()
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError(f"expected RST marker, got FF{m:02X}")
+            for i in range(len(pred)):
+                pred[i] = 0
+            state["eob_run"] = 0
+
+    if ss == 0 and len(scan) > 1:
+        # Interleaved DC scan: MCU traversal.
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart(n)
+                for ci, td, _ in scan:
+                    _, hs, vs, _ = comps[ci]
+                    bw = mcux * hs
+                    for v in range(vs):
+                        for hb in range(hs):
+                            bi = (my * vs + v) * bw + mx * hs + hb
+                            _prog_dc(
+                                br, blocks[ci][bi], huff_dc, td, ah, al,
+                                pred, ci,
+                            )
+                n += 1
+    else:
+        # Non-interleaved scan (single component): true block raster.
+        ci, td, ta = scan[0]
+        _, hs, vs, _ = comps[ci]
+        bw = mcux * hs
+        cbw, cbh = _comp_block_dims(fw, fh, hs, vs, hmax, vmax)
+        n = 0
+        for by in range(cbh):
+            for bx in range(cbw):
+                restart(n)
+                blk = blocks[ci][by * bw + bx]
+                if ss == 0:
+                    _prog_dc(br, blk, huff_dc, td, ah, al, pred, ci)
+                elif ah == 0:
+                    _prog_ac_first(br, blk, huff_ac, ta, ss, se, al, state)
+                else:
+                    _prog_ac_refine(br, blk, huff_ac, ta, ss, se, al, state)
+                n += 1
+    # Skip to the next marker (pad bits / pending marker).
+    if br.marker is not None:
+        return br.pos
+    p = br.pos
+    while p + 1 < len(buf) and not (
+        buf[p] == 0xFF and buf[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def _prog_dc(br, blk, huff_dc, td, ah, al, pred, ci):
+    if ah == 0:  # first DC scan: point-transformed diffs
+        if td not in huff_dc:
+            raise ValueError("scan references missing DC Huffman table")
+        size = huff_dc[td].decode(br)
+        if size > 11:
+            raise ValueError(f"bad DC size {size}")
+        diff = _extend(br.bits(size), size) if size else 0
+        pred[ci] += diff
+        blk[0] = pred[ci] << al
+    else:  # refinement: one bit per block
+        if br.bit():
+            blk[0] |= 1 << al
+
+
+def _prog_ac_first(br, blk, huff_ac, ta, ss, se, al, state):
+    if state["eob_run"] > 0:
+        state["eob_run"] -= 1
+        return
+    if ta not in huff_ac:
+        raise ValueError("scan references missing AC Huffman table")
+    tab = huff_ac[ta]
+    k = ss
+    while k <= se:
+        rs = tab.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                state["eob_run"] = (1 << r) - 1
+                if r:
+                    state["eob_run"] += br.bits(r)
+                return
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+
+def _prog_ac_refine(br, blk, huff_ac, ta, ss, se, al, state):
+    bit = 1 << al
+
+    def correct(k):
+        if br.bit() and not (blk[k] & bit):
+            blk[k] += bit if blk[k] > 0 else -bit
+
+    if state["eob_run"] > 0:
+        state["eob_run"] -= 1
+        for k in range(ss, se + 1):
+            if blk[k] != 0:
+                correct(k)
+        return
+    if ta not in huff_ac:
+        raise ValueError("scan references missing AC Huffman table")
+    tab = huff_ac[ta]
+    k = ss
+    while k <= se:
+        rs = tab.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                state["eob_run"] = (1 << r) - 1
+                if r:
+                    state["eob_run"] += br.bits(r)
+                r = 64  # sweep corrections to band end, place nothing
+            coef_val = 0
+        elif s == 1:
+            coef_val = bit if br.bit() else -bit
+        else:
+            raise ValueError(f"bad refinement magnitude size {s}")
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    if coef_val:
+                        blk[k] = coef_val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+
+
+def _quantize_block_zz(plane, pw, bx0, by0, q):
+    """FDCT + quantize one 8x8 block; returns the 64 zigzag-ordered
+    integer coefficients (the shared front half of baseline and
+    progressive encoding)."""
+    blk = [
+        float(plane[(by0 + yy) * pw + bx0 + xx]) - 128.0
+        for yy in range(8)
+        for xx in range(8)
+    ]
+    coef = _fdct_block(blk)
+    return [int(round(coef[i * 8 + j] / q[i * 8 + j])) for (i, j) in _ZIGZAG]
+
+
+class _ProgACState:
+    """Cross-block AC-scan state (libjpeg jcphuff discipline): the EOB
+    run counter plus the refinement correction bits BOUND TO THE RUN
+    (run_bits, emitted right after the EOBn symbol — the decoder reads
+    them while replaying the run's blocks). The CURRENT block's
+    correction bits are a separate buffer owned by the scan loop: they
+    are emitted after the next newly-significant coefficient's
+    symbol+sign (or join run_bits if the block ends in an EOB)."""
+
+    def __init__(self, bw, ac_tab):
+        self.bw = bw
+        self.ac = ac_tab
+        self.eob_run = 0
+        self.run_bits: list[int] = []
+
+    def emit_sym(self, sym):
+        c, ln = self.ac.enc[sym]
+        self.bw.put(c, ln)
+
+    def emit_bits(self, bits):
+        for b in bits:
+            self.bw.put(b, 1)
+
+    def flush_eob(self):
+        if self.eob_run > 0:
+            r = self.eob_run.bit_length() - 1
+            self.emit_sym(r << 4)
+            if r:
+                self.bw.put(self.eob_run - (1 << r), r)
+            self.eob_run = 0
+        self.emit_bits(self.run_bits)
+        self.run_bits = []
+
+    def bump_eob(self, block_bits=()):
+        self.eob_run += 1
+        self.run_bits.extend(block_bits)
+        if self.eob_run == 0x7FFF:
+            self.flush_eob()
+
+
+def _pt_ac(v, al):
+    """AC point transform: divide by 2^Al truncating toward zero
+    (T.81 G.1.2.1 — NOT an arithmetic shift for negatives)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def encode_jpeg_progressive(
+    w: int,
+    h: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 87,
+    subsampling: str = "4:4:4",
+    levels: int = 1,
+) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) JFIF JPEG with a libjpeg-style scan
+    script: DC first scan at Al=levels + DC refinements down to 0,
+    then per component two spectral-selection AC bands at Al=levels
+    and full-band AC refinements stepping Al down to 0 (``levels`` >= 1
+    successive-approximation steps). Same quantized coefficients as
+    :func:`encode_jpeg` — progressive is a lossless rearrangement, so
+    decoding both must give identical pixels (the test oracle)."""
+    if not 1 <= levels <= 10:
+        raise ValueError(f"levels {levels} outside 1..10")
+    comps, qtabs, planes, mcux, mcuy = _encode_setup(
+        w, h, pixels, channels, quality, subsampling
+    )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    # Quantized zigzag coefficients for every (padded-grid) block.
+    blocks = []
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        plane, pw = planes[ci]
+        bw_blocks = mcux * hs
+        bh_blocks = mcuy * vs
+        q = qtabs[tq]
+        blocks.append(
+            [
+                _quantize_block_zz(
+                    plane, pw, (bi % bw_blocks) * 8, (bi // bw_blocks) * 8, q
+                )
+                for bi in range(bw_blocks * bh_blocks)
+            ]
+        )
+
+    dc_bits, dc_vals, ac_bits, ac_vals = _fixed_huff_tables()
+    dc_tab = _HuffTable(dc_bits, dc_vals)
+    ac_tab = _HuffTable(ac_bits, ac_vals)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos_header(scan_cids, ss, se, ah, al):
+        body = bytes([len(scan_cids)])
+        for cid in scan_cids:
+            body += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_first_scan(al):
+        bw = _BitWriter()
+        pred = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_, hs, vs, _) in enumerate(comps):
+                    bwb = mcux * hs
+                    for v in range(vs):
+                        for hb in range(hs):
+                            blk = blocks[ci][(my * vs + v) * bwb + mx * hs + hb]
+                            val = blk[0] >> al  # DC PT is arithmetic shift
+                            diff = val - pred[ci]
+                            pred[ci] = val
+                            size = _mag_category(diff)
+                            c, ln = dc_tab.enc[size]
+                            bw.put(c, ln)
+                            if size:
+                                bw.put(
+                                    diff if diff > 0
+                                    else diff + (1 << size) - 1,
+                                    size,
+                                )
+        return bw.flush()
+
+    def dc_refine_scan(al):
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_, hs, vs, _) in enumerate(comps):
+                    bwb = mcux * hs
+                    for v in range(vs):
+                        for hb in range(hs):
+                            blk = blocks[ci][(my * vs + v) * bwb + mx * hs + hb]
+                            bw.put((blk[0] >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first_scan(ci, ss, se, al):
+        _, hs, vs, _ = comps[ci]
+        bwb = mcux * hs
+        cbw, cbh = _comp_block_dims(w, h, hs, vs, hmax, vmax)
+        bw = _BitWriter()
+        st = _ProgACState(bw, ac_tab)
+        for by in range(cbh):
+            for bx in range(cbw):
+                blk = blocks[ci][by * bwb + bx]
+                band = [_pt_ac(blk[k], al) for k in range(ss, se + 1)]
+                if not any(band):
+                    st.bump_eob()
+                    continue
+                st.flush_eob()
+                last_nz = max(i for i, v in enumerate(band) if v)
+                r = 0
+                for i in range(last_nz + 1):
+                    v = band[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        st.emit_sym(0xF0)  # ZRL
+                        r -= 16
+                    size = _mag_category(v)
+                    st.emit_sym((r << 4) | size)
+                    bw.put(v if v > 0 else v + (1 << size) - 1, size)
+                    r = 0
+                if last_nz < len(band) - 1:
+                    st.bump_eob()
+        st.flush_eob()
+        return bw.flush()
+
+    def ac_refine_scan(ci, ss, se, al):
+        _, hs, vs, _ = comps[ci]
+        bwb = mcux * hs
+        cbw, cbh = _comp_block_dims(w, h, hs, vs, hmax, vmax)
+        bw = _BitWriter()
+        st = _ProgACState(bw, ac_tab)
+        for by in range(cbh):
+            for bx in range(cbw):
+                blk = blocks[ci][by * bwb + bx]
+                absv = [abs(_pt_ac(blk[k], al)) for k in range(ss, se + 1)]
+                # Index of the LAST newly-significant coefficient —
+                # zero runs beyond it fold into the EOB run instead of
+                # costing ZRL symbols.
+                eob_idx = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob_idx = i
+                r = 0
+                cur_bits: list[int] = []  # this block's corrections
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_idx:
+                        st.flush_eob()
+                        st.emit_sym(0xF0)
+                        r -= 16
+                        st.emit_bits(cur_bits)
+                        cur_bits = []
+                    if t > 1:
+                        # Already-significant history: buffer its
+                        # correction bit for the next emission point.
+                        cur_bits.append(t & 1)
+                        continue
+                    # Newly significant (+-1 at this precision).
+                    st.flush_eob()
+                    st.emit_sym((r << 4) | 1)
+                    bw.put(1 if blk[ss + i] > 0 else 0, 1)
+                    st.emit_bits(cur_bits)
+                    cur_bits = []
+                    r = 0
+                if r > 0 or cur_bits:
+                    st.bump_eob(cur_bits)
+        st.flush_eob()
+        return bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qtabs):
+        zzq = bytes(q[i * 8 + j] for (i, j) in _ZIGZAG)
+        out += seg(0xDB, bytes([ti]) + zzq)
+    comp_specs = bytearray()
+    for cid, hs, vs, tq in comps:
+        comp_specs += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(
+        0xC2,  # SOF2: progressive, Huffman
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+        + comp_specs,
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    all_cids = [c[0] for c in comps]
+    out += sos_header(all_cids, 0, 0, 0, levels) + dc_first_scan(levels)
+    for al in range(levels - 1, -1, -1):
+        out += sos_header(all_cids, 0, 0, al + 1, al) + dc_refine_scan(al)
+    for ci, (cid, _, _, _) in enumerate(comps):
+        out += sos_header([cid], 1, 5, 0, levels) + ac_first_scan(
+            ci, 1, 5, levels
+        )
+        out += sos_header([cid], 6, 63, 0, levels) + ac_first_scan(
+            ci, 6, 63, levels
+        )
+    for al in range(levels - 1, -1, -1):
+        for ci, (cid, _, _, _) in enumerate(comps):
+            out += sos_header([cid], 1, 63, al + 1, al) + ac_refine_scan(
+                ci, 1, 63, al
+            )
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -7,15 +7,17 @@ Arrow-batched pandas over ``mapInPandas`` — whole batches of payloads
 cross the JVM->Python boundary as Arrow buffers, never row by row.
 
 Decoding is REAL for PNG (stdlib zlib inflate + all five scanline
-filters), netpbm PPM/PGM, and — since round 13 — baseline sequential
-JPEG (marker walk, stream-carried Huffman/quant tables, restart
-markers, IDCT, 4:2:0/4:2:2 chroma upsampling) — pure-Python codecs in
-``operators/imagecodec.py``, no imaging library needed. The byte-level
-'fake/v1' codec remains for payloads that are not images; what still
-genuinely needs external libraries (progressive/arithmetic JPEG,
-MPEG/float-PCM audio, video containers) raises ``NotImplementedError``
-so that seam stays explicit; G.711 and IMA ADPCM WAVs decode for real
-through the same ``decode_wav`` entry (r13).
+filters), netpbm PPM/PGM, and — since round 13 — both baseline
+sequential AND progressive JPEG (marker walk, stream-carried
+Huffman/quant tables, restart markers, spectral-selection +
+successive-approximation scans, IDCT, 4:2:0/4:2:2 chroma upsampling)
+— pure-Python codecs in ``operators/imagecodec.py``, no imaging
+library needed. The byte-level 'fake/v1' codec remains for payloads
+that are not images; what still genuinely needs external libraries
+(arithmetic-coded JPEG, MPEG/float-PCM audio, video containers)
+raises ``NotImplementedError`` so that seam stays explicit; G.711 and
+IMA ADPCM WAVs decode for real through the same ``decode_wav`` entry
+(r13).
 
 Scale notes: mapInPandas preserves partitioning (no shuffle); batch size
 is bounded by spark.sql.execution.arrow.maxRecordsPerBatch (session.py),
@@ -58,8 +60,9 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
     baseline JPEG (r13) through the marker walk + stream-carried
     Huffman/quant tables + IDCT + chroma upsampling
     (operators/imagecodec.py — pure Python, no imaging library).
-    Progressive/arithmetic JPEG raises NotImplementedError from inside
-    the decoder — the remaining documented codec seam.
+    Progressive JPEG decodes for real too; arithmetic-coded streams
+    raise NotImplementedError from inside the decoder — the remaining
+    documented codec seam.
     """
     from mapreduceframework_spark.operators import imagecodec as IC
 
@@ -76,8 +79,8 @@ def decode_payload(payload: bytes, codec: str) -> bytes:
     """Decode seam. Real codecs implemented here: PNG (zlib inflate +
     all five scanline filters), netpbm PPM/PGM, and baseline JPEG
     (r13) return raw interleaved pixel bytes; 'fake/v1' passes bytes
-    through. Codecs needing external libraries (progressive JPEG,
-    MPEG audio, video containers) stay explicitly unimplemented;
+    through. Codecs needing external libraries (arithmetic-coded
+    JPEG, MPEG audio, video containers) stay explicitly unimplemented;
     G.711/IMA-ADPCM WAVs decode for real via decode_wav (r13)."""
     if codec == "fake/v1":
         return payload

@@ -190,12 +190,13 @@ def test_16bit_dqt_streams_decode_identically():
     assert IC.decode_jpeg(j16) == IC.decode_jpeg(j)
 
 
-def test_progressive_sof2_raises_the_documented_seam():
+def test_arithmetic_sof9_raises_the_documented_seam():
+    # Progressive (SOF2) decodes for real since late r13; the seam has
+    # narrowed to arithmetic-coded / hierarchical / lossless processes.
     j = bytearray(IC.encode_jpeg(8, 8, bytes(64), channels=1))
-    # Rewrite the SOF0 marker byte to SOF2 (progressive).
     k = bytes(j).index(b"\xff\xc0")
-    j[k + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    j[k + 1] = 0xC9  # SOF9: extended sequential, arithmetic coding
+    with pytest.raises(NotImplementedError, match="SOF9"):
         IC.decode_jpeg(bytes(j))
 
 
@@ -376,3 +377,114 @@ def test_handcrafted_single_ac_coefficient():
         )
         col = {out[y * 8 + x] for y in range(8)}
         assert col == {expected}, (x, col, expected)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+# THE oracle: progressive encoding is a LOSSLESS rearrangement of the
+# same quantized coefficients, so progressive decode must equal
+# baseline decode of the same image BIT FOR BIT — any asymmetry in
+# EOB-run bookkeeping, refinement bit order, point transforms, or scan
+# coverage breaks exact equality somewhere in this grid.
+
+
+def _img(w, h, ch, kind):
+    n = w * h * ch
+    if kind == "noise":
+        return bytes((k * 2654435761 + k * k * 97) % 256 for k in range(n))
+    if kind == "smooth":
+        return bytes(
+            int(127 + 120 * math.sin((k % w) / 9) * math.cos((k // w) / 7))
+            % 256
+            for k in range(n)
+        )
+    if kind == "sparse":  # long EOB runs + isolated spikes
+        b = bytearray([128] * n)
+        for k in range(0, n, 97):
+            b[k] = 255
+        return bytes(b)
+    raise AssertionError(kind)
+
+
+@pytest.mark.parametrize("kind", ["noise", "smooth", "sparse"])
+@pytest.mark.parametrize("w,h,ch,sub,levels", [
+    (24, 16, 1, "4:4:4", 1),
+    (25, 17, 3, "4:4:4", 2),
+    (40, 26, 3, "4:2:0", 3),
+])
+def test_progressive_equals_baseline_bitwise(kind, w, h, ch, sub, levels):
+    px = _img(w, h, ch, kind)
+    base = IC.decode_jpeg(
+        IC.encode_jpeg(w, h, px, channels=ch, subsampling=sub)
+    )
+    prog = IC.decode_jpeg(
+        IC.encode_jpeg_progressive(
+            w, h, px, channels=ch, subsampling=sub, levels=levels
+        )
+    )
+    assert base == prog
+
+
+def test_progressive_stream_is_sof2_with_many_scans():
+    j = IC.encode_jpeg_progressive(16, 16, bytes(256), channels=1, levels=2)
+    assert b"\xff\xc2" in j and b"\xff\xc0" not in j
+    # 1 DC first + 2 DC refines + 2 AC bands + 2 AC refines = 7 scans.
+    assert j.count(b"\xff\xda") == 7
+
+
+def test_handcrafted_progressive_dc_only_stream():
+    # A progressive stream containing ONLY a DC scan (Al=0) then EOI —
+    # legal (a truncated-delivery shape); AC stays zero so the image
+    # is the DC-only reconstruction, same as the baseline handcrafted
+    # case: quant 16, DC diff +2 -> flat 132.
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00, 1, 2] + [0] * 14) + bytes([0, 1, 2])
+    sos = bytes([1, 1, 0x00, 0, 0, 0x00])  # Ss=0 Se=0 Ah=0 Al=0
+    # DC cat 2 = '11', magnitude '10' (EXTEND -> +2), pad 111 -> 0xD7?
+    # bits: 11 10 + 1111 -> 11101111 = 0xEF.
+    stream = (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC2, sof2)
+        + seg(0xC4, dht_dc) + seg(0xDA, sos)
+        + bytes([0xEF]) + b"\xff\xd9"
+    )
+    w, h, c, out = IC.decode_jpeg(stream)
+    assert (w, h, c) == (8, 8, 1)
+    assert set(out) == {132}
+
+
+def test_handcrafted_progressive_dc_successive_approximation():
+    # DC first scan at Al=1 sends +1 (coef 1<<1 = 2); the refinement
+    # scan at Al=0 adds the low bit -> coefficient 3 -> 3*16/8 = +6.
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00, 1, 2] + [0] * 14) + bytes([0, 1, 2])
+    sos1 = bytes([1, 1, 0x00, 0, 0, 0x01])  # Ah=0 Al=1
+    # DC cat 1 = code '10', magnitude '1' (EXTEND size1 -> +1), pad:
+    # 10 1 + 11111 -> 10111111 = 0xBF.
+    sos2 = bytes([1, 1, 0x00, 0, 0, 0x10])  # Ah=1 Al=0
+    # refinement: 1 bit '1', pad -> 11111111 = stuffed FF 00.
+    stream = (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC2, sof2)
+        + seg(0xC4, dht_dc)
+        + seg(0xDA, sos1) + bytes([0xBF])
+        + seg(0xDA, sos2) + bytes([0xFF, 0x00])
+        + b"\xff\xd9"
+    )
+    w, h, c, out = IC.decode_jpeg(stream)
+    assert set(out) == {134}  # 128 + 3*16/8
+
+
+def test_progressive_through_the_multimodal_seam():
+    px = bytes([5, 200, 100] * (9 * 7))
+    j = IC.encode_jpeg_progressive(9, 7, px)
+    w, h, c, out = decode_image(j, "image/jpeg")
+    assert (w, h, c) == (9, 7, 3)
+    assert out == decode_image(IC.encode_jpeg(9, 7, px), "image/jpeg")[3]
