@@ -16,8 +16,12 @@ Real decoders, no external imaging library required:
   audioop C implementation over the entire int16 domain) and IMA
   ADPCM (per-block predictor headers, interleaved nibble words, fact
   -chunk truncation).
-- **JPEG (baseline sequential)**: see the r13 section below — marker
-  walk, in-stream tables, restarts, IDCT, subsampled chroma.
+- **JPEG (baseline + progressive)**: see the r13 sections below —
+  marker walk, in-stream tables, restarts, IDCT, subsampled chroma,
+  spectral-selection/successive-approximation multi-scan decode.
+- **AVI (MJPEG)**: RIFF container walk to per-frame JPEG payloads —
+  the video modality end to end, with container-level stride sampling
+  so only sampled frames pay the decode.
 
 These plug into ``operators/multimodal.py::decode_payload``; the
 mapInPandas plumbing there is format-agnostic. Encoders live here too so
@@ -1859,3 +1863,153 @@ def encode_jpeg_progressive(
             )
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# AVI (RIFF) container with MJPEG video — round 13
+# --------------------------------------------------------------------------
+# The video-modality container walk, made real: AVI is RIFF (the same
+# chunk grammar the WAV decoder walks) and Motion-JPEG frames are
+# plain JPEG streams — so the full in-repo codec stack decodes a
+# video end to end: container walk -> per-frame JPEG decode. The
+# scale-relevant operation is frame SAMPLING: the container walk finds
+# every frame's byte extent without decoding, so a stride-N sample
+# decodes only N-th frames (operators/multimodal.py sample_frames'
+# contract). Compressed non-MJPEG codecs (H.264, VP9, ...) remain the
+# documented NotImplementedError seam.
+
+
+def _riff_lists(body: bytes, offset: int = 0):
+    """Yield (fourcc, start, end) for each chunk in a RIFF body;
+    LIST chunks yield their list-type as fourcc with the inner span."""
+    i = offset
+    while i + 8 <= len(body):
+        cc = body[i : i + 4]
+        (ln,) = struct.unpack("<I", body[i + 4 : i + 8])
+        if i + 8 + ln > len(body):
+            raise ValueError(f"truncated AVI: {cc!r} chunk cut short")
+        if cc == b"LIST":
+            yield body[i + 8 : i + 12], i + 12, i + 8 + ln
+        else:
+            yield cc, i + 8, i + 8 + ln
+        i += 8 + ln + (ln & 1)
+
+
+def decode_avi_mjpeg(buf: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """Parse an AVI container with an MJPEG video stream. Returns
+    ``(width, height, fps_num, fps_den, frames)`` where ``frames`` are
+    the raw per-frame JPEG payloads (NOT decoded — decode is the
+    caller's per-frame choice, which is what makes stride sampling
+    cheap). Non-MJPEG streams raise NotImplementedError."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = -1
+    rate = scale = 0
+    handler_ok = False
+    frames: list[bytes] = []
+    for cc, a, b in _riff_lists(buf, 12):
+        if cc == b"hdrl":
+            for cc2, a2, b2 in _riff_lists(buf[:b], a):
+                if cc2 == b"avih":
+                    if b2 - a2 < 40:
+                        raise ValueError("malformed avih header")
+                    w, h = struct.unpack("<II", buf[a2 + 32 : a2 + 40])
+                elif cc2 == b"strl":
+                    fcc_type = fcc_handler = b""
+                    for cc3, a3, b3 in _riff_lists(buf[:b2], a2):
+                        if cc3 == b"strh":
+                            fcc_type = buf[a3 : a3 + 4]
+                            fcc_handler = buf[a3 + 4 : a3 + 8]
+                            scale, rate = struct.unpack(
+                                "<II", buf[a3 + 20 : a3 + 28]
+                            )
+                        elif cc3 == b"strf" and fcc_type == b"vids":
+                            compression = buf[a3 + 16 : a3 + 20]
+                            if compression not in (b"MJPG", b"mjpg"):
+                                raise NotImplementedError(
+                                    f"AVI video codec {compression!r}: only"
+                                    " MJPEG decodes in-repo — the"
+                                    " documented video seam"
+                                )
+                            handler_ok = True
+                    if fcc_type == b"vids" and fcc_handler not in (
+                        b"MJPG", b"mjpg", b"\x00\x00\x00\x00"
+                    ):
+                        raise NotImplementedError(
+                            f"AVI video handler {fcc_handler!r}"
+                        )
+        elif cc == b"movi":
+            for cc2, a2, b2 in _riff_lists(buf[:b], a):
+                # 00dc/00db: stream-0 compressed/uncompressed frame.
+                if cc2 in (b"00dc", b"00db"):
+                    frames.append(buf[a2:b2])
+    if w < 0:
+        raise ValueError("missing avih header")
+    if not handler_ok:
+        raise ValueError("no MJPEG video stream in AVI")
+    return w, h, rate or 25, scale or 1, frames
+
+
+def encode_avi_mjpeg(
+    w: int,
+    h: int,
+    frames: list[bytes],
+    fps_num: int = 25,
+    fps_den: int = 1,
+) -> bytes:
+    """Assemble JPEG frame payloads into a minimal standard AVI
+    (RIFF: hdrl(avih, strl(strh 'vids'/'MJPG', strf MJPG
+    BITMAPINFOHEADER)), movi(00dc...), idx1)."""
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    us_per_frame = 1_000_000 * fps_den // max(1, fps_num)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, fps_den, fps_num,
+                      0, len(frames), 0, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame (offset relative to movi list start).
+    idx = bytearray()
+    off = 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def sample_avi_frames(
+    buf: bytes, stride: int
+) -> list[tuple[int, int, int, int, bytes]]:
+    """Decode every ``stride``-th MJPEG frame of an AVI: the
+    container-level frame sampler — only sampled frames pay the JPEG
+    decode. Returns [(frame_idx, w, h, channels, pixels)]."""
+    if stride < 1:
+        raise ValueError(f"stride {stride} < 1")
+    _, _, _, _, frames = decode_avi_mjpeg(buf)
+    out = []
+    for i in range(0, len(frames), stride):
+        w, h, c, px = decode_jpeg(frames[i])
+        out.append((i, w, h, c, px))
+    return out

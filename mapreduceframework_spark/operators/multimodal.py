@@ -16,8 +16,9 @@ library needed. The byte-level 'fake/v1' codec remains for payloads
 that are not images; what still genuinely needs external libraries
 (arithmetic-coded JPEG, MPEG/float-PCM audio, video containers)
 raises ``NotImplementedError`` so that seam stays explicit; G.711 and
-IMA ADPCM WAVs decode for real through the same ``decode_wav`` entry
-(r13).
+IMA ADPCM WAVs decode for real through the same ``decode_wav`` entry,
+and MJPEG-in-AVI video decodes end to end (container walk + per-frame
+JPEG, ``decode_video_frames``) — both r13.
 
 Scale notes: mapInPandas preserves partitioning (no shuffle); batch size
 is bounded by spark.sql.execution.arrow.maxRecordsPerBatch (session.py),
@@ -73,6 +74,26 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
     if codec in ("image/jpeg", "image/jpg"):
         return IC.decode_jpeg(payload)
     raise NotImplementedError(f"image codec {codec!r} not supported")
+
+
+def decode_video_frames(
+    payload: bytes, codec: str, stride: int = 1
+) -> list[tuple[int, int, int, int, bytes]]:
+    """REAL video decode (r13): MJPEG-in-AVI walks the RIFF container
+    to every frame's byte extent and JPEG-decodes only every
+    ``stride``-th frame — the container-level sampling contract that
+    makes frame sampling cheap at 100 TB (the walk is O(container),
+    the decode O(sampled)). Returns [(frame_idx, w, h, channels,
+    pixels)]. Other video codecs (H.264, VP9, ...) raise
+    NotImplementedError — the documented seam."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    if codec in ("video/avi-mjpeg", "video/x-motion-jpeg"):
+        return IC.sample_avi_frames(payload, stride)
+    raise NotImplementedError(
+        f"video codec {codec!r}: requires an external decoder library; "
+        "supported here: video/avi-mjpeg"
+    )
 
 
 def decode_payload(payload: bytes, codec: str) -> bytes:

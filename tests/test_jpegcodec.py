@@ -488,3 +488,90 @@ def test_progressive_through_the_multimodal_seam():
     w, h, c, out = decode_image(j, "image/jpeg")
     assert (w, h, c) == (9, 7, 3)
     assert out == decode_image(IC.encode_jpeg(9, 7, px), "image/jpeg")[3]
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI: the video container walk, real end to end
+# ---------------------------------------------------------------------------
+
+
+def _mjpeg_avi(n_frames=7, w=16, h=12):
+    frames = []
+    for i in range(n_frames):
+        px = bytes(((i * 40) + k) % 256 for k in range(w * h))
+        enc = IC.encode_jpeg if i % 2 == 0 else IC.encode_jpeg_progressive
+        frames.append(enc(w, h, px, channels=1))
+    return frames, IC.encode_avi_mjpeg(w, h, frames, fps_num=30)
+
+
+def test_avi_container_roundtrip_preserves_frames_bytewise():
+    frames, avi = _mjpeg_avi()
+    w, h, num, den, got = IC.decode_avi_mjpeg(avi)
+    assert (w, h, num, den) == (16, 12, 30, 1)
+    assert got == frames  # byte-identical payload extraction
+
+
+def test_avi_frame_sampling_decodes_strided_frames():
+    frames, avi = _mjpeg_avi(9)
+    out = IC.sample_avi_frames(avi, 4)
+    assert [t[0] for t in out] == [0, 4, 8]
+    for idx, w, h, c, px in out:
+        assert (w, h, c) == (16, 12, 1)
+        # Sampled frame pixels equal a direct decode of that payload
+        # (mixed baseline/progressive frames both decode).
+        assert px == IC.decode_jpeg(frames[idx])[3]
+
+
+def test_avi_non_mjpeg_codec_raises_the_video_seam():
+    frames, avi = _mjpeg_avi(2)
+    bad = avi.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError, match="H264"):
+        IC.decode_avi_mjpeg(bad)
+
+
+def test_avi_truncation_is_value_error():
+    _, avi = _mjpeg_avi(3)
+    with pytest.raises(ValueError):
+        IC.decode_avi_mjpeg(avi[: len(avi) // 2])
+    with pytest.raises(ValueError):
+        IC.decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_decode_video_frames_seam_and_spark_path(spark):
+    import pandas as pd
+
+    from mapreduceframework_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    with pytest.raises(NotImplementedError, match="video/h264"):
+        decode_video_frames(b"x", "video/h264")
+
+    rows = []
+    for d in range(4):
+        frames, avi = _mjpeg_avi(5 + d, w=8 + d, h=8)
+        rows.append((d, avi, 5 + d))
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, n_frames long"
+    ).repartition(2)
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, w, h, c, px in decode_video_frames(
+                    bytes(payload), "video/avi-mjpeg", stride=2
+                ):
+                    out.append((int(doc_id), idx, w, h, len(px)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame", "w", "h", "n_bytes"]
+            )
+
+    got = df.mapInPandas(
+        batches, "doc_id long, frame long, w long, h long, n_bytes long"
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame"])
+    for d in range(4):
+        assert sorted(by_doc[d]) == list(range(0, 5 + d, 2))
