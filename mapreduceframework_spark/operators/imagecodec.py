@@ -22,6 +22,10 @@ Real decoders, no external imaging library required:
 - **AVI (MJPEG)**: RIFF container walk to per-frame JPEG payloads —
   the video modality end to end, with container-level stride sampling
   so only sampled frames pay the decode.
+- **MP4 / ISO BMFF**: box-tree walk + sample-table reconstruction
+  (stsd/stts/stsc/stsz/stco) to codec-agnostic per-sample byte
+  extents; 'jpeg' sample entries decode end to end, compressed codecs
+  extract but keep the decode seam explicit.
 
 These plug into ``operators/multimodal.py::decode_payload``; the
 mapInPandas plumbing there is format-agnostic. Encoders live here too so
@@ -2013,3 +2017,298 @@ def sample_avi_frames(
         w, h, c, px = decode_jpeg(frames[i])
         out.append((i, w, h, c, px))
     return out
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO BMFF container — round 13
+# --------------------------------------------------------------------------
+# The dominant training-data video container, walked for real: box
+# tree (moov/trak/mdia/minf/stbl), sample description (stsd fourcc +
+# dimensions), and the sample tables (stsc chunk mapping, stsz sizes,
+# stco/co64 chunk offsets, stts timing) reconstructed into absolute
+# per-sample byte extents. Extraction is CODEC-AGNOSTIC — samples come
+# back as opaque payloads without decoding, which is the point at
+# scale: stride-sample first, decode only what survives. 'jpeg'
+# sample entries decode end to end via decode_jpeg; compressed codecs
+# (avc1/hvc1/vp09, ...) stay the documented NotImplementedError seam
+# at DECODE time while extraction still works.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each box in a span."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", buf[i : i + 4])
+        fourcc = buf[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                raise ValueError("truncated MP4: largesize cut short")
+            (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+            body = i + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError(f"truncated MP4: box {fourcc!r} cut short")
+        yield fourcc, body, i + size
+        i += size
+
+
+def _mp4_find(buf, start, end, path):
+    """Walk a '/'-separated box path; yields matching (start, end)."""
+    head, _, rest = path.partition(b"/")
+    for cc, a, b in _mp4_boxes(buf, start, end):
+        if cc == head:
+            if rest:
+                yield from _mp4_find(buf, a, b, rest)
+            else:
+                yield a, b
+
+
+def decode_mp4_samples(
+    buf: bytes,
+) -> tuple[bytes, int, int, int, list[int], list[bytes]]:
+    """Parse an ISO BMFF (MP4) video track. Returns
+    ``(codec_fourcc, width, height, timescale, sample_deltas,
+    samples)`` — sample payloads extracted by the stbl tables, NOT
+    decoded (codec-agnostic extraction; decode is per-sample and the
+    caller's stride choice). Uses the first video ('vide' handler)
+    track; raises ValueError on structural damage."""
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (missing ftyp)")
+    for trak_a, trak_b in _mp4_find(buf, 0, len(buf), b"moov/trak"):
+        # Only video tracks (hdlr handler_type == 'vide').
+        is_video = False
+        for a, b in _mp4_find(buf, trak_a, trak_b, b"mdia/hdlr"):
+            if buf[a + 8 : a + 12] == b"vide":
+                is_video = True
+        if not is_video:
+            continue
+        timescale = 0
+        for a, b in _mp4_find(buf, trak_a, trak_b, b"mdia/mdhd"):
+            version = buf[a]
+            timescale = struct.unpack(
+                ">I", buf[a + (20 if version == 1 else 12) :][:4]
+            )[0]
+        stbl = None
+        for a, b in _mp4_find(buf, trak_a, trak_b, b"mdia/minf/stbl"):
+            stbl = (a, b)
+        if stbl is None:
+            raise ValueError("video trak missing stbl")
+        fourcc = b""
+        w = h = 0
+        sizes: list[int] = []
+        chunk_offsets: list[int] = []
+        stsc: list[tuple[int, int]] = []  # (first_chunk, samples_per)
+        deltas: list[int] = []
+        for cc, a, b in _mp4_boxes(buf, *stbl):
+            body = buf[a:b]
+            if cc == b"stsd":
+                (n_entries,) = struct.unpack(">I", body[4:8])
+                if n_entries < 1:
+                    raise ValueError("empty stsd")
+                fourcc = body[12:16]
+                # VisualSampleEntry: entry box body starts at stsd body
+                # offset 16 (4 version/flags + 4 entry_count + 8 entry
+                # box header); width/height sit 24 bytes in (6 reserved
+                # + 2 data_ref_index + 16 pre_defined/reserved).
+                w, h = struct.unpack(">HH", body[16 + 24 : 16 + 28])
+            elif cc == b"stsz":
+                (uniform, n) = struct.unpack(">II", body[4:12])
+                if uniform:
+                    sizes = [uniform] * n
+                else:
+                    sizes = [
+                        struct.unpack(">I", body[12 + 4 * k : 16 + 4 * k])[0]
+                        for k in range(n)
+                    ]
+            elif cc in (b"stco", b"co64"):
+                (n,) = struct.unpack(">I", body[4:8])
+                width_ = 4 if cc == b"stco" else 8
+                fmt = ">I" if cc == b"stco" else ">Q"
+                chunk_offsets = [
+                    struct.unpack(
+                        fmt, body[8 + width_ * k : 8 + width_ * (k + 1)]
+                    )[0]
+                    for k in range(n)
+                ]
+            elif cc == b"stsc":
+                (n,) = struct.unpack(">I", body[4:8])
+                for k in range(n):
+                    first, per, _desc = struct.unpack(
+                        ">III", body[8 + 12 * k : 20 + 12 * k]
+                    )
+                    stsc.append((first, per))
+            elif cc == b"stts":
+                (n,) = struct.unpack(">I", body[4:8])
+                for k in range(n):
+                    cnt, delta = struct.unpack(
+                        ">II", body[8 + 8 * k : 16 + 8 * k]
+                    )
+                    deltas.extend([delta] * cnt)
+        if not sizes or not chunk_offsets or not stsc:
+            raise ValueError("video trak missing sample tables")
+        # Expand stsc runs: samples-per-chunk for every chunk.
+        per_chunk = []
+        for i, (first, per) in enumerate(stsc):
+            last = (
+                stsc[i + 1][0] - 1 if i + 1 < len(stsc)
+                else len(chunk_offsets)
+            )
+            per_chunk.extend([per] * (last - first + 1))
+        samples = []
+        si = 0
+        for ci, off in enumerate(chunk_offsets):
+            pos = off
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if si >= len(sizes):
+                    break
+                sz = sizes[si]
+                if pos + sz > len(buf):
+                    raise ValueError("MP4 sample extent past end of file")
+                samples.append(buf[pos : pos + sz])
+                pos += sz
+                si += 1
+        if si != len(sizes):
+            raise ValueError(
+                f"MP4 sample tables inconsistent: placed {si} of "
+                f"{len(sizes)} samples"
+            )
+        return fourcc, w, h, timescale, deltas, samples
+    raise ValueError("no video track in MP4")
+
+
+def sample_mp4_frames(
+    buf: bytes, stride: int
+) -> list[tuple[int, int, int, int, bytes]]:
+    """Stride-sample an MP4's video samples and DECODE the sampled
+    ones — only possible for in-repo-decodable sample entries
+    ('jpeg'); compressed codecs raise NotImplementedError here while
+    :func:`decode_mp4_samples` extraction still works for them."""
+    if stride < 1:
+        raise ValueError(f"stride {stride} < 1")
+    fourcc, w, h, _, _, samples = decode_mp4_samples(buf)
+    if fourcc not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"MP4 sample codec {fourcc!r}: extraction works, decode "
+            "requires an external library — the documented video seam"
+        )
+    out = []
+    for i in range(0, len(samples), stride):
+        fw, fh, c, px = decode_jpeg(samples[i])
+        out.append((i, fw, fh, c, px))
+    return out
+
+
+def encode_mp4_jpeg(
+    w: int,
+    h: int,
+    frames: list[bytes],
+    timescale: int = 30,
+    delta: int = 1,
+    chunk_size: int = 3,
+) -> bytes:
+    """Assemble JPEG frames into a minimal valid ISO BMFF file:
+    ftyp + mdat (chunked samples) + moov with real sample tables
+    (stsd 'jpeg' VisualSampleEntry, stts, stsc with a non-trivial
+    chunking so decoders must expand the run-length mapping, stsz,
+    stco). Fixture source for the container walk."""
+
+    def box(cc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + cc + body
+
+    def full(cc: bytes, body: bytes, version=0, flags=0) -> bytes:
+        return box(cc, struct.pack(">I", (version << 24) | flags) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_payload = b"".join(frames)
+    mdat = box(b"mdat", mdat_payload)
+    mdat_body_off = len(ftyp) + 8  # absolute offset of first sample
+
+    n = len(frames)
+    chunks = [frames[i : i + chunk_size] for i in range(0, n, chunk_size)]
+    chunk_offs = []
+    pos = mdat_body_off
+    for c in chunks:
+        chunk_offs.append(pos)
+        pos += sum(len(f) for f in c)
+    # stsc runs: full chunks share one run; a short tail chunk gets
+    # its own so the mapping is a real run-length table.
+    stsc_entries = [(1, chunk_size)]
+    if chunks and len(chunks[-1]) != chunk_size:
+        stsc_entries = (
+            [(1, chunk_size), (len(chunks), len(chunks[-1]))]
+            if len(chunks) > 1
+            else [(1, len(chunks[-1]))]
+        )
+
+    stsd_entry = (
+        struct.pack(">I", 86 + 8)[0:0]  # (size computed by box())
+        + b""
+    )
+    vse = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame count
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)  # depth, color table
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"jpeg", vse))
+    stts = full(b"stts", struct.pack(">II", 1, 0) if n == 0 else
+                struct.pack(">I", 1) + struct.pack(">II", n, delta))
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(
+            struct.pack(">III", first, per, 1)
+            for first, per in stsc_entries
+        ),
+    )
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = full(
+        b"stco",
+        struct.pack(">I", len(chunk_offs))
+        + b"".join(struct.pack(">I", o) for o in chunk_offs),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = full(b"dref", struct.pack(">I", 1) + full(b"url ", b"", flags=1))
+    dinf = box(b"dinf", dref)
+    vmhd = full(b"vmhd", b"\x00" * 8, flags=1)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"video\x00")
+    mdhd = full(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, n * delta)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, n * delta)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+        flags=7,
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, n * delta)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -90,9 +90,11 @@ def decode_video_frames(
 
     if codec in ("video/avi-mjpeg", "video/x-motion-jpeg"):
         return IC.sample_avi_frames(payload, stride)
+    if codec in ("video/mp4", "video/mp4-jpeg"):
+        return IC.sample_mp4_frames(payload, stride)
     raise NotImplementedError(
         f"video codec {codec!r}: requires an external decoder library; "
-        "supported here: video/avi-mjpeg"
+        "supported here: video/avi-mjpeg, video/mp4 (jpeg samples)"
     )
 
 
