@@ -657,3 +657,29 @@ def test_mp4_through_the_video_seam():
     frames, mp4 = _jpeg_mp4(6)
     out = decode_video_frames(mp4, "video/mp4", stride=2)
     assert [t[0] for t in out] == [0, 2, 4]
+
+
+# ---------------------------------------------------------------------------
+# Continuous fuzz: the lossless-rearrangement oracle under hypothesis
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    data=st.binary(min_size=16 * 16, max_size=16 * 16),
+    levels=st.integers(min_value=1, max_value=3),
+    quality=st.integers(min_value=40, max_value=98),
+)
+def test_progressive_equals_baseline_fuzz(data, levels, quality):
+    base = IC.decode_jpeg(
+        IC.encode_jpeg(16, 16, data, channels=1, quality=quality)
+    )
+    prog = IC.decode_jpeg(
+        IC.encode_jpeg_progressive(
+            16, 16, data, channels=1, quality=quality, levels=levels
+        )
+    )
+    assert base == prog
