@@ -7,7 +7,8 @@ Real decoders, no external imaging library required:
 - **PNG**: real PNG decoding via the stdlib ``zlib`` inflate — chunk
   walk (IHDR/IDAT/IEND with CRC check), concatenated-IDAT inflate, and
   scanline UN-filtering for all five filter types (None/Sub/Up/
-  Average/Paeth) on 8-bit gray/RGB/RGBA.
+  Average/Paeth) on 8-bit gray/RGB/RGBA, sequential or Adam7
+  -interlaced (seven independently-filtered scattered passes, r13).
 - **WAV (RIFF)**: chunk-walking RIFF parser — the audio modality's
   real decoder (fmt/fact/data located positionally-independently,
   LIST/INFO chunks tolerated, word alignment handled). Decodes 16-bit
@@ -127,11 +128,14 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an 8-bit non-interlaced PNG (gray / RGB / RGBA).
+    """Decode an 8-bit PNG (gray / RGB / RGBA), sequential or Adam7
+    -interlaced (r13).
 
-    Real decode path: chunk walk with CRC verification, zlib inflate of
-    the concatenated IDAT stream, then per-scanline un-filtering of all
-    five PNG filter types. Returns ``(w, h, channels, pixels)``.
+    Real decode path: chunk walk with CRC verification, zlib inflate
+    of the concatenated IDAT stream, per-scanline un-filtering of all
+    five PNG filter types (per-pass filter state for Adam7), and the
+    seven-pass scatter for interlaced streams. Returns
+    ``(w, h, channels, pixels)``.
     """
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
@@ -163,8 +167,8 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(f"bit depth {bit_depth}")
             if color_type not in _COLOR_CHANNELS:
                 raise NotImplementedError(f"color type {color_type}")
-            if comp != 0 or filt != 0 or interlace != 0:
-                raise NotImplementedError("nonstandard compression/interlace")
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise NotImplementedError("nonstandard compression/filter")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -177,13 +181,53 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt IDAT stream: {e}") from e
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("inflated size mismatch")
+        lines, _ = _unfilter_lines(raw, 0, h, stride, channels)
+        return w, h, channels, b"".join(lines)
+    # Adam7: seven sub-images, each independently filtered, scattered
+    # onto the full-resolution grid.
+    out = bytearray(w * h * channels)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no scanlines
+        lines, off = _unfilter_lines(raw, off, ph, pw * channels, channels)
+        for j, line in enumerate(lines):
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                dst = (y * w + x) * channels
+                src = i * channels
+                out[dst : dst + channels] = line[src : src + channels]
+    if off != len(raw):
+        raise ValueError("inflated size mismatch (interlaced)")
+    return w, h, channels, bytes(out)
+
+
+# Adam7 pass grid: (x_origin, y_origin, x_step, y_step), PNG 13.8.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_lines(raw, off, n_rows, stride, channels):
+    """Un-filter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``off`` in the inflated stream (each prefixed by its filter-type
+    byte, previous-row state starting at zeros — the per-pass reset
+    interlacing relies on). Returns (rows, next offset)."""
+    need = n_rows * (stride + 1)
+    if off + need > len(raw):
         raise ValueError("inflated size mismatch")
-    out = bytearray(h * stride)
+    rows = []
     prev = bytearray(stride)
-    for row in range(h):
-        base = row * (stride + 1)
+    for r in range(n_rows):
+        base = off + r * (stride + 1)
         ftype = raw[base]
         line = bytearray(raw[base + 1 : base + 1 + stride])
         if ftype == 1:  # Sub
@@ -203,9 +247,9 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
                 line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown filter type {ftype}")
-        out[row * stride : (row + 1) * stride] = line
+        rows.append(bytes(line))
         prev = line
-    return w, h, channels, bytes(out)
+    return rows, off + need
 
 
 def _filter_line(
@@ -242,24 +286,58 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(
-    w: int, h: int, pixels: bytes, channels: int = 3
+    w: int, h: int, pixels: bytes, channels: int = 3,
+    interlace: bool = False,
 ) -> bytes:
     """Encode an 8-bit PNG, cycling the filter type per row (row r uses
     filter r % 5) so a decoder must implement ALL filters correctly to
-    reproduce the pixels."""
+    reproduce the pixels. With ``interlace=True`` the stream is Adam7:
+    seven independently-filtered sub-images (fixture source for the
+    interlaced decode path — PNG is lossless, so interlaced and
+    sequential encodings of the same pixels must decode identically,
+    which is the test oracle)."""
     color_type = {1: 0, 3: 2, 4: 6}[channels]
     stride = w * channels
     if len(pixels) != h * stride:
         raise ValueError("pixel buffer size mismatch")
-    raw = bytearray()
-    prev = bytes(stride)
-    for row in range(h):
-        line = pixels[row * stride : (row + 1) * stride]
-        ftype = row % 5
-        raw.append(ftype)
-        raw += _filter_line(ftype, line, prev, channels)
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def filter_rows(rows, row_stride):
+        raw = bytearray()
+        prev = bytes(row_stride)
+        for ri, line in enumerate(rows):
+            ftype = ri % 5
+            raw.append(ftype)
+            raw += _filter_line(ftype, line, prev, channels)
+            prev = line
+        return raw
+
+    if not interlace:
+        rows = [
+            pixels[r * stride : (r + 1) * stride] for r in range(h)
+        ]
+        raw = filter_rows(rows, stride)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = []
+            for j in range(ph):
+                y = y0 + j * dy
+                line = bytearray(pw * channels)
+                for i in range(pw):
+                    x = x0 + i * dx
+                    src = (y * w + x) * channels
+                    line[i * channels : (i + 1) * channels] = pixels[
+                        src : src + channels
+                    ]
+                rows.append(bytes(line))
+            raw += filter_rows(rows, pw * channels)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)

@@ -276,3 +276,59 @@ def test_wav_short_fmt_chunk_is_valueerror():
     buf = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     with pytest.raises(ValueError, match="malformed fmt"):
         IC.decode_wav(buf)
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlacing (r13): lossless => interlaced == sequential exactly
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("w,h", [
+    (1, 1), (2, 2), (3, 5), (7, 7), (8, 8), (9, 10), (16, 9), (33, 21),
+    (5, 1), (1, 9),
+])
+def test_png_adam7_equals_sequential(channels, w, h):
+    # Shapes chosen so several Adam7 passes are EMPTY (w or h below a
+    # pass origin) — empty passes must contribute zero scanlines.
+    pix = _pix(w * h * channels, seed=w * 31 + h)
+    seq = IC.decode_png(IC.encode_png(w, h, pix, channels))
+    lac = IC.decode_png(IC.encode_png(w, h, pix, channels, interlace=True))
+    assert seq == lac == (w, h, channels, pix)
+
+
+def test_png_adam7_stream_is_actually_interlaced():
+    pix = _pix(16 * 16 * 3)
+    seq = IC.encode_png(16, 16, pix, 3)
+    lac = IC.encode_png(16, 16, pix, 3, interlace=True)
+    assert seq != lac
+    # IHDR interlace byte (13th byte of the IHDR data, after the
+    # 8-byte signature + 8-byte chunk header).
+    assert lac[16 + 12] == 1 and seq[16 + 12] == 0
+
+
+def test_png_adam7_truncated_pass_is_value_error():
+    pix = _pix(16 * 16)
+    lac = IC.encode_png(16, 16, pix, 1, interlace=True)
+    # Re-deflate a truncated scanline stream so the CRC and zlib layers
+    # pass but the pass accounting must catch the shortfall.
+    i = 8
+    ihdr_chunk = b""
+    idat = b""
+    while i < len(lac):
+        (length,) = struct.unpack(">I", lac[i : i + 4])
+        cc = lac[i + 4 : i + 8]
+        if cc == b"IHDR":
+            ihdr_chunk = lac[i : i + 12 + length]
+        elif cc == b"IDAT":
+            idat += lac[i + 8 : i + 8 + length]
+        i += 12 + length
+    raw = zlib.decompress(idat)
+    rebuilt = (
+        lac[:8]
+        + ihdr_chunk
+        + IC._chunk(b"IDAT", zlib.compress(raw[:-5]))
+        + IC._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        IC.decode_png(rebuilt)
