@@ -23,6 +23,9 @@ Real decoders, no external imaging library required:
 - **AVI (MJPEG)**: RIFF container walk to per-frame JPEG payloads —
   the video modality end to end, with container-level stride sampling
   so only sampled frames pay the decode.
+- **GIF (87a/89a)**: real variable-width LZW (dictionary growth,
+  CLEAR handling, the KwKwK case), global/local palettes, four-pass
+  row interlace, multi-frame animation extraction.
 - **MP4 / ISO BMFF**: box-tree walk + sample-table reconstruction
   (stsd/stts/stsc/stsz/stco) to codec-agnostic per-sample byte
   extents; 'jpeg' sample entries decode end to end, compressed codecs
@@ -2390,3 +2393,289 @@ def encode_mp4_jpeg(
     )
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a) — round 13: real LZW, palettes, interlacing, frames
+# --------------------------------------------------------------------------
+# The remaining ubiquitous legacy raster format in web-scraped
+# training corpora. Decode is the real pipeline: header + logical
+# screen descriptor, global/local color tables, extension-block walk
+# (graphic control parsed, others skipped), variable-width LSB-first
+# LZW with dictionary growth to 12 bits and CLEAR handling, and the
+# four-pass GIF row interlace. Multi-frame (animated) streams return
+# every frame with its placement rect; frame COMPOSITION (disposal
+# methods) is deliberately the caller's concern — extraction and
+# decode are the per-payload work, composition is pipeline policy.
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> bytes:
+    """GIF LZW: LSB-first variable-width codes, dict growth to 4096,
+    CLEAR resets, EOI terminates."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+
+    def base_dict():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = base_dict()
+    width = min_code + 1
+    prev: bytes | None = None
+    next_code = eoi + 1
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream exhausted early")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = base_dict()
+            width = min_code + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW code {code} out of sequence")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError(
+            f"GIF LZW underrun: {len(out)} of {n_expected} pixels"
+        )
+    return bytes(out[:n_expected])
+
+
+def _lzw_encode(data: bytes, min_code: int) -> bytes:
+    """Real GIF LZW compression (string-table greedy match), emitting
+    CLEAR at dictionary overflow — the inverse contract of
+    :func:`_lzw_decode`.
+
+    The code-width schedule is driven by a SIMULATION OF THE DECODER'S
+    dictionary count, not the encoder's: the decoder defines one entry
+    per received code starting from the SECOND code after a clear, so
+    it runs one entry behind — widening on the encoder's own count
+    would desync the streams one code early (the classic LZW
+    off-by-one; the first draft had it and the round-trip caught it
+    immediately)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    en = eoi + 1  # encoder's next table code
+    dn = eoi + 1  # decoder's mirrored entry count
+    first = True
+
+    def emit(code):
+        nonlocal dn, width, first
+        put(code)
+        if first:
+            first = False
+        else:
+            dn += 1  # the decoder defines an entry on this code
+            if dn == (1 << width) and width < 12:
+                width += 1
+
+    def do_clear():
+        nonlocal table, en, dn, width, first
+        put(clear)
+        table = {bytes([i]): i for i in range(clear)}
+        width = min_code + 1
+        en = eoi + 1
+        dn = eoi + 1
+        first = True
+
+    put(clear)
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if en < 4096:
+            table[cand] = en
+            en += 1
+        else:
+            do_clear()
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(
+    buf: bytes,
+) -> tuple[int, int, list[tuple[int, int, int, int, bytes]]]:
+    """Decode a GIF87a/89a. Returns ``(screen_w, screen_h, frames)``
+    with each frame ``(left, top, w, h, rgb_pixels)`` — palette
+    -mapped to interleaved RGB, de-interlaced if flagged."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: header {buf[:6]!r}")
+    if len(buf) < 13:
+        raise ValueError("truncated GIF: logical screen descriptor")
+    sw, sh = struct.unpack("<HH", buf[6:10])
+    packed = buf[10]
+    pos = 13
+    gct: list[bytes] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(buf):
+            raise ValueError("truncated GIF: global color table")
+        gct = [buf[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
+        pos += 3 * n
+    frames = []
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: introducer, label, sub-blocks
+            pos += 2
+            while pos < len(buf) and buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(buf):
+                raise ValueError("truncated GIF: image descriptor")
+            left, top, fw, fh = struct.unpack("<HHHH", buf[pos + 1 : pos + 9])
+            ip = buf[pos + 9]
+            pos += 10
+            pal = gct
+            if ip & 0x80:  # local color table
+                n = 2 << (ip & 0x07)
+                if pos + 3 * n > len(buf):
+                    raise ValueError("truncated GIF: local color table")
+                pal = [buf[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
+                pos += 3 * n
+            if not pal:
+                raise ValueError("GIF image with no color table")
+            interlaced = bool(ip & 0x40)
+            if pos >= len(buf):
+                raise ValueError("truncated GIF: missing LZW code size")
+            min_code = buf[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(buf) and buf[pos] != 0:
+                ln = buf[pos]
+                if pos + 1 + ln > len(buf):
+                    raise ValueError("truncated GIF: data sub-block")
+                lzw += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if pos >= len(buf):
+                raise ValueError("GIF image data unterminated")
+            pos += 1  # block terminator
+            idx = _lzw_decode(bytes(lzw), min_code, fw * fh)
+            if interlaced:
+                rows = [idx[r * fw : (r + 1) * fw] for r in range(fh)]
+                deint: list[bytes] = [b""] * fh
+                ri = 0
+                for start, step in _GIF_INTERLACE:
+                    for y in range(start, fh, step):
+                        deint[y] = rows[ri]
+                        ri += 1
+                idx = b"".join(deint)
+            rgb = bytearray(fw * fh * 3)
+            npal = len(pal)
+            for i, ci in enumerate(idx):
+                if ci >= npal:
+                    raise ValueError(f"GIF palette index {ci} out of range")
+                rgb[3 * i : 3 * i + 3] = pal[ci]
+            frames.append((left, top, fw, fh, bytes(rgb)))
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02X}")
+    if not frames:
+        raise ValueError("GIF contains no image")
+    return sw, sh, frames
+
+
+def encode_gif(
+    w: int,
+    h: int,
+    frames: list[bytes],
+    interlace: bool = False,
+) -> bytes:
+    """Encode index-free RGB frames as an animated GIF89a: an adaptive
+    per-frame LOCAL 256-color table (first-come palette; raises if a
+    frame has more than 256 distinct colors — fixtures control their
+    palettes), real LZW compression, optional four-pass interlacing.
+    Fixture source for :func:`decode_gif`."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x00, 0, 0])  # no GCT
+    for fi, px in enumerate(frames):
+        if len(px) != w * h * 3:
+            raise ValueError("frame pixel buffer size mismatch")
+        palette: dict[bytes, int] = {}
+        idx = bytearray()
+        for i in range(w * h):
+            c = bytes(px[3 * i : 3 * i + 3])
+            if c not in palette:
+                if len(palette) == 256:
+                    raise ValueError("frame exceeds 256 distinct colors")
+                palette[c] = len(palette)
+            idx.append(palette[c])
+        # Color-table size: power of two >= max(2, len(palette)).
+        size_exp = max(1, (max(2, len(palette)) - 1).bit_length())
+        n = 1 << size_exp
+        # graphic control extension (delay 10cs) — exercises the
+        # extension walk on decode.
+        out += bytes([0x21, 0xF9, 4, 0x00, 10, 0, 0, 0])
+        flags = 0x80 | (size_exp - 1)
+        if interlace:
+            flags |= 0x40
+            rows = [bytes(idx[r * w : (r + 1) * w]) for r in range(h)]
+            ordered = bytearray()
+            for start, step in _GIF_INTERLACE:
+                for y in range(start, h, step):
+                    ordered += rows[y]
+            idx = ordered
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([flags])
+        for c, _ in sorted(palette.items(), key=lambda kv: kv[1]):
+            out += c
+        out += b"\x00" * (3 * (n - len(palette)))
+        min_code = max(2, size_exp)
+        out += bytes([min_code])
+        lzw = _lzw_encode(bytes(idx), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)

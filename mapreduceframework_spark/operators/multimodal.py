@@ -73,6 +73,12 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
         return IC.decode_pnm(payload)
     if codec in ("image/jpeg", "image/jpg"):
         return IC.decode_jpeg(payload)
+    if codec == "image/gif":
+        # Single-image contract: the FIRST frame (full multi-frame
+        # access is operators.imagecodec.decode_gif).
+        _, _, frames = IC.decode_gif(payload)
+        left, top, fw, fh, rgb = frames[0]
+        return fw, fh, 3, rgb
     raise NotImplementedError(f"image codec {codec!r} not supported")
 
 
@@ -108,7 +114,7 @@ def decode_payload(payload: bytes, codec: str) -> bytes:
     if codec == "fake/v1":
         return payload
     if codec in ("image/png", "image/ppm", "image/pgm", "image/jpeg",
-                 "image/jpg"):
+                 "image/jpg", "image/gif"):
         return decode_image(payload, codec)[3]
     raise NotImplementedError(
         f"codec {codec!r}: requires an external decoder library not "

@@ -332,3 +332,84 @@ def test_png_adam7_truncated_pass_is_value_error():
     )
     with pytest.raises(ValueError):
         IC.decode_png(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# GIF (r13): real LZW + palettes + interlace + animation frames
+# ---------------------------------------------------------------------------
+
+
+def _paletted(w, h, ncolors, seed=0):
+    return bytes(
+        ((seed + (k // 3)) % ncolors) * (255 // max(1, ncolors - 1)) % 256
+        for k in range(w * h * 3)
+    )
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("w,h,ncolors", [
+    (1, 1, 1), (13, 9, 5), (16, 16, 2), (31, 17, 255),
+])
+def test_gif_round_trip(w, h, ncolors, interlace):
+    px = _paletted(w, h, ncolors)
+    sw, sh, frames = IC.decode_gif(
+        IC.encode_gif(w, h, [px], interlace=interlace)
+    )
+    assert (sw, sh) == (w, h)
+    assert frames == [(0, 0, w, h, px)]
+
+
+def test_gif_animation_frames_round_trip():
+    w, h = 24, 18
+    f1 = _paletted(w, h, 7)
+    f2 = _paletted(w, h, 7, seed=3)
+    sw, sh, frames = IC.decode_gif(IC.encode_gif(w, h, [f1, f2]))
+    assert [f[4] for f in frames] == [f1, f2]
+
+
+def test_gif_lzw_survives_dictionary_overflow():
+    # 64x64 with ~256 colors in a non-repeating pattern forces the LZW
+    # dictionary past 4096 entries -> CLEAR mid-stream on encode, which
+    # decode must honor.
+    w, h = 64, 64
+    px = bytes(
+        (k * 7) % 256 if k % 3 == 0
+        else ((k // 3) % 16) * 16 if k % 3 == 1
+        else 77
+        for k in range(w * h * 3)
+    )
+    g = IC.encode_gif(w, h, [px])
+    assert IC.decode_gif(g)[2][0][4] == px
+
+
+def test_gif_lzw_raw_stream_properties():
+    # KwKwK pattern (aaa...), empty input, and a long high-entropy
+    # stream with multiple dictionary resets.
+    for data in (b"aaaaaaaaaa", b"", bytes(50000)):
+        assert IC._lzw_decode(IC._lzw_encode(data, 8), 8, len(data)) == data
+    data = bytes((k * k * 31 + k * 17) % 251 for k in range(50000))
+    assert IC._lzw_decode(IC._lzw_encode(data, 8), 8, len(data)) == data
+
+
+def test_gif_error_paths():
+    with pytest.raises(ValueError, match="not a GIF"):
+        IC.decode_gif(b"PNG\x00" * 4)
+    g = IC.encode_gif(8, 8, [_paletted(8, 8, 4)])
+    with pytest.raises(ValueError):
+        IC.decode_gif(g[: len(g) // 2])
+    many = bytearray()
+    for i in range(32 * 32):  # 1024 guaranteed-distinct colors
+        many += bytes([i % 256, (i // 256) % 256, i % 251])
+    with pytest.raises(ValueError, match="256 distinct"):
+        IC.encode_gif(32, 32, [bytes(many)])
+
+
+def test_gif_through_the_image_seam():
+    from mapreduceframework_spark.operators.multimodal import (
+        decode_image, decode_payload,
+    )
+
+    px = _paletted(9, 7, 6)
+    g = IC.encode_gif(9, 7, [px])
+    assert decode_image(g, "image/gif") == (9, 7, 3, px)
+    assert decode_payload(g, "image/gif") == px
