@@ -1211,10 +1211,17 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
     frame = None  # (w, h, [(cid, hs, vs, tq)])
     progressive = False
     while True:
-        if pos + 4 > len(buf):
+        if pos + 2 > len(buf):
             raise ValueError("truncated JPEG: marker segment cut short")
         if buf[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them so spec-valid streams don't misparse the
+        # fill as a marker and read garbage as a segment length.
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(buf):
+            raise ValueError("truncated JPEG: marker segment cut short")
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("EOI before any scan")
@@ -1303,6 +1310,15 @@ def _decode_scan(buf, pos, frame, scan_tabs, qt, huff_dc, huff_ac, dri):
     fw, fh, comps = frame
     if not (1 <= len(comps) <= 3) or len(comps) == 2:
         raise NotImplementedError(f"{len(comps)}-component JPEG")
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # data units traverse the component's own ceil(w/8) x ceil(h/8)
+        # block grid and the frame's declared sampling factors are
+        # ignored. Normalizing to 1x1 makes the MCU loop below exactly
+        # that grid (one block per MCU, restart counting per data
+        # unit), matching _decode_prog_scan's non-interleaved path.
+        cid, _, _, tq0 = comps[0]
+        comps = [(cid, 1, 1, tq0)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     for _, hs, vs, _ in comps:
@@ -1456,6 +1472,9 @@ def _decode_progressive(buf, pos, frame, qt, huff_dc, huff_ac, dri):
             raise ValueError("truncated progressive JPEG: no EOI")
         if buf[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
+        # T.81 B.1.1.2 fill bytes, same as the baseline marker walk.
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -2542,10 +2561,15 @@ def _lzw_encode(data: bytes, min_code: int) -> bytes:
 
 def decode_gif(
     buf: bytes,
-) -> tuple[int, int, list[tuple[int, int, int, int, bytes]]]:
+) -> tuple[int, int, list[tuple[int, int, int, int, bytes, int | None]]]:
     """Decode a GIF87a/89a. Returns ``(screen_w, screen_h, frames)``
-    with each frame ``(left, top, w, h, rgb_pixels)`` — palette
-    -mapped to interleaved RGB, de-interlaced if flagged."""
+    with each frame ``(left, top, w, h, rgb_pixels, transparent_idx)``
+    — palette-mapped to interleaved RGB, de-interlaced if flagged.
+    ``transparent_idx`` is the graphic-control transparent palette
+    index (None when the frame has no transparency); pixels at that
+    index come back as the palette color, and the caller decides how
+    to composite — surfacing the index instead of silently flattening
+    is what keeps downstream phash/dedup aware of transparency."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF: header {buf[:6]!r}")
     if len(buf) < 13:
@@ -2561,12 +2585,25 @@ def decode_gif(
         gct = [buf[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
         pos += 3 * n
     frames = []
+    transparent: int | None = None  # pending GCE, applies to next image
     while pos < len(buf):
         b0 = buf[pos]
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension: introducer, label, sub-blocks
+            label = buf[pos + 1] if pos + 1 < len(buf) else -1
             pos += 2
+            # Graphic Control Extension (89a): transparency flag (bit
+            # 0 of the packed byte) + transparent palette index apply
+            # to the NEXT image descriptor only.
+            if (
+                label == 0xF9
+                and pos < len(buf)
+                and buf[pos] >= 4
+                and pos + 4 < len(buf)
+            ):
+                if buf[pos + 1] & 0x01:
+                    transparent = buf[pos + 4]
             while pos < len(buf) and buf[pos] != 0:
                 pos += 1 + buf[pos]
             pos += 1
@@ -2616,7 +2653,8 @@ def decode_gif(
                 if ci >= npal:
                     raise ValueError(f"GIF palette index {ci} out of range")
                 rgb[3 * i : 3 * i + 3] = pal[ci]
-            frames.append((left, top, fw, fh, bytes(rgb)))
+            frames.append((left, top, fw, fh, bytes(rgb), transparent))
+            transparent = None  # GCE scope ends at its image
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02X}")
     if not frames:
@@ -2629,12 +2667,16 @@ def encode_gif(
     h: int,
     frames: list[bytes],
     interlace: bool = False,
+    transparent_color: bytes | None = None,
 ) -> bytes:
     """Encode index-free RGB frames as an animated GIF89a: an adaptive
     per-frame LOCAL 256-color table (first-come palette; raises if a
     frame has more than 256 distinct colors — fixtures control their
     palettes), real LZW compression, optional four-pass interlacing.
-    Fixture source for :func:`decode_gif`."""
+    ``transparent_color`` marks that RGB triple's palette index
+    transparent in each frame's graphic-control extension (frames not
+    containing the color stay opaque). Fixture source for
+    :func:`decode_gif`."""
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
     out += bytes([0x00, 0, 0])  # no GCT
@@ -2654,8 +2696,17 @@ def encode_gif(
         size_exp = max(1, (max(2, len(palette)) - 1).bit_length())
         n = 1 << size_exp
         # graphic control extension (delay 10cs) — exercises the
-        # extension walk on decode.
-        out += bytes([0x21, 0xF9, 4, 0x00, 10, 0, 0, 0])
+        # extension walk on decode; carries the transparency flag +
+        # index when the frame contains the requested color.
+        t_idx = (
+            palette.get(transparent_color)
+            if transparent_color is not None
+            else None
+        )
+        if t_idx is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 10, 0, t_idx, 0])
+        else:
+            out += bytes([0x21, 0xF9, 4, 0x00, 10, 0, 0, 0])
         flags = 0x80 | (size_exp - 1)
         if interlace:
             flags |= 0x40

@@ -11,14 +11,15 @@ filters), netpbm PPM/PGM, and — since round 13 — both baseline
 sequential AND progressive JPEG (marker walk, stream-carried
 Huffman/quant tables, restart markers, spectral-selection +
 successive-approximation scans, IDCT, 4:2:0/4:2:2 chroma upsampling)
-— pure-Python codecs in ``operators/imagecodec.py``, no imaging
-library needed. The byte-level 'fake/v1' codec remains for payloads
-that are not images; what still genuinely needs external libraries
-(arithmetic-coded JPEG, MPEG/float-PCM audio, video containers)
+— plus GIF and Adam7-interlaced PNG — pure-Python codecs in
+``operators/imagecodec.py``, no imaging library needed. The
+byte-level 'fake/v1' codec remains for payloads that are not images;
+what still genuinely needs external libraries (arithmetic-coded
+JPEG, MPEG/float-PCM audio, compressed video codecs like H.264/VP9)
 raises ``NotImplementedError`` so that seam stays explicit; G.711 and
 IMA ADPCM WAVs decode for real through the same ``decode_wav`` entry,
-and MJPEG-in-AVI video decodes end to end (container walk + per-frame
-JPEG, ``decode_video_frames``) — both r13.
+and MJPEG-in-AVI and MP4 'jpeg'-sample video decode end to end
+(container walk + per-frame JPEG, ``decode_video_frames``) — all r13.
 
 Scale notes: mapInPandas preserves partitioning (no shuffle); batch size
 is bounded by spark.sql.execution.arrow.maxRecordsPerBatch (session.py),
@@ -56,13 +57,14 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
     """REAL image decode: returns (width, height, channels, pixels).
 
-    PNG goes through the full chunk-walk + zlib-inflate + un-filter
-    path; PPM/PGM through the netpbm header tokenizer + raster slice;
-    baseline JPEG (r13) through the marker walk + stream-carried
-    Huffman/quant tables + IDCT + chroma upsampling
-    (operators/imagecodec.py — pure Python, no imaging library).
-    Progressive JPEG decodes for real too; arithmetic-coded streams
-    raise NotImplementedError from inside the decoder — the remaining
+    PNG (sequential or Adam7-interlaced) goes through the full
+    chunk-walk + zlib-inflate + un-filter path; PPM/PGM through the
+    netpbm header tokenizer + raster slice; baseline AND progressive
+    JPEG (r13) through the marker walk + stream-carried Huffman/quant
+    tables + IDCT + chroma upsampling; GIF (r13) through the real
+    LZW/palette/interlace pipeline (operators/imagecodec.py — pure
+    Python, no imaging library). Arithmetic-coded JPEG streams raise
+    NotImplementedError from inside the decoder — the remaining
     documented codec seam.
     """
     from mapreduceframework_spark.operators import imagecodec as IC
@@ -75,9 +77,10 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
         return IC.decode_jpeg(payload)
     if codec == "image/gif":
         # Single-image contract: the FIRST frame (full multi-frame
-        # access is operators.imagecodec.decode_gif).
+        # access — and per-frame transparency — is
+        # operators.imagecodec.decode_gif).
         _, _, frames = IC.decode_gif(payload)
-        left, top, fw, fh, rgb = frames[0]
+        left, top, fw, fh, rgb, _transparent = frames[0]
         return fw, fh, 3, rgb
     raise NotImplementedError(f"image codec {codec!r} not supported")
 
@@ -104,22 +107,31 @@ def decode_video_frames(
     )
 
 
+# The image codecs decode_payload dispatches on — single source for
+# both the dispatch and the NotImplementedError capability list, so
+# the error message cannot drift from what actually decodes.
+IMAGE_CODECS = (
+    "image/png", "image/ppm", "image/pgm", "image/jpeg", "image/jpg",
+    "image/gif",
+)
+
+
 def decode_payload(payload: bytes, codec: str) -> bytes:
     """Decode seam. Real codecs implemented here: PNG (zlib inflate +
-    all five scanline filters), netpbm PPM/PGM, and baseline JPEG
-    (r13) return raw interleaved pixel bytes; 'fake/v1' passes bytes
-    through. Codecs needing external libraries (arithmetic-coded
-    JPEG, MPEG audio, video containers) stay explicitly unimplemented;
+    all five scanline filters, incl. Adam7 interlace), netpbm PPM/PGM,
+    baseline AND progressive JPEG, and GIF (r13) return raw
+    interleaved pixel bytes; 'fake/v1' passes bytes through. Codecs
+    needing external libraries (arithmetic-coded JPEG, MPEG/float
+    audio, H.264/VP9 video) stay explicitly unimplemented;
     G.711/IMA-ADPCM WAVs decode for real via decode_wav (r13)."""
     if codec == "fake/v1":
         return payload
-    if codec in ("image/png", "image/ppm", "image/pgm", "image/jpeg",
-                 "image/jpg", "image/gif"):
+    if codec in IMAGE_CODECS:
         return decode_image(payload, codec)[3]
     raise NotImplementedError(
         f"codec {codec!r}: requires an external decoder library not "
-        "present in this container; supported here: fake/v1, image/png, "
-        "image/ppm, image/pgm, image/jpeg"
+        f"present in this container; supported here: fake/v1, "
+        f"{', '.join(IMAGE_CODECS)}"
     )
 
 

@@ -356,7 +356,7 @@ def test_gif_round_trip(w, h, ncolors, interlace):
         IC.encode_gif(w, h, [px], interlace=interlace)
     )
     assert (sw, sh) == (w, h)
-    assert frames == [(0, 0, w, h, px)]
+    assert frames == [(0, 0, w, h, px, None)]
 
 
 def test_gif_animation_frames_round_trip():
@@ -413,3 +413,69 @@ def test_gif_through_the_image_seam():
     g = IC.encode_gif(9, 7, [px])
     assert decode_image(g, "image/gif") == (9, 7, 3, px)
     assert decode_payload(g, "image/gif") == px
+
+
+def test_gif_transparency_surfaced_per_frame():
+    # Round-14 ADVICE fix: the graphic-control transparency flag is
+    # parsed and the transparent palette index surfaces in the frame
+    # tuple (None for opaque frames); GCE scope ends at its image.
+    w, h = 6, 4
+    t_color = bytes([255, 0, 255])
+    f1 = (t_color + bytes([10, 20, 30]) * (w * h - 1))
+    f2 = bytes([10, 20, 30]) * (w * h)  # no transparent color present
+    g = IC.encode_gif(w, h, [f1, f2], transparent_color=t_color)
+    _, _, frames = IC.decode_gif(g)
+    assert frames[0][5] == 0  # t_color is palette index 0 in frame 1
+    assert frames[0][4] == f1  # pixels still palette-mapped RGB
+    assert frames[1][5] is None
+    # Without the option the GCE stays opaque.
+    _, _, plain = IC.decode_gif(IC.encode_gif(w, h, [f1]))
+    assert plain[0][5] is None
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    # marker. Inject fill bytes before every segment marker of a real
+    # stream; decode must be unchanged (round-14 ADVICE fix).
+    w, h = 10, 6
+    px = bytes([77] * (w * h))
+    j = IC.encode_jpeg(w, h, px, channels=1)
+    want = IC.decode_jpeg(j)
+    # Rebuild the stream with FF padding before each marker: walk the
+    # segments structurally (SOI, then length-prefixed segments until
+    # SOS) and splice fill bytes ahead of each FF.
+    out = bytearray(j[:2])  # SOI
+    pos = 2
+    while True:
+        assert j[pos] == 0xFF
+        marker = j[pos + 1]
+        ln = int.from_bytes(j[pos + 2 : pos + 4], "big")
+        out += b"\xff\xff\xff" + j[pos : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDA:  # entropy data + EOI follow verbatim
+            out += j[pos:]
+            break
+    assert IC.decode_jpeg(bytes(out)) == want
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    # T.81 A.2: a single-component scan is non-interleaved — declared
+    # 2x2 sampling factors must not switch the traversal to 4-block
+    # MCUs (round-14 ADVICE fix). Rewrite the SOF of a grayscale
+    # stream to claim 2x2 and re-encode the entropy data in the
+    # component's own block-grid order.
+    w, h = 24, 16  # 3x2 blocks
+    px = bytes((x * 5 + y * 9) % 256 for y in range(h) for x in range(w))
+    base = IC.encode_jpeg(w, h, px, channels=1, quality=90)
+    want = IC.decode_jpeg(base)
+    # Patch hv byte in SOF0: find FFC0, component spec at body[6..8].
+    i = base.find(b"\xff\xc0")
+    assert i > 0
+    patched = bytearray(base)
+    hv_off = i + 4 + 5 + 1  # marker(2)+len(2)+prec(1)+dims(4)+nf(1) -> cid
+    assert patched[hv_off - 1 - 4 - 1] == 8  # precision sanity
+    patched[hv_off + 1] = 0x22  # hs=2, vs=2
+    got = IC.decode_jpeg(bytes(patched))
+    # Non-interleaved single-component decode ignores the factors, so
+    # the pixels are identical to the unpatched stream's.
+    assert got == want
