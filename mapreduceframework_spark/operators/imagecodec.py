@@ -724,6 +724,45 @@ def encode_wav_ima_adpcm(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def encode_wav_ima_adpcm_stream(
+    sample_rate: int, pred0: int, index0: int, nibbles: list[int]
+) -> bytes:
+    """Assemble a mono single-block IMA ADPCM RIFF/WAVE directly from a
+    NIBBLE stream (no encoder in the loop): block header carries
+    ``pred0``/``index0`` verbatim, the data words carry ``nibbles``
+    (low nibble first), and the fact chunk records the true frame
+    count (1 header sample + len(nibbles)). Fixture source for
+    oracle-checked ADPCM decode: the decoded PCM is a pure function of
+    (pred0, index0, nibbles) that an analytic oracle can replay, which
+    an encode->decode round trip (quantization in the loop) cannot
+    give. ``len(nibbles)`` must be a multiple of 8 (whole 4-byte data
+    words)."""
+    if len(nibbles) % 8:
+        raise ValueError("nibble count must be a multiple of 8")
+    if not -32768 <= pred0 <= 32767:
+        raise ValueError(f"pred0 {pred0} outside int16")
+    if not 0 <= index0 <= 88:
+        raise ValueError(f"index0 {index0} outside 0..88")
+    frames = len(nibbles) + 1
+    data = bytearray(struct.pack("<hBB", pred0, index0, 0))
+    for k in range(0, len(nibbles), 2):
+        data.append((nibbles[k] & 0x0F) | ((nibbles[k + 1] & 0x0F) << 4))
+    block_align = 4 + len(nibbles) // 2
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate, sample_rate * block_align // frames,
+        block_align, 4, 2, frames,
+    )
+    fact = struct.pack("<I", frames)
+    pad = b"\x00" if len(data) & 1 else b""
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + bytes(data) + pad
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def sample_digest_u16(samples: bytes) -> int:
     """31x fold over the little-endian uint16 reinterpretation of the
     PCM stream — unsigned so the oracle's analytic formula needs no

@@ -175,6 +175,175 @@ def synth_images(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, SYNTH_SCHEMA)
 
 
+# Codec-matrix synthesis (round 14): one registered fixture family
+# that exercises EVERY in-repo image decode path — sequential PNG,
+# binary PPM, baseline JPEG, GIF, progressive JPEG, Adam7-interlaced
+# PNG — chosen per doc_id % 6. JPEG variants are GRAYSCALE BLOCK-SOLID
+# images (every 8x8 block one constant value): a solid block's only
+# nonzero DCT coefficient is DC and the default-quality DC step keeps
+# the reconstruction error under half a level, so baseline AND
+# progressive round-trip BIT-EXACTLY (pinned for all 256 values in
+# tests/test_jpegcodec.py) — which is what lets a DuckDB oracle
+# predict real lossy-codec decode output analytically. Constants are
+# mirrored literally in the multimodal_image_decode /
+# multimodal_decode_features oracle SQL; change both together.
+IMG_MATRIX_VARIANTS = (
+    "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
+)
+IMG_JPEG_BW_MOD = 3  # jpeg width  = (d % 3 + 1) * 8   (1..3 block cols)
+IMG_JPEG_BH_MOD = 2  # jpeg height = (d % 2 + 1) * 8   (1..2 block rows)
+
+SYNTH2_SCHEMA = (
+    "doc_id long, payload binary, "
+    "meta struct<codec:string,variant:string>"
+)
+
+
+def synth_images_matrix(docs: DataFrame) -> DataFrame:
+    """Encode one real image file per document across the full codec
+    matrix (doc_id % 6): sequential PNG, binary PPM, baseline JPEG,
+    GIF, progressive JPEG, Adam7-interlaced PNG. Pixels are integer
+    functions of doc_id (block-solid grayscale for the lossy JPEGs —
+    see the module comment for why that makes them exact), so the
+    decode oracle is analytic for every variant."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = d % 6
+                variant = IMG_MATRIX_VARIANTS[m]
+                if m in (2, 4):  # grayscale block-solid JPEG
+                    w = (d % IMG_JPEG_BW_MOD + 1) * 8
+                    h = (d % IMG_JPEG_BH_MOD + 1) * 8
+                    bw = w // 8
+                    pix = bytes(
+                        (d * IMG_PIX_A + ((y // 8) * bw + x // 8)
+                         * IMG_PIX_B) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    enc = (
+                        IC.encode_jpeg if m == 2
+                        else IC.encode_jpeg_progressive
+                    )
+                    payload, codec = enc(w, h, pix, channels=1), "image/jpeg"
+                else:  # lossless RGB variants share the classic pixel fn
+                    w = d % IMG_W_MOD + IMG_W_BASE
+                    h = d % IMG_H_MOD + IMG_H_BASE
+                    pix = bytes(
+                        (d * IMG_PIX_A + i * IMG_PIX_B) % 256
+                        for i in range(w * h * 3)
+                    )
+                    if m == 0:
+                        payload, codec = (
+                            IC.encode_png(w, h, pix, 3), "image/png",
+                        )
+                    elif m == 1:
+                        payload, codec = IC.encode_ppm(w, h, pix), "image/ppm"
+                    elif m == 3:
+                        payload, codec = (
+                            IC.encode_gif(w, h, [pix]), "image/gif",
+                        )
+                    else:  # m == 5
+                        payload, codec = (
+                            IC.encode_png(w, h, pix, 3, interlace=True),
+                            "image/png",
+                        )
+                rows["doc_id"].append(d)
+                rows["payload"].append(payload)
+                rows["meta"].append({"codec": codec, "variant": variant})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, SYNTH2_SCHEMA)
+
+
+# Audio codec matrix (round 14), doc_id % 4: PCM16, G.711 mu-law,
+# G.711 A-law, IMA ADPCM. The G.711 fixtures draw their PCM from the
+# decoder-output lattice (pcm = law_to_linear(codeword)), on which
+# encode inverts decode EXACTLY (pinned over the full codeword domain
+# in tests; mu-law excludes codeword 127 — the negative-zero alias
+# that re-encodes as 255). The ADPCM fixture bypasses the encoder
+# entirely: the WAV carries a synthesized NIBBLE stream + header
+# state, so the decoded PCM is the reference recurrence replayed —
+# the oracle SQL mirrors that recurrence (step/index tables inline)
+# via a struct-fold. Constants mirrored in the oracle; change both
+# together.
+AUD_MATRIX_VARIANTS = ("pcm16", "g711-ulaw", "g711-alaw", "ima-adpcm")
+ADPCM_NIB_MOD = 5  # nibbles = 8 * (d % 5 + 1); frames = nibbles + 1
+ADPCM_NIB_A, ADPCM_NIB_B = 13, 7  # nibble[i] = (d*13 + i*7) % 16
+
+
+def synth_audio_matrix(docs: DataFrame) -> DataFrame:
+    """Encode one real RIFF/WAVE per document across the audio codec
+    matrix (doc_id % 4): 16-bit PCM, G.711 mu-law, G.711 A-law, IMA
+    ADPCM — every sample an integer function of doc_id so the decode
+    oracle is analytic for every variant (see the matrix comment)."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = d % 4
+                rate = AUD_RATES[(d // 4) % 4]
+                if m == 3:  # IMA ADPCM: raw nibble stream, mono
+                    nn = 8 * (d % ADPCM_NIB_MOD + 1)
+                    payload = IC.encode_wav_ima_adpcm_stream(
+                        rate,
+                        ((d * AUD_S_A) % 65536) - 32768,
+                        d % 89,
+                        [
+                            (d * ADPCM_NIB_A + i * ADPCM_NIB_B) % 16
+                            for i in range(nn)
+                        ],
+                    )
+                else:
+                    frames = d % AUD_N_MOD + AUD_N_BASE
+                    ch = (d // 4) % AUD_CH_MOD + 1
+                    n = frames * ch
+                    if m == 0:  # plain PCM16
+                        pcm = b"".join(
+                            ((d * AUD_S_A + i * AUD_S_B) % 65536)
+                            .to_bytes(2, "little")
+                            for i in range(n)
+                        )
+                        payload = IC.encode_wav(rate, ch, pcm)
+                    else:  # G.711: PCM from the decoder-output lattice
+                        if m == 1:
+                            cws = [
+                                (r + 1 if r >= 127 else r)
+                                for r in (
+                                    (d * AUD_S_A + i * AUD_S_B) % 255
+                                    for i in range(n)
+                                )
+                            ]
+                            vals = [IC.ulaw_to_linear(c) for c in cws]
+                            law = "ulaw"
+                        else:
+                            cws = [
+                                (d * AUD_S_A + i * AUD_S_B) % 256
+                                for i in range(n)
+                            ]
+                            vals = [IC.alaw_to_linear(c) for c in cws]
+                            law = "alaw"
+                        pcm = b"".join(
+                            (v & 0xFFFF).to_bytes(2, "little") for v in vals
+                        )
+                        payload = IC.encode_wav_g711(rate, ch, pcm, law)
+                rows["doc_id"].append(d)
+                rows["payload"].append(payload)
+                rows["meta"].append(
+                    {"codec": "audio/wav", "variant": AUD_MATRIX_VARIANTS[m]}
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, SYNTH2_SCHEMA)
+
+
 # Deterministic synthetic-audio parameters — mirrored in the
 # multimodal_audio_decode oracle SQL; change both together.
 AUD_N_MOD, AUD_N_BASE = 50, 10  # frames   = doc_id % 50 + 10
@@ -212,16 +381,18 @@ def synth_audio(docs: DataFrame) -> DataFrame:
 
 
 AUDIO_DECODE_SCHEMA = (
-    "doc_id long, sample_rate long, channels long, n_frames long, "
-    "sample_digest long"
+    "doc_id long, variant string, sample_rate long, channels long, "
+    "n_frames long, sample_digest long"
 )
 
 
 def decode_audio(with_audio: DataFrame) -> DataFrame:
     """Arrow-batched REAL audio decode: each payload goes through the
-    RIFF chunk walker and comes back as (sample_rate, channels,
-    n_frames, fold digest of the PCM stream). Partition-preserving
-    mapInPandas — same seam a libsndfile/ffmpeg binding swaps into."""
+    RIFF chunk walker (PCM16 / G.711 A-law+mu-law expansion / IMA
+    ADPCM block recurrence, whichever the fmt tag says) and comes back
+    as (variant, sample_rate, channels, n_frames, fold digest of the
+    decoded PCM stream). Partition-preserving mapInPandas — same seam
+    a libsndfile/ffmpeg binding swaps into."""
     from mapreduceframework_spark.operators.imagecodec import (
         decode_wav,
         sample_digest_u16,
@@ -230,8 +401,8 @@ def decode_audio(with_audio: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {
-                "doc_id": [], "sample_rate": [], "channels": [],
-                "n_frames": [], "sample_digest": [],
+                "doc_id": [], "variant": [], "sample_rate": [],
+                "channels": [], "n_frames": [], "sample_digest": [],
             }
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
@@ -240,6 +411,7 @@ def decode_audio(with_audio: DataFrame) -> DataFrame:
                     raise NotImplementedError(meta["codec"])
                 rate, ch, frames, samples = decode_wav(bytes(payload))
                 out["doc_id"].append(int(doc_id))
+                out["variant"].append(meta.get("variant") or "pcm16")
                 out["sample_rate"].append(rate)
                 out["channels"].append(ch)
                 out["n_frames"].append(frames)
@@ -250,23 +422,25 @@ def decode_audio(with_audio: DataFrame) -> DataFrame:
 
 
 IMAGE_DECODE_SCHEMA = (
-    "doc_id long, fmt string, width long, height long, n_bytes long, "
+    "doc_id long, variant string, width long, height long, n_bytes long, "
     "pix_digest long"
 )
 
 
 def decode_images(with_images: DataFrame) -> DataFrame:
     """Arrow-batched REAL image decode over (doc_id, payload, meta):
-    each payload is parsed by the actual PNG/PPM decoder and the
-    decoded dimensions + a pixel-byte fold digest come back as typed
-    columns. Partition-preserving mapInPandas — the exact seam a
-    C-extension codec (PIL/libvips) swaps into at production scale."""
+    each payload is parsed by the actual PNG/PPM/JPEG/GIF decoder and
+    the decoded dimensions + a pixel-byte fold digest come back as
+    typed columns ("variant" names the fixture's codec variant — e.g.
+    jpeg-baseline vs jpeg-progressive, which share a MIME type).
+    Partition-preserving mapInPandas — the exact seam a C-extension
+    codec (PIL/libvips) swaps into at production scale."""
     from mapreduceframework_spark.operators.imagecodec import pixel_digest
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:  # one output frame per Arrow batch: memory stays flat
             out: dict[str, list] = {
-                "doc_id": [], "fmt": [], "width": [], "height": [],
+                "doc_id": [], "variant": [], "width": [], "height": [],
                 "n_bytes": [], "pix_digest": [],
             }
             for doc_id, payload, meta in zip(
@@ -274,7 +448,9 @@ def decode_images(with_images: DataFrame) -> DataFrame:
             ):
                 w, h, ch, pix = decode_image(bytes(payload), meta["codec"])
                 out["doc_id"].append(int(doc_id))
-                out["fmt"].append(meta["codec"].split("/")[1])
+                out["variant"].append(
+                    meta.get("variant") or meta["codec"].split("/")[1]
+                )
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(pix))
@@ -282,6 +458,44 @@ def decode_images(with_images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_images.mapInPandas(batches, IMAGE_DECODE_SCHEMA)
+
+
+PIXEL_FEATURES_SCHEMA = (
+    "doc_id long, variant string, byte_len long, first_byte long, "
+    "checksum long, thumb_w long"
+)
+
+
+def decode_pixel_features(with_images: DataFrame) -> DataFrame:
+    """Arrow-batched decode + byte-feature extraction over REAL image
+    payloads: each payload decodes through the in-repo codec and the
+    features are computed on the DECODED pixel bytes (length, first
+    pixel byte, byte-sum checksum, thumbnail width) — the
+    feature-extract stage of the decode/feature/resize/frame-sample
+    quartet, now running on real codec output instead of the fake/v1
+    byte plumbing. Partition-preserving mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "variant": [], "byte_len": [],
+                "first_byte": [], "checksum": [], "thumb_w": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h, ch, pix = decode_image(bytes(payload), meta["codec"])
+                out["doc_id"].append(int(doc_id))
+                out["variant"].append(
+                    meta.get("variant") or meta["codec"].split("/")[1]
+                )
+                out["byte_len"].append(len(pix))
+                out["first_byte"].append(pix[0] if pix else -1)
+                out["checksum"].append(int(sum(pix)) % 256)
+                out["thumb_w"].append(min(w, 16))
+            yield pd.DataFrame(out)
+
+    return with_images.mapInPandas(batches, PIXEL_FEATURES_SCHEMA)
 
 
 def decode_features(with_payload: DataFrame) -> DataFrame:
@@ -580,6 +794,154 @@ def fingerprint_audio(with_audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_audio.mapInPandas(batches, AFP_SCHEMA)
+
+
+# Video fixtures (round 14): per-doc MJPEG-in-AVI and MP4('jpeg')
+# containers whose frames are grayscale BLOCK-SOLID JPEGs (16x8 = two
+# 8x8 blocks), the same exact-round-trip trick as the image codec
+# matrix — so the frame-sample oracle predicts every decoded pixel.
+# Constants mirrored in the video_frame_sample_* oracle SQL; change
+# both together.
+VID_W, VID_H = 16, 8  # two 8x8 blocks per frame (b = x // 8)
+VID_AVI_N_MOD = 5  # avi frames = d % 5 + 2
+VID_MP4_N_MOD = 7  # mp4 frames = d % 7 + 2 (spans >1 stsc chunk)
+VID_AVI_F_A, VID_AVI_F_B = 7, 11  # avi v(b) = (d*7 + f*11 + b*13) % 256
+VID_MP4_F_A, VID_MP4_F_B = 11, 7  # mp4 v(b) = (d*11 + f*7 + b*13) % 256
+VID_B = 13
+VID_STRIDE = 2
+
+
+def _blocksolid_jpeg_frame(a: int, b_: int, d: int, f: int) -> bytes:
+    """One 16x8 grayscale block-solid baseline JPEG frame with block
+    value v(b) = (d*a + f*b_ + b*13) % 256."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    pix = bytes(
+        (d * a + f * b_ + (x // 8) * VID_B) % 256
+        for _y in range(VID_H)
+        for x in range(VID_W)
+    )
+    return IC.encode_jpeg(VID_W, VID_H, pix, channels=1)
+
+
+def synth_videos_avi(docs: DataFrame) -> DataFrame:
+    """Assemble a real MJPEG-in-AVI container per document (d % 5 + 2
+    frames), each frame a block-solid grayscale JPEG — the oracle
+    predicts every sampled frame's pixels analytically."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = [
+                    _blocksolid_jpeg_frame(VID_AVI_F_A, VID_AVI_F_B, d, f)
+                    for f in range(d % VID_AVI_N_MOD + 2)
+                ]
+                rows["doc_id"].append(d)
+                rows["payload"].append(
+                    IC.encode_avi_mjpeg(VID_W, VID_H, frames)
+                )
+                rows["meta"].append(
+                    {"codec": "video/avi-mjpeg", "variant": "avi-mjpeg"}
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, SYNTH2_SCHEMA)
+
+
+def synth_videos_mp4(docs: DataFrame) -> DataFrame:
+    """Assemble a real MP4/ISO-BMFF container per document (d % 7 + 2
+    'jpeg' samples, chunked 3-per-stsc-run so the decoder must expand
+    the run-length sample-to-chunk table), each sample a block-solid
+    grayscale JPEG."""
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = [
+                    _blocksolid_jpeg_frame(VID_MP4_F_A, VID_MP4_F_B, d, f)
+                    for f in range(d % VID_MP4_N_MOD + 2)
+                ]
+                rows["doc_id"].append(d)
+                rows["payload"].append(
+                    IC.encode_mp4_jpeg(VID_W, VID_H, frames, chunk_size=3)
+                )
+                rows["meta"].append(
+                    {"codec": "video/mp4", "variant": "mp4-jpeg"}
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, SYNTH2_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, pix_digest long"
+)
+
+
+def sample_video_frames(
+    with_videos: DataFrame, stride: int = VID_STRIDE
+) -> DataFrame:
+    """Arrow-batched REAL video frame sampling: each payload's
+    container (AVI or MP4, per meta.codec) is walked to per-frame byte
+    extents and only every ``stride``-th frame pays the JPEG decode —
+    the container-level sampling contract that keeps frame sampling
+    O(sampled), not O(stored), at 100 TB. Emits one row per SAMPLED
+    frame with the decoded dimensions and pixel fold digest.
+    Partition-preserving mapInPandas, 1-to-many."""
+    from mapreduceframework_spark.operators.imagecodec import pixel_digest
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "pix_digest": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                for f, w, h, _ch, pix in decode_video_frames(
+                    bytes(payload), meta["codec"], stride
+                ):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pix_digest"].append(pixel_digest(pix))
+            yield pd.DataFrame(out)
+
+    return with_videos.mapInPandas(batches, VIDEO_FRAMES_SCHEMA)
+
+
+VIDEO_SIGS_SCHEMA = "doc_id long, frame_idx long, sig long"
+
+
+def video_frame_signatures(with_videos: DataFrame) -> DataFrame:
+    """Decode EVERY frame (stride 1) to an exact-integer signature —
+    the sum of decoded pixel bytes, the integer skeleton of the frame
+    -difference histogram a real shot-boundary detector uses. One row
+    per frame; the scene-cut query LAGs these per asset."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "sig": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                for f, _w, _h, _ch, pix in decode_video_frames(
+                    bytes(payload), meta["codec"], 1
+                ):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["sig"].append(int(sum(pix)))
+            yield pd.DataFrame(out)
+
+    return with_videos.mapInPandas(batches, VIDEO_SIGS_SCHEMA)
 
 
 AUDIO_WINDOW_SCHEMA = (

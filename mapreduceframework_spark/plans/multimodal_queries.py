@@ -1,13 +1,15 @@
 """Multimodal-column queries (SURVEY.md section 2.2 ⊕ rows): binary
-image/audio payloads with typed metadata, decoded by the real in-repo
-PNG/PPM/WAV — and, since r13, baseline-JPEG — codecs
-(operators/imagecodec.py) inside partition-preserving mapInPandas —
-Arrow-batched, never per-row Python. Progressive JPEG / compressed
-audio / video stay an explicit NotImplementedError seam (no external
-libs in this sandbox). The registered decode queries still synthesize
-PNG/PPM payloads (changing their fixtures is a window-slotted r14
-change); the JPEG path is unit- and Spark-side tested in
-tests/test_jpegcodec.py.
+image/audio/video payloads with typed metadata, decoded by the real
+in-repo codecs (operators/imagecodec.py) inside partition-preserving
+mapInPandas — Arrow-batched, never per-row Python. Since round 14 the
+REGISTERED decode queries exercise the full codec matrix end to end:
+sequential + Adam7 PNG, PPM, baseline + progressive JPEG, GIF on the
+image side; PCM16, G.711 A-law/mu-law, IMA ADPCM WAV on the audio
+side; MJPEG-AVI and MP4('jpeg') containers on the video side — every
+path under a full DuckDB value-hash oracle. The remaining
+NotImplementedError seam is what genuinely needs external libraries:
+arithmetic-coded JPEG, MPEG/float audio, compressed video codecs
+(H.264/VP9).
 
 Split out of extension_queries.py in round 7 (pure move, zero renames).
 """
@@ -26,122 +28,249 @@ from mapreduceframework_spark.sources import load_table
 # Multimodal columns
 # --------------------------------------------------------------------------
 
+# Shared head of the image-codec-matrix oracles: per-doc variant
+# selector + decoded dimensions. Mirrors operators/multimodal.py
+# synth_images_matrix (doc_id % 6; JPEG variants are grayscale
+# block-solid at (d%3+1)*8 x (d%2+1)*8, the rest RGB at the classic
+# (d%13+4) x (d%7+3)); change both together.
+_IMG_MATRIX_P_CTE = """p AS (
+            SELECT doc_id, doc_id % 6 AS m,
+                   CASE WHEN doc_id % 6 IN (2, 4)
+                        THEN (doc_id % 3 + 1) * 8
+                        ELSE doc_id % 13 + 4 END AS width,
+                   CASE WHEN doc_id % 6 IN (2, 4)
+                        THEN (doc_id % 2 + 1) * 8
+                        ELSE doc_id % 7 + 3 END AS height
+            FROM documents)"""
+
+_IMG_MATRIX_VARIANT_SQL = """CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'ppm'
+                    WHEN 2 THEN 'jpeg-baseline' WHEN 3 THEN 'gif'
+                    WHEN 4 THEN 'jpeg-progressive'
+                    ELSE 'png-adam7' END"""
+
+# Decoded pixel-byte lists per variant family: grayscale block-solid
+# for the JPEGs (pixel = block value), interleaved RGB fn of the byte
+# index for the lossless codecs. The JPEG list is EXACT decode output
+# because a solid block quantizes losslessly at the default quality
+# (pinned for all 256 values in tests/test_jpegcodec.py).
+_IMG_GRAY_PIXELS = """[ (doc_id * 7 + (((i // width) // 8) * (width // 8)
+                                   + (i % width) // 8) * 13) % 256
+                    for i in range(0, width * height) ]"""
+_IMG_RGB_PIXELS = """[ (doc_id * 7 + i * 13) % 256
+                    for i in range(0, width * height * 3) ]"""
+
 
 @query(
     "multimodal_decode_features",
     bench=True,
-    oracle="""
+    oracle=f"""
+        WITH {_IMG_MATRIX_P_CTE}
         SELECT doc_id,
-               strlen(text)::BIGINT AS byte_len,
-               ascii(substr(text, 1, 1))::BIGINT AS first_byte,
-               (list_sum(list_transform(string_split(text, ''),
-                                        c -> ascii(c))) % 256)::BIGINT
-                   AS checksum,
-               least(n_chars % 64 + 1, 16)::BIGINT AS thumb_w
-        FROM documents
+               {_IMG_MATRIX_VARIANT_SQL} AS variant,
+               CAST(width * height
+                    * (CASE WHEN m IN (2, 4) THEN 1 ELSE 3 END)
+                    AS BIGINT) AS byte_len,
+               CAST((doc_id * 7) % 256 AS BIGINT) AS first_byte,
+               CAST((CASE WHEN m IN (2, 4)
+                          THEN list_sum({_IMG_GRAY_PIXELS})
+                          ELSE list_sum({_IMG_RGB_PIXELS})
+                     END) % 256 AS BIGINT) AS checksum,
+               CAST(least(width, 16) AS BIGINT) AS thumb_w
+        FROM p
     """,
-    tags=("multimodal", "extension"),
+    tags=("multimodal", "extension", "codec"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: binary payload + typed metadata ->
-    Arrow-batched pandas 'decoder' (mapInPandas) emitting per-item
-    features. This query keeps the byte-level fake codec to check the
-    PLUMBING against an analytic oracle; the REAL decoders (PNG/PPM,
-    operators/imagecodec.py) are value-checked end to end by
-    multimodal_image_decode. Oracle equivalence relies on the corpus
-    being ASCII (strlen==octet length, verified in tests), since DuckDB
-    can't run the pandas decoder."""
+    """Decode + feature extraction over the FULL image codec matrix
+    (round 14 re-point — the features are computed on REAL decoded
+    pixel bytes, not the fake/v1 byte plumbing): every document's
+    payload is one of sequential PNG / PPM / baseline JPEG / GIF /
+    progressive JPEG / Adam7 PNG, decoded through the pure-Python
+    codecs in an Arrow-batched mapInPandas stage, emitting per-item
+    byte features (decoded length, first pixel byte, byte-sum
+    checksum, thumbnail width). Pixels are integer functions of
+    doc_id — block-solid grayscale for the lossy JPEGs, which
+    round-trip bit-exactly — so the oracle predicts every feature
+    analytically; a decode bug in ANY of the six paths breaks the
+    value hash. Partition-preserving: synth and decode share the
+    task, no shuffle."""
     from mapreduceframework_spark.operators import multimodal as M
     from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
     # Parallelize the Python decode stage: one input split would mean
     # one Python worker for the whole corpus.
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
-    return M.decode_features(M.attach_payload(docs))
+    return M.decode_pixel_features(M.synth_images_matrix(docs))
 
 
 @query(
     "multimodal_image_decode",
-    oracle="""
-        WITH p AS (
-            SELECT doc_id,
-                   doc_id % 13 + 4 AS width,
-                   doc_id % 7 + 3 AS height
-            FROM documents
-        )
+    oracle=f"""
+        WITH {_IMG_MATRIX_P_CTE}
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'ppm' END AS fmt,
+               {_IMG_MATRIX_VARIANT_SQL} AS variant,
                CAST(width AS BIGINT) AS width,
                CAST(height AS BIGINT) AS height,
-               CAST(width * height * 3 AS BIGINT) AS n_bytes,
-               CAST(list_reduce(
-                   list_prepend(0, [ (doc_id * 7 + i * 13) % 256
-                                     for i in range(0, width * height * 3) ]),
-                   (acc, v) -> (acc * 31 + v) % 1000000007
-               ) AS BIGINT) AS pix_digest
+               CAST(width * height
+                    * (CASE WHEN m IN (2, 4) THEN 1 ELSE 3 END)
+                    AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN m IN (2, 4) THEN
+                   list_reduce(list_prepend(0, {_IMG_GRAY_PIXELS}),
+                       (acc, v) -> (acc * 31 + v) % 1000000007)
+               ELSE
+                   list_reduce(list_prepend(0, {_IMG_RGB_PIXELS}),
+                       (acc, v) -> (acc * 31 + v) % 1000000007)
+               END AS BIGINT) AS pix_digest
         FROM p
     """,
     tags=("multimodal", "extension", "codec"),
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode, value-checked end to end: every document gets
-    an actual encoded image file (PNG for even doc_ids — the encoder
-    cycles all five PNG scanline filters, so Sub/Up/Average/Paeth
-    un-filtering must all be correct — binary PPM for odd), and the
-    engine decodes the binary payloads back through the pure-Python
-    codecs (operators/imagecodec.py: chunk walk, CRC check, zlib
-    inflate, un-filter / netpbm tokenizer) in an Arrow-batched
-    mapInPandas stage. Pixels are integer functions of doc_id, so the
-    oracle predicts the decoded (width, height, byte count, pixel fold
-    digest) analytically — any parser bug anywhere in the round trip
-    breaks the value hash. Partition-preserving: synth and decode run
-    in the same task, no shuffle."""
+    """REAL image decode across the full codec matrix, value-checked
+    end to end (round 14 re-point): per doc_id % 6 the payload is a
+    sequential PNG (encoder cycles all five scanline filters), a
+    binary PPM, a baseline JPEG (marker walk, stream-carried
+    Huffman/quant tables, IDCT), a GIF (real LZW, palette), a
+    PROGRESSIVE JPEG (spectral selection + successive approximation
+    scans), or an Adam7-INTERLACED PNG (seven-pass scatter) — and the
+    engine decodes every payload back through the pure-Python codecs
+    in one Arrow-batched mapInPandas stage. The lossy JPEG fixtures
+    are grayscale block-solid images, which round-trip BIT-EXACTLY
+    (every 8x8 block's only nonzero DCT coefficient is DC; pinned for
+    all 256 values in tests/test_jpegcodec.py) — that is what lets
+    the DuckDB oracle predict real lossy-codec decode output
+    analytically. Any parser bug in any of the six paths breaks the
+    value hash. Partition-preserving: synth and decode run in the
+    same task, no shuffle."""
     from mapreduceframework_spark.operators import multimodal as M
     from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
-    return M.decode_images(M.synth_images(docs))
+    return M.decode_images(M.synth_images_matrix(docs))
+
+
+# IMA ADPCM step/index tables (public reference algorithm, RFC 3551)
+# inlined as SQL literals so the oracle replays the decoder recurrence
+# independently. Single-element list comprehensions bind s/df/np once
+# per fold step (DuckDB lambdas are single expressions); field order
+# in the struct literal keeps every a.* read before its own field is
+# written (the documented list_reduce partial-update trap).
+_IMA_STEP_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
+    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
+    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
+    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+_IMA_INDEX_SQL = "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+
+# G.711 expansion formulas (ITU G.711 segment layout) as SQL — the
+# decoded int16 folded as uint16. mu-law: u = ~c; A-law: a = c ^ 0x55.
+_ULAW_U16_SQL = """[ [ CASE WHEN u >= 128
+                 THEN (132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+                       + 65536) % 65536
+                 ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132 END
+               for u in [ 255 - c ] ][1]
+             for c in [ CASE WHEN (doc_id * 31 + i * 17) % 255 >= 127
+                             THEN (doc_id * 31 + i * 17) % 255 + 1
+                             ELSE (doc_id * 31 + i * 17) % 255 END ] ][1]"""
+_ALAW_U16_SQL = """[ [ CASE WHEN a >= 128 THEN t2 ELSE 65536 - t2 END
+               for t2 in [ CASE WHEN (a // 16) % 8 = 0
+                                THEN (a % 16) * 16 + 8
+                                WHEN (a // 16) % 8 = 1
+                                THEN (a % 16) * 16 + 264
+                                ELSE ((a % 16) * 16 + 264)
+                                     << ((a // 16) % 8 - 1) END ] ][1]
+             for a in [ xor((doc_id * 31 + i * 17) % 256, 85) ] ][1]"""
 
 
 @query(
     "multimodal_audio_decode",
-    oracle="""
+    oracle=f"""
         WITH p AS (
-            SELECT doc_id,
-                   doc_id % 50 + 10 AS n_frames,
-                   doc_id % 2 + 1 AS channels
-            FROM documents
-        )
+            SELECT doc_id, doc_id % 4 AS m,
+                   (doc_id // 4) % 2 + 1 AS ch2,
+                   CASE (doc_id // 4) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+                   doc_id % 50 + 10 AS frames2,
+                   8 * (doc_id % 5 + 1) AS nn
+            FROM documents)
         SELECT doc_id,
-               CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                    WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
-                   AS sample_rate,
-               CAST(channels AS BIGINT) AS channels,
-               CAST(n_frames AS BIGINT) AS n_frames,
-               CAST(list_reduce(
-                   list_prepend(0, [ (doc_id * 31 + i * 17) % 65536
-                                     for i in range(0, n_frames * channels) ]),
-                   (acc, v) -> (acc * 31 + v) % 1000000007
-               ) AS BIGINT) AS sample_digest
+               CASE m WHEN 0 THEN 'pcm16' WHEN 1 THEN 'g711-ulaw'
+                      WHEN 2 THEN 'g711-alaw'
+                      ELSE 'ima-adpcm' END AS variant,
+               CAST(rate AS BIGINT) AS sample_rate,
+               CAST(CASE WHEN m = 3 THEN 1 ELSE ch2 END AS BIGINT)
+                   AS channels,
+               CAST(CASE WHEN m = 3 THEN nn + 1 ELSE frames2 END AS BIGINT)
+                   AS n_frames,
+               CAST(CASE m
+                 WHEN 0 THEN list_reduce(list_prepend(0,
+                     [ (doc_id * 31 + i * 17) % 65536
+                       for i in range(0, frames2 * ch2) ]),
+                     (acc, v) -> (acc * 31 + v) % 1000000007)
+                 WHEN 1 THEN list_reduce(list_prepend(0,
+                     [ {_ULAW_U16_SQL}
+                       for i in range(0, frames2 * ch2) ]),
+                     (acc, v) -> (acc * 31 + v) % 1000000007)
+                 WHEN 2 THEN list_reduce(list_prepend(0,
+                     [ {_ALAW_U16_SQL}
+                       for i in range(0, frames2 * ch2) ]),
+                     (acc, v) -> (acc * 31 + v) % 1000000007)
+                 ELSE list_reduce(
+                     list_prepend(
+                         {{'p': ((doc_id * 31) % 65536) - 32768,
+                           'x': doc_id % 89,
+                           'g': ((doc_id * 31) % 65536 - 32768 + 65536)
+                                % 65536 }},
+                         [ {{'p': (doc_id * 13 + i * 7) % 16,
+                             'x': 0, 'g': 0 }}
+                           for i in range(0, nn) ]),
+                     (a, b) -> [
+                       [
+                         [ {{'p': np,
+                             'x': least(88, greatest(0,
+                                  a.x + {_IMA_INDEX_SQL}[b.p + 1])),
+                             'g': (a.g * 31 + (np + 65536) % 65536)
+                                  % 1000000007 }}
+                           for np in [ least(32767, greatest(-32768,
+                               CASE WHEN b.p >= 8 THEN a.p - df
+                                    ELSE a.p + df END)) ] ][1]
+                         for df in [ (s >> 3)
+                             + CASE WHEN b.p % 2 = 1 THEN s >> 2
+                                    ELSE 0 END
+                             + CASE WHEN (b.p // 2) % 2 = 1 THEN s >> 1
+                                    ELSE 0 END
+                             + CASE WHEN (b.p // 4) % 2 = 1 THEN s
+                                    ELSE 0 END ] ][1]
+                       for s in [ {_IMA_STEP_SQL}[a.x + 1] ] ][1]
+                 ).g
+               END AS BIGINT) AS sample_digest
         FROM p
     """,
     tags=("multimodal", "extension", "codec", "audio"),
 )
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode, value-checked end to end: every document gets
-    an actual RIFF/WAVE file (16-bit PCM, mono/stereo, four sample
-    rates, a LIST chunk between fmt and data so fixed-offset parsing
-    would fail) and the engine decodes it back through the pure-Python
-    RIFF chunk walker (operators/imagecodec.py decode_wav) in an
-    Arrow-batched mapInPandas stage. PCM samples are integer functions
-    of doc_id, so the oracle predicts (sample_rate, channels, n_frames,
-    PCM fold digest) analytically. Same partition-preserving seam as
-    the image decode — no shuffle."""
+    """REAL audio decode across the full WAV codec matrix,
+    value-checked end to end (round 14 re-point): per doc_id % 4 the
+    payload is 16-bit PCM (with a LIST chunk so fixed-offset parsing
+    fails), G.711 mu-law, G.711 A-law, or IMA ADPCM — and the engine
+    decodes every payload back through the pure-Python RIFF chunk
+    walker (operators/imagecodec.py decode_wav: fmt-tag dispatch,
+    G.711 expansion, per-block ADPCM predictor recurrence) in one
+    Arrow-batched mapInPandas stage. The G.711 fixtures draw PCM from
+    the decoder-output lattice (encode inverts decode exactly there;
+    mu-law skips codeword 127, the negative-zero alias), and the
+    ADPCM fixture carries a synthesized nibble stream whose decode
+    the oracle REPLAYS — the full step/index recurrence as a DuckDB
+    struct fold with inline tables. Any decode bug in any of the four
+    paths breaks the value hash. Partition-preserving, no shuffle."""
     from mapreduceframework_spark.operators import multimodal as M
     from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
-    return M.decode_audio(M.synth_audio(docs))
+    return M.decode_audio(M.synth_audio_matrix(docs))
 
 
 @query(
@@ -638,3 +767,150 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
     return M.audio_window_features(M.synth_audio(docs))
+
+
+# --------------------------------------------------------------------------
+# Video (round 14): real container walks + stride frame sampling
+# --------------------------------------------------------------------------
+
+# Per-frame decoded pixel digest for the block-solid video fixtures:
+# 16x8 grayscale, block value v(b) = (doc_id*A + frame*B + b*13) % 256
+# with b = x // 8. Mirrors operators/multimodal.py VID_* constants.
+def _vid_digest_sql(a: int, b: int) -> str:
+    return f"""CAST(list_reduce(list_prepend(0,
+                   [ (doc_id * {a} + frame_idx * {b}
+                      + ((i % 16) // 8) * 13) % 256
+                     for i in range(0, 128) ]),
+                   (acc, v) -> (acc * 31 + v) % 1000000007)
+               AS BIGINT)"""
+
+
+@query(
+    "video_frame_sample_avi",
+    oracle=f"""
+        WITH p AS (SELECT doc_id, doc_id % 5 + 2 AS n FROM documents),
+        f AS (
+            SELECT doc_id, t.f AS frame_idx
+            FROM p, unnest(range(0, n)) AS t(f)
+            WHERE t.f % 2 = 0)
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               {_vid_digest_sql(7, 11)} AS pix_digest
+        FROM f
+    """,
+    tags=("multimodal", "extension", "codec", "video"),
+)
+def video_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling over MJPEG-in-AVI, value-checked end
+    to end (round 14): every document gets an actual AVI container
+    (RIFF hdrl/movi/idx1, 2..6 frames) whose frames are block-solid
+    grayscale JPEGs, and the engine walks the container to per-frame
+    byte extents and JPEG-decodes only every 2nd frame
+    (operators/imagecodec.py decode_avi_mjpeg + decode_jpeg via
+    decode_video_frames) in an Arrow-batched mapInPandas stage. The
+    container-level stride is the 100 TB contract: the walk is
+    O(container), the decode O(sampled). Block-solid frames round-trip
+    bit-exactly, so the oracle predicts each sampled frame's pixel
+    fold digest analytically — a bug in the RIFF walk, frame
+    indexing, or JPEG decode breaks the value hash.
+    Partition-preserving, 1-to-many, no shuffle."""
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    return M.sample_video_frames(M.synth_videos_avi(docs), stride=2)
+
+
+@query(
+    "video_frame_sample_mp4",
+    oracle=f"""
+        WITH p AS (SELECT doc_id, doc_id % 7 + 2 AS n FROM documents),
+        f AS (
+            SELECT doc_id, t.f AS frame_idx
+            FROM p, unnest(range(0, n)) AS t(f)
+            WHERE t.f % 2 = 0)
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               {_vid_digest_sql(11, 7)} AS pix_digest
+        FROM f
+    """,
+    tags=("multimodal", "extension", "codec", "video"),
+)
+def video_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling over MP4/ISO-BMFF, value-checked end
+    to end (round 14): every document gets an actual MP4 (ftyp + mdat
+    + moov with full sample tables; 2..8 'jpeg' samples chunked
+    3-per-stsc-run so the run-length sample-to-chunk mapping must
+    really expand), and the engine reconstructs per-sample byte
+    extents from stsc/stsz/stco and JPEG-decodes every 2nd sample
+    (operators/imagecodec.py decode_mp4_samples via
+    decode_video_frames). Extraction is codec-agnostic; decode is
+    per-sample — the same stride economics as the AVI row. The oracle
+    predicts each sampled frame's pixel digest analytically.
+    Partition-preserving, 1-to-many, no shuffle."""
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    return M.sample_video_frames(M.synth_videos_mp4(docs), stride=2)
+
+
+@query(
+    "video_scene_cuts_mjpeg",
+    oracle="""
+        WITH p AS (SELECT doc_id, doc_id % 5 + 2 AS n FROM documents),
+        f AS (
+            SELECT doc_id, t.f AS frame_idx,
+                   list_sum([ (doc_id * 7 + t.f * 11
+                               + ((i % 16) // 8) * 13) % 256
+                              for i in range(0, 128) ]) AS sig
+            FROM p, unnest(range(0, n)) AS t(f)),
+        lagged AS (
+            SELECT doc_id, frame_idx, sig,
+                   LAG(sig) OVER (PARTITION BY doc_id
+                                  ORDER BY frame_idx) AS prev_sig
+            FROM f)
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(prev_sig AS BIGINT) AS prev_sig,
+               CAST(sig AS BIGINT) AS sig,
+               CAST(ABS(sig - prev_sig) AS BIGINT) AS delta
+        FROM lagged
+        WHERE prev_sig IS NOT NULL AND ABS(sig - prev_sig) > 3000
+    """,
+    tags=("multimodal", "timeseries", "extension", "codec", "video"),
+)
+def video_scene_cuts_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REALLY-decoded MJPEG-AVI frames
+    (round 14 — the real-codec sibling of multimodal_scene_cuts): every
+    frame of each AVI decodes to an exact-integer signature (sum of
+    decoded pixel bytes — the integer skeleton of a frame-difference
+    histogram), and a frame whose signature jumps more than 3000 from
+    its predecessor marks a cut. With the block-solid fixtures the
+    inter-frame step is +11 per block value mod 256, so deltas are
+    1408 (no wrap) or >= 14000 (a block value wrapped) — the
+    threshold separates them deterministically and the oracle replays
+    the arithmetic. Scale: frame decode is partition-preserving
+    mapInPandas; the only shuffle is the per-asset window partition —
+    never a global ordering."""
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources.registry import ensure_min_partitions
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"), spark)
+    sigs = M.video_frame_signatures(M.synth_videos_avi(docs))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = sigs.select(
+        "doc_id",
+        "frame_idx",
+        "sig",
+        F.lag("sig").over(w).alias("prev_sig"),
+    )
+    return lagged.filter(
+        F.col("prev_sig").isNotNull()
+        & (F.abs(F.col("sig") - F.col("prev_sig")) > 3000)
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "prev_sig",
+        "sig",
+        F.abs(F.col("sig") - F.col("prev_sig")).alias("delta"),
+    )

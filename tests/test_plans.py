@@ -608,6 +608,13 @@ SHUFFLE_BUDGET = {
     # gated round-robin spread of the single local scan split and the
     # per-doc lag window partition.
     "multimodal_scene_cuts": 2,
+    # Round-14 video rows: container walk + stride decode is
+    # partition-preserving mapInPandas — the only exchange is the
+    # gated round-robin spread of the single local scan split; the
+    # scene-cut sibling adds the per-asset lag window partition.
+    "video_frame_sample_avi": 1,
+    "video_frame_sample_mp4": 1,
+    "video_scene_cuts_mjpeg": 2,
     # One partial-agged groupBy to O(types x 7 x 24) cells.
     "timeseries_seasonal_profile": 1,
     # User-keyed candidate join + purchase-partitioned rank window.

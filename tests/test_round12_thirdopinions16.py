@@ -301,22 +301,7 @@ def test_audio_energy_matches_python_windows(spark, sf_dir):
     assert got == want
 
 
-@pytest.mark.parametrize("sf_dir", SFS)
-def test_audio_decode_digest_matches_python_fold(spark, sf_dir):
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    want = {}
-    for did in t["doc_id"].to_pylist():
-        rate, ch, frames, u16 = _analytic_samples(did)
-        acc = 0
-        for v in u16:
-            acc = (acc * 31 + v) % 1_000_000_007
-        want[did] = (rate, ch, frames, acc)
-    out = REGISTRY["multimodal_audio_decode"].fn(spark, sf_dir).collect()
-    got = {
-        r["doc_id"]: (
-            r["sample_rate"], r["channels"], r["n_frames"],
-            r["sample_digest"],
-        )
-        for r in out
-    }
-    assert got == want
+# (multimodal_audio_decode moved to the round-14 audio codec matrix
+# — PCM16 / G.711 / IMA ADPCM; its mirror now lives in
+# tests/test_round14_multimodal.py. The stdlib-wave and energy mirrors
+# above still pin the PCM16 writer/decoder pair.)

@@ -54,24 +54,8 @@ def _docs_text(sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("sf_dir", SFS)
-def test_decode_features_match_python_bytes(spark, sf_dir):
-    want = {}
-    for did, text, n_chars in _docs_text(sf_dir):
-        bs = text.encode()  # ASCII corpus (pinned in test_extensions)
-        want[did] = (
-            len(bs),
-            bs[0] if bs else 0,
-            sum(bs) % 256 if bs else None,
-            min(n_chars % 64 + 1, 16),
-        )
-    out = REGISTRY["multimodal_decode_features"].fn(spark, sf_dir).collect()
-    got = {
-        r["doc_id"]: (r["byte_len"], r["first_byte"], r["checksum"],
-                      r["thumb_w"])
-        for r in out
-    }
-    assert got == want
+# (multimodal_decode_features moved to the round-14 image codec
+# matrix; its mirror now lives in tests/test_round14_multimodal.py.)
 
 
 def _frames_of(text: str) -> list[bytes]:
@@ -229,24 +213,9 @@ def _decode_png(data: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
-@pytest.mark.parametrize("sf_dir", SFS)
-def test_image_decode_digest_matches_python(spark, sf_dir):
-    want = {}
-    for did, _, _ in _docs_text(sf_dir):
-        w, h, px = _analytic_pixels(did)
-        acc = 0
-        for v in px:
-            acc = (acc * 31 + v) % M31
-        want[did] = (
-            "png" if did % 2 == 0 else "ppm", w, h, w * h * 3, acc,
-        )
-    out = REGISTRY["multimodal_image_decode"].fn(spark, sf_dir).collect()
-    got = {
-        r["doc_id"]: (r["fmt"], r["width"], r["height"], r["n_bytes"],
-                      r["pix_digest"])
-        for r in out
-    }
-    assert got == want
+# (multimodal_image_decode moved to the round-14 image codec matrix;
+# its mirror now lives in tests/test_round14_multimodal.py. The
+# independent PNG/PPM reader below still pins the fixture WRITERS.)
 
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])

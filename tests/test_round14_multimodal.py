@@ -1,0 +1,356 @@
+"""Round-14 third opinions for the codec-matrix re-point and the new
+video rows — every expectation recomputed in PURE PYTHON from the
+documented fixture contracts (no engine code in the expected path; the
+G.711 expansion and the IMA ADPCM recurrence are re-derived here from
+the public specs with their own inline tables), asserted equal to the
+engine at sf0.001 AND sf0.01:
+
+- multimodal_image_decode / multimodal_decode_features: the six-way
+  image codec matrix (sequential PNG / PPM / baseline JPEG / GIF /
+  progressive JPEG / Adam7 PNG) — dims, byte counts, pixel digests
+  and byte features from the analytic pixel functions (block-solid
+  grayscale for the exact-round-trip JPEGs);
+- multimodal_audio_decode: the four-way WAV matrix (PCM16 / G.711
+  mu-law / G.711 A-law / IMA ADPCM) — digests from an independent
+  spec-derived expansion/recurrence;
+- video_frame_sample_avi / video_frame_sample_mp4: stride-2 sampled
+  frame digests from the analytic block functions;
+- video_scene_cuts_mjpeg: the LAG-threshold cut set replayed;
+- plus a cross-check that the AVI/MP4 fixtures carry REAL per-frame
+  JPEG payloads (the stdlib-independent structural walk: every
+  sampled extent starts with SOI and ends with EOI).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from mapreduceframework_spark.plans.registry import REGISTRY
+
+import mapreduceframework_spark.plans.multimodal_queries  # noqa: F401
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+M31 = 1_000_000_007
+AUD_RATES = (8000, 16000, 22050, 44100)
+
+
+def _doc_ids(sf_dir: str) -> list[int]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return t["doc_id"].to_pylist()
+
+
+def _fold(vals) -> int:
+    acc = 0
+    for v in vals:
+        acc = (acc * 31 + v) % M31
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# image codec matrix — analytic pixels per variant
+# ---------------------------------------------------------------------------
+
+_VARIANTS = (
+    "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
+)
+
+
+def _matrix_pixels(d: int) -> tuple[str, int, int, list[int]]:
+    """(variant, w, h, decoded pixel bytes) per the documented
+    contract: JPEG variants are grayscale block-solid (exact round
+    trip), the rest RGB byte functions."""
+    m = d % 6
+    if m in (2, 4):
+        w = (d % 3 + 1) * 8
+        h = (d % 2 + 1) * 8
+        bw = w // 8
+        px = [
+            (d * 7 + ((y // 8) * bw + x // 8) * 13) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+    else:
+        w = d % 13 + 4
+        h = d % 7 + 3
+        px = [(d * 7 + i * 13) % 256 for i in range(w * h * 3)]
+    return _VARIANTS[m], w, h, px
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_image_decode_matrix_matches_python(spark, sf_dir):
+    want = {}
+    for d in _doc_ids(sf_dir):
+        variant, w, h, px = _matrix_pixels(d)
+        want[d] = (variant, w, h, len(px), _fold(px))
+    out = REGISTRY["multimodal_image_decode"].fn(spark, sf_dir).collect()
+    got = {
+        r["doc_id"]: (r["variant"], r["width"], r["height"], r["n_bytes"],
+                      r["pix_digest"])
+        for r in out
+    }
+    assert got == want
+    # every variant present (the matrix really fans out)
+    assert {v for v, *_ in got.values()} == set(_VARIANTS)
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_decode_features_matrix_matches_python(spark, sf_dir):
+    want = {}
+    for d in _doc_ids(sf_dir):
+        variant, w, h, px = _matrix_pixels(d)
+        want[d] = (variant, len(px), px[0], sum(px) % 256, min(w, 16))
+    out = REGISTRY["multimodal_decode_features"].fn(spark, sf_dir).collect()
+    got = {
+        r["doc_id"]: (r["variant"], r["byte_len"], r["first_byte"],
+                      r["checksum"], r["thumb_w"])
+        for r in out
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# audio codec matrix — spec-derived G.711 + IMA ADPCM reimplementation
+# ---------------------------------------------------------------------------
+
+# IMA ADPCM reference tables (public: IMA ADPCM spec / RFC 3551).
+_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IDX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ulaw_expand(c: int) -> int:
+    # G.711 mu-law expansion, written straight from the segment layout.
+    u = 255 - c
+    t = (((u % 16) * 8) + 132) << ((u // 16) % 8)
+    return 132 - t if u >= 128 else t - 132
+
+
+def _alaw_expand(c: int) -> int:
+    a = c ^ 0x55
+    seg = (a // 16) % 8
+    if seg == 0:
+        t = (a % 16) * 16 + 8
+    elif seg == 1:
+        t = (a % 16) * 16 + 264
+    else:
+        t = ((a % 16) * 16 + 264) << (seg - 1)
+    return t if a >= 128 else -t
+
+
+def _adpcm_decode(pred: int, idx: int, nibbles: list[int]) -> list[int]:
+    out = [pred]
+    for n in nibbles:
+        s = _STEP[idx]
+        df = (s >> 3)
+        if n & 1:
+            df += s >> 2
+        if n & 2:
+            df += s >> 1
+        if n & 4:
+            df += s
+        pred = pred - df if n & 8 else pred + df
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IDX[n]))
+        out.append(pred)
+    return out
+
+
+def _audio_matrix_expect(d: int) -> tuple[str, int, int, int, int]:
+    m = d % 4
+    rate = AUD_RATES[(d // 4) % 4]
+    if m == 3:
+        nn = 8 * (d % 5 + 1)
+        pcm = _adpcm_decode(
+            ((d * 31) % 65536) - 32768,
+            d % 89,
+            [(d * 13 + i * 7) % 16 for i in range(nn)],
+        )
+        dig = _fold((v + 65536) % 65536 for v in pcm)
+        return "ima-adpcm", rate, 1, nn + 1, dig
+    frames = d % 50 + 10
+    ch = (d // 4) % 2 + 1
+    n = frames * ch
+    if m == 0:
+        dig = _fold((d * 31 + i * 17) % 65536 for i in range(n))
+        return "pcm16", rate, ch, frames, dig
+    if m == 1:
+        def cw(i):
+            r = (d * 31 + i * 17) % 255
+            return r + 1 if r >= 127 else r
+        dig = _fold(
+            (_ulaw_expand(cw(i)) + 65536) % 65536 for i in range(n)
+        )
+        return "g711-ulaw", rate, ch, frames, dig
+    dig = _fold(
+        (_alaw_expand((d * 31 + i * 17) % 256) + 65536) % 65536
+        for i in range(n)
+    )
+    return "g711-alaw", rate, ch, frames, dig
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_audio_decode_matrix_matches_python(spark, sf_dir):
+    want = {d: _audio_matrix_expect(d) for d in _doc_ids(sf_dir)}
+    out = REGISTRY["multimodal_audio_decode"].fn(spark, sf_dir).collect()
+    got = {
+        r["doc_id"]: (r["variant"], r["sample_rate"], r["channels"],
+                      r["n_frames"], r["sample_digest"])
+        for r in out
+    }
+    assert got == want
+    assert {v for v, *_ in got.values()} == {
+        "pcm16", "g711-ulaw", "g711-alaw", "ima-adpcm",
+    }
+
+
+# ---------------------------------------------------------------------------
+# video rows — analytic frame digests + cut replay
+# ---------------------------------------------------------------------------
+
+
+def _frame_digest(d: int, f: int, a: int, b: int) -> int:
+    return _fold(
+        (d * a + f * b + ((i % 16) // 8) * 13) % 256 for i in range(128)
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_video_frame_sample_avi_matches_python(spark, sf_dir):
+    want = {}
+    for d in _doc_ids(sf_dir):
+        for f in range(0, d % 5 + 2, 2):
+            want[(d, f)] = (16, 8, _frame_digest(d, f, 7, 11))
+    out = REGISTRY["video_frame_sample_avi"].fn(spark, sf_dir).collect()
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["width"], r["height"],
+                                        r["pix_digest"])
+        for r in out
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_video_frame_sample_mp4_matches_python(spark, sf_dir):
+    want = {}
+    for d in _doc_ids(sf_dir):
+        for f in range(0, d % 7 + 2, 2):
+            want[(d, f)] = (16, 8, _frame_digest(d, f, 11, 7))
+    out = REGISTRY["video_frame_sample_mp4"].fn(spark, sf_dir).collect()
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["width"], r["height"],
+                                        r["pix_digest"])
+        for r in out
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_video_scene_cuts_match_python(spark, sf_dir):
+    want = {}
+    n_cut = 0
+    for d in _doc_ids(sf_dir):
+        sigs = [
+            sum(
+                (d * 7 + f * 11 + b * 13) % 256 * 64  # 64 px per block
+                for b in (0, 1)
+            )
+            for f in range(d % 5 + 2)
+        ]
+        for f in range(1, len(sigs)):
+            delta = abs(sigs[f] - sigs[f - 1])
+            if delta > 3000:
+                want[(d, f)] = (sigs[f - 1], sigs[f], delta)
+                n_cut += 1
+    out = REGISTRY["video_scene_cuts_mjpeg"].fn(spark, sf_dir).collect()
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["prev_sig"], r["sig"], r["delta"])
+        for r in out
+    }
+    assert got == want
+    assert n_cut > 0  # the threshold actually engages at every SF
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_video_fixtures_carry_real_jpeg_frames(spark, sf_dir):
+    """Structural independence check on the container fixtures: walk
+    the AVI and MP4 payloads with LOCAL parsers (RIFF 00dc chunks /
+    mdat extents via stsz+stco replay) and assert each frame extent is
+    a self-contained JPEG stream (SOI ... EOI) whose count matches the
+    contract — no engine container code in the checking path."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from mapreduceframework_spark.operators import multimodal as M
+    from mapreduceframework_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    avi_rows = M.synth_videos_avi(docs).collect()
+    assert avi_rows
+    for r in avi_rows:
+        d, buf = r["doc_id"], bytes(r["payload"])
+        assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+        # local sequential chunk scan of the movi LIST body only (a
+        # naive find would also hit idx1 entries, which repeat the
+        # 00dc fourcc without a chunk header)
+        mv = buf.find(b"movi")
+        assert mv > 0
+        (lsize,) = struct.unpack("<I", buf[mv - 4 : mv])
+        body_end = mv + lsize  # LIST size covers 'movi' + chunks
+        payloads = []
+        p = mv + 4
+        while p + 8 <= body_end:
+            cc = buf[p : p + 4]
+            (ln,) = struct.unpack("<I", buf[p + 4 : p + 8])
+            if cc == b"00dc":
+                payloads.append(buf[p + 8 : p + 8 + ln])
+            p += 8 + ln + (ln & 1)
+        n = d % 5 + 2
+        assert len(payloads) == n
+        for pay in payloads:
+            assert pay[:2] == b"\xff\xd8" and pay[-2:] == b"\xff\xd9"
+
+    mp4_rows = M.synth_videos_mp4(docs).collect()
+    assert mp4_rows
+    for r in mp4_rows:
+        d, buf = r["doc_id"], bytes(r["payload"])
+        assert buf[4:8] == b"ftyp"
+        n = d % 7 + 2
+        # local stsz replay: entry count + sizes
+        i = buf.find(b"stsz")
+        assert i != -1
+        uniform, cnt = struct.unpack(">II", buf[i + 8 : i + 16])
+        assert uniform == 0 and cnt == n
+        sizes = [
+            struct.unpack(">I", buf[i + 16 + 4 * k : i + 20 + 4 * k])[0]
+            for k in range(n)
+        ]
+        # local stco replay: chunk offsets; samples are contiguous
+        j = buf.find(b"stco")
+        assert j != -1
+        (nch,) = struct.unpack(">I", buf[j + 8 : j + 12])
+        offs = [
+            struct.unpack(">I", buf[j + 12 + 4 * k : j + 16 + 4 * k])[0]
+            for k in range(nch)
+        ]
+        si = 0
+        for ci, off in enumerate(offs):
+            pos = off
+            for _ in range(min(3, n - ci * 3)):
+                p = buf[pos : pos + sizes[si]]
+                assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+                pos += sizes[si]
+                si += 1
+        assert si == n
