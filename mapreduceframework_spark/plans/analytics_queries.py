@@ -424,15 +424,18 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within an ULP of a .00005 boundary, so the two engines rounded to
 # DIFFERENT 4-decimal values. Instead each row's double is snapped to
 # integer 1e-4 units row-locally (identical per row on both engines),
-# the SUM is an associativity-proof BIGINT, and the average is ONE
-# double division of identical integers, rounded half-away on both
-# sides — bit-exact regardless of partitioning.
-_SPARSE_GRID_SQL = """
+# the SUM is an associativity-proof BIGINT, and the half-up mean
+# finishes ENTIRELY in the exact integer domain (exact.py
+# int_round_mean, round-14 queue item c — the former
+# ROUND(SUM::DOUBLE / n) was the >2^53 1-ulp class) — bit-exact
+# regardless of partitioning or magnitude.
+_SPARSE_GRID_SQL = f"""
         sparse AS (
             SELECT event_type,
                    (epoch_us(ts) // 300000000) * 300 AS b_s,
-                   CAST(ROUND(SUM(CAST(ROUND(value * 10000) AS BIGINT))
-                              / COUNT(*)) AS BIGINT) AS v4
+                   {int_round_mean_sql(
+                       "SUM(CAST(ROUND(value * 10000) AS BIGINT))", 1
+                   )} AS v4
             FROM events GROUP BY 1, 2
         ),
         bounds AS (SELECT event_type, MIN(b_s) AS b0, MAX(b_s) AS b1
@@ -460,9 +463,10 @@ def _sparse_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "b_s")
         .agg(
-            F.round(F.sum("v_e4") / F.count("*"))
-            .cast("long")
-            .alias("v4")
+            # round-14 exactness-queue item (c): the half-up mean runs
+            # in the exact decimal domain (int_round_mean), not as
+            # ROUND(SUM::DOUBLE / n) — the >2^53 1-ulp class.
+            int_round_mean(F.sum("v_e4"), 1, F.count("*")).alias("v4")
         )
     )
     bounds = sparse.groupBy("event_type").agg(

@@ -636,9 +636,9 @@ def agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unpivot_price_components",
-    oracle="""
+    oracle=f"""
         SELECT component,
-               CAST(SUM(CAST(ROUND(amount * 100) AS BIGINT)) AS DOUBLE)
+               {bigint_sum_sql(snap_units_sql('amount', 100))}
                    / 100 AS total
         FROM (
             SELECT 'extendedprice' AS component, l_extendedprice AS amount
@@ -657,13 +657,11 @@ def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a zero-shuffle row expansion; the aggregate after it shuffles
     O(components), not O(rows).
 
-    KNOWN BOUND (r13 audit, conversion scheduled r14 with a window
-    slot): the 3 constant component groups sum the whole corpus, so the
-    oracle's HUGEINT->double cast diverges from Spark's long->double by
-    up to 1 ulp once the cent sum passes 2^53 (~SF 4e3); fix is the
-    exact.py bigint_sum_sql narrowing, deferred only because this row
-    was driver-green in r12 and the slot budget this round is consumed
-    by the 21 money-sum conversion sentinels."""
+    The 3 constant component groups sum the whole corpus, so the
+    display sum narrows through BIGINT on the DuckDB side (round-14
+    queue item a — bigint_sum_sql): both engines then perform the same
+    single int64->double conversion at any magnitude fitting int64
+    (cent sums wrap near SF 1.6e6 ~ 1.6 PB)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_extendedprice").alias("extendedprice"),

@@ -152,10 +152,11 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact",
     oracle="""
         SELECT o_orderstatus,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
-                   AS total_price,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))
-                        * CAST(0.07 AS DECIMAL(3, 2))) AS DOUBLE) AS tax
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) * 100
+                         AS BIGINT) AS DOUBLE) / 100 AS total_price,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))
+                             * CAST(0.07 AS DECIMAL(3, 2))) * 10000
+                         AS BIGINT) AS DOUBLE) / 10000 AS tax
         FROM orders GROUP BY o_orderstatus
     """,
     tags=("agg", "decimal"),
@@ -165,21 +166,28 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative and overflow-checked, so the result is identical in any
     summation order — no rounding tolerance needed, unlike double sums
     (the reference has no numeric types at all; this is the engine's
-    answer for financial aggregation at scale). Cast to DOUBLE only at
-    the very end, once, identically on both sides.
+    answer for financial aggregation at scale).
 
-    KNOWN BOUND (r13 audit, conversion scheduled r14 with a window
-    slot): the final decimal->double casts act on corpus-wide group
-    sums; past 2^53 (~SF 4e3 for the e2 sum) Spark's BigDecimal
-    conversion and DuckDB's int128-scaled conversion may differ by
-    1 ulp — the exact.py bigint_sum_sql narrowing closes it."""
+    The display conversion narrows each group sum through an exact
+    int64 of its smallest units (cents / 1e-4 tax units) before ONE
+    int64->double conversion and ONE power-of-ten double division,
+    identically on both sides (round-14 queue item a): a direct
+    decimal->double cast let Spark's BigDecimal conversion and
+    DuckDB's int128-scaled conversion differ by 1 ulp past 2^53
+    (~SF 4e3 for the cent sum). Exact while the unit sums fit int64
+    (tax units wrap near SF 1.6e4 ~ 16 PB)."""
     orders = load_table(spark, sf_dir, "orders")
     price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     return orders.groupBy("o_orderstatus").agg(
-        F.sum(price_dec).cast("double").alias("total_price"),
-        F.sum(price_dec * F.lit("0.07").cast("decimal(3,2)"))
-        .cast("double")
-        .alias("tax"),
+        ((F.sum(price_dec) * 100).cast("long").cast("double") / 100)
+        .alias("total_price"),
+        (
+            (
+                F.sum(price_dec * F.lit("0.07").cast("decimal(3,2)"))
+                * 10000
+            ).cast("long").cast("double")
+            / 10000
+        ).alias("tax"),
     )
 
 

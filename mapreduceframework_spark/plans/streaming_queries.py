@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduceframework_spark.plans.exact import snap_units
+from mapreduceframework_spark.plans.exact import (
+    int_round_mean,
+    int_round_mean_sql,
+    snap_units,
+)
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
 
@@ -42,7 +46,7 @@ TUMBLING_ORACLE = """
     FROM events GROUP BY 1, 2
 """
 
-SLIDING_ORACLE = """
+SLIDING_ORACLE = f"""
     WITH hit AS (
         SELECT t.win_start, event_type,
                CAST(ROUND(value * 10000) AS BIGINT) AS v_e4
@@ -53,7 +57,7 @@ SLIDING_ORACLE = """
               FROM events) t)
     SELECT win_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(ROUND(SUM(v_e4) * 1.0 / COUNT(*)) AS BIGINT) / 10000.0
+           {int_round_mean_sql("SUM(v_e4)", 1)} / 10000.0
                AS avg_value
     FROM hit GROUP BY 1, 2
 """
@@ -109,7 +113,9 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("win.start").alias("win_start"),
             "event_type",
             "cnt",
-            (F.round(F.col("s_e4") / F.col("cnt")).cast("long") / 10000.0)
+            # round-14 exactness-queue item (d): exact half-up integer
+            # mean (int_round_mean), not ROUND(double quotient).
+            (int_round_mean(F.col("s_e4"), 1, F.col("cnt")) / 10000.0)
             .alias("avg_value"),
         )
     )

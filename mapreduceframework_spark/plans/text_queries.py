@@ -372,7 +372,8 @@ BM25_TERMS = ("join", "query", "spark", "stream", "table")
             FROM toks GROUP BY doc_id),
         stats AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+                   CAST(CAST(SUM(dlen) AS BIGINT) AS DOUBLE) / COUNT(*)
+                       AS avgdl
             FROM dl),
         tf AS (
             SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
@@ -427,11 +428,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     more, df is O(terms), stats a scalar — everything after the two
     corpus aggregations is broadcast-sized.
 
-    KNOWN BOUND (r13 audit): avgdl divides the corpus-total token
-    count in the double domain; exact while that total stays below
-    2^53 (~9e15 tokens, tens of PB of text — past the 100 TB design
-    point but finite). The bigint_sum_sql narrowing lands with this
-    row's next window slot (r14)."""
+    avgdl narrows the corpus-total token sum through BIGINT on the
+    DuckDB side (round-14 queue item b — DuckDB's HUGEINT->double
+    composes two roundings past 2^53; Spark's long->double is one),
+    so both engines perform the same single int64->double conversion
+    before the one shared division at any magnitude fitting int64."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )

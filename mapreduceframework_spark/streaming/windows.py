@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduceframework_spark.plans.exact import snap_units
+from mapreduceframework_spark.plans.exact import int_round_mean, snap_units
 
 from mapreduceframework_spark.sources.registry import (
     EVENTS_PHYSICAL_NANOS,
@@ -157,7 +157,9 @@ def sliding_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("win.start").alias("win_start"),
             "event_type",
             "cnt",
-            (F.round(F.col("s_e4") / F.col("cnt")).cast("long") / 10000.0)
+            # Same exact-integer mean finisher as the batch twin
+            # (round-14 queue item d) — the shared oracle demands it.
+            (int_round_mean(F.col("s_e4"), 1, F.col("cnt")) / 10000.0)
             .alias("avg_value"),
         )
     )

@@ -79,7 +79,11 @@ def _sparse_grid_py(sf_dir: str):
         cells[(typ, (us // 300_000_000) * 300)].append(_snap_e4(v))
     sparse: dict[str, dict[int, int]] = defaultdict(dict)
     for (typ, b), vs in cells.items():
-        sparse[typ][b] = int(round_half_up(sum(vs) / len(vs), 0))
+        # Exact half-up integer mean — the (2s + n) // (2n) identity,
+        # same as the engine's int_round_mean finisher (round 14); a
+        # float-quotient round here would reintroduce the 1-ulp class
+        # the conversion killed.
+        sparse[typ][b] = (2 * sum(vs) + len(vs)) // (2 * len(vs))
     grids = {
         typ: list(range(min(bs), max(bs) + 1, 300))
         for typ, bs in sparse.items()
