@@ -71,87 +71,82 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-13 window (VERDICT r12 items
-# 1-2 adapted to the measured sentinel fallout): the r12 money-sum
-# conversion changed 26 decorated definitions but only 4 took r12
-# window slots, so tools/window_planner.py auto-flags the remaining 21
-# as code-change sentinels (changed since last green — the policy that
-# has outranked staleness refresh since the r8 rewrite incident). Two
-# more rows changed THIS round and join them: tpch_q1_pricing (the
-# int_round_mean average conversion + bigint_sum_sql narrowing — the
-# r13 ADVICE items) and events_diff_in_diff (VERDICT r12 item 6: the
-# early-adopter treatment definition that gives the contrast live
-# control cells). 23 sentinels + 27 of the 32 remaining r07-stale rows
-# (oldest-first per the planner; includes the four r12-displaced rows
-# join_spatial_grid, join_asof_nearest, graph_sssp_weighted and — as a
-# sentinel — join_bloom_pruned) = 50. The VERDICT r12 bar of "zero
-# rows older than r08 after r13" is arithmetically unreachable under
-# the sentinel-first policy (23 + 32 = 55 > 50); the 5 r07 rows that
-# do not fit (timeseries_ewma, timeseries_forward_fill,
-# timeseries_interpolate, union_by_name_evolved,
-# window_rolling_distinct_users) were each re-verified locally this
-# session at sf0.01 AND sf0.1 through both compare paths (BASELINE.md
-# records the runs) and LEAD the round-14 window. Registry freeze held:
-# 274 rows, zero adds.
+# all_queries() in iteration order. Round-14 window (VERDICT r13 items
+# 1 and 4): the 3 never-checked video rows lead (new evidence first),
+# then this round's 10 code-change sentinels — the codec-matrix
+# re-point (multimodal_image_decode / multimodal_audio_decode /
+# multimodal_decode_features) and the exactness-queue conversions
+# (agg_decimal_exact, unpivot_price_components, text_bm25_topk,
+# events_sliding_windows auto-flagged; timeseries_forward_fill,
+# timeseries_interpolate, streaming_sliding_avgs flagged manually
+# because their change lives in a shared module-level oracle fragment
+# / helper the planner's function-granular fingerprint cannot see) —
+# then the 3 remaining r07 rows (timeseries_ewma,
+# union_by_name_evolved, window_rolling_distinct_users; the other two
+# r07 leftovers are already in as sentinels, completing VERDICT r13
+# item 4's "5 r07 leftovers lead"), then the oldest r08 cohort,
+# oldest-first alphabetical per the planner. 3 + 10 + 3 + 34 = 50.
+# Registry: 274 -> 277 (the three sanctioned video rows, VERDICT r13
+# item 5; freeze ceiling 278 held).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- code-change sentinels (23): the 21 remaining money-sum
-    #     conversion rows (r12 change, auto-flagged by the planner's
-    #     function-granular fingerprint; each carries an exact-integer
-    #     mirror and was 3-SF re-verified at conversion time) plus this
-    #     round's two rewrites, all 3-SF re-verified again this
-    #     session ---
-    "agg_algebraic",
-    "agg_null_semantics",
-    "agg_salted_two_stage",
-    "join_bloom_pruned",
-    "join_range_bands",
-    "join_range_binned",
-    "join_salted_skew",
-    "join_skew_two_path",
-    "profile_numeric_histogram",
-    "rollup_revenue",
-    "tpch_q10_returned_revenue",
-    "tpch_q11_important_parts",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_rich_customers",
-    "tpch_q3_shipping",
-    "tpch_q5_local_volume",
-    "tpch_q7_nation_volume",
-    "tpch_q9_product_profit",
-    "tpch_q1_pricing",
-    "events_diff_in_diff",
-    # --- stalest refresh: 27 of the 32 remaining r07 rows (6 rounds
-    #     stale), oldest-first alphabetical per the planner ---
-    "graph_sssp_weighted",
-    "join_asof_nearest",
-    "join_spatial_grid",
-    "lakehouse_incremental_agg",
-    "multimodal_audio_fingerprint",
-    "multimodal_phash_dedup",
-    "multimodal_scene_cuts",
-    "pipeline_multimodal_curate",
-    "quality_gopher_rules",
-    "quality_label_balance",
-    "sample_negative_pairs",
-    "sample_temperature_mixture",
-    "scalar_struct_funcs",
-    "sink_bucketed_join",
-    "sink_compact_small_files",
-    "sink_partitioned_roundtrip",
-    "sketch_hll_rolling_users",
-    "skyline_pareto_frontier",
-    "source_csv_json_roundtrip",
-    "stats_bootstrap_poisson_ci",
-    "stats_chi_square_independence",
-    "stats_ks_two_sample",
-    "streaming_click_purchase_full_join",
-    "streaming_click_purchase_left_join",
-    "text_bigram_lm_score",
-    "text_boilerplate_ngrams",
-    "text_readability_scores",
+    # --- never driver-checked (3): the round-14 video rows ---
+    "video_frame_sample_avi",
+    "video_frame_sample_mp4",
+    "video_scene_cuts_mjpeg",
+    # --- code-change sentinels (10): codec-matrix re-point +
+    #     exactness-queue conversions, each 3-SF re-verified this
+    #     session (manual sentinels first: shared-fragment changes
+    #     the planner cannot auto-flag) ---
+    "timeseries_forward_fill",
+    "timeseries_interpolate",
+    "streaming_sliding_avgs",
+    "agg_decimal_exact",
+    "events_sliding_windows",
+    "multimodal_audio_decode",
+    "multimodal_decode_features",
+    "multimodal_image_decode",
+    "text_bm25_topk",
+    "unpivot_price_components",
+    # --- the 3 remaining r07 rows (6 rounds stale) ---
+    "timeseries_ewma",
+    "union_by_name_evolved",
+    "window_rolling_distinct_users",
+    # --- stalest refresh: the oldest r08 cohort, oldest-first
+    #     alphabetical per the planner ---
+    "agg_mode_exact",
+    "agg_weighted_median",
+    "ann_cosine_lsh",
+    "ann_mmr_rerank",
+    "cdc_merkle_reconcile",
+    "dedup_edit_distance_verify",
+    "embedding_centroid_drift",
+    "events_anomaly_mad",
+    "events_cohort_ltv",
+    "events_rfm_segments",
+    "events_top_paths",
+    "join_anti",
+    "join_attribution_first_touch",
+    "join_broadcast",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_interval_overlap",
+    "join_left_agg",
+    "join_semi",
+    "join_theta",
+    "lakehouse_incremental_join",
+    "layout_zorder_clustering",
+    "mining_association_rules",
+    "mr_char_counts",
+    "mr_filter_evens",
+    "mr_histogram_mod100",
+    "pivot_status_by_priority",
+    "quality_char_entropy",
+    "sample_importance_dsir",
+    "sample_weighted_reservoir",
+    "similarity_join_minhash",
+    "similarity_join_prefix_filter",
+    "sort_global_ranked",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or
