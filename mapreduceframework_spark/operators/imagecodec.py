@@ -117,7 +117,48 @@ def encode_pgm(w: int, h: int, pixels: bytes) -> bytes:
 # --------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_COLOR_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, truecolor, truecolor+alpha
+# gray, truecolor, gray+alpha, truecolor+alpha (paletted type 3 is
+# handled separately: one index per pixel, PLTE-mapped after unfilter)
+_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _unpack_indices(line: bytes, w: int, depth: int) -> bytes:
+    """Unpack ``w`` palette indices from a packed scanline (PNG packs
+    1/2/4-bit indices MSB-first within each byte; rows are padded to a
+    whole byte independently)."""
+    if depth == 8:
+        return line[:w]
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    return bytes(
+        (line[k // per] >> (8 - depth * (k % per + 1))) & mask
+        for k in range(w)
+    )
+
+
+def _palette_expand(
+    idx: bytes, pal: list[bytes], trns: bytes | None
+) -> tuple[int, bytes]:
+    """Map an index plane through the PLTE palette. Returns
+    ``(channels, pixels)`` — RGBA when a tRNS chunk supplies per-entry
+    alpha (entries past its end are opaque, per the spec), RGB
+    otherwise."""
+    npal = len(pal)
+    if trns is None:
+        out = bytearray(len(idx) * 3)
+        for i, ci in enumerate(idx):
+            if ci >= npal:
+                raise ValueError(f"PNG palette index {ci} out of range")
+            out[3 * i : 3 * i + 3] = pal[ci]
+        return 3, bytes(out)
+    out = bytearray(len(idx) * 4)
+    nt = len(trns)
+    for i, ci in enumerate(idx):
+        if ci >= npal:
+            raise ValueError(f"PNG palette index {ci} out of range")
+        out[4 * i : 4 * i + 3] = pal[ci]
+        out[4 * i + 3] = trns[ci] if ci < nt else 255
+    return 4, bytes(out)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -131,19 +172,25 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an 8-bit PNG (gray / RGB / RGBA), sequential or Adam7
-    -interlaced (r13).
+    """Decode a PNG — gray / RGB / gray+alpha / RGBA at 8 bits, or
+    PALETTED (color type 3) at 1/2/4/8-bit depth with optional tRNS
+    transparency — sequential or Adam7-interlaced (r13; palette +
+    gray-alpha r14: the two classes a scraped web corpus is full of).
 
     Real decode path: chunk walk with CRC verification, zlib inflate
     of the concatenated IDAT stream, per-scanline un-filtering of all
-    five PNG filter types (per-pass filter state for Adam7), and the
-    seven-pass scatter for interlaced streams. Returns
-    ``(w, h, channels, pixels)``.
+    five PNG filter types (per-pass filter state for Adam7), the
+    seven-pass scatter for interlaced streams, MSB-first sub-byte
+    index unpacking, and PLTE/tRNS expansion (RGBA when tRNS is
+    present, RGB otherwise). Returns ``(w, h, channels, pixels)``.
+    16-bit depth remains NotImplementedError.
     """
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     i = 8
     w = h = bit_depth = color_type = -1
+    pal: list[bytes] | None = None
+    trns: bytes | None = None
     idat = bytearray()
     while i < len(buf):
         # Bounds-check before slicing: a buffer truncated mid-chunk must
@@ -166,12 +213,24 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
             w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if bit_depth != 8:
-                raise NotImplementedError(f"bit depth {bit_depth}")
-            if color_type not in _COLOR_CHANNELS:
+            if color_type == 3:
+                if bit_depth not in (1, 2, 4, 8):
+                    raise NotImplementedError(
+                        f"paletted bit depth {bit_depth}"
+                    )
+            elif color_type in _COLOR_CHANNELS:
+                if bit_depth != 8:
+                    raise NotImplementedError(f"bit depth {bit_depth}")
+            else:
                 raise NotImplementedError(f"color type {color_type}")
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise NotImplementedError("nonstandard compression/filter")
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError(f"malformed PLTE: length {length}")
+            pal = [data[3 * k : 3 * k + 3] for k in range(length // 3)]
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -179,19 +238,57 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
         i += 12 + length
     if w < 0:
         raise ValueError("missing IHDR")
-    channels = _COLOR_CHANNELS[color_type]
+    paletted = color_type == 3
+    if paletted:
+        if not pal:
+            raise ValueError("paletted PNG missing PLTE chunk")
+        bits_pp = bit_depth  # bits per pixel: one packed index
+        fbpp = 1  # filter byte step (max(1, bits//8), PNG 9.2)
+    else:
+        channels = _COLOR_CHANNELS[color_type]
+        bits_pp = 8 * channels
+        fbpp = channels
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt IDAT stream: {e}") from e
+
+    def row_bytes(width: int) -> int:
+        return (width * bits_pp + 7) // 8
+
     if interlace == 0:
-        stride = w * channels
+        stride = row_bytes(w)
         if len(raw) != h * (stride + 1):
             raise ValueError("inflated size mismatch")
-        lines, _ = _unfilter_lines(raw, 0, h, stride, channels)
+        lines, _ = _unfilter_lines(raw, 0, h, stride, fbpp)
+        if paletted:
+            idx = b"".join(
+                _unpack_indices(line, w, bit_depth) for line in lines
+            )
+            nch, px = _palette_expand(idx, pal, trns)
+            return w, h, nch, px
         return w, h, channels, b"".join(lines)
     # Adam7: seven sub-images, each independently filtered, scattered
-    # onto the full-resolution grid.
+    # onto the full-resolution grid (of indices for paletted streams,
+    # of channel bytes otherwise).
+    if paletted:
+        plane = bytearray(w * h)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            lines, off = _unfilter_lines(raw, off, ph, row_bytes(pw), 1)
+            for j, line in enumerate(lines):
+                ids = _unpack_indices(line, pw, bit_depth)
+                y = y0 + j * dy
+                for i in range(pw):
+                    plane[y * w + x0 + i * dx] = ids[i]
+        if off != len(raw):
+            raise ValueError("inflated size mismatch (interlaced)")
+        nch, px = _palette_expand(bytes(plane), pal, trns)
+        return w, h, nch, px
     out = bytearray(w * h * channels)
     off = 0
     for x0, y0, dx, dy in _ADAM7:
@@ -292,14 +389,15 @@ def encode_png(
     w: int, h: int, pixels: bytes, channels: int = 3,
     interlace: bool = False,
 ) -> bytes:
-    """Encode an 8-bit PNG, cycling the filter type per row (row r uses
+    """Encode an 8-bit PNG (gray / gray+alpha / RGB / RGBA by channel
+    count), cycling the filter type per row (row r uses
     filter r % 5) so a decoder must implement ALL filters correctly to
     reproduce the pixels. With ``interlace=True`` the stream is Adam7:
     seven independently-filtered sub-images (fixture source for the
     interlaced decode path — PNG is lossless, so interlaced and
     sequential encodings of the same pixels must decode identically,
     which is the test oracle)."""
-    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     stride = w * channels
     if len(pixels) != h * stride:
         raise ValueError("pixel buffer size mismatch")
@@ -347,6 +445,81 @@ def encode_png(
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def encode_png_palette(
+    w: int,
+    h: int,
+    indices: bytes,
+    palette: list[bytes],
+    bit_depth: int = 8,
+    interlace: bool = False,
+    trns: bytes | None = None,
+) -> bytes:
+    """Encode a PALETTED PNG (color type 3) at 1/2/4/8-bit depth,
+    cycling all five filters per row (over the PACKED bytes, bpp=1 —
+    the spec's filter unit for sub-byte depths), optional Adam7 and
+    tRNS. Fixture source for the r14 paletted decode path."""
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"bit depth {bit_depth}")
+    if len(indices) != w * h:
+        raise ValueError("index buffer size mismatch")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    if max(indices) >= min(len(palette), 1 << bit_depth):
+        raise ValueError("index exceeds palette/depth capacity")
+
+    def pack_row(ids: bytes) -> bytes:
+        if bit_depth == 8:
+            return ids
+        per = 8 // bit_depth
+        out = bytearray((len(ids) + per - 1) // per)
+        for k, ci in enumerate(ids):
+            out[k // per] |= ci << (8 - bit_depth * (k % per + 1))
+        return bytes(out)
+
+    def filter_rows(rows):
+        raw = bytearray()
+        prev = bytes(len(rows[0])) if rows else b""
+        for ri, line in enumerate(rows):
+            ftype = ri % 5
+            raw.append(ftype)
+            raw += _filter_line(ftype, line, prev, 1)
+            prev = line
+        return raw
+
+    if not interlace:
+        rows = [
+            pack_row(indices[r * w : (r + 1) * w]) for r in range(h)
+        ]
+        raw = filter_rows(rows)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = []
+            for j in range(ph):
+                y = y0 + j * dy
+                rows.append(
+                    pack_row(
+                        bytes(
+                            indices[y * w + x0 + i * dx] for i in range(pw)
+                        )
+                    )
+                )
+            raw += filter_rows(rows)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0
+    )
+    out = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"PLTE", b"".join(palette))
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+    return out + _chunk(b"IEND", b"")
 
 
 # --------------------------------------------------------------------------

@@ -178,20 +178,35 @@ def synth_images(docs: DataFrame) -> DataFrame:
 # Codec-matrix synthesis (round 14): one registered fixture family
 # that exercises EVERY in-repo image decode path — sequential PNG,
 # binary PPM, baseline JPEG, GIF, progressive JPEG, Adam7-interlaced
-# PNG — chosen per doc_id % 6. JPEG variants are GRAYSCALE BLOCK-SOLID
-# images (every 8x8 block one constant value): a solid block's only
-# nonzero DCT coefficient is DC and the default-quality DC step keeps
-# the reconstruction error under half a level, so baseline AND
+# PNG, 8-bit paletted PNG with tRNS transparency (RGBA out), and
+# 2-bit paletted Adam7 PNG (sub-byte index unpacking) — chosen per
+# doc_id % 8. JPEG variants are GRAYSCALE BLOCK-SOLID images (every
+# 8x8 block one constant value): a solid block's only nonzero DCT
+# coefficient is DC and the default-quality DC step keeps the
+# reconstruction error under half a level, so baseline AND
 # progressive round-trip BIT-EXACTLY (pinned for all 256 values in
 # tests/test_jpegcodec.py) — which is what lets a DuckDB oracle
-# predict real lossy-codec decode output analytically. Constants are
+# predict real lossy-codec decode output analytically. Palette
+# variants map idx(k) = (d*7 + k*13) % cap through an analytic
+# palette (r,g,b) = ((d + c*53), (d*3 + c*31), (d*5 + c*11)) % 256;
+# variant 6 carries tRNS alpha (d + c*37) % 256 over the first
+# PAL_TRNS entries (the rest opaque, per spec). Constants are
 # mirrored literally in the multimodal_image_decode /
 # multimodal_decode_features oracle SQL; change both together.
 IMG_MATRIX_VARIANTS = (
     "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
+    "png-palette", "png-palette-sub",
 )
 IMG_JPEG_BW_MOD = 3  # jpeg width  = (d % 3 + 1) * 8   (1..3 block cols)
 IMG_JPEG_BH_MOD = 2  # jpeg height = (d % 2 + 1) * 8   (1..2 block rows)
+PAL_CAP_8, PAL_CAP_2 = 17, 4  # palette sizes (8-bit / 2-bit depth)
+PAL_TRNS = 9  # variant 6: first 9 palette entries carry tRNS alpha
+
+
+def _pal_rgb(d: int, c: int) -> bytes:
+    return bytes(
+        ((d + c * 53) % 256, (d * 3 + c * 31) % 256, (d * 5 + c * 11) % 256)
+    )
 
 SYNTH2_SCHEMA = (
     "doc_id long, payload binary, "
@@ -201,11 +216,13 @@ SYNTH2_SCHEMA = (
 
 def synth_images_matrix(docs: DataFrame) -> DataFrame:
     """Encode one real image file per document across the full codec
-    matrix (doc_id % 6): sequential PNG, binary PPM, baseline JPEG,
-    GIF, progressive JPEG, Adam7-interlaced PNG. Pixels are integer
-    functions of doc_id (block-solid grayscale for the lossy JPEGs —
-    see the module comment for why that makes them exact), so the
-    decode oracle is analytic for every variant."""
+    matrix (doc_id % 8): sequential PNG, binary PPM, baseline JPEG,
+    GIF, progressive JPEG, Adam7-interlaced PNG, 8-bit paletted PNG
+    with tRNS (decodes to RGBA), 2-bit paletted Adam7 PNG (sub-byte
+    unpacking). Pixels are integer functions of doc_id (block-solid
+    grayscale for the lossy JPEGs — see the module comment for why
+    that makes them exact), so the decode oracle is analytic for
+    every variant."""
     from mapreduceframework_spark.operators import imagecodec as IC
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -213,7 +230,7 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
             rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                m = d % 6
+                m = d % 8
                 variant = IMG_MATRIX_VARIANTS[m]
                 if m in (2, 4):  # grayscale block-solid JPEG
                     w = (d % IMG_JPEG_BW_MOD + 1) * 8
@@ -230,6 +247,27 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                         else IC.encode_jpeg_progressive
                     )
                     payload, codec = enc(w, h, pix, channels=1), "image/jpeg"
+                elif m in (6, 7):  # paletted PNG
+                    w = d % IMG_W_MOD + IMG_W_BASE
+                    h = d % IMG_H_MOD + IMG_H_BASE
+                    cap = PAL_CAP_8 if m == 6 else PAL_CAP_2
+                    idx = bytes(
+                        (d * IMG_PIX_A + k * IMG_PIX_B) % cap
+                        for k in range(w * h)
+                    )
+                    palette = [_pal_rgb(d, c) for c in range(cap)]
+                    if m == 6:
+                        payload = IC.encode_png_palette(
+                            w, h, idx, palette,
+                            trns=bytes(
+                                (d + c * 37) % 256 for c in range(PAL_TRNS)
+                            ),
+                        )
+                    else:
+                        payload = IC.encode_png_palette(
+                            w, h, idx, palette, bit_depth=2, interlace=True
+                        )
+                    codec = "image/png"
                 else:  # lossless RGB variants share the classic pixel fn
                     w = d % IMG_W_MOD + IMG_W_BASE
                     h = d % IMG_H_MOD + IMG_H_BASE

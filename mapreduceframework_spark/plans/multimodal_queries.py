@@ -29,35 +29,63 @@ from mapreduceframework_spark.sources import load_table
 # --------------------------------------------------------------------------
 
 # Shared head of the image-codec-matrix oracles: per-doc variant
-# selector + decoded dimensions. Mirrors operators/multimodal.py
-# synth_images_matrix (doc_id % 6; JPEG variants are grayscale
-# block-solid at (d%3+1)*8 x (d%2+1)*8, the rest RGB at the classic
-# (d%13+4) x (d%7+3)); change both together.
+# selector + decoded dimensions + decoded channel count. Mirrors
+# operators/multimodal.py synth_images_matrix (doc_id % 8; JPEG
+# variants grayscale block-solid at (d%3+1)*8 x (d%2+1)*8, the rest at
+# the classic (d%13+4) x (d%7+3); variant 6 decodes to RGBA via tRNS);
+# change both together.
 _IMG_MATRIX_P_CTE = """p AS (
-            SELECT doc_id, doc_id % 6 AS m,
-                   CASE WHEN doc_id % 6 IN (2, 4)
+            SELECT doc_id, doc_id % 8 AS m,
+                   CASE WHEN doc_id % 8 IN (2, 4)
                         THEN (doc_id % 3 + 1) * 8
                         ELSE doc_id % 13 + 4 END AS width,
-                   CASE WHEN doc_id % 6 IN (2, 4)
+                   CASE WHEN doc_id % 8 IN (2, 4)
                         THEN (doc_id % 2 + 1) * 8
-                        ELSE doc_id % 7 + 3 END AS height
+                        ELSE doc_id % 7 + 3 END AS height,
+                   CASE WHEN doc_id % 8 IN (2, 4) THEN 1
+                        WHEN doc_id % 8 = 6 THEN 4
+                        ELSE 3 END AS nch
             FROM documents)"""
 
 _IMG_MATRIX_VARIANT_SQL = """CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'ppm'
                     WHEN 2 THEN 'jpeg-baseline' WHEN 3 THEN 'gif'
-                    WHEN 4 THEN 'jpeg-progressive'
-                    ELSE 'png-adam7' END"""
+                    WHEN 4 THEN 'jpeg-progressive' WHEN 5 THEN 'png-adam7'
+                    WHEN 6 THEN 'png-palette'
+                    ELSE 'png-palette-sub' END"""
 
 # Decoded pixel-byte lists per variant family: grayscale block-solid
 # for the JPEGs (pixel = block value), interleaved RGB fn of the byte
-# index for the lossless codecs. The JPEG list is EXACT decode output
-# because a solid block quantizes losslessly at the default quality
-# (pinned for all 256 values in tests/test_jpegcodec.py).
+# index for the lossless truecolor codecs, palette-mapped (+tRNS
+# alpha for variant 6) for the paletted PNGs. The JPEG list is EXACT
+# decode output because a solid block quantizes losslessly at the
+# default quality (pinned for all 256 values in
+# tests/test_jpegcodec.py).
 _IMG_GRAY_PIXELS = """[ (doc_id * 7 + (((i // width) // 8) * (width // 8)
                                    + (i % width) // 8) * 13) % 256
                     for i in range(0, width * height) ]"""
 _IMG_RGB_PIXELS = """[ (doc_id * 7 + i * 13) % 256
                     for i in range(0, width * height * 3) ]"""
+_IMG_PAL8_PIXELS = """flatten([ [
+                      [ (doc_id + ci * 53) % 256,
+                        (doc_id * 3 + ci * 31) % 256,
+                        (doc_id * 5 + ci * 11) % 256,
+                        CASE WHEN ci < 9 THEN (doc_id + ci * 37) % 256
+                             ELSE 255 END ]
+                      for ci in [ (doc_id * 7 + k * 13) % 17 ] ][1]
+                    for k in range(0, width * height) ])"""
+_IMG_PAL2_PIXELS = """flatten([ [
+                      [ (doc_id + ci * 53) % 256,
+                        (doc_id * 3 + ci * 31) % 256,
+                        (doc_id * 5 + ci * 11) % 256 ]
+                      for ci in [ (doc_id * 7 + k * 13) % 4 ] ][1]
+                    for k in range(0, width * height) ])"""
+
+# One CASE selecting the decoded byte list per variant — shared by the
+# digest (fold) and feature (sum/first) oracles.
+_IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4) THEN {_IMG_GRAY_PIXELS}
+                   WHEN m = 6 THEN {_IMG_PAL8_PIXELS}
+                   WHEN m = 7 THEN {_IMG_PAL2_PIXELS}
+                   ELSE {_IMG_RGB_PIXELS} END"""
 
 
 @query(
@@ -67,14 +95,15 @@ _IMG_RGB_PIXELS = """[ (doc_id * 7 + i * 13) % 256
         WITH {_IMG_MATRIX_P_CTE}
         SELECT doc_id,
                {_IMG_MATRIX_VARIANT_SQL} AS variant,
-               CAST(width * height
-                    * (CASE WHEN m IN (2, 4) THEN 1 ELSE 3 END)
-                    AS BIGINT) AS byte_len,
-               CAST((doc_id * 7) % 256 AS BIGINT) AS first_byte,
-               CAST((CASE WHEN m IN (2, 4)
-                          THEN list_sum({_IMG_GRAY_PIXELS})
-                          ELSE list_sum({_IMG_RGB_PIXELS})
-                     END) % 256 AS BIGINT) AS checksum,
+               CAST(width * height * nch AS BIGINT) AS byte_len,
+               CAST(CASE WHEN m = 6
+                         THEN (doc_id + ((doc_id * 7) % 17) * 53) % 256
+                         WHEN m = 7
+                         THEN (doc_id + ((doc_id * 7) % 4) * 53) % 256
+                         ELSE (doc_id * 7) % 256 END AS BIGINT)
+                   AS first_byte,
+               CAST(list_sum({_IMG_MATRIX_PIXLIST}) % 256 AS BIGINT)
+                   AS checksum,
                CAST(least(width, 16) AS BIGINT) AS thumb_w
         FROM p
     """,
@@ -85,15 +114,16 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 14 re-point — the features are computed on REAL decoded
     pixel bytes, not the fake/v1 byte plumbing): every document's
     payload is one of sequential PNG / PPM / baseline JPEG / GIF /
-    progressive JPEG / Adam7 PNG, decoded through the pure-Python
-    codecs in an Arrow-batched mapInPandas stage, emitting per-item
-    byte features (decoded length, first pixel byte, byte-sum
-    checksum, thumbnail width). Pixels are integer functions of
-    doc_id — block-solid grayscale for the lossy JPEGs, which
-    round-trip bit-exactly — so the oracle predicts every feature
-    analytically; a decode bug in ANY of the six paths breaks the
-    value hash. Partition-preserving: synth and decode share the
-    task, no shuffle."""
+    progressive JPEG / Adam7 PNG / 8-bit paletted PNG with tRNS
+    (RGBA) / 2-bit paletted Adam7 PNG, decoded through the
+    pure-Python codecs in an Arrow-batched mapInPandas stage,
+    emitting per-item byte features (decoded length, first pixel
+    byte, byte-sum checksum, thumbnail width). Pixels are integer
+    functions of doc_id — block-solid grayscale for the lossy JPEGs,
+    which round-trip bit-exactly — so the oracle predicts every
+    feature analytically; a decode bug in ANY of the eight paths
+    breaks the value hash. Partition-preserving: synth and decode
+    share the task, no shuffle."""
     from mapreduceframework_spark.operators import multimodal as M
     from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
@@ -111,37 +141,35 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_IMG_MATRIX_VARIANT_SQL} AS variant,
                CAST(width AS BIGINT) AS width,
                CAST(height AS BIGINT) AS height,
-               CAST(width * height
-                    * (CASE WHEN m IN (2, 4) THEN 1 ELSE 3 END)
-                    AS BIGINT) AS n_bytes,
-               CAST(CASE WHEN m IN (2, 4) THEN
-                   list_reduce(list_prepend(0, {_IMG_GRAY_PIXELS}),
-                       (acc, v) -> (acc * 31 + v) % 1000000007)
-               ELSE
-                   list_reduce(list_prepend(0, {_IMG_RGB_PIXELS}),
-                       (acc, v) -> (acc * 31 + v) % 1000000007)
-               END AS BIGINT) AS pix_digest
+               CAST(width * height * nch AS BIGINT) AS n_bytes,
+               CAST(list_reduce(
+                   list_prepend(0, {_IMG_MATRIX_PIXLIST}),
+                   (acc, v) -> (acc * 31 + v) % 1000000007
+               ) AS BIGINT) AS pix_digest
         FROM p
     """,
     tags=("multimodal", "extension", "codec"),
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode across the full codec matrix, value-checked
-    end to end (round 14 re-point): per doc_id % 6 the payload is a
+    end to end (round 14 re-point): per doc_id % 8 the payload is a
     sequential PNG (encoder cycles all five scanline filters), a
     binary PPM, a baseline JPEG (marker walk, stream-carried
     Huffman/quant tables, IDCT), a GIF (real LZW, palette), a
     PROGRESSIVE JPEG (spectral selection + successive approximation
-    scans), or an Adam7-INTERLACED PNG (seven-pass scatter) — and the
-    engine decodes every payload back through the pure-Python codecs
-    in one Arrow-batched mapInPandas stage. The lossy JPEG fixtures
-    are grayscale block-solid images, which round-trip BIT-EXACTLY
-    (every 8x8 block's only nonzero DCT coefficient is DC; pinned for
-    all 256 values in tests/test_jpegcodec.py) — that is what lets
-    the DuckDB oracle predict real lossy-codec decode output
-    analytically. Any parser bug in any of the six paths breaks the
-    value hash. Partition-preserving: synth and decode run in the
-    same task, no shuffle."""
+    scans), an Adam7-INTERLACED PNG (seven-pass scatter), an 8-bit
+    PALETTED PNG with tRNS transparency (PLTE map + RGBA expansion),
+    or a 2-bit paletted Adam7 PNG (MSB-first sub-byte index
+    unpacking) — and the engine decodes every payload back through
+    the pure-Python codecs in one Arrow-batched mapInPandas stage.
+    The lossy JPEG fixtures are grayscale block-solid images, which
+    round-trip BIT-EXACTLY (every 8x8 block's only nonzero DCT
+    coefficient is DC; pinned for all 256 values in
+    tests/test_jpegcodec.py) — that is what lets the DuckDB oracle
+    predict real lossy-codec decode output analytically. Any parser
+    bug in any of the eight paths breaks the value hash.
+    Partition-preserving: synth and decode run in the same task, no
+    shuffle."""
     from mapreduceframework_spark.operators import multimodal as M
     from mapreduceframework_spark.sources.registry import ensure_min_partitions
 

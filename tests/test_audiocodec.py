@@ -224,3 +224,26 @@ def test_ima_adpcm_corrupt_step_index_raises_value_error():
     wav[k] = 120  # > 88
     with pytest.raises(ValueError, match="out of range"):
         IC.decode_wav(bytes(wav))
+
+
+def test_ima_adpcm_stream_fixture_writer_contract():
+    """Round-14 raw-nibble fixture writer: header state verbatim, low
+    nibble first, fact-counted frames — decoded PCM equals the
+    reference recursion replayed from (pred0, index0, nibbles)."""
+    nibs = [(i * 5 + 3) % 16 for i in range(16)]
+    wav = IC.encode_wav_ima_adpcm_stream(16000, -1234, 37, nibs)
+    rate, ch, frames, pcm = IC.decode_wav(wav)
+    assert (rate, ch, frames) == (16000, 1, 17)
+    samples = _unpack16(pcm)
+    assert samples[0] == -1234  # header predictor IS sample 0
+    pred, idx = -1234, 37
+    for got, n in zip(samples[1:], nibs):
+        pred, idx = IC._ima_decode_nibble(n, pred, idx)
+        assert got == pred
+    # error paths: whole 4-byte words, int16 predictor, 0..88 index
+    with pytest.raises(ValueError, match="multiple of 8"):
+        IC.encode_wav_ima_adpcm_stream(8000, 0, 0, [0] * 7)
+    with pytest.raises(ValueError, match="outside int16"):
+        IC.encode_wav_ima_adpcm_stream(8000, 40000, 0, [0] * 8)
+    with pytest.raises(ValueError, match="outside 0..88"):
+        IC.encode_wav_ima_adpcm_stream(8000, 0, 89, [0] * 8)

@@ -479,3 +479,94 @@ def test_jpeg_single_component_scan_ignores_sampling_factors():
     # Non-interleaved single-component decode ignores the factors, so
     # the pixels are identical to the unpatched stream's.
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Round 14: paletted (color type 3) + gray-alpha (type 4) PNG
+# --------------------------------------------------------------------------
+
+
+def _pal_fixture(w, h, ncolors, depth):
+    cap = min(ncolors, 1 << depth)
+    idx = bytes((k * 7 + 3) % cap for k in range(w * h))
+    palette = [
+        bytes([(c * 53) % 256, (c * 31 + 7) % 256, (c * 11 + 99) % 256])
+        for c in range(cap)
+    ]
+    return idx, palette
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("w,h", [(1, 1), (13, 9), (17, 5)])
+def test_png_palette_round_trip(w, h, depth, interlace):
+    idx, palette = _pal_fixture(w, h, 256, depth)
+    buf = IC.encode_png_palette(
+        w, h, idx, palette, bit_depth=depth, interlace=interlace
+    )
+    got_w, got_h, ch, px = IC.decode_png(buf)
+    want = b"".join(palette[i] for i in idx)
+    assert (got_w, got_h, ch) == (w, h, 3)
+    assert px == want
+
+
+def test_png_palette_trns_expands_to_rgba():
+    idx, palette = _pal_fixture(9, 7, 8, 8)
+    trns = bytes([0, 128, 255])  # entries 3.. default opaque per spec
+    buf = IC.encode_png_palette(9, 7, idx, palette, trns=trns)
+    w, h, ch, px = IC.decode_png(buf)
+    assert ch == 4
+    for k, ci in enumerate(idx):
+        assert px[4 * k : 4 * k + 3] == palette[ci]
+        assert px[4 * k + 3] == (trns[ci] if ci < 3 else 255)
+
+
+def test_png_gray_alpha_round_trip():
+    w, h = 11, 6
+    px = _pix(w * h * 2)
+    assert IC.decode_png(IC.encode_png(w, h, px, channels=2)) == (
+        w, h, 2, px,
+    )
+
+
+def test_png_palette_error_paths():
+    idx, palette = _pal_fixture(8, 8, 4, 8)
+    buf = bytearray(IC.encode_png_palette(8, 8, idx, palette))
+    # strip PLTE: paletted stream without a palette is a ValueError
+    p = buf.index(b"PLTE") - 4
+    (ln,) = struct.unpack(">I", buf[p : p + 4])
+    del buf[p : p + 12 + ln]
+    with pytest.raises(ValueError, match="PLTE"):
+        IC.decode_png(bytes(buf))
+    with pytest.raises(ValueError, match="capacity"):
+        IC.encode_png_palette(2, 1, bytes([0, 3]), palette[:2])
+    with pytest.raises(ValueError, match="bit depth"):
+        IC.encode_png_palette(2, 1, bytes([0, 1]), palette, bit_depth=3)
+
+
+from hypothesis import given as _given2  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+def test_png_palette_round_trip_property(w, h, depth, interlace, data):
+    cap = 1 << depth
+    idx = bytes(
+        data.draw(
+            st.lists(st.integers(0, cap - 1), min_size=w * h,
+                     max_size=w * h)
+        )
+    )
+    palette = [bytes([c, (c * 3) % 256, 255 - c]) for c in range(cap)]
+    buf = IC.encode_png_palette(
+        w, h, idx, palette, bit_depth=depth, interlace=interlace
+    )
+    assert IC.decode_png(buf) == (
+        w, h, 3, b"".join(palette[i] for i in idx),
+    )

@@ -53,14 +53,16 @@ def _fold(vals) -> int:
 
 _VARIANTS = (
     "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
+    "png-palette", "png-palette-sub",
 )
 
 
 def _matrix_pixels(d: int) -> tuple[str, int, int, list[int]]:
     """(variant, w, h, decoded pixel bytes) per the documented
     contract: JPEG variants are grayscale block-solid (exact round
-    trip), the rest RGB byte functions."""
-    m = d % 6
+    trip), palette variants PLTE-mapped (variant 6 RGBA via tRNS),
+    the rest RGB byte functions."""
+    m = d % 8
     if m in (2, 4):
         w = (d % 3 + 1) * 8
         h = (d % 2 + 1) * 8
@@ -70,6 +72,20 @@ def _matrix_pixels(d: int) -> tuple[str, int, int, list[int]]:
             for y in range(h)
             for x in range(w)
         ]
+    elif m in (6, 7):
+        w = d % 13 + 4
+        h = d % 7 + 3
+        cap = 17 if m == 6 else 4
+        px = []
+        for k in range(w * h):
+            ci = (d * 7 + k * 13) % cap
+            px += [
+                (d + ci * 53) % 256,
+                (d * 3 + ci * 31) % 256,
+                (d * 5 + ci * 11) % 256,
+            ]
+            if m == 6:
+                px.append((d + ci * 37) % 256 if ci < 9 else 255)
     else:
         w = d % 13 + 4
         h = d % 7 + 3
