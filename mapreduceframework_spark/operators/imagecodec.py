@@ -172,18 +172,22 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG — gray / RGB / gray+alpha / RGBA at 8 bits, or
-    PALETTED (color type 3) at 1/2/4/8-bit depth with optional tRNS
-    transparency — sequential or Adam7-interlaced (r13; palette +
-    gray-alpha r14: the two classes a scraped web corpus is full of).
+    """Decode a PNG — gray / RGB / gray+alpha / RGBA at 8 or 16 bits,
+    or PALETTED (color type 3) at 1/2/4/8-bit depth with optional
+    tRNS transparency — sequential or Adam7-interlaced (r13; palette,
+    gray-alpha and 16-bit r14: the classes a scraped web corpus is
+    full of).
 
     Real decode path: chunk walk with CRC verification, zlib inflate
     of the concatenated IDAT stream, per-scanline un-filtering of all
-    five PNG filter types (per-pass filter state for Adam7), the
-    seven-pass scatter for interlaced streams, MSB-first sub-byte
-    index unpacking, and PLTE/tRNS expansion (RGBA when tRNS is
-    present, RGB otherwise). Returns ``(w, h, channels, pixels)``.
-    16-bit depth remains NotImplementedError.
+    five PNG filter types (per-pass filter state for Adam7; byte step
+    = bytes per pixel, so 16-bit filters correctly), the seven-pass
+    scatter for interlaced streams, MSB-first sub-byte index
+    unpacking, and PLTE/tRNS expansion (RGBA when tRNS is present,
+    RGB otherwise). 16-bit samples reduce to their most significant
+    byte — the spec-sanctioned scale-down an 8-bit pixel API applies
+    (what stb_image's 8-bit entry points do). Returns
+    ``(w, h, channels, pixels)``.
     """
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
@@ -219,7 +223,7 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
                         f"paletted bit depth {bit_depth}"
                     )
             elif color_type in _COLOR_CHANNELS:
-                if bit_depth != 8:
+                if bit_depth not in (8, 16):
                     raise NotImplementedError(f"bit depth {bit_depth}")
             else:
                 raise NotImplementedError(f"color type {color_type}")
@@ -246,8 +250,8 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
         fbpp = 1  # filter byte step (max(1, bits//8), PNG 9.2)
     else:
         channels = _COLOR_CHANNELS[color_type]
-        bits_pp = 8 * channels
-        fbpp = channels
+        bits_pp = bit_depth * channels
+        fbpp = max(1, bits_pp // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
@@ -267,6 +271,10 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
             )
             nch, px = _palette_expand(idx, pal, trns)
             return w, h, nch, px
+        if bit_depth == 16:
+            # 16->8 MSB reduction (the spec-sanctioned scale-down an
+            # 8-bit pixel API applies; samples are big-endian).
+            lines = [line[::2] for line in lines]
         return w, h, channels, b"".join(lines)
     # Adam7: seven sub-images, each independently filtered, scattered
     # onto the full-resolution grid (of indices for paletted streams,
@@ -296,7 +304,9 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue  # empty pass contributes no scanlines
-        lines, off = _unfilter_lines(raw, off, ph, pw * channels, channels)
+        lines, off = _unfilter_lines(raw, off, ph, row_bytes(pw), fbpp)
+        if bit_depth == 16:
+            lines = [line[::2] for line in lines]
         for j, line in enumerate(lines):
             y = y0 + j * dy
             for i in range(pw):
@@ -387,18 +397,22 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 def encode_png(
     w: int, h: int, pixels: bytes, channels: int = 3,
-    interlace: bool = False,
+    interlace: bool = False, bit_depth: int = 8,
 ) -> bytes:
-    """Encode an 8-bit PNG (gray / gray+alpha / RGB / RGBA by channel
-    count), cycling the filter type per row (row r uses
-    filter r % 5) so a decoder must implement ALL filters correctly to
-    reproduce the pixels. With ``interlace=True`` the stream is Adam7:
-    seven independently-filtered sub-images (fixture source for the
-    interlaced decode path — PNG is lossless, so interlaced and
-    sequential encodings of the same pixels must decode identically,
-    which is the test oracle)."""
+    """Encode an 8- or 16-bit PNG (gray / gray+alpha / RGB / RGBA by
+    channel count; 16-bit samples big-endian in ``pixels``), cycling
+    the filter type per row (row r uses filter r % 5) so a decoder
+    must implement ALL filters correctly to reproduce the pixels.
+    With ``interlace=True`` the stream is Adam7: seven independently
+    -filtered sub-images (fixture source for the interlaced decode
+    path — PNG is lossless, so interlaced and sequential encodings of
+    the same pixels must decode identically, which is the test
+    oracle)."""
+    if bit_depth not in (8, 16):
+        raise ValueError(f"bit depth {bit_depth}")
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    stride = w * channels
+    bpp = channels * bit_depth // 8  # filter byte step = bytes/pixel
+    stride = w * bpp
     if len(pixels) != h * stride:
         raise ValueError("pixel buffer size mismatch")
 
@@ -408,7 +422,7 @@ def encode_png(
         for ri, line in enumerate(rows):
             ftype = ri % 5
             raw.append(ftype)
-            raw += _filter_line(ftype, line, prev, channels)
+            raw += _filter_line(ftype, line, prev, bpp)
             prev = line
         return raw
 
@@ -427,17 +441,18 @@ def encode_png(
             rows = []
             for j in range(ph):
                 y = y0 + j * dy
-                line = bytearray(pw * channels)
+                line = bytearray(pw * bpp)
                 for i in range(pw):
                     x = x0 + i * dx
-                    src = (y * w + x) * channels
-                    line[i * channels : (i + 1) * channels] = pixels[
-                        src : src + channels
+                    src = (y * w + x) * bpp
+                    line[i * bpp : (i + 1) * bpp] = pixels[
+                        src : src + bpp
                     ]
                 rows.append(bytes(line))
-            raw += filter_rows(rows, pw * channels)
+            raw += filter_rows(rows, pw * bpp)
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
     )
     return (
         _PNG_SIG
@@ -1094,18 +1109,28 @@ class _BitReader:
     def _fill(self) -> None:
         if self.marker is not None:
             raise ValueError("entropy data exhausted at marker")
-        if self.pos >= len(self.buf):
-            raise ValueError("truncated JPEG entropy data")
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
-            if nxt == 0x00:
-                self.pos += 2  # stuffed FF
-            else:
+        while True:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated JPEG entropy data")
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.buf[self.pos + 1]
+                    if self.pos + 1 < len(self.buf)
+                    else None
+                )
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed FF: data byte 0xFF
+                    break
+                if nxt == 0xFF:
+                    # T.81 B.1.1.2 fill byte preceding a marker — not
+                    # entropy data; skip so the REAL marker is seen.
+                    self.pos += 1
+                    continue
                 self.marker = nxt
                 raise ValueError("entropy data exhausted at marker")
-        else:
             self.pos += 1
+            break
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
@@ -1131,10 +1156,14 @@ class _BitReader:
             self.pos += 2
             return m
         while self.pos + 1 < len(self.buf):
-            if self.buf[self.pos] == 0xFF and self.buf[self.pos + 1] != 0x00:
-                m = self.buf[self.pos + 1]
-                self.pos += 2
-                return m
+            if self.buf[self.pos] == 0xFF:
+                nxt = self.buf[self.pos + 1]
+                if nxt == 0xFF:
+                    self.pos += 1  # B.1.1.2 fill byte before the marker
+                    continue
+                if nxt != 0x00:
+                    self.pos += 2
+                    return nxt
             self.pos += 1
         raise ValueError("no marker found in entropy data")
 
@@ -2816,6 +2845,10 @@ def decode_gif(
             ):
                 if buf[pos + 1] & 0x01:
                     transparent = buf[pos + 4]
+                else:
+                    # The LAST GCE before an image wins: an opaque GCE
+                    # clears any pending transparent index.
+                    transparent = None
             while pos < len(buf) and buf[pos] != 0:
                 pos += 1 + buf[pos]
             pos += 1

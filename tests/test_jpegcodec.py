@@ -683,3 +683,39 @@ def test_progressive_equals_baseline_fuzz(data, levels, quality):
         )
     )
     assert base == prog
+
+
+def test_fill_bytes_before_restart_markers_decode():
+    # Round-14 review find: T.81 B.1.1.2 allows fill bytes before ANY
+    # marker, including RSTn inside entropy data. Insert one 0xFF fill
+    # byte before the first restart marker; decode must be unchanged
+    # (exercises _BitReader._fill and align_to_marker, not just the
+    # segment-level marker walk).
+    w, h = 32, 8
+    px = bytes(min(255, x * 3 + y * 5) for y in range(h) for x in range(w))
+    j = IC.encode_jpeg(w, h, px, channels=1, restart_interval=1)
+    want = IC.decode_jpeg(j)
+    # Find the first RST marker (FF D0..D7) after SOS entropy start.
+    sos = j.find(b"\xff\xda")
+    assert sos > 0
+    k = sos
+    while not (j[k] == 0xFF and 0xD0 <= j[k + 1] <= 0xD7):
+        k += 1
+    padded = j[:k] + b"\xff" + j[k:]
+    assert IC.decode_jpeg(padded) == want
+    # And a fill-byte RUN before a restart marker.
+    padded3 = j[:k] + b"\xff\xff\xff" + j[k:]
+    assert IC.decode_jpeg(padded3) == want
+
+
+def test_gif_opaque_gce_clears_pending_transparency():
+    # Round-14 review find: the LAST GCE before an image wins — an
+    # opaque GCE (flag=0) must clear a prior GCE's transparent index.
+    px = bytes([9, 9, 9]) * 4
+    g = bytearray(IC.encode_gif(2, 2, [px]))
+    # Prepend a transparent GCE before the encoder's opaque one (which
+    # sits immediately before the image descriptor).
+    at = bytes(g).index(b"\x21\xf9")
+    g[at:at] = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])
+    _, _, frames = IC.decode_gif(bytes(g))
+    assert frames[0][5] is None
