@@ -278,7 +278,19 @@ def decode_png(buf: bytes) -> tuple[int, int, int, bytes]:
         return w, h, channels, b"".join(lines)
     # Adam7: seven sub-images, each independently filtered, scattered
     # onto the full-resolution grid (of indices for paletted streams,
-    # of channel bytes otherwise).
+    # of channel bytes otherwise). Validate the total raw size BEFORE
+    # allocating the full-resolution plane, so corrupt IHDR dimensions
+    # raise instead of allocating w*h first.
+    expected = sum(
+        ph * (row_bytes(pw) + 1)
+        for pw, ph in (
+            ((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        )
+        if pw > 0 and ph > 0
+    )
+    if len(raw) != expected:
+        raise ValueError("inflated size mismatch (interlaced)")
     if paletted:
         plane = bytearray(w * h)
         off = 0
@@ -1533,7 +1545,9 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
                     buf, pos, frame, qt, huff_dc, huff_ac,
                     restart_interval,
                 )
-            ns = body[0]
+            ns = body[0] if body else 0
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("malformed SOS: component specs cut short")
             scan_tabs = {}
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
@@ -1739,7 +1753,9 @@ def _decode_progressive(buf, pos, frame, qt, huff_dc, huff_ac, dri):
             (dri,) = struct.unpack(">H", body[:2])
             pos += 2 + ln
         elif marker == 0xDA:
-            ns = body[0]
+            ns = body[0] if body else 0
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("malformed SOS: component specs cut short")
             scan = []  # (ci, td, ta)
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
@@ -2376,6 +2392,11 @@ def sample_avi_frames(
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
 
+# Memory-bomb guard: a corrupt stsz/stts count field must raise, not
+# allocate gigabytes (the uniform-size and run-length forms expand
+# counts without consuming proportional box bytes).
+_MP4_MAX_SAMPLES = 1 << 26
+
 
 def _mp4_boxes(buf: bytes, start: int, end: int):
     """Yield (fourcc, body_start, body_end) for each box in a span."""
@@ -2447,6 +2468,8 @@ def decode_mp4_samples(
         for cc, a, b in _mp4_boxes(buf, *stbl):
             body = buf[a:b]
             if cc == b"stsd":
+                if len(body) < 16 + 28:
+                    raise ValueError("truncated MP4: stsd entry")
                 (n_entries,) = struct.unpack(">I", body[4:8])
                 if n_entries < 1:
                     raise ValueError("empty stsd")
@@ -2457,17 +2480,29 @@ def decode_mp4_samples(
                 # + 2 data_ref_index + 16 pre_defined/reserved).
                 w, h = struct.unpack(">HH", body[16 + 24 : 16 + 28])
             elif cc == b"stsz":
+                if len(body) < 12:
+                    raise ValueError("truncated MP4: stsz header")
                 (uniform, n) = struct.unpack(">II", body[4:12])
+                if n > _MP4_MAX_SAMPLES:
+                    raise ValueError(f"implausible MP4 stsz count {n}")
                 if uniform:
                     sizes = [uniform] * n
                 else:
+                    if len(body) < 12 + 4 * n:
+                        raise ValueError("truncated MP4: stsz size table")
                     sizes = [
                         struct.unpack(">I", body[12 + 4 * k : 16 + 4 * k])[0]
                         for k in range(n)
                     ]
             elif cc in (b"stco", b"co64"):
+                if len(body) < 8:
+                    raise ValueError(f"truncated MP4: {cc.decode()} header")
                 (n,) = struct.unpack(">I", body[4:8])
                 width_ = 4 if cc == b"stco" else 8
+                if len(body) < 8 + width_ * n:
+                    raise ValueError(
+                        f"truncated MP4: {cc.decode()} offset table"
+                    )
                 fmt = ">I" if cc == b"stco" else ">Q"
                 chunk_offsets = [
                     struct.unpack(
@@ -2476,18 +2511,31 @@ def decode_mp4_samples(
                     for k in range(n)
                 ]
             elif cc == b"stsc":
+                if len(body) < 8:
+                    raise ValueError("truncated MP4: stsc header")
                 (n,) = struct.unpack(">I", body[4:8])
+                if len(body) < 8 + 12 * n:
+                    raise ValueError("truncated MP4: stsc run table")
                 for k in range(n):
                     first, per, _desc = struct.unpack(
                         ">III", body[8 + 12 * k : 20 + 12 * k]
                     )
                     stsc.append((first, per))
             elif cc == b"stts":
+                if len(body) < 8:
+                    raise ValueError("truncated MP4: stts header")
                 (n,) = struct.unpack(">I", body[4:8])
+                if len(body) < 8 + 8 * n:
+                    raise ValueError("truncated MP4: stts entry table")
                 for k in range(n):
                     cnt, delta = struct.unpack(
                         ">II", body[8 + 8 * k : 16 + 8 * k]
                     )
+                    if len(deltas) + cnt > _MP4_MAX_SAMPLES:
+                        raise ValueError(
+                            f"implausible MP4 stts expansion past "
+                            f"{_MP4_MAX_SAMPLES} samples"
+                        )
                     deltas.extend([delta] * cnt)
         if not sizes or not chunk_offsets or not stsc:
             raise ValueError("video trak missing sample tables")

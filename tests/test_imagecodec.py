@@ -604,3 +604,85 @@ def test_png_16bit_filters_step_two_bytes():
 def test_png_rejects_odd_bit_depths_still():
     with pytest.raises(ValueError, match="bit depth"):
         IC.encode_png(2, 2, bytes(12), channels=3, bit_depth=4)
+
+
+# --------------------------------------------------------------------------
+# Round 14: deterministic corruption sweep across EVERY codec family.
+# The error contract at 100 TB: a corrupt payload must surface as
+# ValueError (data problem, skip-and-log) or NotImplementedError (seam),
+# never a raw IndexError/struct.error/zlib.error leaking parser
+# internals (code bug, crash). Found two real leaks when introduced
+# (progressive-SOS component overrun, MP4 stts overrun) — both fixed.
+# --------------------------------------------------------------------------
+
+
+def _codec_fixture_matrix():
+    d = 37
+    w, h = 9, 6
+    rgb = bytes((d * 7 + i * 13) % 256 for i in range(w * h * 3))
+    gray = bytes((d * 7 + i * 13) % 256 for i in range(16 * 8))
+    idx = bytes((d * 7 + k * 13) % 17 for k in range(w * h))
+    pal = [
+        bytes(((d + c * 53) % 256, (d * 3 + c * 31) % 256,
+               (d * 5 + c * 11) % 256))
+        for c in range(17)
+    ]
+    pcm = bytes(range(80))
+    frames = [IC.encode_jpeg(16, 8, gray, channels=1) for _ in range(3)]
+    return [
+        ("png", IC.encode_png(w, h, rgb, 3), IC.decode_png),
+        ("png16", IC.encode_png(w, h, bytes(w * h * 6), 3, bit_depth=16),
+         IC.decode_png),
+        ("png-adam7", IC.encode_png(w, h, rgb, 3, interlace=True),
+         IC.decode_png),
+        ("png-pal", IC.encode_png_palette(w, h, idx, pal, trns=bytes(5)),
+         IC.decode_png),
+        ("png-pal2", IC.encode_png_palette(
+            w, h, bytes(i % 4 for i in idx), pal[:4], bit_depth=2,
+            interlace=True), IC.decode_png),
+        ("ppm", IC.encode_ppm(w, h, rgb), IC.decode_pnm),
+        ("jpeg", IC.encode_jpeg(16, 8, gray, channels=1), IC.decode_jpeg),
+        ("jpeg-rst", IC.encode_jpeg(16, 8, gray, channels=1,
+                                    restart_interval=1), IC.decode_jpeg),
+        ("jpeg-prog", IC.encode_jpeg_progressive(16, 8, gray, channels=1),
+         IC.decode_jpeg),
+        ("gif", IC.encode_gif(w, h, [rgb]), IC.decode_gif),
+        ("wav", IC.encode_wav(8000, 2, pcm), IC.decode_wav),
+        ("g711", IC.encode_wav_g711(8000, 1, pcm, "ulaw"), IC.decode_wav),
+        ("adpcm", IC.encode_wav_ima_adpcm_stream(
+            8000, -5, 3, [i % 16 for i in range(16)]), IC.decode_wav),
+        ("avi", IC.encode_avi_mjpeg(16, 8, frames), IC.decode_avi_mjpeg),
+        ("mp4", IC.encode_mp4_jpeg(16, 8, frames),
+         lambda b: IC.decode_mp4_samples(b)),
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,buf,dec",
+    _codec_fixture_matrix(),
+    ids=[t[0] for t in _codec_fixture_matrix()],
+)
+def test_corruption_never_leaks_raw_exceptions(name, buf, dec):
+    # Strided (bounded-runtime) slice of the exhaustive sweep that was
+    # run once offline; offsets co-prime to common field sizes so the
+    # sample walks all alignments across fixtures.
+    for cut in range(0, len(buf), 3):
+        try:
+            dec(buf[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for k in range(0, len(buf), 3):
+        m = bytearray(buf)
+        m[k] ^= 0x5A
+        try:
+            dec(bytes(m))
+        except (ValueError, NotImplementedError):
+            pass
+    for k in range(1, len(buf) - 1, 7):
+        m = bytearray(buf)
+        m[k] ^= 0xFF
+        m[k + 1] ^= 0x81
+        try:
+            dec(bytes(m))
+        except (ValueError, NotImplementedError):
+            pass
