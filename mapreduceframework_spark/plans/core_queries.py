@@ -249,7 +249,8 @@ def agg_full_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     MapReduceClient.h:61-64, JobContext.cpp:97-116). Spark: collect_list
     inside agg. Scale note: group payload must fit one task — this is for
     bounded groups; unbounded full-group logic belongs in
-    core.run_job's applyInPandas path which streams per-group batches."""
+    core.run_job's sorted-run mapInPandas reduce, which batches many
+    keys per Python call while keeping each key's values together."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.array_join(
