@@ -36,44 +36,110 @@ def asof_join(
     either bound strict — together they cover DuckDB's ``ASOF JOIN``
     on ``>=``, ``>``, ``<=``, ``<``.
 
-    Implementation: ``groupby(key).cogroup(...).applyInPandas`` — both
-    sides hash-shuffle ONCE on the key, then each key's slices meet in a
-    single Arrow batch where ``pd.merge_asof`` runs vectorized. At 100 TB
-    this is one co-partitioned shuffle per side (same cost as any equi
-    join) and no skew beyond what the key distribution itself has; a hot
-    key can be pre-split by bucketing ``left_ts`` coarsely into the key.
+    Implementation (round 14): both sides union into ONE tagged
+    relation, hash-shuffle ONCE on the key, sort within partitions by
+    key, and a single ``mapInPandas`` pass runs ``pd.merge_asof(...,
+    by=key)`` per Arrow batch — the vectorized C path matching
+    THOUSANDS of keys per Python call. The previous
+    ``cogroup(...).applyInPandas`` shape was semantically identical
+    but made one Python roundtrip per key (measured ~8x this join's
+    whole runtime at per-user cardinality; a per-key-RPC hazard at
+    100 TB). A key's rows can straddle two Arrow batches, so each
+    batch's trailing key run is carried into the next — the same
+    carry discipline as core/job.py's reduce stage. Skew story
+    unchanged: one co-partitioned shuffle, and a hot key can be
+    pre-split by bucketing ``left_ts`` coarsely into the key.
 
     ``out_schema`` is the DDL schema of the result; ``right_cols`` the
-    right-side columns to carry (default: all but key/ts).
+    right-side columns to carry (default: all but key/ts). Note the
+    union makes each side's columns nullable, so integer columns
+    cross into pandas as float64 — exact below 2^53, which covers
+    microsecond epochs to year ~2255 and any realistic id space.
     """
-    rcols = right_cols or [c for c in right.columns if c not in (right_key, right_ts)]
+    rcols = right_cols or [
+        c for c in right.columns if c not in (right_key, right_ts)
+    ]
+    lcols = [c for c in left.columns if c != left_key]
+    overlap = set(lcols) & set([right_ts, *rcols])
+    if overlap:
+        raise ValueError(f"asof_join column name collision: {overlap}")
 
-    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-        if ldf.empty:
-            return pd.DataFrame(columns=list(ldf.columns) + [right_ts] + rcols)
-        ldf = ldf.sort_values(left_ts, kind="mergesort")
-        if rdf.empty:
-            out = ldf.copy()
-            out[right_ts] = pd.NaT
-            for c in rcols:
-                out[c] = None
-        else:
-            rdf = rdf.sort_values(right_ts, kind="mergesort")
-            out = pd.merge_asof(
-                ldf,
-                rdf[[right_ts] + rcols],
-                left_on=left_ts,
-                right_on=right_ts,
-                direction=direction,
-                allow_exact_matches=allow_exact_matches,
-            )
-        return out.dropna(subset=[right_ts])
-
-    return (
-        left.groupby(left_key)
-        .cogroup(right.groupby(right_key))
-        .applyInPandas(lambda lk, rk: merge(lk, rk), schema=out_schema)
+    l_tagged = left.select(
+        F.col(left_key).alias("_k"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in [right_ts, *rcols]
+        ],
     )
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c) for c in [right_ts, *rcols]],
+    )
+    unioned = (
+        l_tagged.unionByName(r_tagged)
+        .repartition(F.col("_k"))
+        .sortWithinPartitions("_k")
+    )
+    out_fields = [f.strip().split()[0] for f in out_schema.split(",")]
+
+    def merge_block(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        ldf = pdf[pdf["_side"] == 0]
+        rdf = pdf[pdf["_side"] == 1]
+        if ldf.empty or rdf.empty:
+            return None  # inner semantics: unmatched left rows drop
+        ldf = ldf[["_k", *lcols]].sort_values(left_ts, kind="mergesort")
+        rdf = rdf[["_k", right_ts, *rcols]].sort_values(
+            right_ts, kind="mergesort"
+        )
+        out = pd.merge_asof(
+            ldf,
+            rdf,
+            left_on=left_ts,
+            right_on=right_ts,
+            by="_k",
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+        )
+        out = out.dropna(subset=[right_ts])
+        if not len(out):
+            return None
+        out = out.rename(columns={"_k": left_key})
+        return out[out_fields]
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            if not len(pdf):
+                continue
+            last_key = pdf["_k"].iloc[-1]
+            if pd.isna(last_key):
+                trailing = pdf["_k"].isna()
+            else:
+                trailing = pdf["_k"] == last_key
+            n_tail = int(trailing.iloc[::-1].cumprod().sum())
+            cut = len(pdf) - n_tail
+            carry = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                out = merge_block(body)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = merge_block(carry)
+            if out is not None:
+                yield out
+
+    return unioned.mapInPandas(run, schema=out_schema)
 
 
 def range_join(

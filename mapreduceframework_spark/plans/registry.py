@@ -85,7 +85,9 @@ def query(
 # union_by_name_evolved, window_rolling_distinct_users; the other two
 # r07 leftovers are already in as sentinels, completing VERDICT r13
 # item 4's "5 r07 leftovers lead"), then the oldest r08 cohort,
-# oldest-first alphabetical per the planner. 3 + 10 + 3 + 34 = 50.
+# oldest-first alphabetical per the planner, minus the three
+# displaced by the late-r14 asof sentinels (see below).
+# 3 + 10 + 3 + 31 + 3 = 50.
 # Registry: 274 -> 277 (the three sanctioned video rows, VERDICT r13
 # item 5; freeze ceiling 278 held).
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -144,9 +146,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_char_entropy",
     "sample_importance_dsir",
     "sample_weighted_reservoir",
-    "similarity_join_minhash",
-    "similarity_join_prefix_filter",
-    "sort_global_ranked",
+    # --- late-r14 sentinels: the asof_join operator rewrite
+    #     (operators/joins.py cogroup -> batched merge_asof(by=key));
+    #     module-scoped change the planner cannot auto-flag, so these
+    #     displace the three planner-ordered-last r08 refreshes
+    #     (similarity_join_minhash, similarity_join_prefix_filter,
+    #     sort_global_ranked -> they lead the r15 staleness queue) ---
+    "join_asof",
+    "join_asof_forward_gap",
+    "join_asof_nearest",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or
