@@ -21,9 +21,13 @@ The dataflow itself is two Arrow-batched pandas stages:
 - MAP: ``mapInPandas`` — each batch walks rows through ``client.map``
   (emit2 == yield). Per-record Python is the contract here; engineered
   queries use JVM built-ins instead.
-- SHUFFLE+REDUCE: ``groupBy(k2).applyInPandas`` — Spark's hash shuffle
-  replaces the sort-based single-threaded shuffle; each group's full
-  value list feeds ``client.reduce`` (O9 full-group semantics).
+- SHUFFLE+REDUCE: hash-repartition on k2 + sort within partitions +
+  one ``mapInPandas`` walk over the sorted key runs (r14) — Spark's
+  hash shuffle replaces the sort-based single-threaded shuffle, and
+  batching thousands of keys per Arrow exchange replaces the
+  one-Python-call-per-key dispatch of the naive
+  ``groupBy.applyInPandas`` form; each key's full value list still
+  feeds ``client.reduce`` exactly once (O9 full-group semantics).
 At 100 TB: the shuffle is O(intermediate pairs) like any aggregation;
 group payloads must fit a task (same caveat as the reference, whose
 groups had to fit in RAM — JobContext.h:80).
