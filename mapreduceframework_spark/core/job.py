@@ -134,8 +134,12 @@ def _reduce_stage_df(client: MapReduceClient, inter: DataFrame) -> DataFrame:
     at 100 TB it is a per-key-RPC scale hazard. Here thousands of
     keys ride each Arrow batch and the per-key contract is preserved
     by the batch walk: a key's run can straddle two Arrow batches, so
-    the trailing run of every batch is carried into the next before
-    reducing (null-safe, since None is a legal intermediate key)."""
+    complete runs are re-assembled by core/keyruns.iter_key_runs
+    (null-safe — None is a legal intermediate key — and hot-key O(K):
+    a skewed run buffers as a frame list, never re-concatenated per
+    batch)."""
+    from mapreduceframework_spark.core.keyruns import iter_key_runs
+
     k2_col, v2_col = inter.columns[0], inter.columns[1]
     out_fields = [f.strip().split()[0] for f in client.output_schema.split(",")]
 
@@ -168,26 +172,8 @@ def _reduce_stage_df(client: MapReduceClient, inter: DataFrame) -> DataFrame:
             yield pd.DataFrame(out_rows, columns=out_fields)
 
     def run_reduce_partition(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
-            if not len(pdf):
-                continue
-            last_key = pdf[k2_col].iloc[-1]
-            if pd.isna(last_key):
-                trailing = pdf[k2_col].isna()
-            else:
-                trailing = pdf[k2_col] == last_key
-            # rows are key-sorted, so the last key's run is the
-            # contiguous True-tail of `trailing`
-            n_tail = int(trailing.iloc[::-1].cumprod().sum())
-            cut = len(pdf) - n_tail
-            carry = pdf.iloc[cut:]
-            yield from _reduce_frame(pdf.iloc[:cut])
-        if carry is not None and len(carry):
-            yield from _reduce_frame(carry)
+        for pdf in iter_key_runs(batches, k2_col):
+            yield from _reduce_frame(pdf)
 
     sorted_inter = inter.repartition(F.col(k2_col)).sortWithinPartitions(
         k2_col

@@ -1491,6 +1491,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
                     vals = list(body[i : i + 64])
                     i += 64
                 elif pq == 1:
+                    if i + 128 > len(body):
+                        raise ValueError("truncated 16-bit DQT table")
                     vals = [
                         struct.unpack(">H", body[i + 2 * k : i + 2 * k + 2])[0]
                         for k in range(64)
@@ -1507,18 +1509,26 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated DHT value table")
                 vals = list(body[i + 17 : i + 17 + n])
                 i += 17 + n
                 tab = _HuffTable(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tab
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
             if body[0] != 8:
                 raise NotImplementedError(f"{body[0]}-bit precision")
             fh, fw = struct.unpack(">HH", body[1:5])
             nf = body[5]
+            if len(body) < 6 + 3 * nf:
+                raise ValueError("truncated SOF component specs")
             comps = []
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -1533,6 +1543,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, bytes]:
                 f" documented codec seam)"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -1742,14 +1754,20 @@ def _decode_progressive(buf, pos, frame, qt, huff_dc, huff_ac, dri):
         if marker == 0xC4:  # DHT between scans
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated DHT value table")
                 vals = list(body[i + 17 : i + 17 + n])
                 i += 17 + n
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
             pos += 2 + ln
         elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (dri,) = struct.unpack(">H", body[:2])
             pos += 2 + ln
         elif marker == 0xDA:
@@ -1777,8 +1795,12 @@ def _decode_progressive(buf, pos, frame, qt, huff_dc, huff_ac, dri):
                     i += 1
                     if pq == 0:
                         vals = list(body[i : i + 64])
+                        if len(vals) != 64:
+                            raise ValueError("truncated DQT table")
                         i += 64
                     else:
+                        if i + 128 > len(body):
+                            raise ValueError("truncated 16-bit DQT table")
                         vals = [
                             struct.unpack(
                                 ">H", body[i + 2 * k : i + 2 * k + 2]
@@ -2451,9 +2473,10 @@ def decode_mp4_samples(
         timescale = 0
         for a, b in _mp4_find(buf, trak_a, trak_b, b"mdia/mdhd"):
             version = buf[a]
-            timescale = struct.unpack(
-                ">I", buf[a + (20 if version == 1 else 12) :][:4]
-            )[0]
+            ts_off = a + (20 if version == 1 else 12)
+            if ts_off + 4 > b:
+                raise ValueError("truncated MP4: mdhd box")
+            timescale = struct.unpack(">I", buf[ts_off : ts_off + 4])[0]
         stbl = None
         for a, b in _mp4_find(buf, trak_a, trak_b, b"mdia/minf/stbl"):
             stbl = (a, b)
@@ -2539,14 +2562,21 @@ def decode_mp4_samples(
                     deltas.extend([delta] * cnt)
         if not sizes or not chunk_offsets or not stsc:
             raise ValueError("video trak missing sample tables")
-        # Expand stsc runs: samples-per-chunk for every chunk.
+        # Expand stsc runs: samples-per-chunk for every chunk. Guard
+        # the run-length expansion like stts/stsz — a corrupt
+        # first_chunk field must raise, not allocate gigabytes.
         per_chunk = []
         for i, (first, per) in enumerate(stsc):
             last = (
                 stsc[i + 1][0] - 1 if i + 1 < len(stsc)
                 else len(chunk_offsets)
             )
-            per_chunk.extend([per] * (last - first + 1))
+            n_run = last - first + 1
+            if n_run < 0 or len(per_chunk) + n_run > _MP4_MAX_SAMPLES:
+                raise ValueError(
+                    f"implausible MP4 stsc chunk run {first}..{last}"
+                )
+            per_chunk.extend([per] * n_run)
         samples = []
         si = 0
         for ci, off in enumerate(chunk_offsets):

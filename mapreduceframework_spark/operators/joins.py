@@ -44,11 +44,11 @@ def asof_join(
     ``cogroup(...).applyInPandas`` shape was semantically identical
     but made one Python roundtrip per key (measured ~8x this join's
     whole runtime at per-user cardinality; a per-key-RPC hazard at
-    100 TB). A key's rows can straddle two Arrow batches, so each
-    batch's trailing key run is carried into the next — the same
-    carry discipline as core/job.py's reduce stage. Skew story
-    unchanged: one co-partitioned shuffle, and a hot key can be
-    pre-split by bucketing ``left_ts`` coarsely into the key.
+    100 TB). A key's rows can straddle two Arrow batches, so complete
+    runs are re-assembled by core/keyruns.iter_key_runs — the same
+    helper as core/job.py's reduce stage (hot-key O(K) buffering).
+    Skew story unchanged: one co-partitioned shuffle, and a hot key
+    can be pre-split by bucketing ``left_ts`` coarsely into the key.
 
     ``out_schema`` is the DDL schema of the result; ``right_cols`` the
     right-side columns to carry (default: all but key/ts). Note the
@@ -61,8 +61,14 @@ def asof_join(
     ]
     lcols = [c for c in left.columns if c != left_key]
     overlap = set(lcols) & set([right_ts, *rcols])
-    if overlap:
-        raise ValueError(f"asof_join column name collision: {overlap}")
+    reserved = {"_k", "_side"} & set(
+        [*left.columns, right_key, right_ts, *rcols]
+    )
+    if overlap or reserved:
+        raise ValueError(
+            f"asof_join column name collision: "
+            f"{overlap or ''}{reserved or ''}"
+        )
 
     l_tagged = left.select(
         F.col(left_key).alias("_k"),
@@ -113,29 +119,11 @@ def asof_join(
         out = out.rename(columns={"_k": left_key})
         return out[out_fields]
 
+    from mapreduceframework_spark.core.keyruns import iter_key_runs
+
     def run(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
-            if not len(pdf):
-                continue
-            last_key = pdf["_k"].iloc[-1]
-            if pd.isna(last_key):
-                trailing = pdf["_k"].isna()
-            else:
-                trailing = pdf["_k"] == last_key
-            n_tail = int(trailing.iloc[::-1].cumprod().sum())
-            cut = len(pdf) - n_tail
-            carry = pdf.iloc[cut:]
-            body = pdf.iloc[:cut]
-            if len(body):
-                out = merge_block(body)
-                if out is not None:
-                    yield out
-        if carry is not None and len(carry):
-            out = merge_block(carry)
+        for pdf in iter_key_runs(batches, "_k"):
+            out = merge_block(pdf)
             if out is not None:
                 yield out
 

@@ -657,10 +657,13 @@ def _codec_fixture_matrix():
     ]
 
 
+_CODEC_MATRIX = _codec_fixture_matrix()  # built ONCE at collection
+
+
 @pytest.mark.parametrize(
     "name,buf,dec",
-    _codec_fixture_matrix(),
-    ids=[t[0] for t in _codec_fixture_matrix()],
+    _CODEC_MATRIX,
+    ids=[t[0] for t in _CODEC_MATRIX],
 )
 def test_corruption_never_leaks_raw_exceptions(name, buf, dec):
     # Strided (bounded-runtime) slice of the exhaustive sweep that was
@@ -686,3 +689,46 @@ def test_corruption_never_leaks_raw_exceptions(name, buf, dec):
             dec(bytes(m))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_crafted_jpeg_segment_truncations_raise_value_error():
+    # Round-14 second-review finds: segment bodies the strided XOR
+    # sweep cannot synthesize — each must be ValueError, never a raw
+    # IndexError/struct.error.
+    cases = [
+        b"\xff\xd8\xff\xc0\x00\x02",              # SOF, empty body
+        b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x08",  # SOF, ln=5 (short dims)
+        b"\xff\xd8\xff\xdb\x00\x04\x10\x00",      # 16-bit DQT, truncated
+        b"\xff\xd8\xff\xdd\x00\x03\x00",          # DRI, 1-byte body
+        b"\xff\xd8\xff\xc4\x00\x04\x00\x00",      # DHT, short BITS
+        # SOF claiming 3 components with specs cut short
+        b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x08\x00\x08\x03",
+    ]
+    for buf in cases:
+        with pytest.raises(ValueError):
+            IC.decode_jpeg(buf)
+
+
+def test_crafted_mp4_table_bombs_raise_value_error():
+    # stsc with a huge second first_chunk must raise, not allocate the
+    # implied 200M-entry per-chunk table (the run-length twin of the
+    # stts/stsz guards).
+    gray = bytes(16 * 8)
+    frames = [IC.encode_jpeg(16, 8, gray, channels=1) for _ in range(4)]
+    buf = bytearray(IC.encode_mp4_jpeg(16, 8, frames, chunk_size=3))
+    i = buf.index(b"stsc")
+    # box: size(4) + 'stsc' + verflags(4) + count(4) + entries(12 each)
+    n = struct.unpack(">I", buf[i + 8 : i + 12])[0]
+    assert n >= 2  # 4 frames, chunk_size 3 -> full run + short tail
+    # second entry's first_chunk := 200,000,000
+    struct.pack_into(">I", buf, i + 12 + 12, 200_000_000)
+    with pytest.raises(ValueError, match="stsc|stco|inconsistent"):
+        IC.decode_mp4_samples(bytes(buf))
+    # and a truncated trailing mdhd is a ValueError, not struct.error
+    g2 = bytearray(IC.encode_mp4_jpeg(16, 8, frames))
+    j = g2.index(b"mdhd")
+    struct.pack_into(">I", g2, j - 4, 12)  # shrink mdhd box to 4-byte body
+    try:
+        IC.decode_mp4_samples(bytes(g2))
+    except (ValueError, NotImplementedError):
+        pass
