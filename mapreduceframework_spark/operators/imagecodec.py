@@ -550,6 +550,237 @@ def encode_png_palette(
 
 
 # --------------------------------------------------------------------------
+# BMP (Windows DIB) — round 14: the legacy raster format old web
+# scrapes are full of. Spec-mechanical: BITMAPFILEHEADER +
+# BITMAPINFOHEADER (BI_RGB or BI_RLE8), bottom-up or top-down rows,
+# 4-byte row padding, BGR(A) channel order, palette for <= 8-bit.
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a BMP: 24/32-bit BI_RGB, 8-bit paletted BI_RGB, and
+    8-bit BI_RLE8 (both absolute and encoded runs, end-of-line /
+    end-of-bitmap / delta escapes). Returns ``(w, h, channels,
+    pixels)`` with pixels interleaved RGB (32-bit input drops the
+    rarely-meaningful fourth byte; palette maps to RGB). Negative
+    biHeight (top-down) handled; other bit depths / compressions
+    raise NotImplementedError — BMP variants beyond these are rare
+    even in old corpora."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP: missing BM magic")
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    (data_off,) = struct.unpack("<I", buf[10:14])
+    (hdr_size,) = struct.unpack("<I", buf[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP core header size {hdr_size}")
+    w, h_raw = struct.unpack("<ii", buf[18:26])
+    planes, bpp = struct.unpack("<HH", buf[26:30])
+    (compression,) = struct.unpack("<I", buf[30:34])
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"BMP dimensions {w}x{h_raw}")
+    if planes != 1:
+        raise ValueError(f"BMP planes {planes}")
+    # Sanity: dimensions must be consistent with the file size (the
+    # memory-bomb guard — a corrupt header must not allocate GBs).
+    if w * h > 64 * max(1, len(buf)):
+        raise ValueError("implausible BMP dimensions for file size")
+    pal: list[bytes] = []
+    if bpp == 8:
+        (n_colors,) = struct.unpack("<I", buf[46:50])
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > len(buf):
+            raise ValueError("truncated BMP palette")
+        pal = [
+            bytes(
+                (buf[pal_off + 4 * c + 2], buf[pal_off + 4 * c + 1],
+                 buf[pal_off + 4 * c])
+            )  # stored BGRX
+            for c in range(n_colors)
+        ]
+    out = bytearray(w * h * 3)
+
+    def put_row_rgb(y: int, rgb_row: bytes) -> None:
+        dst_y = y if top_down else h - 1 - y
+        out[dst_y * w * 3 : (dst_y + 1) * w * 3] = rgb_row
+
+    if compression == 0 and bpp in (24, 32):
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        if data_off + stride * h > len(buf):
+            raise ValueError("truncated BMP pixel data")
+        for y in range(h):
+            row = buf[data_off + y * stride :][: w * nb]
+            rgb = bytearray(w * 3)
+            for x in range(w):
+                b_, g_, r_ = row[x * nb], row[x * nb + 1], row[x * nb + 2]
+                rgb[3 * x : 3 * x + 3] = (r_, g_, b_)
+            put_row_rgb(y, bytes(rgb))
+        return w, h, 3, bytes(out)
+    if bpp == 8 and compression == 0:
+        stride = (w + 3) & ~3
+        if data_off + stride * h > len(buf):
+            raise ValueError("truncated BMP pixel data")
+        npal = len(pal)
+        for y in range(h):
+            row = buf[data_off + y * stride :][:w]
+            rgb = bytearray(w * 3)
+            for x, ci in enumerate(row):
+                if ci >= npal:
+                    raise ValueError(f"BMP palette index {ci} out of range")
+                rgb[3 * x : 3 * x + 3] = pal[ci]
+            put_row_rgb(y, bytes(rgb))
+        return w, h, 3, bytes(out)
+    if bpp == 8 and compression == 1:  # BI_RLE8
+        npal = len(pal)
+        idx = bytearray(w * h)  # top-left-origin index plane
+        x = y = 0  # (x, y) in BOTTOM-UP coordinates per the spec
+        i = data_off
+        while True:
+            if i + 2 > len(buf):
+                raise ValueError("truncated BMP RLE stream")
+            n, v = buf[i], buf[i + 1]
+            i += 2
+            if n:  # encoded run: n copies of index v
+                if x + n > w or y >= h:
+                    raise ValueError("BMP RLE run past row end")
+                dst_y = y if top_down else h - 1 - y
+                idx[dst_y * w + x : dst_y * w + x + n] = bytes([v]) * n
+                x += n
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                if i + 2 > len(buf):
+                    raise ValueError("truncated BMP RLE delta")
+                x += buf[i]
+                y += buf[i + 1]
+                i += 2
+                if x > w or y > h:
+                    raise ValueError("BMP RLE delta out of bounds")
+            else:  # absolute mode: v literal indices, word-aligned
+                if i + v > len(buf) or x + v > w or y >= h:
+                    raise ValueError("BMP RLE absolute run out of bounds")
+                dst_y = y if top_down else h - 1 - y
+                idx[dst_y * w + x : dst_y * w + x + v] = buf[i : i + v]
+                x += v
+                i += v + (v & 1)
+        rgb = bytearray(w * h * 3)
+        for k, ci in enumerate(idx):
+            if ci >= npal:
+                raise ValueError(f"BMP palette index {ci} out of range")
+            rgb[3 * k : 3 * k + 3] = pal[ci]
+        return w, h, 3, bytes(rgb)
+    raise NotImplementedError(
+        f"BMP bpp {bpp} / compression {compression}: only 24/32-bit"
+        " BI_RGB, 8-bit paletted BI_RGB, and 8-bit BI_RLE8 decode here"
+    )
+
+
+def encode_bmp(
+    w: int,
+    h: int,
+    pixels: bytes,
+    top_down: bool = False,
+    palette: list[bytes] | None = None,
+    indices: bytes | None = None,
+    rle: bool = False,
+) -> bytes:
+    """Encode a BMP fixture: 24-bit BI_RGB from RGB ``pixels``, or —
+    with ``palette``+``indices`` — 8-bit paletted, optionally BI_RLE8
+    (runs + absolute segments + end-of-line/bitmap escapes, the
+    branches decode must handle)."""
+    if palette is None:
+        if len(pixels) != w * h * 3:
+            raise ValueError("pixel buffer size mismatch")
+        stride = (w * 3 + 3) & ~3
+        rows = bytearray()
+        order = range(h) if top_down else range(h - 1, -1, -1)
+        for y in order:
+            row = bytearray()
+            for x in range(w):
+                r_, g_, b_ = pixels[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+                row += bytes((b_, g_, r_))
+            rows += row + b"\x00" * (stride - len(row))
+        data = bytes(rows)
+        bpp, n_colors, pal_bytes = 24, 0, b""
+    else:
+        if indices is None or len(indices) != w * h:
+            raise ValueError("index buffer size mismatch")
+        if not 1 <= len(palette) <= 256:
+            raise ValueError("palette must have 1..256 entries")
+        if max(indices) >= len(palette):
+            raise ValueError("index exceeds palette")
+        n_colors = len(palette)
+        pal_bytes = b"".join(
+            bytes((p[2], p[1], p[0], 0)) for p in palette
+        )
+        order = range(h) if top_down else range(h - 1, -1, -1)
+        if not rle:
+            stride = (w + 3) & ~3
+            rows = bytearray()
+            for y in order:
+                row = indices[y * w : (y + 1) * w]
+                rows += row + b"\x00" * (stride - w)
+            data = bytes(rows)
+        else:
+            enc = bytearray()
+            for y in order:
+                row = indices[y * w : (y + 1) * w]
+                x = 0
+                while x < w:
+                    run = 1
+                    while (
+                        x + run < w and run < 255
+                        and row[x + run] == row[x]
+                    ):
+                        run += 1
+                    if run >= 3 or x + run >= w:
+                        enc += bytes((run, row[x]))
+                        x += run
+                    else:
+                        # absolute segment up to the next run of >= 3
+                        j = x
+                        while (
+                            j < w and j - x < 255
+                            and not (
+                                j + 2 < w
+                                and row[j] == row[j + 1] == row[j + 2]
+                            )
+                        ):
+                            j += 1
+                        seg = row[x:j]
+                        if len(seg) < 3:  # too short for absolute mode
+                            for ci in seg:
+                                enc += bytes((1, ci))
+                        else:
+                            enc += bytes((0, len(seg))) + seg
+                            if len(seg) & 1:
+                                enc += b"\x00"
+                        x = j
+                enc += b"\x00\x00"  # end of line
+            enc += b"\x00\x01"  # end of bitmap
+            data = bytes(enc)
+        bpp = 8
+    hdr_size = 40
+    data_off = 14 + hdr_size + len(pal_bytes)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        hdr_size, w, (-h if top_down else h), 1, bpp,
+        1 if (palette is not None and rle) else 0,
+        len(data), 2835, 2835, n_colors, 0,
+    )
+    file_hdr = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(data), 0, 0, data_off
+    )
+    return file_hdr + info + pal_bytes + data
+
+
+# --------------------------------------------------------------------------
 # WAV (RIFF) — the audio modality's real decoder: 16-bit PCM since r8;
 # G.711 mu-law/A-law and IMA ADPCM (the COMPRESSED-audio formats) r13
 # --------------------------------------------------------------------------

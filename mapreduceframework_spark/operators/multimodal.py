@@ -57,15 +57,17 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
     """REAL image decode: returns (width, height, channels, pixels).
 
-    PNG (sequential or Adam7-interlaced) goes through the full
-    chunk-walk + zlib-inflate + un-filter path; PPM/PGM through the
-    netpbm header tokenizer + raster slice; baseline AND progressive
-    JPEG (r13) through the marker walk + stream-carried Huffman/quant
-    tables + IDCT + chroma upsampling; GIF (r13) through the real
-    LZW/palette/interlace pipeline (operators/imagecodec.py — pure
-    Python, no imaging library). Arithmetic-coded JPEG streams raise
-    NotImplementedError from inside the decoder — the remaining
-    documented codec seam.
+    PNG (sequential or Adam7-interlaced; gray / RGB / gray+alpha /
+    RGBA / paletted / 16-bit) goes through the full chunk-walk +
+    zlib-inflate + un-filter path; PPM/PGM through the netpbm header
+    tokenizer + raster slice; baseline AND progressive JPEG (r13)
+    through the marker walk + stream-carried Huffman/quant tables +
+    IDCT + chroma upsampling; GIF (r13) through the real
+    LZW/palette/interlace pipeline; BMP (r14) through the DIB header
+    walk (24/32-bit, 8-bit paletted, RLE8) — all
+    operators/imagecodec.py, pure Python, no imaging library.
+    Arithmetic-coded JPEG streams raise NotImplementedError from
+    inside the decoder — the remaining documented codec seam.
     """
     from mapreduceframework_spark.operators import imagecodec as IC
 
@@ -75,6 +77,8 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
         return IC.decode_pnm(payload)
     if codec in ("image/jpeg", "image/jpg"):
         return IC.decode_jpeg(payload)
+    if codec in ("image/bmp", "image/x-ms-bmp"):
+        return IC.decode_bmp(payload)
     if codec == "image/gif":
         # Single-image contract: the FIRST frame (full multi-frame
         # access — and per-frame transparency — is
@@ -112,7 +116,7 @@ def decode_video_frames(
 # the error message cannot drift from what actually decodes.
 IMAGE_CODECS = (
     "image/png", "image/ppm", "image/pgm", "image/jpeg", "image/jpg",
-    "image/gif",
+    "image/gif", "image/bmp", "image/x-ms-bmp",
 )
 
 
