@@ -557,6 +557,317 @@ def encode_png_palette(
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# TIFF (baseline) — round 14: the scan/dataset-dump format. Real IFD
+# walk in BOTH byte orders (II little / MM big), strip assembly
+# (StripOffsets/StripByteCounts/RowsPerStrip), Compression 1 (none)
+# and 32773 (PackBits), photometric gray (0/1), RGB(A) (2, via
+# SamplesPerPixel + ExtraSamples), and palette (3, 16-bit ColorMap
+# entries reduced to their high byte per the spec's 8-bit rendering).
+# LZW / JPEG-in-TIFF / tiled / 16-bit stay a documented
+# NotImplementedError seam (LZW-TIFF's early-change wrinkle has no
+# independent test vector in this sandbox — a self-consistent-but
+# -wrong pair would be worse than the seam).
+# --------------------------------------------------------------------------
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits: n in 0..127 -> copy n+1 literals; n in -127..-1
+    (two's complement) -> repeat next byte 1-n times; -128 is a noop."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # replicate run of 257 - n
+            if i >= len(data):
+                raise ValueError("truncated PackBits replicate run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: noop
+    if len(out) < expected:
+        raise ValueError("PackBits stream shorter than strip")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits fixture encoder: real replicate runs (>= 3) and
+    literal segments, both of which decode must handle."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i
+            while (
+                j < n and j - i < 128
+                and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])
+            ):
+                j += 1
+            seg = data[i:j]
+            out += bytes([len(seg) - 1]) + seg
+            i = j
+    return bytes(out)
+
+
+def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline TIFF (first IFD). Returns ``(w, h, channels,
+    pixels)`` — gray(1)/RGB(3)/RGBA(4) interleaved; paletted images
+    expand through the ColorMap to RGB. See the section comment for
+    the supported matrix and the documented seam."""
+    if len(buf) < 8:
+        raise ValueError("truncated TIFF header")
+    if buf[:2] == b"II":
+        e = "<"
+    elif buf[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    (magic,) = struct.unpack(e + "H", buf[2:4])
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic}")
+    (ifd_off,) = struct.unpack(e + "I", buf[4:8])
+    if ifd_off + 2 > len(buf):
+        raise ValueError("truncated TIFF: IFD offset past end")
+    (n_entries,) = struct.unpack(e + "H", buf[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries > len(buf):
+        raise ValueError("truncated TIFF: IFD entries cut short")
+
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+    def read_values(entry_off: int) -> tuple[int, list[int]]:
+        tag, typ, cnt = struct.unpack(
+            e + "HHI", buf[entry_off : entry_off + 8]
+        )
+        if typ not in _TYPE_SIZE:
+            return tag, []
+        size = _TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            voff = entry_off + 8
+        else:
+            (voff,) = struct.unpack(
+                e + "I", buf[entry_off + 8 : entry_off + 12]
+            )
+            if voff + size > len(buf):
+                raise ValueError(f"truncated TIFF: tag {tag} values")
+        if typ == 3:
+            vals = [
+                struct.unpack(e + "H", buf[voff + 2 * k : voff + 2 * k + 2])[0]
+                for k in range(cnt)
+            ]
+        elif typ == 4:
+            vals = [
+                struct.unpack(e + "I", buf[voff + 4 * k : voff + 4 * k + 4])[0]
+                for k in range(cnt)
+            ]
+        elif typ in (1, 2):
+            vals = list(buf[voff : voff + cnt])
+        else:  # RATIONAL: numerator only (resolution tags, unused)
+            vals = [
+                struct.unpack(e + "I", buf[voff + 8 * k : voff + 8 * k + 4])[0]
+                for k in range(cnt)
+            ]
+        return tag, vals
+
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        tag, vals = read_values(ifd_off + 2 + 12 * k)
+        tags[tag] = vals
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"TIFF dimensions {w}x{h}")
+    if w * h > 64 * max(1, len(buf)):
+        raise ValueError("implausible TIFF dimensions for file size")
+    compression = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits}")
+    if one(284, 1) != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression}: only none (1) and"
+            " PackBits (32773) decode here — LZW/JPEG-in-TIFF are the"
+            " documented seam"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing/mismatched strip tables")
+    rows_per_strip = one(278, h)
+    stride = w * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(buf):
+            raise ValueError("TIFF strip extent past end of file")
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        if n_rows <= 0:
+            raise ValueError("TIFF has more strips than rows")
+        expected = n_rows * stride
+        chunk = buf[off : off + cnt]
+        if compression == 32773:
+            raw += _packbits_decode(chunk, expected)
+        else:
+            if len(chunk) < expected:
+                raise ValueError("truncated TIFF strip")
+            raw += chunk[:expected]
+    if len(raw) != h * stride:
+        raise ValueError("TIFF strip data size mismatch")
+    if photometric in (1, 2):  # gray black-is-zero / RGB(A)
+        return w, h, spp, bytes(raw)
+    if photometric == 0:  # gray white-is-zero: invert
+        if spp != 1:
+            raise ValueError("white-is-zero with multiple samples")
+        return w, h, 1, bytes(255 - v for v in raw)
+    if photometric == 3:  # palette: 16-bit ColorMap, high byte
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("paletted TIFF missing 256-entry ColorMap")
+        out = bytearray(w * h * 3)
+        for k, ci in enumerate(raw):
+            out[3 * k] = cmap[ci] >> 8
+            out[3 * k + 1] = cmap[256 + ci] >> 8
+            out[3 * k + 2] = cmap[512 + ci] >> 8
+        return w, h, 3, bytes(out)
+    raise NotImplementedError(f"TIFF photometric {photometric}")
+
+
+def encode_tiff(
+    w: int,
+    h: int,
+    pixels: bytes,
+    channels: int = 3,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int = 3,
+    colormap: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Encode a baseline TIFF fixture: multi-strip (rows_per_strip
+    forces a real strip walk), II or MM byte order, optional PackBits,
+    optional 256-entry 16-bit ColorMap (channels=1 indices +
+    photometric 3). Fixture source for :func:`decode_tiff`."""
+    e = ">" if big_endian else "<"
+    if len(pixels) != w * h * channels:
+        raise ValueError("pixel buffer size mismatch")
+    stride = w * channels
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        rows = pixels[y0 * stride : min(y0 + rows_per_strip, h) * stride]
+        strips.append(_packbits_encode(rows) if packbits else rows)
+
+    if colormap is not None:
+        if channels != 1 or len(colormap) != 256:
+            raise ValueError("colormap needs channels=1 and 256 entries")
+        photometric = 3
+    else:
+        photometric = {1: 1, 3: 2, 4: 2}[channels]
+
+    entries: list[tuple[int, int, int, bytes | int]] = []
+    extra: bytearray = bytearray()
+    header_size = 8
+
+    def add(tag: int, typ: int, vals: list[int]) -> None:
+        entries.append((tag, typ, len(vals), vals))
+
+    add(256, 3, [w])
+    add(257, 3, [h])
+    add(258, 3, [8] * channels)
+    add(259, 3, [32773 if packbits else 1])
+    add(262, 3, [photometric])
+    add(277, 3, [channels])
+    add(278, 3, [min(rows_per_strip, h)])
+    if channels == 4:
+        add(338, 3, [2])  # ExtraSamples: unassociated alpha
+    n_strip_placeholder = [0] * len(strips)
+    add(273, 4, n_strip_placeholder)  # StripOffsets (patched below)
+    add(279, 4, [len(s) for s in strips])
+    if colormap is not None:
+        cmap_vals = (
+            [c[0] for c in colormap]
+            + [c[1] for c in colormap]
+            + [c[2] for c in colormap]
+        )
+        add(320, 3, cmap_vals)
+    entries.sort(key=lambda t: t[0])
+
+    ifd_off = header_size
+    ifd_size = 2 + 12 * len(entries) + 4
+    data_off = ifd_off + ifd_size
+    # lay out out-of-line value blocks, then strips
+    blocks: list[bytes] = []
+    pos = data_off
+    sizes = {3: 2, 4: 4}
+    encoded_entries = []
+    strip_off_patch = None
+    for tag, typ, cnt, vals in entries:
+        size = sizes[typ] * cnt
+        fmt = "H" if typ == 3 else "I"
+        payload = b"".join(struct.pack(e + fmt, v) for v in vals)
+        if size <= 4:
+            encoded_entries.append(
+                (tag, typ, cnt, payload + b"\x00" * (4 - size), None)
+            )
+        else:
+            blocks.append(payload)
+            encoded_entries.append((tag, typ, cnt, None, pos))
+            if tag == 273:
+                strip_off_patch = (len(blocks) - 1, pos)
+            pos += size
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    # patch StripOffsets
+    for i, (tag, typ, cnt, inline, _off) in enumerate(encoded_entries):
+        if tag == 273:
+            payload = b"".join(
+                struct.pack(e + "I", v) for v in strip_offsets
+            )
+            if inline is not None:  # single strip fits inline
+                encoded_entries[i] = (
+                    tag, typ, cnt, payload + b"\x00" * (4 - len(payload)),
+                    None,
+                )
+            else:
+                blocks[strip_off_patch[0]] = payload
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
+    out += struct.pack(e + "I", ifd_off)
+    out += struct.pack(e + "H", len(encoded_entries))
+    for tag, typ, cnt, inline, off in encoded_entries:
+        out += struct.pack(e + "HHI", tag, typ, cnt)
+        out += inline if inline is not None else struct.pack(e + "I", off)
+    out += struct.pack(e + "I", 0)  # no next IFD
+    for b in blocks:
+        out += b
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def decode_bmp(buf: bytes) -> tuple[int, int, int, bytes]:
     """Decode a BMP: 24/32-bit BI_RGB, 8-bit paletted BI_RGB, and
     8-bit BI_RLE8 (both absolute and encoded runs, end-of-line /

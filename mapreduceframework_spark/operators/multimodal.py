@@ -64,10 +64,12 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
     through the marker walk + stream-carried Huffman/quant tables +
     IDCT + chroma upsampling; GIF (r13) through the real
     LZW/palette/interlace pipeline; BMP (r14) through the DIB header
-    walk (24/32-bit, 8-bit paletted, RLE8) — all
-    operators/imagecodec.py, pure Python, no imaging library.
-    Arithmetic-coded JPEG streams raise NotImplementedError from
-    inside the decoder — the remaining documented codec seam.
+    walk (24/32-bit, 8-bit paletted, RLE8); baseline TIFF (r14)
+    through the IFD walk (II/MM byte orders, multi-strip, PackBits,
+    gray/RGB(A)/palette) — all operators/imagecodec.py, pure Python,
+    no imaging library. Arithmetic-coded JPEG and LZW/JPEG-in-TIFF
+    raise NotImplementedError from inside the decoders — the
+    remaining documented codec seams.
     """
     from mapreduceframework_spark.operators import imagecodec as IC
 
@@ -79,6 +81,8 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
         return IC.decode_jpeg(payload)
     if codec in ("image/bmp", "image/x-ms-bmp"):
         return IC.decode_bmp(payload)
+    if codec in ("image/tiff", "image/tif"):
+        return IC.decode_tiff(payload)
     if codec == "image/gif":
         # Single-image contract: the FIRST frame (full multi-frame
         # access — and per-frame transparency — is
@@ -116,7 +120,8 @@ def decode_video_frames(
 # the error message cannot drift from what actually decodes.
 IMAGE_CODECS = (
     "image/png", "image/ppm", "image/pgm", "image/jpeg", "image/jpg",
-    "image/gif", "image/bmp", "image/x-ms-bmp",
+    "image/gif", "image/bmp", "image/x-ms-bmp", "image/tiff",
+    "image/tif",
 )
 
 

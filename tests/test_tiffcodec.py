@@ -1,0 +1,147 @@
+"""Round-14 baseline-TIFF tests (operators/imagecodec.py decode_tiff):
+IFD walk in both byte orders, multi-strip assembly, PackBits, the four
+photometric classes, error paths, and the corruption-sweep contract."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mapreduceframework_spark.operators import imagecodec as IC
+
+
+def _pix(n: int, seed: int = 5) -> bytes:
+    return bytes((seed * 17 + i * 11) % 256 for i in range(n))
+
+
+@pytest.mark.parametrize("packbits", [False, True])
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_tiff_round_trip_matrix(channels, big_endian, packbits):
+    w, h = 7, 8  # rows_per_strip=3 -> 3 strips incl. a short tail
+    px = _pix(w * h * channels)
+    buf = IC.encode_tiff(
+        w, h, px, channels=channels, big_endian=big_endian,
+        packbits=packbits,
+    )
+    assert IC.decode_tiff(buf) == (w, h, channels, px)
+
+
+def test_tiff_multi_strip_is_real():
+    w, h = 5, 8
+    buf = IC.encode_tiff(w, h, _pix(w * h * 3), rows_per_strip=3)
+    # StripByteCounts (tag 279) must list 3 strips
+    e = "<"
+    (n_entries,) = struct.unpack(e + "H", buf[8:10])
+    found = None
+    for k in range(n_entries):
+        tag, typ, cnt = struct.unpack(
+            e + "HHI", buf[10 + 12 * k : 18 + 12 * k]
+        )
+        if tag == 279:
+            found = cnt
+    assert found == 3
+
+
+def test_tiff_palette_expands_colormap_high_byte():
+    w, h = 6, 5
+    cmap = [((c * 257) & 0xFFFF, (c * 123) & 0xFFFF, (c * 77) & 0xFFFF)
+            for c in range(256)]
+    idx = bytes((k * 7) % 256 for k in range(w * h))
+    buf = IC.encode_tiff(w, h, idx, channels=1, colormap=cmap)
+    got = IC.decode_tiff(buf)
+    assert got[:3] == (w, h, 3)
+    px = got[3]
+    for k, ci in enumerate(idx):
+        assert px[3 * k] == cmap[ci][0] >> 8
+        assert px[3 * k + 1] == cmap[ci][1] >> 8
+        assert px[3 * k + 2] == cmap[ci][2] >> 8
+
+
+def test_tiff_white_is_zero_inverts():
+    # hand-patch photometric 1 -> 0 on a gray fixture
+    w, h = 4, 3
+    px = _pix(w * h, seed=9)
+    buf = bytearray(IC.encode_tiff(w, h, px, channels=1))
+    e = "<"
+    (n_entries,) = struct.unpack(e + "H", buf[8:10])
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        tag, typ, cnt = struct.unpack(e + "HHI", buf[off : off + 8])
+        if tag == 262:
+            struct.pack_into(e + "H", buf, off + 8, 0)
+    assert IC.decode_tiff(bytes(buf)) == (
+        w, h, 1, bytes(255 - v for v in px),
+    )
+
+
+def test_packbits_raw_stream_properties():
+    for data in (b"", b"a" * 300, bytes(range(128)) * 3,
+                 b"abc" + b"d" * 10 + b"efg"):
+        assert IC._packbits_decode(
+            IC._packbits_encode(data), len(data)
+        ) == data
+
+
+def test_tiff_error_and_seam_paths():
+    with pytest.raises(ValueError, match="byte-order"):
+        IC.decode_tiff(b"PK\x03\x04" + b"\x00" * 20)
+    good = IC.encode_tiff(4, 4, _pix(48))
+    with pytest.raises(ValueError):
+        IC.decode_tiff(good[:20])
+    # LZW compression (5) is the documented seam
+    b2 = bytearray(good)
+    e = "<"
+    (n_entries,) = struct.unpack(e + "H", b2[8:10])
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        tag = struct.unpack(e + "H", b2[off : off + 2])[0]
+        if tag == 259:
+            struct.pack_into(e + "H", b2, off + 8, 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        IC.decode_tiff(bytes(b2))
+    # dimension bomb must raise, not allocate
+    b3 = bytearray(good)
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        tag = struct.unpack(e + "H", b3[off : off + 2])[0]
+        if tag == 256:
+            struct.pack_into(e + "H", b3, off + 8, 60000)
+        if tag == 257:
+            struct.pack_into(e + "H", b3, off + 8, 60000)
+    with pytest.raises(ValueError, match="implausible|truncated|mismatch"):
+        IC.decode_tiff(bytes(b3))
+
+
+def test_tiff_through_the_image_seam():
+    from mapreduceframework_spark.operators.multimodal import (
+        decode_image, decode_payload,
+    )
+
+    px = _pix(4 * 3 * 3)
+    t = IC.encode_tiff(4, 3, px)
+    assert decode_image(t, "image/tiff") == (4, 3, 3, px)
+    assert decode_payload(t, "image/tiff") == px
+
+
+def test_tiff_corruption_never_leaks_raw_exceptions():
+    cmap = [(c << 8, c << 8, c << 8) for c in range(256)]
+    fixtures = [
+        IC.encode_tiff(6, 5, _pix(90)),
+        IC.encode_tiff(6, 5, _pix(90), big_endian=True, packbits=True),
+        IC.encode_tiff(6, 5, _pix(30), channels=1, colormap=cmap),
+    ]
+    for buf in fixtures:
+        for cut in range(len(buf)):
+            try:
+                IC.decode_tiff(buf[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for k in range(len(buf)):
+            m = bytearray(buf)
+            m[k] ^= 0x5A
+            try:
+                IC.decode_tiff(bytes(m))
+            except (ValueError, NotImplementedError):
+                pass
