@@ -558,6 +558,191 @@ def encode_png_palette(
 
 
 # --------------------------------------------------------------------------
+# TGA (Truevision Targa) — round 14: the last common legacy raster in
+# old archives. 18-byte header, optional image ID + palette, image
+# types 1/2/3 (palette / truecolor / gray, uncompressed) and 9/10/11
+# (their RLE forms), bottom-up or top-down via descriptor bit 5.
+# --------------------------------------------------------------------------
+
+
+def decode_tga(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a TGA. Returns ``(w, h, channels, pixels)`` — gray (1)
+    for 8-bit grayscale, RGB (3) for 24-bit / paletted, RGBA (4) for
+    32-bit; stored BGR(A) order converted. 15/16-bit pixel depths and
+    interleaved descriptor modes raise NotImplementedError."""
+    if len(buf) < 18:
+        raise ValueError("truncated TGA header")
+    id_len, cmap_type, img_type = buf[0], buf[1], buf[2]
+    cmap_first, cmap_len = struct.unpack("<HH", buf[3:7])
+    cmap_bits = buf[7]
+    w, h = struct.unpack("<HH", buf[12:16])
+    pix_bits, desc = buf[16], buf[17]
+    if img_type not in (1, 2, 3, 9, 10, 11):
+        raise NotImplementedError(f"TGA image type {img_type}")
+    if desc & 0xC0:
+        raise NotImplementedError("interleaved TGA")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"TGA dimensions {w}x{h}")
+    if w * h > 64 * max(1, len(buf)):
+        raise ValueError("implausible TGA dimensions for file size")
+    top_down = bool(desc & 0x20)
+    rle = img_type >= 9
+    paletted = img_type in (1, 9)
+    gray = img_type in (3, 11)
+    pos = 18 + id_len
+    pal: list[bytes] = []
+    if cmap_type == 1:
+        if cmap_bits not in (24, 32):
+            raise NotImplementedError(f"TGA palette depth {cmap_bits}")
+        entry = cmap_bits // 8
+        if pos + entry * cmap_len > len(buf):
+            raise ValueError("truncated TGA color map")
+        for c in range(cmap_len):
+            b_, g_, r_ = buf[pos + entry * c : pos + entry * c + 3]
+            pal.append(bytes((r_, g_, b_)))
+        pos += entry * cmap_len
+    if paletted:
+        if cmap_type != 1 or not pal:
+            raise ValueError("paletted TGA missing color map")
+        if pix_bits != 8:
+            raise NotImplementedError(f"paletted TGA {pix_bits}-bit")
+        nb = 1
+    elif gray:
+        if pix_bits != 8:
+            raise NotImplementedError(f"gray TGA {pix_bits}-bit")
+        nb = 1
+    else:
+        if pix_bits not in (24, 32):
+            raise NotImplementedError(f"truecolor TGA {pix_bits}-bit")
+        nb = pix_bits // 8
+    n_px = w * h
+    raw = bytearray()
+    if not rle:
+        need = n_px * nb
+        if pos + need > len(buf):
+            raise ValueError("truncated TGA pixel data")
+        raw += buf[pos : pos + need]
+    else:
+        while len(raw) < n_px * nb:
+            if pos >= len(buf):
+                raise ValueError("truncated TGA RLE stream")
+            hdr = buf[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet: one pixel repeated
+                if pos + nb > len(buf):
+                    raise ValueError("truncated TGA RLE run")
+                raw += buf[pos : pos + nb] * count
+                pos += nb
+            else:  # raw packet: count literal pixels
+                if pos + nb * count > len(buf):
+                    raise ValueError("truncated TGA RLE literals")
+                raw += buf[pos : pos + nb * count]
+                pos += nb * count
+        if len(raw) > n_px * nb:
+            # packets may not cross the image end (TGA spec 2.0 allows
+            # crossing scan lines but not the image)
+            raise ValueError("TGA RLE data overruns image")
+    # assemble output rows (stored bottom-up unless bit 5 set)
+    out_ch = 1 if gray else (4 if (not paletted and nb == 4) else 3)
+    out = bytearray(n_px * out_ch)
+    npal = len(pal)
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        for x in range(w):
+            s = (src_y * w + x) * nb
+            d = (y * w + x) * out_ch
+            if gray:
+                out[d] = raw[s]
+            elif paletted:
+                ci = raw[s]
+                if ci < cmap_first or ci - cmap_first >= npal:
+                    raise ValueError(f"TGA palette index {ci} out of range")
+                out[d : d + 3] = pal[ci - cmap_first]
+            elif nb == 3:
+                out[d], out[d + 1], out[d + 2] = (
+                    raw[s + 2], raw[s + 1], raw[s],
+                )
+            else:
+                out[d], out[d + 1], out[d + 2], out[d + 3] = (
+                    raw[s + 2], raw[s + 1], raw[s], raw[s + 3],
+                )
+    return w, h, out_ch, bytes(out)
+
+
+def encode_tga(
+    w: int,
+    h: int,
+    pixels: bytes,
+    channels: int = 3,
+    rle: bool = False,
+    top_down: bool = False,
+    palette: list[bytes] | None = None,
+    indices: bytes | None = None,
+) -> bytes:
+    """Encode a TGA fixture: gray (channels=1), truecolor 24/32-bit
+    (channels=3/4, stored BGR(A)), or paletted via
+    ``palette``+``indices``; optional RLE (run + raw packets) and
+    top-down origin."""
+    if palette is not None:
+        if indices is None or len(indices) != w * h:
+            raise ValueError("index buffer size mismatch")
+        if not 1 <= len(palette) <= 256 or max(indices) >= len(palette):
+            raise ValueError("palette/index mismatch")
+        img_type, nb, cmap_type = 1, 1, 1
+        stored = bytes(indices)
+        cmap = b"".join(bytes((p[2], p[1], p[0])) for p in palette)
+        cmap_len, cmap_bits = len(palette), 24
+    else:
+        if len(pixels) != w * h * channels:
+            raise ValueError("pixel buffer size mismatch")
+        cmap, cmap_len, cmap_bits, cmap_type = b"", 0, 0, 0
+        if channels == 1:
+            img_type, nb = 3, 1
+            stored = bytes(pixels)
+        else:
+            img_type, nb = 2, channels
+            s = bytearray()
+            for k in range(w * h):
+                p = pixels[k * channels : (k + 1) * channels]
+                s += bytes((p[2], p[1], p[0])) + (
+                    p[3:4] if channels == 4 else b""
+                )
+            stored = bytes(s)
+    # row order on disk: bottom-up unless top_down
+    rows = [stored[y * w * nb : (y + 1) * w * nb] for y in range(h)]
+    disk = b"".join(rows if top_down else rows[::-1])
+    if rle:
+        enc = bytearray()
+        px = [disk[k * nb : (k + 1) * nb] for k in range(w * h)]
+        i, n = 0, len(px)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and px[i + run] == px[i]:
+                run += 1
+            if run >= 2:
+                enc += bytes([0x80 | (run - 1)]) + px[i]
+                i += run
+            else:
+                j = i
+                while (
+                    j < n and j - i < 128
+                    and not (j + 1 < n and px[j] == px[j + 1])
+                ):
+                    j += 1
+                enc += bytes([j - i - 1]) + b"".join(px[i:j])
+                i = j
+        disk = bytes(enc)
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB",
+        0, cmap_type, img_type + (8 if rle else 0),
+        0, cmap_len, cmap_bits,
+        0, 0, w, h, 8 * nb, 0x20 if top_down else 0,
+    )
+    return hdr + cmap + disk
+
+
+# --------------------------------------------------------------------------
 # TIFF (baseline) — round 14: the scan/dataset-dump format. Real IFD
 # walk in BOTH byte orders (II little / MM big), strip assembly
 # (StripOffsets/StripByteCounts/RowsPerStrip), Compression 1 (none)

@@ -66,7 +66,8 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
     LZW/palette/interlace pipeline; BMP (r14) through the DIB header
     walk (24/32-bit, 8-bit paletted, RLE8); baseline TIFF (r14)
     through the IFD walk (II/MM byte orders, multi-strip, PackBits,
-    gray/RGB(A)/palette) — all operators/imagecodec.py, pure Python,
+    gray/RGB(A)/palette); TGA (r14) with gray/truecolor/palette and
+    run+raw RLE packets — all operators/imagecodec.py, pure Python,
     no imaging library. Arithmetic-coded JPEG and LZW/JPEG-in-TIFF
     raise NotImplementedError from inside the decoders — the
     remaining documented codec seams.
@@ -83,6 +84,8 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
         return IC.decode_bmp(payload)
     if codec in ("image/tiff", "image/tif"):
         return IC.decode_tiff(payload)
+    if codec in ("image/tga", "image/x-tga"):
+        return IC.decode_tga(payload)
     if codec == "image/gif":
         # Single-image contract: the FIRST frame (full multi-frame
         # access — and per-frame transparency — is
@@ -121,7 +124,7 @@ def decode_video_frames(
 IMAGE_CODECS = (
     "image/png", "image/ppm", "image/pgm", "image/jpeg", "image/jpg",
     "image/gif", "image/bmp", "image/x-ms-bmp", "image/tiff",
-    "image/tif",
+    "image/tif", "image/tga", "image/x-tga",
 )
 
 
