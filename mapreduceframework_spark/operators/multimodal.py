@@ -187,12 +187,15 @@ def synth_images(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, SYNTH_SCHEMA)
 
 
-# Codec-matrix synthesis (round 14): one registered fixture family
-# that exercises EVERY in-repo image decode path — sequential PNG,
-# binary PPM, baseline JPEG, GIF, progressive JPEG, Adam7-interlaced
-# PNG, 8-bit paletted PNG with tRNS transparency (RGBA out), and
-# 2-bit paletted Adam7 PNG (sub-byte index unpacking) — chosen per
-# doc_id % 8. JPEG variants are GRAYSCALE BLOCK-SOLID images (every
+# Codec-matrix synthesis (round 14; widened to %11 in round 15): one
+# registered fixture family that exercises EVERY in-repo image decode
+# path — sequential PNG, binary PPM, baseline JPEG, GIF, progressive
+# JPEG, Adam7-interlaced PNG, 8-bit paletted PNG with tRNS
+# transparency (RGBA out), 2-bit paletted Adam7 PNG (sub-byte index
+# unpacking), 8-bit paletted BI_RLE8 BMP (bottom-up), big-endian
+# PackBits paletted TIFF (IFD walk + strip assembly + 16-bit
+# ColorMap), and RLE truecolor TGA (bottom-up BGR) — chosen per
+# doc_id % 11. JPEG variants are GRAYSCALE BLOCK-SOLID images (every
 # 8x8 block one constant value): a solid block's only nonzero DCT
 # coefficient is DC and the default-quality DC step keeps the
 # reconstruction error under half a level, so baseline AND
@@ -202,13 +205,16 @@ def synth_images(docs: DataFrame) -> DataFrame:
 # variants map idx(k) = (d*7 + k*13) % cap through an analytic
 # palette (r,g,b) = ((d + c*53), (d*3 + c*31), (d*5 + c*11)) % 256;
 # variant 6 carries tRNS alpha (d + c*37) % 256 over the first
-# PAL_TRNS entries (the rest opaque, per spec). Constants are
-# mirrored literally in the multimodal_image_decode /
+# PAL_TRNS entries (the rest opaque, per spec); the BMP/TIFF palette
+# variants (8, 9) share the cap-17 index map and decode to plain RGB.
+# Constants are mirrored literally in the multimodal_image_decode /
 # multimodal_decode_features oracle SQL; change both together.
 IMG_MATRIX_VARIANTS = (
     "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
-    "png-palette", "png-palette-sub",
+    "png-palette", "png-palette-sub", "bmp-rle8", "tiff-packbits",
+    "tga-rle",
 )
+IMG_MATRIX_MOD = len(IMG_MATRIX_VARIANTS)  # 11
 IMG_JPEG_BW_MOD = 3  # jpeg width  = (d % 3 + 1) * 8   (1..3 block cols)
 IMG_JPEG_BH_MOD = 2  # jpeg height = (d % 2 + 1) * 8   (1..2 block rows)
 PAL_CAP_8, PAL_CAP_2 = 17, 4  # palette sizes (8-bit / 2-bit depth)
@@ -228,13 +234,14 @@ SYNTH2_SCHEMA = (
 
 def synth_images_matrix(docs: DataFrame) -> DataFrame:
     """Encode one real image file per document across the full codec
-    matrix (doc_id % 8): sequential PNG, binary PPM, baseline JPEG,
+    matrix (doc_id % 11): sequential PNG, binary PPM, baseline JPEG,
     GIF, progressive JPEG, Adam7-interlaced PNG, 8-bit paletted PNG
     with tRNS (decodes to RGBA), 2-bit paletted Adam7 PNG (sub-byte
-    unpacking). Pixels are integer functions of doc_id (block-solid
-    grayscale for the lossy JPEGs — see the module comment for why
-    that makes them exact), so the decode oracle is analytic for
-    every variant."""
+    unpacking), 8-bit paletted BI_RLE8 BMP, big-endian PackBits
+    paletted TIFF, RLE truecolor TGA. Pixels are integer functions of
+    doc_id (block-solid grayscale for the lossy JPEGs — see the
+    module comment for why that makes them exact), so the decode
+    oracle is analytic for every variant."""
     from mapreduceframework_spark.operators import imagecodec as IC
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -242,7 +249,7 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
             rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                m = d % 8
+                m = d % IMG_MATRIX_MOD
                 variant = IMG_MATRIX_VARIANTS[m]
                 if m in (2, 4):  # grayscale block-solid JPEG
                     w = (d % IMG_JPEG_BW_MOD + 1) * 8
@@ -259,6 +266,42 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                         else IC.encode_jpeg_progressive
                     )
                     payload, codec = enc(w, h, pix, channels=1), "image/jpeg"
+                elif m in (8, 9):  # paletted BMP (RLE8) / TIFF (PackBits)
+                    w = d % IMG_W_MOD + IMG_W_BASE
+                    h = d % IMG_H_MOD + IMG_H_BASE
+                    idx = bytes(
+                        (d * IMG_PIX_A + k * IMG_PIX_B) % PAL_CAP_8
+                        for k in range(w * h)
+                    )
+                    if m == 8:
+                        payload = IC.encode_bmp(
+                            w, h, b"",
+                            palette=[_pal_rgb(d, c) for c in range(PAL_CAP_8)],
+                            indices=idx, rle=True,
+                        )
+                        codec = "image/bmp"
+                    else:
+                        # 16-bit ColorMap entries: v8 * 257 puts v8 in
+                        # the high byte, which is what decode keeps.
+                        payload = IC.encode_tiff(
+                            w, h, idx, channels=1, big_endian=True,
+                            packbits=True,
+                            colormap=[
+                                tuple(v * 257 for v in _pal_rgb(d, c))
+                                for c in range(256)
+                            ],
+                        )
+                        codec = "image/tiff"
+                elif m == 10:  # RLE truecolor TGA (bottom-up BGR)
+                    w = d % IMG_W_MOD + IMG_W_BASE
+                    h = d % IMG_H_MOD + IMG_H_BASE
+                    pix = bytes(
+                        (d * IMG_PIX_A + i * IMG_PIX_B) % 256
+                        for i in range(w * h * 3)
+                    )
+                    payload, codec = (
+                        IC.encode_tga(w, h, pix, 3, rle=True), "image/tga",
+                    )
                 elif m in (6, 7):  # paletted PNG
                     w = d % IMG_W_MOD + IMG_W_BASE
                     h = d % IMG_H_MOD + IMG_H_BASE

@@ -3,8 +3,9 @@ image/audio/video payloads with typed metadata, decoded by the real
 in-repo codecs (operators/imagecodec.py) inside partition-preserving
 mapInPandas — Arrow-batched, never per-row Python. Since round 14 the
 REGISTERED decode queries exercise the full codec matrix end to end:
-sequential + Adam7 PNG, PPM, baseline + progressive JPEG, GIF on the
-image side; PCM16, G.711 A-law/mu-law, IMA ADPCM WAV on the audio
+sequential + Adam7 + paletted PNG, PPM, baseline + progressive JPEG,
+GIF, RLE8 BMP, PackBits TIFF, RLE TGA on the image side (11 variants
+since round 15); PCM16, G.711 A-law/mu-law, IMA ADPCM WAV on the audio
 side; MJPEG-AVI and MP4('jpeg') containers on the video side — every
 path under a full DuckDB value-hash oracle. The remaining
 NotImplementedError seam is what genuinely needs external libraries:
@@ -30,28 +31,30 @@ from mapreduceframework_spark.sources import load_table
 
 # Shared head of the image-codec-matrix oracles: per-doc variant
 # selector + decoded dimensions + decoded channel count. Mirrors
-# operators/multimodal.py synth_images_matrix (doc_id % 8; JPEG
+# operators/multimodal.py synth_images_matrix (doc_id % 11; JPEG
 # variants grayscale block-solid at (d%3+1)*8 x (d%2+1)*8, the rest at
-# the classic (d%13+4) x (d%7+3); variant 6 decodes to RGBA via tRNS);
-# change both together.
+# the classic (d%13+4) x (d%7+3); variant 6 decodes to RGBA via tRNS;
+# the BMP/TIFF palette variants 8/9 and the TGA variant 10 decode to
+# plain RGB); change both together.
 _IMG_MATRIX_P_CTE = """p AS (
-            SELECT doc_id, doc_id % 8 AS m,
-                   CASE WHEN doc_id % 8 IN (2, 4)
+            SELECT doc_id, doc_id % 11 AS m,
+                   CASE WHEN doc_id % 11 IN (2, 4)
                         THEN (doc_id % 3 + 1) * 8
                         ELSE doc_id % 13 + 4 END AS width,
-                   CASE WHEN doc_id % 8 IN (2, 4)
+                   CASE WHEN doc_id % 11 IN (2, 4)
                         THEN (doc_id % 2 + 1) * 8
                         ELSE doc_id % 7 + 3 END AS height,
-                   CASE WHEN doc_id % 8 IN (2, 4) THEN 1
-                        WHEN doc_id % 8 = 6 THEN 4
+                   CASE WHEN doc_id % 11 IN (2, 4) THEN 1
+                        WHEN doc_id % 11 = 6 THEN 4
                         ELSE 3 END AS nch
             FROM documents)"""
 
 _IMG_MATRIX_VARIANT_SQL = """CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'ppm'
                     WHEN 2 THEN 'jpeg-baseline' WHEN 3 THEN 'gif'
                     WHEN 4 THEN 'jpeg-progressive' WHEN 5 THEN 'png-adam7'
-                    WHEN 6 THEN 'png-palette'
-                    ELSE 'png-palette-sub' END"""
+                    WHEN 6 THEN 'png-palette' WHEN 7 THEN 'png-palette-sub'
+                    WHEN 8 THEN 'bmp-rle8' WHEN 9 THEN 'tiff-packbits'
+                    ELSE 'tga-rle' END"""
 
 # Decoded pixel-byte lists per variant family: grayscale block-solid
 # for the JPEGs (pixel = block value), interleaved RGB fn of the byte
@@ -79,12 +82,22 @@ _IMG_PAL2_PIXELS = """flatten([ [
                         (doc_id * 5 + ci * 11) % 256 ]
                       for ci in [ (doc_id * 7 + k * 13) % 4 ] ][1]
                     for k in range(0, width * height) ])"""
+# Variants 8 (BMP RLE8) and 9 (TIFF PackBits ColorMap) share the
+# cap-17 index map and decode palette-mapped plain RGB.
+_IMG_PAL17_PIXELS = """flatten([ [
+                      [ (doc_id + ci * 53) % 256,
+                        (doc_id * 3 + ci * 31) % 256,
+                        (doc_id * 5 + ci * 11) % 256 ]
+                      for ci in [ (doc_id * 7 + k * 13) % 17 ] ][1]
+                    for k in range(0, width * height) ])"""
 
 # One CASE selecting the decoded byte list per variant — shared by the
-# digest (fold) and feature (sum/first) oracles.
+# digest (fold) and feature (sum/first) oracles. Variant 10 (TGA RLE
+# truecolor) shares the classic RGB byte function with 0/1/3/5.
 _IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4) THEN {_IMG_GRAY_PIXELS}
                    WHEN m = 6 THEN {_IMG_PAL8_PIXELS}
                    WHEN m = 7 THEN {_IMG_PAL2_PIXELS}
+                   WHEN m IN (8, 9) THEN {_IMG_PAL17_PIXELS}
                    ELSE {_IMG_RGB_PIXELS} END"""
 
 
@@ -96,7 +109,7 @@ _IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4) THEN {_IMG_GRAY_PIXELS}
         SELECT doc_id,
                {_IMG_MATRIX_VARIANT_SQL} AS variant,
                CAST(width * height * nch AS BIGINT) AS byte_len,
-               CAST(CASE WHEN m = 6
+               CAST(CASE WHEN m IN (6, 8, 9)
                          THEN (doc_id + ((doc_id * 7) % 17) * 53) % 256
                          WHEN m = 7
                          THEN (doc_id + ((doc_id * 7) % 4) * 53) % 256
@@ -111,19 +124,21 @@ _IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4) THEN {_IMG_GRAY_PIXELS}
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature extraction over the FULL image codec matrix
-    (round 14 re-point — the features are computed on REAL decoded
-    pixel bytes, not the fake/v1 byte plumbing): every document's
-    payload is one of sequential PNG / PPM / baseline JPEG / GIF /
-    progressive JPEG / Adam7 PNG / 8-bit paletted PNG with tRNS
-    (RGBA) / 2-bit paletted Adam7 PNG, decoded through the
-    pure-Python codecs in an Arrow-batched mapInPandas stage,
-    emitting per-item byte features (decoded length, first pixel
-    byte, byte-sum checksum, thumbnail width). Pixels are integer
-    functions of doc_id — block-solid grayscale for the lossy JPEGs,
-    which round-trip bit-exactly — so the oracle predicts every
-    feature analytically; a decode bug in ANY of the eight paths
-    breaks the value hash. Partition-preserving: synth and decode
-    share the task, no shuffle."""
+    (round 14 re-point; widened to 11 variants in round 15 — the
+    features are computed on REAL decoded pixel bytes, not the
+    fake/v1 byte plumbing): every document's payload is one of
+    sequential PNG / PPM / baseline JPEG / GIF / progressive JPEG /
+    Adam7 PNG / 8-bit paletted PNG with tRNS (RGBA) / 2-bit paletted
+    Adam7 PNG / paletted BI_RLE8 BMP / big-endian PackBits paletted
+    TIFF / RLE truecolor TGA, decoded through the pure-Python codecs
+    in an Arrow-batched mapInPandas stage, emitting per-item byte
+    features (decoded length, first pixel byte, byte-sum checksum,
+    thumbnail width). Pixels are integer functions of doc_id —
+    block-solid grayscale for the lossy JPEGs, which round-trip
+    bit-exactly — so the oracle predicts every feature analytically;
+    a decode bug in ANY of the eleven paths breaks the value hash.
+    Partition-preserving: synth and decode share the task, no
+    shuffle."""
     from mapreduceframework_spark.operators import multimodal as M
     from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
@@ -152,24 +167,28 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode across the full codec matrix, value-checked
-    end to end (round 14 re-point): per doc_id % 8 the payload is a
-    sequential PNG (encoder cycles all five scanline filters), a
-    binary PPM, a baseline JPEG (marker walk, stream-carried
-    Huffman/quant tables, IDCT), a GIF (real LZW, palette), a
-    PROGRESSIVE JPEG (spectral selection + successive approximation
-    scans), an Adam7-INTERLACED PNG (seven-pass scatter), an 8-bit
-    PALETTED PNG with tRNS transparency (PLTE map + RGBA expansion),
-    or a 2-bit paletted Adam7 PNG (MSB-first sub-byte index
-    unpacking) — and the engine decodes every payload back through
-    the pure-Python codecs in one Arrow-batched mapInPandas stage.
-    The lossy JPEG fixtures are grayscale block-solid images, which
-    round-trip BIT-EXACTLY (every 8x8 block's only nonzero DCT
-    coefficient is DC; pinned for all 256 values in
-    tests/test_jpegcodec.py) — that is what lets the DuckDB oracle
-    predict real lossy-codec decode output analytically. Any parser
-    bug in any of the eight paths breaks the value hash.
-    Partition-preserving: synth and decode run in the same task, no
-    shuffle."""
+    end to end (round 14 re-point; widened to 11 variants in round
+    15): per doc_id % 11 the payload is a sequential PNG (encoder
+    cycles all five scanline filters), a binary PPM, a baseline JPEG
+    (marker walk, stream-carried Huffman/quant tables, IDCT), a GIF
+    (real LZW, palette), a PROGRESSIVE JPEG (spectral selection +
+    successive approximation scans), an Adam7-INTERLACED PNG
+    (seven-pass scatter), an 8-bit PALETTED PNG with tRNS
+    transparency (PLTE map + RGBA expansion), a 2-bit paletted Adam7
+    PNG (MSB-first sub-byte index unpacking), an 8-bit paletted
+    BI_RLE8 BMP (run/absolute/EOL/EOB escapes, bottom-up row flip),
+    a big-endian PackBits paletted TIFF (IFD walk, multi-strip
+    assembly, 16-bit ColorMap high-byte reduction), or an RLE
+    truecolor TGA (run + raw packets, bottom-up BGR->RGB) — and the
+    engine decodes every payload back through the pure-Python codecs
+    in one Arrow-batched mapInPandas stage. The lossy JPEG fixtures
+    are grayscale block-solid images, which round-trip BIT-EXACTLY
+    (every 8x8 block's only nonzero DCT coefficient is DC; pinned for
+    all 256 values in tests/test_jpegcodec.py) — that is what lets
+    the DuckDB oracle predict real lossy-codec decode output
+    analytically. Any parser bug in any of the eleven paths breaks
+    the value hash. Partition-preserving: synth and decode run in the
+    same task, no shuffle."""
     from mapreduceframework_spark.operators import multimodal as M
     from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
