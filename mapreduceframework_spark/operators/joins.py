@@ -130,6 +130,85 @@ def asof_join(
     return unioned.mapInPandas(run, schema=out_schema)
 
 
+def cogroup_apply_batched(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    fn,
+    out_schema: str,
+) -> DataFrame:
+    """Cogrouped-apply without per-group Python dispatch: the
+    semantics of ``left.groupBy(k).cogroup(right.groupBy(k))
+    .applyInPandas(per_key_fn)`` for functions that are KEY-VECTORIZED
+    (``fn(left_pdf, right_pdf)`` handles every key in its slice via
+    pandas groupby, not one key per call).
+
+    Same shape as :func:`asof_join` (round 14): both sides union into
+    ONE tagged relation, hash-shuffle ONCE on the key, sort within
+    partitions by key, and a single ``mapInPandas`` pass hands ``fn``
+    whole-key-run slices re-assembled by core/keyruns.iter_key_runs —
+    THOUSANDS of keys per Python call, versus one call per key with
+    the native cogroup API (measured 65 s / 150k keys at sf0.1 — a
+    per-key-RPC hazard at 100 TB) or a fixed call count with the
+    coarse-bucket workaround (1024 calls regardless of data volume).
+    Here the call count tracks Arrow batch volume, the same unit the
+    rest of the engine amortizes over.
+
+    ``fn`` sees each key's rows exactly once and never split across
+    calls (the keyruns guarantee), so per-key aggregates compose
+    correctly. Keys present on only one side arrive with the other
+    slice empty — ``fn`` decides the join semantics, exactly as with
+    the native API. The union makes each side's columns nullable, so
+    integer columns cross into pandas as float64 — exact below 2^53
+    (any realistic id space); ``fn`` casts its outputs.
+    """
+    lcols = [c for c in left.columns if c != left_key]
+    rcols = [c for c in right.columns if c != right_key]
+    overlap = set(lcols) & set(rcols)
+    reserved = {"_k", "_side"} & set([*left.columns, *right.columns])
+    if overlap or reserved:
+        raise ValueError(
+            f"cogroup_apply_batched column collision: "
+            f"{overlap or ''}{reserved or ''}"
+        )
+    l_tagged = left.select(
+        F.col(left_key).alias("_k"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in rcols
+        ],
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c) for c in rcols],
+    )
+    unioned = (
+        l_tagged.unionByName(r_tagged)
+        .repartition(F.col("_k"))
+        .sortWithinPartitions("_k")
+    )
+
+    from mapreduceframework_spark.core.keyruns import iter_key_runs
+
+    def run(batches):
+        for pdf in iter_key_runs(batches, "_k"):
+            ldf = pdf[pdf["_side"] == 0][["_k", *lcols]]
+            rdf = pdf[pdf["_side"] == 1][["_k", *rcols]]
+            out = fn(ldf, rdf)
+            if out is not None and len(out):
+                yield out
+
+    return unioned.mapInPandas(run, schema=out_schema)
+
+
 def range_join(
     fact: DataFrame,
     bands: DataFrame,

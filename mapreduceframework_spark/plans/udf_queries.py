@@ -221,26 +221,33 @@ def udtf_native_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udf", "pandas", "cogroup"),
 )
 def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cogrouped-map pandas API (the fourth pandas-UDF family, beside
-    scalar / grouped-agg / mapInPandas): ``df1.groupBy(k).cogroup(
-    df2.groupBy(k)).applyInPandas`` hands BOTH sides' group slices to
-    one Python function — the vectorized analogue of the reference's
-    reduce seeing all values of a key, generalized to two inputs.
-    Here: per-order reconciliation of the orders header against its
-    lineitems (line count, latest ship time, discounted-line count).
-    Integer-only outputs, so no float summation-order games.
+    """Cogrouped-map semantics (the fourth pandas-UDF family, beside
+    scalar / grouped-agg / mapInPandas): both sides' group slices
+    handed to one Python function per key — the vectorized analogue
+    of the reference's reduce seeing all values of a key, generalized
+    to two inputs. Here: per-order reconciliation of the orders
+    header against its lineitems (line count, latest ship time,
+    discounted-line count). Integer-only outputs, so no float
+    summation-order games.
 
-    Scale rule learned by measurement: cogroup on a COARSE BUCKET, not
-    the natural key. Cogrouping on o_orderkey itself invokes Python
-    once per key — 65 s at sf0.1 (150k calls of ~5 rows) vs ~1 s with
-    1024 buckets, because per-call overhead dwarfs per-row work; at
-    billions of keys the per-key form is catastrophic. Bucketing keeps
-    the single co-partitioned shuffle and amortizes Python dispatch
-    over ~key_count/1024 keys per call, with the per-key logic done
-    vectorized (pandas groupby) inside the bucket. A bucket must fit
-    in executor memory — scale n_buckets with the data, exactly like
-    choosing shuffle partitions."""
-    n_buckets = 1024
+    Scale ladder learned by measurement (round 15): the NATIVE
+    ``cogroup(...).applyInPandas`` API invokes Python once per key —
+    65 s at sf0.1 (150k calls of ~5 rows) because per-call overhead
+    dwarfs per-row work; cogrouping on a coarse 1024-bucket key
+    amortized that to ~1 s but left a FIXED 1024-call dispatch floor
+    (the r14 verdict item). Now the row runs through
+    operators/joins.py::cogroup_apply_batched — the same tagged-union
+    + hash-shuffle-once + core/keyruns.iter_key_runs walk that fixed
+    the as-of joins — so one Python call handles an Arrow batch's
+    worth of whole key runs and the call count tracks data volume,
+    not a tuning constant. The per-key contract is unchanged (each
+    key's rows arrive complete, exactly once); the reconcile logic is
+    key-vectorized pandas groupby, as the batched contract requires.
+    The native-API equivalence is pinned in
+    tests/test_round15_batched_cogroup.py."""
+    from mapreduceframework_spark.operators.joins import (
+        cogroup_apply_batched,
+    )
 
     def reconcile(
         orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame
@@ -248,7 +255,7 @@ def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(lines_pdf):
             g = lines_pdf.assign(
                 disc=(lines_pdf["l_discount"] > 0).astype("int64")
-            ).groupby("l_orderkey")
+            ).groupby("_k")
             stats = pd.DataFrame(
                 {
                     "n_lines": g.size(),
@@ -262,29 +269,23 @@ def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats = pd.DataFrame(
                 columns=["n_lines", "last_ship_us", "n_discounted"]
             )
-        out = orders_pdf[["o_orderkey"]].join(
-            stats, on="o_orderkey", how="left"
-        )
+        out = orders_pdf[["_k"]].join(stats, on="_k", how="left")
+        out["o_orderkey"] = out["_k"].astype("int64")
         out["n_lines"] = out["n_lines"].fillna(0).astype("int64")
         out["n_discounted"] = out["n_discounted"].fillna(0).astype("int64")
         # last_ship_us stays NaN -> NULL for orders with no lineitems
-        return out
+        return out[["o_orderkey", "n_lines", "last_ship_us", "n_discounted"]]
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", (F.col("o_orderkey") % n_buckets).alias("bucket")
-    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     lines = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_shipdate",
-        "l_discount",
-        (F.col("l_orderkey") % n_buckets).alias("bucket"),
+        "l_orderkey", "l_shipdate", "l_discount"
     )
-    return (
-        orders.groupBy("bucket")
-        .cogroup(lines.groupBy("bucket"))
-        .applyInPandas(
-            reconcile,
-            "o_orderkey long, n_lines long, last_ship_us long, "
-            "n_discounted long",
-        )
+    return cogroup_apply_batched(
+        orders,
+        lines,
+        "o_orderkey",
+        "l_orderkey",
+        reconcile,
+        "o_orderkey long, n_lines long, last_ship_us long, "
+        "n_discounted long",
     )

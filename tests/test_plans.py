@@ -431,14 +431,18 @@ def test_docs_wide_skips_shuffle_when_scan_parallel_enough(spark, sf_dir):
 
 
 def test_cogroup_single_copartitioned_shuffle(spark, sf_dir):
-    # The cogrouped-map query must co-partition both inputs with ONE
-    # exchange per side feeding FlatMapCoGroupsInPandas — and prune
-    # each scan to the referenced columns.
+    # The batched cogroup rewrite (round 15): both sides union into
+    # one tagged relation, ONE hash exchange on the key total (the
+    # asof-join shape — half the shuffle of the native cogroup's
+    # per-side exchanges), partition-local sort, one MapInPandas walk
+    # — and each scan pruned to the referenced columns.
     plan = plan_of(spark, sf_dir, "udf_cogrouped_reconcile")
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
     # count tree entries only ("Exchange (N)"); the formatted detail
     # section repeats each node name once more
-    assert plan.count("Exchange (") == 2
+    assert plan.count("Exchange (") == 1
+    assert "Sort (" in plan
     read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert all("o_totalprice" not in l and "text" not in l for l in read_schemas)
 
@@ -805,7 +809,7 @@ SHUFFLE_BUDGET = {
     "timeseries_interpolate": 3,
     "timeseries_ohlc": 1,
     "topk_orders": 0,
-    "udf_cogrouped_reconcile": 2,
+    "udf_cogrouped_reconcile": 1,
     "udf_pandas_scalar": 0,
     "udtf_bigram_counts": 1,
     "udtf_native_token_runs": 0,
