@@ -75,18 +75,61 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_state_partitions(spark: SparkSession) -> int:
+    """Shuffle-partition count for STREAMING queries. Stateful
+    operators pay a per-partition-per-micro-batch checkpoint cost
+    (state snapshot + delta files) that batch shuffles don't, so the
+    right count tracks STATE VOLUME, not batch parallelism — measured
+    at sf0.01, dropping 32 -> 8 took the stream-stream joins from
+    ~5.5 s to ~2.2 s and the windowed aggs ~1.8x down, with identical
+    results (BASELINE.md round 15). Default: a quarter of the session
+    shuffle partitions, floor 8; override with the
+    ``mrf.streaming.statePartitions`` conf at any scale (at 100 TB
+    you RAISE it — state must fit per-partition executor memory;
+    the count is pinned into each query's checkpoint at first batch,
+    which is why the override is read per query start)."""
+    explicit = spark.conf.get("mrf.streaming.statePartitions", None)
+    if explicit:
+        return max(1, int(explicit))
+    base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(8, base // 4)
+
+
+class _tuned_state_partitions:
+    """Context manager: pin spark.sql.shuffle.partitions to the
+    streaming-tuned count for the duration of a streaming query's
+    plan + execution, restoring the batch setting afterwards. The
+    stateful operator reads the conf when the query STARTS (then pins
+    it in checkpoint metadata), so the whole start..awaitTermination
+    span sits inside the context."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stream_state_partitions(self.spark)),
+        )
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def run_available_now(result: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     uniquely-named memory sink; return the sink contents as a batch DF."""
     name = "mrf_sink_" + uuid.uuid4().hex[:12]
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _tuned_state_partitions(result.sparkSession):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return result.sparkSession.table(name)
 
 
@@ -469,13 +512,14 @@ def foreachbatch_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         delivered.append((batch_id, rows))
         commit_batch(batch_id, rows)
 
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _tuned_state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(split_dir, ignore_errors=True)
     # Crash-recovery re-delivery of the final batch, verbatim.
     commit_batch(*delivered[-1])
@@ -588,14 +632,18 @@ def checkpoint_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        q = (
-            counts.writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # Both runs inside the context: run 1 pins the partition
+        # count into the checkpoint; run 2 must resume under the same
+        # setting.
+        with _tuned_state_partitions(spark):
+            q = (
+                counts.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     run2: list[tuple[int, int, int]] = []
     try:
