@@ -565,11 +565,20 @@ def encode_png_palette(
 # --------------------------------------------------------------------------
 
 
+def _tga_expand5(c: int) -> int:
+    """5-bit -> 8-bit channel expansion by bit replication
+    ((c << 3) | (c >> 2)) — maps 0 -> 0 and 31 -> 255 exactly, the
+    standard convention for 15/16-bit ARGB1555 pixels."""
+    return (c << 3) | (c >> 2)
+
+
 def decode_tga(buf: bytes) -> tuple[int, int, int, bytes]:
     """Decode a TGA. Returns ``(w, h, channels, pixels)`` — gray (1)
-    for 8-bit grayscale, RGB (3) for 24-bit / paletted, RGBA (4) for
-    32-bit; stored BGR(A) order converted. 15/16-bit pixel depths and
-    interleaved descriptor modes raise NotImplementedError."""
+    for 8-bit grayscale, RGB (3) for 15/16/24-bit / paletted, RGBA
+    (4) for 32-bit; stored BGR(A) order converted, ARGB1555 channels
+    expanded by bit replication, 15/16-bit color-map entries
+    likewise. Legacy two-way / four-way interleaved storage
+    (descriptor bits 6-7) is de-interleaved."""
     if len(buf) < 18:
         raise ValueError("truncated TGA header")
     id_len, cmap_type, img_type = buf[0], buf[1], buf[2]
@@ -579,8 +588,9 @@ def decode_tga(buf: bytes) -> tuple[int, int, int, bytes]:
     pix_bits, desc = buf[16], buf[17]
     if img_type not in (1, 2, 3, 9, 10, 11):
         raise NotImplementedError(f"TGA image type {img_type}")
-    if desc & 0xC0:
-        raise NotImplementedError("interleaved TGA")
+    ileave = (desc >> 6) & 0x3  # 0 none, 1 two-way, 2 four-way
+    if ileave == 3:
+        raise ValueError("TGA interleave flag 3 is reserved")
     if w <= 0 or h <= 0:
         raise ValueError(f"TGA dimensions {w}x{h}")
     if w * h > 64 * max(1, len(buf)):
@@ -592,14 +602,27 @@ def decode_tga(buf: bytes) -> tuple[int, int, int, bytes]:
     pos = 18 + id_len
     pal: list[bytes] = []
     if cmap_type == 1:
-        if cmap_bits not in (24, 32):
+        if cmap_bits in (15, 16):
+            entry = 2
+        elif cmap_bits in (24, 32):
+            entry = cmap_bits // 8
+        else:
             raise NotImplementedError(f"TGA palette depth {cmap_bits}")
-        entry = cmap_bits // 8
         if pos + entry * cmap_len > len(buf):
             raise ValueError("truncated TGA color map")
         for c in range(cmap_len):
-            b_, g_, r_ = buf[pos + entry * c : pos + entry * c + 3]
-            pal.append(bytes((r_, g_, b_)))
+            if entry == 2:
+                (v,) = struct.unpack(
+                    "<H", buf[pos + 2 * c : pos + 2 * c + 2]
+                )
+                pal.append(bytes((
+                    _tga_expand5((v >> 10) & 31),
+                    _tga_expand5((v >> 5) & 31),
+                    _tga_expand5(v & 31),
+                )))
+            else:
+                b_, g_, r_ = buf[pos + entry * c : pos + entry * c + 3]
+                pal.append(bytes((r_, g_, b_)))
         pos += entry * cmap_len
     if paletted:
         if cmap_type != 1 or not pal:
@@ -612,9 +635,12 @@ def decode_tga(buf: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError(f"gray TGA {pix_bits}-bit")
         nb = 1
     else:
-        if pix_bits not in (24, 32):
+        if pix_bits in (15, 16):
+            nb = 2
+        elif pix_bits in (24, 32):
+            nb = pix_bits // 8
+        else:
             raise NotImplementedError(f"truecolor TGA {pix_bits}-bit")
-        nb = pix_bits // 8
     n_px = w * h
     raw = bytearray()
     if not rle:
@@ -643,12 +669,23 @@ def decode_tga(buf: bytes) -> tuple[int, int, int, bytes]:
             # packets may not cross the image end (TGA spec 2.0 allows
             # crossing scan lines but not the image)
             raise ValueError("TGA RLE data overruns image")
-    # assemble output rows (stored bottom-up unless bit 5 set)
+    # assemble output rows (stored bottom-up unless bit 5 set;
+    # interleaved storage lists origin rows in 2 or 4 passes)
     out_ch = 1 if gray else (4 if (not paletted and nb == 4) else 3)
     out = bytearray(n_px * out_ch)
     npal = len(pal)
+    if ileave:
+        f = 2 if ileave == 1 else 4
+        storage_of = [0] * h
+        i = 0
+        for p in range(f):
+            for r in range(p, h, f):
+                storage_of[r] = i
+                i += 1
     for y in range(h):
         src_y = y if top_down else h - 1 - y
+        if ileave:
+            src_y = storage_of[src_y]
         for x in range(w):
             s = (src_y * w + x) * nb
             d = (y * w + x) * out_ch
@@ -659,6 +696,11 @@ def decode_tga(buf: bytes) -> tuple[int, int, int, bytes]:
                 if ci < cmap_first or ci - cmap_first >= npal:
                     raise ValueError(f"TGA palette index {ci} out of range")
                 out[d : d + 3] = pal[ci - cmap_first]
+            elif nb == 2:  # ARGB1555, little-endian
+                v = raw[s] | (raw[s + 1] << 8)
+                out[d] = _tga_expand5((v >> 10) & 31)
+                out[d + 1] = _tga_expand5((v >> 5) & 31)
+                out[d + 2] = _tga_expand5(v & 31)
             elif nb == 3:
                 out[d], out[d + 1], out[d + 2] = (
                     raw[s + 2], raw[s + 1], raw[s],
@@ -679,11 +721,19 @@ def encode_tga(
     top_down: bool = False,
     palette: list[bytes] | None = None,
     indices: bytes | None = None,
+    bits16: bool = False,
+    interleave: int = 0,
 ) -> bytes:
     """Encode a TGA fixture: gray (channels=1), truecolor 24/32-bit
-    (channels=3/4, stored BGR(A)), or paletted via
-    ``palette``+``indices``; optional RLE (run + raw packets) and
-    top-down origin."""
+    (channels=3/4, stored BGR(A)) or 16-bit ARGB1555 (``bits16``,
+    channels=3 — 8-bit input channels truncated to 5 bits, so decode's
+    bit replication returns (c & ~7) | (c >> 5)), or paletted via
+    ``palette``+``indices``; optional RLE (run + raw packets),
+    top-down origin, and legacy two-/four-way ``interleave`` (1/2)."""
+    if interleave not in (0, 1, 2):
+        raise ValueError("interleave must be 0 (none), 1 (two-way), 2 (four-way)")
+    if bits16 and (palette is not None or channels != 3):
+        raise ValueError("bits16 applies to truecolor channels=3 only")
     if palette is not None:
         if indices is None or len(indices) != w * h:
             raise ValueError("index buffer size mismatch")
@@ -700,6 +750,14 @@ def encode_tga(
         if channels == 1:
             img_type, nb = 3, 1
             stored = bytes(pixels)
+        elif bits16:
+            img_type, nb = 2, 2
+            s = bytearray()
+            for k in range(w * h):
+                r_, g_, b_ = pixels[k * 3 : k * 3 + 3]
+                v = ((r_ >> 3) << 10) | ((g_ >> 3) << 5) | (b_ >> 3)
+                s += struct.pack("<H", v)
+            stored = bytes(s)
         else:
             img_type, nb = 2, channels
             s = bytearray()
@@ -709,9 +767,16 @@ def encode_tga(
                     p[3:4] if channels == 4 else b""
                 )
             stored = bytes(s)
-    # row order on disk: bottom-up unless top_down
+    # row order on disk: bottom-up unless top_down, then the legacy
+    # pass interleave (origin rows in 2 or 4 passes)
     rows = [stored[y * w * nb : (y + 1) * w * nb] for y in range(h)]
-    disk = b"".join(rows if top_down else rows[::-1])
+    origin_rows = rows if top_down else rows[::-1]
+    if interleave:
+        f = 2 * interleave
+        origin_rows = [
+            origin_rows[r] for p in range(f) for r in range(p, h, f)
+        ]
+    disk = b"".join(origin_rows)
     if rle:
         enc = bytearray()
         px = [disk[k * nb : (k + 1) * nb] for k in range(w * h)]
@@ -737,7 +802,8 @@ def encode_tga(
         "<BBBHHBHHHHBB",
         0, cmap_type, img_type + (8 if rle else 0),
         0, cmap_len, cmap_bits,
-        0, 0, w, h, 8 * nb, 0x20 if top_down else 0,
+        0, 0, w, h, 8 * nb,
+        (0x20 if top_down else 0) | (interleave << 6),
     )
     return hdr + cmap + disk
 
@@ -749,7 +815,10 @@ def encode_tga(
 # and 32773 (PackBits), photometric gray (0/1), RGB(A) (2, via
 # SamplesPerPixel + ExtraSamples), and palette (3, 16-bit ColorMap
 # entries reduced to their high byte per the spec's 8-bit rendering).
-# LZW / JPEG-in-TIFF / tiled / 16-bit stay a documented
+# Round 15 adds TILED layout (TileWidth/Length/Offsets/ByteCounts,
+# edge-tile pad cropped) and planar configuration 2 (plane-major
+# strip sequences interleaved on output). LZW / JPEG-in-TIFF /
+# 16-bit samples / tiled-planar stay a documented
 # NotImplementedError seam (LZW-TIFF's early-change wrinkle has no
 # independent test vector in this sandbox — a self-consistent-but
 # -wrong pair would be worse than the seam).
@@ -888,37 +957,92 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF bits-per-sample {bits}")
-    if one(284, 1) != 1:
-        raise NotImplementedError("TIFF planar configuration 2")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF planar configuration {planar}")
+    tiled = 322 in tags or 323 in tags
+    if tiled and planar == 2:
+        raise NotImplementedError("tiled TIFF with planar configuration 2")
     if compression not in (1, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression}: only none (1) and"
             " PackBits (32773) decode here — LZW/JPEG-in-TIFF are the"
             " documented seam"
         )
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing/mismatched strip tables")
-    rows_per_strip = one(278, h)
-    stride = w * spp
-    raw = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+
+    def read_chunk(off: int, cnt: int, expected: int) -> bytes:
         if off + cnt > len(buf):
-            raise ValueError("TIFF strip extent past end of file")
-        n_rows = min(rows_per_strip, h - si * rows_per_strip)
-        if n_rows <= 0:
-            raise ValueError("TIFF has more strips than rows")
-        expected = n_rows * stride
+            raise ValueError("TIFF strip/tile extent past end of file")
         chunk = buf[off : off + cnt]
         if compression == 32773:
-            raw += _packbits_decode(chunk, expected)
+            return _packbits_decode(chunk, expected)
+        if len(chunk) < expected:
+            raise ValueError("truncated TIFF strip/tile")
+        return chunk[:expected]
+
+    stride = w * spp
+    if tiled:
+        # tiles left-to-right, top-to-bottom; edge tiles padded to
+        # the full tile extent (pad cropped on assembly)
+        tw, th = one(322), one(323)
+        if tw <= 0 or th <= 0:
+            raise ValueError(f"TIFF tile extent {tw}x{th}")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing/mismatched tile tables")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(offsets) != across * down:
+            raise ValueError("TIFF tile count does not cover the image")
+        raw = bytearray(h * stride)
+        tile_bytes = tw * th * spp
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            tile = read_chunk(off, cnt, tile_bytes)
+            ty, tx = divmod(ti, across)
+            n_rows = min(th, h - ty * th)
+            n_cols = min(tw, w - tx * tw)
+            for r in range(n_rows):
+                d = ((ty * th + r) * w + tx * tw) * spp
+                s = r * tw * spp
+                raw[d : d + n_cols * spp] = tile[s : s + n_cols * spp]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing/mismatched strip tables")
+        rows_per_strip = one(278, h)
+        if planar == 2:
+            # plane-major strips: every sample's rows form their own
+            # strip sequence; interleave planes into chunky output
+            per_plane = (h + rows_per_strip - 1) // rows_per_strip
+            if len(offsets) != spp * per_plane:
+                raise ValueError(
+                    "TIFF planar strip count does not cover all planes"
+                )
+            planes: list[bytearray] = []
+            for p in range(spp):
+                plane = bytearray()
+                for si in range(per_plane):
+                    n_rows = min(rows_per_strip, h - si * rows_per_strip)
+                    if n_rows <= 0:
+                        raise ValueError("TIFF has more strips than rows")
+                    k = p * per_plane + si
+                    plane += read_chunk(
+                        offsets[k], counts[k], n_rows * w
+                    )
+                planes.append(plane)
+            raw = bytearray(h * stride)
+            for k in range(w * h):
+                for p in range(spp):
+                    raw[k * spp + p] = planes[p][k]
         else:
-            if len(chunk) < expected:
-                raise ValueError("truncated TIFF strip")
-            raw += chunk[:expected]
+            raw = bytearray()
+            for si, (off, cnt) in enumerate(zip(offsets, counts)):
+                n_rows = min(rows_per_strip, h - si * rows_per_strip)
+                if n_rows <= 0:
+                    raise ValueError("TIFF has more strips than rows")
+                raw += read_chunk(off, cnt, n_rows * stride)
     if len(raw) != h * stride:
         raise ValueError("TIFF strip data size mismatch")
     if photometric in (1, 2):  # gray black-is-zero / RGB(A)
@@ -949,19 +1073,63 @@ def encode_tiff(
     packbits: bool = False,
     rows_per_strip: int = 3,
     colormap: list[tuple[int, int, int]] | None = None,
+    planar: bool = False,
+    tiles: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode a baseline TIFF fixture: multi-strip (rows_per_strip
     forces a real strip walk), II or MM byte order, optional PackBits,
     optional 256-entry 16-bit ColorMap (channels=1 indices +
-    photometric 3). Fixture source for :func:`decode_tiff`."""
+    photometric 3), optional ``planar`` configuration 2 (plane-major
+    strip sequences), optional ``tiles=(tw, th)`` tiled layout
+    (zero-padded edge tiles). Fixture source for :func:`decode_tiff`."""
     e = ">" if big_endian else "<"
     if len(pixels) != w * h * channels:
         raise ValueError("pixel buffer size mismatch")
+    if planar and tiles is not None:
+        raise ValueError("tiled planar TIFF is the documented seam")
+    if planar and channels < 2:
+        raise ValueError("planar needs channels >= 2")
     stride = w * channels
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        rows = pixels[y0 * stride : min(y0 + rows_per_strip, h) * stride]
-        strips.append(_packbits_encode(rows) if packbits else rows)
+    strips: list[bytes] = []
+    if tiles is not None:
+        tw, th = tiles
+        if tw <= 0 or th <= 0:
+            raise ValueError("tile extents must be positive")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        for ty in range(down):
+            for tx in range(across):
+                tile = bytearray()
+                for r in range(th):
+                    y = ty * th + r
+                    row = bytearray(tw * channels)
+                    if y < h:
+                        n_cols = min(tw, w - tx * tw)
+                        s = (y * w + tx * tw) * channels
+                        row[: n_cols * channels] = pixels[
+                            s : s + n_cols * channels
+                        ]
+                    tile += row
+                strips.append(
+                    _packbits_encode(bytes(tile)) if packbits
+                    else bytes(tile)
+                )
+    elif planar:
+        for p in range(channels):
+            plane = bytes(
+                pixels[k * channels + p] for k in range(w * h)
+            )
+            for y0 in range(0, h, rows_per_strip):
+                seg = plane[y0 * w : min(y0 + rows_per_strip, h) * w]
+                strips.append(
+                    _packbits_encode(seg) if packbits else seg
+                )
+    else:
+        for y0 in range(0, h, rows_per_strip):
+            rows = pixels[
+                y0 * stride : min(y0 + rows_per_strip, h) * stride
+            ]
+            strips.append(_packbits_encode(rows) if packbits else rows)
 
     if colormap is not None:
         if channels != 1 or len(colormap) != 256:
@@ -983,12 +1151,19 @@ def encode_tiff(
     add(259, 3, [32773 if packbits else 1])
     add(262, 3, [photometric])
     add(277, 3, [channels])
-    add(278, 3, [min(rows_per_strip, h)])
     if channels == 4:
         add(338, 3, [2])  # ExtraSamples: unassociated alpha
+    if planar:
+        add(284, 3, [2])
+    off_tag, cnt_tag = (324, 325) if tiles is not None else (273, 279)
+    if tiles is not None:
+        add(322, 3, [tiles[0]])
+        add(323, 3, [tiles[1]])
+    else:
+        add(278, 3, [min(rows_per_strip, h)])
     n_strip_placeholder = [0] * len(strips)
-    add(273, 4, n_strip_placeholder)  # StripOffsets (patched below)
-    add(279, 4, [len(s) for s in strips])
+    add(off_tag, 4, n_strip_placeholder)  # offsets (patched below)
+    add(cnt_tag, 4, [len(s) for s in strips])
     if colormap is not None:
         cmap_vals = (
             [c[0] for c in colormap]
@@ -1018,16 +1193,16 @@ def encode_tiff(
         else:
             blocks.append(payload)
             encoded_entries.append((tag, typ, cnt, None, pos))
-            if tag == 273:
+            if tag == off_tag:
                 strip_off_patch = (len(blocks) - 1, pos)
             pos += size
     strip_offsets = []
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
-    # patch StripOffsets
+    # patch StripOffsets / TileOffsets
     for i, (tag, typ, cnt, inline, _off) in enumerate(encoded_entries):
-        if tag == 273:
+        if tag == off_tag:
             payload = b"".join(
                 struct.pack(e + "I", v) for v in strip_offsets
             )

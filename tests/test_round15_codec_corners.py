@@ -1,0 +1,205 @@
+"""Round-15 codec seam corners (VERDICT r14 missing item 4): TGA
+15/16-bit ARGB1555 pixels + 15/16-bit color-map entries + legacy
+two-/four-way interleaved storage; TIFF tiled layout
+(TileWidth/Length/Offsets/ByteCounts, padded edge tiles) and planar
+configuration 2 (plane-major strip sequences). Expectations are
+computed in pure Python from the documented conventions (5->8 bit
+replication (c<<3)|(c>>2); tile pad cropped; plane interleave),
+never by calling the decoder on itself beyond the encode->decode
+round trip under test."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mapreduceframework_spark.operators.imagecodec import (
+    decode_tga,
+    decode_tiff,
+    encode_tga,
+    encode_tiff,
+)
+
+
+def _px(w: int, h: int, ch: int, seed: int = 3) -> bytes:
+    return bytes((seed * 7 + i * 13) % 256 for i in range(w * h * ch))
+
+
+def _expand5(c: int) -> int:
+    return (c << 3) | (c >> 2)
+
+
+def _expected16(pix: bytes) -> bytes:
+    # encoder truncates to 5 bits, decoder bit-replicates
+    return bytes(_expand5(b >> 3) for b in pix)
+
+
+# ---------------------------------------------------------------------------
+# TGA 15/16-bit
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("rle", [False, True])
+@pytest.mark.parametrize("top_down", [False, True])
+def test_tga_16bit_truecolor(rle, top_down):
+    w, h = 9, 5
+    pix = _px(w, h, 3)
+    buf = encode_tga(w, h, pix, 3, rle=rle, top_down=top_down, bits16=True)
+    assert buf[16] == 16  # pixel depth byte
+    got = decode_tga(buf)
+    assert got == (w, h, 3, _expected16(pix))
+
+
+def test_tga_15bit_depth_byte_accepted():
+    # 15-bit is the same ARGB1555 layout with the attribute bit
+    # unspecified; patch the depth byte of a 16-bit fixture.
+    w, h = 4, 3
+    pix = _px(w, h, 3, seed=5)
+    buf = bytearray(encode_tga(w, h, pix, 3, bits16=True))
+    buf[16] = 15
+    assert decode_tga(bytes(buf)) == (w, h, 3, _expected16(pix))
+
+
+def test_tga_16bit_colormap_entries():
+    # Hand-build a paletted TGA whose color map entries are 16-bit
+    # ARGB1555 (cmap_bits=16): 4 entries, 3x2 image, bottom-up.
+    w, h = 3, 2
+    entries555 = [(31, 0, 0), (0, 31, 0), (0, 0, 31), (10, 20, 5)]
+    cmap = b"".join(
+        struct.pack("<H", (r << 10) | (g << 5) | b)
+        for r, g, b in entries555
+    )
+    idx_rows = [bytes((0, 1, 2)), bytes((3, 0, 1))]  # display order
+    disk = idx_rows[1] + idx_rows[0]  # bottom-up
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 1, 1, 0, len(entries555), 16, 0, 0, w, h, 8, 0
+    )
+    got = decode_tga(hdr + cmap + disk)
+    pal_rgb = [
+        bytes((_expand5(r), _expand5(g), _expand5(b)))
+        for r, g, b in entries555
+    ]
+    want = b"".join(pal_rgb[i] for row in idx_rows for i in row)
+    assert got == (w, h, 3, want)
+
+
+# ---------------------------------------------------------------------------
+# TGA interleaved storage
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interleave", [1, 2])
+@pytest.mark.parametrize("top_down", [False, True])
+@pytest.mark.parametrize("rle", [False, True])
+def test_tga_interleaved_truecolor(interleave, top_down, rle):
+    w, h = 5, 7  # odd height exercises uneven passes
+    pix = _px(w, h, 3, seed=9)
+    buf = encode_tga(
+        w, h, pix, 3, rle=rle, top_down=top_down, interleave=interleave
+    )
+    assert (buf[17] >> 6) == interleave
+    assert decode_tga(buf) == (w, h, 3, pix)
+
+
+def test_tga_interleaved_gray_and_16bit():
+    w, h = 6, 5
+    gray = _px(w, h, 1, seed=11)
+    assert decode_tga(encode_tga(w, h, gray, 1, interleave=1)) == (
+        w, h, 1, gray,
+    )
+    pix = _px(w, h, 3, seed=13)
+    assert decode_tga(
+        encode_tga(w, h, pix, 3, bits16=True, interleave=2)
+    ) == (w, h, 3, _expected16(pix))
+
+
+def test_tga_interleave_flag_3_rejected():
+    buf = bytearray(encode_tga(3, 3, _px(3, 3, 3), 3))
+    buf[17] |= 0xC0
+    with pytest.raises(ValueError, match="reserved"):
+        decode_tga(bytes(buf))
+
+
+def test_tga_encoder_rejects_bad_options():
+    with pytest.raises(ValueError, match="interleave"):
+        encode_tga(2, 2, _px(2, 2, 3), 3, interleave=3)
+    with pytest.raises(ValueError, match="bits16"):
+        encode_tga(2, 2, _px(2, 2, 4), 4, bits16=True)
+
+
+# ---------------------------------------------------------------------------
+# TIFF tiled
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("packbits", [False, True])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_tiled_rgb(packbits, big_endian):
+    w, h = 7, 5  # 2x2 tile grid with right+bottom padding
+    pix = _px(w, h, 3, seed=4)
+    buf = encode_tiff(
+        w, h, pix, 3, big_endian=big_endian, packbits=packbits,
+        tiles=(4, 3),
+    )
+    assert decode_tiff(buf) == (w, h, 3, pix)
+
+
+def test_tiff_tiled_gray_exact_fit():
+    w, h = 8, 6  # tiles divide exactly: no padding path
+    pix = _px(w, h, 1, seed=6)
+    buf = encode_tiff(w, h, pix, 1, tiles=(4, 3))
+    assert decode_tiff(buf) == (w, h, 1, pix)
+
+
+def test_tiff_tiled_corruption():
+    buf = bytearray(
+        encode_tiff(7, 5, _px(7, 5, 3), 3, tiles=(4, 3))
+    )
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(buf[:-10]))  # truncated last tile
+
+
+# ---------------------------------------------------------------------------
+# TIFF planar configuration 2
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("packbits", [False, True])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_planar_rgb(packbits, big_endian):
+    w, h = 5, 4  # rows_per_strip=3 -> 2 strips per plane, 6 total
+    pix = _px(w, h, 3, seed=8)
+    buf = encode_tiff(
+        w, h, pix, 3, big_endian=big_endian, packbits=packbits,
+        planar=True,
+    )
+    assert decode_tiff(buf) == (w, h, 3, pix)
+
+
+def test_tiff_planar_rgba():
+    w, h = 4, 3
+    pix = _px(w, h, 4, seed=2)
+    buf = encode_tiff(w, h, pix, 4, planar=True, rows_per_strip=2)
+    assert decode_tiff(buf) == (w, h, 4, pix)
+
+
+def test_tiff_planar_strip_count_checked():
+    buf = bytearray(encode_tiff(5, 4, _px(5, 4, 3), 3, planar=True))
+    # flip SamplesPerPixel (tag 277) value 3 -> 2: plane math breaks
+    e = "<"
+    (n_entries,) = struct.unpack(e + "H", buf[8:10])
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        (tag,) = struct.unpack(e + "H", buf[off : off + 2])
+        if tag == 277:
+            buf[off + 8 : off + 10] = struct.pack(e + "H", 2)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(buf))
+
+
+def test_tiff_seam_combinations_rejected():
+    with pytest.raises(ValueError, match="seam"):
+        encode_tiff(4, 3, _px(4, 3, 3), 3, planar=True, tiles=(2, 2))
+    with pytest.raises(ValueError, match="planar"):
+        encode_tiff(4, 3, _px(4, 3, 1), 1, planar=True)
