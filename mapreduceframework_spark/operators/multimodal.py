@@ -273,9 +273,13 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                         (d * IMG_PIX_A + k * IMG_PIX_B) % PAL_CAP_8
                         for k in range(w * h)
                     )
+                    # Layout knobs vary per doc but never change the
+                    # DECODED bytes, so the oracle is layout-blind
+                    # while the driver's value hash walks every path.
                     if m == 8:
                         payload = IC.encode_bmp(
                             w, h, b"",
+                            top_down=bool((d // 11) % 2),
                             palette=[_pal_rgb(d, c) for c in range(PAL_CAP_8)],
                             indices=idx, rle=True,
                         )
@@ -283,16 +287,18 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                     else:
                         # 16-bit ColorMap entries: v8 * 257 puts v8 in
                         # the high byte, which is what decode keeps.
+                        # Alternate strip+PackBits / TILED layouts.
                         payload = IC.encode_tiff(
                             w, h, idx, channels=1, big_endian=True,
                             packbits=True,
+                            tiles=(4, 3) if (d // 11) % 2 else None,
                             colormap=[
                                 tuple(v * 257 for v in _pal_rgb(d, c))
                                 for c in range(256)
                             ],
                         )
                         codec = "image/tiff"
-                elif m == 10:  # RLE truecolor TGA (bottom-up BGR)
+                elif m == 10:  # RLE truecolor TGA (BGR), varied layout
                     w = d % IMG_W_MOD + IMG_W_BASE
                     h = d % IMG_H_MOD + IMG_H_BASE
                     pix = bytes(
@@ -300,7 +306,12 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                         for i in range(w * h * 3)
                     )
                     payload, codec = (
-                        IC.encode_tga(w, h, pix, 3, rle=True), "image/tga",
+                        IC.encode_tga(
+                            w, h, pix, 3, rle=True,
+                            top_down=bool((d // 33) % 2),
+                            interleave=(d // 11) % 3,
+                        ),
+                        "image/tga",
                     )
                 elif m in (6, 7):  # paletted PNG
                     w = d % IMG_W_MOD + IMG_W_BASE
