@@ -91,70 +91,68 @@ def query(
 # Registry: 274 -> 277 (the three sanctioned video rows, VERDICT r13
 # item 5; freeze ceiling 278 held).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked (3): the round-14 video rows ---
-    "video_frame_sample_avi",
-    "video_frame_sample_mp4",
-    "video_scene_cuts_mjpeg",
-    # --- code-change sentinels (10): codec-matrix re-point +
-    #     exactness-queue conversions, each 3-SF re-verified this
-    #     session (manual sentinels first: shared-fragment changes
-    #     the planner cannot auto-flag) ---
-    "timeseries_forward_fill",
-    "timeseries_interpolate",
-    "streaming_sliding_avgs",
-    "agg_decimal_exact",
-    "events_sliding_windows",
-    "multimodal_audio_decode",
-    "multimodal_decode_features",
+    # --- manual code-change sentinels (13): the round-15 streaming
+    #     state-partition tuning lives in the shared
+    #     streaming/windows.py helper (all 12 streaming rows), and
+    #     multimodal_image_decode's oracle changed via the module
+    #     -level matrix constants — both invisible to the planner's
+    #     function-granular fingerprint; every row 3-SF re-verified
+    #     this session ---
     "multimodal_image_decode",
-    "text_bm25_topk",
-    "unpivot_price_components",
-    # --- the 3 remaining r07 rows (6 rounds stale) ---
-    "timeseries_ewma",
-    "union_by_name_evolved",
-    "window_rolling_distinct_users",
-    # --- stalest refresh: the oldest r08 cohort, oldest-first
-    #     alphabetical per the planner ---
-    "agg_mode_exact",
-    "agg_weighted_median",
-    "ann_cosine_lsh",
-    "ann_mmr_rerank",
-    "cdc_merkle_reconcile",
-    "dedup_edit_distance_verify",
-    "embedding_centroid_drift",
-    "events_anomaly_mad",
-    "events_cohort_ltv",
-    "events_rfm_segments",
-    "events_top_paths",
-    "join_anti",
-    "join_attribution_first_touch",
-    "join_broadcast",
-    "join_cross",
-    "join_full_outer",
-    "join_inner",
-    "join_interval_overlap",
-    "join_left_agg",
-    "join_semi",
-    "join_theta",
-    "lakehouse_incremental_join",
-    "layout_zorder_clustering",
-    "mining_association_rules",
-    "mr_char_counts",
-    "mr_filter_evens",
-    "mr_histogram_mod100",
-    "pivot_status_by_priority",
-    "quality_char_entropy",
-    "sample_importance_dsir",
-    "sample_weighted_reservoir",
-    # --- late-r14 sentinels: the asof_join operator rewrite
-    #     (operators/joins.py cogroup -> batched merge_asof(by=key));
-    #     module-scoped change the planner cannot auto-flag, so these
-    #     displace the three planner-ordered-last r08 refreshes
-    #     (similarity_join_minhash, similarity_join_prefix_filter,
-    #     sort_global_ranked -> they lead the r15 staleness queue) ---
-    "join_asof",
-    "join_asof_forward_gap",
-    "join_asof_nearest",
+    "streaming_tumbling_counts",
+    "streaming_user_counts_stateful",
+    "streaming_sliding_avgs",
+    "streaming_dedup_keys",
+    "streaming_click_purchase_join",
+    "streaming_session_counts",
+    "streaming_static_enrich",
+    "streaming_click_purchase_left_join",
+    "streaming_click_purchase_full_join",
+    "streaming_threshold_alerts",
+    "streaming_foreachbatch_upsert",
+    "streaming_checkpoint_restart",
+    # --- auto sentinels (2): codec-matrix widening + the batched
+    #     cogroup rewrite ---
+    "multimodal_decode_features",
+    "udf_cogrouped_reconcile",
+    # --- stalest refresh: the remaining r08 cohort (9, incl. the
+    #     three planner-ordered-last rows the r14 asof sentinels
+    #     displaced), then the oldest r09s, planner order ---
+    "similarity_join_minhash",
+    "similarity_join_prefix_filter",
+    "sort_global_ranked",
+    "split_leakage_safe",
+    "stats_cusum_drift",
+    "text_chunk_sliding",
+    "timeseries_seasonal_profile",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
+    "agg_approx_count_distinct",
+    "agg_distinct_bitmap",
+    "ann_cosine_bruteforce",
+    "ann_cosine_ivf",
+    "dedup_semantic_clusters",
+    "dedup_substring_phase_pairs",
+    "events_attribution_time_decay",
+    "events_pattern_match_regex",
+    "events_peak_concurrency",
+    "events_sessionize_gaps",
+    "feature_hashing_trick",
+    "graph_hits",
+    "graph_kcore",
+    "multimodal_audio_energy",
+    "pack_binpack_harmonic",
+    "pack_bpe_chunks",
+    "reco_user_similarity",
+    "regression_by_event_type",
+    "sample_epoch_shuffle",
+    "sketch_ams_f2",
+    "sketch_kmv_setops",
+    "sketch_topk_misra_gries",
+    "source_orc_roundtrip",
+    "source_schema_evolution_merge",
+    "split_train_val_test",
+    "stats_regression_multi",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or
