@@ -86,6 +86,11 @@ def test_tga_corruption_never_leaks_raw_exceptions():
         IC.encode_tga(6, 4, _pix(96), channels=4, rle=True),
         IC.encode_tga(6, 4, _pix(24), channels=1, top_down=True),
         IC.encode_tga(7, 4, b"", palette=pal, indices=idx, rle=True),
+        # round-15 paths: 16-bit ARGB1555 (plain + RLE) and the
+        # legacy interleaved row orders
+        IC.encode_tga(6, 4, _pix(72), bits16=True),
+        IC.encode_tga(6, 4, _pix(72), bits16=True, rle=True, interleave=1),
+        IC.encode_tga(5, 7, _pix(105), interleave=2, top_down=True),
     ]
     for buf in fixtures:
         for cut in range(len(buf)):

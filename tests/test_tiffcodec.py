@@ -131,6 +131,12 @@ def test_tiff_corruption_never_leaks_raw_exceptions():
         IC.encode_tiff(6, 5, _pix(90)),
         IC.encode_tiff(6, 5, _pix(90), big_endian=True, packbits=True),
         IC.encode_tiff(6, 5, _pix(30), channels=1, colormap=cmap),
+        # round-15 paths: tiled (padded edge tiles, both compressions)
+        # and planar configuration 2
+        IC.encode_tiff(7, 5, _pix(105), tiles=(4, 3)),
+        IC.encode_tiff(7, 5, _pix(105), tiles=(4, 3), packbits=True,
+                       big_endian=True),
+        IC.encode_tiff(6, 5, _pix(90), planar=True, packbits=True),
     ]
     for buf in fixtures:
         for cut in range(len(buf)):
