@@ -203,3 +203,112 @@ def test_tiff_seam_combinations_rejected():
         encode_tiff(4, 3, _px(4, 3, 3), 3, planar=True, tiles=(2, 2))
     with pytest.raises(ValueError, match="planar"):
         encode_tiff(4, 3, _px(4, 3, 1), 1, planar=True)
+
+
+# ---- property-based round trips (hypothesis), round-15 paths ----
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    rle=st.booleans(),
+    top_down=st.booleans(),
+    interleave=st.sampled_from([0, 1, 2]),
+    data=st.data(),
+)
+def test_tga_16bit_interleave_property(w, h, rle, top_down, interleave, data):
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    buf = encode_tga(
+        w, h, pix, 3, rle=rle, top_down=top_down, bits16=True,
+        interleave=interleave,
+    )
+    assert decode_tga(buf) == (w, h, 3, _expected16(pix))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    interleave=st.sampled_from([1, 2]),
+    top_down=st.booleans(),
+    rle=st.booleans(),
+    data=st.data(),
+)
+def test_tga_24bit_interleave_property(w, h, interleave, top_down, rle, data):
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    buf = encode_tga(
+        w, h, pix, 3, rle=rle, top_down=top_down, interleave=interleave
+    )
+    assert decode_tga(buf) == (w, h, 3, pix)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 14),
+    h=st.integers(1, 14),
+    tw=st.integers(1, 8),
+    th=st.integers(1, 8),
+    channels=st.sampled_from([1, 3, 4]),
+    packbits=st.booleans(),
+    big_endian=st.booleans(),
+    data=st.data(),
+)
+def test_tiff_tiled_property(w, h, tw, th, channels, packbits, big_endian, data):
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    buf = encode_tiff(
+        w, h, pix, channels, big_endian=big_endian, packbits=packbits,
+        tiles=(tw, th),
+    )
+    assert decode_tiff(buf) == (w, h, channels, pix)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 14),
+    h=st.integers(1, 14),
+    channels=st.sampled_from([3, 4]),
+    rows_per_strip=st.integers(1, 6),
+    packbits=st.booleans(),
+    big_endian=st.booleans(),
+    data=st.data(),
+)
+def test_tiff_planar_property(
+    w, h, channels, rows_per_strip, packbits, big_endian, data
+):
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    buf = encode_tiff(
+        w, h, pix, channels, big_endian=big_endian, packbits=packbits,
+        planar=True, rows_per_strip=rows_per_strip,
+    )
+    assert decode_tiff(buf) == (w, h, channels, pix)
