@@ -44,6 +44,7 @@ Nothing here touches Spark; it's plain bytes -> (w, h, channels, pixels).
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -1622,10 +1623,13 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
     the wild carry LIST/INFO chunks in between) and returns
     ``(sample_rate, channels, n_frames, samples)`` with ``samples`` as
     little-endian int16 frame data. Formats decoded FOR REAL: 16-bit
-    PCM (tag 1), G.711 A-law (6) and mu-law (7), and IMA ADPCM (0x11,
-    per-block predictor headers + interleaved nibble words). Anything
-    else (MPEG, float PCM, ...) raises NotImplementedError — the
-    remaining documented audio seam."""
+    PCM (tag 1), IEEE float PCM (tag 3, 32- and 64-bit — round 15:
+    v = clamp(round_half_up(f * 32768), -32768, 32767), exact on the
+    int16 lattice f = s/32768; non-finite samples are rejected), G.711
+    A-law (6) and mu-law (7), and IMA ADPCM (0x11, per-block predictor
+    headers + interleaved nibble words). Anything else (MPEG, ...)
+    raises NotImplementedError — the remaining documented audio
+    seam."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     i = 12
@@ -1647,6 +1651,9 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
             if fmt_tag == 1:
                 if bits != 16:
                     raise NotImplementedError(f"{bits}-bit PCM not supported")
+            elif fmt_tag == 3:
+                if bits not in (32, 64):
+                    raise ValueError(f"IEEE float PCM with {bits} bits")
             elif fmt_tag in (6, 7):
                 if bits != 8:
                     raise ValueError(f"G.711 with {bits}-bit samples")
@@ -1676,6 +1683,22 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
         if len(data) % frame_bytes:
             raise ValueError("data chunk not a whole number of frames")
         return sample_rate, channels, len(data) // frame_bytes, data
+    if fmt_tag == 3:  # IEEE float PCM -> int16
+        sb = bits // 8
+        frame_bytes = sb * channels
+        if len(data) % frame_bytes:
+            raise ValueError("data chunk not a whole number of frames")
+        n = len(data) // sb
+        vals = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data)
+        pcm = bytearray(2 * n)
+        for k, f in enumerate(vals):
+            if f != f or f in (float("inf"), float("-inf")):
+                raise ValueError("non-finite float PCM sample")
+            v = math.floor(f * 32768.0 + 0.5)
+            struct.pack_into(
+                "<h", pcm, 2 * k, min(32767, max(-32768, v))
+            )
+        return sample_rate, channels, n // channels, bytes(pcm)
     if fmt_tag in (6, 7):
         table = alaw_to_linear if fmt_tag == 6 else ulaw_to_linear
         if len(data) % channels:
@@ -1763,6 +1786,39 @@ def encode_wav_g711(
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(data)) + data + pad
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_float(
+    sample_rate: int,
+    channels: int,
+    values: list[float],
+    bits: int = 32,
+) -> bytes:
+    """Encode float frames as an IEEE float PCM RIFF/WAVE (fmt tag 3,
+    32- or 64-bit), with the fact chunk non-PCM formats carry. To make
+    decode's int16 conversion exact, draw values from the int16
+    lattice (``s / 32768.0`` — every int16 is exactly representable in
+    float32 and the power-of-two divide is exact), the same
+    decoder-output-lattice trick the G.711 fixtures use."""
+    if bits not in (32, 64):
+        raise ValueError(f"float WAV bits {bits}")
+    if len(values) % channels:
+        raise ValueError("sample buffer not a whole number of frames")
+    sb = bits // 8
+    data = struct.pack(
+        f"<{len(values)}{'f' if bits == 32 else 'd'}", *values
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 3, channels, sample_rate,
+        sample_rate * channels * sb, channels * sb, bits,
+    )
+    fact = struct.pack("<I", len(values) // channels)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 

@@ -15,7 +15,7 @@ successive-approximation scans, IDCT, 4:2:0/4:2:2 chroma upsampling)
 ``operators/imagecodec.py``, no imaging library needed. The
 byte-level 'fake/v1' codec remains for payloads that are not images;
 what still genuinely needs external libraries (arithmetic-coded
-JPEG, MPEG/float-PCM audio, compressed video codecs like H.264/VP9)
+JPEG, MPEG audio, compressed video codecs like H.264/VP9)
 raises ``NotImplementedError`` so that seam stays explicit; G.711 and
 IMA ADPCM WAVs decode for real through the same ``decode_wav`` entry,
 and MJPEG-in-AVI and MP4 'jpeg'-sample video decode end to end
@@ -133,9 +133,9 @@ def decode_payload(payload: bytes, codec: str) -> bytes:
     all five scanline filters, incl. Adam7 interlace), netpbm PPM/PGM,
     baseline AND progressive JPEG, and GIF (r13) return raw
     interleaved pixel bytes; 'fake/v1' passes bytes through. Codecs
-    needing external libraries (arithmetic-coded JPEG, MPEG/float
-    audio, H.264/VP9 video) stay explicitly unimplemented;
-    G.711/IMA-ADPCM WAVs decode for real via decode_wav (r13)."""
+    needing external libraries (arithmetic-coded JPEG, MPEG audio,
+    H.264/VP9 video) stay explicitly unimplemented; G.711/IMA-ADPCM
+    (r13) and IEEE-float (r15) WAVs decode for real via decode_wav."""
     if codec == "fake/v1":
         return payload
     if codec in IMAGE_CODECS:
@@ -375,16 +375,26 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
 # the oracle SQL mirrors that recurrence (step/index tables inline)
 # via a struct-fold. Constants mirrored in the oracle; change both
 # together.
-AUD_MATRIX_VARIANTS = ("pcm16", "g711-ulaw", "g711-alaw", "ima-adpcm")
+AUD_MATRIX_VARIANTS = (
+    "pcm16", "g711-ulaw", "g711-alaw", "ima-adpcm", "float32",
+)
+AUD_MATRIX_MOD = len(AUD_MATRIX_VARIANTS)  # 5 since round 15
+# float32 (m=4, round 15): IEEE float PCM drawn from the int16
+# lattice f = s/32768 with s = ((d*31 + i*17) % 65536) - 32768, so
+# decode's round-half-up conversion returns s exactly and the uint16
+# digest word is ((d*31 + i*17) + 32768) % 65536 — deliberately NOT
+# the pcm16 formula, so a float path that aliased the int path would
+# break the hash.
 ADPCM_NIB_MOD = 5  # nibbles = 8 * (d % 5 + 1); frames = nibbles + 1
 ADPCM_NIB_A, ADPCM_NIB_B = 13, 7  # nibble[i] = (d*13 + i*7) % 16
 
 
 def synth_audio_matrix(docs: DataFrame) -> DataFrame:
     """Encode one real RIFF/WAVE per document across the audio codec
-    matrix (doc_id % 4): 16-bit PCM, G.711 mu-law, G.711 A-law, IMA
-    ADPCM — every sample an integer function of doc_id so the decode
-    oracle is analytic for every variant (see the matrix comment)."""
+    matrix (doc_id % 5): 16-bit PCM, G.711 mu-law, G.711 A-law, IMA
+    ADPCM, IEEE float32 PCM — every sample an integer (or exact
+    int16-lattice float) function of doc_id so the decode oracle is
+    analytic for every variant (see the matrix comment)."""
     from mapreduceframework_spark.operators import imagecodec as IC
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -392,9 +402,21 @@ def synth_audio_matrix(docs: DataFrame) -> DataFrame:
             rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                m = d % 4
+                m = d % AUD_MATRIX_MOD
                 rate = AUD_RATES[(d // 4) % 4]
-                if m == 3:  # IMA ADPCM: raw nibble stream, mono
+                if m == 4:  # IEEE float32 PCM from the int16 lattice
+                    frames = d % AUD_N_MOD + AUD_N_BASE
+                    ch = (d // 4) % AUD_CH_MOD + 1
+                    payload = IC.encode_wav_float(
+                        rate,
+                        ch,
+                        [
+                            (((d * AUD_S_A + i * AUD_S_B) % 65536) - 32768)
+                            / 32768.0
+                            for i in range(frames * ch)
+                        ],
+                    )
+                elif m == 3:  # IMA ADPCM: raw nibble stream, mono
                     nn = 8 * (d % ADPCM_NIB_MOD + 1)
                     payload = IC.encode_wav_ima_adpcm_stream(
                         rate,

@@ -5,12 +5,12 @@ mapInPandas — Arrow-batched, never per-row Python. Since round 14 the
 REGISTERED decode queries exercise the full codec matrix end to end:
 sequential + Adam7 + paletted PNG, PPM, baseline + progressive JPEG,
 GIF, RLE8 BMP, PackBits TIFF, RLE TGA on the image side (11 variants
-since round 15); PCM16, G.711 A-law/mu-law, IMA ADPCM WAV on the audio
-side; MJPEG-AVI and MP4('jpeg') containers on the video side — every
-path under a full DuckDB value-hash oracle. The remaining
-NotImplementedError seam is what genuinely needs external libraries:
-arithmetic-coded JPEG, MPEG/float audio, compressed video codecs
-(H.264/VP9).
+since round 15); PCM16, G.711 A-law/mu-law, IMA ADPCM, IEEE float32
+WAV on the audio side (5 variants since round 15); MJPEG-AVI and
+MP4('jpeg') containers on the video side — every path under a full
+DuckDB value-hash oracle. The remaining NotImplementedError seam is
+what genuinely needs external libraries: arithmetic-coded JPEG, MPEG
+audio, compressed video codecs (H.264/VP9).
 
 Split out of extension_queries.py in round 7 (pure move, zero renames).
 """
@@ -236,7 +236,7 @@ _ALAW_U16_SQL = """[ [ CASE WHEN a >= 128 THEN t2 ELSE 65536 - t2 END
     "multimodal_audio_decode",
     oracle=f"""
         WITH p AS (
-            SELECT doc_id, doc_id % 4 AS m,
+            SELECT doc_id, doc_id % 5 AS m,
                    (doc_id // 4) % 2 + 1 AS ch2,
                    CASE (doc_id // 4) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                         WHEN 2 THEN 22050 ELSE 44100 END AS rate,
@@ -245,8 +245,8 @@ _ALAW_U16_SQL = """[ [ CASE WHEN a >= 128 THEN t2 ELSE 65536 - t2 END
             FROM documents)
         SELECT doc_id,
                CASE m WHEN 0 THEN 'pcm16' WHEN 1 THEN 'g711-ulaw'
-                      WHEN 2 THEN 'g711-alaw'
-                      ELSE 'ima-adpcm' END AS variant,
+                      WHEN 2 THEN 'g711-alaw' WHEN 3 THEN 'ima-adpcm'
+                      ELSE 'float32' END AS variant,
                CAST(rate AS BIGINT) AS sample_rate,
                CAST(CASE WHEN m = 3 THEN 1 ELSE ch2 END AS BIGINT)
                    AS channels,
@@ -255,6 +255,10 @@ _ALAW_U16_SQL = """[ [ CASE WHEN a >= 128 THEN t2 ELSE 65536 - t2 END
                CAST(CASE m
                  WHEN 0 THEN list_reduce(list_prepend(0,
                      [ (doc_id * 31 + i * 17) % 65536
+                       for i in range(0, frames2 * ch2) ]),
+                     (acc, v) -> (acc * 31 + v) % 1000000007)
+                 WHEN 4 THEN list_reduce(list_prepend(0,
+                     [ (doc_id * 31 + i * 17 + 32768) % 65536
                        for i in range(0, frames2 * ch2) ]),
                      (acc, v) -> (acc * 31 + v) % 1000000007)
                  WHEN 1 THEN list_reduce(list_prepend(0,
@@ -300,19 +304,25 @@ _ALAW_U16_SQL = """[ [ CASE WHEN a >= 128 THEN t2 ELSE 65536 - t2 END
 )
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode across the full WAV codec matrix,
-    value-checked end to end (round 14 re-point): per doc_id % 4 the
-    payload is 16-bit PCM (with a LIST chunk so fixed-offset parsing
-    fails), G.711 mu-law, G.711 A-law, or IMA ADPCM — and the engine
+    value-checked end to end (round 14 re-point; widened to 5
+    variants in round 15): per doc_id % 5 the payload is 16-bit PCM
+    (with a LIST chunk so fixed-offset parsing fails), G.711 mu-law,
+    G.711 A-law, IMA ADPCM, or IEEE FLOAT32 PCM — and the engine
     decodes every payload back through the pure-Python RIFF chunk
     walker (operators/imagecodec.py decode_wav: fmt-tag dispatch,
-    G.711 expansion, per-block ADPCM predictor recurrence) in one
-    Arrow-batched mapInPandas stage. The G.711 fixtures draw PCM from
-    the decoder-output lattice (encode inverts decode exactly there;
-    mu-law skips codeword 127, the negative-zero alias), and the
-    ADPCM fixture carries a synthesized nibble stream whose decode
-    the oracle REPLAYS — the full step/index recurrence as a DuckDB
-    struct fold with inline tables. Any decode bug in any of the four
-    paths breaks the value hash. Partition-preserving, no shuffle."""
+    G.711 expansion, per-block ADPCM predictor recurrence, float
+    -to-int16 conversion) in one Arrow-batched mapInPandas stage. The
+    G.711 fixtures draw PCM from the decoder-output lattice (encode
+    inverts decode exactly there; mu-law skips codeword 127, the
+    negative-zero alias); the float fixture draws from the int16
+    lattice f = s/32768 (exact in float32, so the round-half-up
+    conversion inverts exactly — and its digest formula is offset by
+    +32768 from pcm16's, so a float path aliasing the int path breaks
+    the hash); the ADPCM fixture carries a synthesized nibble stream
+    whose decode the oracle REPLAYS — the full step/index recurrence
+    as a DuckDB struct fold with inline tables. Any decode bug in any
+    of the five paths breaks the value hash. Partition-preserving, no
+    shuffle."""
     from mapreduceframework_spark.operators import multimodal as M
     from mapreduceframework_spark.sources.registry import ensure_min_partitions
 

@@ -115,6 +115,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     cogroup rewrite ---
     "multimodal_decode_features",
     "udf_cogrouped_reconcile",
+    # --- late-r15 sentinel: the float32 audio-matrix widening
+    #     (displaces the planner-ordered-last r09 refresh,
+    #     stats_regression_multi, which leads r16's queue) ---
+    "multimodal_audio_decode",
     # --- stalest refresh: the remaining r08 cohort (9, incl. the
     #     three planner-ordered-last rows the r14 asof sentinels
     #     displaced), then the oldest r09s, planner order ---
@@ -152,7 +156,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_orc_roundtrip",
     "source_schema_evolution_merge",
     "split_train_val_test",
-    "stats_regression_multi",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or

@@ -182,8 +182,17 @@ def _adpcm_decode(pred: int, idx: int, nibbles: list[int]) -> list[int]:
 
 
 def _audio_matrix_expect(d: int) -> tuple[str, int, int, int, int]:
-    m = d % 4
+    m = d % 5
     rate = AUD_RATES[(d // 4) % 4]
+    if m == 4:
+        # IEEE float32 from the int16 lattice: decode returns the
+        # signed lattice value; digest folds its uint16 word.
+        frames = d % 50 + 10
+        ch = (d // 4) % 2 + 1
+        dig = _fold(
+            (d * 31 + i * 17 + 32768) % 65536 for i in range(frames * ch)
+        )
+        return "float32", rate, ch, frames, dig
     if m == 3:
         nn = 8 * (d % 5 + 1)
         pcm = _adpcm_decode(
@@ -225,7 +234,7 @@ def test_audio_decode_matrix_matches_python(spark, sf_dir):
     }
     assert got == want
     assert {v for v, *_ in got.values()} == {
-        "pcm16", "g711-ulaw", "g711-alaw", "ima-adpcm",
+        "pcm16", "g711-ulaw", "g711-alaw", "ima-adpcm", "float32",
     }
 
 

@@ -312,3 +312,54 @@ def test_tiff_planar_property(
         planar=True, rows_per_strip=rows_per_strip,
     )
     assert decode_tiff(buf) == (w, h, channels, pix)
+
+
+# ---------------------------------------------------------------------------
+# IEEE float WAV (fmt tag 3) — round 15
+# ---------------------------------------------------------------------------
+
+from mapreduceframework_spark.operators.imagecodec import (
+    decode_wav,
+    encode_wav_float,
+)
+
+
+@pytest.mark.parametrize("bits", [32, 64])
+def test_float_wav_lattice_exact(bits):
+    # int16 lattice f = s/32768 is exact in float32, so decode's
+    # round-half-up conversion returns s verbatim for both widths.
+    samples = [-32768, -12345, -1, 0, 1, 2, 32766, 32767]
+    buf = encode_wav_float(
+        22050, 2, [s / 32768.0 for s in samples], bits=bits
+    )
+    rate, ch, frames, pcm = decode_wav(buf)
+    assert (rate, ch, frames) == (22050, 2, len(samples) // 2)
+    assert list(struct.unpack(f"<{len(samples)}h", pcm)) == samples
+
+
+def test_float_wav_clamps_out_of_range():
+    buf = encode_wav_float(8000, 1, [1.0, -1.5, 0.99999])
+    _, _, _, pcm = decode_wav(buf)
+    assert list(struct.unpack("<3h", pcm)) == [32767, -32768, 32767]
+
+
+def test_float_wav_rounding_convention():
+    # off-lattice values round half away from zero upward (floor(x+.5))
+    buf = encode_wav_float(8000, 1, [0.5 / 32768.0 * 3, 1.5 / 32768.0])
+    _, _, _, pcm = decode_wav(buf)
+    assert list(struct.unpack("<2h", pcm)) == [2, 2]
+
+
+def test_float_wav_rejects_bad_input():
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_wav(encode_wav_float(8000, 1, [float("inf")]))
+    with pytest.raises(ValueError, match="bits"):
+        encode_wav_float(8000, 1, [0.0], bits=16)
+    with pytest.raises(ValueError, match="frames"):
+        encode_wav_float(8000, 2, [0.0])
+    # 16-bit float PCM is malformed per the fmt tag, not a seam
+    buf = bytearray(encode_wav_float(8000, 1, [0.0]))
+    k = buf.index(b"fmt ")
+    struct.pack_into("<H", buf, k + 8 + 14, 16)  # bits field
+    with pytest.raises(ValueError, match="float PCM"):
+        decode_wav(bytes(buf))
