@@ -1622,14 +1622,18 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
     ``fmt ``/``fact``/``data`` chunks wherever they appear (files in
     the wild carry LIST/INFO chunks in between) and returns
     ``(sample_rate, channels, n_frames, samples)`` with ``samples`` as
-    little-endian int16 frame data. Formats decoded FOR REAL: 16-bit
-    PCM (tag 1), IEEE float PCM (tag 3, 32- and 64-bit — round 15:
+    little-endian int16 frame data. Formats decoded FOR REAL: integer
+    PCM (tag 1 — 16-bit verbatim; round 15 adds 8-bit unsigned,
+    (b - 128) << 8, and 24-bit signed, top two bytes kept), IEEE
+    float PCM (tag 3, 32- and 64-bit — round 15:
     v = clamp(round_half_up(f * 32768), -32768, 32767), exact on the
     int16 lattice f = s/32768; non-finite samples are rejected), G.711
-    A-law (6) and mu-law (7), and IMA ADPCM (0x11, per-block predictor
-    headers + interleaved nibble words). Anything else (MPEG, ...)
-    raises NotImplementedError — the remaining documented audio
-    seam."""
+    A-law (6) and mu-law (7), IMA ADPCM (0x11, per-block predictor
+    headers + interleaved nibble words), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE — round 15: the 16-byte SubFormat GUID's leading tag
+    unwraps to any of the above; the wrapper every multi-channel or
+    >16-bit writer emits). Anything else (MPEG, ...) raises
+    NotImplementedError — the remaining documented audio seam."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     i = 12
@@ -1648,8 +1652,29 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
             fmt_tag, channels, sample_rate = struct.unpack("<HHI", body[:8])
             (block_align,) = struct.unpack("<H", body[12:14])
             (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_tag == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: cbSize(2) + valid bits(2) +
+                # channel mask(4) + SubFormat GUID whose first two
+                # bytes are the wrapped format tag.
+                if length < 40:
+                    raise ValueError(
+                        f"EXTENSIBLE fmt chunk too short: {length}"
+                    )
+                (fmt_tag,) = struct.unpack("<H", body[24:26])
+                if body[26:40] != (
+                    b"\x00\x00\x00\x00\x10\x00\x80\x00"
+                    b"\x00\xaa\x00\x38\x9b\x71"
+                ):
+                    raise ValueError(
+                        "EXTENSIBLE SubFormat GUID is not a"
+                        " KSDATAFORMAT_SUBTYPE"
+                    )
+                if fmt_tag not in (1, 3):
+                    raise NotImplementedError(
+                        f"EXTENSIBLE wrapping format tag {fmt_tag}"
+                    )
             if fmt_tag == 1:
-                if bits != 16:
+                if bits not in (8, 16, 24):
                     raise NotImplementedError(f"{bits}-bit PCM not supported")
             elif fmt_tag == 3:
                 if bits not in (32, 64):
@@ -1679,10 +1704,21 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
     if channels < 1:
         raise ValueError(f"malformed fmt chunk: channels={channels}")
     if fmt_tag == 1:
-        frame_bytes = 2 * channels
+        sb = bits // 8
+        frame_bytes = sb * channels
         if len(data) % frame_bytes:
             raise ValueError("data chunk not a whole number of frames")
-        return sample_rate, channels, len(data) // frame_bytes, data
+        if bits == 16:
+            return sample_rate, channels, len(data) // frame_bytes, data
+        n = len(data) // sb
+        pcm = bytearray(2 * n)
+        if bits == 8:  # unsigned byte -> int16
+            for k in range(n):
+                struct.pack_into("<h", pcm, 2 * k, (data[k] - 128) << 8)
+        else:  # 24-bit little-endian signed -> top two bytes
+            pcm = bytearray(data[k] for j in range(n)
+                            for k in (3 * j + 1, 3 * j + 2))
+        return sample_rate, channels, n // channels, bytes(pcm)
     if fmt_tag == 3:  # IEEE float PCM -> int16
         sb = bits // 8
         frame_bytes = sb * channels
@@ -1790,14 +1826,77 @@ def encode_wav_g711(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+_EXT_GUID_TAIL = (
+    b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+)
+
+
+def _wav_fmt_chunk(
+    tag: int, channels: int, rate: int, bits: int, extensible: bool
+) -> bytes:
+    """fmt chunk bytes: plain 16-byte PCM layout, or the 40-byte
+    WAVE_FORMAT_EXTENSIBLE wrapper (cbSize 22, valid bits = bits,
+    channel mask 0, SubFormat GUID = KSDATAFORMAT_SUBTYPE_<tag>)."""
+    sb = bits // 8
+    body = struct.pack(
+        "<HHIIHH", 0xFFFE if extensible else tag, channels, rate,
+        rate * channels * sb, channels * sb, bits,
+    )
+    if extensible:
+        body += struct.pack("<HHI", 22, bits, 0)
+        body += struct.pack("<H", tag) + _EXT_GUID_TAIL
+    return b"fmt " + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_pcm(
+    sample_rate: int,
+    channels: int,
+    samples: bytes,
+    bits: int = 16,
+    extensible: bool = False,
+) -> bytes:
+    """Encode int16 LE frame data as integer PCM at 8/16/24 bits
+    (8-bit stores the unsigned top byte, so decode inverts exactly
+    when the int16 low byte is zero; 24-bit stores s << 8, which
+    decode inverts exactly for every int16), optionally inside the
+    WAVE_FORMAT_EXTENSIBLE wrapper."""
+    if bits not in (8, 16, 24):
+        raise ValueError(f"PCM bits {bits}")
+    if len(samples) % (2 * channels):
+        raise ValueError("sample buffer not a whole number of frames")
+    n = len(samples) // 2
+    if bits == 16:
+        data = samples
+    elif bits == 8:
+        data = bytes(
+            ((struct.unpack_from("<h", samples, 2 * k)[0] >> 8) + 128)
+            & 0xFF
+            for k in range(n)
+        )
+    else:
+        out = bytearray()
+        for k in range(n):
+            (s,) = struct.unpack_from("<h", samples, 2 * k)
+            out += struct.pack("<i", s << 8)[:3]
+        data = bytes(out)
+    pad = b"\x00" if len(data) & 1 else b""
+    chunks = (
+        _wav_fmt_chunk(1, channels, sample_rate, bits, extensible)
+        + b"data" + struct.pack("<I", len(data)) + data + pad
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def encode_wav_float(
     sample_rate: int,
     channels: int,
     values: list[float],
     bits: int = 32,
+    extensible: bool = False,
 ) -> bytes:
     """Encode float frames as an IEEE float PCM RIFF/WAVE (fmt tag 3,
-    32- or 64-bit), with the fact chunk non-PCM formats carry. To make
+    32- or 64-bit, optionally inside the WAVE_FORMAT_EXTENSIBLE
+    wrapper), with the fact chunk non-PCM formats carry. To make
     decode's int16 conversion exact, draw values from the int16
     lattice (``s / 32768.0`` — every int16 is exactly representable in
     float32 and the power-of-two divide is exact), the same
@@ -1806,17 +1905,12 @@ def encode_wav_float(
         raise ValueError(f"float WAV bits {bits}")
     if len(values) % channels:
         raise ValueError("sample buffer not a whole number of frames")
-    sb = bits // 8
     data = struct.pack(
         f"<{len(values)}{'f' if bits == 32 else 'd'}", *values
     )
-    fmt = struct.pack(
-        "<HHIIHH", 3, channels, sample_rate,
-        sample_rate * channels * sb, channels * sb, bits,
-    )
     fact = struct.pack("<I", len(values) // channels)
     chunks = (
-        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        _wav_fmt_chunk(3, channels, sample_rate, bits, extensible)
         + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(data)) + data
     )

@@ -404,7 +404,11 @@ def synth_audio_matrix(docs: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 m = d % AUD_MATRIX_MOD
                 rate = AUD_RATES[(d // 4) % 4]
-                if m == 4:  # IEEE float32 PCM from the int16 lattice
+                if m == 4:  # IEEE float PCM from the int16 lattice
+                    # Layout knobs (oracle-invariant — the lattice is
+                    # exact at both widths and the EXTENSIBLE wrapper
+                    # never changes decoded values): 32- vs 64-bit per
+                    # (d//5)%2, plain vs wrapped fmt per (d//10)%2.
                     frames = d % AUD_N_MOD + AUD_N_BASE
                     ch = (d // 4) % AUD_CH_MOD + 1
                     payload = IC.encode_wav_float(
@@ -415,6 +419,8 @@ def synth_audio_matrix(docs: DataFrame) -> DataFrame:
                             / 32768.0
                             for i in range(frames * ch)
                         ],
+                        bits=64 if (d // 5) % 2 else 32,
+                        extensible=bool((d // 10) % 2),
                     )
                 elif m == 3:  # IMA ADPCM: raw nibble stream, mono
                     nn = 8 * (d % ADPCM_NIB_MOD + 1)
@@ -431,13 +437,25 @@ def synth_audio_matrix(docs: DataFrame) -> DataFrame:
                     frames = d % AUD_N_MOD + AUD_N_BASE
                     ch = (d // 4) % AUD_CH_MOD + 1
                     n = frames * ch
-                    if m == 0:  # plain PCM16
+                    if m == 0:  # integer PCM
+                        # Layout knobs (oracle-invariant): half the
+                        # docs keep the classic 16-bit-with-LIST-chunk
+                        # file; the other half store the SAME stream
+                        # as 24-bit PCM (s << 8 on disk, top two bytes
+                        # back on decode — bit-exact), alternating the
+                        # EXTENSIBLE wrapper.
                         pcm = b"".join(
                             ((d * AUD_S_A + i * AUD_S_B) % 65536)
                             .to_bytes(2, "little")
                             for i in range(n)
                         )
-                        payload = IC.encode_wav(rate, ch, pcm)
+                        if (d // 5) % 2:
+                            payload = IC.encode_wav_pcm(
+                                rate, ch, pcm, bits=24,
+                                extensible=bool((d // 10) % 2),
+                            )
+                        else:
+                            payload = IC.encode_wav(rate, ch, pcm)
                     else:  # G.711: PCM from the decoder-output lattice
                         if m == 1:
                             cws = [

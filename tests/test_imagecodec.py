@@ -648,6 +648,11 @@ def _codec_fixture_matrix():
          IC.decode_jpeg),
         ("gif", IC.encode_gif(w, h, [rgb]), IC.decode_gif),
         ("wav", IC.encode_wav(8000, 2, pcm), IC.decode_wav),
+        ("wav-f32", IC.encode_wav_float(
+            8000, 1, [s / 32768.0 for s in range(-20, 20)]),
+         IC.decode_wav),
+        ("wav-pcm24-ext", IC.encode_wav_pcm(
+            8000, 2, pcm, bits=24, extensible=True), IC.decode_wav),
         ("g711", IC.encode_wav_g711(8000, 1, pcm, "ulaw"), IC.decode_wav),
         ("adpcm", IC.encode_wav_ima_adpcm_stream(
             8000, -5, 3, [i % 16 for i in range(16)]), IC.decode_wav),

@@ -363,3 +363,81 @@ def test_float_wav_rejects_bad_input():
     struct.pack_into("<H", buf, k + 8 + 14, 16)  # bits field
     with pytest.raises(ValueError, match="float PCM"):
         decode_wav(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# 8/24-bit PCM + WAVE_FORMAT_EXTENSIBLE — round 15
+# ---------------------------------------------------------------------------
+
+from mapreduceframework_spark.operators.imagecodec import encode_wav_pcm
+
+
+def _pcm16(samples):
+    return b"".join(struct.pack("<h", s) for s in samples)
+
+
+def test_pcm24_round_trips_every_int16():
+    samples = [-32768, -257, -256, -1, 0, 1, 255, 256, 32767]
+    buf = encode_wav_pcm(44100, 1, _pcm16(samples), bits=24)
+    rate, ch, frames, pcm = decode_wav(buf)
+    assert (rate, ch, frames) == (44100, 1, len(samples))
+    assert list(struct.unpack(f"<{len(samples)}h", pcm)) == samples
+
+
+def test_pcm8_round_trips_on_the_256_lattice():
+    samples = [s * 256 for s in (-128, -1, 0, 1, 127)]
+    buf = encode_wav_pcm(8000, 1, _pcm16(samples), bits=8)
+    _, _, frames, pcm = decode_wav(buf)
+    assert frames == len(samples)
+    assert list(struct.unpack(f"<{len(samples)}h", pcm)) == samples
+
+
+def test_pcm8_conversion_convention():
+    # decode maps unsigned byte b -> (b - 128) << 8; check off-lattice
+    buf = bytearray(encode_wav_pcm(8000, 1, _pcm16([0]), bits=8))
+    k = buf.index(b"data") + 8
+    for b, want in ((0, -32768), (128, 0), (255, 127 << 8)):
+        buf[k] = b
+        _, _, _, pcm = decode_wav(bytes(buf))
+        assert struct.unpack("<h", pcm)[0] == want
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24])
+def test_extensible_wrapper_pcm(bits):
+    lattice = 256 if bits == 8 else 1
+    samples = [s * lattice for s in (-3, -1, 0, 2, 5, 7)]
+    buf = encode_wav_pcm(22050, 2, _pcm16(samples), bits=bits,
+                         extensible=True)
+    assert struct.unpack_from("<H", buf, buf.index(b"fmt ") + 8)[0] == 0xFFFE
+    rate, ch, frames, pcm = decode_wav(buf)
+    assert (rate, ch, frames) == (22050, 2, 3)
+    assert list(struct.unpack("<6h", pcm)) == samples
+
+
+def test_extensible_wrapper_float():
+    samples = [-5, 0, 9, 11]
+    buf = encode_wav_float(
+        16000, 1, [s / 32768.0 for s in samples], extensible=True
+    )
+    _, _, frames, pcm = decode_wav(buf)
+    assert frames == 4
+    assert list(struct.unpack("<4h", pcm)) == samples
+
+
+def test_extensible_malformed_rejected():
+    buf = bytearray(encode_wav_pcm(8000, 1, _pcm16([0]), extensible=True))
+    g = buf.index(b"fmt ") + 8 + 26  # first GUID tail byte
+    buf[g] ^= 1
+    with pytest.raises(ValueError, match="GUID"):
+        decode_wav(bytes(buf))
+    # EXTENSIBLE wrapping a non-PCM/float tag is the documented seam
+    buf2 = bytearray(encode_wav_pcm(8000, 1, _pcm16([0]), extensible=True))
+    struct.pack_into("<H", buf2, buf2.index(b"fmt ") + 8 + 24, 0x11)
+    with pytest.raises(NotImplementedError, match="EXTENSIBLE wrapping"):
+        decode_wav(bytes(buf2))
+    # truncated extensible fmt chunk
+    buf3 = bytearray(encode_wav_pcm(8000, 1, _pcm16([0]), extensible=True))
+    k = buf3.index(b"fmt ")
+    struct.pack_into("<I", buf3, k + 4, 20)  # lie: 20-byte body
+    with pytest.raises(ValueError):
+        decode_wav(bytes(buf3[:k + 8 + 20]) + bytes(buf3[k + 8 + 40:]))
