@@ -76,28 +76,62 @@ def _pnm_tokens(buf: bytes, n: int, start: int) -> tuple[list[int], int]:
 
 
 def decode_pnm(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Decode binary PPM (P6, RGB) or PGM (P5, gray).
+    """Decode any netpbm raster: binary PPM/PGM (P6/P5), their ASCII
+    twins (P3/P2, round 15), and bitmap PBM in both forms (P1 ASCII /
+    P4 packed MSB-first rows, round 15 — 1 = black maps to gray 0,
+    0 = white to 255, the bilevel convention).
 
     Returns ``(width, height, channels, pixels)`` with ``pixels`` in
     row-major interleaved order, exactly ``w*h*channels`` bytes.
     """
-    if buf[:2] == b"P6":
-        channels = 3
-    elif buf[:2] == b"P5":
-        channels = 1
+    magic = buf[:2]
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        raise ValueError(f"not a netpbm file: magic {magic!r}")
+    kind = magic[1] - ord("0")
+    channels = 3 if kind in (3, 6) else 1
+    bitmap = kind in (1, 4)
+    if bitmap:
+        (w, h), i = _pnm_tokens(buf, 2, 2)
     else:
-        raise ValueError(f"not a binary PPM/PGM: magic {buf[:2]!r}")
-    (w, h, maxval), i = _pnm_tokens(buf, 3, 2)
-    if not (0 < maxval < 65536):
-        raise ValueError(f"bad maxval {maxval}")
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm not supported")
-    i += 1  # single whitespace byte after maxval, then raster
+        (w, h, maxval), i = _pnm_tokens(buf, 3, 2)
+        if not (0 < maxval < 65536):
+            raise ValueError(f"bad maxval {maxval}")
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"netpbm dimensions {w}x{h}")
+    if w * h > 64 * max(1, len(buf)):
+        raise ValueError("implausible netpbm dimensions for file size")
     need = w * h * channels
-    pixels = buf[i : i + need]
-    if len(pixels) != need:
-        raise ValueError(f"raster truncated: want {need}, got {len(pixels)}")
-    return w, h, channels, pixels
+    if kind in (5, 6):  # binary gray/RGB raster
+        i += 1  # single whitespace byte after maxval, then raster
+        pixels = buf[i : i + need]
+        if len(pixels) != need:
+            raise ValueError(
+                f"raster truncated: want {need}, got {len(pixels)}"
+            )
+        return w, h, channels, pixels
+    if kind == 4:  # packed bitmap: MSB-first, rows byte-padded
+        i += 1
+        stride = (w + 7) // 8
+        if i + stride * h > len(buf):
+            raise ValueError("packed PBM raster truncated")
+        out = bytearray(need)
+        for y in range(h):
+            row = buf[i + y * stride :]
+            for x in range(w):
+                bit = (row[x // 8] >> (7 - x % 8)) & 1
+                out[y * w + x] = 0 if bit else 255
+        return w, h, 1, bytes(out)
+    # ASCII rasters (P1/P2/P3)
+    vals, _ = _pnm_tokens(buf, need, i)
+    if bitmap:
+        if any(v not in (0, 1) for v in vals):
+            raise ValueError("PBM sample out of range")
+        return w, h, 1, bytes(0 if v else 255 for v in vals)
+    if any(not 0 <= v <= maxval for v in vals):
+        raise ValueError("netpbm sample exceeds maxval")
+    return w, h, channels, bytes(vals)
 
 
 def encode_ppm(w: int, h: int, pixels: bytes) -> bytes:
@@ -111,6 +145,43 @@ def encode_pgm(w: int, h: int, pixels: bytes) -> bytes:
     if len(pixels) != w * h:
         raise ValueError("pixel buffer size mismatch")
     return b"P5\n%d %d\n255\n" % (w, h) + pixels
+
+
+def encode_pnm_ascii(w: int, h: int, pixels: bytes, rgb: bool) -> bytes:
+    """ASCII netpbm fixture (P3 RGB / P2 gray, round 15): one sample
+    per token, a comment mid-header, line-wrapped raster."""
+    if len(pixels) != w * h * (3 if rgb else 1):
+        raise ValueError("pixel buffer size mismatch")
+    body = b"\n".join(
+        b" ".join(b"%d" % v for v in pixels[k : k + 12])
+        for k in range(0, len(pixels), 12)
+    )
+    return b"%s\n# ascii fixture\n%d %d\n255\n%s\n" % (
+        b"P3" if rgb else b"P2", w, h, body,
+    )
+
+
+def encode_pbm(w: int, h: int, bits: bytes, packed: bool = True) -> bytes:
+    """Bitmap PBM fixture (round 15): ``bits`` holds one 0/1 byte per
+    pixel (1 = black); ``packed`` picks P4 (MSB-first byte-padded
+    rows) vs ASCII P1."""
+    if len(bits) != w * h or any(b not in (0, 1) for b in bits):
+        raise ValueError("bit buffer must be w*h bytes of 0/1")
+    if not packed:
+        body = b"\n".join(
+            b" ".join(b"%d" % v for v in bits[y * w : (y + 1) * w])
+            for y in range(h)
+        )
+        return b"P1\n%d %d\n%s\n" % (w, h, body)
+    stride = (w + 7) // 8
+    rows = bytearray()
+    for y in range(h):
+        row = bytearray(stride)
+        for x in range(w):
+            if bits[y * w + x]:
+                row[x // 8] |= 0x80 >> (x % 8)
+        rows += row
+    return b"P4\n%d %d\n" % (w, h) + bytes(rows)
 
 
 # --------------------------------------------------------------------------
@@ -1230,14 +1301,15 @@ def encode_tiff(
 
 
 def decode_bmp(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a BMP: 24/32-bit BI_RGB, 8-bit paletted BI_RGB, and
-    8-bit BI_RLE8 (both absolute and encoded runs, end-of-line /
-    end-of-bitmap / delta escapes). Returns ``(w, h, channels,
-    pixels)`` with pixels interleaved RGB (32-bit input drops the
-    rarely-meaningful fourth byte; palette maps to RGB). Negative
-    biHeight (top-down) handled; other bit depths / compressions
-    raise NotImplementedError — BMP variants beyond these are rare
-    even in old corpora."""
+    """Decode a BMP: 24/32-bit BI_RGB, 1/4/8-bit paletted BI_RGB
+    (sub-byte indices MSB-first, round 15), 8-bit BI_RLE8 and 4-bit
+    BI_RLE4 (both absolute and encoded runs — RLE4 alternating
+    nibbles — end-of-line / end-of-bitmap / delta escapes). Returns
+    ``(w, h, channels, pixels)`` with pixels interleaved RGB (32-bit
+    input drops the rarely-meaningful fourth byte; palette maps to
+    RGB). Negative biHeight (top-down) handled; other bit depths /
+    compressions raise NotImplementedError — BMP variants beyond
+    these are rare even in old corpora."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP: missing BM magic")
     if len(buf) < 54:
@@ -1260,9 +1332,9 @@ def decode_bmp(buf: bytes) -> tuple[int, int, int, bytes]:
     if w * h > 64 * max(1, len(buf)):
         raise ValueError("implausible BMP dimensions for file size")
     pal: list[bytes] = []
-    if bpp == 8:
+    if bpp in (1, 4, 8):
         (n_colors,) = struct.unpack("<I", buf[46:50])
-        n_colors = n_colors or 256
+        n_colors = n_colors or (1 << bpp)
         pal_off = 14 + hdr_size
         if pal_off + 4 * n_colors > len(buf):
             raise ValueError("truncated BMP palette")
@@ -1292,20 +1364,75 @@ def decode_bmp(buf: bytes) -> tuple[int, int, int, bytes]:
                 rgb[3 * x : 3 * x + 3] = (r_, g_, b_)
             put_row_rgb(y, bytes(rgb))
         return w, h, 3, bytes(out)
-    if bpp == 8 and compression == 0:
-        stride = (w + 3) & ~3
+    if bpp in (1, 4, 8) and compression == 0:
+        stride = ((w * bpp + 31) // 32) * 4
         if data_off + stride * h > len(buf):
             raise ValueError("truncated BMP pixel data")
         npal = len(pal)
         for y in range(h):
-            row = buf[data_off + y * stride :][:w]
+            row = buf[data_off + y * stride :][:stride]
             rgb = bytearray(w * 3)
-            for x, ci in enumerate(row):
+            for x in range(w):
+                if bpp == 8:
+                    ci = row[x]
+                elif bpp == 4:  # high nibble first
+                    ci = (row[x // 2] >> (4 if x % 2 == 0 else 0)) & 0xF
+                else:  # 1-bit, MSB first
+                    ci = (row[x // 8] >> (7 - x % 8)) & 1
                 if ci >= npal:
                     raise ValueError(f"BMP palette index {ci} out of range")
                 rgb[3 * x : 3 * x + 3] = pal[ci]
             put_row_rgb(y, bytes(rgb))
         return w, h, 3, bytes(out)
+    if bpp == 4 and compression == 2:  # BI_RLE4
+        npal = len(pal)
+        idx = bytearray(w * h)  # top-left-origin index plane
+        x = y = 0  # bottom-up coordinates per the spec
+        i = data_off
+        while True:
+            if i + 2 > len(buf):
+                raise ValueError("truncated BMP RLE4 stream")
+            n, v = buf[i], buf[i + 1]
+            i += 2
+            if n:  # encoded run: n pixels alternating v's nibbles
+                if x + n > w or y >= h:
+                    raise ValueError("BMP RLE4 run past row end")
+                dst_y = y if top_down else h - 1 - y
+                for j in range(n):
+                    idx[dst_y * w + x + j] = (
+                        (v >> 4) if j % 2 == 0 else v
+                    ) & 0xF
+                x += n
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                if i + 2 > len(buf):
+                    raise ValueError("truncated BMP RLE4 delta")
+                x += buf[i]
+                y += buf[i + 1]
+                i += 2
+                if x > w or y > h:
+                    raise ValueError("BMP RLE4 delta out of bounds")
+            else:  # absolute: v nibble-packed pixels, word-aligned
+                nbytes = (v + 1) // 2
+                if i + nbytes > len(buf) or x + v > w or y >= h:
+                    raise ValueError("BMP RLE4 absolute run out of bounds")
+                dst_y = y if top_down else h - 1 - y
+                for j in range(v):
+                    b = buf[i + j // 2]
+                    idx[dst_y * w + x + j] = (
+                        (b >> 4) if j % 2 == 0 else b
+                    ) & 0xF
+                x += v
+                i += (nbytes + 1) & ~1
+        rgb = bytearray(w * h * 3)
+        for k, ci in enumerate(idx):
+            if ci >= npal:
+                raise ValueError(f"BMP palette index {ci} out of range")
+            rgb[3 * k : 3 * k + 3] = pal[ci]
+        return w, h, 3, bytes(rgb)
     if bpp == 8 and compression == 1:  # BI_RLE8
         npal = len(pal)
         idx = bytearray(w * h)  # top-left-origin index plane
@@ -1349,7 +1476,8 @@ def decode_bmp(buf: bytes) -> tuple[int, int, int, bytes]:
         return w, h, 3, bytes(rgb)
     raise NotImplementedError(
         f"BMP bpp {bpp} / compression {compression}: only 24/32-bit"
-        " BI_RGB, 8-bit paletted BI_RGB, and 8-bit BI_RLE8 decode here"
+        " BI_RGB, 1/4/8-bit paletted BI_RGB, BI_RLE8, and BI_RLE4"
+        " decode here"
     )
 
 
@@ -1361,11 +1489,17 @@ def encode_bmp(
     palette: list[bytes] | None = None,
     indices: bytes | None = None,
     rle: bool = False,
+    bpp: int = 8,
 ) -> bytes:
     """Encode a BMP fixture: 24-bit BI_RGB from RGB ``pixels``, or —
-    with ``palette``+``indices`` — 8-bit paletted, optionally BI_RLE8
-    (runs + absolute segments + end-of-line/bitmap escapes, the
-    branches decode must handle)."""
+    with ``palette``+``indices`` — 1/4/8-bit paletted (sub-byte
+    indices packed MSB-first), optionally BI_RLE8 / BI_RLE4 (runs +
+    absolute segments + end-of-line/bitmap escapes, the branches
+    decode must handle; RLE needs bpp 8 or 4)."""
+    if palette is not None and bpp not in (1, 4, 8):
+        raise ValueError(f"paletted BMP bpp {bpp}")
+    if rle and bpp not in (4, 8):
+        raise ValueError("BMP RLE needs bpp 8 (RLE8) or 4 (RLE4)")
     if palette is None:
         if len(pixels) != w * h * 3:
             raise ValueError("pixel buffer size mismatch")
@@ -1392,13 +1526,70 @@ def encode_bmp(
             bytes((p[2], p[1], p[0], 0)) for p in palette
         )
         order = range(h) if top_down else range(h - 1, -1, -1)
+        if max(indices) >= (1 << bpp):
+            raise ValueError(f"index does not fit in {bpp} bits")
         if not rle:
-            stride = (w + 3) & ~3
+            stride = ((w * bpp + 31) // 32) * 4
             rows = bytearray()
             for y in order:
-                row = indices[y * w : (y + 1) * w]
-                rows += row + b"\x00" * (stride - w)
+                idx_row = indices[y * w : (y + 1) * w]
+                if bpp == 8:
+                    packed = bytes(idx_row)
+                else:
+                    per = 8 // bpp
+                    packed = bytes(
+                        sum(
+                            (idx_row[k + j] if k + j < w else 0)
+                            << (8 - bpp * (j + 1))
+                            for j in range(per)
+                        )
+                        for k in range(0, w, per)
+                    )
+                rows += packed + b"\x00" * (stride - len(packed))
             data = bytes(rows)
+        elif bpp == 4:  # BI_RLE4
+            enc = bytearray()
+            for y in order:
+                row = indices[y * w : (y + 1) * w]
+                x = 0
+                while x < w:
+                    run = 1
+                    while (
+                        x + run < w and run < 255
+                        and row[x + run] == row[x]
+                    ):
+                        run += 1
+                    if run >= 3 or x + run >= w:
+                        enc += bytes((run, (row[x] << 4) | row[x]))
+                        x += run
+                    else:
+                        j = x
+                        while (
+                            j < w and j - x < 255
+                            and not (
+                                j + 2 < w
+                                and row[j] == row[j + 1] == row[j + 2]
+                            )
+                        ):
+                            j += 1
+                        seg = row[x:j]
+                        if len(seg) < 3:  # too short for absolute mode
+                            for ci in seg:
+                                enc += bytes((1, ci << 4))
+                        else:
+                            packed = bytearray()
+                            for k in range(0, len(seg), 2):
+                                b = seg[k] << 4
+                                if k + 1 < len(seg):
+                                    b |= seg[k + 1]
+                                packed.append(b)
+                            enc += bytes((0, len(seg))) + packed
+                            if len(packed) & 1:
+                                enc += b"\x00"
+                        x = j
+                enc += b"\x00\x00"  # end of line
+            enc += b"\x00\x01"  # end of bitmap
+            data = bytes(enc)
         else:
             enc = bytearray()
             for y in order:
@@ -1437,13 +1628,12 @@ def encode_bmp(
                 enc += b"\x00\x00"  # end of line
             enc += b"\x00\x01"  # end of bitmap
             data = bytes(enc)
-        bpp = 8
     hdr_size = 40
     data_off = 14 + hdr_size + len(pal_bytes)
     info = struct.pack(
         "<IiiHHIIiiII",
         hdr_size, w, (-h if top_down else h), 1, bpp,
-        1 if (palette is not None and rle) else 0,
+        (1 if bpp == 8 else 2) if (palette is not None and rle) else 0,
         len(data), 2835, 2835, n_colors, 0,
     )
     file_hdr = struct.pack(

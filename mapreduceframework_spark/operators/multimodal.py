@@ -212,9 +212,10 @@ def synth_images(docs: DataFrame) -> DataFrame:
 IMG_MATRIX_VARIANTS = (
     "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
     "png-palette", "png-palette-sub", "bmp-rle8", "tiff-packbits",
-    "tga-rle",
+    "tga-rle", "bmp-4bit",
 )
-IMG_MATRIX_MOD = len(IMG_MATRIX_VARIANTS)  # 11
+IMG_MATRIX_MOD = len(IMG_MATRIX_VARIANTS)  # 12
+PAL_CAP_4 = 13  # bmp-4bit palette size (sub-byte indices, cap <= 16)
 IMG_JPEG_BW_MOD = 3  # jpeg width  = (d % 3 + 1) * 8   (1..3 block cols)
 IMG_JPEG_BH_MOD = 2  # jpeg height = (d % 2 + 1) * 8   (1..2 block rows)
 PAL_CAP_8, PAL_CAP_2 = 17, 4  # palette sizes (8-bit / 2-bit depth)
@@ -298,6 +299,24 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                             ],
                         )
                         codec = "image/tiff"
+                elif m == 11:  # 4-bit paletted BMP (round 15)
+                    # Layout knobs (oracle-invariant): RLE4 vs
+                    # uncompressed sub-byte rows, and both origins —
+                    # identical decoded RGB either way.
+                    w = d % IMG_W_MOD + IMG_W_BASE
+                    h = d % IMG_H_MOD + IMG_H_BASE
+                    idx = bytes(
+                        (d * IMG_PIX_A + k * IMG_PIX_B) % PAL_CAP_4
+                        for k in range(w * h)
+                    )
+                    payload = IC.encode_bmp(
+                        w, h, b"", bpp=4,
+                        rle=(d // 12) % 2 == 0,
+                        top_down=bool((d // 24) % 2),
+                        palette=[_pal_rgb(d, c) for c in range(PAL_CAP_4)],
+                        indices=idx,
+                    )
+                    codec = "image/bmp"
                 elif m == 10:  # RLE truecolor TGA (BGR), varied layout
                     w = d % IMG_W_MOD + IMG_W_BASE
                     h = d % IMG_H_MOD + IMG_H_BASE
@@ -346,7 +365,14 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                             IC.encode_png(w, h, pix, 3), "image/png",
                         )
                     elif m == 1:
-                        payload, codec = IC.encode_ppm(w, h, pix), "image/ppm"
+                        # Layout knob (oracle-invariant): binary P6 vs
+                        # ASCII P3 — identical decoded bytes.
+                        payload = (
+                            IC.encode_pnm_ascii(w, h, pix, rgb=True)
+                            if (d // 12) % 2
+                            else IC.encode_ppm(w, h, pix)
+                        )
+                        codec = "image/ppm"
                     elif m == 3:
                         payload, codec = (
                             IC.encode_gif(w, h, [pix]), "image/gif",

@@ -77,8 +77,10 @@ def test_pnm_rejects_truncated_raster():
 
 
 def test_pnm_rejects_wrong_magic():
+    # ASCII P1/P2/P3 decode since round 15; P3 now round-trips
+    assert IC.decode_pnm(b"P3\n1 1\n255\n1 2 3") == (1, 1, 3, b"\x01\x02\x03")
     with pytest.raises(ValueError, match="magic"):
-        IC.decode_pnm(b"P3\n1 1\n255\n1 2 3")  # ASCII PPM unsupported
+        IC.decode_pnm(b"P7\n1 1\n255\n\x00\x00\x00")  # PAM stays out
 
 
 def test_decode_payload_dispatch():
@@ -132,11 +134,16 @@ def test_wav_rejects_non_riff():
 
 
 def test_wav_rejects_non_pcm():
+    # IEEE float (3) decodes since round 15; MS ADPCM (2) is still
+    # the documented seam, and a float tag with 16-bit samples is
+    # malformed rather than unimplemented.
     buf = bytearray(IC.encode_wav(8000, 1, b"\x00\x00"))
-    # fmt tag lives right after "fmt "+len; flip PCM(1) -> IEEE float(3)
     i = buf.index(b"fmt ") + 8
-    buf[i] = 3
+    buf[i] = 2
     with pytest.raises(NotImplementedError, match="format tag"):
+        IC.decode_wav(bytes(buf))
+    buf[i] = 3
+    with pytest.raises(ValueError, match="float PCM"):
         IC.decode_wav(bytes(buf))
 
 

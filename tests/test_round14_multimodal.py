@@ -54,7 +54,7 @@ def _fold(vals) -> int:
 _VARIANTS = (
     "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
     "png-palette", "png-palette-sub", "bmp-rle8", "tiff-packbits",
-    "tga-rle",
+    "tga-rle", "bmp-4bit",
 )
 
 
@@ -64,7 +64,7 @@ def _matrix_pixels(d: int) -> tuple[str, int, int, list[int]]:
     trip), palette variants palette-mapped (variant 6 RGBA via tRNS;
     variants 8/9 — BMP RLE8 / TIFF PackBits — cap-17 plain RGB), the
     rest (incl. variant 10 TGA) RGB byte functions."""
-    m = d % 11
+    m = d % 12
     if m in (2, 4):
         w = (d % 3 + 1) * 8
         h = (d % 2 + 1) * 8
@@ -74,10 +74,10 @@ def _matrix_pixels(d: int) -> tuple[str, int, int, list[int]]:
             for y in range(h)
             for x in range(w)
         ]
-    elif m in (6, 7, 8, 9):
+    elif m in (6, 7, 8, 9, 11):
         w = d % 13 + 4
         h = d % 7 + 3
-        cap = 4 if m == 7 else 17
+        cap = {7: 4, 11: 13}.get(m, 17)
         px = []
         for k in range(w * h):
             ci = (d * 7 + k * 13) % cap

@@ -441,3 +441,148 @@ def test_extensible_malformed_rejected():
     struct.pack_into("<I", buf3, k + 4, 20)  # lie: 20-byte body
     with pytest.raises(ValueError):
         decode_wav(bytes(buf3[:k + 8 + 20]) + bytes(buf3[k + 8 + 40:]))
+
+
+# ---------------------------------------------------------------------------
+# BMP 1/4-bit paletted + BI_RLE4 — round 15
+# ---------------------------------------------------------------------------
+
+from mapreduceframework_spark.operators.imagecodec import (
+    decode_bmp,
+    encode_bmp,
+)
+
+
+def _bmp_pal(n, seed=37):
+    return [
+        bytes(((seed + c * 53) % 256, (seed * 3 + c * 31) % 256,
+               (seed * 5 + c * 11) % 256))
+        for c in range(n)
+    ]
+
+
+@pytest.mark.parametrize("bpp,cap", [(1, 2), (4, 16)])
+@pytest.mark.parametrize("top_down", [False, True])
+def test_bmp_subbyte_paletted(bpp, cap, top_down):
+    w, h = 9, 6  # w not divisible by 8/2: exercises row padding
+    pal = _bmp_pal(cap)
+    idx = bytes((37 * 7 + k * 13) % cap for k in range(w * h))
+    buf = encode_bmp(
+        w, h, b"", top_down=top_down, palette=pal, indices=idx, bpp=bpp
+    )
+    assert decode_bmp(buf) == (
+        w, h, 3, b"".join(pal[i] for i in idx),
+    )
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+def test_bmp_rle4(top_down):
+    w, h = 11, 5
+    pal = _bmp_pal(16)
+    # mix of runs (>= 3), short segments, and absolute stretches
+    idx = bytes(
+        ([3] * 4 + [1, 2] + [7] * 5)[:w][k % w] if False else
+        ((k // 4) * 3 + k) % 16 if k % 7 else (k // 7) % 16
+        for k in range(w * h)
+    )
+    buf = encode_bmp(
+        w, h, b"", top_down=top_down, palette=pal, indices=idx,
+        bpp=4, rle=True,
+    )
+    # compression field must say BI_RLE4 (2)
+    assert struct.unpack("<I", buf[30:34])[0] == 2
+    assert decode_bmp(buf) == (w, h, 3, b"".join(pal[i] for i in idx))
+
+
+def test_bmp_rle4_run_heavy():
+    w, h = 12, 4
+    pal = _bmp_pal(16)
+    idx = bytes((k // 6) % 16 for k in range(w * h))  # long runs
+    buf = encode_bmp(w, h, b"", palette=pal, indices=idx, bpp=4, rle=True)
+    assert decode_bmp(buf) == (w, h, 3, b"".join(pal[i] for i in idx))
+
+
+def test_bmp_encoder_rejects_bad_combos():
+    pal = _bmp_pal(16)
+    idx = bytes(16)
+    with pytest.raises(ValueError, match="bpp"):
+        encode_bmp(4, 4, b"", palette=pal, indices=idx, bpp=2)
+    with pytest.raises(ValueError, match="RLE"):
+        encode_bmp(4, 4, b"", palette=pal, indices=idx, bpp=1, rle=True)
+    with pytest.raises(ValueError, match="fit"):
+        encode_bmp(4, 4, b"", palette=_bmp_pal(3), indices=bytes([2] * 16),
+                   bpp=1)
+
+
+def test_bmp_rle4_corruption_never_leaks():
+    pal = _bmp_pal(16)
+    idx = bytes(((k // 4) + k % 3) % 16 for k in range(9 * 6))
+    buf = encode_bmp(9, 6, b"", palette=pal, indices=idx, bpp=4, rle=True)
+    for cut in range(len(buf)):
+        try:
+            decode_bmp(buf[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for k in range(len(buf)):
+        m = bytearray(buf)
+        m[k] ^= 0x5A
+        try:
+            decode_bmp(bytes(m))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+# ---------------------------------------------------------------------------
+# netpbm: ASCII P1/P2/P3 + packed P4 — round 15
+# ---------------------------------------------------------------------------
+
+from mapreduceframework_spark.operators.imagecodec import (
+    decode_pnm,
+    encode_pbm,
+    encode_pnm_ascii,
+    encode_ppm,
+)
+
+
+def test_ascii_ppm_pgm_round_trip():
+    w, h = 7, 4
+    rgb = _px(w, h, 3, seed=21)
+    assert decode_pnm(encode_pnm_ascii(w, h, rgb, rgb=True)) == (
+        w, h, 3, rgb,
+    )
+    gray = _px(w, h, 1, seed=22)
+    assert decode_pnm(encode_pnm_ascii(w, h, gray, rgb=False)) == (
+        w, h, 1, gray,
+    )
+
+
+def test_ascii_matches_binary_decode():
+    w, h = 5, 3
+    rgb = _px(w, h, 3, seed=23)
+    assert decode_pnm(encode_pnm_ascii(w, h, rgb, rgb=True)) == decode_pnm(
+        encode_ppm(w, h, rgb)
+    )
+
+
+@pytest.mark.parametrize("packed", [True, False])
+def test_pbm_bilevel_convention(packed):
+    w, h = 11, 3  # w % 8 != 0 exercises row padding in P4
+    bits = bytes((k * 5) % 3 == 0 for k in range(w * h))
+    got = decode_pnm(encode_pbm(w, h, bits, packed=packed))
+    # 1 = black -> 0; 0 = white -> 255
+    assert got == (w, h, 1, bytes(0 if b else 255 for b in bits))
+
+
+def test_pnm_malformed_rejected():
+    with pytest.raises(ValueError, match="magic"):
+        decode_pnm(b"P9\n1 1\n255\nx")
+    with pytest.raises(ValueError, match="sample"):
+        decode_pnm(b"P2\n2 1\n10\n5 11\n")  # exceeds maxval
+    with pytest.raises(ValueError, match="out of range"):
+        decode_pnm(b"P1\n2 1\n0 2\n")
+    with pytest.raises(ValueError):
+        decode_pnm(b"P3\n2 1\n255\n1 2 3 4 5\n")  # short raster
+    with pytest.raises(ValueError):
+        decode_pnm(b"P4\n16 2\n\x00")  # truncated packed rows
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_pnm(b"P2\n0 5\n255\n")
