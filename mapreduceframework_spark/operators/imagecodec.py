@@ -1035,12 +1035,28 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
     tiled = 322 in tags or 323 in tags
     if tiled and planar == 2:
         raise NotImplementedError("tiled TIFF with planar configuration 2")
-    if compression not in (1, 32773):
+    if compression not in (1, 7, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression}: only none (1) and"
-            " PackBits (32773) decode here — LZW/JPEG-in-TIFF are the"
+            f"TIFF compression {compression}: none (1), new-style JPEG"
+            " (7), and PackBits (32773) decode here — LZW is the"
             " documented seam"
         )
+    if compression == 7:
+        # New-style JPEG-in-TIFF (round 15): every strip is a complete
+        # JPEG stream handed to the in-repo decoder (which is pinned
+        # independently, so — unlike LZW — no external test vector is
+        # needed). Abbreviated streams via a shared JPEGTables tag and
+        # tiled/planar JPEG stay explicit seams.
+        if 347 in tags:
+            raise NotImplementedError(
+                "JPEG-in-TIFF with a shared JPEGTables (347) tag"
+            )
+        if tiled or planar == 2:
+            raise NotImplementedError("tiled/planar JPEG-in-TIFF")
+        if photometric not in (1, 2, 6):
+            raise NotImplementedError(
+                f"JPEG-in-TIFF photometric {photometric}"
+            )
 
     def read_chunk(off: int, cnt: int, expected: int) -> bytes:
         if off + cnt > len(buf):
@@ -1048,6 +1064,14 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
         chunk = buf[off : off + cnt]
         if compression == 32773:
             return _packbits_decode(chunk, expected)
+        if compression == 7:
+            jw, jh, jch, pix = decode_jpeg(chunk)
+            if jw != w or jch != spp or jw * jh * jch != expected:
+                raise ValueError(
+                    f"JPEG strip geometry {jw}x{jh}x{jch} does not"
+                    f" match the IFD ({w} wide, {spp} samples)"
+                )
+            return pix
         if len(chunk) < expected:
             raise ValueError("truncated TIFF strip/tile")
         return chunk[:expected]
@@ -1117,7 +1141,9 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
                 raw += read_chunk(off, cnt, n_rows * stride)
     if len(raw) != h * stride:
         raise ValueError("TIFF strip data size mismatch")
-    if photometric in (1, 2):  # gray black-is-zero / RGB(A)
+    if photometric in (1, 2) or (photometric == 6 and compression == 7):
+        # gray black-is-zero / RGB(A); photometric 6 is YCbCr, which
+        # the JPEG decoder already converted to RGB
         return w, h, spp, bytes(raw)
     if photometric == 0:  # gray white-is-zero: invert
         if spp != 1:
@@ -1147,13 +1173,17 @@ def encode_tiff(
     colormap: list[tuple[int, int, int]] | None = None,
     planar: bool = False,
     tiles: tuple[int, int] | None = None,
+    jpeg: bool = False,
 ) -> bytes:
     """Encode a baseline TIFF fixture: multi-strip (rows_per_strip
     forces a real strip walk), II or MM byte order, optional PackBits,
     optional 256-entry 16-bit ColorMap (channels=1 indices +
     photometric 3), optional ``planar`` configuration 2 (plane-major
     strip sequences), optional ``tiles=(tw, th)`` tiled layout
-    (zero-padded edge tiles). Fixture source for :func:`decode_tiff`."""
+    (zero-padded edge tiles), optional new-style ``jpeg`` compression
+    (each strip a complete JPEG stream; use grayscale block-solid
+    pixels and 8-row strips for a bit-exact round trip). Fixture
+    source for :func:`decode_tiff`."""
     e = ">" if big_endian else "<"
     if len(pixels) != w * h * channels:
         raise ValueError("pixel buffer size mismatch")
@@ -1161,6 +1191,11 @@ def encode_tiff(
         raise ValueError("tiled planar TIFF is the documented seam")
     if planar and channels < 2:
         raise ValueError("planar needs channels >= 2")
+    if jpeg and (planar or tiles is not None or packbits
+                 or colormap is not None or channels not in (1, 3)):
+        raise ValueError(
+            "jpeg strips need chunky non-PackBits gray/RGB layout"
+        )
     stride = w * channels
     strips: list[bytes] = []
     if tiles is not None:
@@ -1196,6 +1231,16 @@ def encode_tiff(
                 strips.append(
                     _packbits_encode(seg) if packbits else seg
                 )
+    elif jpeg:
+        for y0 in range(0, h, rows_per_strip):
+            n_rows = min(rows_per_strip, h - y0)
+            strips.append(
+                encode_jpeg(
+                    w, n_rows,
+                    pixels[y0 * stride : (y0 + n_rows) * stride],
+                    channels=channels,
+                )
+            )
     else:
         for y0 in range(0, h, rows_per_strip):
             rows = pixels[
@@ -1207,6 +1252,8 @@ def encode_tiff(
         if channels != 1 or len(colormap) != 256:
             raise ValueError("colormap needs channels=1 and 256 entries")
         photometric = 3
+    elif jpeg and channels == 3:
+        photometric = 6  # YCbCr, per the JPEG-in-TIFF convention
     else:
         photometric = {1: 1, 3: 2, 4: 2}[channels]
 
@@ -1220,7 +1267,7 @@ def encode_tiff(
     add(256, 3, [w])
     add(257, 3, [h])
     add(258, 3, [8] * channels)
-    add(259, 3, [32773 if packbits else 1])
+    add(259, 3, [7 if jpeg else (32773 if packbits else 1)])
     add(262, 3, [photometric])
     add(277, 3, [channels])
     if channels == 4:

@@ -212,9 +212,9 @@ def synth_images(docs: DataFrame) -> DataFrame:
 IMG_MATRIX_VARIANTS = (
     "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
     "png-palette", "png-palette-sub", "bmp-rle8", "tiff-packbits",
-    "tga-rle", "bmp-4bit",
+    "tga-rle", "bmp-4bit", "tiff-jpeg",
 )
-IMG_MATRIX_MOD = len(IMG_MATRIX_VARIANTS)  # 12
+IMG_MATRIX_MOD = len(IMG_MATRIX_VARIANTS)  # 13
 PAL_CAP_4 = 13  # bmp-4bit palette size (sub-byte indices, cap <= 16)
 IMG_JPEG_BW_MOD = 3  # jpeg width  = (d % 3 + 1) * 8   (1..3 block cols)
 IMG_JPEG_BH_MOD = 2  # jpeg height = (d % 2 + 1) * 8   (1..2 block rows)
@@ -252,7 +252,10 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 m = d % IMG_MATRIX_MOD
                 variant = IMG_MATRIX_VARIANTS[m]
-                if m in (2, 4):  # grayscale block-solid JPEG
+                if m in (2, 4, 12):  # grayscale block-solid JPEG
+                    # (m=12: the same exact-round-trip stream inside
+                    # new-style JPEG-in-TIFF strips, 8 rows each —
+                    # byte-order knob on the containing IFD)
                     w = (d % IMG_JPEG_BW_MOD + 1) * 8
                     h = (d % IMG_JPEG_BH_MOD + 1) * 8
                     bw = w // 8
@@ -262,11 +265,21 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                         for y in range(h)
                         for x in range(w)
                     )
-                    enc = (
-                        IC.encode_jpeg if m == 2
-                        else IC.encode_jpeg_progressive
-                    )
-                    payload, codec = enc(w, h, pix, channels=1), "image/jpeg"
+                    if m == 12:
+                        payload = IC.encode_tiff(
+                            w, h, pix, channels=1,
+                            big_endian=bool((d // 13) % 2),
+                            rows_per_strip=8, jpeg=True,
+                        )
+                        codec = "image/tiff"
+                    else:
+                        enc = (
+                            IC.encode_jpeg if m == 2
+                            else IC.encode_jpeg_progressive
+                        )
+                        payload, codec = (
+                            enc(w, h, pix, channels=1), "image/jpeg",
+                        )
                 elif m in (8, 9):  # paletted BMP (RLE8) / TIFF (PackBits)
                     w = d % IMG_W_MOD + IMG_W_BASE
                     h = d % IMG_H_MOD + IMG_H_BASE

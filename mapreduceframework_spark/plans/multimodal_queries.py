@@ -37,15 +37,15 @@ from mapreduceframework_spark.sources import load_table
 # the BMP/TIFF palette variants 8/9 and the TGA variant 10 decode to
 # plain RGB); change both together.
 _IMG_MATRIX_P_CTE = """p AS (
-            SELECT doc_id, doc_id % 12 AS m,
-                   CASE WHEN doc_id % 12 IN (2, 4)
+            SELECT doc_id, doc_id % 13 AS m,
+                   CASE WHEN doc_id % 13 IN (2, 4, 12)
                         THEN (doc_id % 3 + 1) * 8
                         ELSE doc_id % 13 + 4 END AS width,
-                   CASE WHEN doc_id % 12 IN (2, 4)
+                   CASE WHEN doc_id % 13 IN (2, 4, 12)
                         THEN (doc_id % 2 + 1) * 8
                         ELSE doc_id % 7 + 3 END AS height,
-                   CASE WHEN doc_id % 12 IN (2, 4) THEN 1
-                        WHEN doc_id % 12 = 6 THEN 4
+                   CASE WHEN doc_id % 13 IN (2, 4, 12) THEN 1
+                        WHEN doc_id % 13 = 6 THEN 4
                         ELSE 3 END AS nch
             FROM documents)"""
 
@@ -54,7 +54,8 @@ _IMG_MATRIX_VARIANT_SQL = """CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'ppm'
                     WHEN 4 THEN 'jpeg-progressive' WHEN 5 THEN 'png-adam7'
                     WHEN 6 THEN 'png-palette' WHEN 7 THEN 'png-palette-sub'
                     WHEN 8 THEN 'bmp-rle8' WHEN 9 THEN 'tiff-packbits'
-                    WHEN 10 THEN 'tga-rle' ELSE 'bmp-4bit' END"""
+                    WHEN 10 THEN 'tga-rle' WHEN 11 THEN 'bmp-4bit'
+                    ELSE 'tiff-jpeg' END"""
 
 # Decoded pixel-byte lists per variant family: grayscale block-solid
 # for the JPEGs (pixel = block value), interleaved RGB fn of the byte
@@ -102,7 +103,7 @@ _IMG_PAL13_PIXELS = """flatten([ [
 # One CASE selecting the decoded byte list per variant — shared by the
 # digest (fold) and feature (sum/first) oracles. Variant 10 (TGA RLE
 # truecolor) shares the classic RGB byte function with 0/1/3/5.
-_IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4) THEN {_IMG_GRAY_PIXELS}
+_IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4, 12) THEN {_IMG_GRAY_PIXELS}
                    WHEN m = 6 THEN {_IMG_PAL8_PIXELS}
                    WHEN m = 7 THEN {_IMG_PAL2_PIXELS}
                    WHEN m IN (8, 9) THEN {_IMG_PAL17_PIXELS}

@@ -54,7 +54,7 @@ def _fold(vals) -> int:
 _VARIANTS = (
     "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
     "png-palette", "png-palette-sub", "bmp-rle8", "tiff-packbits",
-    "tga-rle", "bmp-4bit",
+    "tga-rle", "bmp-4bit", "tiff-jpeg",
 )
 
 
@@ -64,8 +64,8 @@ def _matrix_pixels(d: int) -> tuple[str, int, int, list[int]]:
     trip), palette variants palette-mapped (variant 6 RGBA via tRNS;
     variants 8/9 — BMP RLE8 / TIFF PackBits — cap-17 plain RGB), the
     rest (incl. variant 10 TGA) RGB byte functions."""
-    m = d % 12
-    if m in (2, 4):
+    m = d % 13
+    if m in (2, 4, 12):
         w = (d % 3 + 1) * 8
         h = (d % 2 + 1) * 8
         bw = w // 8

@@ -586,3 +586,99 @@ def test_pnm_malformed_rejected():
         decode_pnm(b"P4\n16 2\n\x00")  # truncated packed rows
     with pytest.raises(ValueError, match="dimensions"):
         decode_pnm(b"P2\n0 5\n255\n")
+
+
+# ---------------------------------------------------------------------------
+# JPEG-in-TIFF (new-style, compression 7) — round 15
+# ---------------------------------------------------------------------------
+
+
+def _block_solid(w, h, seed, ch=1):
+    bw = w // 8
+    if ch == 1:
+        return bytes(
+            (seed * 7 + ((y // 8) * bw + x // 8) * 13) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+    return bytes(
+        (seed * 7 + ((y // 8) * bw + x // 8) * 13 + c * 5) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("w,h", [(8, 8), (24, 16), (16, 24)])
+def test_tiff_jpeg_gray_block_solid_exact(big_endian, w, h):
+    pix = _block_solid(w, h, seed=41)
+    buf = encode_tiff(
+        w, h, pix, channels=1, big_endian=big_endian,
+        rows_per_strip=8, jpeg=True,
+    )
+    # compression tag must say new-style JPEG (7)
+    assert decode_tiff(buf) == (w, h, 1, pix)
+
+
+def test_tiff_jpeg_rgb_decodes():
+    w, h = 16, 16
+    pix = _block_solid(w, h, seed=9, ch=3)
+    buf = encode_tiff(w, h, pix, channels=3, rows_per_strip=8, jpeg=True)
+    ww, hh, ch, out = decode_tiff(buf)
+    assert (ww, hh, ch) == (w, h, 3)
+    # the YCbCr transform rounds: solid blocks come back within +-1
+    # per channel (grayscale is the bit-exact path)
+    assert max(abs(a - b) for a, b in zip(out, pix)) <= 1
+
+
+def test_tiff_jpeg_seams_and_guards():
+    pix = _block_solid(8, 8, seed=3)
+    with pytest.raises(ValueError, match="jpeg strips"):
+        encode_tiff(8, 8, pix, channels=1, jpeg=True, packbits=True)
+    buf = bytearray(
+        encode_tiff(8, 8, pix, channels=1, rows_per_strip=8, jpeg=True)
+    )
+    # inject a JPEGTables (347) tag id over an existing entry: seam
+    e = "<"
+    (n_entries,) = struct.unpack(e + "H", buf[8:10])
+    off = 10  # first IFD entry (tags sorted ascending; 256 first)
+    struct.pack_into(e + "H", buf, off, 347)
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_tiff(bytes(buf))
+
+
+def test_tiff_jpeg_geometry_mismatch_rejected():
+    pix = _block_solid(16, 8, seed=5)
+    buf = bytearray(
+        encode_tiff(16, 8, pix, channels=1, rows_per_strip=8, jpeg=True)
+    )
+    # lie about the image width (tag 256): strip JPEG no longer matches
+    e = "<"
+    (n_entries,) = struct.unpack(e + "H", buf[8:10])
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        (tag,) = struct.unpack(e + "H", buf[off : off + 2])
+        if tag == 256:
+            struct.pack_into(e + "H", buf, off + 8, 8)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(buf))
+
+
+def test_tiff_jpeg_corruption_never_leaks():
+    buf = encode_tiff(
+        16, 16, _block_solid(16, 16, seed=7), channels=1,
+        rows_per_strip=8, jpeg=True,
+    )
+    for cut in range(0, len(buf), 3):
+        try:
+            decode_tiff(buf[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for k in range(0, len(buf), 3):
+        m = bytearray(buf)
+        m[k] ^= 0x5A
+        try:
+            decode_tiff(bytes(m))
+        except (ValueError, NotImplementedError):
+            pass
