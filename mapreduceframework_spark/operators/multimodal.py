@@ -187,15 +187,16 @@ def synth_images(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, SYNTH_SCHEMA)
 
 
-# Codec-matrix synthesis (round 14; widened to %11 in round 15): one
+# Codec-matrix synthesis (round 14; widened to %13 across round 15): one
 # registered fixture family that exercises EVERY in-repo image decode
 # path — sequential PNG, binary PPM, baseline JPEG, GIF, progressive
 # JPEG, Adam7-interlaced PNG, 8-bit paletted PNG with tRNS
 # transparency (RGBA out), 2-bit paletted Adam7 PNG (sub-byte index
 # unpacking), 8-bit paletted BI_RLE8 BMP (bottom-up), big-endian
 # PackBits paletted TIFF (IFD walk + strip assembly + 16-bit
-# ColorMap), and RLE truecolor TGA (bottom-up BGR) — chosen per
-# doc_id % 11. JPEG variants are GRAYSCALE BLOCK-SOLID images (every
+# ColorMap), RLE truecolor TGA (bottom-up BGR), 4-bit paletted BMP
+# (RLE4 / sub-byte rows), and new-style JPEG-in-TIFF — chosen per
+# doc_id % 13. JPEG variants are GRAYSCALE BLOCK-SOLID images (every
 # 8x8 block one constant value): a solid block's only nonzero DCT
 # coefficient is DC and the default-quality DC step keeps the
 # reconstruction error under half a level, so baseline AND
@@ -206,7 +207,8 @@ def synth_images(docs: DataFrame) -> DataFrame:
 # palette (r,g,b) = ((d + c*53), (d*3 + c*31), (d*5 + c*11)) % 256;
 # variant 6 carries tRNS alpha (d + c*37) % 256 over the first
 # PAL_TRNS entries (the rest opaque, per spec); the BMP/TIFF palette
-# variants (8, 9) share the cap-17 index map and decode to plain RGB.
+# variants (8, 9) share the cap-17 index map and decode to plain RGB;
+# variant 11 (4-bit BMP) uses the cap-11 map (PAL_CAP_4).
 # Constants are mirrored literally in the multimodal_image_decode /
 # multimodal_decode_features oracle SQL; change both together.
 IMG_MATRIX_VARIANTS = (
@@ -215,7 +217,11 @@ IMG_MATRIX_VARIANTS = (
     "tga-rle", "bmp-4bit", "tiff-jpeg",
 )
 IMG_MATRIX_MOD = len(IMG_MATRIX_VARIANTS)  # 13
-PAL_CAP_4 = 13  # bmp-4bit palette size (sub-byte indices, cap <= 16)
+PAL_CAP_4 = 11  # bmp-4bit palette size (sub-byte indices, cap <= 16).
+# MUST stay coprime to the shared index step IMG_PIX_B=13: round 16
+# fixed the r15 value (13) where k*13 % 13 == 0 made every pixel the
+# same palette index — a monochrome fixture whose value hash was blind
+# to nibble order, sub-byte packing, and RLE4 absolute-mode bugs.
 IMG_JPEG_BW_MOD = 3  # jpeg width  = (d % 3 + 1) * 8   (1..3 block cols)
 IMG_JPEG_BH_MOD = 2  # jpeg height = (d % 2 + 1) * 8   (1..2 block rows)
 PAL_CAP_8, PAL_CAP_2 = 17, 4  # palette sizes (8-bit / 2-bit depth)
@@ -235,11 +241,13 @@ SYNTH2_SCHEMA = (
 
 def synth_images_matrix(docs: DataFrame) -> DataFrame:
     """Encode one real image file per document across the full codec
-    matrix (doc_id % 11): sequential PNG, binary PPM, baseline JPEG,
+    matrix (doc_id % 13): sequential PNG, binary PPM, baseline JPEG,
     GIF, progressive JPEG, Adam7-interlaced PNG, 8-bit paletted PNG
     with tRNS (decodes to RGBA), 2-bit paletted Adam7 PNG (sub-byte
     unpacking), 8-bit paletted BI_RLE8 BMP, big-endian PackBits
-    paletted TIFF, RLE truecolor TGA. Pixels are integer functions of
+    paletted TIFF, RLE truecolor TGA, 4-bit paletted BMP (RLE4 or
+    sub-byte rows), new-style JPEG-in-TIFF. Pixels are integer
+    functions of
     doc_id (block-solid grayscale for the lossy JPEGs — see the
     module comment for why that makes them exact), so the decode
     oracle is analytic for every variant."""

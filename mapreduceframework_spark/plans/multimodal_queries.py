@@ -4,9 +4,10 @@ in-repo codecs (operators/imagecodec.py) inside partition-preserving
 mapInPandas — Arrow-batched, never per-row Python. Since round 14 the
 REGISTERED decode queries exercise the full codec matrix end to end:
 sequential + Adam7 + paletted PNG, PPM, baseline + progressive JPEG,
-GIF, RLE8 BMP, PackBits TIFF, RLE TGA on the image side (11 variants
-since round 15); PCM16, G.711 A-law/mu-law, IMA ADPCM, IEEE float32
-WAV on the audio side (5 variants since round 15); MJPEG-AVI and
+GIF, RLE8 BMP, PackBits TIFF, RLE TGA, 4-bit BMP, JPEG-in-TIFF on the
+image side (13 variants since late round 15); PCM16, G.711
+A-law/mu-law, IMA ADPCM, IEEE float32 WAV on the audio side (5
+variants since round 15); MJPEG-AVI and
 MP4('jpeg') containers on the video side — every path under a full
 DuckDB value-hash oracle. The remaining NotImplementedError seam is
 what genuinely needs external libraries: arithmetic-coded JPEG, MPEG
@@ -31,11 +32,11 @@ from mapreduceframework_spark.sources import load_table
 
 # Shared head of the image-codec-matrix oracles: per-doc variant
 # selector + decoded dimensions + decoded channel count. Mirrors
-# operators/multimodal.py synth_images_matrix (doc_id % 11; JPEG
-# variants grayscale block-solid at (d%3+1)*8 x (d%2+1)*8, the rest at
-# the classic (d%13+4) x (d%7+3); variant 6 decodes to RGBA via tRNS;
-# the BMP/TIFF palette variants 8/9 and the TGA variant 10 decode to
-# plain RGB); change both together.
+# operators/multimodal.py synth_images_matrix (doc_id % 13; JPEG
+# variants 2/4/12 grayscale block-solid at (d%3+1)*8 x (d%2+1)*8, the
+# rest at the classic (d%13+4) x (d%7+3); variant 6 decodes to RGBA
+# via tRNS; the BMP/TIFF palette variants 8/9/11 and the TGA variant
+# 10 decode to plain RGB); change both together.
 _IMG_MATRIX_P_CTE = """p AS (
             SELECT doc_id, doc_id % 13 AS m,
                    CASE WHEN doc_id % 13 IN (2, 4, 12)
@@ -92,12 +93,14 @@ _IMG_PAL17_PIXELS = """flatten([ [
                       for ci in [ (doc_id * 7 + k * 13) % 17 ] ][1]
                     for k in range(0, width * height) ])"""
 
-# Variant 11 (4-bit BMP, round 15): cap-13 palette-mapped plain RGB.
-_IMG_PAL13_PIXELS = """flatten([ [
+# Variant 11 (4-bit BMP, round 15): cap-11 palette-mapped plain RGB
+# (cap fixed 13 -> 11 in round 16 so the k*13 step is coprime to it
+# and the fixture is no longer monochrome per doc).
+_IMG_PAL11_PIXELS = """flatten([ [
                       [ (doc_id + ci * 53) % 256,
                         (doc_id * 3 + ci * 31) % 256,
                         (doc_id * 5 + ci * 11) % 256 ]
-                      for ci in [ (doc_id * 7 + k * 13) % 13 ] ][1]
+                      for ci in [ (doc_id * 7 + k * 13) % 11 ] ][1]
                     for k in range(0, width * height) ])"""
 
 # One CASE selecting the decoded byte list per variant — shared by the
@@ -107,7 +110,7 @@ _IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4, 12) THEN {_IMG_GRAY_PIXELS}
                    WHEN m = 6 THEN {_IMG_PAL8_PIXELS}
                    WHEN m = 7 THEN {_IMG_PAL2_PIXELS}
                    WHEN m IN (8, 9) THEN {_IMG_PAL17_PIXELS}
-                   WHEN m = 11 THEN {_IMG_PAL13_PIXELS}
+                   WHEN m = 11 THEN {_IMG_PAL11_PIXELS}
                    ELSE {_IMG_RGB_PIXELS} END"""
 
 
@@ -124,7 +127,7 @@ _IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4, 12) THEN {_IMG_GRAY_PIXELS}
                          WHEN m = 7
                          THEN (doc_id + ((doc_id * 7) % 4) * 53) % 256
                          WHEN m = 11
-                         THEN (doc_id + ((doc_id * 7) % 13) * 53) % 256
+                         THEN (doc_id + ((doc_id * 7) % 11) * 53) % 256
                          ELSE (doc_id * 7) % 256 END AS BIGINT)
                    AS first_byte,
                CAST(list_sum({_IMG_MATRIX_PIXLIST}) % 256 AS BIGINT)
@@ -136,19 +139,20 @@ _IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4, 12) THEN {_IMG_GRAY_PIXELS}
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature extraction over the FULL image codec matrix
-    (round 14 re-point; widened to 11 variants in round 15 — the
+    (round 14 re-point; widened to 13 variants across round 15 — the
     features are computed on REAL decoded pixel bytes, not the
     fake/v1 byte plumbing): every document's payload is one of
     sequential PNG / PPM / baseline JPEG / GIF / progressive JPEG /
     Adam7 PNG / 8-bit paletted PNG with tRNS (RGBA) / 2-bit paletted
     Adam7 PNG / paletted BI_RLE8 BMP / big-endian PackBits paletted
-    TIFF / RLE truecolor TGA, decoded through the pure-Python codecs
+    TIFF / RLE truecolor TGA / 4-bit paletted BMP (RLE4) /
+    JPEG-in-TIFF, decoded through the pure-Python codecs
     in an Arrow-batched mapInPandas stage, emitting per-item byte
     features (decoded length, first pixel byte, byte-sum checksum,
     thumbnail width). Pixels are integer functions of doc_id —
     block-solid grayscale for the lossy JPEGs, which round-trip
     bit-exactly — so the oracle predicts every feature analytically;
-    a decode bug in ANY of the eleven paths breaks the value hash.
+    a decode bug in ANY of the thirteen paths breaks the value hash.
     Partition-preserving: synth and decode share the task, no
     shuffle."""
     from mapreduceframework_spark.operators import multimodal as M
@@ -179,8 +183,8 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode across the full codec matrix, value-checked
-    end to end (round 14 re-point; widened to 11 variants in round
-    15): per doc_id % 11 the payload is a sequential PNG (encoder
+    end to end (round 14 re-point; widened to 13 variants across
+    round 15): per doc_id % 13 the payload is a sequential PNG (encoder
     cycles all five scanline filters), a binary PPM, a baseline JPEG
     (marker walk, stream-carried Huffman/quant tables, IDCT), a GIF
     (real LZW, palette), a PROGRESSIVE JPEG (spectral selection +
@@ -198,7 +202,7 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 8x8 block's only nonzero DCT coefficient is DC; pinned for
     all 256 values in tests/test_jpegcodec.py) — that is what lets
     the DuckDB oracle predict real lossy-codec decode output
-    analytically. Any parser bug in any of the eleven paths breaks
+    analytically. Any parser bug in any of the thirteen paths breaks
     the value hash. Partition-preserving: synth and decode run in the
     same task, no shuffle."""
     from mapreduceframework_spark.operators import multimodal as M

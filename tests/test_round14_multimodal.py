@@ -77,7 +77,7 @@ def _matrix_pixels(d: int) -> tuple[str, int, int, list[int]]:
     elif m in (6, 7, 8, 9, 11):
         w = d % 13 + 4
         h = d % 7 + 3
-        cap = {7: 4, 11: 13}.get(m, 17)
+        cap = {7: 4, 11: 11}.get(m, 17)
         px = []
         for k in range(w * h):
             ci = (d * 7 + k * 13) % cap
