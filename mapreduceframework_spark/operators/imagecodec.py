@@ -889,11 +889,14 @@ def encode_tga(
 # entries reduced to their high byte per the spec's 8-bit rendering).
 # Round 15 adds TILED layout (TileWidth/Length/Offsets/ByteCounts,
 # edge-tile pad cropped) and planar configuration 2 (plane-major
-# strip sequences interleaved on output). LZW / JPEG-in-TIFF /
-# 16-bit samples / tiled-planar stay a documented
-# NotImplementedError seam (LZW-TIFF's early-change wrinkle has no
-# independent test vector in this sandbox — a self-consistent-but
-# -wrong pair would be worse than the seam).
+# strip sequences interleaved on output) plus new-style JPEG strips.
+# Round 16 closes the LZW seam (Compression 5: MSB-first packing,
+# early-change width schedule per TIFF 6.0 §13) with Predictor 2
+# horizontal differencing (§14) — validated against hand-assembled
+# spec byte vectors AND cross-checked against the in-repo GIF LZW's
+# shared greedy-parse mechanics in tests/test_tiffcodec.py.
+# Remaining seams (all the genuinely-external-library class):
+# 16-bit samples, tiled-planar, abbreviated JPEGTables streams.
 # --------------------------------------------------------------------------
 
 
@@ -944,6 +947,160 @@ def _packbits_encode(data: bytes) -> bytes:
             out += bytes([len(seg) - 1]) + seg
             i = j
     return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first code packing and the EARLY-CHANGE
+    width schedule — codes start at 9 bits and the width grows when
+    the next free table slot reaches ``(1 << width) - 1`` (one code
+    EARLIER than the GIF variant's ``1 << width``; TIFF 6.0 §13
+    pseudocode / the libtiff convention, where maxcode is
+    ``MAXCODE(nbits) - 1``). Clear = 256, EOI = 257, first dynamic
+    code 258; writers emit Clear when the next slot would be 4094, so
+    the table never holds codes past 4093. The dictionary mechanics
+    (greedy parse, KwKwK) are IDENTICAL to the in-repo GIF decoder —
+    tests/test_tiffcodec.py cross-checks the two on shared parses plus
+    hand-assembled spec byte vectors."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    width = 9
+    prev: bytes | None = None
+    next_code = 258
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream exhausted early")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            table = {i: bytes([i]) for i in range(256)}
+            width = 9
+            next_code = 258
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError(
+                    f"TIFF LZW code {code} out of sequence after clear"
+                )
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of sequence")
+        out += entry
+        if prev is not None and next_code < 4094:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1  # early change: one code before GIF would
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError(
+            f"TIFF LZW underrun: {len(out)} of {n_expected} bytes"
+        )
+    return bytes(out[:n_expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW fixture compressor — the exact inverse contract of
+    :func:`_tiff_lzw_decode` (MSB-first packing, early-change widths,
+    Clear at slot 4094). Like the GIF twin, the width schedule is
+    driven by a simulation of the DECODER's table count, which runs
+    one entry behind the encoder's (the classic LZW desync
+    off-by-one)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    en = 258  # encoder's next table code
+    dn = 258  # decoder's mirrored entry count (one behind)
+    first = True
+
+    def emit(code: int) -> None:
+        nonlocal dn, width, first
+        put(code)
+        if first:
+            first = False
+        else:
+            dn += 1  # the decoder defines an entry on this code
+            if dn == (1 << width) - 1 and width < 12:
+                width += 1  # early change
+
+    def do_clear() -> None:
+        nonlocal table, en, dn, width, first
+        put(clear)
+        table = {bytes([i]): i for i in range(256)}
+        width = 9
+        en = 258
+        dn = 258
+        first = True
+
+    put(clear)
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if en < 4094:
+            table[cand] = en
+            en += 1
+        else:
+            do_clear()
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    put(eoi)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_undiff(
+    chunk: bytearray, row_stride: int, delta: int
+) -> None:
+    """Undo TIFF Predictor 2 (horizontal differencing, TIFF 6.0 §14)
+    in place: within each row, every sample is stored as the delta
+    from the same sample one pixel left; ``delta`` is the interleaved
+    sample distance (SamplesPerPixel for chunky data, 1 for a planar
+    plane or palette indices)."""
+    for r0 in range(0, len(chunk), row_stride):
+        end = min(r0 + row_stride, len(chunk))
+        for j in range(r0 + delta, end):
+            chunk[j] = (chunk[j] + chunk[j - delta]) & 0xFF
+
+
+def _tiff_diff(chunk: bytearray, row_stride: int, delta: int) -> None:
+    """Apply Predictor 2 differencing (the encode direction of
+    :func:`_tiff_undiff`), walking each row right-to-left."""
+    for r0 in range(0, len(chunk), row_stride):
+        end = min(r0 + row_stride, len(chunk))
+        for j in range(end - 1, r0 + delta - 1, -1):
+            chunk[j] = (chunk[j] - chunk[j - delta]) & 0xFF
 
 
 def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
@@ -1035,12 +1192,20 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
     tiled = 322 in tags or 323 in tags
     if tiled and planar == 2:
         raise NotImplementedError("tiled TIFF with planar configuration 2")
-    if compression not in (1, 7, 32773):
+    if compression not in (1, 5, 7, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression}: none (1), new-style JPEG"
-            " (7), and PackBits (32773) decode here — LZW is the"
-            " documented seam"
+            f"TIFF compression {compression}: none (1), LZW (5),"
+            " new-style JPEG (7), and PackBits (32773) decode here"
         )
+    predictor = one(317, 1)
+    if predictor == 3:
+        raise NotImplementedError(
+            "TIFF floating-point predictor (3) needs non-8-bit samples"
+        )
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor}")
+    if predictor == 2 and compression == 7:
+        raise ValueError("TIFF predictor 2 is invalid with JPEG strips")
     if compression == 7:
         # New-style JPEG-in-TIFF (round 15): every strip is a complete
         # JPEG stream handed to the in-repo decoder (which is pinned
@@ -1058,13 +1223,18 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
                 f"JPEG-in-TIFF photometric {photometric}"
             )
 
-    def read_chunk(off: int, cnt: int, expected: int) -> bytes:
+    def read_chunk(
+        off: int, cnt: int, expected: int,
+        row_stride: int, delta: int,
+    ) -> bytes:
         if off + cnt > len(buf):
             raise ValueError("TIFF strip/tile extent past end of file")
         chunk = buf[off : off + cnt]
         if compression == 32773:
-            return _packbits_decode(chunk, expected)
-        if compression == 7:
+            chunk = _packbits_decode(chunk, expected)
+        elif compression == 5:
+            chunk = _tiff_lzw_decode(chunk, expected)
+        elif compression == 7:
             jw, jh, jch, pix = decode_jpeg(chunk)
             if jw != w or jch != spp or jw * jh * jch != expected:
                 raise ValueError(
@@ -1072,9 +1242,15 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
                     f" match the IFD ({w} wide, {spp} samples)"
                 )
             return pix
-        if len(chunk) < expected:
-            raise ValueError("truncated TIFF strip/tile")
-        return chunk[:expected]
+        else:
+            if len(chunk) < expected:
+                raise ValueError("truncated TIFF strip/tile")
+            chunk = chunk[:expected]
+        if predictor == 2:
+            und = bytearray(chunk)
+            _tiff_undiff(und, row_stride, delta)
+            chunk = bytes(und)
+        return chunk
 
     stride = w * spp
     if tiled:
@@ -1094,7 +1270,7 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
         raw = bytearray(h * stride)
         tile_bytes = tw * th * spp
         for ti, (off, cnt) in enumerate(zip(offsets, counts)):
-            tile = read_chunk(off, cnt, tile_bytes)
+            tile = read_chunk(off, cnt, tile_bytes, tw * spp, spp)
             ty, tx = divmod(ti, across)
             n_rows = min(th, h - ty * th)
             n_cols = min(tw, w - tx * tw)
@@ -1125,7 +1301,7 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
                         raise ValueError("TIFF has more strips than rows")
                     k = p * per_plane + si
                     plane += read_chunk(
-                        offsets[k], counts[k], n_rows * w
+                        offsets[k], counts[k], n_rows * w, w, 1
                     )
                 planes.append(plane)
             raw = bytearray(h * stride)
@@ -1138,7 +1314,7 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
                 n_rows = min(rows_per_strip, h - si * rows_per_strip)
                 if n_rows <= 0:
                     raise ValueError("TIFF has more strips than rows")
-                raw += read_chunk(off, cnt, n_rows * stride)
+                raw += read_chunk(off, cnt, n_rows * stride, stride, spp)
     if len(raw) != h * stride:
         raise ValueError("TIFF strip data size mismatch")
     if photometric in (1, 2) or (photometric == 6 and compression == 7):
@@ -1174,16 +1350,19 @@ def encode_tiff(
     planar: bool = False,
     tiles: tuple[int, int] | None = None,
     jpeg: bool = False,
+    lzw: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Encode a baseline TIFF fixture: multi-strip (rows_per_strip
-    forces a real strip walk), II or MM byte order, optional PackBits,
-    optional 256-entry 16-bit ColorMap (channels=1 indices +
-    photometric 3), optional ``planar`` configuration 2 (plane-major
-    strip sequences), optional ``tiles=(tw, th)`` tiled layout
-    (zero-padded edge tiles), optional new-style ``jpeg`` compression
-    (each strip a complete JPEG stream; use grayscale block-solid
-    pixels and 8-row strips for a bit-exact round trip). Fixture
-    source for :func:`decode_tiff`."""
+    forces a real strip walk), II or MM byte order, optional PackBits
+    or ``lzw`` (round 16: TIFF 6.0 §13 MSB-first early-change LZW,
+    optionally with ``predictor=2`` horizontal differencing), optional
+    256-entry 16-bit ColorMap (channels=1 indices + photometric 3),
+    optional ``planar`` configuration 2 (plane-major strip sequences),
+    optional ``tiles=(tw, th)`` tiled layout (zero-padded edge tiles),
+    optional new-style ``jpeg`` compression (each strip a complete
+    JPEG stream; use grayscale block-solid pixels and 8-row strips for
+    a bit-exact round trip). Fixture source for :func:`decode_tiff`."""
     e = ">" if big_endian else "<"
     if len(pixels) != w * h * channels:
         raise ValueError("pixel buffer size mismatch")
@@ -1191,12 +1370,28 @@ def encode_tiff(
         raise ValueError("tiled planar TIFF is the documented seam")
     if planar and channels < 2:
         raise ValueError("planar needs channels >= 2")
-    if jpeg and (planar or tiles is not None or packbits
+    if jpeg and (planar or tiles is not None or packbits or lzw
                  or colormap is not None or channels not in (1, 3)):
         raise ValueError(
             "jpeg strips need chunky non-PackBits gray/RGB layout"
         )
+    if lzw and packbits:
+        raise ValueError("pick one compression: lzw or packbits")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor {predictor} not encodable")
+    if predictor == 2 and jpeg:
+        raise ValueError("predictor 2 is invalid with JPEG strips")
     stride = w * channels
+
+    def prep(seg: bytes, row_stride: int, delta: int) -> bytes:
+        """Difference (predictor 2) then compress one strip/tile."""
+        if predictor == 2:
+            d = bytearray(seg)
+            _tiff_diff(d, row_stride, delta)
+            seg = bytes(d)
+        if lzw:
+            return _tiff_lzw_encode(seg)
+        return _packbits_encode(seg) if packbits else seg
     strips: list[bytes] = []
     if tiles is not None:
         tw, th = tiles
@@ -1218,8 +1413,7 @@ def encode_tiff(
                         ]
                     tile += row
                 strips.append(
-                    _packbits_encode(bytes(tile)) if packbits
-                    else bytes(tile)
+                    prep(bytes(tile), tw * channels, channels)
                 )
     elif planar:
         for p in range(channels):
@@ -1228,9 +1422,7 @@ def encode_tiff(
             )
             for y0 in range(0, h, rows_per_strip):
                 seg = plane[y0 * w : min(y0 + rows_per_strip, h) * w]
-                strips.append(
-                    _packbits_encode(seg) if packbits else seg
-                )
+                strips.append(prep(seg, w, 1))
     elif jpeg:
         for y0 in range(0, h, rows_per_strip):
             n_rows = min(rows_per_strip, h - y0)
@@ -1246,7 +1438,7 @@ def encode_tiff(
             rows = pixels[
                 y0 * stride : min(y0 + rows_per_strip, h) * stride
             ]
-            strips.append(_packbits_encode(rows) if packbits else rows)
+            strips.append(prep(rows, stride, channels))
 
     if colormap is not None:
         if channels != 1 or len(colormap) != 256:
@@ -1267,7 +1459,9 @@ def encode_tiff(
     add(256, 3, [w])
     add(257, 3, [h])
     add(258, 3, [8] * channels)
-    add(259, 3, [7 if jpeg else (32773 if packbits else 1)])
+    add(259, 3, [7 if jpeg else 5 if lzw else 32773 if packbits else 1])
+    if predictor == 2:
+        add(317, 3, [2])
     add(262, 3, [photometric])
     add(277, 3, [channels])
     if channels == 4:

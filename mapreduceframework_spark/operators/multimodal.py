@@ -309,11 +309,19 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                     else:
                         # 16-bit ColorMap entries: v8 * 257 puts v8 in
                         # the high byte, which is what decode keeps.
-                        # Alternate strip+PackBits / TILED layouts.
+                        # Layout knob cycles strip+PackBits / TILED
+                        # PackBits / LZW strips (round 16, alternating
+                        # Predictor 2) — decoded RGB identical, so the
+                        # knob is oracle-invariant while the value
+                        # hash walks every compression path.
+                        layout = (d // 11) % 3
                         payload = IC.encode_tiff(
                             w, h, idx, channels=1, big_endian=True,
-                            packbits=True,
-                            tiles=(4, 3) if (d // 11) % 2 else None,
+                            packbits=layout < 2,
+                            tiles=(4, 3) if layout == 1 else None,
+                            lzw=layout == 2,
+                            predictor=2 if layout == 2 and (d // 33) % 2
+                            else 1,
                             colormap=[
                                 tuple(v * 257 for v in _pal_rgb(d, c))
                                 for c in range(256)

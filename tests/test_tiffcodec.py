@@ -90,7 +90,8 @@ def test_tiff_error_and_seam_paths():
     good = IC.encode_tiff(4, 4, _pix(48))
     with pytest.raises(ValueError):
         IC.decode_tiff(good[:20])
-    # LZW compression (5) is the documented seam
+    # CCITT compression (2) is a documented seam (LZW decodes for
+    # real since round 16, so it moved out of this test)
     b2 = bytearray(good)
     e = "<"
     (n_entries,) = struct.unpack(e + "H", b2[8:10])
@@ -98,9 +99,19 @@ def test_tiff_error_and_seam_paths():
         off = 10 + 12 * k
         tag = struct.unpack(e + "H", b2[off : off + 2])[0]
         if tag == 259:
-            struct.pack_into(e + "H", b2, off + 8, 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+            struct.pack_into(e + "H", b2, off + 8, 2)
+    with pytest.raises(NotImplementedError, match="compression 2"):
         IC.decode_tiff(bytes(b2))
+    # flipping an UNCOMPRESSED stream's tag to LZW (5) must fail the
+    # LZW code-sequence validation, not crash or mis-decode
+    b2b = bytearray(good)
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        tag = struct.unpack(e + "H", b2b[off : off + 2])[0]
+        if tag == 259:
+            struct.pack_into(e + "H", b2b, off + 8, 5)
+    with pytest.raises(ValueError, match="LZW"):
+        IC.decode_tiff(bytes(b2b))
     # dimension bomb must raise, not allocate
     b3 = bytearray(good)
     for k in range(n_entries):
