@@ -2,8 +2,11 @@
 
 Real decoders, no external imaging library required:
 
-- **PPM/PGM (P6/P5)**: full netpbm binary parser — header tokenizer
-  with ``#`` comments, arbitrary whitespace, maxval validation.
+- **netpbm (P1–P7)**: the full family — binary P6/P5, ASCII P3/P2/P1
+  (incl. packed digit rows), packed P4, and (r16) P7/PAM key-value
+  headers; header tokenizer with ``#`` comments, arbitrary
+  whitespace, maxval validation, 16-bit samples reduced to their
+  high byte (the PNG/TIFF 8-bit rendering convention).
 - **PNG**: real PNG decoding via the stdlib ``zlib`` inflate — chunk
   walk (IHDR/IDAT/IEND with CRC check), concatenated-IDAT inflate, and
   scanline UN-filtering for all five filter types (None/Sub/Up/
@@ -75,36 +78,92 @@ def _pnm_tokens(buf: bytes, n: int, start: int) -> tuple[list[int], int]:
     return toks, i
 
 
+_PAM_INT_KEYS = (b"WIDTH", b"HEIGHT", b"DEPTH", b"MAXVAL")
+
+
+def _pam_header(buf: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a P7/PAM header (round 16): key-value lines WIDTH /
+    HEIGHT / DEPTH / MAXVAL / TUPLTYPE up to ENDHDR, '#' comment lines
+    skipped. Returns ``(w, h, depth, maxval, raster_offset)``."""
+    pos = 2
+    fields: dict[bytes, int] = {}
+    while True:
+        nl = buf.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError("PAM header missing ENDHDR")
+        line = buf[pos:nl].strip()
+        pos = nl + 1
+        if not line or line.startswith(b"#"):
+            continue
+        parts = line.split()
+        key = parts[0].upper()
+        if key == b"ENDHDR":
+            break
+        if key == b"TUPLTYPE":
+            continue  # informative only; DEPTH is authoritative here
+        if key in _PAM_INT_KEYS:
+            if len(parts) != 2 or not parts[1].isdigit():
+                raise ValueError(f"bad PAM header line {line!r}")
+            fields[key] = int(parts[1])
+            continue
+        raise ValueError(f"unknown PAM header key {key!r}")
+    missing = [k for k in _PAM_INT_KEYS if k not in fields]
+    if missing:
+        raise ValueError(f"PAM header missing {missing}")
+    return (fields[b"WIDTH"], fields[b"HEIGHT"], fields[b"DEPTH"],
+            fields[b"MAXVAL"], pos)
+
+
 def decode_pnm(buf: bytes) -> tuple[int, int, int, bytes]:
     """Decode any netpbm raster: binary PPM/PGM (P6/P5), their ASCII
-    twins (P3/P2, round 15), and bitmap PBM in both forms (P1 ASCII /
-    P4 packed MSB-first rows, round 15 — 1 = black maps to gray 0,
-    0 = white to 255, the bilevel convention).
+    twins (P3/P2, round 15), bitmap PBM in both forms (P1 ASCII —
+    including PACKED digit rows like ``0110`` with no separators,
+    which many writers emit — / P4 packed MSB-first rows; 1 = black
+    maps to gray 0, 0 = white to 255, the bilevel convention), and —
+    round 16 — P7/PAM (DEPTH 1/2/3/4) plus 16-bit samples in every
+    non-bitmap form (maxval > 255: two-byte big-endian samples
+    reduced to their high byte, the same 8-bit rendering convention
+    as PNG 16-bit and the TIFF ColorMap).
 
     Returns ``(width, height, channels, pixels)`` with ``pixels`` in
     row-major interleaved order, exactly ``w*h*channels`` bytes.
     """
     magic = buf[:2]
-    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
-        raise ValueError(f"not a netpbm file: magic {magic!r}")
-    kind = magic[1] - ord("0")
-    channels = 3 if kind in (3, 6) else 1
-    bitmap = kind in (1, 4)
-    if bitmap:
-        (w, h), i = _pnm_tokens(buf, 2, 2)
+    if magic == b"P7":
+        kind = 7
+        w, h, channels, maxval, i = _pam_header(buf)
+        if channels not in (1, 2, 3, 4):
+            raise ValueError(f"PAM depth {channels}")
+        bitmap = False
+    elif magic in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        kind = magic[1] - ord("0")
+        channels = 3 if kind in (3, 6) else 1
+        bitmap = kind in (1, 4)
+        if bitmap:
+            maxval = 1
+            (w, h), i = _pnm_tokens(buf, 2, 2)
+        else:
+            (w, h, maxval), i = _pnm_tokens(buf, 3, 2)
     else:
-        (w, h, maxval), i = _pnm_tokens(buf, 3, 2)
-        if not (0 < maxval < 65536):
-            raise ValueError(f"bad maxval {maxval}")
-        if maxval > 255:
-            raise NotImplementedError("16-bit netpbm not supported")
+        raise ValueError(f"not a netpbm file: magic {magic!r}")
+    if not bitmap and not (0 < maxval < 65536):
+        raise ValueError(f"bad maxval {maxval}")
+    wide = maxval > 255
     if w <= 0 or h <= 0:
         raise ValueError(f"netpbm dimensions {w}x{h}")
     if w * h > 64 * max(1, len(buf)):
         raise ValueError("implausible netpbm dimensions for file size")
     need = w * h * channels
-    if kind in (5, 6):  # binary gray/RGB raster
-        i += 1  # single whitespace byte after maxval, then raster
+    if kind in (5, 6, 7):  # binary gray/RGB/PAM raster
+        if kind != 7:
+            i += 1  # single whitespace byte after maxval, then raster
+        if wide:
+            raw = buf[i : i + 2 * need]
+            if len(raw) != 2 * need:
+                raise ValueError(
+                    f"raster truncated: want {2 * need}, got {len(raw)}"
+                )
+            return w, h, channels, raw[0::2]  # big-endian high bytes
         pixels = buf[i : i + need]
         if len(pixels) != need:
             raise ValueError(
@@ -123,21 +182,50 @@ def decode_pnm(buf: bytes) -> tuple[int, int, int, bytes]:
                 bit = (row[x // 8] >> (7 - x % 8)) & 1
                 out[y * w + x] = 0 if bit else 255
         return w, h, 1, bytes(out)
-    # ASCII rasters (P1/P2/P3)
+    if kind == 1:
+        # ASCII bitmap: samples are single characters and the spec
+        # does NOT require separators between them — scan characters,
+        # skipping whitespace and '#' comments (round 16; the
+        # token-based parse rejected packed '0110' rows).
+        out = bytearray()
+        j = i
+        n = len(buf)
+        while len(out) < need and j < n:
+            c = buf[j]
+            if c == ord("#"):
+                while j < n and buf[j] != ord("\n"):
+                    j += 1
+                continue
+            j += 1
+            if c == ord("0"):
+                out.append(255)
+            elif c == ord("1"):
+                out.append(0)
+            elif not buf[j - 1 : j].isspace():
+                raise ValueError("PBM sample out of range")
+        if len(out) < need:
+            raise ValueError("ascii PBM raster truncated")
+        return w, h, 1, bytes(out)
+    # ASCII rasters (P2/P3)
     vals, _ = _pnm_tokens(buf, need, i)
-    if bitmap:
-        if any(v not in (0, 1) for v in vals):
-            raise ValueError("PBM sample out of range")
-        return w, h, 1, bytes(0 if v else 255 for v in vals)
     if any(not 0 <= v <= maxval for v in vals):
         raise ValueError("netpbm sample exceeds maxval")
+    if wide:
+        return w, h, channels, bytes(v >> 8 for v in vals)
     return w, h, channels, bytes(vals)
 
 
-def encode_ppm(w: int, h: int, pixels: bytes) -> bytes:
-    """Binary P6 with a comment line (exercises the tokenizer)."""
+def encode_ppm(w: int, h: int, pixels: bytes, wide: bool = False) -> bytes:
+    """Binary P6 with a comment line (exercises the tokenizer).
+    ``wide`` (round 16) writes 16-bit samples v*257 big-endian —
+    maxval 65535 with the value in BOTH bytes, so the decoder's
+    high-byte reduction returns the exact 8-bit input (the G.711
+    decoder-output-lattice trick applied to sample width)."""
     if len(pixels) != w * h * 3:
         raise ValueError("pixel buffer size mismatch")
+    if wide:
+        raster = bytes(b for v in pixels for b in (v, v))
+        return b"P6\n# synthetic\n%d %d\n65535\n" % (w, h) + raster
     return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + pixels
 
 
@@ -147,18 +235,47 @@ def encode_pgm(w: int, h: int, pixels: bytes) -> bytes:
     return b"P5\n%d %d\n255\n" % (w, h) + pixels
 
 
-def encode_pnm_ascii(w: int, h: int, pixels: bytes, rgb: bool) -> bytes:
+def encode_pnm_ascii(
+    w: int, h: int, pixels: bytes, rgb: bool, wide: bool = False
+) -> bytes:
     """ASCII netpbm fixture (P3 RGB / P2 gray, round 15): one sample
-    per token, a comment mid-header, line-wrapped raster."""
+    per token, a comment mid-header, line-wrapped raster. ``wide``
+    (round 16) writes tokens v*257 under maxval 65535 (high-byte
+    reduction returns the 8-bit input exactly)."""
     if len(pixels) != w * h * (3 if rgb else 1):
         raise ValueError("pixel buffer size mismatch")
+    mul = 257 if wide else 1
     body = b"\n".join(
-        b" ".join(b"%d" % v for v in pixels[k : k + 12])
+        b" ".join(b"%d" % (v * mul) for v in pixels[k : k + 12])
         for k in range(0, len(pixels), 12)
     )
-    return b"%s\n# ascii fixture\n%d %d\n255\n%s\n" % (
-        b"P3" if rgb else b"P2", w, h, body,
+    return b"%s\n# ascii fixture\n%d %d\n%d\n%s\n" % (
+        b"P3" if rgb else b"P2", w, h, 65535 if wide else 255, body,
     )
+
+
+def encode_pam(
+    w: int, h: int, pixels: bytes, channels: int = 3, wide: bool = False
+) -> bytes:
+    """P7/PAM fixture (round 16): key-value header (with a comment
+    line and the informative TUPLTYPE) + binary raster; ``wide``
+    writes 16-bit v*257 samples under MAXVAL 65535."""
+    if channels not in (1, 2, 3, 4):
+        raise ValueError(f"PAM depth {channels}")
+    if len(pixels) != w * h * channels:
+        raise ValueError("pixel buffer size mismatch")
+    tupltype = {
+        1: b"GRAYSCALE", 2: b"GRAYSCALE_ALPHA",
+        3: b"RGB", 4: b"RGB_ALPHA",
+    }[channels]
+    hdr = (
+        b"P7\n# pam fixture\nWIDTH %d\nHEIGHT %d\nDEPTH %d\n"
+        b"MAXVAL %d\nTUPLTYPE %s\nENDHDR\n"
+        % (w, h, channels, 65535 if wide else 255, tupltype)
+    )
+    if wide:
+        return hdr + bytes(b for v in pixels for b in (v, v))
+    return hdr + pixels
 
 
 def encode_pbm(w: int, h: int, bits: bytes, packed: bool = True) -> bytes:
@@ -1236,12 +1353,21 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
             chunk = _tiff_lzw_decode(chunk, expected)
         elif compression == 7:
             jw, jh, jch, pix = decode_jpeg(chunk)
-            if jw != w or jch != spp or jw * jh * jch != expected:
+            # A strip's JPEG may be MCU-padded PAST the IFD row count
+            # (h not a multiple of the MCU height): spec-valid, so
+            # accept jh >= n_rows and crop the pad rows (round 16,
+            # per the r15 ADVICE). The pad is bounded by one MCU
+            # (< 16 rows) — more than that is a geometry error, not
+            # padding.
+            n_rows = expected // (w * spp)
+            if (jw != w or jch != spp or jh < n_rows
+                    or jh - n_rows >= 16):
                 raise ValueError(
                     f"JPEG strip geometry {jw}x{jh}x{jch} does not"
-                    f" match the IFD ({w} wide, {spp} samples)"
+                    f" match the IFD ({w} wide, {n_rows} rows,"
+                    f" {spp} samples)"
                 )
-            return pix
+            return pix[:expected]
         else:
             if len(chunk) < expected:
                 raise ValueError("truncated TIFF strip/tile")

@@ -394,13 +394,22 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                             IC.encode_png(w, h, pix, 3), "image/png",
                         )
                     elif m == 1:
-                        # Layout knob (oracle-invariant): binary P6 vs
-                        # ASCII P3 — identical decoded bytes.
-                        payload = (
-                            IC.encode_pnm_ascii(w, h, pix, rgb=True)
-                            if (d // 12) % 2
-                            else IC.encode_ppm(w, h, pix)
-                        )
+                        # Layout knob (oracle-invariant): binary P6 /
+                        # ASCII P3 / P7 PAM (r16) / 16-bit P6 (r16,
+                        # samples v*257 so the high-byte reduction
+                        # returns v exactly) — identical decoded
+                        # bytes through all four forms.
+                        form = (d // 12) % 4
+                        if form == 1:
+                            payload = IC.encode_pnm_ascii(
+                                w, h, pix, rgb=True
+                            )
+                        elif form == 2:
+                            payload = IC.encode_pam(w, h, pix, 3)
+                        elif form == 3:
+                            payload = IC.encode_ppm(w, h, pix, wide=True)
+                        else:
+                            payload = IC.encode_ppm(w, h, pix)
                         codec = "image/ppm"
                     elif m == 3:
                         payload, codec = (

@@ -79,8 +79,11 @@ def test_pnm_rejects_truncated_raster():
 def test_pnm_rejects_wrong_magic():
     # ASCII P1/P2/P3 decode since round 15; P3 now round-trips
     assert IC.decode_pnm(b"P3\n1 1\n255\n1 2 3") == (1, 1, 3, b"\x01\x02\x03")
+    # P7/PAM decodes since round 16 — only a MALFORMED header rejects
+    with pytest.raises(ValueError, match="ENDHDR|PAM"):
+        IC.decode_pnm(b"P7\n1 1\n255\n\x00\x00\x00")
     with pytest.raises(ValueError, match="magic"):
-        IC.decode_pnm(b"P7\n1 1\n255\n\x00\x00\x00")  # PAM stays out
+        IC.decode_pnm(b"P8\n1 1\n255\n\x00\x00\x00")
 
 
 def test_decode_payload_dispatch():

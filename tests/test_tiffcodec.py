@@ -162,3 +162,50 @@ def test_tiff_corruption_never_leaks_raw_exceptions():
                 IC.decode_tiff(bytes(m))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_jpeg_strip_mcu_padding_cropped():
+    """A spec-valid JPEG-in-TIFF whose LAST strip's JPEG is MCU-padded
+    past ImageLength (h not a multiple of 8) must decode with the pad
+    rows cropped (round 16, per the r15 ADVICE); a strip padded by a
+    full MCU or more is a geometry error, not padding."""
+    w, h = 16, 10
+    pix = bytes(
+        (3 * 7 + ((y // 8) * (w // 8) + x // 8) * 13) % 256
+        for y in range(h) for x in range(w)
+    )
+    good = IC.encode_tiff(w, h, pix, channels=1, rows_per_strip=8,
+                          jpeg=True)
+    assert IC.decode_tiff(good) == (w, h, 1, pix)
+
+    def swap_last_strip(jpeg_bytes: bytes) -> bytes:
+        e = "<"
+        (n_entries,) = struct.unpack(e + "H", good[8:10])
+        tags = {}
+        for k in range(n_entries):
+            off = 10 + 12 * k
+            tag = struct.unpack(e + "H", good[off : off + 2])[0]
+            tags[tag] = off
+        (ptr_off,) = struct.unpack(
+            e + "I", good[tags[273] + 8 : tags[273] + 12]
+        )
+        (ptr_cnt,) = struct.unpack(
+            e + "I", good[tags[279] + 8 : tags[279] + 12]
+        )
+        offsets = struct.unpack(e + "2I", good[ptr_off : ptr_off + 8])
+        counts = struct.unpack(e + "2I", good[ptr_cnt : ptr_cnt + 8])
+        assert offsets[1] + counts[1] == len(good)
+        new = bytearray(good[: offsets[1]]) + jpeg_bytes
+        struct.pack_into(e + "I", new, ptr_cnt + 4, len(jpeg_bytes))
+        return bytes(new)
+
+    last_rows = pix[8 * w : 10 * w]
+    padded = IC.encode_jpeg(
+        w, 8, last_rows + last_rows[-w:] * 6, channels=1
+    )
+    assert IC.decode_tiff(swap_last_strip(padded)) == (w, h, 1, pix)
+    way_padded = IC.encode_jpeg(
+        w, 24, last_rows + last_rows[-w:] * 22, channels=1
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        IC.decode_tiff(swap_last_strip(way_padded))
