@@ -501,25 +501,44 @@ def synth_audio_matrix(docs: DataFrame) -> DataFrame:
                     frames = d % AUD_N_MOD + AUD_N_BASE
                     ch = (d // 4) % AUD_CH_MOD + 1
                     n = frames * ch
-                    if m == 0:  # integer PCM
-                        # Layout knobs (oracle-invariant): half the
-                        # docs keep the classic 16-bit-with-LIST-chunk
-                        # file; the other half store the SAME stream
-                        # as 24-bit PCM (s << 8 on disk, top two bytes
-                        # back on decode — bit-exact), alternating the
-                        # EXTENSIBLE wrapper.
-                        pcm = b"".join(
-                            ((d * AUD_S_A + i * AUD_S_B) % 65536)
-                            .to_bytes(2, "little")
-                            for i in range(n)
-                        )
-                        if (d // 5) % 2:
+                    if m == 0:  # integer PCM, width knob (d//5)%3
+                        # sub 0: the classic 16-bit-with-LIST-chunk
+                        # file; sub 1: the SAME stream stored as
+                        # 24-bit PCM (s << 8 on disk, top two bytes
+                        # back on decode — bit-exact, oracle
+                        # -invariant); sub 2 (round 16): 8-bit PCM
+                        # with samples drawn from the 256-value
+                        # decode lattice s = hi << 8 (the G.711
+                        # decoder-output-lattice trick), so encode
+                        # inverts decode exactly — its samples
+                        # DIFFER from sub 0/1, mirrored by the
+                        # (doc_id // 5) % 3 = 2 oracle arm. Subs 1/2
+                        # alternate the EXTENSIBLE wrapper.
+                        sub = (d // 5) % 3
+                        if sub == 2:
+                            pcm = b"".join(
+                                ((((d * AUD_S_A + i * AUD_S_B) % 256)
+                                  << 8) & 0xFFFF)
+                                .to_bytes(2, "little")
+                                for i in range(n)
+                            )
                             payload = IC.encode_wav_pcm(
-                                rate, ch, pcm, bits=24,
+                                rate, ch, pcm, bits=8,
                                 extensible=bool((d // 10) % 2),
                             )
                         else:
-                            payload = IC.encode_wav(rate, ch, pcm)
+                            pcm = b"".join(
+                                ((d * AUD_S_A + i * AUD_S_B) % 65536)
+                                .to_bytes(2, "little")
+                                for i in range(n)
+                            )
+                            if sub == 1:
+                                payload = IC.encode_wav_pcm(
+                                    rate, ch, pcm, bits=24,
+                                    extensible=bool((d // 10) % 2),
+                                )
+                            else:
+                                payload = IC.encode_wav(rate, ch, pcm)
                     else:  # G.711: PCM from the decoder-output lattice
                         if m == 1:
                             cws = [

@@ -270,7 +270,9 @@ _ALAW_U16_SQL = """[ [ CASE WHEN a >= 128 THEN t2 ELSE 65536 - t2 END
                    AS n_frames,
                CAST(CASE m
                  WHEN 0 THEN list_reduce(list_prepend(0,
-                     [ (doc_id * 31 + i * 17) % 65536
+                     [ CASE WHEN (doc_id // 5) % 3 = 2
+                            THEN (doc_id * 31 + i * 17) % 256 * 256
+                            ELSE (doc_id * 31 + i * 17) % 65536 END
                        for i in range(0, frames2 * ch2) ]),
                      (acc, v) -> (acc * 31 + v) % 1000000007)
                  WHEN 4 THEN list_reduce(list_prepend(0,
@@ -330,8 +332,12 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     -to-int16 conversion) in one Arrow-batched mapInPandas stage. The
     G.711 fixtures draw PCM from the decoder-output lattice (encode
     inverts decode exactly there; mu-law skips codeword 127, the
-    negative-zero alias); the float fixture draws from the int16
-    lattice f = s/32768 (exact in float32, so the round-half-up
+    negative-zero alias); the pcm16 variant's width knob stores the
+    stream at 16, 24 (s << 8, bit-exact), or — round 16 — 8 bits,
+    the last with samples drawn from the 256-value decode lattice
+    hi << 8 so the unsigned-byte round trip is exact (mirrored by the
+    (doc_id // 5) % 3 = 2 oracle arm); the float fixture draws from
+    the int16 lattice f = s/32768 (exact in float32, so the round-half-up
     conversion inverts exactly — and its digest formula is offset by
     +32768 from pcm16's, so a float path aliasing the int path breaks
     the hash); the ADPCM fixture carries a synthesized nibble stream

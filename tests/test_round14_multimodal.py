@@ -206,7 +206,12 @@ def _audio_matrix_expect(d: int) -> tuple[str, int, int, int, int]:
     ch = (d // 4) % 2 + 1
     n = frames * ch
     if m == 0:
-        dig = _fold((d * 31 + i * 17) % 65536 for i in range(n))
+        if (d // 5) % 3 == 2:
+            # 8-bit PCM sub-variant (round 16): samples on the
+            # 256-value decode lattice hi << 8
+            dig = _fold((d * 31 + i * 17) % 256 * 256 for i in range(n))
+        else:
+            dig = _fold((d * 31 + i * 17) % 65536 for i in range(n))
         return "pcm16", rate, ch, frames, dig
     if m == 1:
         def cw(i):
