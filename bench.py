@@ -33,6 +33,13 @@ programmatically instead of diffing docstrings: r02-r03 = v0 (cold
 single-shot, rotating order), r04-r05 = v1 (warm-up + pinned order,
 single-shot), r06 = v2 (warm-up + pinned order + median-of-3), r07+ =
 v3 (v2 + volatile median-of-5 + inter-pass GC barrier + sidecar).
+Round 16 adds a ``controls`` object (same v3 protocol for the query
+rows, so version stays 3): three pinned host-calibration workloads —
+``jvm`` (pure codegen agg), ``shf`` (one shuffled groupBy), ``py``
+(Arrow mapInPandas round trip) — sampled once per pass; their medians
+let cross-round tooling separate host drift from engine change
+without a live A/B (see BASELINE.md "BENCH HOST-CALIBRATION
+CONTROLS").
 
 Query ORDER is pinned (``BENCH_ORDER``, = BENCH_r03's list) so per-query
 timings are comparable across rounds: registry iteration order rotates
@@ -190,6 +197,41 @@ VOLATILE = frozenset({
 EXTRA_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPEATS", "2"))
 
 
+# Host-calibration controls (round 16, VERDICT r15 item 3): three
+# PINNED engine-independent workloads whose cost is a property of the
+# HOST — raw JVM codegen throughput, shuffle machinery, and the
+# Python/Arrow worker boundary — not of any registry query or data
+# file. They are sampled once after each main pass (median-of-REPEATS,
+# interleaved like the queries so a transient spike lands in at most
+# one sample) and recorded as a ``controls`` object on the stdout line
+# and in the sidecar. Purpose: the r14->r15 cycle burned a full
+# adjudication round proving a 1.2-1.8x ENVIRONMENT-wide drift with
+# ad-hoc control cohorts; with these in every BENCH_r{N}.json the
+# 2x-rule can be host-normalized from the artifacts alone (see
+# BASELINE.md "BENCH HOST-CALIBRATION CONTROLS" for the normalization
+# rule). Sizes chosen so each control runs ~0.2-1 s warm on the
+# reference host — heavy enough to measure, light enough to add <10 s
+# to the whole bench. NEVER retune these constants: a size change
+# breaks cross-round comparability exactly like moving a query anchor.
+def control_workloads(spark) -> dict:
+    return {
+        "jvm": lambda: spark.range(40_000_000)
+        .selectExpr("sum(hash(id)) AS h")
+        .collect(),
+        "shf": lambda: spark.range(4_000_000)
+        .selectExpr("id % 1000 AS k")
+        .groupBy("k")
+        .count()
+        .selectExpr("sum(hash(k, count)) AS h")
+        .collect(),
+        "py": lambda: spark.range(400_000)
+        .repartition(32)
+        .mapInPandas(lambda it: it, "id long")
+        .selectExpr("sum(id) AS s")
+        .collect(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -246,10 +288,24 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         gc.collect()
 
+    controls = control_workloads(spark)
+    control_samples: dict[str, list[float]] = {c: [] for c in controls}
+
+    def run_controls(tag: str) -> None:
+        for cname, fn in controls.items():
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            control_samples[cname].append(dt)
+            print(f"# {tag} control {cname}: {dt:.3f}s", file=sys.stderr)
+
     samples: dict[str, list[float]] = {name: [] for name in ordered}
     for rep in range(REPEATS):
         for name in ordered:
             run_one(name, f"pass {rep + 1}/{REPEATS}")
+        # controls BEFORE the barrier: they should see the same heap/
+        # cache climate the queries of this pass just ran in
+        run_controls(f"pass {rep + 1}/{REPEATS}")
         pass_barrier()
     # Volatile family: two extra passes -> median-of-5 per query, so a
     # single contaminated pass cannot set the recorded median.
@@ -280,6 +336,10 @@ def main() -> None:
             "order": "pinned-r03",
             "pass_barrier": "clearCache+gc",
         },
+        "controls": {
+            c: round(statistics.median(ts), 3)
+            for c, ts in control_samples.items()
+        },
         "queries": timings,
     }
     line, amap = stdout_payload(out)
@@ -292,6 +352,9 @@ def main() -> None:
     )
     sidecar["samples"] = {
         name: [round(t, 3) for t in ts] for name, ts in samples.items()
+    }
+    sidecar["control_samples"] = {
+        c: [round(t, 3) for t in ts] for c, ts in control_samples.items()
     }
     if amap is not None:
         # stdout degraded to short aliases — record the resolution map

@@ -48,11 +48,18 @@ def test_bench_emits_single_json_line():
     # inside the driver's bounded tail capture.
     assert "samples" not in out
     assert len(json_lines[0]) < 1900, len(json_lines[0])
+    # round-16 host-calibration controls: three pinned workloads, one
+    # sample per pass, medians on the stdout line
+    assert set(out["controls"]) == {"jvm", "shf", "py"}
+    assert all(v > 0 for v in out["controls"].values())
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "BENCH_SUMMARY.json")) as f:
         sidecar = json.load(f)
     assert sidecar["value"] == out["value"]
     assert all(len(v) == 1 for v in sidecar["samples"].values())
+    assert all(
+        len(v) == 1 for v in sidecar["control_samples"].values()
+    )
 
 
 def test_stdout_payload_fits_capture_at_80_rows():
