@@ -71,91 +71,77 @@ def query(
 
 
 # The driver's per-round correctness run checks the FIRST 50 entries of
-# all_queries() in iteration order. Round-14 window (VERDICT r13 items
-# 1 and 4): the 3 never-checked video rows lead (new evidence first),
-# then this round's 10 code-change sentinels — the codec-matrix
-# re-point (multimodal_image_decode / multimodal_audio_decode /
-# multimodal_decode_features) and the exactness-queue conversions
-# (agg_decimal_exact, unpivot_price_components, text_bm25_topk,
-# events_sliding_windows auto-flagged; timeseries_forward_fill,
-# timeseries_interpolate, streaming_sliding_avgs flagged manually
-# because their change lives in a shared module-level oracle fragment
-# / helper the planner's function-granular fingerprint cannot see) —
-# then the 3 remaining r07 rows (timeseries_ewma,
-# union_by_name_evolved, window_rolling_distinct_users; the other two
-# r07 leftovers are already in as sentinels, completing VERDICT r13
-# item 4's "5 r07 leftovers lead"), then the oldest r08 cohort,
-# oldest-first alphabetical per the planner, minus the three
-# displaced by the late-r14 asof sentinels (see below).
-# 3 + 10 + 3 + 31 + 3 = 50.
-# Registry: 274 -> 277 (the three sanctioned video rows, VERDICT r13
-# item 5; freeze ceiling 278 held).
+# all_queries() in iteration order. Round-16 window (VERDICT r15 item
+# 1): 3 code-change sentinels lead — multimodal_decode_features and
+# multimodal_audio_decode auto-flagged (their oracle literals changed:
+# the bmp-4bit first_byte arm and the 8-bit-PCM digest arm), and
+# multimodal_image_decode flagged MANUALLY because its oracle change
+# (the PAL_CAP_4 13 -> 11 fix) rides the module-level
+# _IMG_PAL11_PIXELS constant the planner's function-granular
+# fingerprint cannot see (same row also carries the oracle-invariant
+# TIFF-LZW and P7/16-bit layout knobs). Then the ENTIRE 16-row
+# r09-stale cohort (stats_regression_multi leads, exactly as the r15
+# verdict prescribed), then the 31 stalest r10 rows in planner order
+# (tpch_q13_custdist / q16 / q20 are the displaced r10 tail and lead
+# r17's queue). 3 + 16 + 31 = 50; post-round max staleness r10.
+# Registry: 277 (freeze held; zero adds this round — every r16
+# capability rides existing rows via oracle-invariant layout knobs or
+# mirrored-oracle sub-variants).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- manual code-change sentinels (13): the round-15 streaming
-    #     state-partition tuning lives in the shared
-    #     streaming/windows.py helper (all 12 streaming rows), and
-    #     multimodal_image_decode's oracle changed via the module
-    #     -level matrix constants — both invisible to the planner's
-    #     function-granular fingerprint; every row 3-SF re-verified
-    #     this session ---
+    # --- code-change sentinels (3): every r16 matrix change, 3-SF
+    #     re-verified on landing ---
     "multimodal_image_decode",
-    "streaming_tumbling_counts",
-    "streaming_user_counts_stateful",
-    "streaming_sliding_avgs",
-    "streaming_dedup_keys",
-    "streaming_click_purchase_join",
-    "streaming_session_counts",
-    "streaming_static_enrich",
-    "streaming_click_purchase_left_join",
-    "streaming_click_purchase_full_join",
-    "streaming_threshold_alerts",
-    "streaming_foreachbatch_upsert",
-    "streaming_checkpoint_restart",
-    # --- auto sentinels (2): codec-matrix widening + the batched
-    #     cogroup rewrite ---
-    "multimodal_decode_features",
-    "udf_cogrouped_reconcile",
-    # --- late-r15 sentinel: the float32 audio-matrix widening
-    #     (displaces the planner-ordered-last r09 refresh,
-    #     stats_regression_multi, which leads r16's queue) ---
     "multimodal_audio_decode",
-    # --- stalest refresh: the remaining r08 cohort (9, incl. the
-    #     three planner-ordered-last rows the r14 asof sentinels
-    #     displaced), then the oldest r09s, planner order ---
-    "similarity_join_minhash",
-    "similarity_join_prefix_filter",
-    "sort_global_ranked",
-    "split_leakage_safe",
-    "stats_cusum_drift",
-    "text_chunk_sliding",
-    "timeseries_seasonal_profile",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_supplier",
-    "agg_approx_count_distinct",
-    "agg_distinct_bitmap",
-    "ann_cosine_bruteforce",
-    "ann_cosine_ivf",
-    "dedup_semantic_clusters",
-    "dedup_substring_phase_pairs",
-    "events_attribution_time_decay",
-    "events_pattern_match_regex",
-    "events_peak_concurrency",
-    "events_sessionize_gaps",
-    "feature_hashing_trick",
-    "graph_hits",
-    "graph_kcore",
-    "multimodal_audio_energy",
-    "pack_binpack_harmonic",
-    "pack_bpe_chunks",
-    "reco_user_similarity",
-    "regression_by_event_type",
-    "sample_epoch_shuffle",
-    "sketch_ams_f2",
-    "sketch_kmv_setops",
-    "sketch_topk_misra_gries",
-    "source_orc_roundtrip",
-    "source_schema_evolution_merge",
-    "split_train_val_test",
+    "multimodal_decode_features",
+    # --- the full r09-stale cohort (16), planner order ---
+    "stats_regression_multi",
+    "stats_theil_sen",
+    "stats_welch_ttest",
+    "text_bpe_tokenize",
+    "text_bpe_vocab_counts",
+    "text_keywords_rake",
+    "timeseries_autocorrelation",
+    "timeseries_cross_correlation",
+    "tpch_q2_min_cost_supplier",
+    "udf_pandas_grouped_agg",
+    "udtf_bigram_counts",
+    "udtf_native_token_runs",
+    "window_moving_avg",
+    "window_range_frame",
+    "window_running_sum",
+    "window_topk_per_group",
+    # --- stalest refresh: the oldest r10 rows (31), planner order ---
+    "agg_bitwise",
+    "ann_filtered_ivf",
+    "cdc_merge_orders",
+    "cdc_snapshot_diff",
+    "cube_counts",
+    "decontaminate_ngram_overlap",
+    "dedup_clusters",
+    "dedup_substring_chunks",
+    "embedding_quantize_int8",
+    "events_anomaly_zscore",
+    "events_funnel_conversion",
+    "feature_quantile_buckets",
+    "flatmap_posexplode",
+    "graph_degree_stats",
+    "grouping_sets_explicit",
+    "kmeans_quantized_clusters",
+    "lateral_last_ship",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "quality_report_tables",
+    "sample_deterministic",
+    "sample_mixture_by_source",
+    "scalar_array_setops",
+    "scalar_map_funcs",
+    "sketch_bloom_probe",
+    "sketch_kmv_distinct",
+    "subquery_exists_late_ship",
+    "subquery_scalar_above_avg",
+    "text_scrub_redact",
+    "text_tfidf_top_terms",
+    "tpch_q12_shipmode_priority",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or
