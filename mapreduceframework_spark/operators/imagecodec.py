@@ -1300,9 +1300,12 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
     compression = one(259, 1)
     photometric = one(262)
     spp = one(277, 1)
-    bits = tags.get(258, [8])
-    if any(b != 8 for b in bits):
+    bits = tags.get(258) or [8]  # empty/corrupt tag -> spec default
+    if bits != [8] * len(bits) and bits != [16] * len(bits):
         raise NotImplementedError(f"TIFF bits-per-sample {bits}")
+    wide = bits[0] == 16  # r16: 16-bit samples reduce to the high
+    # byte (the PNG/netpbm/ColorMap 8-bit rendering convention),
+    # honoring the file byte order
     planar = one(284, 1)
     if planar not in (1, 2):
         raise ValueError(f"TIFF planar configuration {planar}")
@@ -1323,6 +1326,16 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"TIFF predictor {predictor}")
     if predictor == 2 and compression == 7:
         raise ValueError("TIFF predictor 2 is invalid with JPEG strips")
+    if wide:
+        if compression == 7:
+            raise NotImplementedError("16-bit JPEG-in-TIFF")
+        if predictor == 2:
+            raise NotImplementedError(
+                "predictor 2 over 16-bit samples (differences are"
+                " 16-bit-wide; only the 8-bit form is implemented)"
+            )
+        if photometric == 3:
+            raise ValueError("paletted TIFF requires 8-bit indices")
     if compression == 7:
         # New-style JPEG-in-TIFF (round 15): every strip is a complete
         # JPEG stream handed to the in-repo decoder (which is pinned
@@ -1347,10 +1360,14 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
         if off + cnt > len(buf):
             raise ValueError("TIFF strip/tile extent past end of file")
         chunk = buf[off : off + cnt]
+        # ``expected`` counts OUTPUT (8-bit) samples; 16-bit files
+        # carry twice the bytes, reduced to high bytes after
+        # decompression (II stores low byte first, MM high first).
+        want = expected * 2 if wide else expected
         if compression == 32773:
-            chunk = _packbits_decode(chunk, expected)
+            chunk = _packbits_decode(chunk, want)
         elif compression == 5:
-            chunk = _tiff_lzw_decode(chunk, expected)
+            chunk = _tiff_lzw_decode(chunk, want)
         elif compression == 7:
             jw, jh, jch, pix = decode_jpeg(chunk)
             # A strip's JPEG may be MCU-padded PAST the IFD row count
@@ -1369,9 +1386,11 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
                 )
             return pix[:expected]
         else:
-            if len(chunk) < expected:
+            if len(chunk) < want:
                 raise ValueError("truncated TIFF strip/tile")
-            chunk = chunk[:expected]
+            chunk = chunk[:want]
+        if wide:
+            chunk = chunk[0::2] if e == ">" else chunk[1::2]
         if predictor == 2:
             und = bytearray(chunk)
             _tiff_undiff(und, row_stride, delta)
@@ -1478,6 +1497,7 @@ def encode_tiff(
     jpeg: bool = False,
     lzw: bool = False,
     predictor: int = 1,
+    wide16: bool = False,
 ) -> bytes:
     """Encode a baseline TIFF fixture: multi-strip (rows_per_strip
     forces a real strip walk), II or MM byte order, optional PackBits
@@ -1507,10 +1527,20 @@ def encode_tiff(
         raise ValueError(f"predictor {predictor} not encodable")
     if predictor == 2 and jpeg:
         raise ValueError("predictor 2 is invalid with JPEG strips")
+    if wide16 and (jpeg or predictor == 2 or colormap is not None):
+        raise ValueError(
+            "wide16 fixtures are plain gray/RGB(A), predictor 1"
+        )
     stride = w * channels
 
     def prep(seg: bytes, row_stride: int, delta: int) -> bytes:
-        """Difference (predictor 2) then compress one strip/tile."""
+        """Difference (predictor 2) then compress one strip/tile.
+        ``wide16`` (round 16) widens each 8-bit sample to the 16-bit
+        lattice value v*257 FIRST — high and low byte both v, so the
+        on-disk stream is byte-order agnostic and the decoder's
+        high-byte reduction returns v exactly."""
+        if wide16:
+            seg = bytes(b for v in seg for b in (v, v))
         if predictor == 2:
             d = bytearray(seg)
             _tiff_diff(d, row_stride, delta)
@@ -1584,7 +1614,7 @@ def encode_tiff(
 
     add(256, 3, [w])
     add(257, 3, [h])
-    add(258, 3, [8] * channels)
+    add(258, 3, [16 if wide16 else 8] * channels)
     add(259, 3, [7 if jpeg else 5 if lzw else 32773 if packbits else 1])
     if predictor == 2:
         add(317, 3, [2])

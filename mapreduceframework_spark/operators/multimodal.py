@@ -311,22 +311,36 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                         # the high byte, which is what decode keeps.
                         # Layout knob cycles strip+PackBits / TILED
                         # PackBits / LZW strips (round 16, alternating
-                        # Predictor 2) — decoded RGB identical, so the
-                        # knob is oracle-invariant while the value
-                        # hash walks every compression path.
-                        layout = (d // 11) % 3
-                        payload = IC.encode_tiff(
-                            w, h, idx, channels=1, big_endian=True,
-                            packbits=layout < 2,
-                            tiles=(4, 3) if layout == 1 else None,
-                            lzw=layout == 2,
-                            predictor=2 if layout == 2 and (d // 33) % 2
-                            else 1,
-                            colormap=[
-                                tuple(v * 257 for v in _pal_rgb(d, c))
-                                for c in range(256)
-                            ],
-                        )
+                        # Predictor 2) / direct 16-BIT RGB (round 16:
+                        # the palette-mapped RGB values stored as
+                        # v*257 wide samples, byte order alternating)
+                        # — decoded RGB identical through all four,
+                        # so the knob is oracle-invariant while the
+                        # value hash walks every compression and
+                        # sample-width path.
+                        layout = (d // 11) % 4
+                        if layout == 3:
+                            rgb = b"".join(
+                                _pal_rgb(d, ci) for ci in idx
+                            )
+                            payload = IC.encode_tiff(
+                                w, h, rgb, channels=3,
+                                big_endian=bool((d // 44) % 2),
+                                wide16=True,
+                            )
+                        else:
+                            payload = IC.encode_tiff(
+                                w, h, idx, channels=1, big_endian=True,
+                                packbits=layout < 2,
+                                tiles=(4, 3) if layout == 1 else None,
+                                lzw=layout == 2,
+                                predictor=2 if layout == 2
+                                and (d // 33) % 2 else 1,
+                                colormap=[
+                                    tuple(v * 257 for v in _pal_rgb(d, c))
+                                    for c in range(256)
+                                ],
+                            )
                         codec = "image/tiff"
                 elif m == 11:  # 4-bit paletted BMP (round 15)
                     # Layout knobs (oracle-invariant): RLE4 vs

@@ -209,3 +209,79 @@ def test_jpeg_strip_mcu_padding_cropped():
     )
     with pytest.raises(ValueError, match="geometry"):
         IC.decode_tiff(swap_last_strip(way_padded))
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize(
+    "comp", [{}, {"packbits": True}, {"lzw": True},
+             {"tiles": (6, 4)}, {"tiles": (6, 4), "lzw": True}]
+)
+def test_tiff_wide16_roundtrip(big_endian, comp):
+    """16-bit samples (round 16): fixtures store v*257 (both bytes v,
+    byte-order agnostic on disk) and the decoder's high-byte reduction
+    returns v exactly — across compressions and tiling."""
+    px = _pix(20 * 9 * 3)
+    buf = IC.encode_tiff(20, 9, px, channels=3, big_endian=big_endian,
+                         wide16=True, rows_per_strip=4, **comp)
+    assert IC.decode_tiff(buf) == (20, 9, 3, px)
+    # BitsPerSample really says 16
+    e = ">" if big_endian else "<"
+    (n_entries,) = struct.unpack(e + "H", buf[8:10])
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        tag, typ, cnt = struct.unpack(e + "HHI", buf[off : off + 8])
+        if tag == 258:
+            assert cnt == 3
+
+
+def test_tiff_wide16_high_byte_convention_and_seams():
+    # a NON-lattice 16-bit sample reduces to its high byte, honoring
+    # the file byte order (II stores low byte first)
+    buf = bytearray(IC.encode_tiff(1, 1, b"\x00", channels=1,
+                                   wide16=True))
+    buf[-2:] = b"\xab\x34"  # II: low=0xab, high=0x34
+    assert IC.decode_tiff(bytes(buf))[3] == b"\x34"
+    mm = bytearray(IC.encode_tiff(1, 1, b"\x00", channels=1,
+                                  wide16=True, big_endian=True))
+    mm[-2:] = b"\x34\xab"  # MM: high first
+    assert IC.decode_tiff(bytes(mm))[3] == b"\x34"
+    # planar 16-bit works; predictor/palette/JPEG combinations with
+    # 16-bit stay explicit seams or encode errors
+    px = _pix(10 * 4 * 3)
+    buf = IC.encode_tiff(10, 4, px, channels=3, wide16=True,
+                         planar=True, packbits=True, rows_per_strip=2)
+    assert IC.decode_tiff(buf) == (10, 4, 3, px)
+    with pytest.raises(ValueError, match="wide16"):
+        IC.encode_tiff(10, 4, px, channels=3, wide16=True, predictor=2,
+                       lzw=True)
+    # decoder: hand-flip a predictor-2 LZW file's BitsPerSample to 16
+    g = IC.encode_tiff(10, 4, px, channels=3, lzw=True, predictor=2)
+    b = bytearray(g)
+    (n_entries,) = struct.unpack("<H", b[8:10])
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        tag, typ, cnt = struct.unpack("<HHI", b[off : off + 8])
+        if tag == 258:
+            (voff,) = struct.unpack("<I", b[off + 8 : off + 12])
+            for c in range(3):
+                struct.pack_into("<H", b, voff + 2 * c, 16)
+    with pytest.raises(NotImplementedError, match="predictor 2 over"):
+        IC.decode_tiff(bytes(b))
+    # mixed widths stay a seam
+    b2 = bytearray(g)
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        tag = struct.unpack("<H", b2[off : off + 2])[0]
+        if tag == 258:
+            (voff,) = struct.unpack("<I", b2[off + 8 : off + 12])
+            struct.pack_into("<H", b2, voff, 16)  # only sample 0
+    with pytest.raises(NotImplementedError, match="bits-per-sample"):
+        IC.decode_tiff(bytes(b2))
+
+
+def test_tiff_wide16_truncation_rejects():
+    px = _pix(8 * 3 * 3)
+    buf = IC.encode_tiff(8, 3, px, channels=3, wide16=True)
+    # chop half the (doubled) raster: must reject, not half-decode
+    with pytest.raises(ValueError):
+        IC.decode_tiff(buf[: len(buf) - 8 * 3 * 3])
