@@ -1197,6 +1197,34 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _split_jpeg_tables(buf: bytes) -> tuple[bytes, bytes]:
+    """Split a complete JPEG stream into (tables, abbreviated image):
+    ``tables`` is an SOI + DQT/DHT + EOI abbreviated-table stream fit
+    for the TIFF JPEGTables (347) tag; the image stream keeps every
+    other segment. Fixture-side inverse of the decode splice (round
+    16)."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    tables = bytearray()
+    image = bytearray(b"\xff\xd8")
+    while True:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated JPEG: marker segment cut short")
+        marker = buf[pos + 1]
+        (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        seg = buf[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            image += seg
+        pos += 2 + ln
+        if marker == 0xDA:  # SOS: entropy data + EOI follow verbatim
+            image += buf[pos:]
+            break
+    return bytes(b"\xff\xd8" + tables + b"\xff\xd9"), bytes(image)
+
+
 def _tiff_undiff(
     chunk: bytearray, row_stride: int, delta: int
 ) -> None:
@@ -1243,7 +1271,7 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
     if ifd_off + 2 + 12 * n_entries > len(buf):
         raise ValueError("truncated TIFF: IFD entries cut short")
 
-    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
     def read_values(entry_off: int) -> tuple[int, list[int]]:
         tag, typ, cnt = struct.unpack(
@@ -1270,7 +1298,7 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
                 struct.unpack(e + "I", buf[voff + 4 * k : voff + 4 * k + 4])[0]
                 for k in range(cnt)
             ]
-        elif typ in (1, 2):
+        elif typ in (1, 2, 7):  # BYTE / ASCII / UNDEFINED (JPEGTables)
             vals = list(buf[voff : voff + cnt])
         else:  # RATIONAL: numerator only (resolution tags, unused)
             vals = [
@@ -1336,22 +1364,31 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
             )
         if photometric == 3:
             raise ValueError("paletted TIFF requires 8-bit indices")
+    jpeg_tables = b""
     if compression == 7:
-        # New-style JPEG-in-TIFF (round 15): every strip is a complete
+        # New-style JPEG-in-TIFF (round 15): every strip/tile is a
         # JPEG stream handed to the in-repo decoder (which is pinned
         # independently, so — unlike LZW — no external test vector is
-        # needed). Abbreviated streams via a shared JPEGTables tag and
-        # tiled/planar JPEG stay explicit seams.
-        if 347 in tags:
-            raise NotImplementedError(
-                "JPEG-in-TIFF with a shared JPEGTables (347) tag"
-            )
-        if tiled or planar == 2:
-            raise NotImplementedError("tiled/planar JPEG-in-TIFF")
+        # needed). Round 16 adds the shared-JPEGTables (347) form —
+        # an abbreviated tables stream (SOI, DQT/DHT, EOI) spliced
+        # ahead of each strip's abbreviated image stream, which gives
+        # exactly the TIFF TechNote 2 override semantics (chunk-local
+        # tables land later in the marker walk, so they win) — and
+        # TILED JPEG (each tile its own stream at the tile extent).
+        # Planar-2 JPEG stays the explicit seam.
+        if planar == 2:
+            raise NotImplementedError("planar JPEG-in-TIFF")
         if photometric not in (1, 2, 6):
             raise NotImplementedError(
                 f"JPEG-in-TIFF photometric {photometric}"
             )
+        if 347 in tags:
+            jt = bytes(tags[347])
+            if jt[:2] != b"\xff\xd8" or jt[-2:] != b"\xff\xd9":
+                raise ValueError(
+                    "JPEGTables must be an abbreviated SOI..EOI stream"
+                )
+            jpeg_tables = jt[:-2]  # keep SOI + table segments
 
     def read_chunk(
         off: int, cnt: int, expected: int,
@@ -1369,19 +1406,29 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
         elif compression == 5:
             chunk = _tiff_lzw_decode(chunk, want)
         elif compression == 7:
+            if jpeg_tables:
+                if chunk[:2] != b"\xff\xd8":
+                    raise ValueError(
+                        "abbreviated JPEG strip missing SOI"
+                    )
+                chunk = jpeg_tables + chunk[2:]
             jw, jh, jch, pix = decode_jpeg(chunk)
-            # A strip's JPEG may be MCU-padded PAST the IFD row count
+            # The chunk's pixel width: the image width for strips,
+            # the tile extent for tiles (row_stride is already the
+            # right stride for either).
+            cw = row_stride // spp
+            # A chunk's JPEG may be MCU-padded PAST the IFD row count
             # (h not a multiple of the MCU height): spec-valid, so
             # accept jh >= n_rows and crop the pad rows (round 16,
             # per the r15 ADVICE). The pad is bounded by one MCU
             # (< 16 rows) — more than that is a geometry error, not
             # padding.
-            n_rows = expected // (w * spp)
-            if (jw != w or jch != spp or jh < n_rows
+            n_rows = expected // row_stride
+            if (jw != cw or jch != spp or jh < n_rows
                     or jh - n_rows >= 16):
                 raise ValueError(
                     f"JPEG strip geometry {jw}x{jh}x{jch} does not"
-                    f" match the IFD ({w} wide, {n_rows} rows,"
+                    f" match the IFD ({cw} wide, {n_rows} rows,"
                     f" {spp} samples)"
                 )
             return pix[:expected]
@@ -1498,6 +1545,7 @@ def encode_tiff(
     lzw: bool = False,
     predictor: int = 1,
     wide16: bool = False,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Encode a baseline TIFF fixture: multi-strip (rows_per_strip
     forces a real strip walk), II or MM byte order, optional PackBits
@@ -1516,11 +1564,13 @@ def encode_tiff(
         raise ValueError("tiled planar TIFF is the documented seam")
     if planar and channels < 2:
         raise ValueError("planar needs channels >= 2")
-    if jpeg and (planar or tiles is not None or packbits or lzw
+    if jpeg and (planar or packbits or lzw
                  or colormap is not None or channels not in (1, 3)):
         raise ValueError(
             "jpeg strips need chunky non-PackBits gray/RGB layout"
         )
+    if jpeg_tables and not jpeg:
+        raise ValueError("jpeg_tables requires jpeg strips")
     if lzw and packbits:
         raise ValueError("pick one compression: lzw or packbits")
     if predictor not in (1, 2):
@@ -1569,7 +1619,9 @@ def encode_tiff(
                         ]
                     tile += row
                 strips.append(
-                    prep(bytes(tile), tw * channels, channels)
+                    encode_jpeg(tw, th, bytes(tile), channels=channels)
+                    if jpeg
+                    else prep(bytes(tile), tw * channels, channels)
                 )
     elif planar:
         for p in range(channels):
@@ -1595,6 +1647,22 @@ def encode_tiff(
                 y0 * stride : min(y0 + rows_per_strip, h) * stride
             ]
             strips.append(prep(rows, stride, channels))
+
+    jt_stream = b""
+    if jpeg_tables:
+        # pull the (identical, fixed-table) DQT/DHT segments out of
+        # every chunk into the shared JPEGTables stream — the
+        # abbreviated-stream form real writers emit (TIFF TechNote 2)
+        tables_seen = set()
+        abbreviated = []
+        for s in strips:
+            t, img = _split_jpeg_tables(s)
+            tables_seen.add(t)
+            abbreviated.append(img)
+        if len(tables_seen) != 1:
+            raise ValueError("jpeg_tables needs identical chunk tables")
+        jt_stream = next(iter(tables_seen))
+        strips = abbreviated
 
     if colormap is not None:
         if channels != 1 or len(colormap) != 256:
@@ -1640,6 +1708,8 @@ def encode_tiff(
             + [c[2] for c in colormap]
         )
         add(320, 3, cmap_vals)
+    if jt_stream:
+        add(347, 7, list(jt_stream))  # UNDEFINED bytes
     entries.sort(key=lambda t: t[0])
 
     ifd_off = header_size
@@ -1648,13 +1718,16 @@ def encode_tiff(
     # lay out out-of-line value blocks, then strips
     blocks: list[bytes] = []
     pos = data_off
-    sizes = {3: 2, 4: 4}
+    sizes = {3: 2, 4: 4, 7: 1}
     encoded_entries = []
     strip_off_patch = None
     for tag, typ, cnt, vals in entries:
         size = sizes[typ] * cnt
-        fmt = "H" if typ == 3 else "I"
-        payload = b"".join(struct.pack(e + fmt, v) for v in vals)
+        if typ == 7:
+            payload = bytes(vals)
+        else:
+            fmt = "H" if typ == 3 else "I"
+            payload = b"".join(struct.pack(e + fmt, v) for v in vals)
         if size <= 4:
             encoded_entries.append(
                 (tag, typ, cnt, payload + b"\x00" * (4 - size), None)

@@ -274,10 +274,17 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                         for x in range(w)
                     )
                     if m == 12:
+                        # Layout knobs (oracle-invariant: gray
+                        # block-solid JPEG decodes bit-exactly and
+                        # the 8x8 tiles align with the blocks):
+                        # byte order, shared-JPEGTables abbreviation
+                        # (r16), and strip vs tiled chunking (r16).
                         payload = IC.encode_tiff(
                             w, h, pix, channels=1,
                             big_endian=bool((d // 13) % 2),
                             rows_per_strip=8, jpeg=True,
+                            jpeg_tables=bool((d // 26) % 2),
+                            tiles=(8, 8) if (d // 52) % 2 else None,
                         )
                         codec = "image/tiff"
                     else:

@@ -285,3 +285,92 @@ def test_tiff_wide16_truncation_rejects():
     # chop half the (doubled) raster: must reject, not half-decode
     with pytest.raises(ValueError):
         IC.decode_tiff(buf[: len(buf) - 8 * 3 * 3])
+
+
+def _block_solid16(w, h, seed=3, ch=1):
+    bw = w // 8
+    px = bytes(
+        (seed * 7 + ((y // 8) * bw + x // 8) * 13) % 256
+        for y in range(h) for x in range(w)
+    )
+    if ch == 3:
+        px = b"".join(bytes((v, v, v)) for v in px)
+    return px
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_jpeg_tables_strips_roundtrip(big_endian):
+    """Round 16: abbreviated JPEGTables (tag 347) streams — tables
+    split into the shared tag, strips abbreviated, decode splices
+    them back (TIFF TechNote 2 override semantics)."""
+    w, h = 24, 16
+    px = _block_solid16(w, h)
+    buf = IC.encode_tiff(w, h, px, channels=1, rows_per_strip=8,
+                         jpeg=True, jpeg_tables=True,
+                         big_endian=big_endian)
+    assert IC.decode_tiff(buf) == (w, h, 1, px)
+    # the strips really are abbreviated: no DQT marker after the
+    # JPEGTables payload ends (the tag block precedes strip data)
+    e = ">" if big_endian else "<"
+    (n_entries,) = struct.unpack(e + "H", buf[8:10])
+    jt_off = jt_len = None
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        tag, typ, cnt = struct.unpack(e + "HHI", buf[off : off + 8])
+        if tag == 347:
+            assert typ == 7
+            (jt_off,) = struct.unpack(e + "I", buf[off + 8 : off + 12])
+            jt_len = cnt
+    assert jt_off is not None
+    jt = buf[jt_off : jt_off + jt_len]
+    assert jt[:2] == b"\xff\xd8" and jt[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in jt and b"\xff\xc4" in jt
+    assert b"\xff\xdb" not in buf[jt_off + jt_len :]
+
+
+@pytest.mark.parametrize("jpeg_tables", [False, True])
+def test_jpeg_tiled_roundtrip(jpeg_tables):
+    """Round 16: tiled JPEG-in-TIFF — each tile a complete (or
+    abbreviated) JPEG stream at the tile extent."""
+    w, h = 32, 24
+    px = _block_solid16(w, h)
+    buf = IC.encode_tiff(w, h, px, channels=1, jpeg=True,
+                         tiles=(16, 8), jpeg_tables=jpeg_tables)
+    assert IC.decode_tiff(buf) == (w, h, 1, px)
+
+
+def test_jpeg_tables_rgb_tolerance_and_guards():
+    px = _block_solid16(16, 8, seed=5, ch=3)
+    buf = IC.encode_tiff(16, 8, px, channels=3, rows_per_strip=8,
+                         jpeg=True, jpeg_tables=True)
+    got = IC.decode_tiff(buf)
+    assert got[:3] == (16, 8, 3)
+    assert max(abs(a - b) for a, b in zip(got[3], px)) <= 1
+    with pytest.raises(ValueError, match="jpeg_tables requires"):
+        IC.encode_tiff(16, 8, px, channels=3, jpeg_tables=True)
+    # malformed JPEGTables payload (no SOI) must reject cleanly
+    buf2 = bytearray(
+        IC.encode_tiff(16, 8, _block_solid16(16, 8), channels=1,
+                       rows_per_strip=8, jpeg=True, jpeg_tables=True)
+    )
+    i = buf2.find(b"\xff\xd8", 2)
+    buf2[i] = 0x00
+    with pytest.raises(ValueError, match="JPEGTables"):
+        IC.decode_tiff(bytes(buf2))
+
+
+def test_jpeg_tables_corruption_never_leaks():
+    buf = IC.encode_tiff(24, 16, _block_solid16(24, 16), channels=1,
+                         rows_per_strip=8, jpeg=True, jpeg_tables=True)
+    for cut in range(0, len(buf), 3):
+        try:
+            IC.decode_tiff(buf[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for k in range(0, len(buf), 3):
+        m = bytearray(buf)
+        m[k] ^= 0x5A
+        try:
+            IC.decode_tiff(bytes(m))
+        except (ValueError, NotImplementedError):
+            pass
