@@ -1011,9 +1011,12 @@ def encode_tga(
 # early-change width schedule per TIFF 6.0 §13) with Predictor 2
 # horizontal differencing (§14) — validated against hand-assembled
 # spec byte vectors AND cross-checked against the in-repo GIF LZW's
-# shared greedy-parse mechanics in tests/test_tiffcodec.py.
-# Remaining seams (all the genuinely-external-library class):
-# 16-bit samples, tiled-planar, abbreviated JPEGTables streams.
+# shared greedy-parse mechanics in tests/test_tiffcodec.py — plus
+# 16-bit samples (high-byte reduction in file byte order), shared
+# JPEGTables (347) abbreviated streams (spliced ahead of each chunk,
+# the TechNote 2 override semantics), and tiled JPEG. Remaining
+# seams: CCITT (2/3/4), planar JPEG, predictor 2 over 16-bit, mixed
+# bit widths — the rare/external class.
 # --------------------------------------------------------------------------
 
 

@@ -64,13 +64,15 @@ def decode_image(payload: bytes, codec: str) -> tuple[int, int, int, bytes]:
     through the marker walk + stream-carried Huffman/quant tables +
     IDCT + chroma upsampling; GIF (r13) through the real
     LZW/palette/interlace pipeline; BMP (r14) through the DIB header
-    walk (24/32-bit, 8-bit paletted, RLE8); baseline TIFF (r14)
-    through the IFD walk (II/MM byte orders, multi-strip, PackBits,
-    gray/RGB(A)/palette); TGA (r14) with gray/truecolor/palette and
-    run+raw RLE packets — all operators/imagecodec.py, pure Python,
-    no imaging library. Arithmetic-coded JPEG and LZW/JPEG-in-TIFF
-    raise NotImplementedError from inside the decoders — the
-    remaining documented codec seams.
+    walk (24/32-bit, 1/4/8-bit paletted, RLE4/8); TIFF (r14-r16)
+    through the IFD walk (II/MM byte orders, strips/tiles/planar-2,
+    PackBits, LZW + Predictor 2, 16-bit samples, JPEG strips and
+    tiles incl. shared JPEGTables, gray/RGB(A)/palette); TGA (r14)
+    with gray/truecolor/palette and run+raw RLE packets — all
+    operators/imagecodec.py, pure Python, no imaging library.
+    Arithmetic-coded JPEG, CCITT TIFF, and planar JPEG-in-TIFF raise
+    NotImplementedError from inside the decoders — the remaining
+    documented codec seams.
     """
     from mapreduceframework_spark.operators import imagecodec as IC
 
