@@ -1012,11 +1012,12 @@ def encode_tga(
 # horizontal differencing (§14) — validated against hand-assembled
 # spec byte vectors AND cross-checked against the in-repo GIF LZW's
 # shared greedy-parse mechanics in tests/test_tiffcodec.py — plus
-# 16-bit samples (high-byte reduction in file byte order), shared
-# JPEGTables (347) abbreviated streams (spliced ahead of each chunk,
-# the TechNote 2 override semantics), and tiled JPEG. Remaining
-# seams: CCITT (2/3/4), planar JPEG, predictor 2 over 16-bit, mixed
-# bit widths — the rare/external class.
+# 16-bit samples (high-byte reduction in file byte order; predictor
+# 2 runs word-level in byte order), Deflate (8/32946 via stdlib
+# zlib), shared JPEGTables (347) abbreviated streams (spliced ahead
+# of each chunk, the TechNote 2 override semantics), and tiled JPEG.
+# Remaining seams: CCITT (2/3/4), planar JPEG, mixed bit widths —
+# the rare/external class.
 # --------------------------------------------------------------------------
 
 
@@ -1251,6 +1252,37 @@ def _tiff_diff(chunk: bytearray, row_stride: int, delta: int) -> None:
             chunk[j] = (chunk[j] - chunk[j - delta]) & 0xFF
 
 
+def _tiff_undiff16(
+    chunk: bytearray, row_stride_bytes: int, delta: int, e: str
+) -> None:
+    """Predictor 2 over 16-BIT samples (round 16): differencing runs
+    on the 16-bit VALUES in the file byte order, one word per sample,
+    ``delta`` samples back (= SamplesPerPixel for chunky data)."""
+    fmt = e + "H"
+    step = 2 * delta
+    for r0 in range(0, len(chunk), row_stride_bytes):
+        end = min(r0 + row_stride_bytes, len(chunk))
+        for j in range(r0 + step, end - 1, 2):
+            prev = struct.unpack_from(fmt, chunk, j - step)[0]
+            cur = struct.unpack_from(fmt, chunk, j)[0]
+            struct.pack_into(fmt, chunk, j, (cur + prev) & 0xFFFF)
+
+
+def _tiff_diff16(
+    chunk: bytearray, row_stride_bytes: int, delta: int, e: str
+) -> None:
+    """Encode direction of :func:`_tiff_undiff16` (right-to-left)."""
+    fmt = e + "H"
+    step = 2 * delta
+    for r0 in range(0, len(chunk), row_stride_bytes):
+        end = min(r0 + row_stride_bytes, len(chunk))
+        last = end - 2
+        for j in range(last, r0 + step - 1, -2):
+            prev = struct.unpack_from(fmt, chunk, j - step)[0]
+            cur = struct.unpack_from(fmt, chunk, j)[0]
+            struct.pack_into(fmt, chunk, j, (cur - prev) & 0xFFFF)
+
+
 def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline TIFF (first IFD). Returns ``(w, h, channels,
     pixels)`` — gray(1)/RGB(3)/RGBA(4) interleaved; paletted images
@@ -1343,10 +1375,13 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
     tiled = 322 in tags or 323 in tags
     if tiled and planar == 2:
         raise NotImplementedError("tiled TIFF with planar configuration 2")
-    if compression not in (1, 5, 7, 32773):
+    if compression == 32946:
+        compression = 8  # legacy Deflate code, identical stream
+    if compression not in (1, 5, 7, 8, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression}: none (1), LZW (5),"
-            " new-style JPEG (7), and PackBits (32773) decode here"
+            " new-style JPEG (7), Deflate (8/32946), and PackBits"
+            " (32773) decode here"
         )
     predictor = one(317, 1)
     if predictor == 3:
@@ -1360,11 +1395,6 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
     if wide:
         if compression == 7:
             raise NotImplementedError("16-bit JPEG-in-TIFF")
-        if predictor == 2:
-            raise NotImplementedError(
-                "predictor 2 over 16-bit samples (differences are"
-                " 16-bit-wide; only the 8-bit form is implemented)"
-            )
         if photometric == 3:
             raise ValueError("paletted TIFF requires 8-bit indices")
     jpeg_tables = b""
@@ -1408,6 +1438,14 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
             chunk = _packbits_decode(chunk, want)
         elif compression == 5:
             chunk = _tiff_lzw_decode(chunk, want)
+        elif compression == 8:  # Adobe Deflate (r16): stdlib zlib
+            try:
+                chunk = zlib.decompress(chunk)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF Deflate strip: {exc}") from None
+            if len(chunk) < want:
+                raise ValueError("TIFF Deflate strip shorter than rows")
+            chunk = chunk[:want]
         elif compression == 7:
             if jpeg_tables:
                 if chunk[:2] != b"\xff\xd8":
@@ -1440,8 +1478,12 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("truncated TIFF strip/tile")
             chunk = chunk[:want]
         if wide:
+            if predictor == 2:
+                und = bytearray(chunk)
+                _tiff_undiff16(und, row_stride * 2, delta, e)
+                chunk = bytes(und)
             chunk = chunk[0::2] if e == ">" else chunk[1::2]
-        if predictor == 2:
+        elif predictor == 2:
             und = bytearray(chunk)
             _tiff_undiff(und, row_stride, delta)
             chunk = bytes(und)
@@ -1549,6 +1591,7 @@ def encode_tiff(
     predictor: int = 1,
     wide16: bool = False,
     jpeg_tables: bool = False,
+    deflate: bool = False,
 ) -> bytes:
     """Encode a baseline TIFF fixture: multi-strip (rows_per_strip
     forces a real strip walk), II or MM byte order, optional PackBits
@@ -1574,16 +1617,16 @@ def encode_tiff(
         )
     if jpeg_tables and not jpeg:
         raise ValueError("jpeg_tables requires jpeg strips")
-    if lzw and packbits:
-        raise ValueError("pick one compression: lzw or packbits")
+    if sum((packbits, lzw, deflate, jpeg)) > 1:
+        raise ValueError(
+            "pick one compression: packbits, lzw, deflate, or jpeg"
+        )
     if predictor not in (1, 2):
         raise ValueError(f"predictor {predictor} not encodable")
     if predictor == 2 and jpeg:
         raise ValueError("predictor 2 is invalid with JPEG strips")
-    if wide16 and (jpeg or predictor == 2 or colormap is not None):
-        raise ValueError(
-            "wide16 fixtures are plain gray/RGB(A), predictor 1"
-        )
+    if wide16 and (jpeg or colormap is not None):
+        raise ValueError("wide16 fixtures are plain gray/RGB(A)")
     stride = w * channels
 
     def prep(seg: bytes, row_stride: int, delta: int) -> bytes:
@@ -1594,12 +1637,18 @@ def encode_tiff(
         high-byte reduction returns v exactly."""
         if wide16:
             seg = bytes(b for v in seg for b in (v, v))
-        if predictor == 2:
+            if predictor == 2:
+                d = bytearray(seg)
+                _tiff_diff16(d, row_stride * 2, delta, e)
+                seg = bytes(d)
+        elif predictor == 2:
             d = bytearray(seg)
             _tiff_diff(d, row_stride, delta)
             seg = bytes(d)
         if lzw:
             return _tiff_lzw_encode(seg)
+        if deflate:
+            return zlib.compress(seg)
         return _packbits_encode(seg) if packbits else seg
     strips: list[bytes] = []
     if tiles is not None:
@@ -1686,7 +1735,8 @@ def encode_tiff(
     add(256, 3, [w])
     add(257, 3, [h])
     add(258, 3, [16 if wide16 else 8] * channels)
-    add(259, 3, [7 if jpeg else 5 if lzw else 32773 if packbits else 1])
+    add(259, 3, [7 if jpeg else 5 if lzw else 8 if deflate
+                 else 32773 if packbits else 1])
     if predictor == 2:
         add(317, 3, [2])
     add(262, 3, [photometric])

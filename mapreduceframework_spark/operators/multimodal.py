@@ -332,10 +332,16 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                             rgb = b"".join(
                                 _pal_rgb(d, ci) for ci in idx
                             )
+                            # sub-knob (d//88)%2: plain 16-bit vs
+                            # Deflate + word-level Predictor 2 —
+                            # decoded RGB identical (late r16)
+                            wp = bool((d // 88) % 2)
                             payload = IC.encode_tiff(
                                 w, h, rgb, channels=3,
                                 big_endian=bool((d // 44) % 2),
                                 wide16=True,
+                                deflate=wp,
+                                predictor=2 if wp else 1,
                             )
                         else:
                             payload = IC.encode_tiff(

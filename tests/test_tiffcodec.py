@@ -245,29 +245,21 @@ def test_tiff_wide16_high_byte_convention_and_seams():
                                   wide16=True, big_endian=True))
     mm[-2:] = b"\x34\xab"  # MM: high first
     assert IC.decode_tiff(bytes(mm))[3] == b"\x34"
-    # planar 16-bit works; predictor/palette/JPEG combinations with
-    # 16-bit stay explicit seams or encode errors
+    # planar 16-bit works; palette/JPEG combinations with 16-bit stay
+    # explicit seams or encode errors
     px = _pix(10 * 4 * 3)
     buf = IC.encode_tiff(10, 4, px, channels=3, wide16=True,
                          planar=True, packbits=True, rows_per_strip=2)
     assert IC.decode_tiff(buf) == (10, 4, 3, px)
-    with pytest.raises(ValueError, match="wide16"):
-        IC.encode_tiff(10, 4, px, channels=3, wide16=True, predictor=2,
-                       lzw=True)
-    # decoder: hand-flip a predictor-2 LZW file's BitsPerSample to 16
-    g = IC.encode_tiff(10, 4, px, channels=3, lzw=True, predictor=2)
-    b = bytearray(g)
-    (n_entries,) = struct.unpack("<H", b[8:10])
-    for k in range(n_entries):
-        off = 10 + 12 * k
-        tag, typ, cnt = struct.unpack("<HHI", b[off : off + 8])
-        if tag == 258:
-            (voff,) = struct.unpack("<I", b[off + 8 : off + 12])
-            for c in range(3):
-                struct.pack_into("<H", b, voff + 2 * c, 16)
-    with pytest.raises(NotImplementedError, match="predictor 2 over"):
-        IC.decode_tiff(bytes(b))
+    # predictor 2 over 16-bit decodes since late round 16 — word-level
+    # differencing in file byte order
+    for be in (False, True):
+        buf = IC.encode_tiff(10, 4, px, channels=3, wide16=True,
+                             predictor=2, lzw=True, big_endian=be)
+        assert IC.decode_tiff(buf) == (10, 4, 3, px)
     # mixed widths stay a seam
+    g = IC.encode_tiff(10, 4, px, channels=3, lzw=True, predictor=2)
+    (n_entries,) = struct.unpack("<H", g[8:10])
     b2 = bytearray(g)
     for k in range(n_entries):
         off = 10 + 12 * k
@@ -374,3 +366,70 @@ def test_jpeg_tables_corruption_never_leaks():
             IC.decode_tiff(bytes(m))
         except (ValueError, NotImplementedError):
             pass
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize(
+    "comp", [{}, {"lzw": True}, {"deflate": True}, {"packbits": True},
+             {"tiles": (6, 4), "deflate": True}]
+)
+def test_tiff_deflate_and_wide16_predictor2(big_endian, comp):
+    """Round 16 late adds: Adobe Deflate (8/32946, stdlib zlib) and
+    Predictor 2 over 16-bit samples (word-level differencing in the
+    file byte order) — a full matrix against both byte orders."""
+    px = _pix(20 * 9 * 3)
+    buf = IC.encode_tiff(20, 9, px, channels=3, big_endian=big_endian,
+                         wide16=True, predictor=2, rows_per_strip=4,
+                         **comp)
+    assert IC.decode_tiff(buf) == (20, 9, 3, px)
+    # plain 8-bit deflate too
+    if comp.get("deflate"):
+        buf = IC.encode_tiff(20, 9, px, channels=3,
+                             big_endian=big_endian, deflate=True,
+                             predictor=2, rows_per_strip=4)
+        assert IC.decode_tiff(buf) == (20, 9, 3, px)
+
+
+def test_tiff_deflate_legacy_code_and_corruption():
+    px = _pix(12 * 6 * 3)
+    buf = bytearray(IC.encode_tiff(12, 6, px, channels=3,
+                                   deflate=True, rows_per_strip=2))
+    (n_entries,) = struct.unpack("<H", buf[8:10])
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        if struct.unpack("<H", buf[off : off + 2])[0] == 259:
+            struct.pack_into("<H", buf, off + 8, 32946)  # legacy code
+    assert IC.decode_tiff(bytes(buf)) == (12, 6, 3, px)
+    good = bytes(buf)
+    for cut in range(8, len(good), 7):
+        try:
+            out = IC.decode_tiff(good[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        assert out == (12, 6, 3, px)
+    for k in range(0, len(good), 5):
+        m = bytearray(good)
+        m[k] ^= 0x5A
+        try:
+            IC.decode_tiff(bytes(m))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_undiff16_manual_vector():
+    # one row, 2 samples/pixel, 3 px: words diff against the word one
+    # PIXEL back (delta=2 samples), little-endian
+    import struct as _s
+    vals = [1000, 50000, 1300, 49500, 1900, 50500]
+    diffed = [1000, 50000,
+              (1300 - 1000) & 0xFFFF, (49500 - 50000) & 0xFFFF,
+              (1900 - 1300) & 0xFFFF, (50500 - 49500) & 0xFFFF]
+    chunk = bytearray(b"".join(_s.pack("<H", v) for v in vals))
+    IC._tiff_diff16(chunk, len(chunk), 2, "<")
+    assert [
+        _s.unpack_from("<H", chunk, 2 * i)[0] for i in range(6)
+    ] == diffed
+    IC._tiff_undiff16(chunk, len(chunk), 2, "<")
+    assert [
+        _s.unpack_from("<H", chunk, 2 * i)[0] for i in range(6)
+    ] == vals
