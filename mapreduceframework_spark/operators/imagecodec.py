@@ -1364,11 +1364,15 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
     photometric = one(262)
     spp = one(277, 1)
     bits = tags.get(258) or [8]  # empty/corrupt tag -> spec default
-    if bits != [8] * len(bits) and bits != [16] * len(bits):
+    if (bits != [8] * len(bits) and bits != [16] * len(bits)
+            and bits != [1]):
         raise NotImplementedError(f"TIFF bits-per-sample {bits}")
     wide = bits[0] == 16  # r16: 16-bit samples reduce to the high
     # byte (the PNG/netpbm/ColorMap 8-bit rendering convention),
     # honoring the file byte order
+    bilevel = bits[0] == 1  # r16: 1-bit scanned-document class —
+    # MSB-first packed rows (byte-aligned per row, the PBM P4
+    # layout), photometric 0/1 mapped to 0/255 gray
     planar = one(284, 1)
     if planar not in (1, 2):
         raise ValueError(f"TIFF planar configuration {planar}")
@@ -1397,6 +1401,19 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError("16-bit JPEG-in-TIFF")
         if photometric == 3:
             raise ValueError("paletted TIFF requires 8-bit indices")
+    if bilevel:
+        if spp != 1:
+            raise ValueError("bilevel TIFF needs SamplesPerPixel 1")
+        if photometric not in (0, 1):
+            raise ValueError(f"bilevel TIFF photometric {photometric}")
+        if compression == 7:
+            raise ValueError("JPEG strips cannot carry 1-bit samples")
+        if predictor == 2:
+            raise NotImplementedError("predictor 2 over 1-bit samples")
+        if tiled and one(322) % 8 != 0:
+            raise NotImplementedError(
+                "bilevel tiles need byte-aligned TileWidth"
+            )
     jpeg_tables = b""
     if compression == 7:
         # New-style JPEG-in-TIFF (round 15): every strip/tile is a
@@ -1489,7 +1506,9 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
             chunk = bytes(und)
         return chunk
 
-    stride = w * spp
+    # row stride in STORED bytes: packed for 1-bit (rows byte-aligned
+    # per the spec, the PBM P4 layout), samples otherwise
+    stride = (w + 7) // 8 if bilevel else w * spp
     if tiled:
         # tiles left-to-right, top-to-bottom; edge tiles padded to
         # the full tile extent (pad cropped on assembly)
@@ -1505,23 +1524,32 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
         if len(offsets) != across * down:
             raise ValueError("TIFF tile count does not cover the image")
         raw = bytearray(h * stride)
-        tile_bytes = tw * th * spp
+        trs = tw // 8 if bilevel else tw * spp  # tile row stride
+        tile_bytes = th * trs
+        unit = 1 if bilevel else spp  # bytes per copy unit
         for ti, (off, cnt) in enumerate(zip(offsets, counts)):
-            tile = read_chunk(off, cnt, tile_bytes, tw * spp, spp)
+            tile = read_chunk(off, cnt, tile_bytes, trs, spp)
             ty, tx = divmod(ti, across)
             n_rows = min(th, h - ty * th)
-            n_cols = min(tw, w - tx * tw)
+            if bilevel:
+                # tw % 8 == 0 enforced: byte-granular splice; edge
+                # columns keep the tile's pad bits, masked at unpack
+                n_units = min(trs, stride - tx * trs)
+            else:
+                n_units = min(tw, w - tx * tw)
             for r in range(n_rows):
-                d = ((ty * th + r) * w + tx * tw) * spp
-                s = r * tw * spp
-                raw[d : d + n_cols * spp] = tile[s : s + n_cols * spp]
+                d = ((ty * th + r) * stride
+                     + tx * trs) if bilevel else (
+                    ((ty * th + r) * w + tx * tw) * spp)
+                s = r * trs
+                raw[d : d + n_units * unit] = tile[s : s + n_units * unit]
     else:
         offsets = tags.get(273)
         counts = tags.get(279)
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF missing/mismatched strip tables")
         rows_per_strip = one(278, h)
-        if planar == 2:
+        if planar == 2 and spp > 1:
             # plane-major strips: every sample's rows form their own
             # strip sequence; interleave planes into chunky output
             per_plane = (h + rows_per_strip - 1) // rows_per_strip
@@ -1554,6 +1582,17 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
                 raw += read_chunk(off, cnt, n_rows * stride, stride, spp)
     if len(raw) != h * stride:
         raise ValueError("TIFF strip data size mismatch")
+    if bilevel:
+        # unpack MSB-first bits to 0/255 gray; photometric 0
+        # (WhiteIsZero, the fax default): 1 = black = 0
+        out = bytearray(w * h)
+        on, off_v = (0, 255) if photometric == 0 else (255, 0)
+        for y in range(h):
+            base = y * stride
+            for x in range(w):
+                bit = (raw[base + x // 8] >> (7 - x % 8)) & 1
+                out[y * w + x] = on if bit else off_v
+        return w, h, 1, bytes(out)
     if photometric in (1, 2) or (photometric == 6 and compression == 7):
         # gray black-is-zero / RGB(A); photometric 6 is YCbCr, which
         # the JPEG decoder already converted to RGB
@@ -1592,6 +1631,7 @@ def encode_tiff(
     wide16: bool = False,
     jpeg_tables: bool = False,
     deflate: bool = False,
+    bilevel: bool = False,
 ) -> bytes:
     """Encode a baseline TIFF fixture: multi-strip (rows_per_strip
     forces a real strip walk), II or MM byte order, optional PackBits
@@ -1627,6 +1667,19 @@ def encode_tiff(
         raise ValueError("predictor 2 is invalid with JPEG strips")
     if wide16 and (jpeg or colormap is not None):
         raise ValueError("wide16 fixtures are plain gray/RGB(A)")
+    if bilevel:
+        # ``pixels`` holds one 0/1 byte per pixel (1 = black, encoded
+        # photometric 0 White-Is-Zero — the fax convention); rows
+        # pack MSB-first, byte-aligned, BEFORE strip/tile splitting.
+        if channels != 1 or wide16 or jpeg or colormap is not None \
+                or planar or predictor == 2:
+            raise ValueError(
+                "bilevel fixtures are chunky 1-channel predictor-1"
+            )
+        if any(b not in (0, 1) for b in pixels):
+            raise ValueError("bilevel pixels must be 0/1 bytes")
+        if tiles is not None and tiles[0] % 8 != 0:
+            raise ValueError("bilevel tiles need byte-aligned width")
     stride = w * channels
 
     def prep(seg: bytes, row_stride: int, delta: int) -> bytes:
@@ -1651,7 +1704,37 @@ def encode_tiff(
             return zlib.compress(seg)
         return _packbits_encode(seg) if packbits else seg
     strips: list[bytes] = []
-    if tiles is not None:
+    if bilevel:
+        sb = (w + 7) // 8
+        packed = bytearray(sb * h)
+        for y in range(h):
+            for x in range(w):
+                if pixels[y * w + x]:
+                    packed[y * sb + x // 8] |= 0x80 >> (x % 8)
+        if tiles is not None:
+            tw, th = tiles
+            twb = tw // 8
+            across = (w + tw - 1) // tw
+            down = (h + th - 1) // th
+            for ty in range(down):
+                for tx in range(across):
+                    tile = bytearray()
+                    for r in range(th):
+                        y = ty * th + r
+                        row = bytearray(twb)
+                        if y < h:
+                            n_b = min(twb, sb - tx * twb)
+                            s = y * sb + tx * twb
+                            row[:n_b] = packed[s : s + n_b]
+                        tile += row
+                    strips.append(prep(bytes(tile), twb, 1))
+        else:
+            for y0 in range(0, h, rows_per_strip):
+                seg = bytes(
+                    packed[y0 * sb : min(y0 + rows_per_strip, h) * sb]
+                )
+                strips.append(prep(seg, sb, 1))
+    elif tiles is not None:
         tw, th = tiles
         if tw <= 0 or th <= 0:
             raise ValueError("tile extents must be positive")
@@ -1716,7 +1799,9 @@ def encode_tiff(
         jt_stream = next(iter(tables_seen))
         strips = abbreviated
 
-    if colormap is not None:
+    if bilevel:
+        photometric = 0  # WhiteIsZero, the fax convention
+    elif colormap is not None:
         if channels != 1 or len(colormap) != 256:
             raise ValueError("colormap needs channels=1 and 256 entries")
         photometric = 3
@@ -1734,7 +1819,7 @@ def encode_tiff(
 
     add(256, 3, [w])
     add(257, 3, [h])
-    add(258, 3, [16 if wide16 else 8] * channels)
+    add(258, 3, [1 if bilevel else 16 if wide16 else 8] * channels)
     add(259, 3, [7 if jpeg else 5 if lzw else 8 if deflate
                  else 32773 if packbits else 1])
     if predictor == 2:

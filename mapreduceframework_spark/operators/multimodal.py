@@ -189,7 +189,7 @@ def synth_images(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, SYNTH_SCHEMA)
 
 
-# Codec-matrix synthesis (round 14; widened to %13 across round 15): one
+# Codec-matrix synthesis (round 14; widened to %14 across rounds 15-16): one
 # registered fixture family that exercises EVERY in-repo image decode
 # path — sequential PNG, binary PPM, baseline JPEG, GIF, progressive
 # JPEG, Adam7-interlaced PNG, 8-bit paletted PNG with tRNS
@@ -198,7 +198,8 @@ def synth_images(docs: DataFrame) -> DataFrame:
 # PackBits paletted TIFF (IFD walk + strip assembly + 16-bit
 # ColorMap), RLE truecolor TGA (bottom-up BGR), 4-bit paletted BMP
 # (RLE4 / sub-byte rows), and new-style JPEG-in-TIFF — chosen per
-# doc_id % 13. JPEG variants are GRAYSCALE BLOCK-SOLID images (every
+# doc_id % 14 (r16 adds 1-bit bilevel TIFF). JPEG variants are
+# GRAYSCALE BLOCK-SOLID images (every
 # 8x8 block one constant value): a solid block's only nonzero DCT
 # coefficient is DC and the default-quality DC step keeps the
 # reconstruction error under half a level, so baseline AND
@@ -216,9 +217,15 @@ def synth_images(docs: DataFrame) -> DataFrame:
 IMG_MATRIX_VARIANTS = (
     "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
     "png-palette", "png-palette-sub", "bmp-rle8", "tiff-packbits",
-    "tga-rle", "bmp-4bit", "tiff-jpeg",
+    "tga-rle", "bmp-4bit", "tiff-jpeg", "tiff-bilevel",
 )
-IMG_MATRIX_MOD = len(IMG_MATRIX_VARIANTS)  # 13
+IMG_MATRIX_MOD = len(IMG_MATRIX_VARIANTS)  # 14 (r16 adds bilevel)
+# tiff-bilevel (m=13, round 16): 1-bit scanned-document class.
+# bit(k) = [(d*7 + k*13) % 5 < 2] gives varied 1-2-long runs (real
+# packing stress, unlike a plain checkerboard); photometric 0 maps
+# bit 1 -> black -> gray 0, so g(k) = 0 when the predicate holds,
+# else 255. Mirrored literally in the oracle; change both together.
+BILEVEL_MOD, BILEVEL_LT = 5, 2
 PAL_CAP_4 = 11  # bmp-4bit palette size (sub-byte indices, cap <= 16).
 # MUST stay coprime to the shared index step IMG_PIX_B=13: round 16
 # fixed the r15 value (13) where k*13 % 13 == 0 made every pixel the
@@ -243,12 +250,13 @@ SYNTH2_SCHEMA = (
 
 def synth_images_matrix(docs: DataFrame) -> DataFrame:
     """Encode one real image file per document across the full codec
-    matrix (doc_id % 13): sequential PNG, binary PPM, baseline JPEG,
+    matrix (doc_id % 14): sequential PNG, binary PPM, baseline JPEG,
     GIF, progressive JPEG, Adam7-interlaced PNG, 8-bit paletted PNG
     with tRNS (decodes to RGBA), 2-bit paletted Adam7 PNG (sub-byte
     unpacking), 8-bit paletted BI_RLE8 BMP, big-endian PackBits
     paletted TIFF, RLE truecolor TGA, 4-bit paletted BMP (RLE4 or
-    sub-byte rows), new-style JPEG-in-TIFF. Pixels are integer
+    sub-byte rows), new-style JPEG-in-TIFF, 1-bit bilevel TIFF
+    (r16). Pixels are integer
     functions of
     doc_id (block-solid grayscale for the lossy JPEGs — see the
     module comment for why that makes them exact), so the decode
@@ -375,6 +383,29 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                         indices=idx,
                     )
                     codec = "image/bmp"
+                elif m == 13:  # 1-bit bilevel TIFF (round 16)
+                    # Layout knobs (oracle-invariant): compression
+                    # cycles none/PackBits/LZW/Deflate, byte order
+                    # alternates, and half the docs store 8-wide
+                    # tiles — decoded gray identical throughout.
+                    w = d % IMG_W_MOD + IMG_W_BASE
+                    h = d % IMG_H_MOD + IMG_H_BASE
+                    bits = bytes(
+                        1 if (d * IMG_PIX_A + k * IMG_PIX_B)
+                        % BILEVEL_MOD < BILEVEL_LT else 0
+                        for k in range(w * h)
+                    )
+                    comp = (d // 14) % 4
+                    payload = IC.encode_tiff(
+                        w, h, bits, channels=1, bilevel=True,
+                        big_endian=bool((d // 28) % 2),
+                        packbits=comp == 1,
+                        lzw=comp == 2,
+                        deflate=comp == 3,
+                        tiles=(8, 4) if (d // 56) % 2 else None,
+                        rows_per_strip=3,
+                    )
+                    codec = "image/tiff"
                 elif m == 10:  # RLE truecolor TGA (BGR), varied layout
                     w = d % IMG_W_MOD + IMG_W_BASE
                     h = d % IMG_H_MOD + IMG_H_BASE

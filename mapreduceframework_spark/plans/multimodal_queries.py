@@ -5,7 +5,7 @@ mapInPandas — Arrow-batched, never per-row Python. Since round 14 the
 REGISTERED decode queries exercise the full codec matrix end to end:
 sequential + Adam7 + paletted PNG, PPM, baseline + progressive JPEG,
 GIF, RLE8 BMP, PackBits TIFF, RLE TGA, 4-bit BMP, JPEG-in-TIFF on the
-image side (13 variants since late round 15); PCM16, G.711
+image side (14 variants: 13 by late round 15, tiff-bilevel in round 16); PCM16, G.711
 A-law/mu-law, IMA ADPCM, IEEE float32 WAV on the audio side (5
 variants since round 15); MJPEG-AVI and
 MP4('jpeg') containers on the video side — every path under a full
@@ -32,21 +32,23 @@ from mapreduceframework_spark.sources import load_table
 
 # Shared head of the image-codec-matrix oracles: per-doc variant
 # selector + decoded dimensions + decoded channel count. Mirrors
-# operators/multimodal.py synth_images_matrix (doc_id % 13; JPEG
+# operators/multimodal.py synth_images_matrix (doc_id % 14; JPEG
 # variants 2/4/12 grayscale block-solid at (d%3+1)*8 x (d%2+1)*8, the
-# rest at the classic (d%13+4) x (d%7+3); variant 6 decodes to RGBA
-# via tRNS; the BMP/TIFF palette variants 8/9/11 and the TGA variant
-# 10 decode to plain RGB); change both together.
+# rest at the classic (d%13+4) x (d%7+3) — note the WIDTH modulus is
+# 13 by coincidence, independent of the 14-way variant selector;
+# variant 6 decodes to RGBA via tRNS; the BMP/TIFF palette variants
+# 8/9/11 and the TGA variant 10 decode to plain RGB; variant 13 is
+# 1-bit bilevel gray); change both together.
 _IMG_MATRIX_P_CTE = """p AS (
-            SELECT doc_id, doc_id % 13 AS m,
-                   CASE WHEN doc_id % 13 IN (2, 4, 12)
+            SELECT doc_id, doc_id % 14 AS m,
+                   CASE WHEN doc_id % 14 IN (2, 4, 12)
                         THEN (doc_id % 3 + 1) * 8
                         ELSE doc_id % 13 + 4 END AS width,
-                   CASE WHEN doc_id % 13 IN (2, 4, 12)
+                   CASE WHEN doc_id % 14 IN (2, 4, 12)
                         THEN (doc_id % 2 + 1) * 8
                         ELSE doc_id % 7 + 3 END AS height,
-                   CASE WHEN doc_id % 13 IN (2, 4, 12) THEN 1
-                        WHEN doc_id % 13 = 6 THEN 4
+                   CASE WHEN doc_id % 14 IN (2, 4, 12, 13) THEN 1
+                        WHEN doc_id % 14 = 6 THEN 4
                         ELSE 3 END AS nch
             FROM documents)"""
 
@@ -56,7 +58,7 @@ _IMG_MATRIX_VARIANT_SQL = """CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'ppm'
                     WHEN 6 THEN 'png-palette' WHEN 7 THEN 'png-palette-sub'
                     WHEN 8 THEN 'bmp-rle8' WHEN 9 THEN 'tiff-packbits'
                     WHEN 10 THEN 'tga-rle' WHEN 11 THEN 'bmp-4bit'
-                    ELSE 'tiff-jpeg' END"""
+                    WHEN 12 THEN 'tiff-jpeg' ELSE 'tiff-bilevel' END"""
 
 # Decoded pixel-byte lists per variant family: grayscale block-solid
 # for the JPEGs (pixel = block value), interleaved RGB fn of the byte
@@ -103,6 +105,12 @@ _IMG_PAL11_PIXELS = """flatten([ [
                       for ci in [ (doc_id * 7 + k * 13) % 11 ] ][1]
                     for k in range(0, width * height) ])"""
 
+# Variant 13 (1-bit bilevel TIFF, round 16): photometric 0 maps
+# bit 1 -> black -> 0, else white 255; varied 1-2-long runs.
+_IMG_BILEVEL_PIXELS = """[ CASE WHEN (doc_id * 7 + k * 13) % 5 < 2
+                           THEN 0 ELSE 255 END
+                    for k in range(0, width * height) ]"""
+
 # One CASE selecting the decoded byte list per variant — shared by the
 # digest (fold) and feature (sum/first) oracles. Variant 10 (TGA RLE
 # truecolor) shares the classic RGB byte function with 0/1/3/5.
@@ -111,6 +119,7 @@ _IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4, 12) THEN {_IMG_GRAY_PIXELS}
                    WHEN m = 7 THEN {_IMG_PAL2_PIXELS}
                    WHEN m IN (8, 9) THEN {_IMG_PAL17_PIXELS}
                    WHEN m = 11 THEN {_IMG_PAL11_PIXELS}
+                   WHEN m = 13 THEN {_IMG_BILEVEL_PIXELS}
                    ELSE {_IMG_RGB_PIXELS} END"""
 
 
@@ -128,6 +137,9 @@ _IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4, 12) THEN {_IMG_GRAY_PIXELS}
                          THEN (doc_id + ((doc_id * 7) % 4) * 53) % 256
                          WHEN m = 11
                          THEN (doc_id + ((doc_id * 7) % 11) * 53) % 256
+                         WHEN m = 13
+                         THEN CASE WHEN (doc_id * 7) % 5 < 2
+                                   THEN 0 ELSE 255 END
                          ELSE (doc_id * 7) % 256 END AS BIGINT)
                    AS first_byte,
                CAST(list_sum({_IMG_MATRIX_PIXLIST}) % 256 AS BIGINT)
@@ -139,7 +151,7 @@ _IMG_MATRIX_PIXLIST = f"""CASE WHEN m IN (2, 4, 12) THEN {_IMG_GRAY_PIXELS}
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature extraction over the FULL image codec matrix
-    (round 14 re-point; widened to 13 variants across round 15 — the
+    (round 14 re-point; widened to 14 variants across rounds 15-16 — the
     features are computed on REAL decoded pixel bytes, not the
     fake/v1 byte plumbing): every document's payload is one of
     sequential PNG / PPM / baseline JPEG / GIF / progressive JPEG /
@@ -152,7 +164,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     thumbnail width). Pixels are integer functions of doc_id —
     block-solid grayscale for the lossy JPEGs, which round-trip
     bit-exactly — so the oracle predicts every feature analytically;
-    a decode bug in ANY of the thirteen paths breaks the value hash.
+    a decode bug in ANY of the fourteen paths breaks the value hash.
     Partition-preserving: synth and decode share the task, no
     shuffle."""
     from mapreduceframework_spark.operators import multimodal as M
@@ -183,8 +195,8 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode across the full codec matrix, value-checked
-    end to end (round 14 re-point; widened to 13 variants across
-    round 15): per doc_id % 13 the payload is a sequential PNG (encoder
+    end to end (round 14 re-point; widened to 14 variants across
+    rounds 15-16): per doc_id % 14 the payload is a sequential PNG (encoder
     cycles all five scanline filters), a binary PPM, a baseline JPEG
     (marker walk, stream-carried Huffman/quant tables, IDCT), a GIF
     (real LZW, palette), a PROGRESSIVE JPEG (spectral selection +
@@ -202,7 +214,7 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 8x8 block's only nonzero DCT coefficient is DC; pinned for
     all 256 values in tests/test_jpegcodec.py) — that is what lets
     the DuckDB oracle predict real lossy-codec decode output
-    analytically. Any parser bug in any of the thirteen paths breaks
+    analytically. Any parser bug in any of the fourteen paths breaks
     the value hash. Partition-preserving: synth and decode run in the
     same task, no shuffle."""
     from mapreduceframework_spark.operators import multimodal as M

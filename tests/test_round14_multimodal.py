@@ -54,7 +54,7 @@ def _fold(vals) -> int:
 _VARIANTS = (
     "png", "ppm", "jpeg-baseline", "gif", "jpeg-progressive", "png-adam7",
     "png-palette", "png-palette-sub", "bmp-rle8", "tiff-packbits",
-    "tga-rle", "bmp-4bit", "tiff-jpeg",
+    "tga-rle", "bmp-4bit", "tiff-jpeg", "tiff-bilevel",
 )
 
 
@@ -62,9 +62,10 @@ def _matrix_pixels(d: int) -> tuple[str, int, int, list[int]]:
     """(variant, w, h, decoded pixel bytes) per the documented
     contract: JPEG variants are grayscale block-solid (exact round
     trip), palette variants palette-mapped (variant 6 RGBA via tRNS;
-    variants 8/9 — BMP RLE8 / TIFF PackBits — cap-17 plain RGB), the
-    rest (incl. variant 10 TGA) RGB byte functions."""
-    m = d % 13
+    variants 8/9 — BMP RLE8 / TIFF PackBits — cap-17 plain RGB),
+    variant 13 the 1-bit bilevel mapping (r16), the rest (incl.
+    variant 10 TGA) RGB byte functions."""
+    m = d % 14
     if m in (2, 4, 12):
         w = (d % 3 + 1) * 8
         h = (d % 2 + 1) * 8
@@ -73,6 +74,13 @@ def _matrix_pixels(d: int) -> tuple[str, int, int, list[int]]:
             (d * 7 + ((y // 8) * bw + x // 8) * 13) % 256
             for y in range(h)
             for x in range(w)
+        ]
+    elif m == 13:
+        w = d % 13 + 4
+        h = d % 7 + 3
+        px = [
+            0 if (d * 7 + k * 13) % 5 < 2 else 255
+            for k in range(w * h)
         ]
     elif m in (6, 7, 8, 9, 11):
         w = d % 13 + 4

@@ -433,3 +433,77 @@ def test_undiff16_manual_vector():
     assert [
         _s.unpack_from("<H", chunk, 2 * i)[0] for i in range(6)
     ] == vals
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize(
+    "comp", [{}, {"packbits": True}, {"lzw": True}, {"deflate": True},
+             {"tiles": (8, 4), "lzw": True},
+             {"tiles": (16, 5), "deflate": True}]
+)
+def test_tiff_bilevel_roundtrip(big_endian, comp):
+    """Round 16: 1-bit bilevel TIFF (scanned-document class) —
+    MSB-first packed byte-aligned rows, photometric 0 mapping
+    1=black=0, across compressions/tiling/byte orders. Width 21 is
+    deliberately not byte-aligned (pad bits exercised)."""
+    w, h = 21, 9
+    bits = bytes(
+        1 if (i * 7 + (i // w) * 13) % 5 < 2 else 0
+        for i in range(w * h)
+    )
+    want = bytes(0 if b else 255 for b in bits)
+    buf = IC.encode_tiff(w, h, bits, channels=1, bilevel=True,
+                         big_endian=big_endian, rows_per_strip=3,
+                         **comp)
+    assert IC.decode_tiff(buf) == (w, h, 1, want)
+
+
+def test_tiff_bilevel_conventions_and_crosscheck():
+    w, h = 21, 9
+    bits = bytes(
+        1 if (i * 11 + (i // w) * 3) % 7 < 3 else 0
+        for i in range(w * h)
+    )
+    # photometric 1 (BlackIsZero) flips the mapping: hand-patch
+    b = bytearray(IC.encode_tiff(w, h, bits, channels=1, bilevel=True))
+    (n_entries,) = struct.unpack("<H", b[8:10])
+    for k in range(n_entries):
+        off = 10 + 12 * k
+        if struct.unpack("<H", b[off : off + 2])[0] == 262:
+            struct.pack_into("<H", b, off + 8, 1)
+    want0 = bytes(0 if v else 255 for v in bits)
+    assert IC.decode_tiff(bytes(b)) == (
+        w, h, 1, bytes(255 - v for v in want0),
+    )
+    # cross-check the packed-row layout against the in-repo PBM P4
+    # path: same bits, identical decoded bytes
+    p4 = IC.decode_pnm(IC.encode_pbm(w, h, bits, packed=True))
+    t = IC.decode_tiff(IC.encode_tiff(w, h, bits, channels=1,
+                                      bilevel=True))
+    assert p4 == t
+    # non-byte-aligned bilevel tiles + JPEG-over-1-bit reject
+    with pytest.raises(ValueError, match="byte-aligned"):
+        IC.encode_tiff(w, h, bits, channels=1, bilevel=True,
+                       tiles=(12, 4))
+    with pytest.raises(ValueError):
+        IC.encode_tiff(w, h, bits, channels=1, bilevel=True, jpeg=True)
+
+
+def test_tiff_bilevel_corruption_never_leaks():
+    w, h = 16, 6
+    bits = bytes(1 if (i * 5) % 3 == 0 else 0 for i in range(w * h))
+    for comp in ({}, {"lzw": True}, {"tiles": (8, 3), "deflate": True}):
+        buf = IC.encode_tiff(w, h, bits, channels=1, bilevel=True,
+                             rows_per_strip=2, **comp)
+        for cut in range(len(buf)):
+            try:
+                IC.decode_tiff(buf[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for k in range(len(buf)):
+            m = bytearray(buf)
+            m[k] ^= 0x5A
+            try:
+                IC.decode_tiff(bytes(m))
+            except (ValueError, NotImplementedError):
+                pass
