@@ -51,11 +51,16 @@ from mapreduceframework_spark.sources.registry import (
 
 def _staged_events_dir(sf_dir: str) -> str:
     """File-source streams read directories; stage the single events
-    parquet into a temp dir via symlink (no data copy)."""
+    parquet into a temp dir via symlink (no data copy). The target is
+    made ABSOLUTE first: a relative ``sf_dir`` would otherwise
+    produce a dangling symlink inside the temp dir and the file
+    source would silently read zero files (caught by the r16 sf1
+    scale probe, which passed a relative path)."""
     d = tempfile.mkdtemp(prefix="mrf_events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
-    )
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if not os.path.exists(target):
+        raise FileNotFoundError(f"events parquet not found: {target}")
+    os.symlink(target, os.path.join(d, "events.parquet"))
     return d
 
 

@@ -7,6 +7,8 @@ down, identical results (BASELINE.md round 15)."""
 
 from __future__ import annotations
 
+import pytest
+
 from mapreduceframework_spark.streaming.windows import (
     _tuned_state_partitions,
     run_available_now,
@@ -62,3 +64,29 @@ def test_state_partition_count_lands_in_query(spark, sf_dir):
     out = run_available_now(agg, "complete")
     assert out.count() > 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_staged_events_dir_handles_relative_sf_dir(tmp_path):
+    """r16 regression (caught by the sf1 scale probe): a RELATIVE
+    sf_dir used to produce a dangling symlink inside the staging temp
+    dir, and the file stream silently read zero rows. The target must
+    be absolutized, and a missing source must fail loudly."""
+    import os
+
+    from mapreduceframework_spark.streaming.windows import (
+        _staged_events_dir,
+    )
+
+    (tmp_path / "events.parquet").write_bytes(b"stub")
+    cwd = os.getcwd()
+    os.chdir(tmp_path.parent)
+    try:
+        rel = os.path.relpath(tmp_path)
+        d = _staged_events_dir(rel)
+        link = os.path.join(d, "events.parquet")
+        assert os.path.isabs(os.readlink(link))
+        assert os.path.exists(link)  # NOT dangling
+    finally:
+        os.chdir(cwd)
+    with pytest.raises(FileNotFoundError, match="events parquet"):
+        _staged_events_dir(str(tmp_path / "nope"))

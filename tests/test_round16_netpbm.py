@@ -162,3 +162,50 @@ def test_pam_and_wide_through_decode_image():
     assert decode_image(
         IC.encode_ppm(6, 3, px, wide=True), "image/ppm"
     ) == (6, 3, 3, px)
+
+
+# ---------------------------------------------------------------------------
+# round-16 hypothesis properties for the new TIFF paths (placed here
+# to keep all round-16 codec properties in one module)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 30), st.integers(1, 10), st.integers(0, 2 ** 32))
+def test_bilevel_tiff_roundtrip_property(w, h, seed):
+    import random
+
+    rng = random.Random(seed)
+    bits = bytes(rng.randrange(2) for _ in range(w * h))
+    want = bytes(0 if b else 255 for b in bits)
+    comp = rng.choice(
+        [{}, {"packbits": True}, {"lzw": True}, {"deflate": True}]
+    )
+    buf = IC.encode_tiff(w, h, bits, channels=1, bilevel=True,
+                         big_endian=bool(seed % 2),
+                         rows_per_strip=rng.randrange(1, h + 1), **comp)
+    assert IC.decode_tiff(buf) == (w, h, 1, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 8), st.binary(min_size=0),
+       st.booleans(), st.booleans())
+def test_deflate_wide16_tiff_roundtrip_property(w, h, data, be, pred):
+    px = (data * ((w * h * 3) // max(1, len(data)) + 1))[: w * h * 3]
+    if len(px) < w * h * 3:
+        px = px + bytes(w * h * 3 - len(px))
+    buf = IC.encode_tiff(w, h, px, channels=3, big_endian=be,
+                         wide16=True, deflate=True,
+                         predictor=2 if pred else 1, rows_per_strip=2)
+    assert IC.decode_tiff(buf) == (w, h, 3, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 8),
+       st.integers(1, 4), st.binary(min_size=0), st.booleans())
+def test_pam_roundtrip_property(w, h, channels, data, wide):
+    n = w * h * channels
+    px = (data * (n // max(1, len(data)) + 1))[:n]
+    if len(px) < n:
+        px = px + bytes(n - len(px))
+    buf = IC.encode_pam(w, h, px, channels, wide=wide)
+    assert IC.decode_pnm(buf) == (w, h, channels, px)
