@@ -1909,15 +1909,17 @@ def encode_tiff(
 
 
 def decode_bmp(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a BMP: 24/32-bit BI_RGB, 1/4/8-bit paletted BI_RGB
-    (sub-byte indices MSB-first, round 15), 8-bit BI_RLE8 and 4-bit
-    BI_RLE4 (both absolute and encoded runs — RLE4 alternating
-    nibbles — end-of-line / end-of-bitmap / delta escapes). Returns
-    ``(w, h, channels, pixels)`` with pixels interleaved RGB (32-bit
-    input drops the rarely-meaningful fourth byte; palette maps to
-    RGB). Negative biHeight (top-down) handled; other bit depths /
-    compressions raise NotImplementedError — BMP variants beyond
-    these are rare even in old corpora."""
+    """Decode a BMP: 24/32-bit BI_RGB, 16-bit BI_RGB (implied
+    X1R5G5B5, round 16), 16/32-bit BI_BITFIELDS (masked channels with
+    bit-replication expansion — the screenshot class, round 16),
+    1/4/8-bit paletted BI_RGB (sub-byte indices MSB-first, round 15),
+    8-bit BI_RLE8 and 4-bit BI_RLE4 (both absolute and encoded runs —
+    RLE4 alternating nibbles — end-of-line / end-of-bitmap / delta
+    escapes). Returns ``(w, h, channels, pixels)`` with pixels
+    interleaved RGB (32-bit input drops the rarely-meaningful fourth
+    byte; palette maps to RGB). Negative biHeight (top-down) handled;
+    other bit depths / compressions raise NotImplementedError — BMP
+    variants beyond these are rare even in old corpora."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP: missing BM magic")
     if len(buf) < 54:
@@ -1970,6 +1972,56 @@ def decode_bmp(buf: bytes) -> tuple[int, int, int, bytes]:
             for x in range(w):
                 b_, g_, r_ = row[x * nb], row[x * nb + 1], row[x * nb + 2]
                 rgb[3 * x : 3 * x + 3] = (r_, g_, b_)
+            put_row_rgb(y, bytes(rgb))
+        return w, h, 3, bytes(out)
+    if (compression == 3 and bpp in (16, 32)) or (
+            compression == 0 and bpp == 16):
+        # r16: BI_BITFIELDS (masked 16/32-bit — the screenshot class)
+        # and plain 16-bit BI_RGB, which the spec defaults to X1R5G5B5.
+        # Channels expand to 8 bits by bit replication (the repo's
+        # 15/16-bit convention, exact at widths 8).
+        if compression == 3:
+            if len(buf) < 66:
+                raise ValueError("truncated BMP BITFIELDS masks")
+            masks = struct.unpack("<III", buf[54:66])
+        else:
+            masks = (0x7C00, 0x03E0, 0x001F)
+        if (masks[0] & masks[1]) or (masks[0] & masks[2]) \
+                or (masks[1] & masks[2]):
+            raise ValueError("BMP overlapping channel masks")
+        infos = []
+        for m in masks:
+            if m == 0 or m >= (1 << bpp):
+                raise ValueError(f"BMP channel mask {m:#x} invalid")
+            shift = (m & -m).bit_length() - 1
+            width = (m >> shift).bit_length()
+            if (m >> shift) != (1 << width) - 1:
+                raise ValueError(
+                    f"BMP non-contiguous channel mask {m:#x}"
+                )
+            infos.append((m, shift, width))
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        if data_off + stride * h > len(buf):
+            raise ValueError("truncated BMP pixel data")
+        for y in range(h):
+            row = buf[data_off + y * stride :][: w * nb]
+            rgb = bytearray(w * 3)
+            for x in range(w):
+                v = int.from_bytes(row[x * nb : (x + 1) * nb], "little")
+                for c, (m, sh, wd) in enumerate(infos):
+                    cv = (v & m) >> sh
+                    if wd >= 8:
+                        rgb[3 * x + c] = cv >> (wd - 8)
+                    else:
+                        # bit replication: repeat the field until at
+                        # least 8 bits, keep the top byte (width 5
+                        # reduces to the classic (c<<3)|(c>>2))
+                        vv, ww = cv, wd
+                        while ww < 8:
+                            vv = (vv << wd) | cv
+                            ww += wd
+                        rgb[3 * x + c] = vv >> (ww - 8)
             put_row_rgb(y, bytes(rgb))
         return w, h, 3, bytes(out)
     if bpp in (1, 4, 8) and compression == 0:
@@ -2083,9 +2135,9 @@ def decode_bmp(buf: bytes) -> tuple[int, int, int, bytes]:
             rgb[3 * k : 3 * k + 3] = pal[ci]
         return w, h, 3, bytes(rgb)
     raise NotImplementedError(
-        f"BMP bpp {bpp} / compression {compression}: only 24/32-bit"
-        " BI_RGB, 1/4/8-bit paletted BI_RGB, BI_RLE8, and BI_RLE4"
-        " decode here"
+        f"BMP bpp {bpp} / compression {compression}: only 16/24/32-bit"
+        " BI_RGB, 16/32-bit BI_BITFIELDS, 1/4/8-bit paletted BI_RGB,"
+        " BI_RLE8, and BI_RLE4 decode here"
     )
 
 
@@ -2098,12 +2150,60 @@ def encode_bmp(
     indices: bytes | None = None,
     rle: bool = False,
     bpp: int = 8,
+    bitfields: tuple[int, int, int] | None = None,
 ) -> bytes:
     """Encode a BMP fixture: 24-bit BI_RGB from RGB ``pixels``, or —
     with ``palette``+``indices`` — 1/4/8-bit paletted (sub-byte
     indices packed MSB-first), optionally BI_RLE8 / BI_RLE4 (runs +
     absolute segments + end-of-line/bitmap escapes, the branches
-    decode must handle; RLE needs bpp 8 or 4)."""
+    decode must handle; RLE needs bpp 8 or 4). ``bitfields`` (r16)
+    writes BI_BITFIELDS at ``bpp`` 16/32 with the given (r, g, b)
+    masks — each 8-bit channel is reduced to the mask's top bits, so
+    the round trip is exact for values on the replication lattice
+    (always, for width-8 masks)."""
+    if bitfields is not None:
+        if palette is not None or rle:
+            raise ValueError("bitfields BMP is direct-color, non-RLE")
+        if bpp not in (16, 32):
+            raise ValueError(f"BI_BITFIELDS bpp {bpp}")
+        if len(pixels) != w * h * 3:
+            raise ValueError("pixel buffer size mismatch")
+        infos = []
+        for m in bitfields:
+            if m == 0 or m >= (1 << bpp):
+                raise ValueError(f"channel mask {m:#x} out of range")
+            shift = (m & -m).bit_length() - 1
+            width = (m >> shift).bit_length()
+            if (m >> shift) != (1 << width) - 1 or width > 8:
+                raise ValueError(f"channel mask {m:#x} not encodable")
+            infos.append((shift, width))
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = bytearray()
+        order = range(h) if top_down else range(h - 1, -1, -1)
+        for y in order:
+            row = bytearray()
+            for x in range(w):
+                v = 0
+                for c, (shift, width) in enumerate(infos):
+                    v |= (pixels[(y * w + x) * 3 + c]
+                          >> (8 - width)) << shift
+                row += v.to_bytes(nb, "little")
+            rows += row + b"\x00" * (stride - len(row))
+        data = bytes(rows)
+        # 40-byte info header + the 12-byte mask block decode reads
+        # at offset 54 (the V3 layout real writers emit)
+        hdr_size = 40
+        mask_block = struct.pack("<III", *bitfields)
+        off = 14 + hdr_size + len(mask_block)
+        hdr = b"BM" + struct.pack(
+            "<IHHI", off + len(data), 0, 0, off
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", hdr_size, w, -h if top_down else h, 1,
+            bpp, 3, len(data), 2835, 2835, 0, 0,
+        )
+        return hdr + info + mask_block + data
     if palette is not None and bpp not in (1, 4, 8):
         raise ValueError(f"paletted BMP bpp {bpp}")
     if rle and bpp not in (4, 8):

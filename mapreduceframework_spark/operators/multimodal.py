@@ -316,12 +316,33 @@ def synth_images_matrix(docs: DataFrame) -> DataFrame:
                     # DECODED bytes, so the oracle is layout-blind
                     # while the driver's value hash walks every path.
                     if m == 8:
-                        payload = IC.encode_bmp(
-                            w, h, b"",
-                            top_down=bool((d // 11) % 2),
-                            palette=[_pal_rgb(d, c) for c in range(PAL_CAP_8)],
-                            indices=idx, rle=True,
-                        )
+                        # Layout knob (r16, oracle-invariant): RLE8
+                        # paletted (both origins) or a 32-bit
+                        # BI_BITFIELDS file carrying the SAME
+                        # palette-mapped RGB directly (width-8 masks
+                        # expand identically; mask order alternates).
+                        layout = (d // 11) % 3
+                        if layout == 2:
+                            rgb = b"".join(_pal_rgb(d, ci) for ci in idx)
+                            masks = (
+                                (0x00FF0000, 0x0000FF00, 0x000000FF)
+                                if (d // 33) % 2
+                                else (0x000000FF, 0x0000FF00, 0x00FF0000)
+                            )
+                            payload = IC.encode_bmp(
+                                w, h, rgb, bpp=32, bitfields=masks,
+                                top_down=bool((d // 66) % 2),
+                            )
+                        else:
+                            payload = IC.encode_bmp(
+                                w, h, b"",
+                                top_down=bool(layout),
+                                palette=[
+                                    _pal_rgb(d, c)
+                                    for c in range(PAL_CAP_8)
+                                ],
+                                indices=idx, rle=True,
+                            )
                         codec = "image/bmp"
                     else:
                         # 16-bit ColorMap entries: v8 * 257 puts v8 in

@@ -68,11 +68,14 @@ def test_bmp_error_paths():
     good = IC.encode_bmp(4, 4, _pix(48))
     with pytest.raises(ValueError, match="truncated"):
         IC.decode_bmp(good[: len(good) - 10])
-    # 16-bit BMP stays the documented seam
-    b16 = bytearray(good)
-    struct.pack_into("<H", b16, 28, 16)
-    with pytest.raises(NotImplementedError, match="bpp 16"):
-        IC.decode_bmp(bytes(b16))
+    # 16-bit decodes since round 16 (implied 555) — flipping a 24-bit
+    # file's bpp to 16 now re-reads the raster as 555 rows or rejects
+    # on size, but never mis-raises; a truly unsupported depth (2)
+    # stays the documented seam
+    b2 = bytearray(good)
+    struct.pack_into("<H", b2, 28, 2)
+    with pytest.raises(NotImplementedError, match="bpp 2"):
+        IC.decode_bmp(bytes(b2))
     # corrupt-header dimension bomb must raise, not allocate
     bomb = bytearray(good)
     struct.pack_into("<ii", bomb, 18, 60000, 60000)
@@ -90,6 +93,78 @@ def test_bmp_corruption_never_leaks_raw_exceptions():
         IC.encode_bmp(8, 5, b"", palette=pal, indices=idx, rle=True),
     ]
     for buf in fixtures:
+        for cut in range(len(buf)):
+            try:
+                IC.decode_bmp(buf[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for k in range(len(buf)):
+            m = bytearray(buf)
+            m[k] ^= 0x5A
+            try:
+                IC.decode_bmp(bytes(m))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_bmp_bitfields_roundtrip_and_conventions():
+    """Round 16: BI_BITFIELDS (masked 16/32-bit, the screenshot
+    class) + plain 16-bit BI_RGB's implied X1R5G5B5 default. Width-8
+    masks are exact for any RGB; narrower masks round-trip on the
+    bit-replication lattice ((c<<3)|(c>>2) at width 5 — the repo's
+    15/16-bit convention, shared with TGA)."""
+    import struct
+
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def expand(cv, wd):
+        vv, ww = cv, wd
+        while ww < 8:
+            vv = (vv << wd) | cv
+            ww += wd
+        return vv >> (ww - 8)
+
+    w, h = 13, 6
+    src = bytes((i * 29 + 17) % 256 for i in range(w * h * 3))
+    for masks in ((0x00FF0000, 0x0000FF00, 0x000000FF),
+                  (0x000000FF, 0x0000FF00, 0x00FF0000)):
+        for td in (False, True):
+            buf = IC.encode_bmp(w, h, src, top_down=td, bpp=32,
+                                bitfields=masks)
+            assert IC.decode_bmp(buf) == (w, h, 3, src)
+    for masks, widths in (((0xF800, 0x07E0, 0x001F), (5, 6, 5)),
+                          ((0x7C00, 0x03E0, 0x001F), (5, 5, 5))):
+        lat = bytes(
+            expand(v >> (8 - wd), wd)
+            for i in range(w * h)
+            for v, wd in zip(src[i * 3 : i * 3 + 3], widths)
+        )
+        buf = IC.encode_bmp(w, h, lat, bpp=16, bitfields=masks)
+        assert IC.decode_bmp(buf) == (w, h, 3, lat)
+    # plain 16-bit BI_RGB = 555 default
+    lat555 = bytes(expand(v >> 3, 5) for v in src)
+    buf = bytearray(IC.encode_bmp(w, h, lat555, bpp=16,
+                                  bitfields=(0x7C00, 0x03E0, 0x001F)))
+    struct.pack_into("<I", buf, 30, 0)
+    assert IC.decode_bmp(bytes(buf)) == (w, h, 3, lat555)
+    # mask validation: overlapping / non-contiguous / zero reject
+    for bad in ((0xFF00, 0x0FF0, 0x00FF), (0xF0F0, 0x0F00, 0x000F),
+                (0, 0x07E0, 0x001F)):
+        b2 = bytearray(IC.encode_bmp(w, h, src, bpp=32,
+                                     bitfields=(0xFF0000, 0xFF00, 0xFF)))
+        struct.pack_into("<III", b2, 54, *bad)
+        with pytest.raises(ValueError):
+            IC.decode_bmp(bytes(b2))
+
+
+def test_bmp_bitfields_corruption_never_leaks():
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    w, h = 9, 5
+    src = bytes((i * 7 + 3) % 256 for i in range(w * h * 3))
+    for bpp, masks in ((32, (0xFF0000, 0xFF00, 0xFF)),
+                       (16, (0xF800, 0x07E0, 0x001F))):
+        buf = IC.encode_bmp(w, h, src, bpp=bpp, bitfields=masks)
         for cut in range(len(buf)):
             try:
                 IC.decode_bmp(buf[:cut])
