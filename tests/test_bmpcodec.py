@@ -177,3 +177,44 @@ def test_bmp_bitfields_corruption_never_leaks():
                 IC.decode_bmp(bytes(m))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_bmp_bitfields_random_mask_property():
+    """Random contiguous non-overlapping masks at widths 1..8, both
+    bpps: encode on the replication lattice, decode must invert."""
+    import random
+
+    from mapreduceframework_spark.operators import imagecodec as IC
+
+    def expand(cv, wd):
+        vv, ww = cv, wd
+        while ww < 8:
+            vv = (vv << wd) | cv
+            ww += wd
+        return vv >> (ww - 8)
+
+    rng = random.Random(1606)
+    for _ in range(40):
+        bpp = rng.choice((16, 32))
+        # carve three disjoint contiguous fields into bpp bits
+        while True:
+            widths = [rng.randrange(1, 9) for _ in range(3)]
+            if sum(widths) <= bpp:
+                break
+        # adjacent fields starting at bit 0 (disjoint by layout);
+        # random gaps add nothing the mask validator doesn't cover
+        shifts = []
+        pos = 0
+        for wd in widths:
+            shifts.append(pos)
+            pos += wd
+        masks = tuple(((1 << wd) - 1) << sh
+                      for wd, sh in zip(widths, shifts))
+        w, h = rng.randrange(1, 12), rng.randrange(1, 8)
+        lat = bytes(
+            expand(rng.randrange(1 << wd), wd)
+            for _ in range(w * h) for wd in widths
+        )
+        buf = IC.encode_bmp(w, h, lat, bpp=bpp, bitfields=masks,
+                            top_down=bool(rng.getrandbits(1)))
+        assert IC.decode_bmp(buf) == (w, h, 3, lat), (masks, bpp)
