@@ -1102,9 +1102,12 @@ def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
         terms AS (
             SELECT c.f, c.s,
-                   CAST(c.obs * t.n - rt.row_tot * ct.col_tot
-                        AS DOUBLE) AS d,
-                   CAST(rt.row_tot * ct.col_tot * t.n AS DOUBLE) AS den
+                   CAST(c.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                   - CAST(rt.row_tot AS DOUBLE)
+                     * CAST(ct.col_tot AS DOUBLE) AS d,
+                   CAST(rt.row_tot AS DOUBLE)
+                   * CAST(ct.col_tot AS DOUBLE)
+                   * CAST(t.n AS DOUBLE) AS den
             FROM cells c
             JOIN rt USING (f) JOIN ct USING (s) CROSS JOIN tot t
         ),
@@ -1127,10 +1130,17 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     selection and drift detection, computed to cross-engine bit
     equality with no float tolerance:
 
-    - every contingency count, marginal, and the per-cell difference
-      obs*N - row*col fit EXACTLY in BIGINT (and convert exactly to
-      double, all < 2^53), so each cell's term d^2/den is the
-      identical IEEE double on both engines;
+    - every contingency count and marginal fits exactly in double
+      (< 2^53 up past sf100), and the cross products are computed IN
+      double with a PINNED left-associative factor order on both
+      engines — each multiply rounds the same true value to the same
+      IEEE double, so every cell term d^2/den is bit-identical
+      cross-engine. (Round 16: the products were previously formed in
+      int64 first, which the sf1 scale probe caught overflowing at
+      row_tot*col_tot*N ~ 2.7e19 > 2^63 — double-multiply removes the
+      overflow while producing the SAME doubles at every SF where the
+      int64 path worked, because the first partial product is below
+      2^53 there.);
     - the cell terms are folded in a FIXED (flag, status) order via a
       sequential array fold (the EWMA trick) — a GROUP BY SUM of
       doubles would be partition-order dependent;
@@ -1158,12 +1168,16 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(tot))
         .select(
             "f", "s", "nf", "ns",
-            (F.col("obs") * F.col("n") - F.col("row_tot") * F.col("col_tot"))
-            .cast("double")
-            .alias("d"),
-            (F.col("row_tot") * F.col("col_tot") * F.col("n"))
-            .cast("double")
-            .alias("den"),
+            (
+                F.col("obs").cast("double") * F.col("n").cast("double")
+                - F.col("row_tot").cast("double")
+                * F.col("col_tot").cast("double")
+            ).alias("d"),
+            (
+                F.col("row_tot").cast("double")
+                * F.col("col_tot").cast("double")
+                * F.col("n").cast("double")
+            ).alias("den"),
         )
     )
     folded = terms.groupBy("nf", "ns").agg(

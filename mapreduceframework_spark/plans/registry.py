@@ -84,15 +84,22 @@ def query(
 # verdict prescribed), then the 31 stalest r10 rows in planner order
 # (tpch_q13_custdist / q16 / q20 are the displaced r10 tail and lead
 # r17's queue). 3 + 16 + 31 = 50; post-round max staleness r10.
+# LATE-r16 amendment: the sf1 scale probe caught an int64 overflow in
+# stats_chi_square_independence (row*col*N ~ 2.7e19 at sf1); its
+# double-multiply fix changes engine AND oracle, so it takes a
+# sentinel slot, displacing the planner-ordered-last r10 refresh
+# (tpch_q12_shipmode_priority, which joins the r17 queue head).
 # Registry: 277 (freeze held; zero adds this round — every r16
 # capability rides existing rows via oracle-invariant layout knobs or
 # mirrored-oracle sub-variants).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- code-change sentinels (3): every r16 matrix change, 3-SF
-    #     re-verified on landing ---
+    # --- code-change sentinels (4): every r16 matrix change plus the
+    #     probe-caught chi-square overflow fix, all re-verified at
+    #     sf0.001/0.01/0.1 (and sf1) on landing ---
     "multimodal_image_decode",
     "multimodal_audio_decode",
     "multimodal_decode_features",
+    "stats_chi_square_independence",
     # --- the full r09-stale cohort (16), planner order ---
     "stats_regression_multi",
     "stats_theil_sen",
@@ -141,7 +148,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "subquery_scalar_above_avg",
     "text_scrub_redact",
     "text_tfidf_top_terms",
-    "tpch_q12_shipmode_priority",
 )
 
 # Queries with a green driver row in CORRECTNESS_r02.json or
