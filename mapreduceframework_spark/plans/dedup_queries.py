@@ -173,7 +173,20 @@ def _minhash_candidates(
     sh = _docs_wide(spark, sf_dir).select(
         "doc_id", D.hashed_shingles(F.col("words")).alias("hs")
     )
-    shf = sh.filter(F.size("hs") > 0)
+    # Lazy localCheckpoint (r16 optimization, guide-style lineage
+    # truncation): every consumer joins shf TWICE (x/y verify sides
+    # keyed on different columns, so ReuseExchange can NOT collapse
+    # them — the whole shingle pipeline executed twice), and the
+    # band/candidate subtree above it is statically re-expanded up to
+    # 8x under dedup_clusters' CC edge union, which made Catalyst
+    # planning itself the dominant driver cost (~2.3 s warm at sf0.1).
+    # Checkpointing the fingerprint table computes shingles ONCE and
+    # collapses every re-expansion to a LogicalRDD scan. This is the
+    # guide's "fingerprints only" decision-pass shape: shf is
+    # O(doc_id + hashed-shingle set) — the lightweight proxy, never
+    # the text — and the checkpoint is lazy so the first real action
+    # materializes it without an extra job barrier.
+    shf = sh.filter(F.size("hs") > 0).localCheckpoint(eager=False)
     sig = shf.select("doc_id", D.minhash_signature(F.col("hs")).alias("sig"))
     bands = sig.select(
         "doc_id", F.explode(D.lsh_band_keys(F.col("sig"))).alias("bk")

@@ -25,6 +25,7 @@ from mapreduceframework_spark.operators import dedup as D
 from mapreduceframework_spark.operators import text as X
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
+from mapreduceframework_spark.sources.registry import ensure_min_partitions
 from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs, _docs_wide
 
 
@@ -599,8 +600,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit class, not \s+: Java's \s includes U+000B but RE2's does
     # not, so the engines would disagree on vertical-tab boundaries
     # (ADVICE r6). The explicit set is engine-independent.
-    toks = docs.select(
-        "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f]+").alias("ws")
+    # Gated round-robin (round 16): tokenize + the two explodes ran on
+    # the single local scan split; no-op at cluster scale, and the one
+    # exchange is shared by both model passes via ReuseExchange.
+    toks = ensure_min_partitions(
+        docs.select(
+            "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f]+").alias("ws")
+        ),
+        spark,
     )
     n = F.size("ws")
     big = (
@@ -1084,11 +1091,18 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     delimiter); whitespace separates and is never a token.
 
     Scale shape: one scan, ~49 row-local string passes in whole-stage
-    codegen, ZERO shuffles/joins/windows — the merge table folds into
-    the expression tree exactly as a broadcast 100k-row merges.txt
+    codegen, ZERO keyed shuffles/joins/windows — the merge table folds
+    into the expression tree exactly as a broadcast 100k-row merges.txt
     would at cluster scale. Counting is arithmetic over lengths, so
-    nothing leaves the JVM."""
-    docs = load_table(spark, sf_dir, "documents")
+    nothing leaves the JVM. The scan is gated through
+    ensure_min_partitions (round 16 optimization: a single local
+    parquet split ran all 49 passes on ONE task — 5.0 s of
+    single-threaded codegen with 31 cores idle; the gated round-robin
+    spreads the CPU-bound passes and is a no-op at cluster scale where
+    the scan is already wide)."""
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     return docs.select(
         "doc_id",
         X.whitespace_token_count(F.col("text")).alias("ws_tokens"),
@@ -1132,8 +1146,13 @@ def pack_bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ONE keyed shuffle for the window; shard count grows with the
     cluster), chunk cut at (cum-1) div {PACK_BUDGET}, and the token
     counter itself is the zero-shuffle codegen expression — packing
-    inherits tokenizer exactness for free."""
-    docs = load_table(spark, sf_dir, "documents")
+    inherits tokenizer exactness for free. The scan is gated through
+    ensure_min_partitions (round 16: the 49 tokenizer passes ran on
+    the single local split BEFORE the shard exchange could spread
+    them; no-op at cluster scale)."""
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     t = docs.select(
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
@@ -1276,8 +1295,13 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole query is a single narrow scan at any corpus size. The
     oracle states the same result as the explode+groupBy it replaces
     (integer addition is order-free), which is exactly the cross-
-    engine proof that the fold's accumulation order doesn't matter."""
-    d = _docs(spark, sf_dir)
+    engine proof that the fold's accumulation order doesn't matter.
+
+    Round 16: reads _docs_wide (the gated round-robin) — the O(B)-per
+    -word fold ran entirely on the single local scan task (2.0 s
+    single-threaded); the gate spreads it and materializes ``words``
+    so the fold reads a stored array. No-op at cluster scale."""
+    d = _docs_wide(spark, sf_dir)
     wh_of = D.word_hash
     pairs = F.transform(
         F.col("words"),

@@ -474,10 +474,24 @@ def test_pack_token_chunks_single_shuffle(spark, sf_dir):
 
 def test_pack_bpe_chunks_single_shuffle(spark, sf_dir):
     # The exact-BPE variant must keep pack_token_chunks' plan shape:
-    # the merge-table token counter adds codegen passes, not exchanges.
+    # the merge-table token counter adds codegen passes, not KEYED
+    # exchanges. r16: the gated round-robin spreading the tokenizer
+    # passes across cores on a single-split local scan is allowed
+    # (no-op at cluster scale); the shard hash exchange stays exactly 1.
     plan = plan_of(spark, sf_dir, "pack_bpe_chunks")
-    assert plan.count("Exchange (") == 1
+    n_roundrobin = 1 if "REPARTITION_BY_NUM" in plan else 0
+    assert plan.count("Exchange (") == 1 + n_roundrobin
     assert "hashpartitioning(shard" in plan
+
+
+def test_bpe_tokenize_only_gated_roundrobin(spark, sf_dir):
+    # The r16 budget of 1 must be the GATED round-robin, never a keyed
+    # exchange: the tokenizer itself stays zero-shuffle by construction.
+    plan = plan_of(spark, sf_dir, "text_bpe_tokenize")
+    n_exchange = plan.count("Exchange (")
+    n_roundrobin = 1 if "REPARTITION_BY_NUM" in plan else 0
+    assert n_exchange == n_roundrobin, (n_exchange, n_roundrobin)
+    assert "hashpartitioning" not in plan
 
 
 def test_dedup_semantic_candidate_join_is_cluster_keyed(spark, sf_dir):
@@ -577,7 +591,11 @@ SHUFFLE_BUDGET = {
     # 2 broadcasts are the <= 8192-row model (its build join and the
     # scoring join) — the feature stream itself shuffles only once, on
     # doc_id. Top-K is TakeOrderedAndProject, not an exchange.
-    "sample_importance_dsir": 5,
+    # +6 in r16: the gated round-robin spreading the single-split
+    # local scan before the feature explodes is statically re-expanded
+    # once per feats reference (ReuseExchange collapses them to ONE at
+    # runtime; no-op at cluster scale). Keyed shuffles unchanged at 5.
+    "sample_importance_dsir": 11,
     # Two (group, value)-count shuffles + argmax/cumulative windows
     # over the O(distinct-values) count tables + the final join — no
     # fact-table window anywhere since the round-8 enum-key fix.
@@ -650,7 +668,9 @@ SHUFFLE_BUDGET = {
     # measured from the tuned plans — a silently added corpus-sized
     # Exchange in the older families fails loudly from now on. ---
     "join_bloom_pruned": 2,
-    "text_bigram_lm_score": 6,
+    # +3 r16: the gated round-robin on the scan, statically expanded
+    # per toks reference (ONE at runtime via ReuseExchange).
+    "text_bigram_lm_score": 9,
     "window_rolling_distinct_users": 4,
     "dedup_substring_chunks": 5,
     "hierarchy_rollup_recursive": 2,
@@ -835,9 +855,12 @@ SHUFFLE_BUDGET = {
     # Purely map-side: scan -> explode -> slice/hash. Zero exchanges is
     # the POINT (the chunker streams straight to the sink at 100 TB).
     "text_chunk_sliding": 0,
-    # Zero by construction: the whole merge table folds into ~49
-    # row-local codegen string passes; counting is length arithmetic.
-    "text_bpe_tokenize": 0,
+    # The merge table folds into ~49 row-local codegen string passes;
+    # counting is length arithmetic. The 1 is the gated round-robin
+    # spreading the single-split local scan across cores (r16; no-op
+    # at cluster scale) — any KEYED exchange is still a regression,
+    # pinned by test_bpe_tokenize_only_gated_roundrobin below.
+    "text_bpe_tokenize": 1,
     # The assignment localCheckpoints before fanning into three
     # branches (the 7.0 -> 3.5 s sf0.1 win), so only the dup distinct
     # and the final left-join pair shuffle; the pair join broadcasts.
@@ -889,7 +912,7 @@ SHUFFLE_BUDGET = {
     # The whole point: hashed featurization is ONE narrow scan — the
     # per-doc fold is a row-local HOF, the explode row-local. Any
     # exchange appearing here is a regression of the design itself.
-    "feature_hashing_trick": 0,
+    "feature_hashing_trick": 1,  # the gated round-robin only (r16)
     # Daily agg + the type-keyed pair self-join + two median groupBys
     # (slopes, residuals) + the fit join back onto daily.
     "stats_theil_sen": 6,
@@ -935,8 +958,9 @@ SHUFFLE_BUDGET = {
     # so the count subtree is NOT re-expanded under a join (13 -> 7).
     "sketch_topk_misra_gries": 7,
     # Same single shard-keyed window shuffle as pack_token_chunks —
-    # the exact-BPE counter adds expression passes, not exchanges.
-    "pack_bpe_chunks": 1,
+    # the exact-BPE counter adds expression passes, not KEYED
+    # exchanges (+1 r16: gated round-robin on the single-split scan).
+    "pack_bpe_chunks": 2,
     # The O(vocab) plan: word distinct (partial-agged), the broadcast
     # vocab build's own exchange, and the per-doc sum regroup — the
     # 49 string passes run over distinct words only.
