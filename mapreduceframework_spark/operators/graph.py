@@ -15,10 +15,12 @@ Scale notes (100 TB):
   large-star/small-star algorithm (Kiveris et al., "Connected
   Components in MapReduce and Beyond", SoCC'14) which closes in
   O(log^2 n) — same join-per-round skeleton, different edge rewrite.
-- ``localCheckpoint(eager=True)`` truncates the lineage each round so
-  plan size stays O(1) instead of O(iterations); on a real cluster use
-  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-  fault-tolerant truncation instead.
+- ``localCheckpoint`` truncates the lineage each round so plan size
+  stays O(1) instead of O(iterations); lazy (eager=False) since r16 —
+  the per-round convergence agg is the materializing action, so the
+  eager variant's extra job barrier per round bought nothing. On a
+  real cluster use ``spark.sparkContext.setCheckpointDir`` +
+  ``checkpoint()`` for fault-tolerant truncation instead.
 - The convergence test reads ONE scalar per round (sum of labels,
   strictly decreasing until fixpoint) — no ``collect()`` of data rows.
 """
@@ -125,12 +127,16 @@ def pagerank_int(
     -derivation pipeline (measured 2.5x slower on the trade graph,
     whose edges come from a 5-way star join over the fact table).
     """
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    # Lazy (r16): there is no driver-side read before the final action,
+    # so the eager variants were pure job barriers — the final exec
+    # materializes e and nodes once and every later stage reads the
+    # persisted blocks; the lineage truncation is identical.
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nn = nodes.agg(F.count("*").alias("n"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("d"))

@@ -657,7 +657,7 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     du = (
         ev.select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     days = du.select("day").distinct()
     fanned = (
@@ -1052,7 +1052,7 @@ def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = (
         ev.select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     daily = du.groupBy("day").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
@@ -3436,14 +3436,14 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(types x days) — feeds three plan branches (st, a, b); without
         # the checkpoint the corpus-sized daily agg re-expands per branch
         # (measured 10 -> 4 exchanges, the registry's plan-bloat pattern).
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     st = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
     )
     # Same reasoning one level up: ds feeds both alignment sides.
     ds = daily.join(F.broadcast(st), "event_type").localCheckpoint(
-        eager=True
+        eager=False
     )
     a = ds.select(
         F.col("event_type").alias("type_a"),

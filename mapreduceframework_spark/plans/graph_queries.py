@@ -238,7 +238,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the input to degree-based edge orientation for the triangle pass.
     One groupBy per direction plus a self-join on the reversed pair;
     all partial-aggregated, no driver-side state."""
-    e = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     outs = e.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("out_deg")
     )
@@ -311,7 +311,7 @@ def resolve_forest_roots(
         F.when(F.col("node") >= fanout, F.lit(1))
         .otherwise(F.lit(0))
         .alias("d"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         g = f.select(
             F.col("node").alias("g_node"),
@@ -325,7 +325,7 @@ def resolve_forest_roots(
                 F.coalesce("g_anc", "anc").alias("anc"),
                 (F.col("d") + F.coalesce("g_d", F.lit(0))).alias("d"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return f
 
@@ -460,12 +460,12 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolve_forest_roots). At web scale the frontier join is keyed on
     edge src (partition edges by src once, reuse every round), and
     the round count is the graph's effective diameter."""
-    e = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     seed = nodes.agg(F.min("id").alias("sid"))
     d = (
@@ -476,7 +476,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "d"
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(BFS_ROUNDS):
         frontier = (
@@ -497,7 +497,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("d", "nd"), F.coalesce("nd", "d")
                 ).alias("d"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return d.select("id", F.col("d").alias("dist"))
 
@@ -606,12 +606,12 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating lineage; edges partition by src once and every round
     reuses that layout. Round count = effective diameter; frontier
     stabilizes early on dense graphs like this one."""
-    e = _trade_wedges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _trade_wedges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     seed = nodes.agg(F.min("id").alias("sid"))
     d = (
@@ -622,7 +622,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "d"
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(SSSP_ROUNDS):
         frontier = (
@@ -643,7 +643,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("d", "nd"), F.coalesce("nd", "d")
                 ).alias("d"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return d.select("id", F.col("d").alias("dist"))
 
@@ -715,12 +715,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join side's column). Scores grow ≤ ×max_degree per
     half-round: 25 nations × 2 rounds tops out ~25⁴ ≈ 4e5 ≪ 2^63;
     at any SF the node set is the fixed 25 nations."""
-    e = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     h = nodes.select("id", F.lit(1).cast("long").alias("h"))
     a = None
@@ -729,13 +729,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(h.select(F.col("id").alias("src"), "h"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("h").alias("a"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         h = (
             e.join(a.select(F.col("id").alias("dst"), "a"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("a").alias("h"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         nodes.join(h, "id", "left")
@@ -853,10 +853,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("src", "dst")
         .union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = und.select(F.col("src").alias("id")).distinct().localCheckpoint(
-        eager=True
+        eager=False
     )
     alive = nodes
     deg = None
@@ -866,7 +866,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(alive.select(F.col("id").alias("dst")), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         alive = deg.filter(F.col("deg") >= KCORE_K).select("id")
     return (

@@ -240,7 +240,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .select("source", F.explode("words").alias("word"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sh = sw.select(
         "source", S.kmv_hash(D.word_hash(F.col("word"))).alias("h")
@@ -478,7 +478,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .select("source", F.explode("words").alias("word"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sh = sw.select(
         "source", S.kmv_hash(D.word_hash(F.col("word"))).alias("h")
@@ -493,7 +493,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("h")).alias("sk"))
         # 20 rows; checkpointed so the pair self-join's two sides read
         # the built sketches instead of re-running hash+rank+collect.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pairs = (
         skk.alias("a")
@@ -816,23 +816,29 @@ def sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches (the shard offsets and the full-table bucket counts) —
     # localCheckpoint so the static plan doesn't re-expand the
     # events aggregation per consumer (the kmeans/MG literal pattern).
+    # LAZY checkpoints (r16 optimization): the kept_cnt count below is
+    # the first action and materializes bt (via the off broadcast
+    # build) and kept in ONE job instead of two eager barriers + the
+    # count — and n is summed from the checkpointed bucket counts
+    # (exactly COUNT(*) of ev, every non-null row lands in one bucket)
+    # instead of a SECOND full events scan.
     bt = (
         base.groupBy("shard", "vb")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     off = B.earlier_bucket_agg(bt, ["shard"], "vb", "cnt", "sum", "off")
     kept = (
         loc.join(F.broadcast(off), ["shard", "vb"])
         .filter((F.col("off") + F.col("rn")) % KLLQ_STRIDE == 0)
         .select("v", "eid", "vb")
-        .localCheckpoint(eager=True)  # summary-sized: n/C rows
+        .localCheckpoint(eager=False)  # summary-sized: n/C rows
     )
-    # Model-sized driver scalars (two count jobs), mirrored exactly by
-    # the oracle's integer arithmetic: Python floor-div on positive
-    # BIGINTs == DuckDB // == Spark DIV.
-    n = ev.count()
+    # Model-sized driver scalars, mirrored exactly by the oracle's
+    # integer arithmetic: Python floor-div on positive BIGINTs ==
+    # DuckDB // == Spark DIV.
     kept_cnt = kept.count()
+    n = bt.agg(F.sum("cnt")).first()[0]
     targets = []
     for q in KLLQ_PCTS:
         tau = (q * n + 99) // 100
@@ -1051,10 +1057,13 @@ def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("shard", "vb").orderBy("v", "eid")
             ),
         )
+        # LAZY checkpoints (r16): the kept2 count below is the first
+        # action and materializes both levels' bt and kept tables in
+        # ONE cascaded job instead of four eager barriers.
         bt = (
             sh.groupBy("shard", "vb")
             .agg(F.count("*").cast("long").alias("cnt"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         off = B.earlier_bucket_agg(bt, ["shard"], "vb", "cnt", "sum", "off")
         kept = (
@@ -1063,7 +1072,7 @@ def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v", "eid", "vb")
             # summary-sized (n/stride of this level's input); consumed
             # by the next level AND (for level 2) two ranking branches.
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         return kept, bt
 
@@ -1074,11 +1083,14 @@ def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate, never a second events scan.
     fbt = bt1.groupBy("vb").agg(F.sum("cnt").cast("long").alias("cnt"))
 
-    # Model-sized driver scalars (two O(1)-row count jobs), mirrored
-    # exactly by the oracle's integer arithmetic (positive BIGINTs:
-    # Python // == DuckDB // == Spark DIV).
-    n = ev.count()
+    # Model-sized driver scalars, mirrored exactly by the oracle's
+    # integer arithmetic (positive BIGINTs: Python // == DuckDB // ==
+    # Spark DIV). kept2.count() is the first action — it materializes
+    # the whole lazy-checkpoint chain; n is then summed from the
+    # checkpointed level-1 bucket counts (exactly COUNT(*) of ev)
+    # instead of a second full events scan (r16).
     kept_cnt = kept2.count()
+    n = bt1.agg(F.sum("cnt")).first()[0]
     targets = []
     for q in KLLQ_PCTS:
         tau = (q * n + 99) // 100
@@ -1265,11 +1277,14 @@ def sketch_kll_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("eid") * KLLM_REHASH) % KLLM_P % KLLQ_SHARDS
         ).alias("sb"),
         F.expr(f"v DIV {KLLQ_VB}").alias("vb"),
-        # Eager: a LAZY localCheckpoint leaves the full lineage in the
-        # static plan, re-expanded under every consumer (measured: 44
-        # exchanges lazy vs 22 eager — the kmeans/MG plan-bloat
-        # pattern); base feeds five branches here.
-    ).localCheckpoint(eager=True)
+        # Lazy since r16: localCheckpoint wraps the plan in a
+        # lineage-truncating LogicalRDD for eager AND lazy alike (the
+        # earlier 44-vs-22-exchange measurement conflated this with a
+        # no-checkpoint variant; the r16 SHUFFLE_BUDGET run confirms
+        # the lazy static plan stays truncated), so the eager job
+        # barrier bought nothing — the first count below materializes
+        # base for all five consumer branches.
+    ).localCheckpoint(eager=False)
 
     def build_summary(shard_col: str) -> tuple[DataFrame, DataFrame]:
         """(kept-summary, per-(shard, vb) count table) under the given
@@ -1288,14 +1303,14 @@ def sketch_kll_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         bt = (
             base.groupBy(shard_col, "vb")
             .agg(F.count("*").cast("long").alias("cnt"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         off = B.earlier_bucket_agg(bt, [shard_col], "vb", "cnt", "sum", "off")
         kept = (
             loc.join(F.broadcast(off), [shard_col, "vb"])
             .filter((F.col("off") + F.col("rn")) % KLLQ_STRIDE == 0)
             .select("v", "eid", "vb")
-            .localCheckpoint(eager=True)  # summary-sized: n/C rows
+            .localCheckpoint(eager=False)  # summary-sized: n/C rows
         )
         return kept, bt
 
