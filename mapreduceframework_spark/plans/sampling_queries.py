@@ -17,7 +17,6 @@ from pyspark.sql.window import Window
 from mapreduceframework_spark.operators import text as X
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
-from mapreduceframework_spark.sources.registry import ensure_min_partitions
 
 from mapreduceframework_spark.plans.dedup_queries import MINHASH_PAIRS_CTES, _minhash_pairs
 
@@ -781,17 +780,12 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    # Gated round-robin (round 16): the tokenize + two feature explodes
-    # feed THREE consumers (raw counts, target counts, scoring) and all
-    # ran on the single local scan split; the gate spreads them and the
-    # one exchange is shared via ReuseExchange. No-op at cluster scale.
-    toks = ensure_min_partitions(
-        docs.select(
-            "doc_id",
-            "lang",
-            F.split(F.trim("text"), r"[ \t\n\r\f]+").alias("ws"),
-        ),
-        spark,
+    # NOT gated (r16 A/B, 4 warm reps interleaved): the model count
+    # groupBys redistribute right after the feature explode, so a gated
+    # round-robin only added an exchange — warm medians 1.43 s ungated
+    # vs 1.59 s gated at sf0.1.
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.trim("text"), r"[ \t\n\r\f]+").alias("ws")
     )
     n = F.size("ws")
     uni = toks.select("doc_id", "lang", F.explode("ws").alias("w"))

@@ -600,14 +600,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit class, not \s+: Java's \s includes U+000B but RE2's does
     # not, so the engines would disagree on vertical-tab boundaries
     # (ADVICE r6). The explicit set is engine-independent.
-    # Gated round-robin (round 16): tokenize + the two explodes ran on
-    # the single local scan split; no-op at cluster scale, and the one
-    # exchange is shared by both model passes via ReuseExchange.
-    toks = ensure_min_partitions(
-        docs.select(
-            "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f]+").alias("ws")
-        ),
-        spark,
+    # NOT gated (r16 A/B, 4 warm reps interleaved): the model groupBys
+    # redistribute right after the explode, so the gated round-robin
+    # only added an exchange — warm medians 1.09 s ungated vs 1.37 s
+    # gated. The single-split scan is not this row's bottleneck.
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f]+").alias("ws")
     )
     n = F.size("ws")
     big = (

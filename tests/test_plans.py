@@ -591,11 +591,7 @@ SHUFFLE_BUDGET = {
     # 2 broadcasts are the <= 8192-row model (its build join and the
     # scoring join) — the feature stream itself shuffles only once, on
     # doc_id. Top-K is TakeOrderedAndProject, not an exchange.
-    # +6 in r16: the gated round-robin spreading the single-split
-    # local scan before the feature explodes is statically re-expanded
-    # once per feats reference (ReuseExchange collapses them to ONE at
-    # runtime; no-op at cluster scale). Keyed shuffles unchanged at 5.
-    "sample_importance_dsir": 11,
+    "sample_importance_dsir": 5,
     # Two (group, value)-count shuffles + argmax/cumulative windows
     # over the O(distinct-values) count tables + the final join — no
     # fact-table window anywhere since the round-8 enum-key fix.
@@ -668,9 +664,7 @@ SHUFFLE_BUDGET = {
     # measured from the tuned plans — a silently added corpus-sized
     # Exchange in the older families fails loudly from now on. ---
     "join_bloom_pruned": 2,
-    # +3 r16: the gated round-robin on the scan, statically expanded
-    # per toks reference (ONE at runtime via ReuseExchange).
-    "text_bigram_lm_score": 9,
+    "text_bigram_lm_score": 6,
     "window_rolling_distinct_users": 4,
     "dedup_substring_chunks": 5,
     "hierarchy_rollup_recursive": 2,
