@@ -47,6 +47,20 @@ def get_session(
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer (parallelismFirst=true) floors each post-
+        # shuffle partition at minPartitionSize (default 1m), so a
+        # CPU-dense stage over a small shuffle gets strangled: r16
+        # profiling caught dedup_embedding_cosine running 11 s of
+        # per-pair HOF arithmetic on THREE tasks (3.4 MB / 1 MB) and
+        # reco_user_similarity exploding 0.9 MB -> 78 MB of pairs
+        # inside ONE coalesced task. A 64k floor keeps such stages
+        # wide (measured: embedding_cosine 5.9 -> 3.6 s, reco
+        # 6.3 -> 4.9 s; zero regression on cheap rows). The floor only
+        # binds when post-shuffle bytes are tiny relative to the core
+        # count — at the 100 TB design point advisoryPartitionSize
+        # dominates and this knob never engages (cluster_conf keeps
+        # the default).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
