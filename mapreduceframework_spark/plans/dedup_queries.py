@@ -442,7 +442,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a 100 TB corpus); the train side explodes to (doc, shingle)
     rows with map-side partial aggregation after the join, so shuffle
     volume is O(contaminated matches), not O(corpus)."""
-    docs = _docs(spark, sf_dir)
+    # _docs_wide (r16): the 5-gram shingle expression feeds both the
+    # eval and train branches from a single-split local scan; the
+    # gated round-robin spreads it (A/B warm medians 2.07 ungated vs
+    # 1.79 s gated; no-op at cluster scale).
+    docs = _docs_wide(spark, sf_dir)
     sh = docs.select(
         "doc_id", D.string_shingles(F.col("words"), 5).alias("sh")
     )

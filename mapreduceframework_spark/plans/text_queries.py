@@ -862,6 +862,10 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly with corpus size (verified on this generator: a 1%-of-
     docs cutoff selects shingles at sf0.01 and nothing at sf0.1) — a
     top-K list is the scale-stable formulation real pipelines ship.
+    Reads _docs_wide since r16: the shingle expression feeds BOTH the
+    DF-table build and the scoring branch from a single-split local
+    scan — the gated round-robin spreads it across cores (A/B warm
+    medians 3.05 ungated vs 2.02 s gated; no-op at cluster scale).
 
     This catches templated/navigational text that intra-document
     repetition (text_repetition_ratio) and held-out decontamination
@@ -872,7 +876,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-family inverted-index discipline), the top-256 lowers to
     TakeOrderedAndProject (per-partition heaps), and the list joins
     back as a BROADCAST — nothing is ever doc x doc."""
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     sh = d.select("doc_id", D.string_shingles(F.col("words"), 3).alias("sh"))
     ex = sh.filter(F.size("sh") > 0).select(
         "doc_id", F.explode("sh").alias("s")

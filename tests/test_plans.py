@@ -536,7 +536,9 @@ SHUFFLE_BUDGET = {
     "cdc_snapshot_diff": 4,
     "text_bm25_topk": 10,
     "join_range_binned": 2,
-    "decontaminate_ngram_overlap": 3,
+    # +2 r16: the gated round-robin on the scan, statically
+    # expanded under the two shingle branches (ONE at runtime).
+    "decontaminate_ngram_overlap": 5,
     "pack_token_chunks": 1,
     "text_tfidf_top_terms": 5,
     # Round-7 rows. The funnel/KS counts look high but are mostly
@@ -601,7 +603,8 @@ SHUFFLE_BUDGET = {
     "multimodal_audio_fingerprint": 5,
     # Inverted-index DF groupBy + TakeOrderedAndProject top-256 +
     # broadcast list join + per-doc partial agg.
-    "text_boilerplate_ngrams": 3,
+    # +2 r16: gated round-robin, statically expanded per branch.
+    "text_boilerplate_ngrams": 5,
     # Two O(distinct-hash) rep groupBys + doc_id-keyed joins of
     # rep-sized tables; the Gopher stage is a zero-shuffle scan.
     "pipeline_multimodal_curate": 6,
