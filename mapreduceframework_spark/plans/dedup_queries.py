@@ -1149,8 +1149,18 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ceil(0.7*n) is computed as (7*n + 9) DIV 10 — pure integer math,
     engine-identical, no float boundary to disagree on."""
-    ex = _prefix_token_table(spark, sf_dir)
-    pre = _prefix_index(ex)
+    # Lazy checkpoints (r16): ex feeds FIVE subtrees (the df count,
+    # the prefix rank, both candidate sides, both verify sides) and
+    # the shingle explode re-executed for each — exchange reuse cannot
+    # collapse them (different downstream keys). Materializing the
+    # token table once and the prefix index once measured ~10% warm
+    # (3.7 -> 3.3 s) and halved the cold first run (9.0 -> 4.0 s) at
+    # sf0.1. This is the guide's decision-pass materialization over
+    # token-sized proxy rows, NOT the r8 ordered-record variant the
+    # docstring retires (that one shipped token arrays + verified by
+    # array_intersect, which is what cost more than it saved).
+    ex = _prefix_token_table(spark, sf_dir).localCheckpoint(eager=False)
+    pre = _prefix_index(ex).localCheckpoint(eager=False)
     o_ub = 1 + F.least(
         F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
     )
@@ -1279,22 +1289,30 @@ def reco_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p")
     )
     bk = b.join(keep, "p").select("c", "p")
+    # Basket sizes RIDE ALONG with each exploded row (r16 — the
+    # dedup_ngram_jaccard trick): joining the size table onto the
+    # aggregated pair table afterwards re-shuffled the pair table —
+    # the query's largest intermediate, 78 MB at sf0.1 and the
+    # dominant shuffle at corpus scale — TWICE (once per side's key).
+    # Attaching s to the slim basket rows before pair generation costs
+    # two longs per pre-agg row and makes both size joins vanish; the
+    # groupBy gains (s_a, s_b) as keys, which is value-neutral because
+    # s is functional on the customer (pair set and counts identical —
+    # proven by an exact row-set equality A/B before landing, plus the
+    # DuckDB oracle).
     sz = bk.groupBy("c").agg(F.count("*").alias("s"))
-    x = bk.select(F.col("c").alias("cust_a"), "p")
-    y = bk.select(F.col("c").alias("cust_b"), "p")
+    bks = bk.join(sz, "c")
+    x = bks.select(F.col("c").alias("cust_a"), "p", F.col("s").alias("s_a"))
+    y = bks.select(F.col("c").alias("cust_b"), "p", F.col("s").alias("s_b"))
     pairs = (
         x.join(y, ["p"])
         .filter(F.col("cust_a") < F.col("cust_b"))
-        .groupBy("cust_a", "cust_b")
+        .groupBy("cust_a", "cust_b", "s_a", "s_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sz.select(F.col("c").alias("cust_a"), F.col("s").alias("s_a"))
-    sb = sz.select(F.col("c").alias("cust_b"), F.col("s").alias("s_b"))
     uni = F.col("s_a") + F.col("s_b") - F.col("inter")
     scored = (
-        pairs.join(sa, "cust_a")
-        .join(sb, "cust_b")
-        .select(
+        pairs.select(
             "cust_a",
             "cust_b",
             "inter",

@@ -982,11 +982,16 @@ SHUFFLE_BUDGET = {
     # triangle, cohort sizes broadcast.
     "events_cohort_ltv": 7,
     # Static expansion of the shared pruned-basket subtree (pair join
-    # sides + basket sizes each re-expand the distinct + popularity
-    # -prune chain; runtime ReuseExchange collapses them). Runtime
-    # distinct shuffles: basket dedup, part counts, pair counts, size
-    # joins; top-20 lowers to TakeOrderedAndProject.
-    "reco_user_similarity": 29,
+    # sides each re-expand the distinct + popularity-prune chain, now
+    # including the size-attach join; runtime ReuseExchange collapses
+    # them). r16: basket sizes ride along with the exploded rows, so
+    # the two post-aggregation size joins — which re-shuffled the pair
+    # table, the query's largest intermediate — are GONE at runtime;
+    # the static count rises (the richer bks subtree expands under
+    # both pair sides) while runtime distinct shuffles drop from 6 to
+    # 4: basket dedup, part counts, size attach, pair counts. Top-20
+    # lowers to TakeOrderedAndProject.
+    "reco_user_similarity": 31,
 }
 
 
