@@ -85,6 +85,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "extension"),
     bench=True,
+    # The shared-shingle self-join's pair stage is CPU-dense over a
+    # small shuffle; AQE's 1m floor narrows it to ~3 tasks at toy SF.
+    # r17 interleaved A/B: 2.76 s (64k) vs 3.07 s (1m); r16 measured
+    # 3.89 -> 3.16. No-op at cluster scale.
+    sql_conf={
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"
+    },
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard >= 0.5, computed
@@ -378,6 +385,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE {V.cosine_sql("x.v", "y.v")} >= 0.4
     """,
     tags=("dedup", "similarity", "extension"),
+    # The LSH-candidate cosine verify runs ~11 s of per-pair HOF
+    # arithmetic on THREE tasks under AQE's default 1m floor (3.4 MB
+    # post-shuffle / 1m — r16 profile). Scoped floor keeps it 32-wide:
+    # r17 interleaved A/B 3.69 s (64k) vs 8.47 s (1m). No-op at
+    # cluster scale.
+    sql_conf={
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"
+    },
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: multi-table sign-LSH (4 tables x 4
@@ -1245,6 +1260,14 @@ _RECO_CAP = 40
         LIMIT 20
     """,
     tags=("mining", "extension", "recommendation"),
+    # The part-keyed pair fan-out explodes ~0.9 MB of basket rows into
+    # ~78 MB of pairs; AQE's default 1m coalescing floor packs that
+    # CPU-dense stage into ONE task at toy shuffle sizes (r16 profile).
+    # Scoped floor keeps it wide: r17 interleaved A/B 4.92 s (64k) vs
+    # 9.05 s (1m). No-op at cluster scale (post-shuffle bytes >> 1m).
+    sql_conf={
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"
+    },
 )
 def reco_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-based collaborative-filtering USER similarity (the

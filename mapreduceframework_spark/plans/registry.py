@@ -33,9 +33,27 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
     doc: str = ""
+    sql_conf: tuple[tuple[str, str], ...] = ()  # per-query runtime confs
 
 
 REGISTRY: dict[str, QuerySpec] = {}
+
+# Runtime SQL confs that individual queries may override via
+# ``sql_conf`` (r17, VERDICT r16 item 1). Every registered query pins
+# each knob at BUILD time — to its declared value or back to the listed
+# default — so a value tuned for one query cannot leak into the next
+# query sharing the SparkSession. The r16 session-wide 64k AQE
+# coalescing floor was exactly that leak: it bought 1.8-2.3x on the
+# CPU-dense pair-fanout rows (dedup_embedding_cosine,
+# reco_user_similarity — measured again in the r17 interleaved A/B)
+# but taxed every iterative tiny-shuffle row 8-20% (kmeans, tpch_q2,
+# tpch_q6, lakehouse_incremental_agg) by keeping their per-round
+# model-sized shuffles 32 tasks wide. Scoped per query, both families
+# get their right width. Values here are the ENGINE defaults (the
+# reset state), not tunings; cluster_conf() is unaffected.
+_SCOPED_CONF_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
+}
 
 
 def query(
@@ -43,18 +61,36 @@ def query(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    sql_conf: dict[str, str] | None = None,
 ) -> Callable[[SparkQuery], SparkQuery]:
-    """Decorator: register a Spark query under ``name``."""
+    """Decorator: register a Spark query under ``name``.
+
+    ``sql_conf``: runtime SQL confs pinned while this query builds and
+    executes (its action runs before the next registry query builds —
+    every harness in this repo runs registry queries sequentially).
+    Keys outside _SCOPED_CONF_DEFAULTS are rejected so an override
+    without a reset-to-default rule cannot slip in.
+    """
+    for k in sql_conf or ():
+        if k not in _SCOPED_CONF_DEFAULTS:
+            raise ValueError(
+                f"sql_conf key {k!r} has no default in "
+                "_SCOPED_CONF_DEFAULTS; add one so other queries reset it"
+            )
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        overrides = dict(sql_conf or {})
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The caller may hand us a session with a non-UTC timezone;
             # the DuckDB oracle compares timestamps UTC-naive. Pin it.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            for k, dflt in _SCOPED_CONF_DEFAULTS.items():
+                spark.conf.set(k, overrides.get(k, dflt))
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QuerySpec(
@@ -64,6 +100,7 @@ def query(
             tags=tags,
             bench=bench,
             doc=(fn.__doc__ or "").strip(),
+            sql_conf=tuple(sorted((sql_conf or {}).items())),
         )
         return fn
 

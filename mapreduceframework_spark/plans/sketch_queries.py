@@ -838,7 +838,10 @@ def sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer arithmetic: Python floor-div on positive BIGINTs ==
     # DuckDB // == Spark DIV.
     kept_cnt = kept.count()
-    n = bt.agg(F.sum("cnt")).first()[0]
+    # coalesce: SUM over zero rows is NULL; the replaced ev.count()
+    # returned 0 on an empty events table (unreachable at generated
+    # SFs, but the substitution should be total — ADVICE r16).
+    n = bt.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
     targets = []
     for q in KLLQ_PCTS:
         tau = (q * n + 99) // 100
@@ -1090,7 +1093,8 @@ def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed level-1 bucket counts (exactly COUNT(*) of ev)
     # instead of a second full events scan (r16).
     kept_cnt = kept2.count()
-    n = bt1.agg(F.sum("cnt")).first()[0]
+    # coalesce: total on an empty events table (see the one-level row).
+    n = bt1.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
     targets = []
     for q in KLLQ_PCTS:
         tau = (q * n + 99) // 100

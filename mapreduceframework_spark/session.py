@@ -53,14 +53,15 @@ def get_session(
         # profiling caught dedup_embedding_cosine running 11 s of
         # per-pair HOF arithmetic on THREE tasks (3.4 MB / 1 MB) and
         # reco_user_similarity exploding 0.9 MB -> 78 MB of pairs
-        # inside ONE coalesced task. A 64k floor keeps such stages
-        # wide (measured: embedding_cosine 5.9 -> 3.6 s, reco
-        # 6.3 -> 4.9 s; zero regression on cheap rows). The floor only
-        # binds when post-shuffle bytes are tiny relative to the core
-        # count — at the 100 TB design point advisoryPartitionSize
-        # dominates and this knob never engages (cluster_conf keeps
-        # the default).
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # inside ONE coalesced task. r16 set a session-wide 64k floor;
+        # the r17 interleaved A/B showed that floor taxing every
+        # iterative tiny-shuffle row 8-20% (kmeans, tpch_q2/q6,
+        # lakehouse) while only the CPU-dense pair rows need it — it
+        # is now scoped PER QUERY via plans/registry.py sql_conf
+        # (_SCOPED_CONF_DEFAULTS resets it to the 1m default for
+        # everything else). cluster_conf() keeps the default: at the
+        # 100 TB design point advisoryPartitionSize dominates and the
+        # knob never engages.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

@@ -65,6 +65,35 @@ def test_registry_metadata_invariants():
         assert spec.doc, f"{name} has no docstring"
 
 
+def test_scoped_sql_conf_is_pinned_per_query(spark, sf_dir):
+    """r17: per-query runtime confs (the scoped AQE coalescing floor)
+    must be SET when an overriding query builds and RESET to the engine
+    default when any other query builds — otherwise one query's
+    toy-scale tuning leaks into every later query in the session."""
+    from mapreduceframework_spark.plans.registry import (
+        _SCOPED_CONF_DEFAULTS,
+    )
+
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    assert key in _SCOPED_CONF_DEFAULTS
+    overriders = {n for n, s in REG.items() if dict(s.sql_conf).get(key)}
+    # The measured r17 A/B winners — update alongside the decorators.
+    assert overriders == {
+        "dedup_embedding_cosine",
+        "dedup_ngram_jaccard",
+        "reco_user_similarity",
+    }
+    for name, spec in REG.items():
+        for k in dict(spec.sql_conf):
+            assert k in _SCOPED_CONF_DEFAULTS, (name, k)
+    # Build (not execute) one overriding and one plain query and watch
+    # the session conf flip both ways.
+    REG["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    assert spark.conf.get(key) == "64k"
+    REG["word_counts"].fn(spark, sf_dir)
+    assert spark.conf.get(key) == _SCOPED_CONF_DEFAULTS[key]
+
+
 def test_every_query_has_an_oracle():
     # The engine's standing claim: zero rows-only checks. If a future
     # query genuinely can't be SQL-expressed, this test is the place
