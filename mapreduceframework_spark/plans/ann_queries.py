@@ -21,6 +21,7 @@ from mapreduceframework_spark.operators import vectors as V
 from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
+from mapreduceframework_spark.sources.registry import inline_rows_df
 from mapreduceframework_spark.plans.corpus import EMB_CTE, _embeddings
 
 
@@ -1358,8 +1359,8 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         picked.append(best[0])
         selected.append((step, best[0], rel[best[0]], best[1]))
-    out = spark.createDataFrame(
-        selected, "step long, vec_id long, rel double, mmr double"
+    out = inline_rows_df(
+        spark, selected, "step long, vec_id long, rel double, mmr double"
     )
     return out.select(
         "step", "vec_id",

@@ -36,6 +36,7 @@ from mapreduceframework_spark.plans.exact import (
 )
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
+from mapreduceframework_spark.sources.registry import inline_rows_df
 
 
 @query(
@@ -221,7 +222,8 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join of the fact table to a band dimension via the
     range_join operator (broadcast nested-loop; fact side unshuffled)."""
     li = load_table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    bands = inline_rows_df(
+        spark,
         [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 40.0),
          ("top", 40.0, 51.0)],
         "band string, lo double, hi double",

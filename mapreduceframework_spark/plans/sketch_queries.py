@@ -33,6 +33,7 @@ from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs
 from mapreduceframework_spark.plans.exact import snap_units, snap_units_sql
 from mapreduceframework_spark.plans.registry import query
 from mapreduceframework_spark.sources import load_table
+from mapreduceframework_spark.sources.registry import inline_rows_df
 
 KMV_K = 16
 HEAVY_MIN = 100  # true-count threshold for the CMS probe set
@@ -867,7 +868,8 @@ def sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", (F.col("roff") + F.col("rn")).alias("r")
         )
 
-    tdf = spark.createDataFrame(
+    tdf = inline_rows_df(
+        spark,
         [(q, k) for q, _tau, k, _lo, _hi in targets],
         "q_pct long, k_eff long",
     )
@@ -875,7 +877,8 @@ def sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = _ranked(kept, kbt).join(
         F.broadcast(tdf), F.col("r") == F.col("k_eff")
     ).select("q_pct", F.col("v").alias("est_e4"))
-    probe = spark.createDataFrame(
+    probe = inline_rows_df(
+        spark,
         [(q, "lo", lo) for q, _tau, _k, lo, _hi in targets]
         + [(q, "hi", hi) for q, _tau, _k, _lo, hi in targets],
         "q_pct long, side string, pr long",
@@ -890,7 +893,8 @@ def sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("side") == "hi", F.col("v"))).alias("hi_e4"),
         )
     )
-    meta = spark.createDataFrame(
+    meta = inline_rows_df(
+        spark,
         [(q, n, tau) for q, tau, _k, _lo, _hi in targets],
         "q_pct long, n long, tau long",
     )
@@ -1118,7 +1122,8 @@ def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", (F.col("roff") + F.col("rn")).alias("r")
         )
 
-    tdf = spark.createDataFrame(
+    tdf = inline_rows_df(
+        spark,
         [(q, k) for q, _tau, k, _lo, _hi in targets],
         "q_pct long, k_eff long",
     )
@@ -1126,7 +1131,8 @@ def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = _ranked(kept2, kbt).join(
         F.broadcast(tdf), F.col("r") == F.col("k_eff")
     ).select("q_pct", F.col("v").alias("est_e4"))
-    probe = spark.createDataFrame(
+    probe = inline_rows_df(
+        spark,
         [(q, "lo", lo) for q, _tau, _k, lo, _hi in targets]
         + [(q, "hi", hi) for q, _tau, _k, _lo, hi in targets],
         "q_pct long, side string, pr long",
@@ -1140,7 +1146,8 @@ def sketch_quantile_kll_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("side") == "hi", F.col("v"))).alias("hi_e4"),
         )
     )
-    meta = spark.createDataFrame(
+    meta = inline_rows_df(
+        spark,
         [(q, n, tau) for q, tau, _k, _lo, _hi in targets],
         "q_pct long, n long, tau long",
     )
@@ -1354,8 +1361,8 @@ def sketch_kll_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def estimate(kept: DataFrame, k_col: int, out: str) -> DataFrame:
-        tdf = spark.createDataFrame(
-            [(t[0], t[k_col]) for t in targets], "q_pct long, k_eff long"
+        tdf = inline_rows_df(
+            spark, [(t[0], t[k_col]) for t in targets], "q_pct long, k_eff long"
         )
         kbt = kept.groupBy("vb").agg(F.count("*").cast("long").alias("cnt"))
         return (
@@ -1366,7 +1373,8 @@ def sketch_kll_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     est_a = estimate(kept_a, 2, "est_a_e4")
     est_b = estimate(kept_b, 3, "est_b_e4")
-    probe = spark.createDataFrame(
+    probe = inline_rows_df(
+        spark,
         [(q, "lo", lo) for q, _t, _a, _b, lo, _hi in targets]
         + [(q, "hi", hi) for q, _t, _a, _b, _lo, hi in targets],
         "q_pct long, side string, pr long",
@@ -1384,7 +1392,8 @@ def sketch_kll_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("side") == "hi", F.col("v"))).alias("hi_e4"),
         )
     )
-    meta = spark.createDataFrame(
+    meta = inline_rows_df(
+        spark,
         [(q, n, tau) for q, tau, _a, _b, _lo, _hi in targets],
         "q_pct long, n long, tau long",
     )

@@ -220,6 +220,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(TABLES[name]).parquet(path)
 
 
+def inline_rows_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Model-sized literal DataFrame WITHOUT the Python-RDD scan that
+    ``spark.createDataFrame(list_of_tuples)`` plans.
+
+    That scan is ``default.parallelism`` pickled partitions, and every
+    task opens a Python-worker round trip: r17 thread dumps caught 30
+    of 32 executor threads blocked in BasePythonRunner socket reads,
+    50-1700 ms per task with ~zero CPU, PER tiny literal table (the
+    KLL rows carry three each). Rendering the rows as one
+    ``inline(array(struct(...)))`` over a one-partition range keeps the
+    table entirely JVM-side: one sub-ms task, zero Python workers, and
+    the values are bit-identical (lit + cast of driver scalars).
+
+    For literal tables only — the expression tree is O(rows x cols).
+    Real in-memory data sources stay on ``sources.io.from_rows`` (the
+    declared InputVec-style operator).
+    """
+    fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+    # Fallbacks keep the helper total: an empty array can't be typed by
+    # inline, and past ~1k rows the O(rows x cols) literal tree costs
+    # Catalyst more than the Python scan it avoids (driver-collected
+    # streaming emissions can reach that at large SF).
+    if not rows or len(rows) > 1000:
+        return spark.createDataFrame(rows, schema)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(t).alias(name)
+                for (name, t), v in zip(fields, row)
+            ]
+        )
+        for row in rows
+    ]
+    return spark.range(0, 1, numPartitions=1).select(
+        F.inline(F.array(*structs))
+    )
+
+
 def ensure_min_partitions(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Round-robin repartition ONLY when the scan has fewer splits than
     the session's parallelism — a single local parquet file otherwise

@@ -46,6 +46,7 @@ from mapreduceframework_spark.sources.registry import (
     TABLES,
     events_nanos_to_ts,
     events_ts_unit,
+    inline_rows_df,
 )
 
 
@@ -529,8 +530,8 @@ def foreachbatch_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Crash-recovery re-delivery of the final batch, verbatim.
     commit_batch(*delivered[-1])
 
-    ldf = spark.createDataFrame(
-        ledger, "batch_id long, event_type string, n_events long"
+    ldf = inline_rows_df(
+        spark, ledger, "batch_id long, event_type string, n_events long"
     )
     # Upsert view of the append-only ledger: latest batch wins per key;
     # `deliveries` counts ledger rows for that winning batch — the
@@ -663,6 +664,6 @@ def checkpoint_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table (plus the checkpoint) into /tmp per retry.
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(
-        run2, "user_id long, n_events long, n_new long"
+    return inline_rows_df(
+        spark, run2, "user_id long, n_events long, n_new long"
     )

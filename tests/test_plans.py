@@ -895,7 +895,12 @@ SHUFFLE_BUDGET = {
     # + two summary-rank estimates + ONE shared exact lo/hi bound
     # ranking; a lazy base checkpoint measured 44 — eager is what
     # keeps the five consumers from re-expanding the scan.
-    "sketch_kll_merge_invariance": 22,
+    # 22 -> 23 (r17): the literal target/probe/meta tables moved off
+    # Python-RDD scans onto inline(array(struct)) (inline_rows_df) and
+    # one of them no longer shares a broadcast build — the +1 is a
+    # BroadcastExchange of <=10 literal rows; KEYED exchanges are
+    # unchanged at 12 (9 vb + 3 q_pct), verified by plan diff.
+    "sketch_kll_merge_invariance": 23,
     # One (epoch, shard)-keyed rank exchange; the epoch fan-out is a
     # row-local explode, never a join.
     "sample_epoch_shuffle": 1,
