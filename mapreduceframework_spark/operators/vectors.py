@@ -41,12 +41,63 @@ L_TABLES = 4
 PLANES_PER_TABLE = 4
 
 
+# The generator's embedding dimensionality. The unrolled fast paths
+# below are GUARDED on observed array sizes, so this is a performance
+# hint, not a data assumption — any other length takes the fold branch
+# with identical semantics.
+EMB_D = 64
+
+
+def _guarded_unroll(a: Column, b: Column, term, seed, fold) -> Column:
+    """``fold`` rewritten as a whole-stage-codegen expression when both
+    arrays have the expected EMB_D elements (r17, guide §4.1): HOF
+    lambdas are CodegenFallback — interpreted, one closure dispatch +
+    allocation per element — and the pair-verify stages evaluate these
+    folds O(candidate-pairs) times (dedup_semantic_clusters: 10.8 s of
+    stage CPU at sf0.1, dedup_embedding_cosine: 11 s). The unrolled
+    branch is the IDENTICAL left-associated IEEE sequence — seeded with
+    the same literal so even the 0.0 + (-0.0) first step matches — and
+    try_element_at mirrors zip_with's null for missing elements; any
+    non-EMB_D input takes the original fold, so semantics do not depend
+    on the unroll length."""
+    out = seed
+    for i in range(1, EMB_D + 1):
+        out = out + term(
+            F.try_element_at(a, F.lit(i)), F.try_element_at(b, F.lit(i))
+        )
+    return F.when(
+        (F.size(a) == EMB_D) & (F.size(b) == EMB_D), out
+    ).otherwise(fold)
+
+
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two array<double> columns."""
+    """Sequential-fold dot product of two array<double> columns.
+
+    Deliberately NOT unrolled (r17 negative result, recorded): cosine()
+    inlines three dots, so the guarded unroll tripled into a ~1.4k-node
+    tree per call site and the ann cosine rows regressed >2x
+    (ann_cosine_bruteforce 0.9 -> 2.1 s, ivf 1.3 -> 3.4 s, interleaved
+    A/B n=5) — plan/codegen cost swamped the interpreted-fold saving.
+    The unroll pays only where ONE dot runs per candidate pair; that
+    consumer uses dot_ll below."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def dot_ll(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<long> columns (exact
+    BIGINT arithmetic — association-free, but the unroll keeps the fold
+    order anyway)."""
+    fold = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return _guarded_unroll(
+        a, b, lambda x, y: x * y, F.lit(0).cast("long"), fold
     )
 
 
@@ -295,19 +346,100 @@ def kmeans_lloyd(
         )
         return q.select("vec_id", best["cid"].alias("cid"), "qv")
 
-    for _ in range(updates):
-        # Per-dimension integer sums -> exact double mean, O(k x d)
-        # rows back to the driver (the model update, as in MLlib).
-        rows = (
-            assign(cents)
-            .select("cid", F.posexplode("qv").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg((F.sum("val").cast("double") / F.count("*")).alias("v"))
-            .collect()
+    # Update passes run as ONE numpy mapInArrow per round (r17): the
+    # interpreted-HOF assignment was the measured cost — 4-7 s of
+    # executor CPU per pass at sf0.1 for 2,000 rows (HOF lambdas are
+    # CodegenFallback: a closure eval + allocation per element, k x d
+    # per row) — and the posexplode+groupBy shuffled k x d rows per
+    # pass. The batch form computes every (row, centroid) distance in
+    # vectorized numpy and emits only the O(k x d) per-partition
+    # partial sums; no shuffle, one job per round, same 3 jobs total.
+    #
+    # Bit-exactness vs the HOF fold (the oracle pins the full
+    # iteration trace, so this must be EXACT, not approximate):
+    # - the fold computes ((0.0 + t_1) + t_2) + ... per (row, cid) in
+    #   dimension order with t_j = (double(qv_j) - c_j)^2; the numpy
+    #   loop accumulates acc += diff*diff one DIMENSION at a time, so
+    #   each (row, cid) cell sees the identical left-associated IEEE
+    #   sequence (row-wise vectorization does not reorder the per-cell
+    #   chain; np.sum's pairwise reduction is deliberately avoided).
+    # - argmin tie-break: np.argmin returns the FIRST minimum = lowest
+    #   cid, exactly array_min(struct(dist, cid)).
+    # - member sums are int64 (exact, order-free); the mean is the
+    #   same double division of exact operands, now in driver Python.
+    # Pinned by test_kmeans_update_pass_matches_hof_fold (exact
+    # equality against the retired HOF+posexplode pass) and the
+    # unrolled-CTE oracles at 3 SFs.
+    def _pass_partials(cs: list[list[float]]):
+        import numpy as np
+        import pyarrow as pa
+
+        c = np.asarray(cs, dtype=np.float64)  # (k, d)
+
+        def fn(batches):
+            sums: dict[int, object] = {}
+            cnts: dict[int, int] = {}
+            d = None
+            for b in batches:
+                col = b.column(b.schema.get_field_index("qv"))
+                n = len(col)
+                if n == 0:
+                    continue
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                if d is None:
+                    d = len(flat) // n
+                x = flat.reshape(n, d)
+                acc = np.zeros((n, c.shape[0]), dtype=np.float64)
+                for j in range(d):
+                    diff = x[:, j : j + 1].astype(np.float64) - c[None, :, j]
+                    acc += diff * diff
+                best = np.argmin(acc, axis=1)
+                for cid in range(c.shape[0]):
+                    m = best == cid
+                    if m.any():
+                        s = x[m].sum(axis=0, dtype=np.int64)
+                        if cid in sums:
+                            sums[cid] = sums[cid] + s
+                            cnts[cid] += int(m.sum())
+                        else:
+                            sums[cid] = s
+                            cnts[cid] = int(m.sum())
+            cids, poss, ss, ns = [], [], [], []
+            for cid, s in sums.items():
+                for pos, v in enumerate(s):
+                    cids.append(cid)
+                    poss.append(pos)
+                    ss.append(int(v))
+                    ns.append(cnts[cid])
+            yield pa.record_batch(
+                [
+                    pa.array(cids, pa.int64()),
+                    pa.array(poss, pa.int64()),
+                    pa.array(ss, pa.int64()),
+                    pa.array(ns, pa.int64()),
+                ],
+                names=["cid", "pos", "s", "cnt"],
+            )
+
+        return q.select("qv").mapInArrow(
+            fn, "cid long, pos long, s long, cnt long"
         )
+
+    for _ in range(updates):
+        # O(partitions x k x d) partial rows back to the driver; the
+        # exact int64 partials combine order-free, and the mean is the
+        # identical IEEE division of exact operands the Spark
+        # sum/count form performed (the model update, as in MLlib).
+        agg: dict[tuple[int, int], tuple[int, int]] = {}
+        for r in _pass_partials(cents).collect():
+            key = (r["cid"], r["pos"])
+            s0, n0 = agg.get(key, (0, 0))
+            agg[key] = (s0 + r["s"], n0 + r["cnt"])
         by_cid: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["v"]
+        for (cid, pos), (s, n_mem) in agg.items():
+            # float() each operand first — the exact analogue of the
+            # retired sum.cast("double") / count double division.
+            by_cid.setdefault(cid, {})[pos] = float(s) / float(n_mem)
         cents = [
             [dims[p] for p in sorted(dims)]
             if (dims := by_cid.get(cid)) is not None

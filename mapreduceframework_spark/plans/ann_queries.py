@@ -872,13 +872,29 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sq_l2(a, b) -> F.Column:
-    """Exact-integer squared L2 between two BIGINT arrays."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+def _sq_l2(a, b, n: int = 8) -> F.Column:
+    """Exact-integer squared L2 between two length-``n`` BIGINT arrays.
+
+    Unrolled over the fixed PQ subvector length instead of
+    zip_with+aggregate: HOF lambdas are CodegenFallback (interpreted,
+    one closure eval per element with per-call array allocation), and
+    this expression runs ~640k times per query (corpus x 16 seeds x 8
+    subspaces twice + the ADC fan-out). The unrolled form is plain
+    codegen arithmetic — r17 profiling had exec at 2.9 s with per-task
+    CPU ~= run time on these stages. Value-identical: integer adds in
+    any association are exact, and try_element_at mirrors zip_with's
+    null for an out-of-range index (in-contract arrays are always
+    length 8 — slices of d=64 vectors / collect_list of 8 components).
+    """
+    terms = [
+        (F.try_element_at(a, F.lit(i)) - F.try_element_at(b, F.lit(i)))
+        * (F.try_element_at(a, F.lit(i)) - F.try_element_at(b, F.lit(i)))
+        for i in range(1, n + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 _PQ_SQ = "list_sum(list_transform(range(8), c -> ({a}[c+1] - {b}[c+1]) * ({a}[c+1] - {b}[c+1])))"

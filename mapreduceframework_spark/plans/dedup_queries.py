@@ -1432,11 +1432,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     back."""
     nn = _embeddings_q8(spark, sf_dir)
     asg, _cents = V.kmeans_lloyd(nn, k=8, updates=2)
-    n2 = F.aggregate(
-        F.transform("qv", lambda v: v * v),
-        F.lit(0).cast("long"),
-        lambda acc, e: acc + e,
-    )
+    # dot_ll(qv, qv) == the retired transform-square fold: exact BIGINT
+    # sums are association-free, and x*x per element is the same term.
+    n2 = V.dot_ll(F.col("qv"), F.col("qv"))
     # Materialize the assignment ONCE: it feeds three plan branches
     # (both pair-join sides + the outer keep/drop table), and without
     # the checkpoint each branch re-runs scan + quantize + the HOF
@@ -1448,11 +1446,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cid", "qv", n2.alias("n2")
     ).localCheckpoint(eager=True)
     a, b = scored.alias("a"), scored.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, e: acc + e,
-    )
+    # The pair-verify hot spot: this dot runs once per same-cluster
+    # pair (~250k at sf0.1; 10.8 s of interpreted-HOF stage CPU) —
+    # dot_ll's guarded unroll moves it into whole-stage codegen (r17).
+    dot = V.dot_ll(F.col("a.qv"), F.col("b.qv"))
     dups = (
         a.join(
             b,
