@@ -19,7 +19,11 @@ from pyspark.sql.window import Window
 
 from mapreduceframework_spark.operators import dedup as D
 from mapreduceframework_spark.operators import vectors as V
-from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.plans.registry import (
+    NO_INFER_FROM_GENERATE,
+    NO_INFER_FROM_GENERATE_OR_CONSTRAINTS,
+    query,
+)
 from mapreduceframework_spark.sources import load_table
 from mapreduceframework_spark.plans.ann_queries import (
     EMB_BANDS_CTE,
@@ -88,9 +92,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shared-shingle self-join's pair stage is CPU-dense over a
     # small shuffle; AQE's 1m floor narrows it to ~3 tasks at toy SF.
     # r17 interleaved A/B: 2.76 s (64k) vs 3.07 s (1m); r16 measured
-    # 3.89 -> 3.16. No-op at cluster scale.
+    # 3.89 -> 3.16. No-op at cluster scale. Plus BOTH infer-filter
+    # exclusions (registry rationale; generate A/B 2.77 -> 2.51 s,
+    # +constraints 1.76 -> 1.26 s — the jac filter's inferred
+    # isnotnull(nsh) was a third scan-side shingle evaluation).
     sql_conf={
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+        **NO_INFER_FROM_GENERATE_OR_CONSTRAINTS,
     },
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,6 +451,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
     """,
     tags=("text", "dedup", "decontamination", "extension"),
+    # Shingle-explode infer-filter exclusion (A/B 2.73 -> 1.08 s; see
+    # registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_INFER_FROM_GENERATE,
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
@@ -1074,8 +1085,14 @@ def _prefix_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _docs_wide(spark, sf_dir).select(
         "doc_id", D.string_shingles(F.col("words")).alias("s")
     )
-    shf = sh.filter(F.size("s") > 0)
-    return shf.select(
+    # No explicit size(s) > 0 filter (r17): explode already emits zero
+    # rows for empty/null arrays — identical output — and the explicit
+    # filter was PUSHED below the round-robin exchange by expression
+    # substitution, evaluating the whole interpreted shingle pipeline
+    # on the single-task scan (the very serialization the gate exists
+    # to avoid). The matching optimizer-INFERRED filter is disabled
+    # per-query via excludedRules (see the @query sql_conf).
+    return sh.select(
         "doc_id", F.size("s").alias("n"), F.explode("s").alias("tok")
     )
 
@@ -1118,6 +1135,9 @@ def _prefix_index(ex: DataFrame) -> DataFrame:
     """,
     tags=("dedup", "similarity", "join", "extension"),
     bench=True,
+    # Shingle-explode infer-filter exclusion (A/B 4.30 -> 3.07 s; see
+    # registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_INFER_FROM_GENERATE,
 )
 def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join by prefix filtering (Chaudhuri et

@@ -53,6 +53,59 @@ REGISTRY: dict[str, QuerySpec] = {}
 # reset state), not tunings; cluster_conf() is unaffected.
 _SCOPED_CONF_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
+    # InferFiltersFromGenerate synthesizes size(g)>0 / isnotnull(g)
+    # above every explode; filter pushdown then SUBSTITUTES the
+    # generator expression below the gated round-robin exchange, so
+    # the single-task scan evaluates the whole interpreted shingle
+    # pipeline (twice: size + isnotnull) before the exchange can
+    # spread it — r17 profiling caught a 2.1 s, 1-task, 5000-row scan
+    # stage doing exactly that in dedup_ngram_jaccard. The duplicate
+    # evaluation exists at ANY scale (without the exchange the
+    # inferred filter still re-computes the generator in the same
+    # stage). Queries whose generator is expensive exclude the rule;
+    # explode itself already emits nothing for empty/null arrays, so
+    # the rule is a pure optimization and values are unchanged.
+    # Measured (interleaved A/B, n=7): decontaminate 2.73->1.08 s,
+    # boilerplate 2.65->1.52, prefix-filter 4.30->3.07, tfidf
+    # 1.44->1.23, bpe_vocab 1.07->0.87, ngram_jaccard 2.77->2.51;
+    # flat-to-negative on bm25/bigram/simhash/dsir (left default).
+    "spark.sql.optimizer.excludedRules": "",
+    # availableNow appends a NO-DATA micro-batch after the data batches
+    # to advance the watermark and flush pending state. Streaming rows
+    # whose emission does not depend on that flush (complete/update
+    # modes re-emit state every batch; dropDuplicates appends in the
+    # arrival batch) can skip it — measured 1.1-1.6x per row with
+    # row-identical output (r17 A/B, n=3-4 reps, exact value-set
+    # equality per rep). The OUTER stream-stream joins NEED the flush
+    # (left_join emitted 182 of 19842 rows without it) and every
+    # non-overriding row keeps the engine default true.
+    "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+}
+
+# Streaming rows that measurably win by skipping the trailing no-data
+# micro-batch (value-identical; see _SCOPED_CONF_DEFAULTS rationale).
+NO_TRAILING_NODATA_BATCH = {
+    "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+}
+
+# The one rule the shingle rows exclude (see _SCOPED_CONF_DEFAULTS).
+NO_INFER_FROM_GENERATE = {
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
+}
+
+# dedup_ngram_jaccard additionally excludes constraint inference: its
+# final jac >= 0.5 filter infers isnotnull(nsh), which substitutes to
+# isnotnull(size(<shingle pipeline>)) on the single-task scan — a
+# third full interpreted evaluation. A/B n=7: 1.76 -> 1.26 s on top of
+# the generate exclusion; the other shingle rows measured flat and
+# keep the narrower exclusion.
+NO_INFER_FROM_GENERATE_OR_CONSTRAINTS = {
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate,"
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints"
+    ),
 }
 
 

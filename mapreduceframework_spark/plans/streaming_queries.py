@@ -34,7 +34,10 @@ from mapreduceframework_spark.plans.exact import (
     int_round_mean_sql,
     snap_units,
 )
-from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.plans.registry import (
+    NO_TRAILING_NODATA_BATCH,
+    query,
+)
 from mapreduceframework_spark.sources import load_table
 
 TUMBLING_ORACLE = """
@@ -168,6 +171,9 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=TUMBLING_ORACLE,
     bench=True,
     tags=("streaming", "true-streaming"),
+    # Skip the trailing no-data micro-batch (1.63x, row-identical
+    # output; registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_TRAILING_NODATA_BATCH,
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured Streaming: file-source readStream -> watermark ->
@@ -186,6 +192,9 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     """,
     tags=("streaming", "true-streaming", "stateful"),
+    # Skip the trailing no-data micro-batch (1.23x, row-identical
+    # output; registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_TRAILING_NODATA_BATCH,
 )
 def streaming_user_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user running counts in
@@ -202,6 +211,9 @@ def streaming_user_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     "streaming_sliding_avgs",
     oracle=SLIDING_ORACLE,
     tags=("streaming", "true-streaming", "window-time"),
+    # Skip the trailing no-data micro-batch (1.15x, row-identical
+    # output; registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_TRAILING_NODATA_BATCH,
 )
 def streaming_sliding_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE-streaming sliding windows (10 min / 5 min slide) with a
@@ -219,6 +231,9 @@ def streaming_sliding_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT user_id, event_type FROM events
     """,
     tags=("streaming", "true-streaming", "dedup"),
+    # Skip the trailing no-data micro-batch (1.21x, row-identical
+    # output; registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_TRAILING_NODATA_BATCH,
 )
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication via dropDuplicates state: append-mode
@@ -240,6 +255,9 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
     """,
     tags=("streaming", "true-streaming", "join"),
+    # Skip the trailing no-data micro-batch (1.48x, row-identical
+    # output; registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_TRAILING_NODATA_BATCH,
 )
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (clicks x purchases of the same user
@@ -512,6 +530,9 @@ def streaming_click_purchase_full_join(
         WHERE rk = 1
     """,
     tags=("streaming", "true-streaming", "stateful"),
+    # Skip the trailing no-data micro-batch (1.11x, row-identical
+    # output; registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_TRAILING_NODATA_BATCH,
 )
 def streaming_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful threshold alerting in the streaming engine: the first
@@ -575,6 +596,9 @@ def streaming_foreachbatch_upsert(
         HAVING SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) > 0
     """,
     tags=("streaming", "true-streaming", "stateful", "recovery"),
+    # Skip the trailing no-data micro-batch (1.09x, row-identical
+    # output; registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_TRAILING_NODATA_BATCH,
 )
 def streaming_checkpoint_restart(
     spark: SparkSession, sf_dir: str

@@ -23,7 +23,10 @@ from pyspark.sql.window import Window
 
 from mapreduceframework_spark.operators import dedup as D
 from mapreduceframework_spark.operators import text as X
-from mapreduceframework_spark.plans.registry import query
+from mapreduceframework_spark.plans.registry import (
+    NO_INFER_FROM_GENERATE,
+    query,
+)
 from mapreduceframework_spark.sources import load_table
 from mapreduceframework_spark.sources.registry import ensure_min_partitions
 from mapreduceframework_spark.plans.corpus import DOCS_CTE, _docs, _docs_wide
@@ -256,6 +259,9 @@ def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rnk <= 3
     """,
     tags=("text", "extension", "agg", "join"),
+    # Token-explode infer-filter exclusion (A/B 1.44 -> 1.23 s; see
+    # registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_INFER_FROM_GENERATE,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document — the classic text pipeline as
@@ -850,6 +856,9 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per
     """,
     tags=("text", "quality", "dedup", "extension"),
+    # Shingle-explode infer-filter exclusion (A/B 2.65 -> 1.52 s; see
+    # registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_INFER_FROM_GENERATE,
 )
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-boilerplate detection (the CCNet/C4 'common crawl
@@ -878,9 +887,11 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as a BROADCAST — nothing is ever doc x doc."""
     d = _docs_wide(spark, sf_dir)
     sh = d.select("doc_id", D.string_shingles(F.col("words"), 3).alias("sh"))
-    ex = sh.filter(F.size("sh") > 0).select(
-        "doc_id", F.explode("sh").alias("s")
-    )
+    # explode drops empty/null arrays itself; an explicit size filter
+    # gets pushed below the round-robin exchange and serializes the
+    # shingle pipeline onto the single-task scan (r17, see
+    # _prefix_token_table).
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("nd"))
     top = (
         dfreq.orderBy(F.col("nd").desc(), "s")
@@ -1197,6 +1208,9 @@ def pack_bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "extension", "training-data", "tokenizer"),
     bench=True,
+    # Token-explode infer-filter exclusion (A/B 1.07 -> 0.87 s; see
+    # registry._SCOPED_CONF_DEFAULTS rationale).
+    sql_conf=NO_INFER_FROM_GENERATE,
 )
 def text_bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE-PATH form of exact BPE token accounting: encode each

@@ -75,13 +75,41 @@ def test_scoped_sql_conf_is_pinned_per_query(spark, sf_dir):
     )
 
     key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-    assert key in _SCOPED_CONF_DEFAULTS
+    rules = "spark.sql.optimizer.excludedRules"
+    assert key in _SCOPED_CONF_DEFAULTS and rules in _SCOPED_CONF_DEFAULTS
     overriders = {n for n, s in REG.items() if dict(s.sql_conf).get(key)}
     # The measured r17 A/B winners — update alongside the decorators.
     assert overriders == {
         "dedup_embedding_cosine",
         "dedup_ngram_jaccard",
         "reco_user_similarity",
+    }
+    nodata = "spark.sql.streaming.noDataMicroBatches.enabled"
+    nodata_overriders = {
+        n for n, s in REG.items() if dict(s.sql_conf).get(nodata) == "false"
+    }
+    assert nodata_overriders == {
+        "streaming_tumbling_counts",
+        "streaming_click_purchase_join",
+        "streaming_user_counts_stateful",
+        "streaming_dedup_keys",
+        "streaming_sliding_avgs",
+        "streaming_threshold_alerts",
+        "streaming_checkpoint_restart",
+    }
+    # The outer stream-stream joins MUST keep the trailing no-data
+    # batch: without it the watermark never flushes unmatched rows
+    # (r17 A/B: left_join emitted 182 of 19842 rows).
+    assert "streaming_click_purchase_left_join" not in nodata_overriders
+    assert "streaming_click_purchase_full_join" not in nodata_overriders
+    rule_overriders = {n for n, s in REG.items() if dict(s.sql_conf).get(rules)}
+    assert rule_overriders == {
+        "dedup_ngram_jaccard",
+        "similarity_join_prefix_filter",
+        "decontaminate_ngram_overlap",
+        "text_boilerplate_ngrams",
+        "text_tfidf_top_terms",
+        "text_bpe_vocab_counts",
     }
     for name, spec in REG.items():
         for k in dict(spec.sql_conf):
@@ -90,8 +118,11 @@ def test_scoped_sql_conf_is_pinned_per_query(spark, sf_dir):
     # the session conf flip both ways.
     REG["dedup_ngram_jaccard"].fn(spark, sf_dir)
     assert spark.conf.get(key) == "64k"
+    assert "InferFiltersFromGenerate" in spark.conf.get(rules)
+    assert "InferFiltersFromConstraints" in spark.conf.get(rules)
     REG["word_counts"].fn(spark, sf_dir)
     assert spark.conf.get(key) == _SCOPED_CONF_DEFAULTS[key]
+    assert spark.conf.get(rules) == ""
 
 
 def test_every_query_has_an_oracle():
