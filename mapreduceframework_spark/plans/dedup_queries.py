@@ -185,8 +185,19 @@ def _minhash_candidates(
     returns (cand[doc_a, doc_b], shf[doc_id, hs]) — the shared front
     half of every MinHash-family query (Jaccard pairs, containment,
     clusters) so the candidate definition cannot drift between them."""
-    sh = _docs_wide(spark, sf_dir).select(
-        "doc_id", D.hashed_shingles(F.col("words")).alias("hs")
+    # The non-empty filter runs on WORDS, not hs: size(hs) > 0 <=>
+    # size(words) >= 3 (a 3-gram exists iff there are >= 3 words;
+    # split yields no null elements, word_hash/mod never null, and
+    # array_distinct of a non-empty array is non-empty) — and an
+    # explicit size(hs) filter gets PUSHED below the round-robin
+    # exchange by substitution, evaluating the whole interpreted
+    # shingle-hash pipeline on the single-task scan (r17; the
+    # string-shingle rows hit the same trap via inferred filters).
+    # The words form pushes only size(split(trim(text))) — cheap.
+    sh = (
+        _docs_wide(spark, sf_dir)
+        .filter(F.size("words") >= 3)
+        .select("doc_id", D.hashed_shingles(F.col("words")).alias("hs"))
     )
     # Lazy localCheckpoint (r16 optimization, guide-style lineage
     # truncation): every consumer joins shf TWICE (x/y verify sides
@@ -201,7 +212,7 @@ def _minhash_candidates(
     # O(doc_id + hashed-shingle set) — the lightweight proxy, never
     # the text — and the checkpoint is lazy so the first real action
     # materializes it without an extra job barrier.
-    shf = sh.filter(F.size("hs") > 0).localCheckpoint(eager=False)
+    shf = sh.localCheckpoint(eager=False)
     sig = shf.select("doc_id", D.minhash_signature(F.col("hs")).alias("sig"))
     bands = sig.select(
         "doc_id", F.explode(D.lsh_band_keys(F.col("sig"))).alias("bk")
@@ -945,10 +956,15 @@ def similarity_join_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-keyed joins of the shingle-set table. Filtering the shared
     band table by parity (not re-shingling per side) keeps one scan +
     one signature pass feeding both join sides."""
-    sh = _docs_wide(spark, sf_dir).select(
-        "doc_id", D.hashed_shingles(F.col("words")).alias("hs")
+    # words-form non-empty filter: size(hs) > 0 <=> size(words) >= 3
+    # (see _minhash_candidates) — keeps the shingle-hash pipeline off
+    # the single-task scan.
+    sh = (
+        _docs_wide(spark, sf_dir)
+        .filter(F.size("words") >= 3)
+        .select("doc_id", D.hashed_shingles(F.col("words")).alias("hs"))
     )
-    shf = sh.filter(F.size("hs") > 0)
+    shf = sh
     sig = shf.select("doc_id", D.minhash_signature(F.col("hs")).alias("sig"))
     bands = sig.select(
         "doc_id", F.explode(D.lsh_band_keys(F.col("sig"))).alias("bk")

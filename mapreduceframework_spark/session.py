@@ -63,6 +63,16 @@ def get_session(
         # 100 TB design point advisoryPartitionSize dominates and the
         # knob never engages.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The whole-stage-codegen source->class cache holds 100 entries
+        # by default; a session cycling through this engine's ~280
+        # query shapes evicts constantly, so every pass re-pays Janino
+        # compiles (r17 A/B under bench-like pressure, 3 reps:
+        # ann_cosine_pq 3.2-5.3 s at 100 entries vs 2.4-2.6 s at 2000;
+        # ann_cosine_ivf spiked to 6.0 s on an eviction vs 0.9-1.0 s).
+        # Cost is bounded JVM metaspace for cached generated classes —
+        # the same knob matters on any long-lived production session
+        # running many query shapes.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -139,4 +149,8 @@ def cluster_conf(
             "100MB"
         ),
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        # Long-lived sessions cycling many query shapes thrash the
+        # 100-entry codegen class cache (see get_session) — driver-side
+        # metaspace for generated classes is cheap at this size.
+        "spark.sql.codegen.cache.maxEntries": "2000",
     }
