@@ -354,13 +354,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all of them; the groupBy's own exchange then hash-partitions sims
     # by doc_id, and the two band self-join branches share it as one
     # ReusedExchange. Shuffle payloads: 33 longs/doc, then 16B/doc.
-    wh = (
-        _docs(spark, sf_dir)
-        .select(
+    from mapreduceframework_spark.sources.registry import (
+        ensure_min_partitions,
+    )
+
+    # Gated (r17): the unconditional repartition would round-robin the
+    # whole corpus at cluster scale where the scan is already wide; the
+    # gate keeps the local single-split spread and is a no-op there.
+    wh = ensure_min_partitions(
+        _docs(spark, sf_dir).select(
             "doc_id",
             F.transform(F.col("words"), D.word_hash32).alias("wh32"),
-        )
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        ),
+        spark,
     )
     sims = D.simhash_by_doc(wh)
     bands = sims.select(
@@ -531,6 +537,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN documents tb ON tb.doc_id = doc_b
     """,
     tags=("dedup", "extension"),
+    # CPU-dense pair-DP stages over 10-16 coalesced tasks: the scoped
+    # floor keeps them wide (r17 raw-fn A/B n=5: 2.04 vs 2.27 s).
+    sql_conf={
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"
+    },
 )
 def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification of near-dup candidates: for each
@@ -1027,6 +1038,11 @@ def similarity_join_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN n
     """,
     tags=("extension", "mining", "cooccurrence"),
+    # Pair fan-out stage coalesces too narrow at toy SF (r17 raw-fn
+    # A/B n=5: 1.34 s with the 64k floor vs 1.64 s default).
+    sql_conf={
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"
+    },
 )
 def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over the top co-occurring part pairs: support,

@@ -83,6 +83,8 @@ def test_scoped_sql_conf_is_pinned_per_query(spark, sf_dir):
         "dedup_embedding_cosine",
         "dedup_ngram_jaccard",
         "reco_user_similarity",
+        "dedup_edit_distance_verify",
+        "mining_association_rules",
     }
     nodata = "spark.sql.streaming.noDataMicroBatches.enabled"
     nodata_overriders = {
